@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single session factory so Bench / Verify / tests share one config
+  * posture (SURVEY.md §7.3-5): UTC session timezone (oracle parity),
+  * AQE on (runtime re-plan = the elastic-scaling answer, SURVEY.md §4),
+  * shuffle partitions sized to the local core count rather than the
+  * 200 default (local[N] = N executor threads in one JVM).
+  *
+  * At cluster scale the same code runs unchanged: only master /
+  * shuffle-partition sizing are env-driven here.
+  */
+object GraftSession {
+
+  /** Core count: SPARK_GRAFT_CPUS env if the driver set it, else all. */
+  def cpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects by default; read as long nanos, converted back to
+      // TimestampType in Tables.events (truncation to micros matches what
+      // DuckDB does when it reads the same file).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

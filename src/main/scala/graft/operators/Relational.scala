@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{GraftQuery, QueryModule}
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Relational core: scan → filter/project → join (broadcast + shuffle,
+  * all join types) → hash aggregate → sort/limit (SURVEY.md §2.1-2.5,
+  * §2.7). These are the batch form of the reference's stateless
+  * event-processing + enrichment patterns (kafka/README.md:325 map/filter,
+  * :331-332 stream-table enrichment join, :352 co-partitioned joins).
+  *
+  * Scale posture: dimension tables (region/nation/supplier/part) are
+  * broadcast — no shuffle of the fact side on those keys; fact⋈fact joins
+  * (lineitem⋈orders) shuffle on the join key once and Catalyst reuses the
+  * exchange. Filters sit directly on scans so they push into parquet.
+  */
+object Relational extends QueryModule {
+
+  /** Q1-style pricing summary: wide hash aggregate with partial/final
+    * combine; exercises A1/A3-A5 aggregates on exact decimals. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(money(col("l_quantity"))).as("sum_qty"),
+        exactSum(money(col("l_extendedprice"))).as("sum_base_price"),
+        exactSum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("sum_disc_price"),
+        exactSum(money(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax"))).as("sum_charge"),
+        exactAvg(money(col("l_quantity"))).as("avg_qty"),
+        exactAvg(money(col("l_extendedprice"))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Q5-style revenue per nation (the flagship / SparkEntry.entry):
+    * region⋈nation broadcast onto customer⋈orders⋈lineitem. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val revenueByNationSql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC NULLS LAST, n_name NULLS FIRST""".stripMargin
+
+  /** Q3-style top-10 revenue orders for one segment (shuffle join +
+    * TakeOrderedAndProject: top-k never globally sorts the fact table). */
+  def topOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(exactSum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val topOrdersSql =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC NULLS LAST, o_orderkey NULLS FIRST
+      |LIMIT 10""".stripMargin
+
+  /** Q4-style: priority counts over orders that have ≥1 returned line —
+    * EXISTS as a left-semi join (never a row-multiplying inner join). */
+  def orderPriorityCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val returned = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val orderPriorityCountsSql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Plain filter + project + per-row computed column (map/filter,
+    * flink/README.md:21-23): everything pushes into the parquet scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_quantity") >= 45 &&
+              col("l_discount") >= 0.05 &&
+              col("l_returnflag") === "A")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val filterProjectSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+      |  l_extendedprice * (1 - l_discount) AS disc_price
+      |FROM lineitem
+      |WHERE l_quantity >= 45 AND l_discount >= 0.05 AND l_returnflag = 'A'
+      |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin
+
+  /** Q6-style single-row global aggregate (partial agg does nearly all
+    * the work map-side; one row crosses the exchange). */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(exactSum(money(col("l_extendedprice")) * money(col("l_discount"))).as("promo_revenue"))
+  }
+
+  private val forecastRevenueSql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.03 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Broadcast-enrichment join (the stream-table pattern,
+    * kafka/README.md:331-332, batch form): orders enriched with the
+    * customer dimension, aggregated per market segment. */
+  def segmentStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        exactSum(money(col("o_totalprice"))).as("total_price"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val segmentStatsSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      |  COUNT(DISTINCT o_custkey) AS n_customers
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment NULLS FIRST""".stripMargin
+
+  /** Left outer join keeping order-less customers (count(col) skips the
+    * nulls the outer side introduces). */
+  def customerOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val customerOrderCountsSql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin
+
+  /** Left-semi join: customers having ≥1 finished order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val semiJoinSql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin
+
+  /** Left-anti join: customers with no order since 2001 (NOT EXISTS). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin
+
+  /** Full outer join of two independent aggregates (customers vs
+    * suppliers per nation — nations can be missing on either side). */
+  def fullOuterNationActivity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val fullOuterNationActivitySql =
+    """SELECT COALESCE(c.k, s.k) AS nationkey,
+      |  COALESCE(c.n_customers, 0) AS n_customers,
+      |  COALESCE(s.n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS k, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |  ON c.k = s.k
+      |ORDER BY nationkey NULLS FIRST""".stripMargin
+
+  /** Multi-way star join with two fact-side shuffles plus three broadcast
+    * dims: revenue per (region, part brand) slice. */
+  def starSchemaSlice(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).filter(col("p_size") <= 10)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(
+        exactSum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("p_brand"))
+  }
+
+  private val starSchemaSliceSql =
+    """SELECT r_name, p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE p_size <= 10
+      |GROUP BY r_name, p_brand
+      |ORDER BY r_name NULLS FIRST, p_brand NULLS FIRST""".stripMargin
+
+  /** Union + except: customers active in 1996 but not 1997 (set ops,
+    * SURVEY.md §2.8 — the reprocessing version-compare pattern,
+    * kafka/README.md:336). */
+  def churnedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def activeIn(year: Int) =
+      o.filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+    activeIn(1996).except(activeIn(1997))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val churnedCustomersSql =
+    """SELECT o_custkey
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |EXCEPT
+      |SELECT o_custkey
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY o_custkey NULLS FIRST""".stripMargin
+
+  /** Intersect: customer keys appearing in both halves of the date range. */
+  def retainedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val first = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val second = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    first.intersect(second).orderBy(col("o_custkey"))
+  }
+
+  private val retainedCustomersSql =
+    """SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY o_custkey NULLS FIRST""".stripMargin
+
+  override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    GraftQuery("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
+    GraftQuery("q03_top_orders", topOrders, Some(topOrdersSql)),
+    GraftQuery("q04_order_priority", orderPriorityCounts, Some(orderPriorityCountsSql)),
+    GraftQuery("q05_filter_project", filterProject, Some(filterProjectSql)),
+    GraftQuery("q06_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
+    GraftQuery("q07_segment_stats", segmentStats, Some(segmentStatsSql)),
+    GraftQuery("q08_customer_order_counts", customerOrderCounts, Some(customerOrderCountsSql)),
+    GraftQuery("q09_semi_join", semiJoin, Some(semiJoinSql)),
+    GraftQuery("q10_anti_join", antiJoin, Some(antiJoinSql)),
+    GraftQuery("q11_full_outer_nation", fullOuterNationActivity, Some(fullOuterNationActivitySql)),
+    GraftQuery("q12_star_slice", starSchemaSlice, Some(starSchemaSliceSql)),
+    GraftQuery("q13_churned_customers", churnedCustomers, Some(churnedCustomersSql)),
+    GraftQuery("q14_retained_customers", retainedCustomers, Some(retainedCustomersSql)),
+  )
+}
