@@ -12,6 +12,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     Relational,
+    Analytics,
+    EventLog,
   )
 
   private lazy val all: Seq[GraftQuery] = {

@@ -1,0 +1,335 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, QueryModule}
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Batch analytic depth (SURVEY.md §2.4 extras + §2.6 window functions +
+  * §2.10 scalar functions): the batch form of the reference's
+  * moving-average / min-max-per-day patterns (kafka/README.md:326) and the
+  * "analysis" scope of README.md:21.
+  *
+  * Scale posture: window functions partition by their key — one shuffle
+  * per distinct partitioning, reused across functions on the same window
+  * spec. Top-k per group filters on row_number, never a global sort of
+  * the fact table. Rollup/cube expand in the partial aggregate (one
+  * shuffle). Exact decimals keep every float output hash-stable.
+  */
+object Analytics extends QueryModule {
+
+  /** Top-3 orders by total price per market segment: window top-k
+    * (row_number ≤ k), the per-group analog of min/max-per-day
+    * (kafka/README.md:326). */
+  def topkPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rk"))
+  }
+
+  private val topkPerSegmentSql =
+    """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment NULLS FIRST, rk NULLS FIRST""".stripMargin
+
+  /** Moving average over the last 3 orders per customer (A6
+    * moving-average, kafka/README.md:326 — batch frame form). Decimal
+    * window sum + one double division keeps it hash-exact. */
+  def movingAvgOrderValue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 100)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, 0)
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (sum(money(col("o_totalprice"))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w)).as("moving_avg"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private val movingAvgOrderValueSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS moving_avg
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey NULLS FIRST, o_orderdate NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+
+  /** rank + dense_rank of parts by retail price within brand (§2.6). */
+  def partPriceRanks(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+    p.select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).as("price_rank"),
+        dense_rank().over(w).as("price_dense_rank"))
+      .filter(col("price_rank") <= 5)
+      .orderBy(col("p_brand"), col("price_rank"), col("p_partkey"))
+  }
+
+  private val partPriceRanksSql =
+    """SELECT p_brand, p_partkey, p_retailprice, price_rank, price_dense_rank FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC NULLS LAST) AS price_rank,
+      |    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC NULLS LAST) AS price_dense_rank
+      |  FROM part) t
+      |WHERE price_rank <= 5
+      |ORDER BY p_brand NULLS FIRST, price_rank NULLS FIRST, p_partkey NULLS FIRST""".stripMargin
+
+  /** lag/lead: gap in days between consecutive orders per customer. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 50)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_orderdate"), 1).over(w).as("prev_orderdate"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), col("prev_orderdate")))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private val orderGapsSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  LAG(o_orderdate, 1) OVER w AS prev_orderdate,
+      |  LEAD(o_orderkey, 1) OVER w AS next_orderkey,
+      |  CAST(DATE_DIFF('day', CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+      |                 CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+      |FROM orders
+      |WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST)
+      |ORDER BY o_custkey NULLS FIRST, o_orderdate NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+
+  /** ROLLUP over region → nation: hierarchical subtotals (grouping-sets
+    * family; batch analog of multi-level aggregation state). */
+  def rollupCustomerValue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           exactSum(money(col("c_acctbal"))).as("total_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val rollupCustomerValueSql =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** CUBE over order status × priority. */
+  def cubeOrderStatus(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(money(col("o_totalprice"))).as("total_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  private val cubeOrderStatusSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** count(distinct) per nation (expanded distinct aggregation — two-phase
+    * shuffle, no driver-side set). */
+  def distinctPartsPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  private val distinctPartsPerNationSql =
+    """SELECT s_nationkey,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey NULLS FIRST""".stripMargin
+
+  /** approx_count_distinct (HLL sketch): the 100 TB cardinality path —
+    * constant memory per group vs the exact expansion above. Sketch
+    * internals differ per engine, so no SQL oracle (rows-only check);
+    * the ScalaTest suite bounds its error against the exact count. */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** String functions (§2.10): split/lower/substring/concat/regexp. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_size") === 1)
+    p.select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).cast(IntegerType).as("brand_num"),
+        size(split(col("p_name"), " ")).as("name_words"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val stringFunctionsSql =
+    """SELECT p_partkey,
+      |  LOWER(p_name) AS name_lower,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len,
+      |  SUBSTRING(p_name, 1, 5) AS name_prefix,
+      |  CONCAT_WS('/', p_brand, p_type) AS brand_type,
+      |  CAST(REGEXP_EXTRACT(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+      |  CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INT) AS name_words
+      |FROM part
+      |WHERE p_size = 1
+      |ORDER BY p_partkey NULLS FIRST""".stripMargin
+
+  /** Date/time functions (§2.10): trunc/year/month/quarter grouping. */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(money(col("o_totalprice"))).as("total_price"))
+      .orderBy(col("o_year"), col("o_month"))
+  }
+
+  private val ordersByMonthSql =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+      |  CAST(MONTH(o_orderdate) AS INT) AS o_month,
+      |  DATE_TRUNC('month', o_orderdate) AS month_start,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY 1, 2, 3
+      |ORDER BY o_year NULLS FIRST, o_month NULLS FIRST""".stripMargin
+
+  /** JSON extraction from the events payload (§2.10 / kafka schema-on-read,
+    * kafka/README.md:312): props is a JSON string column. */
+  def jsonPayloadStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k").cast(LongType)).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val jsonPayloadStatsSql =
+    """SELECT event_type,
+      |  COUNT(k) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MIN(k) AS min_k,
+      |  MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k
+      |      FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** Conditional aggregation (case/when — the branch pattern P6 in
+    * aggregate form). */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_high_discount"),
+        sum(when(col("l_quantity") >= 25, money(col("l_extendedprice")))
+          .otherwise(lit(BigDecimal(0)).cast(DecimalType(12, 2))))
+          .cast(DoubleType).as("bulk_revenue"),
+        (sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)) * lit(100.0) /
+          count(lit(1))).as("pct_finished"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val conditionalAggSql =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_high_discount,
+      |  CAST(SUM(CASE WHEN l_quantity >= 25 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+      |           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS bulk_revenue,
+      |  SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) * 100.0 / COUNT(*) AS pct_finished
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
+  /** first/last value over an ordered window frame (§2.6). */
+  def firstLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 200)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        first(col("o_orderkey")).over(w).as("first_orderkey"),
+        last(col("o_orderkey")).over(w).as("last_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  private val firstLastOrderSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+      |  LAST_VALUE(o_orderkey) OVER w AS last_orderkey
+      |FROM orders
+      |WHERE o_custkey <= 200
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey NULLS FIRST, o_orderdate NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+
+  override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q20_topk_per_segment", topkPerSegment, Some(topkPerSegmentSql)),
+    GraftQuery("q21_moving_avg", movingAvgOrderValue, Some(movingAvgOrderValueSql)),
+    GraftQuery("q22_part_price_ranks", partPriceRanks, Some(partPriceRanksSql)),
+    GraftQuery("q23_order_gaps", orderGaps, Some(orderGapsSql)),
+    GraftQuery("q24_rollup_customer_value", rollupCustomerValue, Some(rollupCustomerValueSql)),
+    GraftQuery("q25_cube_order_status", cubeOrderStatus, Some(cubeOrderStatusSql)),
+    GraftQuery("q26_distinct_parts_per_nation", distinctPartsPerNation, Some(distinctPartsPerNationSql)),
+    GraftQuery("q27_approx_distinct_parts", approxDistinctParts, None),
+    GraftQuery("q28_string_functions", stringFunctions, Some(stringFunctionsSql)),
+    GraftQuery("q29_orders_by_month", ordersByMonth, Some(ordersByMonthSql)),
+    GraftQuery("q30_json_payload_stats", jsonPayloadStats, Some(jsonPayloadStatsSql)),
+    GraftQuery("q31_conditional_agg", conditionalAgg, Some(conditionalAggSql)),
+    GraftQuery("q32_first_last_order", firstLastOrder, Some(firstLastOrderSql)),
+  )
+}

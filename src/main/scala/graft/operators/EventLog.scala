@@ -1,0 +1,318 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, QueryModule}
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Event-log (Kafka-topic) semantics in batch-replay form over the
+  * `events` fixture (SURVEY.md §2.1 S4/S5/S8/S9, §2.3, §2.7 O1-O3,
+  * §2.9 T11/T12): `event_id` is the offset, `user_id` the key, `ts`
+  * event time (kafka/README.md:10-23). Live-streaming counterparts live
+  * in graft.streaming and its ScalaTest suites.
+  *
+  * Scale posture: everything here partitions by `user_id` (the key) —
+  * per-key windows shuffle once on the key, exactly the co-partitioning
+  * the reference requires of keyed topics (kafka/README.md:374-376).
+  * No driver-side loops; compaction is a window function, not a collect.
+  */
+object EventLog extends QueryModule {
+
+  /** S5 seek/replay: consume from a given offset (kafka/README.md:198-200
+    * `seek`); the predicate prunes parquet row groups via min/max stats. */
+  def seekReplay(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_id") >= 500)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("first_offset"),
+        max(col("event_id")).as("last_offset"))
+      .orderBy(col("event_type"))
+  }
+
+  private val seekReplaySql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(event_id) AS first_offset, MAX(event_id) AS last_offset
+      |FROM events
+      |WHERE event_id >= 500
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** S8 retention: keep only events within 7 days of the newest event
+    * (kafka/README.md:29-34 time-based retention) — the cutoff is computed
+    * in-plan (scalar aggregate broadcast), never collected to the driver. */
+  def retentionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val maxTs = e.agg(max(col("ts")).as("max_ts"))
+    e.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_retained"),
+           exactSum(money(col("value"))).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  private val retentionWindowSql =
+    """SELECT event_type, COUNT(*) AS n_retained,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 7 DAY
+      |GROUP BY event_type
+      |ORDER BY event_type NULLS FIRST""".stripMargin
+
+  /** T11 log compaction: latest record per key (kafka/README.md:27,
+    * :433-434) as a keyed window — one shuffle on the key, no global sort. */
+  def compactLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+      .orderBy(col("user_id"))
+  }
+
+  private val compactLatestPerKeySql =
+    """SELECT user_id, event_id, event_type, value, ts FROM (
+      |  SELECT user_id, event_id, event_type, value, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
+  /** T12 tombstones: compact to latest-per-key, then drop keys whose
+    * latest record is a tombstone ('error' stands in for the null-value
+    * delete marker, kafka/README.md:437). */
+  def compactWithTombstones(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("user_id"))
+  }
+
+  private val compactWithTombstonesSql =
+    """SELECT user_id, event_id, event_type, ts FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id NULLS FIRST""".stripMargin
+
+  /** S9 dead-letter queue: route poison records ('error' events) to a DLQ
+    * enriched with origin metadata (kafka/README.md:202-271). The good/bad
+    * split is two filters off one scan; this query is the DLQ side. */
+  def dlqRecords(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.filter(col("event_type") === "error")
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit("events").as("origin_topic"),
+        (col("user_id") % 8).cast(IntegerType).as("origin_partition"),
+        col("event_id").as("origin_offset"))
+      .orderBy(col("event_id"))
+  }
+
+  private val dlqRecordsSql =
+    """SELECT event_id, user_id, ts, value,
+      |  'events' AS origin_topic,
+      |  CAST(user_id % 8 AS INT) AS origin_partition,
+      |  event_id AS origin_offset
+      |FROM events
+      |WHERE event_type = 'error'
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
+  /** S4 + K2 + O1/O3: standalone-consumer read of one hash partition with
+    * per-key ordering (kafka/README.md:117-118 assign; :374-376 key order).
+    * Partition id = key mod N (the reference's default routing, :22). */
+  def partitionAssignOrdered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    e.filter(col("user_id") % 8 === 3)
+      .withColumn("seq_in_key", row_number().over(w))
+      .select(col("user_id"), col("event_id"), col("seq_in_key"), col("event_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val partitionAssignOrderedSql =
+    """SELECT user_id, event_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST) AS INT) AS seq_in_key,
+      |  event_type
+      |FROM events
+      |WHERE user_id % 8 = 3
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin
+
+  /** Gap-based sessionization (T3 session windows, batch form): a new
+    * session starts after >30 min idle per key. Microsecond integer
+    * arithmetic keeps the cutoff bit-exact across engines. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byKey = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = e
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byKey))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byKey.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .filter(col("n_events") >= 3)
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val sessionizeSql =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id
+      |                           ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, ts, event_id, EPOCH_US(ts) AS us,
+      |        LAG(EPOCH_US(ts), 1) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_us
+      |      FROM events) a) b) c
+      |GROUP BY user_id, session_id
+      |HAVING COUNT(*) >= 3
+      |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST""".stripMargin
+
+  /** Tumbling event-time windows, batch-replay form (T2,
+    * flink/README.md:72): per-day per-type counts + exact value sums. */
+  def tumblingDailyWindows(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(
+        date_trunc("day", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           exactSum(money(col("value"))).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  private val tumblingDailyWindowsSql =
+    """SELECT DATE_TRUNC('day', ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start NULLS FIRST, event_type NULLS FIRST""".stripMargin
+
+  /** Sliding time-frame aggregate (T3 batch analog): per event, count and
+    * exact-average of the key's events in the preceding hour (RANGE frame
+    * over microsecond event time). */
+  def slidingHourlyStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id") <= 20)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    e.withColumn("us", unix_micros(col("ts")))
+      .select(
+        col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        (sum(money(col("value"))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w)).as("avg_value_last_hour"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val slidingHourlyStatsSql =
+    """SELECT user_id, event_id, ts,
+      |  COUNT(*) OVER w AS n_last_hour,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS avg_value_last_hour
+      |FROM (SELECT user_id, event_id, ts, value, EPOCH_US(ts) AS us FROM events
+      |      WHERE user_id <= 20) t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us NULLS FIRST
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin
+
+  /** As-of join (SURVEY.md §7.3 hard part): for each purchase, the most
+    * recent prior signup of the same user — forward-fill via
+    * last_value(ignore nulls) over the keyed event order; no Spark
+    * built-in as-of join needed, and no row explosion. */
+  def asofLastSignup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("last_signup_id",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("last_signup_id"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val asofLastSignupSql =
+    """SELECT user_id, event_id, ts, last_signup_id FROM (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_id
+      |  FROM events) t
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin
+
+  /** J2 stream-stream windowed join, batch-replay form
+    * (kafka/README.md:333): purchases matched to clicks of the same user
+    * within the preceding 10 minutes — equi-key join + time-range predicate
+    * (shuffles once on the key; the range filter runs inside the join). */
+  def windowedSelfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+              unix_micros(col("ts")).as("p_us"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+              unix_micros(col("ts")).as("c_us"))
+    p.join(c, col("p_user") === col("c_user") &&
+              col("c_us") >= col("p_us") - 600000000L &&
+              col("c_us") <= col("p_us"))
+      .groupBy(col("p_user"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("p_id")).as("n_purchases_with_click"))
+      .orderBy(col("p_user"))
+  }
+
+  private val windowedSelfJoinSql =
+    """SELECT p.user_id AS p_user, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT p.event_id) AS n_purchases_with_click
+      |FROM events p
+      |JOIN events c ON p.user_id = c.user_id
+      |  AND c.event_type = 'click'
+      |  AND EPOCH_US(c.ts) >= EPOCH_US(p.ts) - 600000000
+      |  AND EPOCH_US(c.ts) <= EPOCH_US(p.ts)
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY p.user_id
+      |ORDER BY p_user NULLS FIRST""".stripMargin
+
+  override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q40_seek_replay", seekReplay, Some(seekReplaySql)),
+    GraftQuery("q41_retention_window", retentionWindow, Some(retentionWindowSql)),
+    GraftQuery("q42_compact_latest_per_key", compactLatestPerKey, Some(compactLatestPerKeySql)),
+    GraftQuery("q43_compact_tombstones", compactWithTombstones, Some(compactWithTombstonesSql)),
+    GraftQuery("q44_dlq_records", dlqRecords, Some(dlqRecordsSql)),
+    GraftQuery("q45_partition_assign", partitionAssignOrdered, Some(partitionAssignOrderedSql)),
+    GraftQuery("q46_sessionize", sessionize, Some(sessionizeSql)),
+    GraftQuery("q47_tumbling_daily", tumblingDailyWindows, Some(tumblingDailyWindowsSql)),
+    GraftQuery("q48_sliding_hourly", slidingHourlyStats, Some(slidingHourlyStatsSql)),
+    GraftQuery("q49_asof_last_signup", asofLastSignup, Some(asofLastSignupSql)),
+    GraftQuery("q50_windowed_self_join", windowedSelfJoin, Some(windowedSelfJoinSql)),
+  )
+}
