@@ -14,6 +14,10 @@ object SparkEntry {
     Relational,
     Analytics,
     EventLog,
+    TextOps,
+    Dedup,
+    Similarity,
+    Multimodal,
   )
 
   private lazy val all: Seq[GraftQuery] = {

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, QueryModule}
+import graft.sources.Tables
+
+/** Deduplication for LLM training corpora (SURVEY.md §2.12): exact
+  * (hash-group), near-dup via exact n-gram Jaccard, MinHash+LSH, and
+  * SimHash. All are DataFrame-native — shingling and hashing are per-row
+  * higher-order functions (codegen'd, no UDFs); candidate generation is a
+  * keyed equi-join on band/bucket signatures, never an all-pairs cross
+  * join.
+  *
+  * Scale posture: MinHash/LSH is the 100 TB path — per-doc work is linear,
+  * and the only shuffle joins are on (band, signature) buckets whose size
+  * is controlled by the banding parameters. The exact-Jaccard query is the
+  * small-scale oracle-checkable reference; at scale it would be gated by
+  * the LSH candidates (and high-doc-frequency shingles pruned).
+  */
+object Dedup extends QueryModule {
+
+  // ---- shared shingling -------------------------------------------------
+
+  /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("shingles"))
+  }
+
+  // ---- exact dedup ------------------------------------------------------
+
+  /** Exact duplicate groups by content hash (count > 1). */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(sha2(col("text"), 256).as("content_sha256"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_dups") > 1)
+      .orderBy(col("content_sha256"))
+  }
+
+  private val exactDupGroupsSql =
+    """SELECT SHA256(text) AS content_sha256, COUNT(*) AS n_dups,
+      |  MIN(doc_id) AS keep_doc_id
+      |FROM documents
+      |GROUP BY 1
+      |HAVING COUNT(*) > 1
+      |ORDER BY content_sha256 NULLS FIRST""".stripMargin
+
+  /** Exact dedup keeping the first (lowest doc_id) copy of each text —
+    * the latest/first-per-key compaction pattern applied to content
+    * identity. Returns the surviving ids. */
+  def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupKeepFirstSql =
+    """SELECT doc_id, lang, source FROM (
+      |  SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---- exact n-gram Jaccard near-dup ------------------------------------
+
+  /** Exact 3-gram Jaccard similarity for all doc pairs sharing ≥1 shingle,
+    * thresholded at 0.5. |A∩B| from a shingle-keyed self-join (group
+    * count), |A∪B| = |A|+|B|−|A∩B| — integer arithmetic end to end, so the
+    * ratio is hash-exact. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val ngramJaccardPairsSql =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |    GENERATE_SERIES(1, LEN(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |  FROM toks WHERE LEN(t) >= 3),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_inter,
+      |  CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sz x ON doc_a = x.doc_id
+      |JOIN sz y ON doc_b = y.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= 0.5
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) coefficients for the universal hash family
+    * h_i(x) = (a_i·x + b_i) mod p, seeded independently of wall clock. */
+  private lazy val hashCoeffs: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+                           rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Per-doc 64-slot MinHash signature as wide columns h0..h63: one
+    * explode + one hash aggregate (map-side combine keeps the shuffle at
+    * one row per (doc, 64 longs)). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("base", pmod(xxhash64(col("sh")), lit(MersennePrime)))
+    val minCols: Seq[Column] = hashCoeffs.zipWithIndex.toIndexedSeq.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("base") + lit(b), lit(MersennePrime))).as(s"h$i")
+    }
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band the signature (16 bands × 4 rows),
+    * bucket-join on (band, signature-slice hash), then estimate Jaccard as
+    * the fraction of agreeing hash slots. Hash-function internals are
+    * engine-specific, so this is a rows-only query (no SQL oracle); the
+    * ScalaTest suite cross-checks it against exact Jaccard. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val bandStructs = (0 until Bands).map { j =>
+      val slice = (0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}"))
+      struct(lit(j).as("band"), xxhash64(slice: _*).as("sig"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "sig"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c").toIndexedSeq: _*)
+    val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c").toIndexedSeq: _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("est_jaccard", agree.cast(DoubleType) / NumHashes)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash per doc: per-token hash bits weighted by token count,
+    * signature bit i = sign of the summed ±count contributions. Near-dup
+    * pairs block on 16-bit signature chunks and verify Hamming distance.
+    * Rows-only (engine-specific hash), cross-checked in ScalaTest. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums: Seq[Column] = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+      .withColumn("chunks", array((0 until 4).map(j =>
+        struct(lit(j).as("pos"), shiftright(col("simhash"), j * 16)
+          .bitwiseAND(0xFFFFL).as("chunk"))): _*))
+    val blocked = sigs.select(col("doc_id"), col("simhash"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+    blocked.as("x").join(blocked.as("y"), Seq("pos", "chunk"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
+    GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
+    GraftQuery("q72_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
+    GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, None),
+    GraftQuery("q74_simhash_pairs", simhashPairs, None),
+  )
+}

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, QueryModule}
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.12):
+  * brute-force cosine top-k as the correctness baseline, an LSH
+  * (sign-bucket) variant and an IVF (coarse-quantizer) variant as the
+  * scale paths. Dot products are native higher-order functions
+  * (`zip_with` + `aggregate`, whole-stage codegen'd) — no UDFs.
+  *
+  * Scale posture: brute force broadcasts only the (small) query set and
+  * streams the candidate side — fine for one-off probes, O(N·Q) at 100 TB.
+  * The LSH/IVF variants turn the search into an equi-join on bucket/cell
+  * id, which shuffles each side once on a small key — that is the
+  * production shape.
+  */
+object Similarity extends QueryModule {
+
+  /** array<float> → array<double> (exact), so all arithmetic is double. */
+  private def vecD(c: Column): Column = c.cast(ArrayType(DoubleType))
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+
+  /** Vectors with precomputed norms (norms computed once, before any
+    * join fan-out). */
+  private def normed(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"), col("label"))
+      .withColumn("nrm", norm("v"))
+
+  /** Brute-force cosine top-5 for a fixed probe set (vec_id < 10):
+    * broadcast the probes, stream all candidates, window top-k. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("query_id") < 10)
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val cosineTopKSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e),
+      |sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    LIST_DOT_PRODUCT(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC NULLS LAST, neighbor_id NULLS FIRST) AS rank
+      |  FROM sims)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, ROUND(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
+  /** Per-label centroids (the IVF coarse quantizer, and a typical
+    * class-prototype computation): posexplode → (label, dim) average. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir)
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"), round(avg(col("x")), 6).as("centroid"))
+      .filter(col("dim") <= 8)
+      .orderBy(col("label"), col("dim"))
+  }
+
+  private val labelCentroidsSql =
+    """SELECT label, CAST(pos AS INT) AS dim, COUNT(*) AS n,
+      |  ROUND(AVG(v[pos]), 6) AS centroid
+      |FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e,
+      |  UNNEST(GENERATE_SERIES(1, 8)) AS t(pos)
+      |GROUP BY label, pos
+      |ORDER BY label NULLS FIRST, dim NULLS FIRST""".stripMargin
+
+  /** LSH-bucketed ANN: bucket = sign bits of the first 8 dims (a fixed
+    * hyperplane family); search only within the probe's bucket. The join
+    * is a plain equi-join on bucket id — the shuffle-once scale path. */
+  def annSignBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val bucket: Column = (0 until 8)
+      .map(i => when(element_at(col("v"), i + 1) > 0.0, 1 << i).otherwise(0))
+      .reduce(_ + _)
+    val e = normed(spark, dir).withColumn("bucket", bucket)
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                     col("nrm").as("qn"), col("bucket"))
+      .filter(col("query_id") < 50)
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+                        col("nrm").as("cn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(cand, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+              col("bucket"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annSignBucketsSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm,
+      |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+      |  + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+      |  + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
+      |  + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END)
+      |  AS bucket FROM e),
+      |sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+      |    LIST_DOT_PRODUCT(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      |  FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 50),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, bucket, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC NULLS LAST, neighbor_id NULLS FIRST) AS rank
+      |  FROM sims)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, bucket, ROUND(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
+  /** Most-similar pair within each label (embedding-cosine near-dup,
+    * label-blocked): all-pairs inside a label partition only. */
+  def nearestPairPerLabel(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", dot("av", "bv") / (col("an") * col("bn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("label"))
+  }
+
+  private val nearestPairPerLabelSql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e),
+      |sims AS (
+      |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |ranked AS (
+      |  SELECT label, vec_a, vec_b, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY label
+      |                       ORDER BY sim DESC NULLS LAST, vec_a NULLS FIRST, vec_b NULLS FIRST) AS rk
+      |  FROM sims)
+      |SELECT label, vec_a, vec_b, ROUND(sim, 6) AS sim
+      |FROM ranked WHERE rk = 1
+      |ORDER BY label NULLS FIRST""".stripMargin
+
+  /** IVF-style ANN: coarse cells = per-label centroids computed in-plan;
+    * every vector is assigned to its nearest cell, probes search their 2
+    * nearest cells. Candidate lookup is an equi-join on cell id. Centroid
+    * assignment involves engine-ordered float sums, so this is rows-only;
+    * ScalaTest checks recall against the brute-force baseline. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir)
+    // centroids[label] as array (built from per-dim averages, order-fixed)
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label")).pivot("pos").avg("x") // small: 10 labels × 64 dims
+    val dims = (0 until 64).map(i => col(s"$i"))
+    val centArr = cents.select(col("label").as("cell"), array(dims: _*).as("cv"))
+      .withColumn("cn", norm("cv"))
+    // assign each vector to nearest centroid
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(centArr))
+      .withColumn("csim", dot("v", "cv") / (col("nrm") * col("cn")))
+      .withColumn("crk", row_number().over(wAssign))
+    val vectors = assigned.filter(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
+              col("nrm").as("cn2"), col("cell"))
+    val probes = assigned.filter(col("crk") <= 2 && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(vectors, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot("qv", "cv2") / (col("qn") * col("cn2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
+    GraftQuery("q82_ann_sign_buckets", annSignBuckets, Some(annSignBucketsSql)),
+    GraftQuery("q83_nearest_pair_per_label", nearestPairPerLabel, Some(nearestPairPerLabelSql)),
+    GraftQuery("q84_ann_ivf", annIvf, None),
+  )
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, QueryModule}
+import graft.sources.Tables
+
+/** Text analysis for LLM training-data pipelines (SURVEY.md §2.12; driver
+  * north star BASELINE.json:6) over `documents`: tokenization/word-count
+  * (the reference's flagship dataflow, flink/README.md:69-77, batch form),
+  * language stats/ID, quality scoring, token counting, fingerprinting.
+  *
+  * Scale posture: everything is per-row higher-order-function work (map
+  * side, whole-stage codegen'd, no UDFs) followed by a single keyed
+  * aggregate — at 100 TB this is scan-bound with no extra shuffles beyond
+  * the final group-by.
+  */
+object TextOps extends QueryModule {
+
+  private def toks = split(col("text"), " ")
+
+  /** Word count — the canonical pipeline (flink/README.md:69-77):
+    * flatMap(split) → keyBy(word) → sum. Top 50 by count. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(explode(toks).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)
+  }
+
+  private val wordCountSql =
+    """SELECT word, COUNT(*) AS cnt
+      |FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents) t
+      |GROUP BY word
+      |ORDER BY cnt DESC NULLS LAST, word NULLS FIRST
+      |LIMIT 50""".stripMargin
+
+  /** Per-language corpus stats (language filtering is the first gate of a
+    * training-data pipeline). */
+  def langStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  private val langStatsSql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
+  /** Token counting, whitespace + BPE-ish regex (word pieces of ≤4 chars):
+    * the cost model of LLM data curation. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"),
+        size(toks).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("bpe_ish_tokens"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenCountsSql =
+    """SELECT doc_id,
+      |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS INT) AS bpe_ish_tokens,
+      |  CAST(LENGTH(text) AS INT) AS n_chars_measured
+      |FROM documents
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Quality scoring: length / lexical-diversity / stopword signals
+    * composed into one double score. All components are integer-derived
+    * ratios, so the score is bit-exact across engines. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val stop = Array("the", "a", "of", "and", "to")
+    d.select(col("doc_id"), col("lang"), toks.as("toks"), col("n_chars"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        size(expr(s"filter(toks, t -> t IN (${stop.map("'" + _ + "'").mkString(",")}))"))
+          .as("n_stopwords"),
+        col("n_chars"))
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"), col("n_stopwords"),
+        (col("n_distinct").cast(DoubleType) / col("n_tokens")).as("diversity"),
+        (col("n_stopwords").cast(DoubleType) / col("n_tokens")).as("stopword_ratio"),
+        (col("n_chars").cast(DoubleType) / col("n_tokens")).as("avg_token_len"))
+      .withColumn("quality",
+        col("diversity") * lit(0.5) +
+          when(col("stopword_ratio") > 0.02, lit(0.25)).otherwise(lit(0.0)) +
+          when(col("n_tokens") >= 30, lit(0.25)).otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityScoresSql =
+    """SELECT doc_id, lang, n_tokens, n_distinct, n_stopwords,
+      |  diversity, stopword_ratio, avg_token_len,
+      |  diversity * 0.5
+      |    + CASE WHEN stopword_ratio > 0.02 THEN 0.25 ELSE 0.0 END
+      |    + CASE WHEN n_tokens >= 30 THEN 0.25 ELSE 0.0 END AS quality
+      |FROM (
+      |  SELECT doc_id, lang, n_tokens, n_distinct, n_stopwords,
+      |    CAST(n_distinct AS DOUBLE) / n_tokens AS diversity,
+      |    CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+      |    CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len
+      |  FROM (
+      |    SELECT doc_id, lang, n_chars,
+      |      CAST(LEN(toks) AS INT) AS n_tokens,
+      |      CAST(LEN(LIST_DISTINCT(toks)) AS INT) AS n_distinct,
+      |      CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','a','of','and','to'))) AS INT) AS n_stopwords
+      |    FROM (SELECT doc_id, lang, n_chars, STRING_SPLIT(text, ' ') AS toks
+      |          FROM documents) a) b) c
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Heuristic language ID (n-gram/marker-token overlap): score each doc
+    * against per-language marker sets, argmax with deterministic
+    * tie-break. Marker lists are illustrative (the fixture text is a
+    * synthetic shared vocabulary); the *operator shape* — k scores + argmax
+    * per row, no shuffle — is the production one. */
+  def langIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val markers = Seq(
+      "en" -> Seq("the", "a", "fast", "small"),
+      "de" -> Seq("merge", "window", "batch"),
+      "es" -> Seq("data", "vector", "part"))
+    val scored = markers.foldLeft(
+      d.select(col("doc_id"), col("lang").as("labeled_lang"), toks.as("toks"))) {
+      case (df, (lang, ws)) =>
+        df.withColumn(s"score_$lang",
+          size(expr(s"filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))")))
+    }
+    scored
+      .withColumn("guess",
+        when(col("score_en") >= col("score_de") && col("score_en") >= col("score_es"), "en")
+          .when(col("score_de") >= col("score_es"), "de")
+          .otherwise("es"))
+      .select(col("doc_id"), col("labeled_lang"), col("score_en"), col("score_de"),
+              col("score_es"), col("guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdHeuristicSql =
+    """SELECT doc_id, labeled_lang, score_en, score_de, score_es,
+      |  CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+      |       WHEN score_de >= score_es THEN 'de'
+      |       ELSE 'es' END AS guess
+      |FROM (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','a','fast','small'))) AS INT) AS score_en,
+      |    CAST(LEN(LIST_FILTER(toks, t -> t IN ('merge','window','batch'))) AS INT) AS score_de,
+      |    CAST(LEN(LIST_FILTER(toks, t -> t IN ('data','vector','part'))) AS INT) AS score_es
+      |  FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents) a) b
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** Content fingerprinting: full-text SHA-256 plus a coarse structural
+    * fingerprint (first/last token + length bucket) for blocking. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+        col("doc_id"),
+        sha2(col("text"), 256).as("content_sha256"),
+        concat_ws("|",
+          element_at(toks, 1),
+          element_at(toks, -1),
+          floor(length(col("text")) / 100).cast(IntegerType).cast(StringType))
+          .as("structural_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val fingerprintsSql =
+    """SELECT doc_id,
+      |  SHA256(text) AS content_sha256,
+      |  CONCAT_WS('|', toks[1], toks[-1],
+      |            CAST(CAST(FLOOR(LENGTH(text) / 100.0) AS INT) AS VARCHAR)) AS structural_fp
+      |FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents) t
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q60_word_count", wordCount, Some(wordCountSql)),
+    GraftQuery("q61_lang_stats", langStats, Some(langStatsSql)),
+    GraftQuery("q62_token_counts", tokenCounts, Some(tokenCountsSql)),
+    GraftQuery("q63_quality_scores", qualityScores, Some(qualityScoresSql)),
+    GraftQuery("q64_langid_heuristic", langIdHeuristic, Some(langIdHeuristicSql)),
+    GraftQuery("q65_fingerprints", fingerprints, Some(fingerprintsSql)),
+  )
+}
