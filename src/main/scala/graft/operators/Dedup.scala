@@ -25,9 +25,8 @@ object Dedup extends QueryModule {
   // ---- shared shingling -------------------------------------------------
 
   /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    d.select(col("doc_id"), split(col("text"), " ").as("toks"))
+  private def shingled(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(0, size(toks)-3), " +
@@ -80,8 +79,12 @@ object Dedup extends QueryModule {
     * thresholded at 0.5. |A∩B| from a shingle-keyed self-join (group
     * count), |A∪B| = |A|+|B|−|A∩B| — integer arithmetic end to end, so the
     * ratio is hash-exact. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
@@ -138,8 +141,8 @@ object Dedup extends QueryModule {
   /** Per-doc 64-slot MinHash signature as wide columns h0..h63: one
     * explode + one hash aggregate (map-side combine keeps the shuffle at
     * one row per (doc, 64 longs)). */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+  private def signatures(docs: DataFrame): DataFrame = {
+    val sh = shingled(docs)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("base", pmod(xxhash64(col("sh")), lit(MersennePrime)))
     val minCols: Seq[Column] = hashCoeffs.zipWithIndex.toIndexedSeq.map { case ((a, b), i) =>
@@ -153,8 +156,12 @@ object Dedup extends QueryModule {
     * the fraction of agreeing hash slots. Hash-function internals are
     * engine-specific, so this is a rows-only query (no SQL oracle); the
     * ScalaTest suite cross-checks it against exact Jaccard. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir)
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def minhashLshPairsOf(docs: DataFrame): DataFrame = {
+    val sigs = signatures(docs)
     val bandStructs = (0 until Bands).map { j =>
       val slice = (0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}"))
       struct(lit(j).as("band"), xxhash64(slice: _*).as("sig"))
@@ -184,8 +191,11 @@ object Dedup extends QueryModule {
     * signature bit i = sign of the summed ±count contributions. Near-dup
     * pairs block on 16-bit signature chunks and verify Hamming distance.
     * Rows-only (engine-specific hash), cross-checked in ScalaTest. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def simhashPairsOf(d: DataFrame): DataFrame = {
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("tok")))

@@ -1,0 +1,217 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Typed event record mirroring the `events` fixture (FIXTURES.md): the
+  * Kafka event analog — `event_id` = offset, `user_id` = key, `ts` = event
+  * time (kafka/README.md:10-23). */
+final case class Event(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** One emitted session (the ProcessFunction-with-state output,
+  * flink/README.md:28). */
+final case class SessionSummary(
+    user_id: Long, n_events: Long,
+    session_start: Timestamp, session_end: Timestamp, total_value: Double)
+
+/** Keyed session state buffer for [[EventStreams.sessionizeWithState]].
+  * Top-level + public: the state encoder's generated code must reach the
+  * constructor. */
+final case class SessionBuf(n: Long, startMs: Long, lastMs: Long, total: Double)
+
+/** Structured Streaming pipelines (SURVEY.md §2.9): the live form of the
+  * reference's stream-processing surface — tumbling/sliding/session
+  * windows (T2/T3), watermarks + late data (T4/T5), keyed state with
+  * timers (T6/T7 — the Flink ProcessFunction analog), stream-static and
+  * stream-stream joins (J1/J2), DLQ fan-out (S9), idempotent sinks (T8)
+  * and streaming dedup. Batch-replay equivalents live in
+  * graft.operators.EventLog; these builders are exercised with
+  * MemoryStream in the ScalaTest suites (no wall-clock dependence).
+  *
+  * Scale posture: every builder keys state by `user_id` (or the window
+  * key), so state is partitioned across executors; watermarks bound state
+  * size; foreachBatch sinks write partitioned parquet idempotently
+  * (overwrite-by-batch-id), giving exactly-once on replay.
+  */
+object EventStreams {
+
+  // ---- windowed aggregation (T2/T3/T4) ---------------------------------
+
+  /** Tumbling event-time window counts (flink/README.md:72) with a
+    * watermark bounding state + admitting bounded lateness. Append mode:
+    * a window only emits once the watermark passes its end. */
+  def tumblingCounts(events: DataFrame,
+                     windowDur: String = "10 minutes",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding windows: each event lands in windowDur/slide windows. */
+  def slidingCounts(events: DataFrame,
+                    windowDur: String = "10 minutes",
+                    slide: String = "5 minutes",
+                    watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slide), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n"))
+
+  /** Built-in session windows (gap-based, T3). */
+  def sessionWindowCounts(events: DataFrame,
+                          gap: String = "30 minutes",
+                          watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n"), col("total_value"))
+
+  // ---- keyed state + timers (T6/T7: the ProcessFunction analog) --------
+
+  /** Custom sessionization with explicit keyed state and an event-time
+    * timer: the direct analog of Flink's ProcessFunction + ValueState +
+    * timers (flink/README.md:28-61). A session closes either when a
+    * same-key event arrives past the gap, or when the event-time timeout
+    * fires (watermark passed last-event + gap). */
+  def sessionizeWithState(events: Dataset[Event],
+                          gapMs: Long = 30L * 60 * 1000,
+                          watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionBuf, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
+          def emit(s: SessionBuf) = SessionSummary(
+            userId, s.n, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.total)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessionBuf(s.n + 1, s.startMs, math.max(t, s.lastMs), s.total + e.value))
+                case Some(s) =>
+                  closed += emit(s)
+                  cur = Some(SessionBuf(1, t, t, e.value))
+                case None =>
+                  cur = Some(SessionBuf(1, t, t, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  // ---- joins (J1/J2) ----------------------------------------------------
+
+  /** Stream-static enrichment (kafka/README.md:331-332): the dimension is
+    * broadcast; re-read per micro-batch keeps CDC-refreshed tables fresh. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), "left")
+
+  /** Stream-stream windowed join (kafka/README.md:333): purchases matched
+    * to same-user clicks within the preceding [windowMinutes]. Watermarks
+    * on both sides bound the join state. */
+  def purchaseClickJoin(events: DataFrame,
+                        windowMinutes: Int = 10,
+                        watermarkDelay: String = "30 minutes"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    purchases.join(clicks,
+      expr(s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $windowMinutes MINUTES AND p_ts"))
+  }
+
+  // ---- DLQ fan-out (S9) -------------------------------------------------
+
+  /** Split a (micro-)batch into (good, dlq), the DLQ enriched with origin
+    * metadata (kafka/README.md:202-271). */
+  def dlqSplit(events: DataFrame): (DataFrame, DataFrame) = {
+    val poison = col("event_type") === "error"
+    val good = events.filter(!poison)
+    val dlq = events.filter(poison)
+      .withColumn("origin_topic", lit("events"))
+      .withColumn("origin_partition", (col("user_id") % 8).cast("int"))
+      .withColumn("origin_offset", col("event_id"))
+    (good, dlq)
+  }
+
+  /** Streaming two-sink DLQ pipeline via foreachBatch. */
+  def dlqSink(events: DataFrame, goodDir: String, dlqDir: String,
+              checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val cached = batch.persist()
+        try {
+          val (good, dlq) = dlqSplit(cached)
+          good.write.mode("append").parquet(goodDir)
+          dlq.write.mode("append").parquet(dlqDir)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+
+  // ---- exactly-once sink (T8) ------------------------------------------
+
+  /** Idempotent parquet write for one micro-batch: partition by batch id,
+    * dynamic-overwrite that partition. Replaying a batch after failure
+    * rewrites the same partition instead of duplicating it — checkpoint
+    * replay + this = exactly-once file output (kafka/README.md:162-171's
+    * at-least-once turned exactly-once by an idempotent sink). */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** Streaming sink wiring for [[writeBatchIdempotent]]. */
+  def exactlyOnceSink(events: DataFrame, outDir: String,
+                      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        writeBatchIdempotent(batch, id, outDir)
+      }
+      .start()
+
+  // ---- streaming dedup + reprocessing (T10/T11) ------------------------
+
+  /** Streaming exact dedup on the offset column: state bounded by the
+    * watermark (the dropDuplicates form of log compaction's "one record
+    * per key"). */
+  def dedupByEventId(events: DataFrame,
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Reprocessing comparison (kafka/README.md:335-337): rows produced by
+    * the new version that the old version lacks (and vice versa via
+    * swapped args). Multiset semantics — duplicates count. */
+  def reprocessDiff(oldResult: DataFrame, newResult: DataFrame): DataFrame =
+    newResult.exceptAll(oldResult)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Plan-shape guards for the 100 TB posture (SURVEY.md §4): filters reach
+  * the parquet scan, dimension joins broadcast, no accidental cartesian
+  * products, whole-stage codegen active. These assert on the optimized /
+  * executed plan text, so a regression in partitioning or pushdown fails
+  * CI rather than only showing up as a slow bench.
+  */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize the physical plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed into the parquet scan (q05)") {
+    val plan = Relational.filterProject(spark, sf0001).queryExecution
+      .executedPlan.toString
+    // plan text truncates long filter lists; match a stable prefix
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"), plan.take(2000))
+    assert(plan.contains("GreaterThanOrEqual(l_quan"), plan.take(2000))
+  }
+
+  test("column pruning: pricing summary reads only needed lineitem columns") {
+    val plan = Relational.pricingSummary(spark, sf0001).queryExecution
+      .executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("dimension joins broadcast in the flagship query (q02)") {
+    val plan = executedPlan(Relational.revenueByNation(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("no cartesian product in bucketed ANN (q82 is an equi-join)") {
+    val plan = executedPlan(Similarity.annSignBuckets(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("whole-stage codegen is active in the aggregation path (q01)") {
+    // codegen'd operators carry the `*(stageId)` marker in plan text
+    val plan = executedPlan(Relational.pricingSummary(spark, sf0001))
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("*(1) Filter"),
+      plan.take(3000))
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort (q03)") {
+    val plan = executedPlan(Relational.topOrders(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{Event, EventStreams}
+
+/** Algebraic laws (SURVEY.md §5.3) checked over ScalaCheck-generated
+  * inputs, each law exercised through real Spark plans: DLQ split is a
+  * partition, dedup is idempotent, compaction = last-write-wins,
+  * tumbling windows partition the stream, splits re-union to the input.
+  */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val base = 1704067200000L
+  private val genEvent: Gen[Event] = for {
+    id <- Gen.choose(0L, 500L)
+    offMin <- Gen.choose(0L, 120L)
+    user <- Gen.choose(0L, 5L)
+    typ <- Gen.oneOf("click", "view", "purchase", "error")
+    value <- Gen.choose(0, 10000).map(_ / 100.0)
+  } yield Event(id, new Timestamp(base + offMin * 60000), user, typ, value, "{}")
+
+  private val genEvents: Gen[List[Event]] = Gen.listOfN(40, genEvent)
+
+  private def checkProp(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("DLQ split is a partition: good ∪ dlq = input, good ∩ dlq = ∅") {
+    val session = spark
+    import session.implicits._
+    checkProp(Prop.forAllNoShrink(genEvents) { evs =>
+      val df = evs.toDF()
+      val (good, dlq) = EventStreams.dlqSplit(df)
+      good.count() + dlq.count() == evs.size &&
+        dlq.filter($"event_type" =!= "error").count() == 0 &&
+        good.filter($"event_type" === "error").count() == 0
+    })
+  }
+
+  test("exact dedup is idempotent and keeps one row per key") {
+    val session = spark
+    import session.implicits._
+    checkProp(Prop.forAllNoShrink(genEvents) { evs =>
+      val df = evs.toDF()
+      val once = df.dropDuplicates("event_id")
+      val twice = once.dropDuplicates("event_id")
+      once.count() == twice.count() &&
+        once.count() == evs.map(_.event_id).distinct.size
+    })
+  }
+
+  test("latest-per-key compaction equals last-write-wins map semantics") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    checkProp(Prop.forAllNoShrink(genEvents) { evs =>
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      val compacted = evs.toDF().withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id").as[(Long, Long)].collect().toMap
+      val expected = evs
+        .groupBy(_.user_id)
+        .map { case (u, es) => u -> es.maxBy(e => (e.ts.getTime, e.event_id)).event_id }
+      compacted == expected
+    })
+  }
+
+  test("tumbling windows partition events: each event in exactly one window") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    checkProp(Prop.forAllNoShrink(genEvents) { evs =>
+      val windowed = evs.toDF()
+        .select($"event_id", $"ts", window($"ts", "10 minutes").as("w"))
+      val n = windowed.count()
+      val misassigned = windowed
+        .filter(!($"ts" >= $"w.start" && $"ts" < $"w.end")).count()
+      n == evs.size && misassigned == 0
+    })
+  }
+
+  test("union of splits reconstructs the input multiset") {
+    val session = spark
+    import session.implicits._
+    checkProp(Prop.forAllNoShrink(genEvents) { evs =>
+      val df = evs.toDF()
+      val (good, dlq) = EventStreams.dlqSplit(df)
+      val reunited = good.unionByName(
+        dlq.drop("origin_topic", "origin_partition", "origin_offset"))
+      reunited.exceptAll(df).count() == 0 && df.exceptAll(reunited).count() == 0
+    })
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end smoke (SURVEY.md §5.4): the flagship entry returns rows and
+  * every registered query executes at sf0.001 (catches runtime-only
+  * failures — schema drift, overflow, bad expressions — across the whole
+  * §2 inventory).
+  */
+class SmokeSpec extends AnyFunSuite with SparkSpec {
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has oracle SQL or is explicitly rows-only") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q))
+    val rowsOnly = q -- o
+    // the intentionally non-SQL-expressible ops (engine-specific hashes,
+    // sketches, stubs):
+    assert(rowsOnly === Set("q27_approx_distinct_parts", "q73_minhash_lsh_pairs",
+      "q74_simhash_pairs", "q84_ann_ivf", "q92_decode_features"))
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, sf0001)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("queries that must be non-empty at sf0.001 are non-empty") {
+    val mustBeNonEmpty = Seq(
+      "q01_pricing_summary", "q02_revenue_by_nation", "q42_compact_latest_per_key",
+      "q46_sessionize", "q60_word_count", "q63_quality_scores",
+      "q80_cosine_topk", "q82_ann_sign_buckets", "q90_payload_metadata")
+    mustBeNonEmpty.foreach { n =>
+      assert(SparkEntry.queries(n)(spark, sf0001).count() > 0, s"$n is empty")
+    }
+  }
+}

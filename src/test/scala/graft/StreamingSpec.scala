@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming._
+
+/** Streaming semantics (SURVEY.md §2.9 / §5.2): windows, watermark
+  * admit/drop, keyed state + timers, stream-stream & stream-static joins,
+  * DLQ fan-out, idempotent sink, streaming dedup — all MemoryStream-driven
+  * with hand-placed event times (no wall clock).
+  */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  /** 2024-01-01T00:00:00Z */
+  private val base = 1704067200000L
+  private def ts(minutes: Double): Timestamp = new Timestamp(base + (minutes * 60000).toLong)
+  private def ev(id: Long, minutes: Double, user: Long, typ: String, value: Double = 1.0): Event =
+    Event(id, ts(minutes), user, typ, value, "{}")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("tumbling windows finalize on watermark and drop too-late events (T2/T4/T5)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(in.toDF(), "10 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("tumbling")
+      .option("checkpointLocation", tmp("ck-tumbling")).start()
+    try {
+      in.addData(ev(1, 1, 1, "click"), ev(2, 2, 1, "click"), ev(3, 5, 1, "view"))
+      q.processAllAvailable()
+      assert(spark.table("tumbling").count() === 0) // window [0,10) not closed yet
+      in.addData(ev(4, 25, 2, "click")) // watermark -> 15min: closes [0,10)
+      q.processAllAvailable()
+      val closed = spark.table("tumbling")
+        .select($"window_start", $"event_type", $"n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(closed === Set((ts(0), "click", 2L), (ts(0), "view", 1L)))
+      in.addData(ev(5, 3, 1, "click")) // behind watermark: dropped
+      in.addData(ev(6, 60, 2, "click")) // watermark -> 50: closes [20,30)
+      q.processAllAvailable()
+      val all = spark.table("tumbling")
+        .select($"window_start", $"event_type", $"n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(all === Set(
+        (ts(0), "click", 2L), (ts(0), "view", 1L), // late event 5 NOT counted
+        (ts(20), "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("session windows merge by gap (T3)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionWindowCounts(in.toDF(), "30 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sessions")
+      .option("checkpointLocation", tmp("ck-sessions")).start()
+    try {
+      in.addData(ev(1, 0, 7, "click", 2.0), ev(2, 5, 7, "view", 3.0), ev(3, 10, 7, "click", 5.0))
+      in.addData(ev(4, 60, 7, "view", 1.0))
+      in.addData(ev(5, 300, 9, "click")) // push watermark far ahead
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select($"session_start", $"session_end", $"user_id", $"n", $"total_value")
+        .as[(Timestamp, Timestamp, Long, Long, Double)].collect().toSet
+      assert(rows === Set(
+        (ts(0), ts(40), 7L, 3L, 10.0),   // 3 events, ends last+gap
+        (ts(60), ts(90), 7L, 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization with event-time timeout (T6/T7)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithState(in.toDS(), gapMs = 30 * 60000L,
+        watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("fmgs")
+      .option("checkpointLocation", tmp("ck-fmgs")).start()
+    try {
+      in.addData(ev(1, 0, 7, "click", 2.0), ev(2, 5, 7, "view", 3.0), ev(3, 10, 7, "click", 5.0))
+      in.addData(ev(4, 60, 7, "view", 1.0)) // closes session 1 (gap > 30min)
+      in.addData(ev(5, 300, 9, "click"))    // watermark 290 > 60+30: times out session 2
+      q.processAllAvailable()
+      val rows = spark.table("fmgs").as[SessionSummary].collect().toSet
+      assert(rows === Set(
+        SessionSummary(7L, 3L, ts(0), ts(10), 10.0),
+        SessionSummary(7L, 1L, ts(60), ts(60), 1.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream windowed join matches same-key events in window (J2)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.purchaseClickJoin(in.toDF(), windowMinutes = 10)
+      .select($"p_id", $"c_id")
+      .writeStream.outputMode("append").format("memory").queryName("ssj")
+      .option("checkpointLocation", tmp("ck-ssj")).start()
+    try {
+      in.addData(
+        ev(100, 4, 1, "click"),
+        ev(101, 9, 2, "click"),    // other user: no match
+        ev(102, 25, 1, "click"),   // after purchase 103, before 104
+        ev(103, 10, 1, "purchase"),
+        ev(104, 30, 1, "purchase"))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((103L, 100L), (104L, 102L)))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins the broadcast dimension (J1)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrichWithDim(in.toDF(), dim, "user_id")
+      .select($"event_id", $"name")
+      .writeStream.outputMode("append").format("memory").queryName("enrich")
+      .option("checkpointLocation", tmp("ck-enrich")).start()
+    try {
+      in.addData(ev(1, 0, 1, "click"), ev(2, 1, 2, "view"), ev(3, 2, 99, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("enrich").as[(Long, Option[String])].collect().toSet
+      assert(rows === Set((1L, Some("alice")), (2L, Some("bob")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("DLQ fan-out splits poison records with origin metadata (S9)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val goodDir = tmp("dlq-good"); val dlqDir = tmp("dlq-bad")
+    val in = MemoryStream[Event]
+    val q = EventStreams.dlqSink(in.toDF(), goodDir, dlqDir, tmp("ck-dlq"))
+    try {
+      in.addData(ev(1, 0, 3, "click"), ev(2, 1, 11, "error"), ev(3, 2, 4, "view"),
+                 ev(4, 3, 19, "error"))
+      q.processAllAvailable()
+      val good = spark.read.parquet(goodDir)
+      val dlq = spark.read.parquet(dlqDir)
+      assert(good.count() === 2)
+      assert(dlq.count() === 2)
+      val meta = dlq.select($"event_id", $"origin_topic", $"origin_partition", $"origin_offset")
+        .as[(Long, String, Int, Long)].collect().toSet
+      assert(meta === Set((2L, "events", 3, 2L), (4L, "events", 3, 4L)))
+    } finally q.stop()
+  }
+
+  test("idempotent batch sink: replaying a batch id does not duplicate (T8)") {
+    val session = spark
+    import session.implicits._
+    val out = tmp("eo-sink")
+    val batch = Seq(ev(1, 0, 1, "click"), ev(2, 1, 2, "view")).toDF()
+    EventStreams.writeBatchIdempotent(batch, 0L, out)
+    EventStreams.writeBatchIdempotent(batch, 0L, out) // replay same batch
+    assert(spark.read.parquet(out).count() === 2)
+    EventStreams.writeBatchIdempotent(batch, 1L, out) // new batch appends
+    assert(spark.read.parquet(out).count() === 4)
+  }
+
+  test("streaming dedup by offset within watermark (T11 analog)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.dedupByEventId(in.toDF(), "10 minutes")
+      .select($"event_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup")
+      .option("checkpointLocation", tmp("ck-dedup")).start()
+    try {
+      in.addData(ev(1, 0, 1, "click"), ev(1, 0, 1, "click"), ev(2, 1, 1, "view"))
+      in.addData(ev(1, 2, 1, "click")) // duplicate offset, still within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup").as[Long].collect().toList
+      assert(ids.sorted === List(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("reprocessing diff finds rows the new version adds (T10)") {
+    val session = spark
+    import session.implicits._
+    val oldR = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    val newR = Seq(("a", 1L), ("b", 3L)).toDF("k", "v")
+    val diff = EventStreams.reprocessDiff(oldR, newR).as[(String, Long)].collect().toSet
+    assert(diff === Set(("b", 3L)))
+  }
+}
