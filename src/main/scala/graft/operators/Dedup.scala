@@ -24,13 +24,18 @@ object Dedup extends QueryModule {
 
   // ---- shared shingling -------------------------------------------------
 
-  /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens). */
+  /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens),
+    * hashed to 64-bit longs at creation: every downstream op (frequency,
+    * join, intersect, minhash) then works on fixed-width longs instead of
+    * strings — smaller shuffles and far cheaper comparisons. xxhash64
+    * collisions across a corpus vocabulary are negligible (birthday bound
+    * ~n²/2⁶⁵) and the hash is deterministic. */
   private def shingled(docs: DataFrame): DataFrame = {
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         expr("array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))").as("shingles"))
+          "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))").as("shingles"))
   }
 
   // ---- exact dedup ------------------------------------------------------
@@ -57,11 +62,12 @@ object Dedup extends QueryModule {
     * identity. Returns the surviving ids. */
   def dedupKeepFirst(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text")).orderBy(col("doc_id"))
-    d.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("source"))
+    // min_by hash-aggregate, not a window: partial aggregation collapses
+    // duplicate groups map-side and nothing is ever sorted by full text.
+    d.groupBy(col("text"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source")), col("doc_id")).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+              col("keep.source").as("source"))
       .orderBy(col("doc_id"))
   }
 
@@ -82,23 +88,29 @@ object Dedup extends QueryModule {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairsOf(Tables.documents(spark, dir))
 
-  /** DataFrame-level core (testable on constructed corpora). */
+  /** DataFrame-level core. |A∩B| comes from a shingle-keyed equi-self-join
+    * (on 64-bit shingle hashes) + pair group-count; |A∪B| = |A|+|B|−|A∩B|
+    * via two broadcast joins against the tiny per-doc size table. The
+    * shingle table is persisted so the scan+shingle subtree runs once and
+    * the self-join reuses one exchange. At 100 TB the same plan holds with
+    * one extra guard — drop ultra-high-document-frequency shingles (or
+    * LSH-gate candidates via [[minhashLshPairsOf]]) before the self-join. */
   def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+    val t = 0.5
     val sh = shingled(docs)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
       .withColumn("jaccard",
         col("n_inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -144,7 +156,7 @@ object Dedup extends QueryModule {
   private def signatures(docs: DataFrame): DataFrame = {
     val sh = shingled(docs)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("base", pmod(xxhash64(col("sh")), lit(MersennePrime)))
+      .withColumn("base", pmod(col("sh"), lit(MersennePrime)))
     val minCols: Seq[Column] = hashCoeffs.zipWithIndex.toIndexedSeq.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("base") + lit(b), lit(MersennePrime))).as(s"h$i")
     }
@@ -161,25 +173,29 @@ object Dedup extends QueryModule {
 
   /** DataFrame-level core (testable on constructed corpora). */
   def minhashLshPairsOf(docs: DataFrame): DataFrame = {
+    // signature as one array<long>(64) column: small shuffle payload and
+    // compact codegen for the downstream joins
     val sigs = signatures(docs)
-    val bandStructs = (0 until Bands).map { j =>
-      val slice = (0 until RowsPerBand).map(r => col(s"h${j * RowsPerBand + r}"))
-      struct(lit(j).as("band"), xxhash64(slice: _*).as("sig"))
-    }
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .persist() // referenced by banding + both signature-compare joins
     val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "sig"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${Bands - 1}), j -> struct(
+           |  j AS band,
+           |  xxhash64(sig[$RowsPerBand*j], sig[$RowsPerBand*j+1],
+           |           sig[$RowsPerBand*j+2], sig[$RowsPerBand*j+3]) AS bsig))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bsig").as("bsig"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bsig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c").toIndexedSeq: _*)
-    val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c").toIndexedSeq: _*)
-    val agree = (0 until NumHashes)
-      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("est_jaccard", agree.cast(DoubleType) / NumHashes)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast(DoubleType) / NumHashes)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -207,7 +223,7 @@ object Dedup extends QueryModule {
     val sig = (0 until 64)
       .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
-    val sigs = sums.select(col("doc_id"), sig.as("simhash"))
+    val sigs = sums.select(col("doc_id"), sig.as("simhash")).persist()
       .withColumn("chunks", array((0 until 4).map(j =>
         struct(lit(j).as("pos"), shiftright(col("simhash"), j * 16)
           .bitwiseAND(0xFFFFL).as("chunk"))): _*))

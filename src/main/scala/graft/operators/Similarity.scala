@@ -189,6 +189,7 @@ object Similarity extends QueryModule {
     val assigned = e.crossJoin(broadcast(centArr))
       .withColumn("csim", dot("v", "cv") / (col("nrm") * col("cn")))
       .withColumn("crk", row_number().over(wAssign))
+      .persist() // referenced by both the vector side and the probe side
     val vectors = assigned.filter(col("crk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
               col("nrm").as("cn2"), col("cell"))
