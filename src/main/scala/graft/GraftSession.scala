@@ -21,6 +21,7 @@ object GraftSession {
   def builder(appName: String): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")

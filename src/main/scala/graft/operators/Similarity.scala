@@ -25,30 +25,25 @@ object Similarity extends QueryModule {
   /** array<float> → array<double> (exact), so all arithmetic is double. */
   private def vecD(c: Column): Column = c.cast(ArrayType(DoubleType))
 
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Native codegen'd cosine kernel ([[graft.functions.CosineSimilarity]],
+    * registered by GraftExtensions). */
+  private def cos(a: String, b: String): Column = expr(s"graft_cosine($a, $b)")
 
-  private def norm(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-
-  /** Vectors with precomputed norms (norms computed once, before any
-    * join fan-out). */
   private def normed(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"), col("label"))
-      .withColumn("nrm", norm("v"))
 
   /** Brute-force cosine top-5 for a fixed probe set (vec_id < 10):
     * broadcast the probes, stream all candidates, window top-k. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = normed(spark, dir)
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
       .filter(col("query_id") < 10)
-    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("sim", cos("qv", "cv"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
@@ -99,16 +94,14 @@ object Similarity extends QueryModule {
       .map(i => when(element_at(col("v"), i + 1) > 0.0, 1 << i).otherwise(0))
       .reduce(_ + _)
     val e = normed(spark, dir).withColumn("bucket", bucket)
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-                     col("nrm").as("qn"), col("bucket"))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
       .filter(col("query_id") < 50)
-    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
-                        col("nrm").as("cn"), col("bucket"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     q.join(cand, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", dot("qv", "cv") / (col("qn") * col("cn")))
+      .withColumn("sim", cos("qv", "cv"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -142,13 +135,13 @@ object Similarity extends QueryModule {
     * label-blocked): all-pairs inside a label partition only. */
   def nearestPairPerLabel(spark: SparkSession, dir: String): DataFrame = {
     val e = normed(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("av"), col("nrm").as("an"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("bv"), col("nrm").as("bn"))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("av"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("bv"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim", dot("av", "bv") / (col("an") * col("bn")))
+      .withColumn("sim", cos("av", "bv"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("label"), col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
@@ -183,22 +176,20 @@ object Similarity extends QueryModule {
       .groupBy(col("label")).pivot("pos").avg("x") // small: 10 labels × 64 dims
     val dims = (0 until 64).map(i => col(s"$i"))
     val centArr = cents.select(col("label").as("cell"), array(dims: _*).as("cv"))
-      .withColumn("cn", norm("cv"))
     // assign each vector to nearest centroid
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
     val assigned = e.crossJoin(broadcast(centArr))
-      .withColumn("csim", dot("v", "cv") / (col("nrm") * col("cn")))
+      .withColumn("csim", cos("v", "cv"))
       .withColumn("crk", row_number().over(wAssign))
       .persist() // referenced by both the vector side and the probe side
     val vectors = assigned.filter(col("crk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"),
-              col("nrm").as("cn2"), col("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("cell"))
     val probes = assigned.filter(col("crk") <= 2 && col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     probes.join(vectors, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", dot("qv", "cv2") / (col("qn") * col("cn2")))
+      .withColumn("sim", cos("qv", "cv2"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
