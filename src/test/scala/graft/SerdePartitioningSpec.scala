@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.StatsAggregator
+import graft.operators.Partitioning
+import graft.sources.{Serde, Tables}
+
+/** Serde/schema-gate (S10), connector round-trips (S7), custom typed
+  * aggregate (A2), and partitioning/salting semantics (K2-K4).
+  */
+class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
+
+  test("schema gate accepts compatible sources and rejects drift (S10)") {
+    val e = Tables.events(spark, sf0001)
+    assert(Serde.requireCompatible(e, Serde.eventSchema).columns.length === 6)
+    // extra producer-side column is forward-compatible
+    val extra = e.withColumn("new_field", lit(1))
+    assert(Serde.requireCompatible(extra, Serde.eventSchema).columns.length === 6)
+    // missing column is rejected
+    val broken = e.drop("value")
+    val err = intercept[IllegalArgumentException] {
+      Serde.requireCompatible(broken, Serde.eventSchema)
+    }
+    assert(err.getMessage.contains("value"))
+    // mistyped column is rejected
+    val mistyped = e.withColumn("value", col("value").cast("string"))
+    intercept[IllegalArgumentException] {
+      Serde.requireCompatible(mistyped, Serde.eventSchema)
+    }
+  }
+
+  test("JSON payload decodes with the declared schema and re-encodes (S10)") {
+    val session = spark
+    import session.implicits._
+    val e = Tables.events(spark, sf0001)
+    val decoded = Serde.decodeProps(e)
+    val ks = decoded.select($"props_struct.k").na.drop().as[Int].collect()
+    assert(ks.nonEmpty && ks.forall(_ >= 0))
+    val encoded = Serde.encodeAsJson(e.limit(1), Seq("event_id", "event_type"))
+    val js = encoded.select($"json_value").as[String].head()
+    assert(js.startsWith("{") && js.contains("\"event_type\""))
+  }
+
+  test("CSV and JSON connectors round-trip with declared schemas (S7)") {
+    val e = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    val schema = e.schema
+    val csvDir = Files.createTempDirectory("graft-csv").toString
+    val jsonDir = Files.createTempDirectory("graft-json").toString
+    Serde.writeCsv(e, csvDir)
+    Serde.writeJson(e, jsonDir)
+    val fromCsv = Serde.readCsv(spark, csvDir, schema)
+    val fromJson = Serde.readJson(spark, jsonDir, schema)
+    assert(fromCsv.exceptAll(e).count() === 0 && e.exceptAll(fromCsv).count() === 0)
+    assert(fromJson.exceptAll(e).count() === 0 && e.exceptAll(fromJson).count() === 0)
+  }
+
+  test("typed StatsAggregator matches built-in avg/variance/min/max (A2)") {
+    val session = spark
+    import session.implicits._
+    val values = Tables.orders(spark, sf0001)
+      .select($"o_totalprice").as[Double]
+    val got = values.select(StatsAggregator.toColumn).head()
+    val exp = Tables.orders(spark, sf0001)
+      .agg(count(lit(1)), avg($"o_totalprice"), var_samp($"o_totalprice"),
+           min($"o_totalprice"), max($"o_totalprice"))
+      .head()
+    assert(got.n === exp.getLong(0))
+    assert(math.abs(got.mean - exp.getDouble(1)) < 1e-6)
+    assert(math.abs(got.variance - exp.getDouble(2)) / exp.getDouble(2) < 1e-9)
+    assert(got.min === exp.getDouble(3))
+    assert(got.max === exp.getDouble(4))
+  }
+
+  test("keyed repartition co-locates keys; same key never splits (K2)") {
+    val session = spark
+    import session.implicits._
+    val e = Tables.events(spark, sf0001)
+    val parts = Partitioning.byKey(e, 8, col("user_id"))
+      .withColumn("pid", spark_partition_id())
+      .select($"user_id", $"pid").distinct()
+      .groupBy($"user_id").agg(countDistinct($"pid").as("n_parts"))
+    assert(parts.filter($"n_parts" > 1).count() === 0)
+    assert(Partitioning.byKey(e, 8, col("user_id")).rdd.getNumPartitions === 8)
+    assert(Partitioning.rebalance(e, 5).rdd.getNumPartitions === 5)
+  }
+
+  test("custom routing expression places rows by the expression (K4)") {
+    val session = spark
+    import session.implicits._
+    val e = Tables.events(spark, sf0001)
+    val routed = Partitioning.byExpression(e, 4, pmod(col("event_id"), lit(4)))
+      .withColumn("pid", spark_partition_id())
+    // same routing value ⇒ same partition
+    val split = routed.groupBy(pmod(col("event_id"), lit(4)))
+      .agg(countDistinct($"pid").as("n")).filter($"n" > 1)
+    assert(split.count() === 0)
+  }
+
+  test("salted aggregation equals direct aggregation (skew path)") {
+    val session = spark
+    import session.implicits._
+    val e = Tables.events(spark, sf0001)
+    val direct = e.groupBy($"event_type").agg(sum($"value").as("total"))
+      .as[(String, Double)].collect().toMap
+    val salted = Partitioning.saltedSum(e, $"event_type", $"value")
+      .as[(String, Double)].collect().toMap
+    assert(direct.keySet === salted.keySet)
+    direct.foreach { case (k, v) =>
+      assert(math.abs(salted(k) - v) / math.abs(v) < 1e-9, k)
+    }
+  }
+}
