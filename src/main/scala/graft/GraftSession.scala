@@ -28,6 +28,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects by default; read as long nanos, converted back to
       // TimestampType in Tables.events (truncation to micros matches what

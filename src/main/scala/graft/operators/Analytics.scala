@@ -317,6 +317,51 @@ object Analytics extends QueryModule {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey NULLS FIRST, o_orderdate NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
 
+  /** Explicit GROUPING SETS (the general grouping-sets family beyond
+    * rollup/cube): per-(status) totals and per-(priority) totals in one
+    * pass — one shuffle, expanded map-side. */
+  def groupingSetsTotals(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(money(col("o_totalprice"))).as("total_price"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  private val groupingSetsTotalsSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Map-typed payload access (§2.10 map functions): parse the JSON props
+    * into map<string,int>, then key/value introspection. */
+  def mapFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+      .select(
+        col("event_id"),
+        element_at(col("m"), "k").as("k_value"),
+        size(map_keys(col("m"))).as("n_keys"),
+        array_contains(map_keys(col("m")), "k").as("has_k"),
+        coalesce(element_at(col("m"), "missing"), lit(-1)).as("missing_default"))
+      .filter(col("event_id") < 2000)
+      .orderBy(col("event_id"))
+  }
+
+  private val mapFunctionsSql =
+    """SELECT event_id,
+      |  CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k_value,
+      |  CAST(LEN(JSON_KEYS(props)) AS INT) AS n_keys,
+      |  LIST_CONTAINS(JSON_KEYS(props), 'k') AS has_k,
+      |  COALESCE(CAST(JSON_EXTRACT_STRING(props, '$.missing') AS INT), -1) AS missing_default
+      |FROM events
+      |WHERE event_id < 2000
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q20_topk_per_segment", topkPerSegment, Some(topkPerSegmentSql)),
     GraftQuery("q21_moving_avg", movingAvgOrderValue, Some(movingAvgOrderValueSql)),
@@ -331,5 +376,7 @@ object Analytics extends QueryModule {
     GraftQuery("q30_json_payload_stats", jsonPayloadStats, Some(jsonPayloadStatsSql)),
     GraftQuery("q31_conditional_agg", conditionalAgg, Some(conditionalAggSql)),
     GraftQuery("q32_first_last_order", firstLastOrder, Some(firstLastOrderSql)),
+    GraftQuery("q33_grouping_sets", groupingSetsTotals, Some(groupingSetsTotalsSql)),
+    GraftQuery("q34_map_functions", mapFunctions, Some(mapFunctionsSql)),
   )
 }

@@ -189,6 +189,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source topic replay: streaming over a parquet log matches batch (S2/T10)") {
+    val session = spark
+    import session.implicits._
+    val logDir = tmp("topic-log")
+    val batch = Seq(ev(1, 0, 1, "click"), ev(2, 1, 2, "view"), ev(3, 2, 1, "click"),
+                    ev(4, 3, 3, "purchase")).toDF()
+    batch.write.mode("overwrite").parquet(logDir)
+    val stream = spark.readStream.schema(batch.schema).parquet(logDir)
+    val q = stream.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory").queryName("replay")
+      .option("checkpointLocation", tmp("ck-replay")).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay").as[(String, Long)].collect().toMap
+      val direct = batch.groupBy($"event_type").count().as[(String, Long)].collect().toMap
+      assert(streamed === direct)
+    } finally q.stop()
+  }
+
+  test("complete output mode materializes the stream⇄table duality (§1.1)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = in.toDF().groupBy($"user_id").agg(sum($"value").as("total"))
+      .writeStream.outputMode("complete").format("memory").queryName("duality")
+      .option("checkpointLocation", tmp("ck-duality")).start()
+    try {
+      in.addData(ev(1, 0, 1, "click", 10.0), ev(2, 1, 2, "view", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("duality").as[(Long, Double)].collect().toMap ===
+        Map(1L -> 10.0, 2L -> 5.0))
+      in.addData(ev(3, 2, 1, "click", 7.0)) // state updates, table reflects ALL changes
+      q.processAllAvailable()
+      assert(spark.table("duality").as[(Long, Double)].collect().toMap ===
+        Map(1L -> 17.0, 2L -> 5.0))
+    } finally q.stop()
+  }
+
   test("reprocessing diff finds rows the new version adds (T10)") {
     val session = spark
     import session.implicits._
