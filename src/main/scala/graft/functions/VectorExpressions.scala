@@ -70,5 +70,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSimilarity(
         Cast(exprs(0), ArrayType(DoubleType)),
         Cast(exprs(1), ArrayType(DoubleType)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => new MinHashAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => new SimHashAgg(exprs.head)))
   }
 }

@@ -137,31 +137,18 @@ object Dedup extends QueryModule {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
-  private val NumHashes = 64
-  private val Bands = 16
-  private val RowsPerBand = NumHashes / Bands
-  private val MersennePrime = 2147483647L // 2^31 - 1
+  import graft.functions.MinHash.{Bands, NumHashes, RowsPerBand, P => MersennePrime}
 
-  /** Deterministic (a, b) coefficients for the universal hash family
-    * h_i(x) = (a_i·x + b_i) mod p, seeded independently of wall clock. */
-  private lazy val hashCoeffs: Array[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-                           rnd.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** Per-doc 64-slot MinHash signature as wide columns h0..h63: one
-    * explode + one hash aggregate (map-side combine keeps the shuffle at
-    * one row per (doc, 64 longs)). */
-  private def signatures(docs: DataFrame): DataFrame = {
-    val sh = shingled(docs)
+  /** Per-doc 64-slot MinHash signature via the custom
+    * [[graft.functions.MinHashAgg]] TypedImperativeAggregate: one explode
+    * + one hash aggregate whose buffer is the 64 running minima (map-side
+    * combined; the shuffle carries one row per doc). */
+  private def signatures(docs: DataFrame): DataFrame =
+    shingled(docs)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .withColumn("base", pmod(col("sh"), lit(MersennePrime)))
-    val minCols: Seq[Column] = hashCoeffs.zipWithIndex.toIndexedSeq.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("base") + lit(b), lit(MersennePrime))).as(s"h$i")
-    }
-    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-  }
+      .groupBy(col("doc_id"))
+      .agg(expr("graft_minhash(base)").as("sig"))
 
   /** MinHash+LSH near-dup pairs: band the signature (16 bands × 4 rows),
     * bucket-join on (band, signature-slice hash), then estimate Jaccard as
@@ -173,11 +160,7 @@ object Dedup extends QueryModule {
 
   /** DataFrame-level core (testable on constructed corpora). */
   def minhashLshPairsOf(docs: DataFrame): DataFrame = {
-    // signature as one array<long>(64) column: small shuffle payload and
-    // compact codegen for the downstream joins
     val sigs = signatures(docs)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
       .persist() // referenced by banding + both signature-compare joins
     val banded = sigs
       .select(col("doc_id"), explode(expr(
@@ -210,20 +193,17 @@ object Dedup extends QueryModule {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(Tables.documents(spark, dir))
 
-  /** DataFrame-level core (testable on constructed corpora). */
+  /** DataFrame-level core (testable on constructed corpora), built on the
+    * custom [[graft.functions.SimHashAgg]]: raw token hashes stream into
+    * one imperative aggregate (±1 per bit, so duplicate tokens weight by
+    * count) — no pre-grouping, map-side combined. */
   def simhashPairsOf(d: DataFrame): DataFrame = {
-    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val sigs = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitSums: Seq[Column] = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$i")
-    }
-    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-      .reduce(_ + _)
-    val sigs = sums.select(col("doc_id"), sig.as("simhash")).persist()
+      .groupBy(col("doc_id"))
+      .agg(expr("graft_simhash(h)").as("simhash"))
+      .persist()
       .withColumn("chunks", array((0 until 4).map(j =>
         struct(lit(j).as("pos"), shiftright(col("simhash"), j * 16)
           .bitwiseAND(0xFFFFL).as("chunk"))): _*))
