@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{MinHash, MinHashAgg, SimHashAgg}
+
+/** Unit tests for the custom Catalyst surface: CosineSimilarity
+  * (codegen + interpreted parity), MinHashAgg (order/partition
+  * invariance, serde roundtrip), SimHashAgg (weighting + sign packing).
+  */
+class ExpressionSpec extends AnyFunSuite with SparkSpec {
+
+  test("graft_cosine: known values, self-similarity, orthogonality") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),   // orthogonal
+      (Array(1.0, 2.0), Array(1.0, 2.0)),   // identical
+      (Array(1.0, 0.0), Array(-1.0, 0.0)),  // opposite
+      (Array(3.0, 4.0), Array(4.0, 3.0)))   // cos = 24/25
+      .toDF("a", "b")
+    val got = df.select(expr("graft_cosine(a, b)")).as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-15)
+    assert(math.abs(got(1) - 1.0) < 1e-15)
+    assert(math.abs(got(2) + 1.0) < 1e-15)
+    assert(math.abs(got(3) - 0.96) < 1e-15)
+  }
+
+  test("graft_cosine: codegen and interpreted paths agree") {
+    val session = spark
+    import session.implicits._
+    val df = sources.Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = df.as("x").crossJoin(df.as("y"))
+      .select(expr("graft_cosine(x.v, y.v)").as("sim"))
+    val fromCodegen = pairs.as[Double].collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = pairs.as[Double].collect()
+      assert(fromCodegen.toSeq === interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
+  test("graft_cosine accepts float arrays via implicit cast") {
+    val session = spark
+    import session.implicits._
+    val one = sources.Tables.embeddings(spark, sf0001).limit(1)
+      .select(expr("graft_cosine(embedding, embedding)").as("s")).as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
+  test("graft_minhash: invariant to row order and partitioning") {
+    val session = spark
+    import session.implicits._
+    val vals = (1L to 500L).map(x => x * 7919L % MinHash.P)
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(expr("graft_minhash(v)").as("s")).as[Seq[Long]].head()
+    val a = sig(vals.toDF("v").repartition(13))
+    val b = sig(scala.util.Random.shuffle(vals).toDF("v").repartition(1))
+    assert(a === b)
+    assert(a.length === MinHash.NumHashes)
+    // every slot is a true minimum of the hash family over the input
+    val expected = (0 until MinHash.NumHashes).map { i =>
+      vals.map(x => (MinHash.coeffA(i) * x + MinHash.coeffB(i)) % MinHash.P).min
+    }
+    assert(a === expected)
+  }
+
+  test("MinHashAgg/SimHashAgg buffer serde roundtrips") {
+    val one = org.apache.spark.sql.catalyst.expressions.Literal(1L)
+    val m = new MinHashAgg(one)
+    val buf = Array.tabulate(MinHash.NumHashes)(i => i * 1234567L)
+    assert(m.deserialize(m.serialize(buf)).toSeq === buf.toSeq)
+    val s = new SimHashAgg(one)
+    val sbuf = Array.tabulate(64)(i => (i - 32).toLong)
+    assert(s.deserialize(s.serialize(sbuf)).toSeq === sbuf.toSeq)
+  }
+
+  test("graft_simhash: identical multisets agree, disjoint ones differ") {
+    val session = spark
+    import session.implicits._
+    def sig(rows: Seq[String]): Long =
+      rows.toDF("tok").withColumn("h", xxhash64(col("tok")))
+        .agg(expr("graft_simhash(h)")).as[Long].head()
+    val a = sig(Seq("spark", "join", "spark", "scan"))
+    val b = sig(scala.util.Random.shuffle(Seq("spark", "spark", "join", "scan")))
+    assert(a === b) // multiset-identical → identical signature
+    val c = sig(Seq("completely", "different", "words", "here"))
+    assert(java.lang.Long.bitCount(a ^ c) > 0)
+  }
+}

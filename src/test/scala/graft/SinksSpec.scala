@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Write-path coverage (S1) with the at-scale layout: date-partitioned
+  * parquet and partition pruning on read — the retention/replay storage
+  * layout for event logs at 100 TB (only the matching date directories
+  * are scanned).
+  */
+class SinksSpec extends AnyFunSuite with SparkSpec {
+
+  test("date-partitioned append + partition-pruned scan (S1/S8)") {
+    val out = Files.createTempDirectory("graft-sink").toString
+    val e = Tables.events(spark, sf0001)
+      .withColumn("event_date", date_trunc("day", col("ts")).cast("date"))
+    e.write.mode("overwrite").partitionBy("event_date").parquet(out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() === e.count())
+
+    val oneDay = back.filter(col("event_date") === lit("2024-01-05").cast("date"))
+    val expected = e.filter(col("event_date") === lit("2024-01-05").cast("date")).count()
+    assert(oneDay.count() === expected && expected > 0)
+    // pruning: the partition filter must reach PartitionFilters, not a
+    // row-level Filter over all files
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan.take(2000))
+  }
+
+  test("append mode accumulates immutably (append-only log, S1)") {
+    val out = Files.createTempDirectory("graft-append").toString
+    val e = Tables.events(spark, sf0001).limit(100)
+    e.write.mode("append").parquet(out)
+    e.write.mode("append").parquet(out)
+    assert(spark.read.parquet(out).count() === 200)
+  }
+}
