@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Typed event record mirroring the `events` fixture (FIXTURES.md): the
   * Kafka event analog — `event_id` = offset, `user_id` = key, `ts` = event
@@ -23,6 +23,10 @@ final case class SessionSummary(
   * Top-level + public: the state encoder's generated code must reach the
   * constructor. */
 final case class SessionBuf(n: Long, startMs: Long, lastMs: Long, total: Double)
+
+/** Current per-key totals — the "table" side of the stream⇄table duality
+  * (state emitted by [[EventStreams.runningTotals]]). */
+final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming pipelines (SURVEY.md §2.9): the live form of the
   * reference's stream-processing surface — tumbling/sliding/session
@@ -122,6 +126,43 @@ object EventStreams {
           }
       }
   }
+
+  /** Per-key running totals via `transformWithState` (the Spark 4
+    * arbitrary-state API over the RocksDB state store — the reference's
+    * "state in RocksDB" keyed-state model, kafka/README.md:333, and the
+    * stream⇄table duality: the emitted row per key IS the current table
+    * state, kafka/README.md:319). */
+  class RunningTotalProcessor extends StatefulProcessor[Long, Event, UserTotal] {
+    @transient private var totals: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal](
+        "totals", Encoders.product[UserTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserTotal] = {
+      var cur = Option(totals.get()).getOrElse(UserTotal(key, 0L, 0.0))
+      rows.foreach { e =>
+        cur = UserTotal(key, cur.n_events + 1, cur.total_value + e.value)
+      }
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Update-mode per-key state table: each micro-batch emits the keys it
+    * touched with their new current state. Requires the RocksDB state
+    * store provider (set by [[rocksdbStateConfigs]]). */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Session configs transformWithState needs. */
+  val rocksdbStateConfigs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   // ---- joins (J1/J2) ----------------------------------------------------
 

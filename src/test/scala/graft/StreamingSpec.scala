@@ -228,6 +228,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState keeps per-key running totals in RocksDB state (T6, Spark 4 API)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    EventStreams.rocksdbStateConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val in = MemoryStream[Event]
+      val q = EventStreams.runningTotals(in.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("tws")
+        .option("checkpointLocation", tmp("ck-tws")).start()
+      try {
+        in.addData(ev(1, 0, 1, "click", 10.0), ev(2, 1, 2, "view", 5.0))
+        q.processAllAvailable()
+        in.addData(ev(3, 2, 1, "click", 7.0)) // user 1 state accumulates
+        q.processAllAvailable()
+        val latest = spark.table("tws").as[UserTotal].collect()
+          .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+        assert(latest(1L) === UserTotal(1L, 2L, 17.0))
+        assert(latest(2L) === UserTotal(2L, 1L, 5.0))
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("reprocessing diff finds rows the new version adds (T10)") {
     val session = spark
     import session.implicits._
