@@ -30,9 +30,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.revenueByNation(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each run
+    * self-heals function registration so queries also work on sessions
+    * not built via GraftSession. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.run).toMap
+    all.map { q =>
+      q.name -> { (spark: SparkSession, dir: String) =>
+        graft.functions.GraftFunctions.ensureRegistered(spark)
+        q.run(spark, dir)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

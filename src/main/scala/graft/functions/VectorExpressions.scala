@@ -59,6 +59,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Idempotent per-session registration fallback: queries can run against
+  * sessions not built by GraftSession (e.g. a driver-owned session), so
+  * each query entry point ensures the graft functions exist before use.
+  */
+object GraftFunctions {
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_cosine"))) {
+      reg.createOrReplaceTempFunction("graft_cosine",
+        exprs => CosineSimilarity(
+          Cast(exprs(0), ArrayType(DoubleType)),
+          Cast(exprs(1), ArrayType(DoubleType))), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_minhash",
+        exprs => new MinHashAgg(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_simhash",
+        exprs => new SimHashAgg(exprs.head), "scala_udf")
+    }
+  }
+}
+
 /** Session extensions registering graft's native functions for SQL and
   * `expr(...)` use (the SparkSessionExtensions mechanism — SURVEY.md §4).
   */

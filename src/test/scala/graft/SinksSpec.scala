@@ -39,4 +39,16 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     e.write.mode("append").parquet(out)
     assert(spark.read.parquet(out).count() === 200)
   }
+
+  test("glob path subscribes to current-and-matching topics (S3 subscribe-regex)") {
+    val root = Files.createTempDirectory("graft-topics").toString
+    val e = Tables.events(spark, sf0001)
+    e.filter(col("event_type") === "click").write.parquet(s"$root/topic_clicks")
+    e.filter(col("event_type") === "view").write.parquet(s"$root/topic_views")
+    e.filter(col("event_type") === "error").write.parquet(s"$root/other_errors")
+    val subscribed = spark.read.parquet(s"$root/topic_*")
+    val expected = e.filter(col("event_type").isin("click", "view")).count()
+    assert(subscribed.count() === expected)
+    assert(subscribed.filter(col("event_type") === "error").count() === 0)
+  }
 }

@@ -261,4 +261,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val diff = EventStreams.reprocessDiff(oldR, newR).as[(String, Long)].collect().toSet
     assert(diff === Set(("b", 3L)))
   }
+
+  test("SQL over a stream (the ksqlDB-style surface, kafka/README.md:299-303)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.toDF().createOrReplaceTempView("events_stream")
+    val q = spark.sql(
+      """SELECT event_type, COUNT(*) AS n, SUM(value) AS total
+        |FROM events_stream GROUP BY event_type""".stripMargin)
+      .writeStream.outputMode("complete").format("memory").queryName("sqlstream")
+      .option("checkpointLocation", tmp("ck-sqlstream")).start()
+    try {
+      in.addData(ev(1, 0, 1, "click", 2.0), ev(2, 1, 2, "click", 3.0),
+                 ev(3, 2, 3, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sqlstream").as[(String, Long, Double)].collect().toSet
+      assert(rows === Set(("click", 2L, 5.0), ("view", 1L, 4.0)))
+    } finally q.stop()
+  }
 }
