@@ -18,12 +18,15 @@ object GraftSession {
     sys.env.get("SPARK_GRAFT_CPUS").flatMap(s => scala.util.Try(s.toInt).toOption)
       .getOrElse(Runtime.getRuntime.availableProcessors())
 
-  def builder(appName: String): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(appName: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+    // respect a submit-time master (spark-submit sets spark.master);
+    // default to local[cores] only when none was provided
+    if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER"))
+      b.master(s"local[$cpus]")
+    b.config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -34,6 +37,7 @@ object GraftSession {
       // TimestampType in Tables.events (truncation to micros matches what
       // DuckDB does when it reads the same file).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

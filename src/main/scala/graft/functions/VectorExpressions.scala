@@ -37,7 +37,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm vectors score 0, not NaN: NaN sorts ABOVE every real
+    // value in Spark's descending order, so one all-zero vector would
+    // otherwise rank as the top neighbor of everything it meets
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,7 +54,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double yi = $b.getDouble(i);
          |  dot += xi * yi; na += xi * xi; nb += yi * yi;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = (na == 0.0 || nb == 0.0)
+         |  ? 0.0 : dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
        """.stripMargin
     })
 

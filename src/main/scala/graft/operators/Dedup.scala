@@ -97,9 +97,8 @@ object Dedup extends QueryModule {
     * LSH-gate candidates via [[minhashLshPairsOf]]) before the self-join. */
   def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
     val t = 0.5
-    val sh = shingled(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .persist()
+    val sh = graft.functions.ScopedCache.persist("q72.shingles",
+      shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -160,8 +159,8 @@ object Dedup extends QueryModule {
 
   /** DataFrame-level core (testable on constructed corpora). */
   def minhashLshPairsOf(docs: DataFrame): DataFrame = {
-    val sigs = signatures(docs)
-      .persist() // referenced by banding + both signature-compare joins
+    // referenced by banding + both signature-compare joins
+    val sigs = graft.functions.ScopedCache.persist("q73.signatures", signatures(docs))
     val banded = sigs
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${Bands - 1}), j -> struct(
@@ -198,12 +197,12 @@ object Dedup extends QueryModule {
     * one imperative aggregate (±1 per bit, so duplicate tokens weight by
     * count) — no pre-grouping, map-side combined. */
   def simhashPairsOf(d: DataFrame): DataFrame = {
-    val sigs = d
+    val sigsPlan = d
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
       .groupBy(col("doc_id"))
       .agg(expr("graft_simhash(h)").as("simhash"))
-      .persist()
+    val sigs = graft.functions.ScopedCache.persist("q74.signatures", sigsPlan)
       .withColumn("chunks", array((0 until 4).map(j =>
         struct(lit(j).as("pos"), shiftright(col("simhash"), j * 16)
           .bitwiseAND(0xFFFFL).as("chunk"))): _*))

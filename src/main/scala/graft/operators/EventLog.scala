@@ -110,15 +110,14 @@ object EventLog extends QueryModule {
 
   /** S9 dead-letter queue: route poison records ('error' events) to a DLQ
     * enriched with origin metadata (kafka/README.md:202-271). The good/bad
-    * split is two filters off one scan; this query is the DLQ side. */
+    * split is two filters off one scan; this query is the DLQ side of the
+    * same [[graft.streaming.EventStreams.dlqSplit]] the streaming sink
+    * uses (one routing definition, batch-replayed here). */
   def dlqRecords(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    e.filter(col("event_type") === "error")
-      .select(
+    val (_, dlq) = graft.streaming.EventStreams.dlqSplit(Tables.events(spark, dir))
+    dlq.select(
         col("event_id"), col("user_id"), col("ts"), col("value"),
-        lit("events").as("origin_topic"),
-        (col("user_id") % 8).cast(IntegerType).as("origin_partition"),
-        col("event_id").as("origin_offset"))
+        col("origin_topic"), col("origin_partition"), col("origin_offset"))
       .orderBy(col("event_id"))
   }
 

@@ -49,7 +49,11 @@ object Multimodal extends QueryModule {
     * (explode positions → per-frame transform) without any codec. */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    d.select(col("doc_id"), col("text"),
+    // empty payloads are excluded on BOTH sides: Spark's sequence(0,-1)
+    // yields [0,-1] while GENERATE_SERIES(0,-1) is empty — the filter
+    // keeps the two engines agreeing (and max_frame non-negative)
+    d.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
         least(floor((length(col("text")) - 1) / 64), lit(5L)).as("max_frame"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L), col("max_frame"))).as("frame_no"))
@@ -72,7 +76,7 @@ object Multimodal extends QueryModule {
       |FROM (
       |  SELECT doc_id, text,
       |    UNNEST(GENERATE_SERIES(0, LEAST(CAST(FLOOR((LENGTH(text) - 1) / 64.0) AS BIGINT), 5))) AS frame_no
-      |  FROM documents) t
+      |  FROM documents WHERE LENGTH(text) >= 1) t
       |WHERE frame_no % 2 = 0
       |ORDER BY doc_id NULLS FIRST, frame_no NULLS FIRST""".stripMargin
 

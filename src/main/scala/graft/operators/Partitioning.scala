@@ -30,11 +30,17 @@ object Partitioning {
     * (key, salt) — spreading a hot key over `saltBuckets` reducers — and
     * phase 2 combines the partials per key. Result is identical to a
     * direct groupBy(key).sum because sum is associative/commutative; only
-    * the shuffle layout changes. */
+    * the shuffle layout changes.
+    *
+    * The salt is a hash of the full row, NOT a nondeterministic id:
+    * task retry / stage recomputation must re-derive the same salt for
+    * the same row or partials could double-count across phases.
+    * (Identical duplicate rows share a salt — spreading is by distinct
+    * row content, which suffices for real skewed-value distributions.) */
   def saltedSum(df: DataFrame, key: Column, value: Column,
                 saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
     salted
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(value).as("partial"))

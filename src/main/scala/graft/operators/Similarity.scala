@@ -55,7 +55,8 @@ object Similarity extends QueryModule {
       |n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e),
       |sims AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-      |    LIST_DOT_PRODUCT(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      |    CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+      |         ELSE LIST_DOT_PRODUCT(q.v, c.v) / (q.nrm * c.nrm) END AS sim
       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
       |  WHERE q.vec_id < 10),
       |ranked AS (
@@ -119,7 +120,8 @@ object Similarity extends QueryModule {
       |  AS bucket FROM e),
       |sims AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
-      |    LIST_DOT_PRODUCT(q.v, c.v) / (q.nrm * c.nrm) AS sim
+      |    CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+      |         ELSE LIST_DOT_PRODUCT(q.v, c.v) / (q.nrm * c.nrm) END AS sim
       |  FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
       |  WHERE q.vec_id < 50),
       |ranked AS (
@@ -153,7 +155,8 @@ object Similarity extends QueryModule {
       |n AS (SELECT vec_id, label, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e),
       |sims AS (
       |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |    LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      |    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+      |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) END AS sim
       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
       |ranked AS (
       |  SELECT label, vec_a, vec_b, sim,
@@ -178,10 +181,11 @@ object Similarity extends QueryModule {
     val centArr = cents.select(col("label").as("cell"), array(dims: _*).as("cv"))
     // assign each vector to nearest centroid
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
-    val assigned = e.crossJoin(broadcast(centArr))
-      .withColumn("csim", cos("v", "cv"))
-      .withColumn("crk", row_number().over(wAssign))
-      .persist() // referenced by both the vector side and the probe side
+    // persisted: referenced by both the vector side and the probe side
+    val assigned = graft.functions.ScopedCache.persist("q84.assigned",
+      e.crossJoin(broadcast(centArr))
+        .withColumn("csim", cos("v", "cv"))
+        .withColumn("crk", row_number().over(wAssign)))
     val vectors = assigned.filter(col("crk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("cell"))
     val probes = assigned.filter(col("crk") <= 2 && col("vec_id") < 20)

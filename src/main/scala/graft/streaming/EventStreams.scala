@@ -109,18 +109,31 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(SessionBuf(s.n + 1, s.startMs, math.max(t, s.lastMs), s.total + e.value))
-                case Some(s) =>
+                // merge when within gap of the session interval on either
+                // side (cross-batch late events can precede the stored
+                // start); extend both boundaries
+                case Some(s) if t >= s.startMs - gapMs && t <= s.lastMs + gapMs =>
+                  cur = Some(SessionBuf(s.n + 1, math.min(t, s.startMs),
+                    math.max(t, s.lastMs), s.total + e.value))
+                case Some(s) if t > s.lastMs + gapMs =>
                   closed += emit(s)
                   cur = Some(SessionBuf(1, t, t, e.value))
+                case Some(s) =>
+                  // an isolated event more than gap BEFORE the session:
+                  // emit it as its own (already-expired) session
+                  closed += SessionSummary(userId, 1, new Timestamp(t), new Timestamp(t), e.value)
+                  cur = Some(s)
                 case None =>
                   cur = Some(SessionBuf(1, t, t, e.value))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // a timeout at-or-before the current watermark throws and
+              // kills the query (late same-key data can otherwise produce
+              // one) — clamp to strictly after the watermark
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }
@@ -201,17 +214,20 @@ object EventStreams {
     (good, dlq)
   }
 
-  /** Streaming two-sink DLQ pipeline via foreachBatch. */
+  /** Streaming two-sink DLQ pipeline via foreachBatch. Both sinks write
+    * overwrite-by-batch-id ([[writeBatchIdempotent]]) so a replayed
+    * micro-batch after failure rewrites its partition instead of
+    * appending duplicates. */
   def dlqSink(events: DataFrame, goodDir: String, dlqDir: String,
               checkpointDir: String): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val cached = batch.persist()
         try {
           val (good, dlq) = dlqSplit(cached)
-          good.write.mode("append").parquet(goodDir)
-          dlq.write.mode("append").parquet(dlqDir)
+          writeBatchIdempotent(good, batchId, goodDir)
+          writeBatchIdempotent(dlq, batchId, dlqDir)
         } finally { cached.unpersist(); () }
       }
       .start()
