@@ -190,6 +190,44 @@ object TextOps extends QueryModule {
       |FROM (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents) t
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Composed training-data cleaning pipeline (the end-to-end flow a
+    * 100 TB corpus job runs): language gate → quality gate (diversity +
+    * length) → exact dedup keep-first → per-doc token accounting. Each
+    * stage is a narrow transform over the previous; the only shuffles are
+    * the dedup group and the final order. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scored = d
+      .filter(col("lang").isin("en", "de", "es"))
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("diversity",
+        size(array_distinct(col("toks"))).cast(DoubleType) / col("n_tokens"))
+      .filter(col("n_tokens") >= 20 && col("diversity") >= 0.3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("diversity"), 6).as("diversity"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val cleanCorpusSql =
+    """SELECT doc_id, lang, n_tokens, ROUND(diversity, 6) AS diversity FROM (
+      |  SELECT doc_id, lang, text, n_tokens, diversity,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS rn
+      |  FROM (
+      |    SELECT doc_id, lang, text,
+      |      CAST(LEN(toks) AS INT) AS n_tokens,
+      |      CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS diversity
+      |    FROM (SELECT doc_id, lang, text, STRING_SPLIT(text, ' ') AS toks
+      |          FROM documents WHERE lang IN ('en', 'de', 'es')) a) b
+      |  WHERE n_tokens >= 20 AND diversity >= 0.3) c
+      |WHERE rn = 1
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q60_word_count", wordCount, Some(wordCountSql)),
     GraftQuery("q61_lang_stats", langStats, Some(langStatsSql)),
@@ -197,5 +235,6 @@ object TextOps extends QueryModule {
     GraftQuery("q63_quality_scores", qualityScores, Some(qualityScoresSql)),
     GraftQuery("q64_langid_heuristic", langIdHeuristic, Some(langIdHeuristicSql)),
     GraftQuery("q65_fingerprints", fingerprints, Some(fingerprintsSql)),
+    GraftQuery("q66_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
   )
 }

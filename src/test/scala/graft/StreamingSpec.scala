@@ -98,6 +98,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithState absorbs in-watermark out-of-order events and extends boundaries") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithState(in.toDS(), gapMs = 30 * 60000L,
+        watermarkDelay = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("fmgs_ooo")
+      .option("checkpointLocation", tmp("ck-fmgs-ooo")).start()
+    try {
+      in.addData(ev(1, 60, 7, "click", 1.0))   // session seed at t=60
+      q.processAllAvailable()
+      in.addData(ev(2, 40, 7, "view", 2.0))    // late, within gap BEFORE start
+      q.processAllAvailable()
+      in.addData(ev(3, 400, 9, "click", 1.0))  // advance watermark → timeout
+      q.processAllAvailable()
+      val rows = spark.table("fmgs_ooo").as[SessionSummary].collect().toSet
+      // the late event extended the session start back to t=40
+      assert(rows.contains(SessionSummary(7L, 2L, ts(40), ts(60), 3.0)), rows)
+    } finally q.stop()
+  }
+
   test("stream-stream windowed join matches same-key events in window (J2)") {
     val session = spark
     import session.implicits._
