@@ -362,6 +362,98 @@ object Analytics extends QueryModule {
       |WHERE event_id < 2000
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  /** Exact percentiles (median / p90) per group: both engines compute
+    * sorted-position interpolation over the same values. */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val quantityPercentilesSql =
+    """SELECT l_returnflag,
+      |  QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+      |  QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
+      |  QUANTILE_CONT(l_extendedprice, 0.25) AS p25_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
+  /** Correlation / covariance (second-moment statistics): accumulation
+    * order differs per engine, so surface rounded values. */
+  def priceCorrelations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_linestatus"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 8).as("covar_disc_tax"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  private val priceCorrelationsSql =
+    """SELECT l_linestatus,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  ROUND(COVAR_SAMP(l_discount, l_tax), 8) AS covar_disc_tax,
+      |  ROUND(STDDEV_SAMP(l_extendedprice), 4) AS stddev_price
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus NULLS FIRST""".stripMargin
+
+  /** Pivot: order counts per status × priority as a wide table (the
+    * reshape operator; oracle mirrors with conditional aggregation). */
+  def statusPriorityPivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high", "3-MEDIUM" -> "p3_medium",
+        "4-NOT SPECIFIED" -> "p4_not_specified", "5-LOW" -> "p5_low"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val statusPriorityPivotSql =
+    """SELECT o_orderstatus,
+      |  SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS p1_urgent,
+      |  SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS p2_high,
+      |  SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS p3_medium,
+      |  SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS p4_not_specified,
+      |  SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS p5_low
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+
+  /** Scalar-subquery pattern: orders priced above the global average —
+    * the aggregate is computed in-plan and broadcast, never collected. */
+  def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgPrice = o.agg(
+      (exactSum(money(col("o_totalprice"))) / count(lit(1))).as("avg_price"))
+    o.crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_above_avg"),
+           exactSum(money(col("o_totalprice"))).as("total_above_avg"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val aboveAverageOrdersSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_above_avg,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_above_avg
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders)
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q20_topk_per_segment", topkPerSegment, Some(topkPerSegmentSql)),
     GraftQuery("q21_moving_avg", movingAvgOrderValue, Some(movingAvgOrderValueSql)),
@@ -378,5 +470,9 @@ object Analytics extends QueryModule {
     GraftQuery("q32_first_last_order", firstLastOrder, Some(firstLastOrderSql)),
     GraftQuery("q33_grouping_sets", groupingSetsTotals, Some(groupingSetsTotalsSql)),
     GraftQuery("q34_map_functions", mapFunctions, Some(mapFunctionsSql)),
+    GraftQuery("q35_percentiles", quantityPercentiles, Some(quantityPercentilesSql)),
+    GraftQuery("q36_correlations", priceCorrelations, Some(priceCorrelationsSql)),
+    GraftQuery("q37_status_pivot", statusPriorityPivot, Some(statusPriorityPivotSql)),
+    GraftQuery("q38_above_avg_orders", aboveAverageOrders, Some(aboveAverageOrdersSql)),
   )
 }

@@ -186,10 +186,13 @@ object EventStreams {
 
   /** Stream-stream windowed join (kafka/README.md:333): purchases matched
     * to same-user clicks within the preceding [windowMinutes]. Watermarks
-    * on both sides bound the join state. */
+    * on both sides bound the join state. `joinType = "leftOuter"` emits
+    * unmatched purchases (null click columns) once the watermark proves
+    * no match can still arrive. */
   def purchaseClickJoin(events: DataFrame,
                         windowMinutes: Int = 10,
-                        watermarkDelay: String = "30 minutes"): DataFrame = {
+                        watermarkDelay: String = "30 minutes",
+                        joinType: String = "inner"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("p_id"), col("ts").as("p_ts"))
       .withWatermark("p_ts", watermarkDelay)
@@ -197,7 +200,8 @@ object EventStreams {
       .select(col("user_id").as("c_user"), col("event_id").as("c_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", watermarkDelay)
     purchases.join(clicks,
-      expr(s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $windowMinutes MINUTES AND p_ts"))
+      expr(s"p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL $windowMinutes MINUTES AND p_ts"),
+      joinType)
   }
 
   // ---- DLQ fan-out (S9) -------------------------------------------------

@@ -142,6 +142,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after the watermark closes them (J2)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.purchaseClickJoin(in.toDF(), windowMinutes = 10,
+        watermarkDelay = "5 minutes", joinType = "leftOuter")
+      .select($"p_id", $"c_id")
+      .writeStream.outputMode("append").format("memory").queryName("ssj_outer")
+      .option("checkpointLocation", tmp("ck-ssj-outer")).start()
+    try {
+      in.addData(
+        ev(200, 4, 1, "click"),
+        ev(201, 10, 1, "purchase"),   // matches click 200
+        ev(202, 30, 2, "purchase"))   // no click for user 2 → outer row
+      q.processAllAvailable()
+      // the global watermark is the MIN across both sides' watermark
+      // nodes (each sees only its filtered events), so BOTH a late click
+      // and a late purchase are needed to advance it past the open state;
+      // null-side rows then surface in the following micro-batch
+      in.addData(ev(203, 120, 3, "click"), ev(204, 120, 8, "purchase"))
+      q.processAllAvailable()
+      in.addData(ev(205, 125, 3, "click"), ev(206, 125, 8, "purchase"))
+      q.processAllAvailable()
+      val pairs = spark.table("ssj_outer").as[(Long, Option[Long])].collect().toSet
+      assert(pairs.contains((201L, Some(200L))), pairs)
+      assert(pairs.contains((202L, None)), pairs)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the broadcast dimension (J1)") {
     val session = spark
     import session.implicits._
