@@ -15,6 +15,10 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
+        // cache-cold per pass: the min isolates JIT/compile warmup but
+        // must still pay each query's full dataflow (incl. any subtree a
+        // query persists internally)
+        graft.functions.ScopedCache.clear()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -22,10 +22,10 @@ object GraftSession {
     val b = SparkSession.builder()
       .appName(appName)
       .withExtensions(new graft.functions.GraftExtensions)
-    // respect a submit-time master (spark-submit sets spark.master);
-    // default to local[cores] only when none was provided
-    if (!sys.props.contains("spark.master") && !sys.env.contains("SPARK_MASTER"))
-      b.master(s"local[$cpus]")
+    // master precedence: spark-submit's (spark.master system property),
+    // then an explicit SPARK_MASTER env, then local[cores]
+    if (!sys.props.contains("spark.master"))
+      b.master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
     b.config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

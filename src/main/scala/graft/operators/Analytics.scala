@@ -434,8 +434,7 @@ object Analytics extends QueryModule {
     * the aggregate is computed in-plan and broadcast, never collected. */
   def aboveAverageOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val avgPrice = o.agg(
-      (exactSum(money(col("o_totalprice"))) / count(lit(1))).as("avg_price"))
+    val avgPrice = o.agg(exactAvg(money(col("o_totalprice"))).as("avg_price"))
     o.crossJoin(broadcast(avgPrice))
       .filter(col("o_totalprice") > col("avg_price"))
       .groupBy(col("o_orderstatus"))

@@ -32,15 +32,21 @@ object Partitioning {
     * direct groupBy(key).sum because sum is associative/commutative; only
     * the shuffle layout changes.
     *
-    * The salt is a hash of the full row, NOT a nondeterministic id:
-    * task retry / stage recomputation must re-derive the same salt for
-    * the same row or partials could double-count across phases.
-    * (Identical duplicate rows share a salt — spreading is by distinct
-    * row content, which suffices for real skewed-value distributions.) */
+    * The salt must be DETERMINISTIC under task retry (a recomputed
+    * partition must re-derive the same salts or partials could
+    * double-count), which rules out monotonically_increasing_id/rand.
+    * Default: hash of (spark_partition_id, hashable columns) — partition
+    * ids are stable under recomputation, and including them spreads even
+    * byte-identical duplicate rows that sit in different partitions (the
+    * heartbeat-skew shape). Map-typed columns are excluded (hash()
+    * rejects MapType). */
   def saltedSum(df: DataFrame, key: Column, value: Column,
                 saltBuckets: Int = 16): DataFrame = {
+    val hashable = df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      pmod(hash(spark_partition_id() +: hashable: _*), lit(saltBuckets)))
     salted
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(value).as("partial"))

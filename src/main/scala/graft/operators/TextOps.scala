@@ -204,13 +204,15 @@ object TextOps extends QueryModule {
       .withColumn("diversity",
         size(array_distinct(col("toks"))).cast(DoubleType) / col("n_tokens"))
       .filter(col("n_tokens") >= 20 && col("diversity") >= 0.3)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text")).orderBy(col("doc_id"))
+    // min_by hash-aggregate for the dedup stage (same rationale as
+    // Dedup.dedupKeepFirst: map-side collapse, no sort keyed by full text)
     scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        round(col("diversity"), 6).as("diversity"))
+      .groupBy(col("text"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens"),
+        col("diversity")), col("doc_id")).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
+        col("keep.n_tokens").as("n_tokens"),
+        round(col("keep.diversity"), 6).as("diversity"))
       .orderBy(col("doc_id"))
   }
 

@@ -84,59 +84,47 @@ object EventStreams {
 
   /** Custom sessionization with explicit keyed state and an event-time
     * timer: the direct analog of Flink's ProcessFunction + ValueState +
-    * timers (flink/README.md:28-61). A session closes either when a
-    * same-key event arrives past the gap, or when the event-time timeout
-    * fires (watermark passed last-event + gap). */
+    * timers (flink/README.md:28-61). State holds ALL open intervals for
+    * the key (late in-watermark events may open earlier sessions or
+    * bridge existing ones); a session is emitted only once the watermark
+    * passes its end + gap, so no future event can extend it. */
   def sessionizeWithState(events: Dataset[Event],
                           gapMs: Long = 30L * 60 * 1000,
                           watermarkDelay: String = "10 minutes"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionBuf, SessionSummary](
+      .flatMapGroupsWithState[List[SessionBuf], SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionBuf]) =>
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionBuf]]) =>
           def emit(s: SessionBuf) = SessionSummary(
             userId, s.n, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.total)
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(emit).iterator
-            state.remove()
-            out
+          // merge point events + stored intervals by gap (classic
+          // interval merging over the start-sorted union)
+          def mergeAll(intervals: List[SessionBuf]): List[SessionBuf] =
+            intervals.sortBy(s => (s.startMs, s.lastMs)).foldLeft(List.empty[SessionBuf]) {
+              case (acc @ (prev :: rest), s) if s.startMs <= prev.lastMs + gapMs =>
+                SessionBuf(prev.n + s.n, prev.startMs,
+                  math.max(prev.lastMs, s.lastMs), prev.total + s.total) :: rest
+              case (acc, s) => s :: acc
+            }.reverse
+          val incoming = it.toList.map(e =>
+            SessionBuf(1, e.ts.getTime, e.ts.getTime, e.value))
+          val merged = mergeAll(state.getOption.getOrElse(Nil) ++ incoming)
+          // emit sessions no future event can touch: end + gap is at or
+          // below the watermark (events earlier than that are dropped or
+          // land in their own late interval anyway)
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = merged.partition(_.lastMs + gapMs <= wm)
+          if (open.nonEmpty) {
+            state.update(open)
+            // a timeout at-or-before the watermark throws — clamp above it
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastMs).min + gapMs, wm + 1))
           } else {
-            val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // merge when within gap of the session interval on either
-                // side (cross-batch late events can precede the stored
-                // start); extend both boundaries
-                case Some(s) if t >= s.startMs - gapMs && t <= s.lastMs + gapMs =>
-                  cur = Some(SessionBuf(s.n + 1, math.min(t, s.startMs),
-                    math.max(t, s.lastMs), s.total + e.value))
-                case Some(s) if t > s.lastMs + gapMs =>
-                  closed += emit(s)
-                  cur = Some(SessionBuf(1, t, t, e.value))
-                case Some(s) =>
-                  // an isolated event more than gap BEFORE the session:
-                  // emit it as its own (already-expired) session
-                  closed += SessionSummary(userId, 1, new Timestamp(t), new Timestamp(t), e.value)
-                  cur = Some(s)
-                case None =>
-                  cur = Some(SessionBuf(1, t, t, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // a timeout at-or-before the current watermark throws and
-              // kills the query (late same-key data can otherwise produce
-              // one) — clamp to strictly after the watermark
-              state.setTimeoutTimestamp(
-                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator
+            state.remove()
           }
+          closed.map(emit).iterator
       }
   }
 

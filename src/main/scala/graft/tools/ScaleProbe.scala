@@ -39,9 +39,10 @@ object ScaleProbe {
              count(lit(1)).as("n"))
         .count()
 
-    // q02 shape: fact⋈fact shuffle join + broadcast dims
-    def q02(li: DataFrame): Long = {
-      val o = Tables.orders(spark, dir)
+    // q02 shape: fact⋈fact shuffle join + broadcast dims. BOTH fact
+    // sides scale (join keys shifted per copy so distinct-key cardinality
+    // grows with the data, like a real larger dataset).
+    def q02(li: DataFrame, o: DataFrame): Long = {
       val c = Tables.customer(spark, dir)
       val n = Tables.nation(spark, dir)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -51,13 +52,20 @@ object ScaleProbe {
         .agg(exactSum(revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"))
         .count()
     }
+    val o1 = Tables.orders(spark, dir)
+    val liNShifted = (1 to copies).map(i =>
+      li1.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L)))
+      .reduce(_ unionByName _)
+    val oNShifted = (1 to copies).map(i =>
+      o1.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L)))
+      .reduce(_ unionByName _)
 
     time("q01 agg 1x (600k)")(q01(li1))
     time("q01 agg 1x warm")(q01(li1))
     time(s"q01 agg ${copies}x (${copies * 600}k)")(q01(liN))
-    time("q02 join 1x")(q02(li1))
-    time("q02 join 1x warm")(q02(li1))
-    time(s"q02 join ${copies}x")(q02(liN))
+    time("q02 join 1x")(q02(li1, o1))
+    time("q02 join 1x warm")(q02(li1, o1))
+    time(s"q02 join ${copies}x both sides")(q02(liNShifted, oNShifted))
 
     // dedup shape at scale: shingle + minhash signature over enlarged docs
     val d1 = Tables.documents(spark, dir)
