@@ -80,6 +80,8 @@ object GraftFunctions {
         exprs => new MinHashAgg(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("graft_simhash",
         exprs => new SimHashAgg(exprs.head), "scala_udf")
+      reg.createOrReplaceTempFunction("graft_shingles",
+        exprs => ShingleHashes(exprs.head), "scala_udf")
     }
   }
 }
@@ -103,5 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => new SimHashAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
   }
 }

@@ -25,18 +25,16 @@ object Dedup extends QueryModule {
   // ---- shared shingling -------------------------------------------------
 
   /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens),
-    * hashed to 64-bit longs at creation: every downstream op (frequency,
-    * join, intersect, minhash) then works on fixed-width longs instead of
-    * strings — smaller shuffles and far cheaper comparisons. xxhash64
+    * hashed to 64-bit longs at creation via the compiled
+    * [[graft.functions.ShingleHashes]] expression: every downstream op
+    * (frequency, join, intersect, minhash) then works on fixed-width
+    * longs instead of strings — smaller shuffles, cheaper comparisons,
+    * and no interpreted higher-order functions on the hot path. xxhash64
     * collisions across a corpus vocabulary are negligible (birthday bound
     * ~n²/2⁶⁵) and the hash is deterministic. */
-  private def shingled(docs: DataFrame): DataFrame = {
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))").as("shingles"))
-  }
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr("graft_shingles(text)").as("shingles"))
+      .filter(size(col("shingles")) >= 1)
 
   // ---- exact dedup ------------------------------------------------------
 
