@@ -68,6 +68,29 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(a === expected)
   }
 
+  test("graft_shingles matches the declarative formulation bit-for-bit") {
+    val session = spark
+    import session.implicits._
+    val docs = sources.Tables.documents(spark, sf0001).limit(100)
+      .select($"doc_id", $"text")
+      .union(Seq((90001L, "a b"), (90002L, "one two three"),
+        (90003L, "x y z x y z")).toDF("doc_id", "text"))
+    val fast = docs.select($"doc_id", expr("graft_shingles(text)").as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val slow = docs
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", expr(
+        "CASE WHEN size(toks) < 3 THEN array() ELSE " +
+          "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> xxhash64(concat_ws(' ', toks[i], toks[i+1], toks[i+2])))) END").as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    fast.foreach { case (id, s) =>
+      assert(s === slow(id), s"doc $id")
+    }
+    assert(fast(90001L).isEmpty) // fewer than 3 tokens → no shingles
+    assert(fast(90003L).length === 3) // "x y z","y z x","z x y" — dup collapsed
+  }
+
   test("MinHashAgg/SimHashAgg buffer serde roundtrips") {
     val one = org.apache.spark.sql.catalyst.expressions.Literal(1L)
     val m = new MinHashAgg(one)
