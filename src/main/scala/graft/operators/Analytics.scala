@@ -453,6 +453,31 @@ object Analytics extends QueryModule {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
 
+  /** Rank-distribution window functions: ntile quartiles, percent_rank,
+    * cume_dist — rational-arithmetic outputs, bit-stable across engines. */
+  def orderValueDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") <= 100)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  private val orderValueDistributionSql =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
+      |ORDER BY o_orderstatus NULLS FIRST, o_totalprice NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q20_topk_per_segment", topkPerSegment, Some(topkPerSegmentSql)),
     GraftQuery("q21_moving_avg", movingAvgOrderValue, Some(movingAvgOrderValueSql)),
@@ -473,5 +498,6 @@ object Analytics extends QueryModule {
     GraftQuery("q36_correlations", priceCorrelations, Some(priceCorrelationsSql)),
     GraftQuery("q37_status_pivot", statusPriorityPivot, Some(statusPriorityPivotSql)),
     GraftQuery("q38_above_avg_orders", aboveAverageOrders, Some(aboveAverageOrdersSql)),
+    GraftQuery("q39_value_distribution", orderValueDistribution, Some(orderValueDistributionSql)),
   )
 }
