@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns (SURVEY.md §7.2 custom-surface; the
@@ -81,7 +81,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_simhash",
         exprs => new SimHashAgg(exprs.head), "scala_udf")
       reg.createOrReplaceTempFunction("graft_shingles",
-        exprs => ShingleHashes(exprs.head), "scala_udf")
+        exprs => ShingleHashes(Cast(exprs.head, StringType)), "scala_udf")
     }
   }
 }
@@ -108,6 +108,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
-      (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
+      (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))))
   }
 }

@@ -42,8 +42,15 @@ object Partitioning {
     * rejects MapType). */
   def saltedSum(df: DataFrame, key: Column, value: Column,
                 saltBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType => containsMap(a.elementType)
+      case _ => false
+    }
     val hashable = df.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => containsMap(f.dataType))
       .map(f => col(f.name)).toIndexedSeq
     val salted = df.withColumn("__salt",
       pmod(hash(spark_partition_id() +: hashable: _*), lit(saltBuckets)))

@@ -111,11 +111,11 @@ object EventStreams {
           val incoming = it.toList.map(e =>
             SessionBuf(1, e.ts.getTime, e.ts.getTime, e.value))
           val merged = mergeAll(state.getOption.getOrElse(Nil) ++ incoming)
-          // emit sessions no future event can touch: end + gap is at or
-          // below the watermark (events earlier than that are dropped or
-          // land in their own late interval anyway)
+          // emit sessions no future event can touch: strictly below the
+          // watermark — an event AT exactly end+gap would still merge by
+          // the (inclusive) gap rule, so `<= wm` could split that session
           val wm = state.getCurrentWatermarkMs()
-          val (closed, open) = merged.partition(_.lastMs + gapMs <= wm)
+          val (closed, open) = merged.partition(_.lastMs + gapMs < wm)
           if (open.nonEmpty) {
             state.update(open)
             // a timeout at-or-before the watermark throws — clamp above it

@@ -21,6 +21,13 @@ object ScaleProbe {
     def enlarged(df: DataFrame): DataFrame =
       (1 to copies).map(i => df.withColumn("copy", lit(i))).reduce(_ unionByName _)
 
+    /** N copies with a per-copy key shift so distinct-key cardinality
+      * scales with the data (a realistic larger dataset). */
+    def replicateShifted(df: DataFrame, keyCol: String, stride: Long): DataFrame =
+      (1 to copies).map(i =>
+        df.withColumn(keyCol, col(keyCol) + lit(i.toLong * stride)))
+        .reduce(_ unionByName _)
+
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -53,12 +60,8 @@ object ScaleProbe {
         .count()
     }
     val o1 = Tables.orders(spark, dir)
-    val liNShifted = (1 to copies).map(i =>
-      li1.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L)))
-      .reduce(_ unionByName _)
-    val oNShifted = (1 to copies).map(i =>
-      o1.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L)))
-      .reduce(_ unionByName _)
+    val liNShifted = replicateShifted(li1, "l_orderkey", 1000000000L)
+    val oNShifted = replicateShifted(o1, "o_orderkey", 1000000000L)
 
     time("q01 agg 1x (600k)")(q01(li1))
     time("q01 agg 1x warm")(q01(li1))
@@ -69,8 +72,7 @@ object ScaleProbe {
 
     // dedup shape at scale: shingle + minhash signature over enlarged docs
     val d1 = Tables.documents(spark, dir)
-    val dN = (1 to copies).map(i =>
-      d1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))).reduce(_ unionByName _)
+    val dN = replicateShifted(d1, "doc_id", 1000000L)
     def minhashCount(docs: DataFrame): Long =
       graft.operators.Dedup.minhashLshPairsOf(docs).count()
     time("minhash 1x (5k docs)")(minhashCount(d1))

@@ -33,7 +33,7 @@ class TypedOpsSpec extends AnyFunSuite with SparkSpec {
     import session.implicits._
     val docs = sources.Tables.documents(spark, sf0001)
       .select($"text").as[String].limit(10)
-    val words = docs.flatMap(_.split(' ')).collect()
+    val words = docs.flatMap(_.split(" ", -1)).collect() // limit -1 matches Spark's split
     val viaExplode = sources.Tables.documents(spark, sf0001).limit(10)
       .select(explode(split($"text", " "))).count()
     assert(words.length.toLong === viaExplode)
