@@ -339,6 +339,31 @@ object Relational extends QueryModule {
       |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
       |ORDER BY o_custkey NULLS FIRST""".stripMargin
 
+  /** The SQL entry path (ksqlDB-style declared SQL, kafka/README.md:
+    * 299-303, batch form): tables registered as views, the query itself
+    * written in SQL and planned by the same Catalyst pipeline as the
+    * DataFrame API. The DuckDB oracle is literally the same statement
+    * modulo view names. */
+  def sqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_nationkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin)
+  }
+
+  private val sqlEntrySql =
+    """SELECT c_nationkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     GraftQuery("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -354,5 +379,6 @@ object Relational extends QueryModule {
     GraftQuery("q12_star_slice", starSchemaSlice, Some(starSchemaSliceSql)),
     GraftQuery("q13_churned_customers", churnedCustomers, Some(churnedCustomersSql)),
     GraftQuery("q14_retained_customers", retainedCustomers, Some(retainedCustomersSql)),
+    GraftQuery("q15_sql_entry", sqlEntry, Some(sqlEntrySql)),
   )
 }
