@@ -175,7 +175,7 @@ object EventLog extends QueryModule {
   }
 
   private val sessionizeSql =
-    """SELECT user_id, session_id, COUNT(*) AS n_events,
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM (
       |  SELECT user_id, ts,
