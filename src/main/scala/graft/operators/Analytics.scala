@@ -38,7 +38,7 @@ object Analytics extends QueryModule {
   }
 
   private val topkPerSegmentSql =
-    """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+    """SELECT c_mktsegment, CAST(rk AS INT) AS rk, o_orderkey, o_totalprice FROM (
       |  SELECT c_mktsegment, o_orderkey, o_totalprice,
       |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
       |                       ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rk
@@ -85,7 +85,9 @@ object Analytics extends QueryModule {
   }
 
   private val partPriceRanksSql =
-    """SELECT p_brand, p_partkey, p_retailprice, price_rank, price_dense_rank FROM (
+    """SELECT p_brand, p_partkey, p_retailprice,
+      |  CAST(price_rank AS INT) AS price_rank,
+      |  CAST(price_dense_rank AS INT) AS price_dense_rank FROM (
       |  SELECT p_brand, p_partkey, p_retailprice,
       |    RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC NULLS LAST) AS price_rank,
       |    DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC NULLS LAST) AS price_dense_rank
