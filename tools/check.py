@@ -71,7 +71,12 @@ def main(sf_dir, out_dir):
             continue
         ok, msg = values_equal(g, e)
         if ok:
-            print(f"PASS {name} ({len(g)} rows)")
+            # same values: also surface dtype skew (a dtype-sensitive
+            # driver hash would flag these)
+            dt = [f"{c}: {g[c].dtype} vs {e[c].dtype}" for c in g.columns
+                  if str(g[c].dtype) != str(e[c].dtype)]
+            flag = f"  [DTYPE SKEW: {'; '.join(dt)}]" if dt else ""
+            print(f"PASS {name} ({len(g)} rows){flag}")
             n_pass += 1
         else:
             # check if row-order-only mismatch
