@@ -364,6 +364,36 @@ object Relational extends QueryModule {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey NULLS FIRST""".stripMargin
 
+  /** Custom typed Aggregator registered as a UDAF (§2.11 A2 — the Flink
+    * AggregateFunction analog) driving a DataFrame aggregation: one pass
+    * computes count/mean/variance/min/max per group (Chan/Welford merge,
+    * distribution-safe). Mean/variance accumulate in floating point, so
+    * the surfaced values are rounded for the cross-engine compare. */
+  def statsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val statsUdaf = udaf(graft.functions.StatsAggregator)
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderstatus"))
+      .agg(statsUdaf(col("o_totalprice")).as("s"))
+      .select(
+        col("o_orderstatus"),
+        col("s.n").as("n"),
+        round(col("s.mean"), 4).as("mean_price"),
+        round(col("s.variance"), 2).as("var_price"),
+        col("s.min").as("min_price"),
+        col("s.max").as("max_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val statsSummarySql =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  ROUND(AVG(o_totalprice), 4) AS mean_price,
+      |  ROUND(VAR_SAMP(o_totalprice), 2) AS var_price,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     GraftQuery("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -380,5 +410,6 @@ object Relational extends QueryModule {
     GraftQuery("q13_churned_customers", churnedCustomers, Some(churnedCustomersSql)),
     GraftQuery("q14_retained_customers", retainedCustomers, Some(retainedCustomersSql)),
     GraftQuery("q15_sql_entry", sqlEntry, Some(sqlEntrySql)),
+    GraftQuery("q16_stats_summary", statsSummary, Some(statsSummarySql)),
   )
 }
