@@ -66,10 +66,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
 /** Idempotent per-session registration fallback: queries can run against
   * sessions not built by GraftSession (e.g. a driver-owned session), so
-  * each query entry point ensures the graft functions exist before use.
+  * each query entry point ensures the graft functions exist and the
+  * session configs the queries depend on are set (runtime-settable SQL
+  * confs only).
   */
 object GraftFunctions {
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // events.parquet carries TIMESTAMP(NANOS); oracle parity needs UTC
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("graft_cosine"))) {
       reg.createOrReplaceTempFunction("graft_cosine",
