@@ -10,8 +10,8 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // best-of-2 per query: the first pass pays plan compile/codegen/JIT,
     // the second measures steady state; reporting the min damps host
-    // noise without hiding real regressions. A throwing query is reported
-    // loudly (stderr + errors list) instead of masquerading as fast.
+    // noise without hiding real regressions. Any failed pass puts the
+    // query in the errors list (stderr carries the exception).
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
@@ -21,7 +21,9 @@ object Bench {
         graft.functions.ScopedCache.clear()
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          // noop sink, not count(): count() would let Catalyst prune the
+          // per-row projections and sorts — the work being measured
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
@@ -29,7 +31,7 @@ object Bench {
             None
         }
       }
-      if (times.isEmpty) errors += name
+      if (times.size < 2) errors += name
       name -> (if (times.nonEmpty) times.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

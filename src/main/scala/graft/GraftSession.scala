@@ -13,9 +13,11 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Core count: SPARK_GRAFT_CPUS env if the driver set it, else all. */
+  /** Core count: SPARK_GRAFT_CPUS env if the driver set it (positive
+    * integers only), else all. */
   def cpus: Int =
     sys.env.get("SPARK_GRAFT_CPUS").flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ > 0)
       .getOrElse(Runtime.getRuntime.availableProcessors())
 
   def builder(appName: String): SparkSession.Builder = {

@@ -46,16 +46,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName everything: with non-nullable children nullSafeCodeGen
+      // pastes this block unbraced, and two cosine calls fused into one
+      // codegen method would otherwise collide on variable names
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i);
-         |  double yi = $b.getDouble(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = (na == 0.0 || nb == 0.0)
-         |  ? 0.0 : dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -64,29 +71,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Idempotent per-session registration fallback: queries can run against
-  * sessions not built by GraftSession (e.g. a driver-owned session), so
-  * each query entry point ensures the graft functions exist and the
-  * session configs the queries depend on are set (runtime-settable SQL
-  * confs only).
+/** The single source of truth for graft's native function surface: name,
+  * defining class (for ExpressionInfo), and builder. Consumed by both
+  * registration paths below so they cannot drift.
   */
 object GraftFunctions {
+
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", classOf[CosineSimilarity],
+      (exprs: Seq[Expression]) => CosineSimilarity(
+        Cast(exprs(0), ArrayType(DoubleType)),
+        Cast(exprs(1), ArrayType(DoubleType)))),
+    ("graft_minhash", classOf[MinHashAgg],
+      (exprs: Seq[Expression]) => new MinHashAgg(exprs.head)),
+    ("graft_simhash", classOf[SimHashAgg],
+      (exprs: Seq[Expression]) => new SimHashAgg(exprs.head)),
+    ("graft_shingles", classOf[ShingleHashes],
+      (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))))
+
+  /** Idempotent per-session fallback: queries can run against sessions
+    * not built by GraftSession (e.g. a driver-owned session), so each
+    * query entry point ensures every graft function exists and the
+    * session configs the queries depend on are set (runtime-settable SQL
+    * confs only). Each function is checked individually. */
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     // events.parquet carries TIMESTAMP(NANOS); oracle parity needs UTC
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_cosine"))) {
-      reg.createOrReplaceTempFunction("graft_cosine",
-        exprs => CosineSimilarity(
-          Cast(exprs(0), ArrayType(DoubleType)),
-          Cast(exprs(1), ArrayType(DoubleType))), "scala_udf")
-      reg.createOrReplaceTempFunction("graft_minhash",
-        exprs => new MinHashAgg(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction("graft_simhash",
-        exprs => new SimHashAgg(exprs.head), "scala_udf")
-      reg.createOrReplaceTempFunction("graft_shingles",
-        exprs => ShingleHashes(Cast(exprs.head, StringType)), "scala_udf")
+    all.foreach { case (name, _, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }
 }
@@ -95,24 +110,11 @@ object GraftFunctions {
   * `expr(...)` use (the SparkSessionExtensions mechanism — SURVEY.md §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSimilarity(
-        Cast(exprs(0), ArrayType(DoubleType)),
-        Cast(exprs(1), ArrayType(DoubleType)))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_minhash"),
-      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
-      (exprs: Seq[Expression]) => new MinHashAgg(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
-      (exprs: Seq[Expression]) => new SimHashAgg(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
-      (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
 }

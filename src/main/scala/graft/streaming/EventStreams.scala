@@ -197,7 +197,9 @@ object EventStreams {
   /** Split a (micro-)batch into (good, dlq), the DLQ enriched with origin
     * metadata (kafka/README.md:202-271). */
   def dlqSplit(events: DataFrame): (DataFrame, DataFrame) = {
-    val poison = col("event_type") === "error"
+    // null-safe equality: a NULL event_type must land in `good`, not
+    // vanish from both sides under three-valued logic
+    val poison = col("event_type") <=> "error"
     val good = events.filter(!poison)
     val dlq = events.filter(poison)
       .withColumn("origin_topic", lit("events"))

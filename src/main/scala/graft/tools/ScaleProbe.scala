@@ -70,9 +70,16 @@ object ScaleProbe {
     time("q02 join 1x warm")(q02(li1, o1))
     time(s"q02 join ${copies}x both sides")(q02(liNShifted, oNShifted))
 
-    // dedup shape at scale: shingle + minhash signature over enlarged docs
+    // dedup shape at scale: shingle + minhash signature over enlarged
+    // docs. Texts must differ per copy (a marker token replaces spaces)
+    // or every doc gains `copies` identical twins and LSH pair count
+    // grows quadratically by construction — the probe would measure a
+    // synthetic duplicate explosion, not plan scaling.
     val d1 = Tables.documents(spark, dir)
-    val dN = replicateShifted(d1, "doc_id", 1000000L)
+    val dN = (1 to copies).map(i =>
+      d1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+        .withColumn("text", regexp_replace(col("text"), " ", s" c$i ")))
+      .reduce(_ unionByName _)
     def minhashCount(docs: DataFrame): Long =
       graft.operators.Dedup.minhashLshPairsOf(docs).count()
     time("minhash 1x (5k docs)")(minhashCount(d1))
