@@ -6,7 +6,9 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Accumulator-based statistics summary. */
 final case class StatsBuf(n: Long, mean: Double, m2: Double, min: Double, max: Double)
 
-final case class StatsResult(n: Long, mean: Double, variance: Double, min: Double, max: Double)
+/** `variance` is sample variance (n−1 denominator) and is None — surfaced
+  * as SQL NULL — when n < 2, matching VAR_SAMP semantics in Spark/DuckDB. */
+final case class StatsResult(n: Long, mean: Double, variance: Option[Double], min: Double, max: Double)
 
 /** Typed custom aggregate (SURVEY.md §2.11 / §2.4 A2 — the Flink
   * `AggregateFunction` analog, flink/README.md:26: element + accumulator →
@@ -44,8 +46,8 @@ object StatsAggregator extends Aggregator[Double, StatsBuf, StatsResult] {
   }
 
   override def finish(b: StatsBuf): StatsResult =
-    if (b.n == 0) StatsResult(0L, Double.NaN, Double.NaN, Double.NaN, Double.NaN)
-    else StatsResult(b.n, b.mean, if (b.n < 2) 0.0 else b.m2 / (b.n - 1), b.min, b.max)
+    if (b.n == 0) StatsResult(0L, Double.NaN, None, Double.NaN, Double.NaN)
+    else StatsResult(b.n, b.mean, if (b.n < 2) None else Some(b.m2 / (b.n - 1)), b.min, b.max)
 
   override def bufferEncoder: Encoder[StatsBuf] = Encoders.product[StatsBuf]
   override def outputEncoder: Encoder[StatsResult] = Encoders.product[StatsResult]

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns (SURVEY.md §7.2 custom-surface; the
@@ -33,8 +33,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      dot += xi * yi; na += xi * xi; nb += yi * yi
+      // the Cast to array<double> keeps containsNull=true, so guard null
+      // elements explicitly (treated as 0.0 — they contribute nothing)
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xi = x.getDouble(i); val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+      }
       i += 1
     }
     // zero-norm vectors score 0, not NaN: NaN sorts ABOVE every real
@@ -57,6 +61,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
@@ -82,10 +87,14 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => CosineSimilarity(
         Cast(exprs(0), ArrayType(DoubleType)),
         Cast(exprs(1), ArrayType(DoubleType)))),
+    // Cast the child to LongType here (same hardening as graft_cosine /
+    // graft_shingles): ImplicitCastInputTypes is private[sql], and without
+    // the Cast a non-bigint argument fails per-row in update() instead of
+    // at analysis time.
     ("graft_minhash", classOf[MinHashAgg],
-      (exprs: Seq[Expression]) => new MinHashAgg(exprs.head)),
+      (exprs: Seq[Expression]) => new MinHashAgg(Cast(exprs.head, LongType))),
     ("graft_simhash", classOf[SimHashAgg],
-      (exprs: Seq[Expression]) => new SimHashAgg(exprs.head)),
+      (exprs: Seq[Expression]) => new SimHashAgg(Cast(exprs.head, LongType))),
     ("graft_shingles", classOf[ShingleHashes],
       (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))))
 

@@ -385,6 +385,22 @@ object Analytics extends QueryModule {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin
 
+  /** Sketch-based twin of [[quantityPercentiles]] — the 100 TB variant.
+    * `approx_percentile` (Greenwald-Khanna) is a bounded-memory,
+    * map-side-combinable sketch: one pass, no per-group sort, mergeable
+    * partials — exactly what replaces q35's sort-heavy exact percentile
+    * at scale. Sketch internals are engine-specific, so this is rows-only;
+    * the suite bounds its error against the exact percentile. */
+  def approxQuantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Correlation / covariance (second-moment statistics): accumulation
     * order differs per engine, so surface rounded values. */
   def priceCorrelations(spark: SparkSession, dir: String): DataFrame = {
@@ -496,6 +512,7 @@ object Analytics extends QueryModule {
     GraftQuery("q32_first_last_order", firstLastOrder, Some(firstLastOrderSql)),
     GraftQuery("q33_grouping_sets", groupingSetsTotals, Some(groupingSetsTotalsSql)),
     GraftQuery("q34_map_functions", mapFunctions, Some(mapFunctionsSql)),
+    GraftQuery("q18_approx_percentiles", approxQuantityPercentiles, None),
     GraftQuery("q35_percentiles", quantityPercentiles, Some(quantityPercentilesSql)),
     GraftQuery("q36_correlations", priceCorrelations, Some(priceCorrelationsSql)),
     GraftQuery("q37_status_pivot", statusPriorityPivot, Some(statusPriorityPivotSql)),

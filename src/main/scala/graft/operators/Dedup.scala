@@ -16,11 +16,25 @@ import graft.sources.Tables
   *
   * Scale posture: MinHash/LSH is the 100 TB path — per-doc work is linear,
   * and the only shuffle joins are on (band, signature) buckets whose size
-  * is controlled by the banding parameters. The exact-Jaccard query is the
-  * small-scale oracle-checkable reference; at scale it would be gated by
-  * the LSH candidates (and high-doc-frequency shingles pruned).
+  * is controlled by the banding parameters. Every pair-generating join is
+  * additionally hot-bucket-guarded: a key shared by k rows emits k² join
+  * rows, so q72 prunes shingles above a max document frequency before its
+  * self-join, and q73/q74 drop LSH band / SimHash chunk buckets above a
+  * size cap. The hot-key lists are tiny by construction (only keys over
+  * the cap), so the gates are broadcast anti-joins — no extra shuffle.
   */
 object Dedup extends QueryModule {
+
+  /** Hot-bucket guards for the pair-generating joins. A shingle/bucket
+    * shared by k docs emits k(k−1)/2 candidate pairs; these caps bound k.
+    * Ultra-high-document-frequency shingles (stop-phrase 3-grams) carry no
+    * near-dup evidence anyway, and genuine near-dups inside one dropped
+    * LSH bucket almost surely co-occur in another band (16 independent
+    * chances). Exact duplicates of ultra-common texts are still caught by
+    * the exact path (q70/q71), which never generates pairs. */
+  val MaxShingleDF = 100
+  val MaxBandBucket = 200
+  val MaxChunkBucket = 200
 
   // ---- shared shingling -------------------------------------------------
 
@@ -90,13 +104,24 @@ object Dedup extends QueryModule {
     * (on 64-bit shingle hashes) + pair group-count; |A∪B| = |A|+|B|−|A∩B|
     * via two broadcast joins against the tiny per-doc size table. The
     * shingle table is persisted so the scan+shingle subtree runs once and
-    * the self-join reuses one exchange. At 100 TB the same plan holds with
-    * one extra guard — drop ultra-high-document-frequency shingles (or
-    * LSH-gate candidates via [[minhashLshPairsOf]]) before the self-join. */
-  def ngramJaccardPairsOf(docs: DataFrame): DataFrame = {
+    * the self-join reuses one exchange.
+    *
+    * Document-frequency gate: a shingle shared by k docs emits k² rows in
+    * the self-join, so one stop-phrase 3-gram shared by 10⁶ docs would be
+    * a quadratic skew bomb. Shingles with DF > maxDF are pruned FIRST;
+    * sizes and intersections both run on the pruned universe (well-defined
+    * "Jaccard over discriminative shingles" semantics), and the oracle SQL
+    * mirrors the same pruned-universe computation exactly. The hot list
+    * holds only shingles over the cap — tiny — so the gate is a broadcast
+    * anti-join, adding no shuffle. */
+  def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
     val t = 0.5
-    val sh = graft.functions.ScopedCache.persist("q72.shingles",
+    val shAll = graft.functions.ScopedCache.persist("q72.shingles.all",
       shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh")))
+    val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDF).select(col("sh"))
+    val sh = graft.functions.ScopedCache.persist("q72.shingles",
+      shAll.join(broadcast(hot), Seq("sh"), "left_anti"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -114,11 +139,14 @@ object Dedup extends QueryModule {
 
   private val ngramJaccardPairsSql =
     """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
-      |sh AS (
+      |sh0 AS (
       |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
       |    GENERATE_SERIES(1, LEN(t) - 2),
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
       |  FROM toks WHERE LEN(t) >= 3),
+      |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > 100),
+      |sh AS (SELECT s.doc_id, s.sh FROM sh0 s
+      |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -155,18 +183,27 @@ object Dedup extends QueryModule {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairsOf(Tables.documents(spark, dir))
 
-  /** DataFrame-level core (testable on constructed corpora). */
-  def minhashLshPairsOf(docs: DataFrame): DataFrame = {
+  /** DataFrame-level core (testable on constructed corpora). Band buckets
+    * larger than maxBucket are dropped before the candidate self-join
+    * (the standard LSH hot-bucket guard): a bucket of k docs emits k²
+    * candidate rows, and a degenerate bucket (boilerplate/near-empty docs
+    * hashing alike) would otherwise go quadratic. Near-dups in a dropped
+    * bucket still have 15 other independent bands to collide in. */
+  def minhashLshPairsOf(docs: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
     // referenced by banding + both signature-compare joins
     val sigs = graft.functions.ScopedCache.persist("q73.signatures", signatures(docs))
-    val banded = sigs
+    val banded = graft.functions.ScopedCache.persist("q73.banded", sigs
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${Bands - 1}), j -> struct(
            |  j AS band,
            |  xxhash64(sig[$RowsPerBand*j], sig[$RowsPerBand*j+1],
            |           sig[$RowsPerBand*j+2], sig[$RowsPerBand*j+3]) AS bsig))""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bsig").as("bsig"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bsig"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bsig").as("bsig")))
+    // hot list = only buckets over the cap → tiny → broadcast anti-join
+    val hot = banded.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("band"), col("bsig"))
+    val gated = banded.join(broadcast(hot), Seq("band", "bsig"), "left_anti")
+    val cand = gated.as("x").join(gated.as("y"), Seq("band", "bsig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -193,8 +230,11 @@ object Dedup extends QueryModule {
   /** DataFrame-level core (testable on constructed corpora), built on the
     * custom [[graft.functions.SimHashAgg]]: raw token hashes stream into
     * one imperative aggregate (±1 per bit, so duplicate tokens weight by
-    * count) — no pre-grouping, map-side combined. */
-  def simhashPairsOf(d: DataFrame): DataFrame = {
+    * count) — no pre-grouping, map-side combined. Chunk buckets larger
+    * than maxBucket are dropped before the self-join (same hot-bucket
+    * guard as LSH; a near-dup pair dropped from one chunk bucket has 3
+    * other chunks to collide in). */
+  def simhashPairsOf(d: DataFrame, maxBucket: Int = MaxChunkBucket): DataFrame = {
     val sigsPlan = d
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -204,8 +244,12 @@ object Dedup extends QueryModule {
       .withColumn("chunks", array((0 until 4).map(j =>
         struct(lit(j).as("pos"), shiftright(col("simhash"), j * 16)
           .bitwiseAND(0xFFFFL).as("chunk"))): _*))
-    val blocked = sigs.select(col("doc_id"), col("simhash"), explode(col("chunks")).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.pos").as("pos"), col("c.chunk").as("chunk"))
+    val blockedAll = graft.functions.ScopedCache.persist("q74.blocked",
+      sigs.select(col("doc_id"), col("simhash"), explode(col("chunks")).as("c"))
+        .select(col("doc_id"), col("simhash"), col("c.pos").as("pos"), col("c.chunk").as("chunk")))
+    val hot = blockedAll.groupBy(col("pos"), col("chunk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("pos"), col("chunk"))
+    val blocked = blockedAll.join(broadcast(hot), Seq("pos", "chunk"), "left_anti")
     blocked.as("x").join(blocked.as("y"), Seq("pos", "chunk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

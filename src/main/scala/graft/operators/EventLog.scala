@@ -301,6 +301,42 @@ object EventLog extends QueryModule {
       |GROUP BY p.user_id
       |ORDER BY p_user NULLS FIRST""".stripMargin
 
+  /** T5 too-late-data reconciliation (SURVEY.md §2.9: Spark drops
+    * watermark-late rows with no side output, unlike the reference's
+    * late-data handling — kafka/README.md:334 — so the delta is audited in
+    * batch): replay the log in arrival order (event_id = offset) and find
+    * every event whose event time is older than its origin partition's
+    * watermark at arrival, for a 10-minute bounded-delay policy. The
+    * running max is windowed per origin partition (user_id % 8, the
+    * reference's key routing) exactly like per-partition source
+    * watermarks — parallel, no global sort. Lateness is integer
+    * microseconds, so the oracle compare is exact. */
+  def lateEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(pmod(col("user_id"), lit(8)))
+      .orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("us", unix_micros(col("ts")))
+      .withColumn("wm_us", max(col("us")).over(w) - 600000000L)
+      .filter(col("us") < col("wm_us"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        (col("wm_us") - col("us")).as("late_by_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val lateEventsSql =
+    """SELECT event_id, user_id, ts, event_type, wm_us - us AS late_by_us
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type, EPOCH_US(ts) AS us,
+      |    MAX(EPOCH_US(ts)) OVER (PARTITION BY user_id % 8
+      |                            ORDER BY event_id NULLS FIRST
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      - 600000000 AS wm_us
+      |  FROM events) t
+      |WHERE us < wm_us
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_seek_replay", seekReplay, Some(seekReplaySql)),
     GraftQuery("q41_retention_window", retentionWindow, Some(retentionWindowSql)),
@@ -313,5 +349,6 @@ object EventLog extends QueryModule {
     GraftQuery("q48_sliding_hourly", slidingHourlyStats, Some(slidingHourlyStatsSql)),
     GraftQuery("q49_asof_last_signup", asofLastSignup, Some(asofLastSignupSql)),
     GraftQuery("q50_windowed_self_join", windowedSelfJoin, Some(windowedSelfJoinSql)),
+    GraftQuery("q51_late_events", lateEvents, Some(lateEventsSql)),
   )
 }

@@ -394,6 +394,37 @@ object Relational extends QueryModule {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
 
+  /** TPC-H Q17-style correlated scalar subquery: revenue that would move
+    * to small-quantity handling for one brand's parts, where "small" is
+    * 0.2 × that part's own average quantity. Written as SQL so Catalyst's
+    * subquery decorrelation is exercised end to end — the optimizer
+    * rewrites the per-row correlated aggregate into one per-partkey
+    * aggregate joined back (visible in the plan as an Aggregate + Join,
+    * never a per-row re-scan), which is the only shape that survives at
+    * 100 TB. Threshold arithmetic is integer-sum / count (l_quantity is
+    * integer-valued), so the comparison is deterministic cross-engine. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("g17_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("g17_part")
+    spark.sql(
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |         AS DOUBLE) AS avg_yearly
+        |FROM g17_lineitem JOIN g17_part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
+        |    FROM g17_lineitem l2 WHERE l2.l_partkey = g17_part.p_partkey)""".stripMargin)
+  }
+
+  private val smallQuantityRevenueSql =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+      |         AS DOUBLE) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     GraftQuery("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -411,5 +442,6 @@ object Relational extends QueryModule {
     GraftQuery("q14_retained_customers", retainedCustomers, Some(retainedCustomersSql)),
     GraftQuery("q15_sql_entry", sqlEntry, Some(sqlEntrySql)),
     GraftQuery("q16_stats_summary", statsSummary, Some(statsSummarySql)),
+    GraftQuery("q17_small_qty_revenue", smallQuantityRevenue, Some(smallQuantityRevenueSql)),
   )
 }

@@ -87,14 +87,24 @@ object Similarity extends QueryModule {
       |GROUP BY label, pos
       |ORDER BY label NULLS FIRST, dim NULLS FIRST""".stripMargin
 
+  /** Sign-bucket LSH id over a vector column `v`: sign bits of the first
+    * 8 dims (a fixed axis-aligned hyperplane family). Shared by the ANN
+    * bucket search (q82) and the blocked nearest-pair query (q83); the
+    * oracle SQL of both mirrors the identical arithmetic. */
+  private def signBucket: Column = (0 until 8)
+    .map(i => when(element_at(col("v"), i + 1) > 0.0, 1 << i).otherwise(0))
+    .reduce(_ + _)
+
+  /** SQL twin of [[signBucket]] (DuckDB dialect, 1-based list index). */
+  private val signBucketSql: String =
+    (0 until 8).map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
   /** LSH-bucketed ANN: bucket = sign bits of the first 8 dims (a fixed
     * hyperplane family); search only within the probe's bucket. The join
     * is a plain equi-join on bucket id — the shuffle-once scale path. */
   def annSignBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val bucket: Column = (0 until 8)
-      .map(i => when(element_at(col("v"), i + 1) > 0.0, 1 << i).otherwise(0))
-      .reduce(_ + _)
-    val e = normed(spark, dir).withColumn("bucket", bucket)
+    val e = normed(spark, dir).withColumn("bucket", signBucket)
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
       .filter(col("query_id") < 50)
     val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("bucket"))
@@ -111,13 +121,9 @@ object Similarity extends QueryModule {
   }
 
   private val annSignBucketsSql =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm,
-      |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
-      |  + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
-      |  + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END)
-      |  + (CASE WHEN v[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] > 0 THEN 128 ELSE 0 END)
-      |  AS bucket FROM e),
+      |  $signBucketSql AS bucket FROM e),
       |sims AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
       |    CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
@@ -133,15 +139,31 @@ object Similarity extends QueryModule {
       |FROM ranked WHERE rank <= 3
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
-  /** Most-similar pair within each label (embedding-cosine near-dup,
-    * label-blocked): all-pairs inside a label partition only. */
-  def nearestPairPerLabel(spark: SparkSession, dir: String): DataFrame = {
-    val e = normed(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("av"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("bv"))
+  /** Most-similar pair within each label (embedding-cosine near-dup),
+    * blocked by label AND sign-bucket: the join key is (label, bucket), so
+    * each label's candidate set is split across 256 hyperplane buckets
+    * instead of an all-pairs O(n²) per label — a 10⁹-row label shuffles
+    * into bounded buckets. Semantics: best co-bucketed pair per label (the
+    * oracle SQL mirrors the same blocking; highly similar vectors agree on
+    * sign bits, so this is the standard LSH near-dup contract). The
+    * unblocked exact twin [[nearestPairPerLabelExact]] stays available and
+    * the suite measures blocked-vs-exact agreement on fixtures. */
+  def nearestPairPerLabel(spark: SparkSession, dir: String): DataFrame =
+    nearestPairCore(spark, dir, blocked = true)
+
+  /** Exact all-pairs-per-label twin (small-scale verification only). */
+  def nearestPairPerLabelExact(spark: SparkSession, dir: String): DataFrame =
+    nearestPairCore(spark, dir, blocked = false)
+
+  private def nearestPairCore(spark: SparkSession, dir: String, blocked: Boolean): DataFrame = {
+    val e = normed(spark, dir).withColumn("bucket", signBucket)
+    val a = e.select(col("label"), col("bucket"), col("vec_id").as("vec_a"), col("v").as("av"))
+    val b = e.select(col("label"), col("bucket"), col("vec_id").as("vec_b"), col("v").as("bv"))
+    val (bSide, keys) =
+      if (blocked) (b, Seq("label", "bucket")) else (b.drop("bucket"), Seq("label"))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("sim").desc, col("vec_a"), col("vec_b"))
-    a.join(b, Seq("label"))
+    a.join(bSide, keys)
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", cos("av", "bv"))
       .withColumn("rk", row_number().over(w))
@@ -151,13 +173,15 @@ object Similarity extends QueryModule {
   }
 
   private val nearestPairPerLabelSql =
-    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |n AS (SELECT vec_id, label, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e),
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm,
+      |  $signBucketSql AS bucket FROM e),
       |sims AS (
       |  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
       |    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
       |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) END AS sim
-      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id),
+      |  FROM n a JOIN n b ON a.label = b.label AND a.bucket = b.bucket
+      |    AND a.vec_id < b.vec_id),
       |ranked AS (
       |  SELECT label, vec_a, vec_b, sim,
       |    ROW_NUMBER() OVER (PARTITION BY label

@@ -96,6 +96,95 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** 500 copies of one stop-phrase text (every shingle/bucket shared by
+    * all 500 docs — the quadratic skew bomb) plus a rare-vocabulary
+    * near-dup pair and a rare exact-dup pair that the guards must NOT
+    * lose. */
+  private def pathologicalCorpus = {
+    val session = spark
+    import session.implicits._
+    val stop = (1L to 500L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val rare = Seq(
+      (9001L, "zebra quokka axolotl wombat capybara lemur pangolin tapir okapi"),
+      (9002L, "zebra quokka axolotl wombat capybara lemur pangolin tapir narwhal"),
+      (9003L, "unicorn dodo griffin phoenix kraken yeti sasquatch chupacabra mothman"),
+      (9004L, "unicorn dodo griffin phoenix kraken yeti sasquatch chupacabra mothman"))
+    (stop ++ rare).toDF("doc_id", "text")
+  }
+
+  test("q72 DF gate bounds the shingle self-join on a stop-phrase corpus") {
+    val corpus = pathologicalCorpus
+    // ungated: the 500-dup group alone emits C(500,2) = 124750 pairs
+    val ungated = Dedup.ngramJaccardPairsOf(corpus, maxDF = Int.MaxValue).count()
+    assert(ungated === 124750L + 2L)
+    // gated: every stop shingle has DF=500 > 100 → pruned; only the rare
+    // pairs survive (near-dup: 7 shingles each, 6 shared → jaccard 0.75)
+    val gated = Dedup.ngramJaccardPairsOf(corpus, maxDF = 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(gated.keySet === Set((9001L, 9002L), (9003L, 9004L)))
+    assert(math.abs(gated((9001L, 9002L)) - 0.75) < 1e-12)
+    assert(gated((9003L, 9004L)) === 1.0)
+  }
+
+  test("q73 LSH bucket cap drops hot bands but keeps rare near-dups") {
+    val corpus = pathologicalCorpus
+    val gated = Dedup.minhashLshPairsOf(corpus, maxBucket = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no pair from the 500-dup hot buckets (both ids ≤ 500)...
+    assert(!gated.exists(p => p._1 <= 500L && p._2 <= 500L))
+    // ...while the rare pairs still collide in uncapped bands
+    assert(gated.contains((9001L, 9002L)))
+    assert(gated.contains((9003L, 9004L)))
+  }
+
+  test("q74 simhash chunk cap drops hot buckets but keeps rare dups") {
+    val corpus = pathologicalCorpus
+    val gated = Dedup.simhashPairsOf(corpus, maxBucket = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!gated.exists(p => p._1 <= 500L && p._2 <= 500L))
+    // the rare exact dup has identical simhash → hamming 0, co-bucketed
+    // (the 9-token NEAR-dup pair is legitimately out of simhash range:
+    // one edit among 9 tokens flips many low-margin bits)
+    assert(gated.contains((9003L, 9004L)))
+  }
+
+  test("q83 blocked nearest pair is a valid co-bucketed pair, never beats exact") {
+    val blocked = Similarity.nearestPairPerLabel(spark, sf0001).collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = Similarity.nearestPairPerLabelExact(spark, sf0001).collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(blocked.nonEmpty)
+    // blocked candidates are a subset of exact candidates per label
+    blocked.foreach { case (label, (_, _, sim)) =>
+      assert(sim <= exact(label)._3 + 1e-9, s"label $label")
+    }
+    // every reported pair really shares the hyperplane bucket
+    val emb = sources.Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bucket(v: Array[Float]): Int =
+      (0 until 8).map(i => if (v(i) > 0) 1 << i else 0).sum
+    blocked.values.foreach { case (a, b, _) =>
+      assert(bucket(emb(a)) === bucket(emb(b)), s"pair ($a,$b) not co-bucketed")
+    }
+  }
+
+  test("approx_percentile twin stays close to exact percentiles (q18 vs q35)") {
+    val approx = Analytics.approxQuantityPercentiles(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Analytics.quantityPercentiles(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (m, p90, p25)) =>
+      val (am, ap90, ap25) = approx(flag)
+      // quantities are integers 1..50: the sketch must land within 1 unit
+      assert(math.abs(am - m) <= 1.0, s"$flag median: $am vs $m")
+      assert(math.abs(ap90 - p90) <= 1.0, s"$flag p90: $ap90 vs $p90")
+      // price is continuous: 2% relative tolerance
+      assert(math.abs(ap25 - p25) / p25 < 0.02, s"$flag p25 price: $ap25 vs $p25")
+    }
+  }
+
   test("media stub decode is deterministic and batch-shaped") {
     val a = Multimodal.decodeFeatures(spark, sf0001).collect().toSeq
     val b = Multimodal.decodeFeatures(spark, sf0001).collect().toSeq

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.StatsAggregator
@@ -59,6 +60,52 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
     assert(fromJson.exceptAll(e).count() === 0 && e.exceptAll(fromJson).count() === 0)
   }
 
+  test("Avro serde round-trips rows with a declared schema (S10)") {
+    val e = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    val writerJson = sources.AvroSerde.avroSchema(e.schema).toString
+    val bytes = sources.AvroSerde.encode(e)
+    assert(bytes.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq
+      === Seq(("value", "binary")))
+    val back = sources.AvroSerde.decode(bytes, writerJson, e.schema)
+    assert(back.exceptAll(e).count() === 0 && e.exceptAll(back).count() === 0)
+  }
+
+  test("Avro schema evolution: added nullable field defaults, dropped field skipped (S10)") {
+    val e = Tables.events(spark, sf0001).select("event_id", "event_type", "value")
+    val writerJson = sources.AvroSerde.avroSchema(e.schema).toString
+    val bytes = sources.AvroSerde.encode(e)
+    // backward: reader adds a nullable field → Avro default null fills it
+    val widened = e.schema.add(StructField("score", DoubleType, nullable = true))
+    val withNew = sources.AvroSerde.decode(bytes, writerJson, widened)
+    assert(withNew.count() === e.count())
+    assert(withNew.filter(col("score").isNotNull).count() === 0)
+    // forward: reader drops a writer field → resolution skips those bytes
+    val narrowed = StructType(e.schema.filter(_.name != "event_type"))
+    val dropped = sources.AvroSerde.decode(bytes, writerJson, narrowed)
+    assert(dropped.columns.toSeq === Seq("event_id", "value"))
+    assert(dropped.exceptAll(e.select("event_id", "value")).count() === 0)
+  }
+
+  test("Avro compatibility gate rejects an unreadable reader schema (S10)") {
+    val e = Tables.events(spark, sf0001).select("event_id", "event_type")
+    val writerJson = sources.AvroSerde.avroSchema(e.schema).toString
+    val bytes = sources.AvroSerde.encode(e)
+    // a new REQUIRED field (non-nullable, no default) is not backward
+    // compatible — the gate must throw before any record is decoded
+    val breaking = e.schema.add(StructField("required_new", LongType, nullable = false))
+    val err = intercept[IllegalArgumentException] {
+      sources.AvroSerde.decode(bytes, writerJson, breaking)
+    }
+    assert(err.getMessage.contains("incompatible"))
+    // type change (long → string) is likewise rejected
+    val mistyped = StructType(e.schema.map(f =>
+      if (f.name == "event_id") f.copy(dataType = StringType) else f))
+    intercept[IllegalArgumentException] {
+      sources.AvroSerde.decode(bytes, writerJson, mistyped)
+    }
+  }
+
   test("typed StatsAggregator matches built-in avg/variance/min/max (A2)") {
     val session = spark
     import session.implicits._
@@ -71,9 +118,12 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
       .head()
     assert(got.n === exp.getLong(0))
     assert(math.abs(got.mean - exp.getDouble(1)) < 1e-6)
-    assert(math.abs(got.variance - exp.getDouble(2)) / exp.getDouble(2) < 1e-9)
+    assert(math.abs(got.variance.get - exp.getDouble(2)) / exp.getDouble(2) < 1e-9)
     assert(got.min === exp.getDouble(3))
     assert(got.max === exp.getDouble(4))
+    // single-row group: sample variance is undefined → None (VAR_SAMP NULL)
+    val one = values.limit(1).select(StatsAggregator.toColumn).head()
+    assert(one.n === 1L && one.variance.isEmpty)
   }
 
   test("keyed repartition co-locates keys; same key never splits (K2)") {
