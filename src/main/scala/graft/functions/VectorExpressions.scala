@@ -34,11 +34,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       // the Cast to array<double> keeps containsNull=true, so guard null
-      // elements explicitly (treated as 0.0 — they contribute nothing)
-      if (!x.isNullAt(i) && !y.isNullAt(i)) {
-        val xi = x.getDouble(i); val yi = y.getDouble(i)
-        dot += xi * yi; na += xi * xi; nb += yi * yi
-      }
+      // elements explicitly. A null element is 0.0: it contributes nothing
+      // to the dot product OR its own norm, but the non-null counterpart
+      // still contributes to ITS norm — the same semantics as an oracle
+      // that sums squares over all (null-coalesced) elements.
+      val xi = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
+      val yi = if (y.isNullAt(i)) 0.0 else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
     // zero-norm vectors score 0, not NaN: NaN sorts ABOVE every real
@@ -61,9 +63,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
+         |  double $xi = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |  double $yi = $b.isNullAt($i) ? 0.0 : $b.getDouble($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)

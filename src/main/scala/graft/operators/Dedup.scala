@@ -20,8 +20,11 @@ import graft.sources.Tables
   * additionally hot-bucket-guarded: a key shared by k rows emits k² join
   * rows, so q72 prunes shingles above a max document frequency before its
   * self-join, and q73/q74 drop LSH band / SimHash chunk buckets above a
-  * size cap. The hot-key lists are tiny by construction (only keys over
-  * the cap), so the gates are broadcast anti-joins — no extra shuffle.
+  * size cap. The hot-key lists hold only keys over the cap — usually
+  * tiny, but in the worst case up to N/cap entries — so the anti-join
+  * gates carry no broadcast hint: AQE converts them to broadcast at
+  * runtime when the list is actually small and falls back to a shuffle
+  * anti-join when it is not.
   */
 object Dedup extends QueryModule {
 
@@ -112,8 +115,9 @@ object Dedup extends QueryModule {
     * sizes and intersections both run on the pruned universe (well-defined
     * "Jaccard over discriminative shingles" semantics), and the oracle SQL
     * mirrors the same pruned-universe computation exactly. The hot list
-    * holds only shingles over the cap — tiny — so the gate is a broadcast
-    * anti-join, adding no shuffle. */
+    * holds only shingles over the cap — usually tiny, but unbounded in the
+    * worst case — so no broadcast hint: AQE broadcasts the anti-join at
+    * runtime when the list is actually small. */
   def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
     val t = 0.5
     val shAll = graft.functions.ScopedCache.persist("q72.shingles.all",
@@ -121,7 +125,7 @@ object Dedup extends QueryModule {
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDF).select(col("sh"))
     val sh = graft.functions.ScopedCache.persist("q72.shingles",
-      shAll.join(broadcast(hot), Seq("sh"), "left_anti"))
+      shAll.join(hot, Seq("sh"), "left_anti"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -199,10 +203,11 @@ object Dedup extends QueryModule {
            |  xxhash64(sig[$RowsPerBand*j], sig[$RowsPerBand*j+1],
            |           sig[$RowsPerBand*j+2], sig[$RowsPerBand*j+3]) AS bsig))""".stripMargin)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bsig").as("bsig")))
-    // hot list = only buckets over the cap → tiny → broadcast anti-join
+    // hot list = only buckets over the cap — no broadcast hint; AQE
+    // broadcasts at runtime when it is actually small
     val hot = banded.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select(col("band"), col("bsig"))
-    val gated = banded.join(broadcast(hot), Seq("band", "bsig"), "left_anti")
+    val gated = banded.join(hot, Seq("band", "bsig"), "left_anti")
     val cand = gated.as("x").join(gated.as("y"), Seq("band", "bsig"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -249,7 +254,7 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), col("simhash"), col("c.pos").as("pos"), col("c.chunk").as("chunk")))
     val hot = blockedAll.groupBy(col("pos"), col("chunk")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select(col("pos"), col("chunk"))
-    val blocked = blockedAll.join(broadcast(hot), Seq("pos", "chunk"), "left_anti")
+    val blocked = blockedAll.join(hot, Seq("pos", "chunk"), "left_anti")
     blocked.as("x").join(blocked.as("y"), Seq("pos", "chunk"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),

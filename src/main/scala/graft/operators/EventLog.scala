@@ -311,8 +311,12 @@ object EventLog extends QueryModule {
     * reference's key routing) exactly like per-partition source
     * watermarks — parallel, no global sort. Lateness is integer
     * microseconds, so the oracle compare is exact. */
-  def lateEvents(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def lateEvents(spark: SparkSession, dir: String): DataFrame =
+    lateEventsOf(Tables.events(spark, dir))
+
+  /** DataFrame-level core (testable on constructed out-of-order logs):
+    * expects `event_id` (arrival order), `user_id`, `ts`, `event_type`. */
+  def lateEventsOf(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(pmod(col("user_id"), lit(8)))
       .orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -43,6 +43,26 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("graft_cosine: null elements are 0.0 — counterpart keeps its norm") {
+    val session = spark
+    import session.implicits._
+    // a = (1, NULL, 2), b = (1, 3, 2) under null=0.0:
+    // dot = 1 + 0 + 4 = 5; |a| = sqrt(5); |b| = sqrt(14)
+    val expected = 5.0 / (math.sqrt(5.0) * math.sqrt(14.0))
+    val df = Seq(1).toDF("i")
+      .select(expr("array(1.0D, CAST(NULL AS DOUBLE), 2.0D)").as("a"),
+              expr("array(1.0D, 3.0D, 2.0D)").as("b"))
+      .select(expr("graft_cosine(a, b)").as("sim"))
+    val fromCodegen = df.as[Double].head()
+    assert(math.abs(fromCodegen - expected) < 1e-15)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.as[Double].head()
+      assert(interpreted === fromCodegen)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("graft_cosine accepts float arrays via implicit cast") {
     val session = spark
     import session.implicits._

@@ -185,6 +185,32 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("late-events reconciliation flags constructed out-of-order arrivals (q51 core)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    // event_id = arrival order; watermark = per-origin-partition
+    // (user_id % 8) running max event time minus 10 min, over PRIOR rows.
+    val log = Seq(
+      (1L, 0L, "2024-01-01 10:00:00", "click"),    // p0: first row, no wm yet
+      (2L, 0L, "2024-01-01 10:30:00", "click"),    // p0: advances max to 10:30
+      (3L, 0L, "2024-01-01 10:15:00", "view"),     // p0: wm 10:20 → LATE 5 min
+      (4L, 0L, "2024-01-01 10:25:00", "click"),    // p0: wm 10:20 → on time
+      (5L, 0L, "2024-01-01 09:00:00", "purchase"), // p0: wm 10:20 → LATE 80 min
+      (6L, 1L, "2024-01-01 10:00:00", "click"),    // p1: first row in partition
+      (7L, 1L, "2024-01-01 09:45:00", "view"),     // p1: wm 09:50 → LATE 5 min
+      (8L, 8L, "2024-01-01 10:05:00", "click"))    // user 8 → p0: wm 10:20 → LATE 15 min
+      .toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val late = EventLog.lateEventsOf(log)
+      .select($"event_id", $"late_by_us").as[(Long, Long)].collect().toSeq
+    assert(late === Seq(
+      (3L, 5L * 60 * 1000000),
+      (5L, 80L * 60 * 1000000),
+      (7L, 5L * 60 * 1000000),
+      (8L, 15L * 60 * 1000000)))
+  }
+
   test("media stub decode is deterministic and batch-shaped") {
     val a = Multimodal.decodeFeatures(spark, sf0001).collect().toSeq
     val b = Multimodal.decodeFeatures(spark, sf0001).collect().toSeq

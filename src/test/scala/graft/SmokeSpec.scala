@@ -20,8 +20,9 @@ class SmokeSpec extends AnyFunSuite with SparkSpec {
     val rowsOnly = q -- o
     // the intentionally non-SQL-expressible ops (engine-specific hashes,
     // sketches, stubs):
-    assert(rowsOnly === Set("q27_approx_distinct_parts", "q73_minhash_lsh_pairs",
-      "q74_simhash_pairs", "q84_ann_ivf", "q92_decode_features"))
+    assert(rowsOnly === Set("q18_approx_percentiles", "q27_approx_distinct_parts",
+      "q73_minhash_lsh_pairs", "q74_simhash_pairs", "q84_ann_ivf",
+      "q92_decode_features"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
