@@ -264,11 +264,63 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- embedding-cosine near-dup ----------------------------------------
+
+  /** Embedding-cosine near-dup pairs (the fourth near-dup family of
+    * SURVEY.md §2.12, complementing Jaccard/MinHash/SimHash): pairs of
+    * vectors whose exact cosine similarity clears a threshold, blocked by
+    * the 8-dim sign-bucket LSH shared with q82/q83 — candidate generation
+    * is an equi-join on bucket id, never all-pairs, and the same
+    * hot-bucket cap gates degenerate buckets. The fixture embeddings are
+    * random (max blocked cosine ≈0.43/0.49 at sf0.01/sf0.1), so the
+    * registered threshold is 0.4 to keep the oracle row set non-vacuous;
+    * a production corpus would run the same plan at ~0.95. The suite
+    * checks the non-trivial path on a constructed corpus with exact
+    * duplicate vectors (cosine 1.0). */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairsOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def embeddingNearDupPairsOf(
+      emb: DataFrame, threshold: Double = 0.4,
+      maxBucket: Int = MaxChunkBucket): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("bucket", Similarity.signBucket)
+    val hot = e.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("bucket"))
+    val g = graft.functions.ScopedCache.persist("q75.bucketed",
+      e.join(hot, Seq("bucket"), "left_anti"))
+    g.as("a").join(g.as("b"), Seq("bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", expr("graft_cosine(a.v, b.v)"))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("bucket"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val embeddingNearDupPairsSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm,
+      |  ${Similarity.signBucketSql} AS bucket FROM e),
+      |hot AS (SELECT bucket FROM n GROUP BY bucket HAVING COUNT(*) > 200),
+      |g AS (SELECT * FROM n WHERE bucket NOT IN (SELECT bucket FROM hot)),
+      |s AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+      |    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+      |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+      |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, bucket, ROUND(sim, 6) AS sim
+      |FROM s WHERE sim >= 0.4
+      |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
     GraftQuery("q72_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
     GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, None),
     GraftQuery("q74_simhash_pairs", simhashPairs, None),
+    GraftQuery("q75_embedding_neardup", embeddingNearDupPairs, Some(embeddingNearDupPairsSql)),
   )
 }

@@ -341,6 +341,44 @@ object EventLog extends QueryModule {
       |WHERE us < wm_us
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
+  /** Pure range join (no equi-key), the shape SURVEY.md §2 warns becomes
+    * a BroadcastNestedLoopJoin if declared naively: for every order, the
+    * number of OTHER orders placed within ±24 h. Scale path = time
+    * binning: the right side lands in its own UTC-day bin once, the left
+    * side probes its day and both neighbors (explode ×3), so every
+    * qualifying pair meets in exactly one equi-join bin and the shuffle is
+    * linear in the input — no nested-loop, no all-pairs. The refine filter
+    * then applies the exact ±24 h predicate. The oracle declares the same
+    * semantics as the naive theta self-join. */
+  def rangeJoinNearbyOrders(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    // o_orderdate is TIMESTAMP_NTZ; the session timezone is pinned UTC, so
+    // casting to TIMESTAMP is the identity mapping onto the UTC epoch that
+    // DuckDB's EPOCH_US computes on the naive value
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("us"))
+      .withColumn("day", floor(col("us") / DayUs))
+    val right = o.select(col("o_orderkey").as("rk"), col("us").as("rus"), col("day").as("bin"))
+    val left = o.select(col("o_orderkey").as("lk"), col("us").as("lus"),
+      explode(array(col("day") - 1, col("day"), col("day") + 1)).as("bin"))
+    val counts = left.join(right, Seq("bin"))
+      .filter(col("lk") =!= col("rk") &&
+        abs(col("lus") - col("rus")) <= DayUs)
+      .groupBy(col("lk")).agg(count(lit(1)).as("n_nearby"))
+    o.select(col("o_orderkey")).join(counts, col("o_orderkey") === col("lk"), "left")
+      .select(col("o_orderkey"), coalesce(col("n_nearby"), lit(0L)).as("n_nearby"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val rangeJoinNearbyOrdersSql =
+    """SELECT a.o_orderkey, COUNT(b.o_orderkey) AS n_nearby
+      |FROM orders a LEFT JOIN orders b
+      |  ON b.o_orderkey <> a.o_orderkey
+      | AND ABS(EPOCH_US(b.o_orderdate) - EPOCH_US(a.o_orderdate)) <= 86400000000
+      |GROUP BY a.o_orderkey
+      |ORDER BY a.o_orderkey NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_seek_replay", seekReplay, Some(seekReplaySql)),
     GraftQuery("q41_retention_window", retentionWindow, Some(retentionWindowSql)),
@@ -354,5 +392,6 @@ object EventLog extends QueryModule {
     GraftQuery("q49_asof_last_signup", asofLastSignup, Some(asofLastSignupSql)),
     GraftQuery("q50_windowed_self_join", windowedSelfJoin, Some(windowedSelfJoinSql)),
     GraftQuery("q51_late_events", lateEvents, Some(lateEventsSql)),
+    GraftQuery("q52_range_join_nearby", rangeJoinNearbyOrders, Some(rangeJoinNearbyOrdersSql)),
   )
 }

@@ -364,6 +364,38 @@ object Relational extends QueryModule {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey NULLS FIRST""".stripMargin
 
+  /** Correlated EXISTS + NOT EXISTS through the declared-SQL surface
+    * (§2.10 subqueries beyond q38's scalar and q17's correlated-average
+    * forms): customers active in 1995 who placed no order in 1997.
+    * Catalyst's RewritePredicateSubquery decorrelates both predicates into
+    * a left-semi and a left-anti hash join on c_custkey — the scale shape
+    * is two keyed joins, never a per-row subquery execution. */
+  def existsChurn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND YEAR(o.o_orderdate) = 1995)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND YEAR(o.o_orderdate) = 1997)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val existsChurnSql =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND EXTRACT(YEAR FROM o.o_orderdate) = 1997)
+      |ORDER BY c_custkey NULLS FIRST""".stripMargin
+
   /** Custom typed Aggregator registered as a UDAF (§2.11 A2 — the Flink
     * AggregateFunction analog) driving a DataFrame aggregation: one pass
     * computes count/mean/variance/min/max per group (Chan/Welford merge,
@@ -443,5 +475,6 @@ object Relational extends QueryModule {
     GraftQuery("q15_sql_entry", sqlEntry, Some(sqlEntrySql)),
     GraftQuery("q16_stats_summary", statsSummary, Some(statsSummarySql)),
     GraftQuery("q17_small_qty_revenue", smallQuantityRevenue, Some(smallQuantityRevenueSql)),
+    GraftQuery("q19_exists_churn", existsChurn, Some(existsChurnSql)),
   )
 }

@@ -91,12 +91,12 @@ object Similarity extends QueryModule {
     * 8 dims (a fixed axis-aligned hyperplane family). Shared by the ANN
     * bucket search (q82) and the blocked nearest-pair query (q83); the
     * oracle SQL of both mirrors the identical arithmetic. */
-  private def signBucket: Column = (0 until 8)
+  private[operators] def signBucket: Column = (0 until 8)
     .map(i => when(element_at(col("v"), i + 1) > 0.0, 1 << i).otherwise(0))
     .reduce(_ + _)
 
   /** SQL twin of [[signBucket]] (DuckDB dialect, 1-based list index). */
-  private val signBucketSql: String =
+  private[operators] val signBucketSql: String =
     (0 until 8).map(i => s"(CASE WHEN v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 

@@ -185,6 +185,21 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("embedding near-dup finds constructed exact-duplicate vectors (q75 core)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    val e = sources.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").filter($"vec_id" < 50)
+    // shifted copy: every vector gains one exact duplicate (cosine 1.0),
+    // co-bucketed by construction (identical sign bits)
+    val corpus = e.unionByName(e.withColumn("vec_id", $"vec_id" + 100000L))
+    val pairs = Dedup.embeddingNearDupPairsOf(corpus, threshold = 0.999999)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 50L).map(i => (i, i + 100000L)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
   test("late-events reconciliation flags constructed out-of-order arrivals (q51 core)") {
     val session = spark
     import session.implicits._
