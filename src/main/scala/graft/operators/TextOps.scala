@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -20,6 +20,19 @@ import graft.sources.Tables
 object TextOps extends QueryModule {
 
   private def toks = split(col("text"), " ")
+
+  /** Occurrences of any marker word as a whitespace-delimited token,
+    * counted with one codegen'd regex pass over the raw text. Exactly
+    * equivalent to `size(filter(split(text,' '), t -> t IN (words)))` —
+    * the lookarounds anchor each match to a full space-delimited token
+    * without consuming the delimiters — but `filter` is an interpreted
+    * higher-order function AND re-inlines the split per score column,
+    * while this stays inside whole-stage codegen and never materializes
+    * the token array. The hot per-row kernel of q63/q64 at corpus scale. */
+  private def markerCount(words: Seq[String]): Column = {
+    val alts = words.map(java.util.regex.Pattern.quote).mkString("|")
+    regexp_count(col("text"), lit("(?<=^| )(" + alts + ")(?= |$)"))
+  }
 
   /** Word count — the canonical pipeline (flink/README.md:69-77):
     * flatMap(split) → keyBy(word) → sum. Top 50 by count. */
@@ -87,13 +100,13 @@ object TextOps extends QueryModule {
   def qualityScores(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val stop = Array("the", "a", "of", "and", "to")
-    d.select(col("doc_id"), col("lang"), toks.as("toks"), col("n_chars"))
+    d.select(col("doc_id"), col("lang"), toks.as("toks"),
+        markerCount(stop.toSeq).as("n_stopwords"), col("n_chars"))
       .select(
         col("doc_id"), col("lang"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct"),
-        size(expr(s"filter(toks, t -> t IN (${stop.map("'" + _ + "'").mkString(",")}))"))
-          .as("n_stopwords"),
+        col("n_stopwords"),
         col("n_chars"))
       .select(
         col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"), col("n_stopwords"),
@@ -139,10 +152,9 @@ object TextOps extends QueryModule {
       "de" -> Seq("merge", "window", "batch"),
       "es" -> Seq("data", "vector", "part"))
     val scored = markers.foldLeft(
-      d.select(col("doc_id"), col("lang").as("labeled_lang"), toks.as("toks"))) {
+      d.select(col("doc_id"), col("lang").as("labeled_lang"), col("text"))) {
       case (df, (lang, ws)) =>
-        df.withColumn(s"score_$lang",
-          size(expr(s"filter(toks, t -> t IN (${ws.map("'" + _ + "'").mkString(",")}))")))
+        df.withColumn(s"score_$lang", markerCount(ws))
     }
     scored
       .withColumn("guess",
