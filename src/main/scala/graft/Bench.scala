@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Quiesce the session between timed passes: blocking unpersist of every
+    * scoped cache, a full cache-manager clear (anything persisted outside
+    * ScopedCache), and a GC settle. Round 3 showed what happens otherwise:
+    * q84 persists a subtree, `unpersist(blocking = false)` leaves its
+    * blocks draining, and the next two queries in name-sorted order
+    * (q90/q91 — trivial scans) measured 13×/6× slow. Timings must charge
+    * each query its own work and nothing else.
+    */
+  private def settle(spark: SparkSession): Unit = {
+    graft.functions.ScopedCache.clear(blocking = true)
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(150)
+  }
+
+  private def fmt(d: Double): String = f"$d%.4f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
@@ -8,17 +26,20 @@ object Bench {
     // for trivial plans) so the first timed query isn't charged JVM setup
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // best-of-2 per query: the first pass pays plan compile/codegen/JIT,
-    // the second measures steady state; reporting the min damps host
-    // noise without hiding real regressions. Any failed pass puts the
-    // query in the errors list (stderr carries the exception).
+    // median-of-3 per query: pass 1 pays plan compile/codegen/JIT, passes
+    // 2-3 measure steady state; the median damps one-off host noise
+    // without letting warmup leak into the headline number. Per-pass
+    // times are emitted so drift vs JIT is distinguishable downstream.
+    // Any failed pass puts the query in the errors list (stderr carries
+    // the exception).
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val perPass = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
-        // cache-cold per pass: the min isolates JIT/compile warmup but
-        // must still pay each query's full dataflow (incl. any subtree a
-        // query persists internally)
-        graft.functions.ScopedCache.clear()
+      val times = (1 to 3).flatMap { _ =>
+        // cache-cold per pass: each pass pays the query's full dataflow
+        // (incl. any subtree the query persists internally), and nothing
+        // left over from the previous query or pass
+        settle(spark)
         val t0 = System.nanoTime()
         try {
           // noop sink, not count(): count() would let Catalyst prune the
@@ -31,14 +52,19 @@ object Bench {
             None
         }
       }
-      if (times.size < 2) errors += name
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      if (times.size < 3) errors += name
+      perPass(name) = times
+      val median = if (times.nonEmpty) times.sorted.apply(times.size / 2) else -1.0
+      name -> median
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val passes = perPass.map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // also persist the line to a file: the driver captures only a stdout
     // tail, and round 1 showed the leading total can get truncated there

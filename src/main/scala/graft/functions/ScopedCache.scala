@@ -31,9 +31,14 @@ object ScopedCache {
   }
 
   /** Drop every cached generation (benchmarks call this between passes so
-    * steady-state timings include the cached subtree's recomputation). */
-  def clear(): Unit = synchronized {
-    live.values.filter(isLive).foreach(o => Try(o.unpersist(blocking = false)))
+    * steady-state timings include the cached subtree's recomputation).
+    * `blocking = true` waits for block eviction to finish — benchmarks need
+    * this, or one query's cached blocks and the GC pressure of evicting
+    * them bleed into the next query's timed pass (the round-3 q90/q91
+    * anomaly: both ran right after q84's persisted subtree was dropped
+    * asynchronously). */
+  def clear(blocking: Boolean = false): Unit = synchronized {
+    live.values.filter(isLive).foreach(o => Try(o.unpersist(blocking)))
     live.clear()
   }
 }

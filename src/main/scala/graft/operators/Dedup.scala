@@ -39,6 +39,11 @@ object Dedup extends QueryModule {
   val MaxBandBucket = 200
   val MaxChunkBucket = 200
 
+  /** Similarity thresholds, interpolated into the oracle SQL strings below
+    * so plan and oracle cannot drift when a constant changes. */
+  val JaccardThreshold = 0.5
+  val EmbeddingNearDupThreshold = 0.4
+
   // ---- shared shingling -------------------------------------------------
 
   /** Distinct word-3-gram shingles per doc (docs with ≥3 tokens),
@@ -119,7 +124,7 @@ object Dedup extends QueryModule {
     * worst case — so no broadcast hint: AQE broadcasts the anti-join at
     * runtime when the list is actually small. */
   def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
-    val t = 0.5
+    val t = JaccardThreshold
     val shAll = graft.functions.ScopedCache.persist("q72.shingles.all",
       shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh")))
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -142,13 +147,13 @@ object Dedup extends QueryModule {
   }
 
   private val ngramJaccardPairsSql =
-    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
       |sh0 AS (
       |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
       |    GENERATE_SERIES(1, LEN(t) - 2),
       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
       |  FROM toks WHERE LEN(t) >= 3),
-      |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > 100),
+      |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > $MaxShingleDF),
       |sh AS (SELECT s.doc_id, s.sh FROM sh0 s
       |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -161,7 +166,7 @@ object Dedup extends QueryModule {
       |FROM inter
       |JOIN sz x ON doc_a = x.doc_id
       |JOIN sz y ON doc_b = y.doc_id
-      |WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= 0.5
+      |WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= $JaccardThreshold
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
   // ---- MinHash + LSH ----------------------------------------------------
@@ -282,7 +287,7 @@ object Dedup extends QueryModule {
 
   /** DataFrame-level core (testable on constructed corpora). */
   def embeddingNearDupPairsOf(
-      emb: DataFrame, threshold: Double = 0.4,
+      emb: DataFrame, threshold: Double = EmbeddingNearDupThreshold,
       maxBucket: Int = MaxChunkBucket): DataFrame = {
     val e = emb
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
@@ -304,7 +309,7 @@ object Dedup extends QueryModule {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm,
       |  ${Similarity.signBucketSql} AS bucket FROM e),
-      |hot AS (SELECT bucket FROM n GROUP BY bucket HAVING COUNT(*) > 200),
+      |hot AS (SELECT bucket FROM n GROUP BY bucket HAVING COUNT(*) > $MaxChunkBucket),
       |g AS (SELECT * FROM n WHERE bucket NOT IN (SELECT bucket FROM hot)),
       |s AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
@@ -312,7 +317,7 @@ object Dedup extends QueryModule {
       |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) END AS sim
       |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       |SELECT vec_a, vec_b, bucket, ROUND(sim, 6) AS sim
-      |FROM s WHERE sim >= 0.4
+      |FROM s WHERE sim >= $EmbeddingNearDupThreshold
       |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin
 
   override def queries: Seq[GraftQuery] = Seq(

@@ -31,7 +31,10 @@ object TextOps extends QueryModule {
     * the token array. The hot per-row kernel of q63/q64 at corpus scale. */
   private def markerCount(words: Seq[String]): Column = {
     val alts = words.map(java.util.regex.Pattern.quote).mkString("|")
-    regexp_count(col("text"), lit("(?<=^| )(" + alts + ")(?= |$)"))
+    // \z (true end-of-input), not $: without MULTILINE, $ also matches
+    // before a final line terminator, which would count a marker followed
+    // by a trailing '\n' that the split-token form would not
+    regexp_count(col("text"), lit("(?<=^| )(" + alts + ")(?= |\\z)"))
   }
 
   /** Word count — the canonical pipeline (flink/README.md:69-77):
