@@ -380,14 +380,29 @@ object Analytics extends QueryModule {
       |ORDER BY event_id NULLS FIRST""".stripMargin
 
   /** Exact percentiles (median / p90) per group: both engines compute
-    * sorted-position interpolation over the same values. */
+    * sorted-position interpolation over the same values. Each column is
+    * pre-aggregated to (group, value, frequency) and fed to the
+    * frequency-weighted `percentile` — identical interpolation result,
+    * but the shuffle and the percentile buffer carry one row per DISTINCT
+    * value instead of every fact row (l_quantity has ~50 distinct values,
+    * so that branch collapses ~12000×; map-side combine does the
+    * collapsing before the exchange). This is the exact-percentile shape
+    * that survives scale; the sketch twin q18 remains the constant-memory
+    * alternative. */
   def quantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
+    val qty = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-        expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        expr("percentile(l_quantity, 0.5, freq)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9, freq)").as("p90_qty"))
+    val price = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25, freq)").as("p25_price"))
+    qty.join(price, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"), col("p25_price"))
       .orderBy(col("l_returnflag"))
   }
 

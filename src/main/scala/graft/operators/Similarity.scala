@@ -30,8 +30,10 @@ object Similarity extends QueryModule {
   private def cos(a: String, b: String): Column = expr(s"graft_cosine($a, $b)")
 
   private def normed(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v"), col("label"))
+    normedOf(Tables.embeddings(spark, dir))
+
+  private def normedOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), vecD(col("embedding")).as("v"), col("label"))
 
   /** Brute-force cosine top-5 for a fixed probe set (vec_id < 10):
     * broadcast the probes, stream all candidates, window top-k. */
@@ -193,14 +195,21 @@ object Similarity extends QueryModule {
 
   /** IVF-style ANN: coarse cells = per-label centroids computed in-plan;
     * every vector is assigned to its nearest cell, probes search their 2
-    * nearest cells. Candidate lookup is an equi-join on cell id. Centroid
-    * assignment involves engine-ordered float sums, so this is rows-only;
-    * ScalaTest checks recall against the brute-force baseline. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = normed(spark, dir)
-    // centroids[label] as array (built from per-dim averages, order-fixed)
+    * nearest cells. Candidate lookup is an equi-join on cell id.
+    * Determinism: per-dim centroid averages are rounded to 6 dp and both
+    * similarity scores are rounded BEFORE ranking — fixed-point centroids
+    * make the cell assignment and the top-k order reproducible across
+    * engines, so the query is oracle-comparable (the DuckDB SQL mirrors
+    * the same rounding; the cosine kernel uses identical op order). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (ScaleProbe feeds enlarged inputs). */
+  def annIvfOf(emb: DataFrame): DataFrame = {
+    val e = normedOf(emb)
+    // centroids[label] as array (per-dim rounded averages, order-fixed)
     val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label")).pivot("pos").avg("x") // small: 10 labels × 64 dims
+      .groupBy(col("label")).pivot("pos").agg(round(avg(col("x")), 6)) // small: 10 labels × 64 dims
     val dims = (0 until 64).map(i => col(s"$i"))
     val centArr = cents.select(col("label").as("cell"), array(dims: _*).as("cv"))
     // assign each vector to nearest centroid
@@ -208,7 +217,7 @@ object Similarity extends QueryModule {
     // persisted: referenced by both the vector side and the probe side
     val assigned = graft.functions.ScopedCache.persist("q84.assigned",
       e.crossJoin(broadcast(centArr))
-        .withColumn("csim", cos("v", "cv"))
+        .withColumn("csim", round(cos("v", "cv"), 6))
         .withColumn("crk", row_number().over(wAssign)))
     val vectors = assigned.filter(col("crk") === 1)
       .select(col("vec_id").as("neighbor_id"), col("v").as("cv2"), col("cell"))
@@ -217,18 +226,57 @@ object Similarity extends QueryModule {
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     probes.join(vectors, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cos("qv", "cv2"))
+      .withColumn("sim", round(cos("qv", "cv2"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  private val annIvfSql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e),
+      |cent AS (
+      |  SELECT label AS cell, pos, ROUND(AVG(v[pos]), 6) AS c
+      |  FROM e, UNNEST(GENERATE_SERIES(1, 64)) AS t(pos)
+      |  GROUP BY label, pos),
+      |centarr AS (SELECT cell, LIST(c ORDER BY pos) AS cv FROM cent GROUP BY cell),
+      |cn AS (SELECT cell, cv, SQRT(LIST_SUM(LIST_TRANSFORM(cv, x -> x * x))) AS cnrm
+      |       FROM centarr),
+      |asg0 AS (
+      |  SELECT n.vec_id, n.v, n.nrm, c.cell,
+      |    ROUND(CASE WHEN n.nrm = 0 OR c.cnrm = 0 THEN 0.0
+      |          ELSE LIST_DOT_PRODUCT(n.v, c.cv) / (n.nrm * c.cnrm) END, 6) AS csim
+      |  FROM n CROSS JOIN cn c),
+      |assigned AS (
+      |  SELECT vec_id, v, nrm, cell, csim,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                       ORDER BY csim DESC NULLS LAST, cell NULLS FIRST) AS crk
+      |  FROM asg0),
+      |vectors AS (SELECT vec_id AS neighbor_id, v AS cv2, nrm AS nrm2, cell
+      |            FROM assigned WHERE crk = 1),
+      |probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell
+      |           FROM assigned WHERE crk <= 2 AND vec_id < 20),
+      |sims AS (
+      |  SELECT p.query_id, x.neighbor_id,
+      |    ROUND(CASE WHEN p.qnrm = 0 OR x.nrm2 = 0 THEN 0.0
+      |          ELSE LIST_DOT_PRODUCT(p.qv, x.cv2) / (p.qnrm * x.nrm2) END, 6) AS sim
+      |  FROM probes p JOIN vectors x
+      |    ON p.cell = x.cell AND x.neighbor_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC NULLS LAST, neighbor_id NULLS FIRST) AS rank
+      |  FROM sims)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GraftQuery("q82_ann_sign_buckets", annSignBuckets, Some(annSignBucketsSql)),
     GraftQuery("q83_nearest_pair_per_label", nearestPairPerLabel, Some(nearestPairPerLabelSql)),
-    GraftQuery("q84_ann_ivf", annIvf, None),
+    GraftQuery("q84_ann_ivf", annIvf, Some(annIvfSql)),
   )
 }

@@ -85,6 +85,47 @@ object ScaleProbe {
     time("minhash 1x (5k docs)")(minhashCount(d1))
     time(s"minhash ${copies}x (${copies * 5}k docs)")(minhashCount(dN))
 
+    // q52 shape: binned range join. Copies shift timestamps by a
+    // year-scale stride so a 10x dataset models LONGER HISTORY at the
+    // same order density (copies never share a day bin) — pair density
+    // per row is constant and the plan must scale linearly. Shifting
+    // density instead (same range, 10x rows/day) grows the OUTPUT
+    // quadratically by definition, which would measure the data, not the
+    // plan.
+    val oRaw = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val oN52 = (1 to copies).map(i =>
+      oRaw.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1000000000L))
+        .withColumn("o_orderdate",
+          col("o_orderdate") + expr(s"INTERVAL ${(i - 1) * 4000} DAYS")))
+      .reduce(_ unionByName _)
+    def rangeJoinCount(o: DataFrame): Long =
+      graft.operators.EventLog.rangeJoinNearbyOrdersOf(o).count()
+    time("q52 range join 1x")(rangeJoinCount(oRaw))
+    time(s"q52 range join ${copies}x")(rangeJoinCount(oN52))
+
+    // q75/q84 shapes over enlarged embeddings. Each copy ROTATES the
+    // vector dims (cosine of a random vector with its rotation is
+    // ~N(0, 1/64) — far below the 0.4 near-dup threshold), so copies
+    // don't create synthetic near-duplicates or skew one sign bucket;
+    // copy 1 is the identity so the q84 probe set (vec_id < 20) exists.
+    val e1 = Tables.embeddings(spark, dir)
+    val eN = (1 to copies).map { i =>
+      val r = (i - 1) % 63 + 1 // rotation in [1, 63]; copy 1 handled below
+      if (i == 1) e1
+      else e1
+        .withColumn("vec_id", col("vec_id") + lit((i - 1).toLong * 10000000L))
+        .withColumn("embedding",
+          expr(s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"))
+    }.reduce(_ unionByName _)
+    def nearDupCount(e: DataFrame): Long =
+      graft.operators.Dedup.embeddingNearDupPairsOf(e).count()
+    def ivfCount(e: DataFrame): Long =
+      graft.operators.Similarity.annIvfOf(e).count()
+    time("q75 embed near-dup 1x (5k)")(nearDupCount(e1))
+    time(s"q75 embed near-dup ${copies}x")(nearDupCount(eN))
+    time("q84 IVF ANN 1x (5k)")(ivfCount(e1))
+    time(s"q84 IVF ANN ${copies}x")(ivfCount(eN))
+
     spark.stop()
   }
 }

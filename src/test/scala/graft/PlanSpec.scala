@@ -44,6 +44,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("binned range join stays an equi-join (q52: no BNLJ/cartesian)") {
+    // the ±24h theta predicate must ride the exploded day-bin equi-key; a
+    // regression to BroadcastNestedLoopJoin or CartesianProduct would be
+    // quadratic in input at 100 TB
+    val plan = executedPlan(EventLog.rangeJoinNearbyOrders(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q26 multi-distinct plans without Expand (two-level aggregate)") {
+    // one Aggregate with >=2 distinct columns would plan an Expand that
+    // multiplies every fact row through the shuffle
+    val plan = executedPlan(Analytics.distinctPartsPerNation(spark, sf0001))
+    assert(!plan.contains("Expand"), plan.take(3000))
+  }
+
   test("whole-stage codegen is active in the aggregation path (q01)") {
     // codegen'd operators carry the `*(stageId)` marker in plan text
     val plan = executedPlan(Relational.pricingSummary(spark, sf0001))

@@ -20,9 +20,10 @@ class SmokeSpec extends AnyFunSuite with SparkSpec {
     val rowsOnly = q -- o
     // the intentionally non-SQL-expressible ops (engine-specific hashes,
     // sketches, stubs):
+    // (q84 gained an oracle in r4: fixed-point centroid rounding makes the
+    // IVF assignment deterministic across engines)
     assert(rowsOnly === Set("q18_approx_percentiles", "q27_approx_distinct_parts",
-      "q73_minhash_lsh_pairs", "q74_simhash_pairs", "q84_ann_ivf",
-      "q92_decode_features"))
+      "q73_minhash_lsh_pairs", "q74_simhash_pairs", "q92_decode_features"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -333,4 +333,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(rows === Set(("click", 2L, 5.0), ("view", 1L, 4.0)))
     } finally q.stop()
   }
+
+  test("windowed SQL over a watermarked stream view finalizes on watermark (ksqlDB windowed agg)") {
+    // the full ksqlDB-analog surface: a continuous windowed GROUP BY
+    // declared in SQL text against a registered stream view, with append
+    // semantics driven by the watermark (declared on the DataFrame — OSS
+    // Spark has no SQL watermark clause)
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.toDF().withWatermark("ts", "10 minutes")
+      .createOrReplaceTempView("events_wm_stream")
+    val q = spark.sql(
+      """SELECT window(ts, '10 minutes').start AS window_start,
+        |  event_type, COUNT(*) AS n
+        |FROM events_wm_stream
+        |GROUP BY window(ts, '10 minutes'), event_type""".stripMargin)
+      .writeStream.outputMode("append").format("memory").queryName("sqlwin")
+      .option("checkpointLocation", tmp("ck-sqlwin")).start()
+    try {
+      in.addData(ev(1, 1, 1, "click"), ev(2, 2, 1, "click"), ev(3, 5, 1, "view"))
+      q.processAllAvailable()
+      assert(spark.table("sqlwin").count() === 0) // window [0,10) still open
+      in.addData(ev(4, 25, 2, "click")) // watermark -> 15min: closes [0,10)
+      q.processAllAvailable()
+      val rows = spark.table("sqlwin").select($"window_start", $"event_type", $"n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows === Set((ts(0), "click", 2L), (ts(0), "view", 1L)))
+    } finally q.stop()
+  }
 }
