@@ -17,7 +17,10 @@ object Bench {
     Thread.sleep(150)
   }
 
-  private def fmt(d: Double): String = f"$d%.4f"
+  // Locale.ROOT: the f-interpolator uses the default locale, which would
+  // emit comma decimals (invalid JSON) on e.g. de_DE JVMs
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,7 +57,12 @@ object Bench {
       }
       if (times.size < 3) errors += name
       perPass(name) = times
-      val median = if (times.nonEmpty) times.sorted.apply(times.size / 2) else -1.0
+      // with 2 surviving passes sorted(size/2) would pick the LARGER one
+      // (usually the JIT-laden first pass) — report the min instead
+      val median =
+        if (times.isEmpty) -1.0
+        else if (times.size == 2) times.min
+        else times.sorted.apply(times.size / 2)
       name -> median
     }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }

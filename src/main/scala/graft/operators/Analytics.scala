@@ -184,9 +184,11 @@ object Analytics extends QueryModule {
     val orders = base.select(col("s_nationkey"), col("l_orderkey")).distinct()
       .groupBy(col("s_nationkey"))
       .agg(count(col("l_orderkey")).as("n_orders"))
-    parts.join(orders, Seq("s_nationkey"))
-      .select(col("s_nationkey"), col("n_parts"), col("n_orders"), col("n_lines"))
-      .orderBy(col("s_nationkey"))
+    // null-safe join key: GROUP BY emits a NULL-nationkey group that a
+    // null-rejecting equi-join would silently drop
+    parts.join(orders, parts("s_nationkey") <=> orders("s_nationkey"))
+      .select(parts("s_nationkey"), col("n_parts"), col("n_orders"), col("n_lines"))
+      .orderBy(parts("s_nationkey"))
   }
 
   private val distinctPartsPerNationSql =
@@ -397,13 +399,16 @@ object Analytics extends QueryModule {
       .agg(
         expr("percentile(l_quantity, 0.5, freq)").as("median_qty"),
         expr("percentile(l_quantity, 0.9, freq)").as("p90_qty"))
-    val price = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(count(lit(1)).as("freq"))
-      .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.25, freq)").as("p25_price"))
-    qty.join(price, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"), col("p25_price"))
-      .orderBy(col("l_returnflag"))
+    // l_extendedprice is ~97% distinct, so a (group, value, count)
+    // pre-aggregate would collapse nothing and just add an exchange —
+    // the plain exact percentile is the right shape for a near-unique
+    // column (and q18's sketch is the 100 TB alternative)
+    val price = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+    // null-safe join key: a NULL-returnflag group must survive the join
+    qty.join(price, qty("l_returnflag") <=> price("l_returnflag"))
+      .select(qty("l_returnflag"), col("median_qty"), col("p90_qty"), col("p25_price"))
+      .orderBy(qty("l_returnflag"))
   }
 
   private val quantityPercentilesSql =

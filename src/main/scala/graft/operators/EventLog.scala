@@ -380,9 +380,13 @@ object EventLog extends QueryModule {
     val nearby = left.join(right, Seq("bin"))
       .filter(abs(col("lus") - col("rus")) <= DayUs)
       .groupBy(col("lus")).agg(sum(col("cnt")).as("n_incl_self"))
-    // n_incl_self counts the probe row itself (lus = rus always qualifies)
-    o.join(nearby, col("us") === col("lus"))
-      .select(col("o_orderkey"), (col("n_incl_self") - 1L).as("n_nearby"))
+    // n_incl_self counts the probe row itself (lus = rus always qualifies).
+    // Left join + coalesce: a NULL o_orderdate row has NULL us, matches
+    // nothing, and must still surface with n_nearby = 0 — the LEFT JOIN
+    // semantics the oracle declares (COUNT over no matches = 0).
+    o.join(nearby, col("us") === col("lus"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("n_incl_self") - 1L, lit(0L)).as("n_nearby"))
       .orderBy(col("o_orderkey"))
   }
 

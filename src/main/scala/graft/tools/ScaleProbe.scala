@@ -109,6 +109,10 @@ object ScaleProbe {
     // don't create synthetic near-duplicates or skew one sign bucket;
     // copy 1 is the identity so the q84 probe set (vec_id < 20) exists.
     val e1 = Tables.embeddings(spark, dir)
+    // only 63 distinct non-identity rotations exist: copy 65 would repeat
+    // copy 2's rotation and reintroduce the synthetic cosine-1.0 twins
+    // this construction exists to avoid
+    require(copies <= 64, s"embedding probe supports <= 64 copies, got $copies")
     val eN = (1 to copies).map { i =>
       val r = (i - 1) % 63 + 1 // rotation in [1, 63]; copy 1 handled below
       if (i == 1) e1
