@@ -232,4 +232,46 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(a === b)
     assert(a.map(_.getInt(0)).toSet.subsetOf(Set(1, 2, 3))) // channels ∈ 1..3
   }
+
+  test("q52 core keeps NULL-timestamp rows with n_nearby = 0 (LEFT JOIN contract)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    val orders = Seq(
+      (1L, Some("2024-01-01 00:00:00")),
+      (2L, Some("2024-01-01 12:00:00")), // within 24h of 1 and 3
+      (3L, Some("2024-01-02 06:00:00")), // within 24h of 2, not 1
+      (4L, Some("2024-03-01 00:00:00")), // isolated
+      (5L, None))                        // NULL date: must surface with 0
+      .toDF("o_orderkey", "o_orderdate")
+      .withColumn("o_orderdate", to_timestamp($"o_orderdate"))
+    val got = EventLog.rangeJoinNearbyOrdersOf(orders)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 0L), (5L, 0L)))
+  }
+
+  test("q26/q35 branch joins keep a NULL group-by key (null-safe join)") {
+    val session = spark
+    import session.implicits._
+    // q26 core shape on a constructed frame with a NULL nation key: both
+    // single-aggregate semantics and the branch-join rewrite must emit
+    // the NULL-key group (the review found a null-rejecting join here)
+    val li = Seq(
+      (Some(1), 10L, 100L), (Some(1), 10L, 101L), (Some(1), 11L, 100L),
+      (None, 12L, 102L), (None, 12L, 103L))
+      .toDF("s_nationkey", "l_partkey", "l_orderkey")
+    import org.apache.spark.sql.functions._
+    val parts = li.groupBy($"s_nationkey", $"l_partkey").agg(count(lit(1)).as("c"))
+      .groupBy($"s_nationkey")
+      .agg(count($"l_partkey").as("n_parts"), sum($"c").as("n_lines"))
+    val orders = li.select($"s_nationkey", $"l_orderkey").distinct()
+      .groupBy($"s_nationkey").agg(count($"l_orderkey").as("n_orders"))
+    val joined = parts.join(orders, parts("s_nationkey") <=> orders("s_nationkey"))
+      .select(parts("s_nationkey"), $"n_parts", $"n_orders", $"n_lines")
+      .collect().map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(joined === Set(
+      (Some(1), 2L, 2L, 3L),
+      (None, 1L, 2L, 2L)))
+  }
 }
