@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -245,6 +246,72 @@ object TextOps extends QueryModule {
       |WHERE rn = 1
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** Deterministic train/val/test assignment (the reproducible-split
+    * contract every training-data pipeline needs): bucket = doc_id mod 10,
+    * 8/1/1 split, summarized per (source, split). The assignment is a pure
+    * narrow map — no shuffle until the summary aggregate — and the
+    * modulus (not an engine hash) makes it reproducible across engines
+    * and runs, which is what makes held-out sets auditable. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bucket = pmod(col("doc_id"), lit(10L))
+    d.withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(toks).cast(LongType)).as("total_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  private val trainSplitSql =
+    """SELECT source,
+      |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+      |       WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY source NULLS FIRST, split NULLS FIRST""".stripMargin
+
+  /** Greedy sequence packing (sample packing for LLM training): docs are
+    * laid end-to-end in doc_id order within each source and cut into
+    * fixed token-budget chunks; a doc lands in the chunk where its prefix
+    * sum starts. The window is a per-source ROWS running sum — parallel
+    * across sources, sequential within one (at 100 TB the partition key
+    * would be (source, shard) to bound each window; the chunk ids then
+    * offset by shard). Integer `div` end to end, so the oracle compare is
+    * exact. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("chunk_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("chunk_id"))
+  }
+
+  private val packSequencesSql =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT source, CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY source NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q60_word_count", wordCount, Some(wordCountSql)),
     GraftQuery("q61_lang_stats", langStats, Some(langStatsSql)),
@@ -253,5 +320,7 @@ object TextOps extends QueryModule {
     GraftQuery("q64_langid_heuristic", langIdHeuristic, Some(langIdHeuristicSql)),
     GraftQuery("q65_fingerprints", fingerprints, Some(fingerprintsSql)),
     GraftQuery("q66_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
+    GraftQuery("q67_train_split", trainSplit, Some(trainSplitSql)),
+    GraftQuery("q68_pack_sequences", packSequences, Some(packSequencesSql)),
   )
 }
