@@ -320,6 +320,70 @@ object Dedup extends QueryModule {
       |FROM s WHERE sim >= $EmbeddingNearDupThreshold
       |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin
 
+  // ---- benchmark decontamination -----------------------------------------
+
+  /** Benchmark decontamination (the training-data hygiene check run before
+    * every model train): which train docs share enough discriminative
+    * 3-gram shingles with a held-out benchmark doc to suggest
+    * contamination. The fixture has no separate benchmark table, so the
+    * benchmark set is carved deterministically (doc_id % 97 = 0 — ~1% of
+    * docs, mirroring a small eval suite) and everything downstream treats
+    * the two sides as distinct corpora.
+    *
+    * Scale posture: the benchmark side is SMALL by construction (eval
+    * suites are thousands of docs, not billions), so both the shingle
+    * equi-join and the per-benchmark-doc size join broadcast it — the
+    * 100 TB train side is never shuffled; the only exchange is the
+    * map-side-combined (train_doc, bench_doc) count. Same DF gate as q72
+    * (stop-phrase shingles carry no contamination evidence). */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def contaminationOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
+    val MinShared = 2
+    val shAll = shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDF).select(col("sh"))
+    val sh = graft.functions.ScopedCache.persist("q76.shingles",
+      shAll.join(hot, Seq("sh"), "left_anti"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select(col("sh"), col("doc_id").as("bench_doc"))
+    val train = sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+      .select(col("sh"), col("doc_id").as("train_doc"))
+    val benchSizes = bench.groupBy(col("bench_doc")).agg(count(lit(1)).as("n_bench_sh"))
+    train.join(broadcast(bench), Seq("sh"))
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .join(broadcast(benchSizes), Seq("bench_doc"))
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast(DoubleType) / col("n_bench_sh"), 6))
+      .select(col("train_doc"), col("bench_doc"), col("n_shared"), col("overlap_frac"))
+      .orderBy(col("train_doc"), col("bench_doc"))
+  }
+
+  private val contaminationSql =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |    GENERATE_SERIES(1, LEN(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |  FROM toks WHERE LEN(t) >= 3),
+      |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > $MaxShingleDF),
+      |sh AS (SELECT s.doc_id, s.sh FROM sh0 s
+      |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
+      |bench AS (SELECT doc_id AS bench_doc, sh FROM sh WHERE doc_id % 97 = 0),
+      |train AS (SELECT doc_id AS train_doc, sh FROM sh WHERE doc_id % 97 <> 0),
+      |bsz AS (SELECT bench_doc, COUNT(*) AS n_bench_sh FROM bench GROUP BY 1),
+      |p AS (SELECT train_doc, bench_doc, COUNT(*) AS n_shared
+      |      FROM train t JOIN bench b ON t.sh = b.sh GROUP BY 1, 2)
+      |SELECT train_doc, bench_doc, n_shared,
+      |  ROUND(CAST(n_shared AS DOUBLE) / n_bench_sh, 6) AS overlap_frac
+      |FROM p JOIN bsz USING (bench_doc)
+      |WHERE n_shared >= 2
+      |ORDER BY train_doc NULLS FIRST, bench_doc NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
@@ -327,5 +391,6 @@ object Dedup extends QueryModule {
     GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, None),
     GraftQuery("q74_simhash_pairs", simhashPairs, None),
     GraftQuery("q75_embedding_neardup", embeddingNearDupPairs, Some(embeddingNearDupPairsSql)),
+    GraftQuery("q76_contamination", contamination, Some(contaminationSql)),
   )
 }

@@ -233,6 +233,24 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(a.map(_.getInt(0)).toSet.subsetOf(Set(1, 2, 3))) // channels ∈ 1..3
   }
 
+  test("contamination flags a train copy of a benchmark doc with overlap 1.0 (q76 core)") {
+    val session = spark
+    import session.implicits._
+    // doc_id 97 -> benchmark side (97 % 97 = 0); doc_id 5 is an exact
+    // copy of it -> every benchmark shingle is shared (overlap_frac 1.0);
+    // doc_id 6 is unrelated -> below the min-shared gate
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (97L, benchText),
+      (5L, benchText),
+      (6L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationOf(docs)
+      .select($"train_doc", $"bench_doc", $"overlap_frac")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((5L, 97L, 1.0)))
+  }
+
   test("q52 core keeps NULL-timestamp rows with n_nearby = 0 (LEFT JOIN contract)") {
     val session = spark
     import session.implicits._
