@@ -233,6 +233,34 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(a.map(_.getInt(0)).toSet.subsetOf(Set(1, 2, 3))) // channels ∈ 1..3
   }
 
+  test("q67/q68 conserve the corpus: split and packing partition every doc/token") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val totalDocs = docs.count()
+    val totalTokens = docs.select(sum(size(split($"text", " ")).cast("long")))
+      .as[Long].head()
+    // q67: every doc lands in exactly one split bucket
+    val assigned = TextOps.trainSplit(spark, sf0001)
+    assert(assigned.select(sum($"n_docs")).as[Long].head() === totalDocs)
+    assert(assigned.select(sum($"total_tokens")).as[Long].head() === totalTokens)
+    // q68: chunks partition all docs and all tokens; no chunk starts
+    // beyond the running total
+    val packed = TextOps.packSequences(spark, sf0001)
+    assert(packed.select(sum($"n_docs")).as[Long].head() === totalDocs)
+    assert(packed.select(sum($"chunk_tokens")).as[Long].head() === totalTokens)
+    // within each source, chunk ids start at 0 and are dense
+    val perSource = packed.groupBy($"source")
+      .agg(min($"chunk_id").as("lo"), max($"chunk_id").as("hi"),
+           count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    perSource.foreach { case (src, lo, hi, n) =>
+      assert(lo === 0L, s"$src chunks start at $lo")
+      assert(hi === n - 1, s"$src chunk ids not dense: hi=$hi n=$n")
+    }
+  }
+
   test("contamination flags a train copy of a benchmark doc with overlap 1.0 (q76 core)") {
     val session = spark
     import session.implicits._
