@@ -123,14 +123,24 @@ object Dedup extends QueryModule {
     * holds only shingles over the cap — usually tiny, but unbounded in the
     * worst case — so no broadcast hint: AQE broadcasts the anti-join at
     * runtime when the list is actually small. */
-  def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
-    val t = JaccardThreshold
-    val shAll = graft.functions.ScopedCache.persist("q72.shingles.all",
+  /** Exploded (doc_id, shingle-hash) rows with the document-frequency
+    * gate applied: shingles shared by more than maxDF docs are anti-joined
+    * out (no near-dup/contamination evidence, quadratic-blowup risk).
+    * Both generations are scope-cached under the caller's key prefix —
+    * the scan+shingle subtree runs once per query even when the result
+    * feeds a self-join plus size/frequency aggregates. */
+  private def gatedShingles(docs: DataFrame, maxDF: Int, scope: String): DataFrame = {
+    val shAll = graft.functions.ScopedCache.persist(s"$scope.shingles.all",
       shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh")))
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDF).select(col("sh"))
-    val sh = graft.functions.ScopedCache.persist("q72.shingles",
+    graft.functions.ScopedCache.persist(s"$scope.shingles",
       shAll.join(hot, Seq("sh"), "left_anti"))
+  }
+
+  def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
+    val t = JaccardThreshold
+    val sh = gatedShingles(docs, maxDF, "q72")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -342,11 +352,7 @@ object Dedup extends QueryModule {
   /** DataFrame-level core (testable on constructed corpora). */
   def contaminationOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
     val MinShared = 2
-    val shAll = shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDF).select(col("sh"))
-    val sh = graft.functions.ScopedCache.persist("q76.shingles",
-      shAll.join(hot, Seq("sh"), "left_anti"))
+    val sh = gatedShingles(docs, maxDF, "q76")
     val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
       .select(col("sh"), col("doc_id").as("bench_doc"))
     val train = sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)

@@ -85,6 +85,22 @@ object ScaleProbe {
     time("minhash 1x (5k docs)")(minhashCount(d1))
     time(s"minhash ${copies}x (${copies * 5}k docs)")(minhashCount(dN))
 
+    // q76 shape: the realistic scaling is a GROWING train corpus with a
+    // CONSTANT contamination signal. Copy 1 keeps the original texts (the
+    // overlap pairs of the 1x run survive); copies 2..N get the marker
+    // rewrite, which destroys cross-doc trigram overlap (measured: the
+    // all-marker dN yields 0 pairs) — i.e. they are pure added noise the
+    // candidate join must wade through, exactly like fresh crawl data.
+    val dCN = (1 to copies).map { i =>
+      if (i == 1) d1
+      else d1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+        .withColumn("text", regexp_replace(col("text"), " ", s" c$i "))
+    }.reduce(_ unionByName _)
+    def contaminationCount(docs: DataFrame): Long =
+      graft.operators.Dedup.contaminationOf(docs).count()
+    time("q76 contamination 1x (5k docs)")(contaminationCount(d1))
+    time(s"q76 contamination ${copies}x corpus")(contaminationCount(dCN))
+
     // q52 shape: binned range join. Copies shift timestamps by a
     // year-scale stride so a 10x dataset models LONGER HISTORY at the
     // same order density (copies never share a day bin) — pair density
