@@ -173,8 +173,14 @@ object Analytics extends QueryModule {
   def distinctPartsPerNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val s = Tables.supplier(spark, dir)
-    val base = li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_nationkey"), col("l_partkey"), col("l_orderkey"))
+    distinctPartsPerNationOf(
+      li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey"), col("l_partkey"), col("l_orderkey")))
+  }
+
+  /** DataFrame-level core (testable on constructed frames): expects
+    * (s_nationkey, l_partkey, l_orderkey). */
+  def distinctPartsPerNationOf(base: DataFrame): DataFrame = {
     // count(key), not count(*), at level 2: COUNT(DISTINCT x) ignores
     // NULLs, and level 1 emits a NULL-key group when x is ever NULL
     val parts = base.groupBy(col("s_nationkey"), col("l_partkey"))
@@ -391,8 +397,12 @@ object Analytics extends QueryModule {
     * collapsing before the exchange). This is the exact-percentile shape
     * that survives scale; the sketch twin q18 remains the constant-memory
     * alternative. */
-  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    quantityPercentilesOf(Tables.lineitem(spark, dir))
+
+  /** DataFrame-level core (testable on constructed frames): expects
+    * (l_returnflag, l_quantity, l_extendedprice). */
+  def quantityPercentilesOf(li: DataFrame): DataFrame = {
     val qty = li.groupBy(col("l_returnflag"), col("l_quantity"))
       .agg(count(lit(1)).as("freq"))
       .groupBy(col("l_returnflag"))

@@ -39,10 +39,13 @@ object Dedup extends QueryModule {
   val MaxBandBucket = 200
   val MaxChunkBucket = 200
 
-  /** Similarity thresholds, interpolated into the oracle SQL strings below
-    * so plan and oracle cannot drift when a constant changes. */
+  /** Similarity thresholds and carve constants, interpolated into the
+    * oracle SQL strings below so plan and oracle cannot drift when a
+    * constant changes. */
   val JaccardThreshold = 0.5
   val EmbeddingNearDupThreshold = 0.4
+  val BenchmarkCarveMod = 97
+  val ContaminationMinShared = 2
 
   // ---- shared shingling -------------------------------------------------
 
@@ -108,27 +111,19 @@ object Dedup extends QueryModule {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairsOf(Tables.documents(spark, dir))
 
-  /** DataFrame-level core. |A∩B| comes from a shingle-keyed equi-self-join
-    * (on 64-bit shingle hashes) + pair group-count; |A∪B| = |A|+|B|−|A∩B|
-    * via two broadcast joins against the tiny per-doc size table. The
-    * shingle table is persisted so the scan+shingle subtree runs once and
-    * the self-join reuses one exchange.
-    *
-    * Document-frequency gate: a shingle shared by k docs emits k² rows in
-    * the self-join, so one stop-phrase 3-gram shared by 10⁶ docs would be
-    * a quadratic skew bomb. Shingles with DF > maxDF are pruned FIRST;
-    * sizes and intersections both run on the pruned universe (well-defined
-    * "Jaccard over discriminative shingles" semantics), and the oracle SQL
-    * mirrors the same pruned-universe computation exactly. The hot list
-    * holds only shingles over the cap — usually tiny, but unbounded in the
-    * worst case — so no broadcast hint: AQE broadcasts the anti-join at
-    * runtime when the list is actually small. */
   /** Exploded (doc_id, shingle-hash) rows with the document-frequency
-    * gate applied: shingles shared by more than maxDF docs are anti-joined
-    * out (no near-dup/contamination evidence, quadratic-blowup risk).
-    * Both generations are scope-cached under the caller's key prefix —
-    * the scan+shingle subtree runs once per query even when the result
-    * feeds a self-join plus size/frequency aggregates. */
+    * gate applied: a shingle shared by k docs emits k² rows in a
+    * shingle-keyed join, so one stop-phrase 3-gram shared by 10⁶ docs
+    * would be a quadratic skew bomb — shingles with DF > maxDF are
+    * anti-joined out FIRST (they carry no near-dup/contamination evidence
+    * anyway), and all downstream sizes/intersections run on the pruned
+    * universe. The hot list holds only shingles over the cap — usually
+    * tiny, but unbounded in the worst case — so no broadcast hint: AQE
+    * broadcasts the anti-join at runtime when it is actually small. Both
+    * generations are scope-cached under the caller's key prefix, so the
+    * scan+shingle subtree runs once per query even when the result feeds
+    * a self-join plus size/frequency aggregates. The matching oracle CTE
+    * prefix is [[gatedShinglesSqlCte]]. */
   private def gatedShingles(docs: DataFrame, maxDF: Int, scope: String): DataFrame = {
     val shAll = graft.functions.ScopedCache.persist(s"$scope.shingles.all",
       shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh")))
@@ -138,6 +133,26 @@ object Dedup extends QueryModule {
       shAll.join(hot, Seq("sh"), "left_anti"))
   }
 
+  /** Shared oracle mirror of [[gatedShingles]]: DuckDB CTEs ending in
+    * `sh` = the DF-gated (doc_id, shingle) universe. Interpolated into
+    * every shingle-based oracle so the Scala and SQL gates cannot drift. */
+  private val gatedShinglesSqlCte =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |    GENERATE_SERIES(1, LEN(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |  FROM toks WHERE LEN(t) >= 3),
+      |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > $MaxShingleDF),
+      |sh AS (SELECT s.doc_id, s.sh FROM sh0 s
+      |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh))""".stripMargin
+
+  /** DataFrame-level core of q72. |A∩B| comes from a shingle-keyed
+    * equi-self-join (on 64-bit shingle hashes over the [[gatedShingles]]
+    * universe) + pair group-count; |A∪B| = |A|+|B|−|A∩B| via two
+    * broadcast joins against the tiny per-doc size table. The oracle SQL
+    * mirrors the same pruned-universe computation exactly ("Jaccard over
+    * discriminative shingles" semantics). */
   def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
     val t = JaccardThreshold
     val sh = gatedShingles(docs, maxDF, "q72")
@@ -157,15 +172,7 @@ object Dedup extends QueryModule {
   }
 
   private val ngramJaccardPairsSql =
-    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
-      |sh0 AS (
-      |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-      |    GENERATE_SERIES(1, LEN(t) - 2),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-      |  FROM toks WHERE LEN(t) >= 3),
-      |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > $MaxShingleDF),
-      |sh AS (SELECT s.doc_id, s.sh FROM sh0 s
-      |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
+    s"""$gatedShinglesSqlCte,
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -340,29 +347,30 @@ object Dedup extends QueryModule {
     * docs, mirroring a small eval suite) and everything downstream treats
     * the two sides as distinct corpora.
     *
-    * Scale posture: the benchmark side is SMALL by construction (eval
-    * suites are thousands of docs, not billions), so both the shingle
-    * equi-join and the per-benchmark-doc size join broadcast it — the
-    * 100 TB train side is never shuffled; the only exchange is the
-    * map-side-combined (train_doc, bench_doc) count. Same DF gate as q72
-    * (stop-phrase shingles carry no contamination evidence). */
+    * Scale posture: a real benchmark suite is small and FIXED-size, so
+    * both benchmark-side joins end up broadcast and the train side is
+    * never shuffled; but the carve here grows ~1% with the corpus, so —
+    * per this module's policy for unbounded sides — the joins carry no
+    * broadcast hint: AQE broadcasts at runtime when the side is actually
+    * small and degrades to a shuffle join instead of an OOM when it is
+    * not. Same DF gate as q72 (stop-phrase shingles carry no
+    * contamination evidence). */
   def contamination(spark: SparkSession, dir: String): DataFrame =
     contaminationOf(Tables.documents(spark, dir))
 
   /** DataFrame-level core (testable on constructed corpora). */
   def contaminationOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
-    val MinShared = 2
     val sh = gatedShingles(docs, maxDF, "q76")
-    val bench = sh.filter(pmod(col("doc_id"), lit(97L)) === 0)
+    val bench = sh.filter(pmod(col("doc_id"), lit(BenchmarkCarveMod.toLong)) === 0)
       .select(col("sh"), col("doc_id").as("bench_doc"))
-    val train = sh.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+    val train = sh.filter(pmod(col("doc_id"), lit(BenchmarkCarveMod.toLong)) =!= 0)
       .select(col("sh"), col("doc_id").as("train_doc"))
     val benchSizes = bench.groupBy(col("bench_doc")).agg(count(lit(1)).as("n_bench_sh"))
-    train.join(broadcast(bench), Seq("sh"))
+    train.join(bench, Seq("sh"))
       .groupBy(col("train_doc"), col("bench_doc"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= MinShared)
-      .join(broadcast(benchSizes), Seq("bench_doc"))
+      .filter(col("n_shared") >= ContaminationMinShared)
+      .join(benchSizes, Seq("bench_doc"))
       .withColumn("overlap_frac",
         round(col("n_shared").cast(DoubleType) / col("n_bench_sh"), 6))
       .select(col("train_doc"), col("bench_doc"), col("n_shared"), col("overlap_frac"))
@@ -370,24 +378,18 @@ object Dedup extends QueryModule {
   }
 
   private val contaminationSql =
-    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
-      |sh0 AS (
-      |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
-      |    GENERATE_SERIES(1, LEN(t) - 2),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-      |  FROM toks WHERE LEN(t) >= 3),
-      |hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > $MaxShingleDF),
-      |sh AS (SELECT s.doc_id, s.sh FROM sh0 s
-      |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
-      |bench AS (SELECT doc_id AS bench_doc, sh FROM sh WHERE doc_id % 97 = 0),
-      |train AS (SELECT doc_id AS train_doc, sh FROM sh WHERE doc_id % 97 <> 0),
+    s"""$gatedShinglesSqlCte,
+      |bench AS (SELECT doc_id AS bench_doc, sh FROM sh
+      |          WHERE doc_id % $BenchmarkCarveMod = 0),
+      |train AS (SELECT doc_id AS train_doc, sh FROM sh
+      |          WHERE doc_id % $BenchmarkCarveMod <> 0),
       |bsz AS (SELECT bench_doc, COUNT(*) AS n_bench_sh FROM bench GROUP BY 1),
       |p AS (SELECT train_doc, bench_doc, COUNT(*) AS n_shared
       |      FROM train t JOIN bench b ON t.sh = b.sh GROUP BY 1, 2)
       |SELECT train_doc, bench_doc, n_shared,
       |  ROUND(CAST(n_shared AS DOUBLE) / n_bench_sh, 6) AS overlap_frac
       |FROM p JOIN bsz USING (bench_doc)
-      |WHERE n_shared >= 2
+      |WHERE n_shared >= $ContaminationMinShared
       |ORDER BY train_doc NULLS FIRST, bench_doc NULLS FIRST""".stripMargin
 
   override def queries: Seq[GraftQuery] = Seq(

@@ -263,10 +263,12 @@ object TextOps extends QueryModule {
       .orderBy(col("source"), col("split"))
   }
 
+  // ((x % 10) + 10) % 10 mirrors Spark's pmod: DuckDB's % keeps the
+  // dividend's sign, which would route negative doc_ids differently
   private val trainSplitSql =
     """SELECT source,
-      |  CASE WHEN doc_id % 10 < 8 THEN 'train'
-      |       WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+      |  CASE WHEN ((doc_id % 10) + 10) % 10 < 8 THEN 'train'
+      |       WHEN ((doc_id % 10) + 10) % 10 = 8 THEN 'val' ELSE 'test' END AS split,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
       |FROM documents
