@@ -283,10 +283,15 @@ object TextOps extends QueryModule {
     * would be (source, shard) to bound each window; the chunk ids then
     * offset by shard). Integer `div` end to end, so the oracle compare is
     * exact. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 2048L
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tokens"))
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tokens")),
+      budget = 2048L)
+
+  /** DataFrame-level core (property-tested on generated token tables):
+    * expects (doc_id, source, n_tokens). */
+  def packSequencesOf(d: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d.withColumn("cum", sum(col("n_tokens")).over(w))

@@ -86,6 +86,50 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("sequence packing laws hold for arbitrary doc sizes (incl. oversize docs)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    val budget = 100L
+    // token counts deliberately straddle the budget (oversize docs make
+    // chunk ids legitimately sparse — the case the fixture can't produce)
+    val genDoc: Gen[(Long, String, Long)] = for {
+      id <- Gen.choose(0L, 10000L)
+      src <- Gen.oneOf("web", "books", "code")
+      n <- Gen.oneOf(Gen.choose(1L, 80L), Gen.choose(150L, 400L))
+    } yield (id, src, n)
+    val genDocs: Gen[List[(Long, String, Long)]] =
+      Gen.listOfN(60, genDoc).map(_.distinctBy(_._1))
+    checkProp(Prop.forAllNoShrink(genDocs) { rows =>
+      val d = rows.toDF("doc_id", "source", "n_tokens")
+      val packed = graft.operators.TextOps.packSequencesOf(d, budget).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // conservation: every doc and every token lands in exactly one chunk
+      val docsOk = packed.map(_._3).sum == rows.size
+      val tokensOk = packed.map(_._4).sum == rows.map(_._3).sum
+      // per source: first chunk starts at 0 iff docs exist; chunk token
+      // totals never exceed budget by more than one doc's overhang
+      val perSource = rows.groupBy(_._2)
+      val boundsOk = perSource.forall { case (src, srcRows) =>
+        val chunks = packed.filter(_._1 == src)
+        val maxDoc = srcRows.map(_._3).max
+        chunks.map(_._2).min == 0L &&
+          chunks.forall { case (_, _, _, tokens) => tokens < budget + maxDoc }
+      }
+      // chunk id of every doc equals its prefix sum div budget (the
+      // defining greedy-packing law), recomputed independently in Scala
+      val expectedChunks = perSource.flatMap { case (src, srcRows) =>
+        val sorted = srcRows.sortBy(_._1)
+        val prefix = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(prefix).map { case ((_, _, n), before) => (src, before / budget, n) }
+      }
+      val expectedAgg = expectedChunks.groupBy(t => (t._1, t._2))
+        .map { case ((src, c), ts) => (src, c, ts.size.toLong, ts.map(_._3).sum) }
+        .toSet
+      docsOk && tokensOk && boundsOk && packed.toSet == expectedAgg
+    })
+  }
+
   test("union of splits reconstructs the input multiset") {
     val session = spark
     import session.implicits._
