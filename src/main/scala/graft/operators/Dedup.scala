@@ -119,14 +119,16 @@ object Dedup extends QueryModule {
     * anyway), and all downstream sizes/intersections run on the pruned
     * universe. The hot list holds only shingles over the cap — usually
     * tiny, but unbounded in the worst case — so no broadcast hint: AQE
-    * broadcasts the anti-join at runtime when it is actually small. Both
-    * generations are scope-cached under the caller's key prefix, so the
-    * scan+shingle subtree runs once per query even when the result feeds
-    * a self-join plus size/frequency aggregates. The matching oracle CTE
-    * prefix is [[gatedShinglesSqlCte]]. */
+    * broadcasts the anti-join at runtime when it is actually small. Only
+    * the GATED output is scope-cached (it feeds a self-join plus
+    * size/frequency aggregates, 3+ references); the raw shingle explode
+    * is recomputed for its two references instead — it is scan-bound and
+    * cheap, while materializing the largest intermediate doubles cache
+    * memory for no measured gain (tools-probe r4: caching both was the
+    * slowest variant). The matching oracle CTE prefix is
+    * [[gatedShinglesSqlCte]]. */
   private def gatedShingles(docs: DataFrame, maxDF: Int, scope: String): DataFrame = {
-    val shAll = graft.functions.ScopedCache.persist(s"$scope.shingles.all",
-      shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh")))
+    val shAll = shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh"))
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDF).select(col("sh"))
     graft.functions.ScopedCache.persist(s"$scope.shingles",
