@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -131,15 +132,25 @@ object Dedup extends QueryModule {
     val shAll = shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh"))
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDF).select(col("sh"))
-    graft.functions.ScopedCache.persist(s"$scope.shingles",
+    graft.functions.ScopedCache.persist(scope,
       shAll.join(hot, Seq("sh"), "left_anti"))
   }
 
+  /** Default cache scope for the gated shingle table. q72 and q76 build
+    * the identical gated plan over the fixture documents, so they share
+    * ONE scope (caching the same plan under two scopes makes the second
+    * persist a no-op and couples the scopes' unpersist lifetimes);
+    * pipelines that shingle a different corpus (q78 shingles the
+    * exact-dedup survivors) pass their own scope. */
+  private val SharedShingleScope = "dedup.shingles.gated"
+
   /** Shared oracle mirror of [[gatedShingles]]: DuckDB CTEs ending in
-    * `sh` = the DF-gated (doc_id, shingle) universe. Interpolated into
-    * every shingle-based oracle so the Scala and SQL gates cannot drift. */
-  private val gatedShinglesSqlCte =
-    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    * `sh` = the DF-gated (doc_id, shingle) universe over `docsTable`.
+    * Interpolated into every shingle-based oracle so the Scala and SQL
+    * gates cannot drift. Returned WITHOUT the leading `WITH` so callers
+    * can prepend `WITH` or `WITH RECURSIVE` as needed. */
+  private def gatedShinglesCtes(docsTable: String): String =
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM $docsTable),
       |sh0 AS (
       |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
       |    GENERATE_SERIES(1, LEN(t) - 2),
@@ -149,15 +160,18 @@ object Dedup extends QueryModule {
       |sh AS (SELECT s.doc_id, s.sh FROM sh0 s
       |       WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh))""".stripMargin
 
+  private val gatedShinglesSqlCte = "WITH " + gatedShinglesCtes("documents")
+
   /** DataFrame-level core of q72. |A∩B| comes from a shingle-keyed
     * equi-self-join (on 64-bit shingle hashes over the [[gatedShingles]]
     * universe) + pair group-count; |A∪B| = |A|+|B|−|A∩B| via two
     * broadcast joins against the tiny per-doc size table. The oracle SQL
     * mirrors the same pruned-universe computation exactly ("Jaccard over
     * discriminative shingles" semantics). */
-  def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
+  def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF,
+      scope: String = SharedShingleScope): DataFrame = {
     val t = JaccardThreshold
-    val sh = gatedShingles(docs, maxDF, "q72")
+    val sh = gatedShingles(docs, maxDF, scope)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -173,20 +187,207 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val ngramJaccardPairsSql =
-    s"""$gatedShinglesSqlCte,
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  /** Oracle CTEs from the gated `sh` universe to thresholded Jaccard
+    * `pairs` — the SQL mirror of [[ngramJaccardPairsOf]], shared by the
+    * q72/q77/q78 oracles so the pair definition cannot drift. */
+  private val jaccardPairsCtes =
+    s"""sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, n_inter,
-      |  CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jaccard
-      |FROM inter
-      |JOIN sz x ON doc_a = x.doc_id
-      |JOIN sz y ON doc_b = y.doc_id
-      |WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= $JaccardThreshold
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, n_inter,
+      |    CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) AS jaccard
+      |  FROM inter
+      |  JOIN sz x ON doc_a = x.doc_id
+      |  JOIN sz y ON doc_b = y.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter) >= $JaccardThreshold)""".stripMargin
+
+  private val ngramJaccardPairsSql =
+    s"""$gatedShinglesSqlCte,
+      |$jaccardPairsCtes
+      |SELECT doc_a, doc_b, n_inter, jaccard
+      |FROM pairs
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
+  // ---- near-dup cluster resolution + purge -------------------------------
+
+  /** Connected components over an undirected near-dup pair graph: the
+    * stage between candidate pairs (q72-q75) and an actually deduplicated
+    * corpus. Labels converge to the component-minimum doc_id via min-label
+    * propagation accelerated with pointer jumping — each iteration both
+    * pulls the minimum over graph neighbors AND rewrites label(n) to
+    * label(label(n)), so label information travels exponentially fast and
+    * a duplicate CHAIN of length n (doc i ~ doc i+1, the worst case for
+    * plain propagation) resolves in O(log n) iterations instead of O(n)
+    * (hash-to-min family; Rastogi et al., "Finding Connected Components
+    * in Map-Reduce in Logarithmic Rounds", ICDE 2013).
+    *
+    * DataFrame-only: per iteration two equi-joins + one min-aggregate,
+    * all on the (node, label) table — at 100 TB these shuffle on node id
+    * like any keyed aggregate, and the iteration count stays logarithmic
+    * in the largest cluster (measured in ScaleProbe). Each iteration
+    * localCheckpoints the label table to truncate lineage (on a real
+    * cluster this would be a reliable checkpoint dir); convergence is
+    * detected when the label sum — monotonically non-increasing because
+    * labels only ever take `least` — stops changing, and a bounded
+    * iteration count with a `require` turns a non-converging run into a
+    * loud failure instead of a silent wrong answer.
+    *
+    * Returns (labels, iterations): labels = one (node, label) row per doc
+    * that appears in ≥1 pair, label = min doc_id of its component. */
+  def clusterLabels(pairs: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist()
+    try {
+      // init = one propagation step folded in: label(n) = min(n, neighbors)
+      // (every node appears as `u` because edges are bidirected)
+      var labels = edges.groupBy(col("u"))
+        .agg(min(col("v")).as("nbr_min"))
+        .select(col("u").as("node"), least(col("u"), col("nbr_min")).as("label"))
+        .localCheckpoint()
+      // sum(label) is the convergence witness; null sum = empty pair graph
+      var prevSum = labels.agg(sum(col("label"))).first().getAs[java.lang.Long](0)
+      if (prevSum == null) return (labels, 0)
+      var iters = 0
+      var converged = false
+      while (!converged && iters < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
+          .groupBy(col("u")).agg(min(col("vl")).as("nbr_min"))
+          .select(col("u").as("node"), col("nbr_min"))
+        val l1 = labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        // pointer jump: label(n) <- min(label(n), label(label(n))). Every
+        // label value is a node id (init = node ids, updates = mins of
+        // labels), so the inner self-join is total.
+        val jump = l1.select(col("node").as("jnode"), col("label").as("jlabel"))
+        val next = l1.join(jump, l1("label") === jump("jnode"))
+          .select(col("node"), least(col("label"), col("jlabel")).as("label"))
+          .localCheckpoint()
+        val s = next.agg(sum(col("label"))).first().getLong(0)
+        converged = s == prevSum
+        prevSum = s
+        labels = next
+        iters += 1
+      }
+      require(converged,
+        s"near-dup label propagation did not converge in $maxIters iterations")
+      (labels, iters)
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Pairs → (cluster_id, doc_id, cluster_size) rows, cluster_id = min
+    * doc_id of the connected component. */
+  def clustersOfPairs(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val (labels, _) = clusterLabels(pairs, maxIters)
+    labels.select(col("label").as("cluster_id"), col("node").as("doc_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  /** q77: near-dup cluster resolution — q72's thresholded Jaccard pairs
+    * resolved into duplicate clusters (transitive closure), the
+    * keep-one-per-identity compaction semantics of the reference
+    * (kafka/README.md:27,:433-434) lifted from key identity to content
+    * identity. Oracle: DuckDB `WITH RECURSIVE` reachability over the
+    * identical pair set. */
+  def neardupClusters(spark: SparkSession, dir: String): DataFrame =
+    neardupClustersOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def neardupClustersOf(docs: DataFrame): DataFrame =
+    clustersOfPairs(ngramJaccardPairsOf(docs).select(col("doc_a"), col("doc_b")))
+
+  /** Oracle CTEs pairs → components: bidirected edges, recursive label
+    * reachability, MIN per node. `reach` is O(cluster_size²) rows — fine
+    * at oracle (fixture) scale; the Spark side uses the O(log n)
+    * propagation instead. */
+  private val clusterCtes =
+    """edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT DISTINCT u AS node, u AS lbl FROM edges
+      |  UNION
+      |  SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+      |cc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  private val neardupClustersSql =
+    s"""WITH RECURSIVE ${gatedShinglesCtes("documents")},
+      |$jaccardPairsCtes,
+      |$clusterCtes
+      |SELECT cluster_id, doc_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM cc
+      |ORDER BY cluster_id NULLS FIRST, doc_id NULLS FIRST""".stripMargin
+
+  /** q78: the full dedup purge decision — exact keep-first pass, then
+    * near-dup cluster resolution over the exact survivors, then
+    * per-source accounting of what a purge would drop vs keep. This is
+    * the operator a user actually runs to deduplicate a corpus with the
+    * fuzzy path (q66/q71 are the exact-only analogs). */
+  def dedupPurge(spark: SparkSession, dir: String): DataFrame =
+    dedupPurgeOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core. Survivors are cached (referenced by the
+    * shingle pipeline, the exact-drop anti-join, and the near-dup drop
+    * join); the near-dup stage shingles the SURVIVOR corpus, so it gets
+    * its own cache scope rather than the shared fixture-documents one. */
+  def dedupPurgeOf(docs: DataFrame): DataFrame = {
+    val survivors = graft.functions.ScopedCache.persist("q78.survivors",
+      docs.groupBy(col("text"))
+        .agg(min_by(struct(col("doc_id"), col("source")), col("doc_id")).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("text"),
+                col("keep.source").as("source")))
+    val pairs = ngramJaccardPairsOf(
+        survivors.select(col("doc_id"), col("text")), scope = "q78.shingles")
+      .select(col("doc_a"), col("doc_b"))
+    val (labels, _) = clusterLabels(pairs)
+    val ndDrops = labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val ex = docs.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dropped_exact"))
+    val nd = survivors.join(ndDrops, Seq("doc_id"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dropped_neardup"))
+    tot.join(ex, Seq("source"), "left").join(nd, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_dropped_exact"), lit(0L)).as("n_dropped_exact"),
+        coalesce(col("n_dropped_neardup"), lit(0L)).as("n_dropped_neardup"))
+      .withColumn("n_kept",
+        col("n_docs") - col("n_dropped_exact") - col("n_dropped_neardup"))
+      .orderBy(col("source"))
+  }
+
+  private val dedupPurgeSql =
+    s"""WITH RECURSIVE keep AS (
+      |  SELECT doc_id, text, source,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS rn
+      |  FROM documents),
+      |sv AS (SELECT doc_id, text, source FROM keep WHERE rn = 1),
+      |${gatedShinglesCtes("sv")},
+      |$jaccardPairsCtes,
+      |$clusterCtes,
+      |nd AS (SELECT s.source, COUNT(*) AS n_dropped_neardup
+      |       FROM sv s JOIN cc ON s.doc_id = cc.doc_id AND cc.doc_id <> cc.cluster_id
+      |       GROUP BY 1),
+      |ex AS (SELECT d.source, COUNT(*) AS n_dropped_exact FROM documents d
+      |       WHERE NOT EXISTS (SELECT 1 FROM sv WHERE sv.doc_id = d.doc_id)
+      |       GROUP BY 1),
+      |tot AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT t.source, t.n_docs,
+      |  CAST(COALESCE(ex.n_dropped_exact, 0) AS BIGINT) AS n_dropped_exact,
+      |  CAST(COALESCE(nd.n_dropped_neardup, 0) AS BIGINT) AS n_dropped_neardup,
+      |  t.n_docs - CAST(COALESCE(ex.n_dropped_exact, 0) AS BIGINT)
+      |           - CAST(COALESCE(nd.n_dropped_neardup, 0) AS BIGINT) AS n_kept
+      |FROM tot t
+      |LEFT JOIN ex ON t.source = ex.source
+      |LEFT JOIN nd ON t.source = nd.source
+      |ORDER BY t.source NULLS FIRST""".stripMargin
 
   // ---- MinHash + LSH ----------------------------------------------------
 
@@ -362,7 +563,7 @@ object Dedup extends QueryModule {
 
   /** DataFrame-level core (testable on constructed corpora). */
   def contaminationOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
-    val sh = gatedShingles(docs, maxDF, "q76")
+    val sh = gatedShingles(docs, maxDF, SharedShingleScope)
     val bench = sh.filter(pmod(col("doc_id"), lit(BenchmarkCarveMod.toLong)) === 0)
       .select(col("sh"), col("doc_id").as("bench_doc"))
     val train = sh.filter(pmod(col("doc_id"), lit(BenchmarkCarveMod.toLong)) =!= 0)
@@ -402,5 +603,7 @@ object Dedup extends QueryModule {
     GraftQuery("q74_simhash_pairs", simhashPairs, None),
     GraftQuery("q75_embedding_neardup", embeddingNearDupPairs, Some(embeddingNearDupPairsSql)),
     GraftQuery("q76_contamination", contamination, Some(contaminationSql)),
+    GraftQuery("q77_neardup_clusters", neardupClusters, Some(neardupClustersSql)),
+    GraftQuery("q78_dedup_purge", dedupPurge, Some(dedupPurgeSql)),
   )
 }

@@ -146,6 +146,20 @@ object ScaleProbe {
     time("q84 IVF ANN 1x (5k)")(ivfCount(e1))
     time(s"q84 IVF ANN ${copies}x")(ivfCount(eN))
 
+    // q77 shape: connected components over duplicate CHAINS — the worst
+    // case for label propagation (plain min-propagation needs n-1 rounds
+    // on a chain of n). The pointer-jumping implementation must stay
+    // O(log n): 64x more chain links may add only a handful of rounds.
+    for (n <- Seq(64L, 1024L, 4096L)) {
+      val pairs = spark.range(1, n)
+        .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      val t0 = System.nanoTime()
+      val (labels, iters) = graft.operators.Dedup.clusterLabels(pairs)
+      val resolved = labels.filter(col("label") === 1).count()
+      require(resolved == n, s"chain of $n resolved $resolved to min label")
+      println(f"[scale] q77 chain n=$n%-5d iters=$iters ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+
     spark.stop()
   }
 }

@@ -329,4 +329,62 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (Some("A"), 2.0, 15.0),  // median of {1,3}; p25 of {10,30}
       (None, 6.0, 55.0)))      // NULL group survives with its own stats
   }
+
+  test("q77 transitivity: A~B and B~C puts A,B,C in one cluster though A!~C") {
+    val session = spark
+    import session.implicits._
+    // sliding token windows: consecutive docs share 13/23 shingles
+    // (jaccard 0.565 >= 0.5), docs two apart only 8/28 (0.286 < 0.5) —
+    // so the PAIR set is exactly the chain {(1,2),(2,3)} and only the
+    // transitive-closure step can unite all three. Doc 99 is isolated
+    // and must not appear in any cluster.
+    def text(lo: Int, hi: Int) = (lo to hi).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, text(1, 20)), (2L, text(6, 25)), (3L, text(11, 30)),
+      (99L, text(200, 230))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairsOf(docs)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L)))
+    val clusters = Dedup.neardupClustersOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clusters === Set((1L, 1L, 3L), (1L, 2L, 3L), (1L, 3L, 3L)))
+  }
+
+  test("q77 label propagation: chains resolve in O(log n) iterations") {
+    val session = spark
+    import session.implicits._
+    // a 64-link duplicate chain (worst case for plain min propagation:
+    // 63 rounds) plus a separate triangle component; pointer jumping must
+    // resolve the chain in ~log2 rounds and keep components independent
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L), (103L, 100L), (101L, 103L)))
+      .toDF("doc_a", "doc_b")
+    val (labels, iters) = Dedup.clusterLabels(pairs)
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert((1L to 64L).forall(m(_) == 1L))
+    assert(Seq(100L, 101L, 103L).forall(m(_) == 100L))
+    assert(iters <= 10, s"expected O(log 64) iterations, got $iters")
+    // empty pair graph: no clusters, no iterations, no crash
+    val (empty, it0) = Dedup.clusterLabels(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.count() === 0 && it0 === 0)
+  }
+
+  test("q78 purge accounting is conserved and composes exact + near-dup stages") {
+    val session = spark
+    import session.implicits._
+    def text(lo: Int, hi: Int) = (lo to hi).map(i => s"w$i").mkString(" ")
+    // src A: docs 1,2 near-dup chain; doc 4 = exact copy of doc 1 (exact
+    // stage drops 4, near-dup stage then drops 2 of cluster {1,2}).
+    // src B: doc 3 near-dups doc 2 (cross-source cluster — its drop is
+    // charged to B), doc 99 unique.
+    val docs = Seq(
+      (1L, text(1, 20), "A"), (2L, text(6, 25), "A"), (4L, text(1, 20), "A"),
+      (3L, text(11, 30), "B"), (99L, text(200, 230), "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupPurgeOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(("A", 3L, 1L, 1L, 1L), ("B", 2L, 0L, 1L, 1L)))
+  }
 }
