@@ -275,19 +275,24 @@ object TextOps extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY source NULLS FIRST, split NULLS FIRST""".stripMargin
 
+  /** Token budget per packed chunk, interpolated into the oracle SQL and
+    * the spec guards so plan/oracle/test cannot drift; shard count for
+    * the bounded-window variant (q69). */
+  val PackBudget = 2048L
+  val PackShards = 16
+
   /** Greedy sequence packing (sample packing for LLM training): docs are
     * laid end-to-end in doc_id order within each source and cut into
     * fixed token-budget chunks; a doc lands in the chunk where its prefix
     * sum starts. The window is a per-source ROWS running sum — parallel
-    * across sources, sequential within one (at 100 TB the partition key
-    * would be (source, shard) to bound each window; the chunk ids then
-    * offset by shard). Integer `div` end to end, so the oracle compare is
-    * exact. */
+    * across sources, sequential within one (q69 is the shard-bounded
+    * variant that parallelizes inside a source). Integer `div` end to
+    * end, so the oracle compare is exact. */
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     packSequencesOf(
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tokens")),
-      budget = 2048L)
+      budget = PackBudget)
 
   /** DataFrame-level core (property-tested on generated token tables):
     * expects (doc_id, source, n_tokens). */
@@ -305,14 +310,67 @@ object TextOps extends QueryModule {
   }
 
   private val packSequencesSql =
-    """WITH d AS (SELECT doc_id, source,
+    s"""WITH d AS (SELECT doc_id, source,
       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),
       |c AS (SELECT doc_id, source, n_tokens,
       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id NULLS FIRST
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM d)
-      |SELECT source, CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk_id,
+      |SELECT source, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS chunk_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY source NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
+
+  /** Shard-bounded sequence packing (q69): the 100 TB form of q68. One
+    * ROWS window per source serializes a 10 TB source through a single
+    * task, so the window partitions by (source, shard = doc_id mod
+    * [[PackShards]]) — each shard packs its own doc_id-ordered stream
+    * independently (still deterministic: the modulus is engine-portable,
+    * not an engine hash) and local chunk ids interleave as
+    * `local * shards + shard`, which keeps ids disjoint across shards
+    * without any cross-shard coordination. The price is up to
+    * [[PackShards]] partially-filled trailing chunks per source instead
+    * of one — at training scale (millions of chunks/source) that padding
+    * waste is O(shards/chunks) ≈ 0. Same conservation laws as q68
+    * (property-tested); integer-exact, so oracle-compared. */
+  def packSequencesSharded(spark: SparkSession, dir: String): DataFrame =
+    packSequencesShardedOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tokens")),
+      budget = PackBudget, shards = PackShards)
+
+  /** DataFrame-level core (property-tested): expects (doc_id, source,
+    * n_tokens). Equivalent to running [[packSequencesOf]] independently
+    * on each doc_id-mod-shard slice and interleaving the chunk ids. */
+  def packSequencesShardedOf(d: DataFrame, budget: Long, shards: Int): DataFrame = {
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id", expr(s"((cum - n_tokens) div $budget) * $shards + shard"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("chunk_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("chunk_id"))
+  }
+
+  // ((x % S) + S) % S mirrors Spark's pmod (same trap as q67)
+  private val packSequencesShardedSql =
+    s"""WITH d AS (SELECT doc_id, source,
+      |    ((doc_id % $PackShards) + $PackShards) % $PackShards AS shard,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, shard, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT source,
+      |  CAST(((cum - n_tokens) // $PackBudget) * $PackShards + shard AS BIGINT) AS chunk_id,
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c
@@ -329,5 +387,7 @@ object TextOps extends QueryModule {
     GraftQuery("q66_clean_corpus", cleanCorpus, Some(cleanCorpusSql)),
     GraftQuery("q67_train_split", trainSplit, Some(trainSplitSql)),
     GraftQuery("q68_pack_sequences", packSequences, Some(packSequencesSql)),
+    GraftQuery("q69_pack_sequences_sharded", packSequencesSharded,
+      Some(packSequencesShardedSql)),
   )
 }

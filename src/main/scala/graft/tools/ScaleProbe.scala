@@ -160,6 +160,20 @@ object ScaleProbe {
       println(f"[scale] q77 chain n=$n%-5d iters=$iters ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
+    // q68 vs q69 shape: ONE giant source. q68's per-source ROWS window
+    // serializes every row through a single task; q69's (source, shard)
+    // window runs `PackShards` independent running sums — the sharded
+    // row should beat the unsharded one by roughly the task parallelism.
+    val giant = spark.range(2000000L)
+      .select(col("id").as("doc_id"), lit("one_source").as("source"),
+        (pmod(col("id"), lit(100L)) + 1).as("n_tokens"))
+    def packed(df: DataFrame): Long =
+      graft.operators.TextOps.packSequencesOf(df, 2048L).count()
+    def packedSharded(df: DataFrame): Long =
+      graft.operators.TextOps.packSequencesShardedOf(df, 2048L, 16).count()
+    time("q68 pack 2M docs 1 source")(packed(giant))
+    time("q69 sharded pack 2M docs")(packedSharded(giant))
+
     spark.stop()
   }
 }

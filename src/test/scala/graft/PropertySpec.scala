@@ -130,6 +130,43 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("sharded packing = per-shard greedy packing with interleaved chunk ids") {
+    val session = spark
+    import session.implicits._
+    val budget = 100L
+    val shards = 4
+    val genDoc: Gen[(Long, String, Long)] = for {
+      id <- Gen.choose(0L, 10000L)
+      src <- Gen.oneOf("web", "books", "code")
+      n <- Gen.oneOf(Gen.choose(1L, 80L), Gen.choose(150L, 400L))
+    } yield (id, src, n)
+    val genDocs: Gen[List[(Long, String, Long)]] =
+      Gen.listOfN(60, genDoc).map(_.distinctBy(_._1))
+    checkProp(Prop.forAllNoShrink(genDocs) { rows =>
+      val d = rows.toDF("doc_id", "source", "n_tokens")
+      val row6 = (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getLong(4), r.getLong(5))
+      val sharded = graft.operators.TextOps
+        .packSequencesShardedOf(d, budget, shards).collect().map(row6)
+      // conservation survives sharding: every doc/token in exactly one chunk
+      val docsOk = sharded.map(_._3).sum == rows.size
+      val tokensOk = sharded.map(_._4).sum == rows.map(_._3).sum
+      // defining law: the sharded operator IS q68 run per doc_id-mod slice
+      // with chunk ids interleaved (local * shards + shard) — including
+      // first/last doc bookkeeping
+      val expected = (0 until shards).flatMap { s =>
+        val slice = rows.filter(r => Math.floorMod(r._1, shards) == s.toLong)
+        if (slice.isEmpty) Nil
+        else graft.operators.TextOps
+          .packSequencesOf(slice.toDF("doc_id", "source", "n_tokens"), budget)
+          .collect().map(row6)
+          .map(t => (t._1, t._2 * shards + s, t._3, t._4, t._5, t._6))
+      }.toSet
+      docsOk && tokensOk && sharded.toSet == expected
+    })
+  }
+
   test("union of splits reconstructs the input multiset") {
     val session = spark
     import session.implicits._

@@ -250,13 +250,19 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val packed = TextOps.packSequences(spark, sf0001)
     assert(packed.select(sum($"n_docs")).as[Long].head() === totalDocs)
     assert(packed.select(sum($"chunk_tokens")).as[Long].head() === totalTokens)
+    // q69: the shard-bounded variant conserves the same totals (its chunk
+    // ids are interleaved, hence legitimately sparse — no density check)
+    val sharded = TextOps.packSequencesSharded(spark, sf0001)
+    assert(sharded.select(sum($"n_docs")).as[Long].head() === totalDocs)
+    assert(sharded.select(sum($"chunk_tokens")).as[Long].head() === totalTokens)
     // chunk ids start at 0 always (the first doc's prefix sum is 0);
     // DENSITY additionally requires every doc <= budget (an oversize doc
     // legitimately skips chunk indices), so assert the precondition first
     // rather than encode a fixture artifact as an operator invariant
     val maxDocTokens = docs
       .select(max(size(split($"text", " ")))).as[Int].head()
-    assert(maxDocTokens <= 2048, "fixture changed: density check below needs re-derivation")
+    assert(maxDocTokens <= TextOps.PackBudget,
+      "fixture changed: density check below needs re-derivation")
     val perSource = packed.groupBy($"source")
       .agg(min($"chunk_id").as("lo"), max($"chunk_id").as("hi"),
            count(lit(1)).as("n"))
