@@ -17,6 +17,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Executed plan text INCLUDING the build plans of cached relations:
+    * the dedup gates persist their gated tables via ScopedCache, so the
+    * gate join lives inside an InMemoryRelation that plain plan text
+    * hides behind an InMemoryTableScan. */
+  private def fullPlanText(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val sb = new StringBuilder
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      sb.append(p.toString).append('\n')
+      p.foreach {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(s.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ =>
+      }
+    }
+    walk(df.queryExecution.executedPlan)
+    sb.toString
+  }
+
   test("filters are pushed into the parquet scan (q05)") {
     val plan = Relational.filterProject(spark, sf0001).queryExecution
       .executedPlan.toString
@@ -65,6 +86,30 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val plan = executedPlan(Relational.pricingSummary(spark, sf0001))
     assert(plan.contains("*(1) HashAggregate") || plan.contains("*(1) Filter"),
       plan.take(3000))
+  }
+
+  test("q72 DF gate is an anti-join and the shingle self-join stays equi") {
+    // the hot-shingle gate must plan as an anti-join (AQE broadcasts it
+    // when the hot list is small) and the candidate join must ride the
+    // shingle equi-key — BNLJ/cartesian here is quadratic at 100 TB
+    val plan = fullPlanText(Dedup.ngramJaccardPairs(spark, sf0001))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q73 LSH bucket gate is an anti-join and candidate join stays equi") {
+    val plan = fullPlanText(Dedup.minhashLshPairs(spark, sf0001))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q75 hot-bucket gate is an anti-join and pair join stays equi") {
+    val plan = fullPlanText(Dedup.embeddingNearDupPairs(spark, sf0001))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
   test("top-k uses TakeOrderedAndProject, not a global sort (q03)") {
