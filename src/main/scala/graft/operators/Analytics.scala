@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -412,7 +412,10 @@ object Analytics extends QueryModule {
     // l_extendedprice is ~97% distinct, so a (group, value, count)
     // pre-aggregate would collapse nothing and just add an exchange —
     // the plain exact percentile is the right shape for a near-unique
-    // column (and q18's sketch is the 100 TB alternative)
+    // column. The range-bucketed refinement ([[p25PriceBucketedOf]])
+    // computes the identical bits with bounded state but measured a
+    // wash at bench scale (P25Probe, BASELINE.md), so plain ships here
+    // and bucketed + q18's sketch remain the 100 TB escape hatches.
     val price = li.groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
     // null-safe join key: a NULL-returnflag group must survive the join
@@ -429,6 +432,81 @@ object Analytics extends QueryModule {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag NULLS FIRST""".stripMargin
+
+  /** Exact p25 of a near-unique column via range-bucketed pre-aggregation
+    * — the candidate replacement for q35's plain-percentile branch
+    * (measured against it in [[graft.tools.P25Probe]]; BASELINE.md
+    * records the outcome). Shape: (1) per-group (min, max, count) —
+    * tiny; (2) histogram count per (group, range-bin) — a codegen'd
+    * hash aggregate whose shuffle carries ≤ [[P25Bins]] rows per group
+    * instead of a per-group value buffer; (3) locate the two bins
+    * straddling the p25 order statistics from the cumulative histogram;
+    * (4) re-scan only rows in those bins (≈ n/bins rows) and pick the
+    * exact order statistics by row_number; (5) interpolate with exactly
+    * Spark's `Percentile` formula `(hi - pos) * vlo + (pos - lo) * vhi`
+    * so the result is bit-identical to the plain exact percentile (and
+    * to the DuckDB oracle). Three pruned 2-column scans and bounded
+    * state replace the single scan with an unbounded per-group
+    * value->count buffer. */
+  val P25Bins = 10000
+
+  def p25PriceBucketedOf(li: DataFrame): DataFrame = {
+    val rows = li.select(col("l_returnflag"), col("l_extendedprice").as("v"))
+      .filter(col("v").isNotNull)
+    val stats = rows.groupBy(col("l_returnflag"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+           count(lit(1)).as("n"))
+      .withColumn("pos", (col("n") - 1).cast(DoubleType) * lit(0.25))
+      .withColumn("lo_rank", floor(col("pos")).cast(LongType))
+      .withColumn("hi_rank", ceil(col("pos")).cast(LongType))
+      .withColumn("width", (col("vmax") - col("vmin")) / lit(P25Bins.toDouble))
+    // group keys may be NULL: every stats join below is null-safe (<=>)
+    // on a renamed key, mirroring the q26/q35 branch-join contract
+    val statsB = broadcast(stats.withColumnRenamed("l_returnflag", "g"))
+    def binOf(v: Column): Column =
+      when(col("width") === 0d, lit(0L))
+        .otherwise(least(floor((v - col("vmin")) / col("width")).cast(LongType),
+                         lit(P25Bins - 1L)))
+    val withBin = rows
+      .join(statsB.select(col("g"), col("vmin"), col("width")),
+            col("l_returnflag") <=> col("g"))
+      .select(col("l_returnflag"), col("v"), binOf(col("v")).as("bin"))
+    val hist = withBin.groupBy(col("l_returnflag"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum_before", coalesce(sum(col("c")).over(wcum), lit(0L)))
+    // one target row per wanted order statistic (p25 needs two)
+    val targets = stats.select(col("l_returnflag").as("g"),
+        explode(array(col("lo_rank"), col("hi_rank"))).as("t"))
+      .distinct()
+    val cand = cum.join(broadcast(targets),
+        col("l_returnflag") <=> col("g") &&
+        col("t") >= col("cum_before") && col("t") < col("cum_before") + col("c"))
+      .select(col("g"), col("t"), col("bin").as("cbin"), col("cum_before"))
+    // refine: only rows in a straddling bin are ever sorted, and the
+    // window partitions are (group, target) — ~n/bins rows each
+    val wrank = Window.partitionBy(col("g"), col("t")).orderBy(col("v"))
+    val picked = withBin.join(broadcast(cand),
+        col("l_returnflag") <=> col("g") && col("bin") === col("cbin"))
+      .withColumn("rn", row_number().over(wrank).cast(LongType) - 1L)
+      .filter(col("rn") === col("t") - col("cum_before"))
+      .select(col("g"), col("t"), col("v"))
+    picked.join(
+        statsB.select(col("g").as("g2"), col("pos"), col("lo_rank"), col("hi_rank")),
+        col("g") <=> col("g2"))
+      .groupBy(col("g"))
+      .agg(
+        min(when(col("t") === col("lo_rank"), col("v"))).as("vlo"),
+        min(when(col("t") === col("hi_rank"), col("v"))).as("vhi"),
+        first(col("pos")).as("pos"),
+        first(col("lo_rank")).as("lo"),
+        first(col("hi_rank")).as("hi"))
+      .select(col("g").as("l_returnflag"),
+        when(col("lo") === col("hi"), col("vlo"))
+          .otherwise((col("hi") - col("pos")) * col("vlo") +
+                     (col("pos") - col("lo")) * col("vhi")).as("p25_price"))
+  }
 
   /** Sketch-based twin of [[quantityPercentiles]] — the 100 TB variant.
     * `approx_percentile` (Greenwald-Khanna) is a bounded-memory,

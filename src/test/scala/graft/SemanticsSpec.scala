@@ -336,6 +336,31 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (None, 6.0, 55.0)))      // NULL group survives with its own stats
   }
 
+  test("bucketed p25 is bit-identical to the plain exact percentile") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    def plain(li: org.apache.spark.sql.DataFrame) =
+      li.groupBy($"l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        .collect().map(r => Option(r.get(0)) -> r.getDouble(1)).toMap
+    def bucketed(li: org.apache.spark.sql.DataFrame) =
+      Analytics.p25PriceBucketedOf(li)
+        .collect().map(r => Option(r.get(0)) -> r.getDouble(1)).toMap
+    // fixture (near-unique values, the production shape)
+    val li = sources.Tables.lineitem(spark, sf001)
+      .select($"l_returnflag", $"l_extendedprice")
+    assert(bucketed(li) === plain(li))
+    // edge shapes the fixture can't produce: NULL group key, an
+    // all-equal group (zero bin width), and a 2-row interpolation
+    val edge = Seq(
+      (Some("A"), 10.0), (Some("A"), 30.0),
+      (Some("E"), 7.0), (Some("E"), 7.0), (Some("E"), 7.0),
+      (None, 5.0), (None, 50.0), (None, 500.0))
+      .toDF("l_returnflag", "l_extendedprice")
+    assert(bucketed(edge) === plain(edge))
+  }
+
   test("q77 transitivity: A~B and B~C puts A,B,C in one cluster though A!~C") {
     val session = spark
     import session.implicits._
