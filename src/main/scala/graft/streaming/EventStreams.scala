@@ -208,6 +208,18 @@ object EventStreams {
     (good, dlq)
   }
 
+  /** Re-merge repaired DLQ records into the main flow — the
+    * reprocessed-stream re-merge of kafka/README.md:207: after an
+    * operator fixes the poison records offline, strip the DLQ origin
+    * metadata and union them back with the good stream BY NAME, so a
+    * schema drift between the two sides fails analysis loudly instead of
+    * silently transposing columns. Downstream exactly-once comes from
+    * writing the merged flow through [[writeBatchIdempotent]] (replay
+    * rewrites, never appends) — asserted end-to-end in StreamingSpec. */
+  def remergeDlq(good: DataFrame, repaired: DataFrame): DataFrame =
+    good.unionByName(
+      repaired.drop("origin_topic", "origin_partition", "origin_offset"))
+
   /** Streaming two-sink DLQ pipeline via foreachBatch. Both sinks write
     * overwrite-by-batch-id ([[writeBatchIdempotent]]) so a replayed
     * micro-batch after failure rewrites its partition instead of

@@ -211,6 +211,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("DLQ re-merge: repaired poison unions back to exactly the no-failure totals (S9/T8)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val goodDir = tmp("rm-good"); val dlqDir = tmp("rm-bad"); val mergedDir = tmp("rm-merged")
+    val in = MemoryStream[Event]
+    val q = EventStreams.dlqSink(in.toDF(), goodDir, dlqDir, tmp("ck-rm"))
+    val events = Seq(
+      ev(1, 0, 1, "click", 10.0), ev(2, 1, 2, "error", 7.0), ev(3, 2, 1, "view", 3.0),
+      ev(4, 3, 2, "error", 5.0), ev(5, 4, 3, "purchase", 20.0))
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val good = spark.read.parquet(goodDir)
+    // offline repair: restore the intended type, keep id/ts/user/value
+    val repaired = spark.read.parquet(dlqDir)
+      .withColumn("event_type", lit("click"))
+    val merged = EventStreams.remergeDlq(good, repaired).drop("batch_id")
+    // write the merged flow through the idempotent sink TWICE (a replay
+    // after failure) — exactly-once means the totals still match
+    EventStreams.writeBatchIdempotent(merged, 0L, mergedDir)
+    EventStreams.writeBatchIdempotent(merged, 0L, mergedDir)
+    val got = spark.read.parquet(mergedDir)
+    // reference: the same input with poison fixed at the source (no
+    // failure, no DLQ trip)
+    val noFailure = events.toDF().withColumn("event_type",
+      when($"event_type" === "error", "click").otherwise($"event_type"))
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+        .as[(Long, String, Long, Double)].collect().toSet
+    assert(got.count() === noFailure.count())
+    assert(totals(got) === totals(noFailure))
+    assert(got.filter($"event_type" === "error").count() === 0)
+  }
+
   test("idempotent batch sink: replaying a batch id does not duplicate (T8)") {
     val session = spark
     import session.implicits._
