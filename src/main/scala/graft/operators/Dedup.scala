@@ -595,6 +595,77 @@ object Dedup extends QueryModule {
       |WHERE n_shared >= $ContaminationMinShared
       |ORDER BY train_doc NULLS FIRST, bench_doc NULLS FIRST""".stripMargin
 
+  /** Fixed-benchmark carve bound and bench-side shingle-DF gate for q79,
+    * interpolated into the oracle SQL. */
+  val FixedBenchMaxId = 10000L
+  val MaxBenchShingleDF = 5
+
+  /** q79: decontamination against a FIXED-size benchmark — the plan the
+    * q76 docstring promises for a real eval suite. q76's carve grows ~1%
+    * with the corpus, so its joins stay AQE-decided; here the benchmark
+    * side is bounded (doc_id % carve = 0 AND doc_id <= [[FixedBenchMaxId]]
+    * — a stand-in for a literal eval-suite table), which justifies
+    * PINNED broadcasts: the train corpus is shingled as a pure narrow
+    * map and joined to the broadcast benchmark shingles — the train side
+    * is NEVER shuffled on the shingle key (PlanSpec asserts this on the
+    * executed plan). Discriminative-shingle gating moves to the bench
+    * side (a shingle shared by > [[MaxBenchShingleDF]] of the benchmark
+    * docs is boilerplate, not evidence), computable entirely on the tiny
+    * side — the corpus-wide DF gate of q72/q76 would itself shuffle the
+    * train corpus on sh, defeating the point. The first shuffle anywhere
+    * downstream of the train scan keys on (train_doc, bench_doc) over
+    * matched rows only. */
+  def contaminationFixedBench(spark: SparkSession, dir: String): DataFrame =
+    contaminationFixedBenchOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def contaminationFixedBenchOf(docs: DataFrame): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(BenchmarkCarveMod.toLong)) === 0 &&
+      col("doc_id") <= FixedBenchMaxId
+    val benchSh = shingled(docs.filter(isBench))
+      .select(col("doc_id").as("bench_doc"), explode(col("shingles")).as("sh"))
+    val benchHot = benchSh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxBenchShingleDF).select(col("sh"))
+    val benchGated = graft.functions.ScopedCache.persist("q79.bench",
+      benchSh.join(broadcast(benchHot), Seq("sh"), "left_anti"))
+    val benchSizes = benchGated.groupBy(col("bench_doc"))
+      .agg(count(lit(1)).as("n_bench_sh"))
+    val trainSh = shingled(docs.filter(!isBench))
+      .select(col("doc_id").as("train_doc"), explode(col("shingles")).as("sh"))
+    trainSh.join(broadcast(benchGated), Seq("sh"))
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContaminationMinShared)
+      .join(broadcast(benchSizes), Seq("bench_doc"))
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast(DoubleType) / col("n_bench_sh"), 6))
+      .select(col("train_doc"), col("bench_doc"), col("n_shared"), col("overlap_frac"))
+      .orderBy(col("train_doc"), col("bench_doc"))
+  }
+
+  private val contaminationFixedBenchSql =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |    GENERATE_SERIES(1, LEN(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |  FROM toks WHERE LEN(t) >= 3),
+      |bsh AS (SELECT doc_id AS bench_doc, sh FROM sh0
+      |        WHERE doc_id % $BenchmarkCarveMod = 0 AND doc_id <= $FixedBenchMaxId),
+      |bhot AS (SELECT sh FROM bsh GROUP BY sh HAVING COUNT(*) > $MaxBenchShingleDF),
+      |bg AS (SELECT bench_doc, sh FROM bsh b
+      |       WHERE NOT EXISTS (SELECT 1 FROM bhot h WHERE h.sh = b.sh)),
+      |bsz AS (SELECT bench_doc, COUNT(*) AS n_bench_sh FROM bg GROUP BY 1),
+      |tsh AS (SELECT doc_id AS train_doc, sh FROM sh0
+      |        WHERE NOT (doc_id % $BenchmarkCarveMod = 0 AND doc_id <= $FixedBenchMaxId)),
+      |p AS (SELECT train_doc, bench_doc, COUNT(*) AS n_shared
+      |      FROM tsh t JOIN bg b ON t.sh = b.sh GROUP BY 1, 2)
+      |SELECT train_doc, bench_doc, n_shared,
+      |  ROUND(CAST(n_shared AS DOUBLE) / n_bench_sh, 6) AS overlap_frac
+      |FROM p JOIN bsz USING (bench_doc)
+      |WHERE n_shared >= $ContaminationMinShared
+      |ORDER BY train_doc NULLS FIRST, bench_doc NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
@@ -605,5 +676,7 @@ object Dedup extends QueryModule {
     GraftQuery("q76_contamination", contamination, Some(contaminationSql)),
     GraftQuery("q77_neardup_clusters", neardupClusters, Some(neardupClustersSql)),
     GraftQuery("q78_dedup_purge", dedupPurge, Some(dedupPurgeSql)),
+    GraftQuery("q79_contamination_fixed", contaminationFixedBench,
+      Some(contaminationFixedBenchSql)),
   )
 }

@@ -112,6 +112,47 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("q79 fixed-bench decontamination never shuffles the train side on the shingle key") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    val df = Dedup.contaminationFixedBench(spark, sf0001)
+    df.collect()
+    // AQE wraps finished stages in QueryStageExec LEAF nodes, so a plain
+    // collect stops at stage boundaries — descend into them explicitly
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val buf = scala.collection.mutable.Buffer.empty[SparkPlan]
+      def go(n: SparkPlan): Unit = {
+        buf += n
+        n match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+          case _ =>
+        }
+        n.children.foreach(go)
+      }
+      go(p)
+      buf.toSeq
+    }
+    val plan = df.queryExecution.executedPlan
+    // the candidate join keys on the shingle hash and must broadcast the
+    // benchmark side; its STREAMED side is the raw train pipeline
+    // (scan -> shingle explode) with no exchange of any kind
+    val candidate = allNodes(plan).collect { case j: BroadcastHashJoinExec
+      if j.leftKeys.exists(_.references.exists(_.name == "sh")) => j }
+    assert(candidate.nonEmpty, plan.toString.take(4000))
+    candidate.foreach { j =>
+      val streamed = if (j.buildSide == BuildRight) j.left else j.right
+      val s = streamed.toString
+      assert(!s.contains("Exchange") && !s.contains("ShuffleQueryStage"), s.take(3000))
+      assert(s.contains("FileScan") || s.contains("Scan parquet"), s.take(3000))
+    }
+    val full = fullPlanText(Dedup.contaminationFixedBench(spark, sf0001))
+    assert(!full.contains("BroadcastNestedLoopJoin"), full.take(4000))
+    assert(!full.contains("CartesianProduct"), full.take(4000))
+  }
+
   test("top-k uses TakeOrderedAndProject, not a global sort (q03)") {
     val plan = executedPlan(Relational.topOrders(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
