@@ -8,12 +8,15 @@ import graft.{GraftQuery, QueryModule}
 import graft.sources.Tables
 
 /** Multimodal-column plumbing (SURVEY.md §2.12): media assets are opaque
-  * `binary` payloads plus typed metadata. This container ships no
-  * image/audio codecs, so the *decode* step is a clearly-marked
-  * deterministic stub (see [[graft.functions.MediaStub]]) — but the
-  * Spark-side plumbing that matters at 100 TB is real and tested: binary
-  * columns, per-chunk ("frame") extraction, checksums, typed metadata
-  * projection, and batch-friendly shapes (no per-row driver work).
+  * `binary` payloads plus typed metadata. The *decode* step
+  * ([[graft.functions.MediaStub]]) is REAL for PNG/JPEG/GIF via the
+  * JDK's javax.imageio (true dimensions/bands/brightness, asserted on a
+  * constructed PNG in SemanticsSpec) and a clearly-marked deterministic
+  * fake for formats this container has no codecs for (audio/video). The
+  * Spark-side plumbing that matters at 100 TB is real and tested either
+  * way: binary columns, per-chunk ("frame") extraction, checksums, typed
+  * metadata projection, and batch-friendly shapes (no per-row driver
+  * work).
   *
   * The documents' UTF-8 bytes stand in for media payloads; at scale the
   * payload column would be parquet binary written by an ingest job.
@@ -80,10 +83,12 @@ object Multimodal extends QueryModule {
       |WHERE frame_no % 2 = 0
       |ORDER BY doc_id NULLS FIRST, frame_no NULLS FIRST""".stripMargin
 
-  /** Stubbed decode + feature extraction over binary payloads
-    * (rows-only: the stub is engine-local by design). Demonstrates the
-    * real pipeline shape: binary in → typed struct out → filter/aggregate
-    * on extracted features. */
+  /** Decode + feature extraction over binary payloads (rows-only: the
+    * fixture payloads are text bytes, which take the engine-local
+    * deterministic fallback; real PNG/JPEG/GIF payloads decode for real —
+    * see [[graft.functions.MediaStub]]). Demonstrates the pipeline
+    * shape: binary in → typed struct out → filter/aggregate on extracted
+    * features. */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val decoded = d

@@ -226,6 +226,35 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (8L, 15L * 60 * 1000000)))
   }
 
+  test("q92 decode is real for PNG payloads (javax.imageio), stub for the rest") {
+    val session = spark
+    import session.implicits._
+    // construct a 5x3 RGB PNG with known pixel values (lossless format,
+    // so the decoded samples are exact)
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 5; y <- 0 until 3)
+      img.setRGB(x, y, new java.awt.Color(10 * x, 20 * y, 30).getRGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val info = graft.functions.MediaStub.decode(png)
+    assert(info.width === 5 && info.height === 3 && info.channels === 3)
+    val sampleSum = (for { x <- 0 until 5; y <- 0 until 3 }
+      yield 10 * x + 20 * y + 30).sum.toDouble
+    assert(math.abs(info.brightness - sampleSum / 45.0 / 256.0) < 1e-12)
+    // through the Spark plumbing: binary column in, typed struct out;
+    // non-image payloads still take the deterministic fallback
+    val rows = Seq((1L, png), (2L, "not an image at all".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .withColumn("media", graft.functions.MediaStub.decodeUdf($"payload"))
+      .select($"doc_id", $"media.width", $"media.height", $"media.channels")
+      .as[(Long, Int, Int, Int)].collect().map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(rows(1L) === ((5, 3, 3)))
+    val (w2, h2, c2) = rows(2L)
+    assert(w2 > 0 && h2 > 0 && c2 > 0) // fake path: plausible, nonzero
+  }
+
   test("media stub decode is deterministic and batch-shaped") {
     val a = Multimodal.decodeFeatures(spark, sf0001).collect().toSeq
     val b = Multimodal.decodeFeatures(spark, sf0001).collect().toSeq
