@@ -200,7 +200,14 @@ object Similarity extends QueryModule {
     * similarity scores are rounded BEFORE ranking — fixed-point centroids
     * make the cell assignment and the top-k order reproducible across
     * engines, so the query is oracle-comparable (the DuckDB SQL mirrors
-    * the same rounding; the cosine kernel uses identical op order). */
+    * the same rounding; the cosine kernel uses identical op order).
+    * Boundary assumption: rounding only guarantees cross-engine equality
+    * while no true average/cosine lands within float-summation noise
+    * (~1e-7; Spark's partial-agg order is partition-dependent) of a 6-dp
+    * rounding boundary. That holds for this fixture by construction-and-
+    * check, not by theorem — if the fixture or its partitioning changes
+    * and q84 starts flaking on ties, compare sims with a tolerance
+    * rather than tightening the rounding. */
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     annIvfOf(Tables.embeddings(spark, dir))
 
