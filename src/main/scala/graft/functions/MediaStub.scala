@@ -21,6 +21,11 @@ object MediaStub {
   final case class MediaInfo(
       width: Int, height: Int, channels: Int, brightness: Double)
 
+  // the payload is already fully in memory — without this, every decode
+  // wraps the stream in a FileCacheImageInputStream that creates and
+  // deletes a temp file in java.io.tmpdir, per row, on the executor
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Magic-number sniff: only payloads that claim to be an image are
     * handed to ImageIO (its reader lookup is not free, and ~all corpus
     * payloads are not images). */
@@ -31,14 +36,19 @@ object MediaStub {
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F'))
 
   /** Real JDK decode: dimensions and band count from the raster, and
-    * brightness = mean of all band samples scaled to [0, 1). Returns None
-    * when ImageIO has no reader for (or fails on) the payload. */
+    * brightness = mean of all band samples, each normalized by its own
+    * band's sample range (2^bits — a 16-bit PNG's samples run to 65535,
+    * so a hardcoded /256 would put brightness far outside [0, 1)).
+    * Returns None when ImageIO has no reader for (or fails on) the
+    * payload. */
   private[graft] def decodeImage(payload: Array[Byte]): Option[MediaInfo] =
     try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
         .map { img =>
           val raster = img.getRaster
           val bands = raster.getNumBands
+          val bandMax = Array.tabulate(bands)(b =>
+            (1L << raster.getSampleModel.getSampleSize(b)).toDouble)
           var sum = 0.0
           var n = 0L
           var y = 0
@@ -46,13 +56,15 @@ object MediaStub {
             var x = 0
             while (x < img.getWidth) {
               var b = 0
-              while (b < bands) { sum += raster.getSample(x, y, b); n += 1; b += 1 }
+              while (b < bands) {
+                sum += raster.getSample(x, y, b) / bandMax(b); n += 1; b += 1
+              }
               x += 1
             }
             y += 1
           }
           MediaInfo(img.getWidth, img.getHeight, bands,
-            if (n == 0) 0.0 else (sum / n) / 256.0)
+            if (n == 0) 0.0 else sum / n)
         }
     } catch { case _: Exception => None }
 

@@ -492,7 +492,7 @@ object Analytics extends QueryModule {
       .withColumn("rn", row_number().over(wrank).cast(LongType) - 1L)
       .filter(col("rn") === col("t") - col("cum_before"))
       .select(col("g"), col("t"), col("v"))
-    picked.join(
+    val p25 = picked.join(
         statsB.select(col("g").as("g2"), col("pos"), col("lo_rank"), col("hi_rank")),
         col("g") <=> col("g2"))
       .groupBy(col("g"))
@@ -502,10 +502,16 @@ object Analytics extends QueryModule {
         first(col("pos")).as("pos"),
         first(col("lo_rank")).as("lo"),
         first(col("hi_rank")).as("hi"))
-      .select(col("g").as("l_returnflag"),
+      .select(col("g"),
         when(col("lo") === col("hi"), col("vlo"))
           .otherwise((col("hi") - col("pos")) * col("vlo") +
                      (col("pos") - col("lo")) * col("vhi")).as("p25_price"))
+    // a group whose values are ALL null has no stats row, but the plain
+    // percentile still emits it (with a NULL p25) — preserve such groups
+    // with a left join from the full group universe
+    li.select(col("l_returnflag")).distinct()
+      .join(p25, col("l_returnflag") <=> col("g"), "left")
+      .select(col("l_returnflag"), col("p25_price"))
   }
 
   /** Sketch-based twin of [[quantityPercentiles]] — the 100 TB variant.

@@ -237,6 +237,24 @@ object Dedup extends QueryModule {
     *
     * Returns (labels, iterations): labels = one (node, label) row per doc
     * that appears in ≥1 pair, label = min doc_id of its component. */
+  /** Release the cached blocks of a localCheckpoint'd label table once
+    * the FOLLOWING round is materialized (ContextCleaner would get there
+    * eventually via GC, but a long session invoking q77/q78 repeatedly
+    * should not accumulate dead rdd blocks in the meantime). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false); ()
+      case _ =>
+    }
+
+  /** Convergence witness: sum of labels, in DecimalType(38,0) so the sum
+    * cannot overflow Long even at 1e10 nodes x 1e10-sized doc ids (ANSI
+    * mode would turn that overflow into a query-killing exception). Null
+    * = empty label table. */
+  private def labelSum(labels: DataFrame): java.math.BigDecimal =
+    labels.agg(sum(col("label").cast(DecimalType(38, 0)))).first().getDecimal(0)
+
   def clusterLabels(pairs: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
@@ -247,9 +265,8 @@ object Dedup extends QueryModule {
       var labels = edges.groupBy(col("u"))
         .agg(min(col("v")).as("nbr_min"))
         .select(col("u").as("node"), least(col("u"), col("nbr_min")).as("label"))
-        .localCheckpoint()
-      // sum(label) is the convergence witness; null sum = empty pair graph
-      var prevSum = labels.agg(sum(col("label"))).first().getAs[java.lang.Long](0)
+        .localCheckpoint(eager = false)
+      var prevSum = labelSum(labels)
       if (prevSum == null) return (labels, 0)
       var iters = 0
       var converged = false
@@ -265,12 +282,16 @@ object Dedup extends QueryModule {
         // label value is a node id (init = node ids, updates = mins of
         // labels), so the inner self-join is total.
         val jump = l1.select(col("node").as("jnode"), col("label").as("jlabel"))
+        // lazy checkpoint: the convergence-sum action right below both
+        // materializes the round and truncates its lineage in ONE job
+        // (an eager checkpoint would spend a second job per round)
         val next = l1.join(jump, l1("label") === jump("jnode"))
           .select(col("node"), least(col("label"), col("jlabel")).as("label"))
-          .localCheckpoint()
-        val s = next.agg(sum(col("label"))).first().getLong(0)
-        converged = s == prevSum
+          .localCheckpoint(eager = false)
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
         prevSum = s
+        releaseCheckpoint(labels) // next is materialized; prev blocks are dead
         labels = next
         iters += 1
       }

@@ -83,7 +83,31 @@ object Plans {
           "the cap) joins as BroadcastHashJoin LeftAnti — the hot list " +
           "is tiny at runtime, so AQE (or the explicit plan) must " +
           "broadcast it rather than shuffle the full banded table.",
-        Dedup.minhashLshPairs(spark, dir)))
+        Dedup.minhashLshPairs(spark, dir)),
+      section("q79 fixed-benchmark decontamination (broadcast-pinned)",
+        "What to look for: the train side is scan → graft_shingles " +
+          "explode → BroadcastHashJoin on the shingle hash with NO " +
+          "exchange of any kind before the join (PlanSpec asserts this " +
+          "structurally); the first shuffle keys on (train_doc, " +
+          "bench_doc) over matched rows only. The bench side is " +
+          "bounded, so its broadcasts are pinned, not AQE-decided.",
+        Dedup.contaminationFixedBench(spark, dir)),
+      section("q69 shard-bounded sequence packing",
+        "What to look for: the running-sum Window partitions by " +
+          "(source, shard) — 16 independent window partitions per " +
+          "source instead of one, so a single giant source cannot " +
+          "serialize through one task; everything below the window is " +
+          "a narrow map.",
+        TextOps.packSequencesSharded(spark, dir)),
+      section("q77 near-dup cluster resolution (final assembly)",
+        "What to look for: the label table arriving from the converged " +
+          "propagation loop is a checkpointed scan (`Scan " +
+          "ExistingRDD`-shaped) — the O(log n) iterations themselves " +
+          "are driver-sequenced DataFrame jobs (two equi-joins + a min " +
+          "aggregate each, lineage truncated per round) and do not " +
+          "appear in this single explain; the visible plan is just the " +
+          "cluster-size window + sort over the final labels.",
+        Dedup.neardupClusters(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

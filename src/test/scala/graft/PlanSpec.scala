@@ -17,25 +17,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Every plan node, including those hidden behind the three wrapper
+    * kinds that plain TreeNode traversal stops at: AQE query-stage
+    * leaves, the adaptive root, and cached-relation build plans. One
+    * shared walker so no assertion silently sees only part of a plan. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val buf = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.execution.SparkPlan]
+    def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      buf += n
+      n match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          go(s.relation.cachedPlan)
+        case _ =>
+      }
+      n.children.foreach(go)
+    }
+    go(p)
+    buf.toSeq
+  }
+
   /** Executed plan text INCLUDING the build plans of cached relations:
     * the dedup gates persist their gated tables via ScopedCache, so the
     * gate join lives inside an InMemoryRelation that plain plan text
-    * hides behind an InMemoryTableScan. */
+    * hides behind an InMemoryTableScan (toString crosses AQE stage
+    * boundaries already, but not cached-relation ones). */
   private def fullPlanText(df: org.apache.spark.sql.DataFrame): String = {
     df.collect()
-    val sb = new StringBuilder
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      sb.append(p.toString).append('\n')
-      p.foreach {
-        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          walk(s.relation.cachedPlan)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case _ =>
-      }
-    }
-    walk(df.queryExecution.executedPlan)
-    sb.toString
+    val top = df.queryExecution.executedPlan
+    (top.toString +: allNodes(top).collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan.toString
+    }).mkString("\n")
   }
 
   test("filters are pushed into the parquet scan (q05)") {
@@ -119,28 +135,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     import org.apache.spark.sql.catalyst.optimizer.BuildRight
     val df = Dedup.contaminationFixedBench(spark, sf0001)
     df.collect()
-    // AQE wraps finished stages in QueryStageExec LEAF nodes, so a plain
-    // collect stops at stage boundaries — descend into them explicitly
-    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
-      val buf = scala.collection.mutable.Buffer.empty[SparkPlan]
-      def go(n: SparkPlan): Unit = {
-        buf += n
-        n match {
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
-          case a: AdaptiveSparkPlanExec => go(a.executedPlan)
-          case _ =>
-        }
-        n.children.foreach(go)
-      }
-      go(p)
-      buf.toSeq
-    }
     val plan = df.queryExecution.executedPlan
-    // the candidate join keys on the shingle hash and must broadcast the
-    // benchmark side; its STREAMED side is the raw train pipeline
-    // (scan -> shingle explode) with no exchange of any kind
+    // the candidate join: INNER (the bench-side DF gate is also a BHJ on
+    // sh, but LeftAnti — without the joinType filter a regressed train
+    // join would let this pass vacuously), keyed on the shingle hash,
+    // benchmark side broadcast; its STREAMED side is the raw train
+    // pipeline (scan -> shingle explode) with no exchange of any kind
     val candidate = allNodes(plan).collect { case j: BroadcastHashJoinExec
-      if j.leftKeys.exists(_.references.exists(_.name == "sh")) => j }
+      if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+         j.leftKeys.exists(_.references.exists(_.name == "sh")) => j }
     assert(candidate.nonEmpty, plan.toString.take(4000))
     candidate.foreach { j =>
       val streamed = if (j.buildSide == BuildRight) j.left else j.right

@@ -372,22 +372,25 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     def plain(li: org.apache.spark.sql.DataFrame) =
       li.groupBy($"l_returnflag")
         .agg(expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
-        .collect().map(r => Option(r.get(0)) -> r.getDouble(1)).toMap
+        .collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
     def bucketed(li: org.apache.spark.sql.DataFrame) =
       Analytics.p25PriceBucketedOf(li)
-        .collect().map(r => Option(r.get(0)) -> r.getDouble(1)).toMap
+        .collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
     // fixture (near-unique values, the production shape)
     val li = sources.Tables.lineitem(spark, sf001)
       .select($"l_returnflag", $"l_extendedprice")
     assert(bucketed(li) === plain(li))
     // edge shapes the fixture can't produce: NULL group key, an
-    // all-equal group (zero bin width), and a 2-row interpolation
+    // all-equal group (zero bin width), a 2-row interpolation, and an
+    // all-NULL-value group (must survive with a NULL p25, not vanish)
     val edge = Seq(
-      (Some("A"), 10.0), (Some("A"), 30.0),
-      (Some("E"), 7.0), (Some("E"), 7.0), (Some("E"), 7.0),
-      (None, 5.0), (None, 50.0), (None, 500.0))
+      (Some("A"), Some(10.0)), (Some("A"), Some(30.0)),
+      (Some("E"), Some(7.0)), (Some("E"), Some(7.0)), (Some("E"), Some(7.0)),
+      (Some("Z"), None), (Some("Z"), None),
+      (None, Some(5.0)), (None, Some(50.0)), (None, Some(500.0)))
       .toDF("l_returnflag", "l_extendedprice")
     assert(bucketed(edge) === plain(edge))
+    assert(bucketed(edge).contains(Some("Z")))
   }
 
   test("q77 transitivity: A~B and B~C puts A,B,C in one cluster though A!~C") {
