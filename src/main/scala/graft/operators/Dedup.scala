@@ -354,22 +354,33 @@ object Dedup extends QueryModule {
   def dedupPurge(spark: SparkSession, dir: String): DataFrame =
     dedupPurgeOf(Tables.documents(spark, dir))
 
-  /** DataFrame-level core. Survivors are cached (referenced by the
-    * shingle pipeline, the exact-drop anti-join, and the near-dup drop
-    * join); the near-dup stage shingles the SURVIVOR corpus, so it gets
-    * its own cache scope rather than the shared fixture-documents one. */
-  def dedupPurgeOf(docs: DataFrame): DataFrame = {
-    val survivors = graft.functions.ScopedCache.persist("q78.survivors",
+  /** Shared core of the fuzzy-dedup pipeline (q78 accounting / q85
+    * corpus emitter): exact keep-first survivors — carrying every
+    * non-text column through `min_by` — and the near-dup drop set from
+    * cluster resolution over the survivor corpus. ONE cache scope pair
+    * for both callers (same plan; two scopes would make the second
+    * persist a no-op); the near-dup stage shingles the SURVIVOR corpus,
+    * so it does not share the fixture-documents shingle scope. */
+  private def fuzzyPurgeParts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val carry = docs.columns.filter(_ != "text").map(col)
+    val survivors = graft.functions.ScopedCache.persist("dedup.purge.survivors",
       docs.groupBy(col("text"))
-        .agg(min_by(struct(col("doc_id"), col("source")), col("doc_id")).as("keep"))
-        .select(col("keep.doc_id").as("doc_id"), col("text"),
-                col("keep.source").as("source")))
+        .agg(min_by(struct(carry: _*), col("doc_id")).as("keep"))
+        .select(col("keep.*"), col("text")))
     val pairs = ngramJaccardPairsOf(
-        survivors.select(col("doc_id"), col("text")), scope = "q78.shingles")
+        survivors.select(col("doc_id"), col("text")), scope = "dedup.purge.shingles")
       .select(col("doc_a"), col("doc_b"))
     val (labels, _) = clusterLabels(pairs)
     val ndDrops = labels.filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
+    (survivors, ndDrops)
+  }
+
+  /** DataFrame-level core. Survivors are cached (referenced by the
+    * shingle pipeline, the exact-drop anti-join, and the near-dup drop
+    * join). */
+  def dedupPurgeOf(docs: DataFrame): DataFrame = {
+    val (survivors, ndDrops) = fuzzyPurgeParts(docs)
     val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val ex = docs.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_dropped_exact"))
@@ -409,6 +420,41 @@ object Dedup extends QueryModule {
       |LEFT JOIN ex ON t.source = ex.source
       |LEFT JOIN nd ON t.source = nd.source
       |ORDER BY t.source NULLS FIRST""".stripMargin
+
+  /** q85: the fuzzy-deduplicated corpus ITSELF — the rows a user
+    * actually keeps after the full pipeline (exact keep-first, then one
+    * survivor per near-dup cluster). q78 is the accounting twin; this
+    * emits the corpus, which is what "switch your dedup job to this
+    * library" ultimately means. Text is projected out of the result
+    * (identity travels as doc_id + metadata); at 100 TB the kept rows
+    * would be written back as parquet keyed however the training job
+    * shards. */
+  def fuzzyDedupCorpus(spark: SparkSession, dir: String): DataFrame =
+    fuzzyDedupCorpusOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core: expects documents columns
+    * (doc_id, text, lang, source, n_chars). */
+  def fuzzyDedupCorpusOf(docs: DataFrame): DataFrame = {
+    val (survivors, ndDrops) = fuzzyPurgeParts(docs)
+    survivors.join(ndDrops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val fuzzyDedupCorpusSql =
+    s"""WITH RECURSIVE keep AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS rn
+      |  FROM documents),
+      |sv AS (SELECT doc_id, text, lang, source, n_chars FROM keep WHERE rn = 1),
+      |${gatedShinglesCtes("sv")},
+      |$jaccardPairsCtes,
+      |$clusterCtes
+      |SELECT s.doc_id, s.lang, s.source, s.n_chars
+      |FROM sv s
+      |WHERE NOT EXISTS (SELECT 1 FROM cc
+      |                  WHERE cc.doc_id = s.doc_id AND cc.doc_id <> cc.cluster_id)
+      |ORDER BY s.doc_id NULLS FIRST""".stripMargin
 
   // ---- MinHash + LSH ----------------------------------------------------
 
@@ -699,5 +745,7 @@ object Dedup extends QueryModule {
     GraftQuery("q78_dedup_purge", dedupPurge, Some(dedupPurgeSql)),
     GraftQuery("q79_contamination_fixed", contaminationFixedBench,
       Some(contaminationFixedBenchSql)),
+    GraftQuery("q85_fuzzy_dedup_corpus", fuzzyDedupCorpus,
+      Some(fuzzyDedupCorpusSql)),
   )
 }

@@ -433,6 +433,23 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(empty.count() === 0 && it0 === 0)
   }
 
+  test("q85 fuzzy corpus agrees with q78's accounting per source") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = sources.Tables.documents(spark, sf0001)
+    val kept = Dedup.fuzzyDedupCorpusOf(docs)
+      .groupBy($"source").agg(count(lit(1)).as("kept"))
+      .as[(String, Long)].collect().toMap
+    val acct = Dedup.dedupPurgeOf(docs)
+      .select($"source", $"n_kept").as[(String, Long)].collect().toMap
+    assert(kept === acct.filter(_._2 > 0))
+    // and the emitted rows are a subset of the original doc ids
+    val ids = Dedup.fuzzyDedupCorpusOf(docs).select($"doc_id")
+      .exceptAll(docs.select($"doc_id")).count()
+    assert(ids === 0)
+  }
+
   test("q78 purge accounting is conserved and composes exact + near-dup stages") {
     val session = spark
     import session.implicits._
