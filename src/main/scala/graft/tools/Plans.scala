@@ -99,6 +99,12 @@ object Plans {
           "serialize through one task; everything below the window is " +
           "a narrow map.",
         TextOps.packSequencesSharded(spark, dir)),
+      section("q85 fuzzy-deduplicated corpus (survivor anti-join)",
+        "What to look for: cached exact-survivor table anti-joined " +
+          "against the tiny near-dup drop set (BroadcastHashJoin " +
+          "LeftAnti at runtime) — the drop set is bounded by the pair " +
+          "graph, which is orders of magnitude smaller than the corpus.",
+        Dedup.fuzzyDedupCorpus(spark, dir)),
       section("q77 near-dup cluster resolution (final assembly)",
         "What to look for: the label table arriving from the converged " +
           "propagation loop is a checkpointed scan (`Scan " +
