@@ -35,36 +35,75 @@ object MediaStub {
       (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F'))
 
+  /** A corpus payload is untrusted: a crafted header can declare e.g.
+    * 60000×60000 and force a multi-GB BufferedImage allocation (an
+    * OutOfMemoryError no `catch Exception` sees) before a single real
+    * pixel is read. Decode is therefore two-phase: read ONLY the header
+    * dimensions via the ImageReader, and hand the payload to the full
+    * decode only when width×height is under this sample cap. */
+  private val MaxDecodedSamples = 64L * 1024 * 1024
+
+  /** Header-only dimension probe — no pixel allocation. None when no
+    * reader claims the payload or the header is unreadable. */
+  private def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
   /** Real JDK decode: dimensions and band count from the raster, and
     * brightness = mean of all band samples, each normalized by its own
     * band's sample range (2^bits — a 16-bit PNG's samples run to 65535,
     * so a hardcoded /256 would put brightness far outside [0, 1)).
     * Returns None when ImageIO has no reader for (or fails on) the
-    * payload. */
+    * payload, or when the HEADER declares more than [[MaxDecodedSamples]]
+    * pixels (adversarial-allocation guard — checked before any pixel
+    * memory exists). */
   private[graft] def decodeImage(payload: Array[Byte]): Option[MediaInfo] =
     try {
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      headerDims(payload)
+        .filter { case (w, h) => w > 0 && h > 0 && w.toLong * h <= MaxDecodedSamples }
+        .flatMap { _ =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        }
         .map { img =>
           val raster = img.getRaster
           val bands = raster.getNumBands
-          val bandMax = Array.tabulate(bands)(b =>
-            (1L << raster.getSampleModel.getSampleSize(b)).toDouble)
+          val w = img.getWidth
+          val h = img.getHeight
           var sum = 0.0
           var n = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              var b = 0
-              while (b < bands) {
-                sum += raster.getSample(x, y, b) / bandMax(b); n += 1; b += 1
-              }
-              x += 1
+          val row = new Array[Int](w)
+          var b = 0
+          while (b < bands) {
+            // bulk per-scanline read: one virtual call per (row, band)
+            // instead of one per SAMPLE (w×h×bands getSample calls is
+            // orders of magnitude slower on multi-MP photos)
+            val bandMax = (1L << raster.getSampleModel.getSampleSize(b)).toDouble
+            var y = 0
+            while (y < h) {
+              raster.getSamples(0, y, w, 1, b, row)
+              var x = 0
+              var rowSum = 0L
+              while (x < w) { rowSum += row(x); x += 1 }
+              sum += rowSum / bandMax
+              y += 1
             }
-            y += 1
+            n += w.toLong * h
+            b += 1
           }
-          MediaInfo(img.getWidth, img.getHeight, bands,
-            if (n == 0) 0.0 else sum / n)
+          MediaInfo(w, h, bands, if (n == 0) 0.0 else sum / n)
         }
     } catch { case _: Exception => None }
 

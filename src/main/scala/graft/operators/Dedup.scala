@@ -132,8 +132,15 @@ object Dedup extends QueryModule {
     val shAll = shingled(docs).select(col("doc_id"), explode(col("shingles")).as("sh"))
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDF).select(col("sh"))
-    graft.functions.ScopedCache.persist(scope,
-      shAll.join(hot, Seq("sh"), "left_anti"))
+    val gated = shAll.join(hot, Seq("sh"), "left_anti")
+    // the scope key folds in maxDF and the input plan's semantic hash:
+    // same-scope callers with a different gate or corpus (q72 vs q76 with
+    // a non-default maxDF, a pipeline shingling another table) get their
+    // own slot instead of evicting and re-persisting each other's entry
+    // per call (the sameResult check already made that thrash-safe, never
+    // wrong — this makes it cheap too)
+    val key = s"$scope.df$maxDF.${docs.queryExecution.analyzed.semanticHash()}"
+    graft.functions.ScopedCache.persist(key, gated)
   }
 
   /** Default cache scope for the gated shingle table. q72 and q76 build
@@ -169,6 +176,13 @@ object Dedup extends QueryModule {
     * mirrors the same pruned-universe computation exactly ("Jaccard over
     * discriminative shingles" semantics). */
   def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF,
+      scope: String = SharedShingleScope): DataFrame =
+    jaccardPairsUnsorted(docs, maxDF, scope).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[ngramJaccardPairsOf]] without the presentation sort — the form the
+    * clustering consumers (q77/q78/q85) feed into explode/groupBy, where
+    * a global order on the pair set buys nothing but an exchange. */
+  private def jaccardPairsUnsorted(docs: DataFrame, maxDF: Int = MaxShingleDF,
       scope: String = SharedShingleScope): DataFrame = {
     val t = JaccardThreshold
     val sh = gatedShingles(docs, maxDF, scope)
@@ -184,7 +198,6 @@ object Dedup extends QueryModule {
         col("n_inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= t)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Oracle CTEs from the gated `sh` universe to thresholded Jaccard
@@ -256,8 +269,15 @@ object Dedup extends QueryModule {
     labels.agg(sum(col("label").cast(DecimalType(38, 0)))).first().getDecimal(0)
 
   def clusterLabels(pairs: DataFrame, maxIters: Int = 25): (DataFrame, Int) = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // bidirect with a per-row explode, NOT a union of two projections: a
+    // union carries the pair-producing subtree TWICE, and the pair
+    // pipeline above this (shingle self-join + aggregate) is the most
+    // expensive stage of q77/q78/q85 — evaluating it once halves the
+    // edge-materialization job
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
     try {
       // init = one propagation step folded in: label(n) = min(n, neighbors)
@@ -322,7 +342,7 @@ object Dedup extends QueryModule {
 
   /** DataFrame-level core (testable on constructed corpora). */
   def neardupClustersOf(docs: DataFrame): DataFrame =
-    clustersOfPairs(ngramJaccardPairsOf(docs).select(col("doc_a"), col("doc_b")))
+    clustersOfPairs(jaccardPairsUnsorted(docs).select(col("doc_a"), col("doc_b")))
 
   /** Oracle CTEs pairs → components: bidirected edges, recursive label
     * reachability, MIN per node. `reach` is O(cluster_size²) rows — fine
@@ -367,7 +387,7 @@ object Dedup extends QueryModule {
       docs.groupBy(col("text"))
         .agg(min_by(struct(carry: _*), col("doc_id")).as("keep"))
         .select(col("keep.*"), col("text")))
-    val pairs = ngramJaccardPairsOf(
+    val pairs = jaccardPairsUnsorted(
         survivors.select(col("doc_id"), col("text")), scope = "dedup.purge.shingles")
       .select(col("doc_a"), col("doc_b"))
     val (labels, _) = clusterLabels(pairs)

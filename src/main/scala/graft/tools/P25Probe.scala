@@ -20,8 +20,11 @@ object P25Probe {
       .agg(expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
     def bucketed(): DataFrame = graft.operators.Analytics.p25PriceBucketedOf(li)
 
-    val p = plain().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val b = bucketed().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Option-wrap both sides: an all-NULL-price group yields a NULL
+    // percentile (and the group key itself is nullable) — the probe should
+    // report a mismatch, not NPE (same comparison the SemanticsSpec uses)
+    val p = plain().collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    val b = bucketed().collect().map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
     require(p == b, s"p25 mismatch: plain=$p bucketed=$b")
     println(s"[p25] bit-equal on ${p.size} groups: $p")
 

@@ -255,6 +255,27 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(w2 > 0 && h2 > 0 && c2 > 0) // fake path: plausible, nonzero
   }
 
+  test("q92 decode refuses oversize-header payloads without allocating (ADVICE r5)") {
+    // a valid tiny PNG whose IHDR is patched to claim 60000x60000: a full
+    // ImageIO.read would allocate a multi-GB BufferedImage before any
+    // pixel data is validated — the header-dimension guard must route it
+    // to the deterministic fake instead (offsets: 8B signature + 4B len +
+    // 4B "IHDR", width at 16..19, height at 20..23, big-endian)
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val dim = 60000
+    for (i <- 0 until 4) {
+      png(16 + i) = ((dim >> (8 * (3 - i))) & 0xFF).toByte
+      png(20 + i) = ((dim >> (8 * (3 - i))) & 0xFF).toByte
+    }
+    assert(graft.functions.MediaStub.decodeImage(png).isEmpty)
+    val info = graft.functions.MediaStub.decode(png) // total: fake path
+    assert(info.width > 0 && info.width < dim)
+  }
+
   test("media stub decode is deterministic and batch-shaped") {
     val a = Multimodal.decodeFeatures(spark, sf0001).collect().toSeq
     val b = Multimodal.decodeFeatures(spark, sf0001).collect().toSeq
