@@ -377,6 +377,224 @@ object TextOps extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY source NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
 
+  /** Constants for the round-6 operators, interpolated into both the plan
+    * and the oracle SQL so they cannot drift. [[BoilerplateDfPct]] is an
+    * integer percent compared as `df * 100 > n_docs * pct` — a double
+    * threshold (0.77 * n_docs) is NOT representable in binary and rounds
+    * differently across engines exactly at the boundary. The sample key is
+    * a bounded multiplicative hash: the inner mod keeps the product under
+    * 2^63 for any doc_id, so ANSI mode cannot overflow at corpus scale. */
+  val BoilerplateDfPct = 77
+  val SampleMod = 1000L
+  val SampleModPrime = 1000003L
+  val SampleMult = 2654435761L
+  val SampleRates: Seq[(String, Long)] =
+    Seq("en" -> 500L, "de" -> 900L, "es" -> 800L, "fr" -> 700L, "zh" -> 600L)
+  val SampleDefaultRate = 250L
+
+  /** q86: repetition signals (the Gopher-style quality heuristics used to
+    * drop degenerate/boilerplate docs before training): per doc, the mass
+    * of the most-frequent token, the mass of all repeated tokens, and the
+    * mass of repeated 2-grams. Two-level aggregate — counts per (doc,
+    * token) collapse map-side, then one keyed aggregate per doc — so the
+    * shuffle carries distinct (doc, token) rows, not the raw token stream,
+    * and a doc of any size streams through (no per-row token map). */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    repetitionSignalsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). Docs with a
+    * single token have no 2-grams; their dup_bigram_frac is 0.0. */
+  def repetitionSignalsOf(d: DataFrame): DataFrame = {
+    val uni = d.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+           max(col("cnt")).as("top_cnt"),
+           sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_cnt"))
+    // size >= 2 guard: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+    // not empty (DuckDB's GENERATE_SERIES(1, 0) IS empty — divergence trap)
+    val bi = d.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bg"),
+           sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))).as("dup_bg"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_cnt").cast(DoubleType) / col("n_tokens"), 6).as("top_unigram_frac"),
+        round(col("dup_cnt").cast(DoubleType) / col("n_tokens"), 6).as("dup_unigram_frac"),
+        coalesce(round(col("dup_bg").cast(DoubleType) / col("n_bg"), 6), lit(0.0))
+          .as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSignalsSql =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |uc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+      |       FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks) x GROUP BY 1, 2),
+      |u AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, MAX(cnt) AS top_cnt,
+      |        CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
+      |      FROM uc GROUP BY 1),
+      |bg0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+      |          i -> t[i] || ' ' || t[i+1])) AS bg
+      |        FROM toks WHERE LEN(t) >= 2),
+      |bc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg0 GROUP BY 1, 2),
+      |b AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bg,
+      |        CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_bg
+      |      FROM bc GROUP BY 1)
+      |SELECT u.doc_id, n_tokens,
+      |  ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_unigram_frac,
+      |  ROUND(CAST(dup_cnt AS DOUBLE) / n_tokens, 6) AS dup_unigram_frac,
+      |  COALESCE(ROUND(CAST(dup_bg AS DOUBLE) / n_bg, 6), 0.0) AS dup_bigram_frac
+      |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+      |ORDER BY u.doc_id NULLS FIRST""".stripMargin
+
+  /** q87: deterministic stratified downsampling (mixture rebalancing —
+    * e.g. capping an over-represented language before training). Keep a
+    * doc iff its multiplicative-hash sample key falls under its language's
+    * per-mille rate. A pure narrow map until the presentation sort: no
+    * window, no shuffle, and the key is engine-portable arithmetic (not an
+    * engine hash), so the SAME docs are kept across engines, runs, and
+    * cluster sizes — what makes a sampled corpus auditable. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val key = pmod(pmod(col("doc_id"), lit(SampleModPrime)) * lit(SampleMult), lit(SampleMod))
+    val rate = SampleRates.foldRight(lit(SampleDefaultRate): Column) {
+      case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    d.withColumn("sample_key", key)
+      .filter(col("sample_key") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ((x % m) + m) % m mirrors Spark's pmod (q67's trap); the CASE arms are
+  // generated from SampleRates so plan and oracle share one rate table
+  private val stratifiedSampleSql = {
+    val arms = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang, source, sample_key FROM (
+      |  SELECT doc_id, lang, source,
+      |    ((((doc_id % $SampleModPrime) + $SampleModPrime) % $SampleModPrime
+      |      * $SampleMult) % $SampleMod + $SampleMod) % $SampleMod AS sample_key
+      |  FROM documents) t
+      |WHERE sample_key < CASE lang $arms ELSE $SampleDefaultRate END
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  /** q88: corpus-adaptive boilerplate stripping — tokens present in more
+    * than [[BoilerplateDfPct]]% of documents are corpus boilerplate
+    * (data-driven stopwords); strip them from every doc, preserving the
+    * order of what remains. The document-frequency table is computed from
+    * distinct (doc, token) pairs (map-side collapse of within-doc
+    * repeats); the stop list is corpus-vocabulary-sized, so the anti-join
+    * gate carries no broadcast hint (AQE broadcasts when it is actually
+    * small). Re-assembly sorts each doc's kept (pos, token) pairs — per-doc
+    * memory is bounded by the doc itself, as any text transform is. */
+  def stripBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    stripBoilerplateOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). Docs whose
+    * every token is boilerplate survive with clean_text = ''. */
+  def stripBoilerplateOf(d: DataFrame): DataFrame = {
+    val tokd = d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val dfTab = tokd.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // broadcast scalar idiom: the 1-row total joins under every df row
+    val stop = dfTab.crossJoin(broadcast(total))
+      .filter(col("df") * 100 > col("n_docs") * BoilerplateDfPct)
+      .select(col("tok"))
+    val rebuilt = tokd.join(stop, Seq("tok"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+           sort_array(collect_list(struct(col("pos"), col("tok")))).as("ps"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws(" ", expr("transform(ps, s -> s.tok)")).as("clean_text"))
+    d.select(col("doc_id"), size(toks).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stripBoilerplateSql =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |tok0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t)),
+      |           i -> struct_pack(pos := i, tok := t[i]))) AS u
+      |         FROM toks),
+      |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tok0),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |dfq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |stop AS (SELECT tok FROM dfq, n WHERE df * 100 > n_docs * $BoilerplateDfPct),
+      |rb AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |         ARRAY_TO_STRING(LIST(tok ORDER BY pos), ' ') AS clean_text
+      |       FROM tok WHERE tok NOT IN (SELECT tok FROM stop) GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(LEN(STRING_SPLIT(d.text, ' ')) AS INT) AS n_tokens,
+      |  CAST(COALESCE(rb.n_kept, 0) AS BIGINT) AS n_kept,
+      |  COALESCE(rb.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id
+      |ORDER BY d.doc_id NULLS FIRST""".stripMargin
+
+  /** PII redaction pattern table (q89): applied IN ORDER, counting each
+    * family's matches on the text as redacted so far (emails before
+    * generic digit runs, or every email's digits would double-count).
+    * Patterns stay in the RE2 ∩ java.util.regex common subset — character
+    * classes, bounded quantifiers, non-capturing groups, \\b — so the
+    * Spark plan and the DuckDB oracle compile the same language. */
+  val RedactPatterns: Seq[(String, String, String)] = Seq(
+    ("n_emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ips", "\\b(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}" +
+      "(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\b", "<IP>"),
+    ("n_phones", "\\+?[0-9][0-9()\\- ]{5,}[0-9]", "<PHONE>"),
+    ("n_nums", "[0-9]{2,}", "<NUM>"))
+
+  /** q89: PII/identifier scrubbing — the redaction gate a training corpus
+    * passes before anything else sees it. Emails, IPv4s, phone-shaped
+    * spans, then residual multi-digit runs are replaced with typed
+    * placeholder tokens, with per-family match counts kept for audit.
+    * Pure per-row codegen'd regex work (regexp_count/regexp_replace) —
+    * zero shuffle until the presentation sort. Registered over
+    * events.props (the fixture's only PII-bearing-shaped column — its
+    * numeric ids redact as <NUM>); the suite drives the full pattern
+    * family on a constructed corpus with real emails/IPs/phones. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame =
+    redactPiiOf(Tables.events(spark, dir), "event_id", "props")
+
+  /** DataFrame-level core (testable on constructed corpora): redacts
+    * `textCol`, ordering the result by `idCol`. */
+  def redactPiiOf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val start = df.select(col(idCol), col(textCol).as("s"))
+    val staged = RedactPatterns.foldLeft(start) { case (acc, (cnt, pat, rep)) =>
+      acc.withColumn(cnt, regexp_count(col("s"), lit(pat)))
+        .withColumn("s", regexp_replace(col("s"), pat, rep))
+    }
+    staged.select(col(idCol) +: RedactPatterns.map(p => col(p._1))
+        :+ col("s").as("redacted"): _*)
+      .orderBy(col(idCol))
+  }
+
+  // staged CTEs generated from RedactPatterns: one stage per family, each
+  // counting on the previous stage's redacted text, exactly like the plan
+  private val redactPiiSql = {
+    val stages = RedactPatterns.zipWithIndex.map { case ((cnt, pat, rep), i) =>
+      val prevCols = RedactPatterns.take(i).map(_._1) match {
+        case Nil => ""; case cs => cs.mkString("", ", ", ", ")
+      }
+      s"""s${i + 1} AS (SELECT event_id, $prevCols
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(s, '$pat')) AS INT) AS $cnt,
+        |  REGEXP_REPLACE(s, '$pat', '$rep', 'g') AS s FROM s$i)""".stripMargin
+    }
+    val allCounts = RedactPatterns.map(_._1).mkString(", ")
+    s"""WITH s0 AS (SELECT event_id, props AS s FROM events),
+      |${stages.mkString(",\n")}
+      |SELECT event_id, $allCounts, s AS redacted
+      |FROM s${RedactPatterns.size}
+      |ORDER BY event_id NULLS FIRST""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q60_word_count", wordCount, Some(wordCountSql)),
     GraftQuery("q61_lang_stats", langStats, Some(langStatsSql)),
@@ -389,5 +607,9 @@ object TextOps extends QueryModule {
     GraftQuery("q68_pack_sequences", packSequences, Some(packSequencesSql)),
     GraftQuery("q69_pack_sequences_sharded", packSequencesSharded,
       Some(packSequencesShardedSql)),
+    GraftQuery("q86_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
+    GraftQuery("q87_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    GraftQuery("q88_strip_boilerplate", stripBoilerplate, Some(stripBoilerplateSql)),
+    GraftQuery("q89_redact_pii", redactPii, Some(redactPiiSql)),
   )
 }

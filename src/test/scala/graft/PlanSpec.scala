@@ -160,4 +160,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val plan = executedPlan(Relational.topOrders(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
   }
+
+  test("q87/q89 are narrow maps: no hash shuffle, join, or aggregate") {
+    // sampling and redaction must stay embarrassingly parallel — the only
+    // exchange allowed is the presentation sort's range partitioning; a
+    // hash shuffle, join, or aggregate here would serialize a pure
+    // per-row pipeline at 100 TB
+    for (df <- Seq(TextOps.stratifiedSample(spark, sf0001),
+                   TextOps.redactPii(spark, sf0001))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("hashpartitioning"), plan.take(3000))
+      assert(!plan.contains("Join"), plan.take(3000))
+      assert(!plan.contains("HashAggregate"), plan.take(3000))
+    }
+  }
+
+  test("q86 plans without Expand and q88's stop gate is an anti-join") {
+    // q86's three signal families aggregate as separate single-distinct
+    // branches — an Expand would multiply every (doc, token) row through
+    // the shuffle. q88's boilerplate filter must ride a left-anti join
+    // (AQE broadcasts the stop list when it is small); CartesianProduct
+    // anywhere is quadratic. The 1-row n_docs scalar rides the standard
+    // broadcast-nested-loop idiom, which is why BNLJ is not banned here.
+    val rep = executedPlan(TextOps.repetitionSignals(spark, sf0001))
+    assert(!rep.contains("Expand"), rep.take(4000))
+    val strip = executedPlan(TextOps.stripBoilerplate(spark, sf0001))
+    assert(strip.contains("LeftAnti"), strip.take(4000))
+    assert(!strip.contains("CartesianProduct"), strip.take(4000))
+  }
 }

@@ -488,4 +488,92 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .toSet
     assert(got === Set(("A", 3L, 1L, 1L, 1L), ("B", 2L, 0L, 1L, 1L)))
   }
+
+  test("q86 repetition signals on constructed degenerate/clean/1-token docs") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),   // fully degenerate: every token + bigram repeated
+      (2L, "a b c d"),   // clean: no repeats at all
+      (3L, "x"),         // single token: no bigrams -> frac 0.0, not NULL
+      (4L, "a b a b"))   // a,b twice; bigrams: "a b"x2 + "b a"x1 -> 2/3
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.repetitionSignalsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got === Seq(
+      (1L, 4L, 1.0, 1.0, 1.0),
+      (2L, 4L, 0.25, 0.0, 0.0),
+      (3L, 1L, 1.0, 0.0, 0.0),
+      (4L, 4L, 0.5, 1.0, 0.666667)))
+  }
+
+  test("q87 sample keys are the documented pure arithmetic (engine-portable)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    import operators.TextOps._
+    // the kept set must be reproducible from doc_id alone, with no engine
+    // hash in the loop — recompute every key in plain Scala and compare
+    val got = TextOps.stratifiedSample(spark, sf001)
+      .select($"doc_id", $"lang", $"sample_key")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def key(id: Long) = Math.floorMod(Math.floorMod(id, SampleModPrime) * SampleMult, SampleMod)
+    val rates = SampleRates.toMap
+    got.foreach { case (id, lang, k) =>
+      assert(k === key(id))
+      assert(k < rates.getOrElse(lang, SampleDefaultRate))
+    }
+    // and nothing under-rate was dropped
+    val total = sources.Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang").collect()
+      .count(r => key(r.getLong(0)) <
+        rates.getOrElse(r.getString(1), SampleDefaultRate))
+    assert(got.length === total)
+  }
+
+  test("q88 strips corpus-frequent tokens, keeps order, keeps all-stop docs") {
+    val session = spark
+    import session.implicits._
+    // "the" in 4/4 docs and "of" in 4/4 -> boilerplate at 77%;
+    // "cat"/"dog"/... each in 1 doc. Doc 4 is ONLY boilerplate and must
+    // survive with clean_text = '' (left-join contract), not vanish.
+    val docs = Seq(
+      (1L, "the cat of doom"),
+      (2L, "the dog of war"),
+      (3L, "art the state of"),
+      (4L, "the of the of"))
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.stripBoilerplateOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, 4, 2L, "cat doom"),
+      (2L, 4, 2L, "dog war"),
+      (3L, 4, 2L, "art state"),
+      (4L, 4, 0L, "")))
+  }
+
+  test("q89 redacts email/IP/phone/number families in order, no double counts") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "contact john.doe99@example.com or 192.168.1.1 call +1 (555) 123-4567 id 98765"),
+      (2L, "no pii here"),
+      (3L, "999.999.999.999 is not an IP; 10.0.0.255 is"))
+      .toDF("id", "text")
+    val got = operators.TextOps.redactPiiOf(docs, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5))).toSeq
+    // row 1: the email's digits are gone before the number pass (1 email,
+    // 1 ip, 1 phone, 1 residual run) — ordering prevents double counting
+    assert(got(0) === ((1L, 1, 1, 1, 1,
+      "contact <EMAIL> or <IP> call <PHONE> id <NUM>")))
+    assert(got(1) === ((2L, 0, 0, 0, 0, "no pii here")))
+    // row 3: 999.999.999.999 fails the octet-range alternation, so its
+    // digit runs fall through to <NUM>; 10.0.0.255 is a real IPv4
+    val r3 = got(2)
+    assert((r3._2, r3._3) === ((0, 1)))
+    assert(r3._6.contains("<IP> is"))
+    assert(!r3._6.contains("999"))
+  }
 }
