@@ -78,13 +78,24 @@ object Bench {
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
-    println(line)
-    // also persist the line to a file: the driver captures only a stdout
-    // tail, and round 1 showed the leading total can get truncated there
+    // full detail (per-query medians + per-pass arrays) goes to a file;
+    // the driver captures only a ~2000-char stdout TAIL, and rounds 1-5
+    // all show parsed:null in BENCH_r*.json because this full line is
+    // ~8 KB — its head (the total) never survived the tail window
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
+    // stdout gets a COMPACT line sized to fit the tail window whole:
+    // query keys shortened to their qNN id (the full names are the id
+    // plus a suffix; bench_out.json carries them), 2-decimal seconds,
+    // passes omitted. Printed last so nothing of ours pushes it out.
+    def fmt2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val shortQs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
