@@ -279,11 +279,60 @@ object Similarity extends QueryModule {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  /** q95: int8 scalar quantization with a reconstruction-error audit —
+    * the compression step an embedding store runs before ANN serving
+    * (4× smaller vectors, and the error column is the go/no-go signal).
+    * Symmetric per-vector scale = max|x|/127, so max_q is exactly 127
+    * and nothing clips. A pure narrow map — per-row array arithmetic,
+    * zero shuffle until the presentation sort; at 100 TB this is
+    * scan-bound and embarrassingly parallel.
+    *
+    * Determinism: quantized codes are `round(x*127/mx)` on doubles
+    * (identical operand order both engines; IEEE division/rounding is
+    * exact-rounded, and round-half-away matches Spark's HALF_UP on both
+    * sides); the error sum folds in array-element order in both engines
+    * and lands under `round(,6)`. Zero vectors keep scale 0 / rmse 0
+    * rather than dividing by zero. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8Of(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed vectors). */
+  def quantizeInt8Of(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+      .withColumn("mx", expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("qv", when(col("mx") === 0, expr("transform(v, x -> 0D)"))
+        .otherwise(expr("transform(v, x -> round(x * 127 / mx))")))
+      .withColumn("scale", col("mx") / 127)
+      .select(col("vec_id"), col("label"),
+        round(col("scale"), 6).as("scale"),
+        expr("aggregate(qv, 0D, (a, q) -> greatest(a, abs(q)))")
+          .cast(IntegerType).as("max_q"),
+        round(sqrt(expr(
+          "aggregate(zip_with(v, qv, (x, q) -> pow(x - q * scale, 2)), 0D, (a, b) -> a + b)")
+          / size(col("v"))), 6).as("rmse"))
+      .orderBy(col("vec_id"))
+
+  private val quantizeInt8Sql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, label, v,
+      |        LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) AS mx FROM e),
+      |q AS (SELECT vec_id, label, v, mx, mx / 127 AS scale,
+      |        CASE WHEN mx = 0 THEN LIST_TRANSFORM(v, x -> 0.0)
+      |             ELSE LIST_TRANSFORM(v, x -> ROUND(x * 127 / mx)) END AS qv
+      |      FROM m)
+      |SELECT vec_id, label, ROUND(scale, 6) AS scale,
+      |  CAST(LIST_MAX(LIST_TRANSFORM(qv, x -> ABS(x))) AS INT) AS max_q,
+      |  ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(v)),
+      |          i -> POWER(v[i] - qv[i] * scale, 2))) / LEN(v)), 6) AS rmse
+      |FROM q
+      |ORDER BY vec_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GraftQuery("q82_ann_sign_buckets", annSignBuckets, Some(annSignBucketsSql)),
     GraftQuery("q83_nearest_pair_per_label", nearestPairPerLabel, Some(nearestPairPerLabelSql)),
     GraftQuery("q84_ann_ivf", annIvf, Some(annIvfSql)),
+    GraftQuery("q95_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
   )
 }

@@ -595,6 +595,101 @@ object TextOps extends QueryModule {
       |ORDER BY event_id NULLS FIRST""".stripMargin
   }
 
+  /** q93: unigram-LM surprisal scoring — the perplexity-style quality
+    * filter of a training pipeline (score each doc by how surprising its
+    * tokens are under the corpus's own unigram distribution; degenerate
+    * and out-of-distribution docs land in the tails). Two shuffles at
+    * corpus scale: distinct (doc, token) counts, then the per-doc
+    * aggregate; the vocabulary-sized probability table rides an
+    * AQE-decided broadcast back onto the counts.
+    *
+    * Cross-engine determinism: each token's `cnt * ln(p)` term is cast to
+    * DECIMAL(20,12) BEFORE summing, so the per-doc sum is exact and
+    * order-independent — a plain double sum would vary with aggregation
+    * order across engines (and ln() may differ in the last ulp between
+    * the JVM and DuckDB's libm; the 12-decimal cast absorbs that too). */
+  def lmSurprisal(spark: SparkSession, dir: String): DataFrame =
+    lmSurprisalOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def lmSurprisalOf(d: DataFrame): DataFrame = {
+    val tokCnt = d.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val uni = tokCnt.groupBy(col("tok")).agg(sum(col("cnt")).as("tok_cnt"))
+    val total = uni.agg(sum(col("tok_cnt")).as("n_total"))
+    // broadcast scalar idiom: the 1-row corpus total under every vocab row
+    val probs = uni.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (col("tok_cnt").cast(DoubleType) / col("n_total")).as("p"))
+    val term = (col("cnt").cast(DoubleType) * log(col("p")))
+      .cast(DecimalType(20, 12))
+    tokCnt.join(probs, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), sum(term).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("s").cast(DoubleType) / col("n_tokens"), 6)
+          .as("avg_surprisal_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmSurprisalSql =
+    """WITH tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+      |            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |                  FROM documents) x GROUP BY 1, 2),
+      |uni AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS tok_cnt FROM tc GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(tok_cnt) AS BIGINT) AS n_total FROM uni),
+      |p AS (SELECT tok, CAST(tok_cnt AS DOUBLE) / n_total AS p FROM uni, tot)
+      |SELECT tc.doc_id, CAST(SUM(tc.cnt) AS BIGINT) AS n_tokens,
+      |  ROUND(-CAST(SUM(CAST(tc.cnt * LN(p.p) AS DECIMAL(20,12))) AS DOUBLE)
+      |        / SUM(tc.cnt), 6) AS avg_surprisal_nats
+      |FROM tc JOIN p ON tc.tok = p.tok
+      |GROUP BY tc.doc_id
+      |ORDER BY tc.doc_id NULLS FIRST""".stripMargin
+
+  /** q94: TF-IDF top terms per document — the standard salient-term
+    * extraction over a corpus (tf = within-doc count, idf = ln(N/df)).
+    * Same two-shuffle shape as q93; ranking happens on the ROUNDED score
+    * with the token as tiebreak, so the emitted top-3 is deterministic
+    * across engines even where scores tie or differ by an ulp. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTermsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def tfidfTopTermsOf(d: DataFrame): DataFrame = {
+    val tokCnt = d.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val dfTab = tokCnt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = dfTab.crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    tokCnt.join(idf, Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        round(col("cnt") * col("idf"), 6).as("tfidf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val tfidfTopTermsSql =
+    """WITH tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+      |            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |                  FROM documents) x GROUP BY 1, 2),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |idf AS (SELECT tok, LN(CAST(n_docs AS DOUBLE) / COUNT(*)) AS idf
+      |        FROM tc, n GROUP BY tok, n_docs),
+      |scored AS (SELECT tc.doc_id, tc.tok,
+      |             ROUND(tc.cnt * idf.idf, 6) AS tfidf,
+      |             CAST(ROW_NUMBER() OVER (PARTITION BY tc.doc_id
+      |               ORDER BY ROUND(tc.cnt * idf.idf, 6) DESC, tc.tok) AS INT) AS rnk
+      |           FROM tc JOIN idf ON tc.tok = idf.tok)
+      |SELECT doc_id, rnk, tok, tfidf FROM scored
+      |WHERE rnk <= 3
+      |ORDER BY doc_id NULLS FIRST, rnk""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q60_word_count", wordCount, Some(wordCountSql)),
     GraftQuery("q61_lang_stats", langStats, Some(langStatsSql)),
@@ -611,5 +706,7 @@ object TextOps extends QueryModule {
     GraftQuery("q87_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     GraftQuery("q88_strip_boilerplate", stripBoilerplate, Some(stripBoilerplateSql)),
     GraftQuery("q89_redact_pii", redactPii, Some(redactPiiSql)),
+    GraftQuery("q93_lm_surprisal", lmSurprisal, Some(lmSurprisalSql)),
+    GraftQuery("q94_tfidf_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
   )
 }

@@ -167,7 +167,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // hash shuffle, join, or aggregate here would serialize a pure
     // per-row pipeline at 100 TB
     for (df <- Seq(TextOps.stratifiedSample(spark, sf0001),
-                   TextOps.redactPii(spark, sf0001))) {
+                   TextOps.redactPii(spark, sf0001),
+                   Similarity.quantizeInt8(spark, sf0001))) {
       val plan = executedPlan(df)
       assert(!plan.contains("hashpartitioning"), plan.take(3000))
       assert(!plan.contains("Join"), plan.take(3000))

@@ -576,4 +576,52 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(r3._6.contains("<IP> is"))
     assert(!r3._6.contains("999"))
   }
+
+  test("q93 surprisal matches the hand-computed unigram cross-entropy") {
+    val session = spark
+    import session.implicits._
+    // corpus: 5 tokens, p(a)=0.8, p(b)=0.2. doc 1 is all-common (its
+    // surprisal is exactly -ln 0.8); doc 2 carries the rare token
+    val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = operators.TextOps.lmSurprisalOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 3L, 0.223144), (2L, 2L, 0.916291)))
+  }
+
+  test("q94 ranks by rounded tf-idf with token tiebreak; in-all-docs terms score 0") {
+    val session = spark
+    import session.implicits._
+    // x only in doc 1 (idf ln 2); y,z in both docs (idf 0 -> score 0,
+    // ranked by token). doc 2 has only two distinct tokens -> two rows
+    val docs = Seq((1L, "x x y z"), (2L, "y z z")).toDF("doc_id", "text")
+    val got = operators.TextOps.tfidfTopTermsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1L, 1, "x", 1.386294), (1L, 2, "y", 0.0), (1L, 3, "z", 0.0),
+      (2L, 1, "y", 0.0), (2L, 2, "z", 0.0)))
+  }
+
+  test("q95 quantization: exact codes on a constructed vector, zero-vector safe") {
+    val session = spark
+    import session.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f), 1))   // zero vector: no div-by-zero
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.quantizeInt8Of(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getInt(3), r.getDouble(4))).toSeq
+    // v1: scale = 1/127; codes [127, -64 (round -63.5 away from zero), 32];
+    // recompute the rmse with the operator's own formula
+    val scale = 1.0 / 127
+    val errs = Seq(1.0 - 127 * scale, -0.5 + 64 * scale, 0.25 - 32 * scale)
+    val rmse = BigDecimal(math.sqrt(errs.map(e => e * e).sum / 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, 0.007874, 127, rmse),
+      (2L, 0.0, 0, 0.0)))
+    // symmetric max-abs scaling never clips: max_q is 127 on real data too
+    val maxQ = operators.Similarity.quantizeInt8(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.max($"max_q")).collect()(0).getInt(0)
+    assert(maxQ === 127)
+  }
 }
