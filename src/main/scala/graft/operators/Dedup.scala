@@ -595,6 +595,15 @@ object Dedup extends QueryModule {
   /** DataFrame-level core (testable on constructed corpora). */
   def embeddingNearDupPairsOf(
       emb: DataFrame, threshold: Double = EmbeddingNearDupThreshold,
+      maxBucket: Int = MaxChunkBucket): DataFrame =
+    embeddingPairsUnsorted(emb, threshold, maxBucket)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Unsorted pair core — q96's cluster resolution consumes this without
+    * paying q75's presentation sort (the same split jaccardPairsUnsorted
+    * gives q77). */
+  private def embeddingPairsUnsorted(
+      emb: DataFrame, threshold: Double = EmbeddingNearDupThreshold,
       maxBucket: Int = MaxChunkBucket): DataFrame = {
     val e = emb
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
@@ -609,11 +618,12 @@ object Dedup extends QueryModule {
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("bucket"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  private val embeddingNearDupPairsSql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Oracle CTE chain producing the q75 pair set as `s` (filtered rows =
+    * the pairs); shared by q75's listing and q96's clustering. */
+  private val embeddingPairCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm,
       |  ${Similarity.signBucketSql} AS bucket FROM e),
       |hot AS (SELECT bucket FROM n GROUP BY bucket HAVING COUNT(*) > $MaxChunkBucket),
@@ -622,10 +632,58 @@ object Dedup extends QueryModule {
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
       |    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
       |         ELSE LIST_DOT_PRODUCT(a.v, b.v) / (a.nrm * b.nrm) END AS sim
-      |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |  FROM g a JOIN g b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  private val embeddingNearDupPairsSql =
+    s"""WITH $embeddingPairCtes
       |SELECT vec_a, vec_b, bucket, ROUND(sim, 6) AS sim
       |FROM s WHERE sim >= $EmbeddingNearDupThreshold
       |ORDER BY vec_a NULLS FIRST, vec_b NULLS FIRST""".stripMargin
+
+  /** q96: semantic dedup — the embedding-space analog of q78. q75's
+    * cosine near-dup pairs resolve into duplicate clusters (same
+    * min-label propagation as q77), each cluster keeps its min vec_id,
+    * and drops are charged to each vector's own class label, giving the
+    * per-slice purge accounting a mixture owner reviews before dropping.
+    * Scale shape: the pair join is q75's capped bucket equi-join, the
+    * clustering is O(log n) bounded iterations, and the final accounting
+    * is one aggregate over a cluster-sized table left-joined back. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def semanticDedupOf(emb: DataFrame): DataFrame = {
+    val pairs = embeddingPairsUnsorted(emb)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val (labels, _) = clusterLabels(pairs)
+    val cl = labels.select(col("node").as("vec_id"),
+      col("label").as("cluster_id"))
+    emb.select(col("vec_id"), col("label"))
+      .join(cl, Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("cluster_id")).as("n_dup_members"),
+        sum(when(col("cluster_id").isNotNull &&
+          col("vec_id") =!= col("cluster_id"), 1L).otherwise(0L)).as("n_dropped"))
+      .select(col("label"), col("n_vecs"), col("n_dup_members"),
+        col("n_dropped"), (col("n_vecs") - col("n_dropped")).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
+  private val semanticDedupSql =
+    s"""WITH RECURSIVE $embeddingPairCtes,
+      |pairs AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM s
+      |          WHERE sim >= $EmbeddingNearDupThreshold),
+      |$clusterCtes
+      |SELECT emb.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(cc.doc_id) AS BIGINT) AS n_dup_members,
+      |  CAST(SUM(CASE WHEN cc.doc_id IS NOT NULL AND cc.doc_id <> cc.cluster_id
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(COUNT(*) - SUM(CASE WHEN cc.doc_id IS NOT NULL
+      |           AND cc.doc_id <> cc.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.doc_id
+      |GROUP BY emb.label
+      |ORDER BY emb.label NULLS FIRST""".stripMargin
 
   // ---- benchmark decontamination -----------------------------------------
 
@@ -767,5 +825,6 @@ object Dedup extends QueryModule {
       Some(contaminationFixedBenchSql)),
     GraftQuery("q85_fuzzy_dedup_corpus", fuzzyDedupCorpus,
       Some(fuzzyDedupCorpusSql)),
+    GraftQuery("q96_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
   )
 }

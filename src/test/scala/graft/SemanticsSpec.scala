@@ -624,4 +624,24 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .agg(org.apache.spark.sql.functions.max($"max_q")).collect()(0).getInt(0)
     assert(maxQ === 127)
   }
+
+  test("q96 clusters colinear vectors across labels and charges drops per label") {
+    val session = spark
+    import session.implicits._
+    // vecs 1,2,3 are colinear (cosine 1.0 regardless of magnitude) and
+    // share a sign bucket -> one cluster keeping vec 1. The cluster spans
+    // labels: label 0 loses vec 2, label 1 loses vec 3 but keeps the
+    // unrelated vec 4 — drops are charged to each vector's OWN label.
+    def v(x: Float*) = x
+    val emb = Seq(
+      (1L, v(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f), 0),
+      (2L, v(2f, 2f, 2f, 2f, 2f, 2f, 2f, 2f), 0),
+      (3L, v(3f, 3f, 3f, 3f, 3f, 3f, 3f, 3f), 1),
+      (4L, v(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Dedup.semanticDedupOf(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq((0, 2L, 2L, 1L, 1L), (1, 2L, 1L, 1L, 1L)))
+  }
 }
