@@ -174,6 +174,34 @@ object ScaleProbe {
     time("q68 pack 2M docs 1 source")(packed(giant))
     time("q69 sharded pack 2M docs")(packedSharded(giant))
 
+    // round-6 text shapes over dN (marker-rewritten copies: texts differ
+    // per copy, so token/bigram/vocab cardinality grows with the data
+    // like a real larger crawl, instead of every stat collapsing onto
+    // `copies` identical twins). q86 shuffles distinct (doc, token/bigram)
+    // rows; q88 adds the DF anti-join gate + order-preserving rebuild;
+    // q93 adds the vocab-sized probability broadcast.
+    def repCount(docs: DataFrame): Long =
+      graft.operators.TextOps.repetitionSignalsOf(docs).count()
+    def stripCount(docs: DataFrame): Long =
+      graft.operators.TextOps.stripBoilerplateOf(docs).count()
+    def surprisalCount(docs: DataFrame): Long =
+      graft.operators.TextOps.lmSurprisalOf(docs).count()
+    time("q86 repetition 1x (5k docs)")(repCount(d1))
+    time(s"q86 repetition ${copies}x")(repCount(dN))
+    time("q88 boilerplate 1x (5k docs)")(stripCount(d1))
+    time(s"q88 boilerplate ${copies}x")(stripCount(dN))
+    time("q93 surprisal 1x (5k docs)")(surprisalCount(d1))
+    time(s"q93 surprisal ${copies}x")(surprisalCount(dN))
+
+    // q96 shape over the rotated embeddings (eN): pair join + clustering
+    // + accounting — rotations add no synthetic duplicates, so the
+    // cluster graph stays fixture-sized while the candidate join and the
+    // accounting left-join scale with the corpus.
+    def semCount(e: DataFrame): Long =
+      graft.operators.Dedup.semanticDedupOf(e).count()
+    time("q96 semantic dedup 1x (5k)")(semCount(e1))
+    time(s"q96 semantic dedup ${copies}x")(semCount(eN))
+
     spark.stop()
   }
 }
