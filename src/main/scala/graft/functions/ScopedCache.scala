@@ -14,18 +14,45 @@ import org.apache.spark.sql.DataFrame
   */
 object ScopedCache {
   private val live = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // per-scope-family insertion order, for LRU eviction across variants
+  private val order = scala.collection.mutable.LinkedHashSet.empty[String]
+
+  /** Max live generations per scope family. >1 so alternating
+    * mixed-parameter callers (the ADVICE r5 thrash: q72 vs q76 with a
+    * non-default maxDF, or a 1x/10x probe loop) each keep their own
+    * generation; bounded so a session that shingles many corpora (test
+    * suites, probes) cannot accumulate pinned executor blocks without
+    * limit — the oldest variant in the family is unpersisted first. */
+  val MaxVariantsPerFamily = 4
 
   private def isLive(df: DataFrame): Boolean =
     Try(!df.sparkSession.sparkContext.isStopped).getOrElse(false)
 
-  def persist(scope: String, df: DataFrame): DataFrame = synchronized {
-    live.get(scope) match {
+  def persist(scope: String, df: DataFrame): DataFrame =
+    persist(scope, "", df)
+
+  /** Cache `df` under (family, variant). Same variant + semantically
+    * identical plan → reuse the live generation; same variant + new plan
+    * → replace it; new variant → cache alongside the family's other
+    * variants, evicting the family's least-recently-persisted one beyond
+    * [[MaxVariantsPerFamily]]. */
+  def persist(family: String, variant: String, df: DataFrame): DataFrame = synchronized {
+    val key = if (variant.isEmpty) family else s"$family#$variant"
+    live.get(key) match {
       case Some(old) if isLive(old) && (old.sparkSession eq df.sparkSession) &&
           old.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
+        order.remove(key); order.add(key) // refresh recency
         old
       case maybeOld =>
         maybeOld.filter(isLive).foreach(o => Try(o.unpersist(blocking = false)))
-        live.put(scope, df)
+        live.put(key, df)
+        order.remove(key); order.add(key)
+        val familyKeys = order.iterator
+          .filter(k => k == family || k.startsWith(family + "#")).toSeq
+        familyKeys.dropRight(MaxVariantsPerFamily).foreach { k =>
+          live.remove(k).filter(isLive).foreach(o => Try(o.unpersist(blocking = false)))
+          order.remove(k)
+        }
         df.persist()
     }
   }
@@ -40,5 +67,6 @@ object ScopedCache {
   def clear(blocking: Boolean = false): Unit = synchronized {
     live.values.filter(isLive).foreach(o => Try(o.unpersist(blocking)))
     live.clear()
+    order.clear()
   }
 }

@@ -133,14 +133,14 @@ object Dedup extends QueryModule {
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDF).select(col("sh"))
     val gated = shAll.join(hot, Seq("sh"), "left_anti")
-    // the scope key folds in maxDF and the input plan's semantic hash:
+    // the variant folds in maxDF and the input plan's semantic hash:
     // same-scope callers with a different gate or corpus (q72 vs q76 with
     // a non-default maxDF, a pipeline shingling another table) get their
     // own slot instead of evicting and re-persisting each other's entry
-    // per call (the sameResult check already made that thrash-safe, never
-    // wrong — this makes it cheap too)
-    val key = s"$scope.df$maxDF.${docs.queryExecution.analyzed.semanticHash()}"
-    graft.functions.ScopedCache.persist(key, gated)
+    // per call; ScopedCache's per-family LRU cap keeps the slot count
+    // bounded when a session shingles many corpora (suites, probes)
+    val variant = s"df$maxDF.${docs.queryExecution.analyzed.semanticHash()}"
+    graft.functions.ScopedCache.persist(scope, variant, gated)
   }
 
   /** Default cache scope for the gated shingle table. q72 and q76 build
@@ -610,7 +610,10 @@ object Dedup extends QueryModule {
       .withColumn("bucket", Similarity.signBucket)
     val hot = e.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select(col("bucket"))
+    // same family/variant treatment as gatedShingles: q75, q96, and the
+    // 1x/Nx scale probes alternate corpora and parameters over this slot
     val g = graft.functions.ScopedCache.persist("q75.bucketed",
+      s"b$maxBucket.${emb.queryExecution.analyzed.semanticHash()}",
       e.join(hot, Seq("bucket"), "left_anti"))
     g.as("a").join(g.as("b"), Seq("bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))

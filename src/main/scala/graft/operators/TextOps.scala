@@ -604,7 +604,7 @@ object TextOps extends QueryModule {
     * AQE-decided broadcast back onto the counts.
     *
     * Cross-engine determinism: each token's `cnt * ln(p)` term is cast to
-    * DECIMAL(20,12) BEFORE summing, so the per-doc sum is exact and
+    * DECIMAL(38,12) BEFORE summing, so the per-doc sum is exact and
     * order-independent — a plain double sum would vary with aggregation
     * order across engines (and ln() may differ in the last ulp between
     * the JVM and DuckDB's libm; the 12-decimal cast absorbs that too). */
@@ -621,8 +621,12 @@ object TextOps extends QueryModule {
     val probs = uni.crossJoin(broadcast(total))
       .select(col("tok"),
         (col("tok_cnt").cast(DoubleType) / col("n_total")).as("p"))
+    // DECIMAL(38,12): 26 integer digits. A degenerate doc can repeat a
+    // rare token ~1e7+ times (cnt * ln p ≈ -1e8+), which overflows a
+    // 20-digit cast — and degenerate docs are exactly what this filter
+    // exists to score (ANSI mode would kill the whole query on one doc)
     val term = (col("cnt").cast(DoubleType) * log(col("p")))
-      .cast(DecimalType(20, 12))
+      .cast(DecimalType(38, 12))
     tokCnt.join(probs, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"), sum(term).as("s"))
@@ -640,7 +644,7 @@ object TextOps extends QueryModule {
       |tot AS (SELECT CAST(SUM(tok_cnt) AS BIGINT) AS n_total FROM uni),
       |p AS (SELECT tok, CAST(tok_cnt AS DOUBLE) / n_total AS p FROM uni, tot)
       |SELECT tc.doc_id, CAST(SUM(tc.cnt) AS BIGINT) AS n_tokens,
-      |  ROUND(-CAST(SUM(CAST(tc.cnt * LN(p.p) AS DECIMAL(20,12))) AS DOUBLE)
+      |  ROUND(-CAST(SUM(CAST(tc.cnt * LN(p.p) AS DECIMAL(38,12))) AS DOUBLE)
       |        / SUM(tc.cnt), 6) AS avg_surprisal_nats
       |FROM tc JOIN p ON tc.tok = p.tok
       |GROUP BY tc.doc_id
