@@ -565,7 +565,14 @@ object TextOps extends QueryModule {
 
   /** DataFrame-level core (testable on constructed corpora): redacts
     * `textCol`, ordering the result by `idCol`. */
-  def redactPiiOf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def redactPiiOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    redactPiiUnsorted(df, idCol, textCol).orderBy(col(idCol))
+
+  /** Unsorted redaction stages — a narrow map with no sort, so it also
+    * composes into streaming ingest (`readStream → redact → sink`, the
+    * gate position a production corpus runs this in; StreamingSpec
+    * drives it on a MemoryStream). */
+  def redactPiiUnsorted(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val start = df.select(col(idCol), col(textCol).as("s"))
     val staged = RedactPatterns.foldLeft(start) { case (acc, (cnt, pat, rep)) =>
       acc.withColumn(cnt, regexp_count(col("s"), lit(pat)))
@@ -573,7 +580,6 @@ object TextOps extends QueryModule {
     }
     staged.select(col(idCol) +: RedactPatterns.map(p => col(p._1))
         :+ col("s").as("redacted"): _*)
-      .orderBy(col(idCol))
   }
 
   // staged CTEs generated from RedactPatterns: one stage per family, each

@@ -113,7 +113,38 @@ object Plans {
           "aggregate each, lineage truncated per round) and do not " +
           "appear in this single explain; the visible plan is just the " +
           "cluster-size window + sort over the final labels.",
-        Dedup.neardupClusters(spark, dir)))
+        Dedup.neardupClusters(spark, dir)),
+      section("q86 repetition signals (two-level distinct-pair aggregate)",
+        "What to look for: no Expand node — the unigram and bigram " +
+          "branches each aggregate distinct (doc, gram) pairs and join " +
+          "on doc_id; the shuffle carries collapsed pair counts, never " +
+          "the raw token stream.",
+        TextOps.repetitionSignals(spark, dir)),
+      section("q88 boilerplate strip (corpus-adaptive stop list)",
+        "What to look for: the document-frequency stop list feeds a " +
+          "LeftAnti join (AQE broadcasts it when small); the 1-row " +
+          "n_docs scalar rides a BroadcastNestedLoopJoin — the standard " +
+          "scalar-subquery idiom, not a data-sized cartesian.",
+        TextOps.stripBoilerplate(spark, dir)),
+      section("q89 PII redaction (narrow map)",
+        "What to look for: zero exchanges before the presentation " +
+          "sort's range partitioning — four regexp_count/regexp_replace " +
+          "families fused into one whole-stage-codegen projection.",
+        TextOps.redactPii(spark, dir)),
+      section("q93 LM surprisal (vocab-probability broadcast)",
+        "What to look for: the vocabulary-sized probability table " +
+          "returns to the (doc, token) counts via BroadcastHashJoin " +
+          "(AQE-decided); the per-doc aggregate sums DECIMAL(38,12) " +
+          "terms — exact, order-independent partial/final hash " +
+          "aggregation.",
+        TextOps.lmSurprisal(spark, dir)),
+      section("q96 semantic dedup (embedding clusters, final assembly)",
+        "What to look for: same shape as q77's assembly — the converged " +
+          "label table is a checkpointed scan left-joined to the " +
+          "embeddings (broadcast at runtime: the cluster table is " +
+          "bounded by the pair graph), then one small aggregate per " +
+          "class label.",
+        Dedup.semanticDedup(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

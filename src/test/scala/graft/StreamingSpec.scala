@@ -401,4 +401,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(rows === Set((ts(0), "click", 2L), (ts(0), "view", 1L)))
     } finally q.stop()
   }
+
+  test("PII redaction gates a stream at ingest (q89 core on readStream)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the redaction gate's production position is BEFORE anything else
+    // sees the data — i.e. inside streaming ingest; the unsorted core is
+    // a narrow map, so it composes into a streaming plan unchanged
+    val in = MemoryStream[(Long, String)]
+    val q = operators.TextOps.redactPiiUnsorted(
+        in.toDF().toDF("id", "text"), "id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("redacted")
+      .option("checkpointLocation", tmp("ck-redact")).start()
+    try {
+      in.addData((1L, "mail a@b.co from 10.0.0.1"), (2L, "clean"))
+      q.processAllAvailable()
+      in.addData((3L, "id 12345"))
+      q.processAllAvailable()
+      val rows = spark.table("redacted")
+        .select($"id", $"n_emails", $"n_ips", $"n_nums", $"redacted")
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      assert(rows === Set(
+        (1L, 1, 1, 0, "mail <EMAIL> from <IP>"),
+        (2L, 0, 0, 0, "clean"),
+        (3L, 0, 0, 1, "id <NUM>")))
+    } finally q.stop()
+  }
 }
