@@ -814,6 +814,101 @@ object Dedup extends QueryModule {
       |WHERE n_shared >= $ContaminationMinShared
       |ORDER BY train_doc NULLS FIRST, bench_doc NULLS FIRST""".stripMargin
 
+  // ---- incremental (new-vs-seen) dedup ----------------------------------
+
+  /** Incoming-batch carve for q99 (doc_id % mod = 0 plays the freshly
+    * ingested batch; the rest is the already-deduplicated corpus),
+    * interpolated into the oracle SQL. */
+  val IncomingCarveMod = 5
+
+  /** q99: ingest-time incremental dedup — classify each INCOMING document
+    * against the SEEN corpus as `exact_dup` (content hash already
+    * present), `near_dup` (some seen doc matches ≥ half the incoming
+    * doc's discriminative shingles, with ≥ [[ContaminationMinShared]]
+    * shared as a small-doc fluke guard — containment, the directional
+    * near-dup criterion; contamination's bare n_shared trigger is
+    * deliberately hair-trigger and would flag most of a templated corpus
+    * here), or `new`. This is the
+    * every-batch operator of a production corpus: q70/q71/q85 deduplicate
+    * one closed corpus, this admits a delta against it (the incremental
+    * form of the keep-one-per-identity compaction semantics,
+    * kafka/README.md:27,:433-434). Exact precedence over near: an exact
+    * copy also shares all shingles, and callers want the cheaper verdict.
+    *
+    * Scale posture: the exact gate is a semi-join on 32-byte hashes —
+    * the seen side collapses to distinct hashes map-side and in steady
+    * state would be a persisted hash index, so only the (small) incoming
+    * batch shuffles. The near gate reuses the corpus-wide DF-gated
+    * shingle universe (same skew guards as q72/q76); with a bounded
+    * incoming batch AQE broadcasts the incoming side of the shingle join
+    * at runtime. Verdict assembly is two left joins against per-doc flag
+    * tables that are at most incoming-sized. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora with planted
+    * cross-batch exact and near duplicates). */
+  def incrementalDedupOf(docs: DataFrame, maxDF: Int = MaxShingleDF): DataFrame = {
+    val isIncoming = pmod(col("doc_id"), lit(IncomingCarveMod.toLong)) === 0
+    val incoming = docs.filter(isIncoming)
+    val seenHashes = docs.filter(!isIncoming)
+      .select(sha2(col("text"), 256).as("h")).distinct()
+    val exact = incoming.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(seenHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_exact"))
+    val sh = gatedShingles(docs, maxDF, SharedShingleScope)
+    val incSh = sh.filter(pmod(col("doc_id"), lit(IncomingCarveMod.toLong)) === 0)
+      .select(col("sh"), col("doc_id").as("inc_doc"))
+    val seenSh = sh.filter(pmod(col("doc_id"), lit(IncomingCarveMod.toLong)) =!= 0)
+      .select(col("sh"), col("doc_id").as("seen_doc"))
+    val incSizes = incSh.groupBy(col("inc_doc")).agg(count(lit(1)).as("n_inc_sh"))
+    // containment via integer cross-multiplication (2*shared >= size):
+    // no double threshold, so plan and oracle agree exactly at the boundary
+    val near = incSh.join(seenSh, Seq("sh"))
+      .groupBy(col("inc_doc"), col("seen_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(incSizes, Seq("inc_doc"))
+      .filter(col("n_shared") >= ContaminationMinShared &&
+        col("n_shared") * 2 >= col("n_inc_sh"))
+      .select(col("inc_doc").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    incoming.select(col("doc_id"), col("lang"), col("source"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("is_near"), lit("near_dup"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalDedupSql =
+    s"""$gatedShinglesSqlCte,
+      |inc AS (SELECT doc_id, lang, source, SHA256(text) AS h FROM documents
+      |        WHERE doc_id % $IncomingCarveMod = 0),
+      |seenh AS (SELECT DISTINCT SHA256(text) AS h FROM documents
+      |          WHERE doc_id % $IncomingCarveMod <> 0),
+      |ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN seenh s ON i.h = s.h),
+      |incsh AS (SELECT doc_id AS inc_doc, sh FROM sh
+      |          WHERE doc_id % $IncomingCarveMod = 0),
+      |seensh AS (SELECT doc_id AS seen_doc, sh FROM sh
+      |           WHERE doc_id % $IncomingCarveMod <> 0),
+      |isz AS (SELECT inc_doc, COUNT(*) AS n_inc_sh FROM incsh GROUP BY 1),
+      |nr AS (SELECT DISTINCT p.inc_doc AS doc_id FROM (
+      |         SELECT inc_doc, seen_doc, COUNT(*) AS n_shared
+      |         FROM incsh a JOIN seensh b ON a.sh = b.sh GROUP BY 1, 2) p
+      |       JOIN isz USING (inc_doc)
+      |       WHERE n_shared >= $ContaminationMinShared
+      |         AND 2 * n_shared >= n_inc_sh)
+      |SELECT i.doc_id, i.lang, i.source,
+      |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'new' END AS status
+      |FROM inc i
+      |LEFT JOIN ex ON i.doc_id = ex.doc_id
+      |LEFT JOIN nr ON i.doc_id = nr.doc_id
+      |ORDER BY i.doc_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
@@ -829,5 +924,7 @@ object Dedup extends QueryModule {
     GraftQuery("q85_fuzzy_dedup_corpus", fuzzyDedupCorpus,
       Some(fuzzyDedupCorpusSql)),
     GraftQuery("q96_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
+    GraftQuery("q99_incremental_dedup", incrementalDedup,
+      Some(incrementalDedupSql)),
   )
 }

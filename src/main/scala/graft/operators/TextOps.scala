@@ -392,6 +392,12 @@ object TextOps extends QueryModule {
     Seq("en" -> 500L, "de" -> 900L, "es" -> 800L, "fr" -> 700L, "zh" -> 600L)
   val SampleDefaultRate = 250L
 
+  /** q97 context-window defaults: 64-token chunks advancing 48 tokens per
+    * step (16-token overlap) — the sliding-window pretokenization shape
+    * used to cut long documents into model-context-sized training rows. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
   /** q86: repetition signals (the Gopher-style quality heuristics used to
     * drop degenerate/boilerplate docs before training): per doc, the mass
     * of the most-frequent token, the mass of all repeated tokens, and the
@@ -700,6 +706,107 @@ object TextOps extends QueryModule {
       |WHERE rnk <= 3
       |ORDER BY doc_id NULLS FIRST, rnk""".stripMargin
 
+  /** q97: sliding-window document chunking — cut each document's token
+    * stream into [[ChunkTokens]]-token windows advancing [[ChunkStride]]
+    * tokens per step (the context-length preparation step between
+    * cleaning and packing in a pretraining pipeline; q68 packs SHORT docs
+    * up to a budget, this splits LONG docs down to one). A pure narrow
+    * map + explode until the presentation sort: chunk starts come from a
+    * per-row `sequence`, the window itself is an array `slice` — no
+    * shuffle, no join, no aggregate, so at 100 TB this is scan-bound and
+    * embarrassingly parallel. Chunk ids are derived from the start offset
+    * (integer arithmetic, engine-portable), and the trailing chunk is
+    * kept short rather than padded — conservation (every token appears in
+    * ≥1 chunk; stride < chunk ⇒ overlap is exactly chunk − stride except
+    * at the tail) is property-tested in SemanticsSpec. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    chunkDocumentsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable chunk/stride). `sequence(1, n, step)`
+    * is never empty for n ≥ 1, and `split` yields at least [""] — so every
+    * doc emits ≥1 chunk in both engines (no empty-list divergence). */
+  def chunkDocumentsOf(d: DataFrame, chunk: Int = ChunkTokens,
+      stride: Int = ChunkStride): DataFrame = {
+    require(chunk >= 1 && stride >= 1, s"bad chunk/stride: $chunk/$stride")
+    d.select(col("doc_id"), toks.as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(expr(s"sequence(1, n, $stride)")).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"(start - 1) div $stride").cast(LongType).as("chunk_id"),
+        least(lit(chunk), col("n") - col("start") + 1).cast(LongType)
+          .as("chunk_len"),
+        array_join(slice(col("t"), col("start"), lit(chunk)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // DuckDB list slices are 1-based inclusive like Spark's slice(start,
+  // length) window; both clamp past the end, so the tail chunk agrees
+  private val chunkDocumentsSql =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, t, LEN(t) AS n FROM toks),
+      |c AS (SELECT doc_id, t, n,
+      |        UNNEST(GENERATE_SERIES(1, n, $ChunkStride)) AS start
+      |      FROM s)
+      |SELECT doc_id,
+      |  CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+      |  CAST(LEAST($ChunkTokens, n - start + 1) AS BIGINT) AS chunk_len,
+      |  ARRAY_TO_STRING(t[start : start + ${ChunkTokens - 1}], ' ') AS chunk_text
+      |FROM c
+      |ORDER BY doc_id NULLS FIRST, chunk_id""".stripMargin
+
+  /** q98: data-driven mixture rebalancing — downsample every language to
+    * the size of the SMALLEST one (uniform target mixture), with the
+    * keep-rate COMPUTED from the corpus rather than fixed up front (q87
+    * is the fixed-rate form). The per-lang keep threshold is integer
+    * arithmetic — `(SampleMod * min_cnt) div cnt` — so plan and oracle
+    * agree exactly at every boundary, and the same multiplicative-hash
+    * sample key as q87 makes the kept set auditable across engines, runs,
+    * and cluster sizes. Shape at 100 TB: one map-side-collapsible count
+    * per lang (output rows = #languages, inherently bounded), a broadcast
+    * scalar for the min, then the corpus passes ONCE through a broadcast
+    * join + narrow filter — no shuffle of the data itself. */
+  def mixToUniform(spark: SparkSession, dir: String): DataFrame =
+    mixToUniformOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). NULL-lang
+    * docs have no mixture bucket and are dropped by the inner join —
+    * same semantics in the oracle's JOIN USING. */
+  def mixToUniformOf(d: DataFrame): DataFrame = {
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
+    // broadcast scalar idiom: the 1-row min under every lang row
+    val thr = counts.crossJoin(broadcast(minCnt))
+      .select(col("lang"),
+        expr(s"($SampleMod * min_cnt) div cnt").cast(LongType).as("thr"))
+    val key = pmod(pmod(col("doc_id"), lit(SampleModPrime)) * lit(SampleMult),
+      lit(SampleMod))
+    d.withColumn("sample_key", key)
+      // pinned broadcast is justified: rows = distinct languages, a
+      // naturally bounded set (unlike the unbounded hot lists in Dedup)
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("sample_key") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("sample_key"), col("thr"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mixToUniformSql =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |m AS (SELECT MIN(cnt) AS min_cnt FROM c),
+      |t AS (SELECT lang, CAST(($SampleMod * min_cnt) // cnt AS BIGINT) AS thr
+      |      FROM c, m),
+      |k AS (SELECT doc_id, lang,
+      |        CAST(((((doc_id % $SampleModPrime) + $SampleModPrime) % $SampleModPrime
+      |          * $SampleMult) % $SampleMod + $SampleMod) % $SampleMod
+      |          AS BIGINT) AS sample_key
+      |      FROM documents)
+      |SELECT k.doc_id, k.lang, k.sample_key, t.thr
+      |FROM k JOIN t USING (lang)
+      |WHERE k.sample_key < t.thr
+      |ORDER BY k.doc_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q60_word_count", wordCount, Some(wordCountSql)),
     GraftQuery("q61_lang_stats", langStats, Some(langStatsSql)),
@@ -718,5 +825,7 @@ object TextOps extends QueryModule {
     GraftQuery("q89_redact_pii", redactPii, Some(redactPiiSql)),
     GraftQuery("q93_lm_surprisal", lmSurprisal, Some(lmSurprisalSql)),
     GraftQuery("q94_tfidf_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    GraftQuery("q97_chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
+    GraftQuery("q98_mix_to_uniform", mixToUniform, Some(mixToUniformSql)),
   )
 }

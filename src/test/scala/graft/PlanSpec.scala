@@ -189,4 +189,31 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(strip.contains("LeftAnti"), strip.take(4000))
     assert(!strip.contains("CartesianProduct"), strip.take(4000))
   }
+
+  test("q97 chunking is a narrow map + explode: no join or aggregate") {
+    // sliding-window chunking must stay scan-bound: the only exchange
+    // allowed is the presentation sort's range partitioning
+    val plan = executedPlan(TextOps.chunkDocuments(spark, sf0001))
+    assert(!plan.contains("hashpartitioning"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("q98 keep-filter joins broadcast; the corpus is never shuffle-joined") {
+    // the per-lang threshold table is #languages rows — the corpus pass
+    // must ride a BroadcastHashJoin; a sort-merge join here would shuffle
+    // the full corpus on lang (a handful of giant skewed partitions)
+    val plan = executedPlan(TextOps.mixToUniform(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q99 gates: exact is a semi-join, DF gate anti, no cartesian") {
+    val plan = executedPlan(Dedup.incrementalDedup(spark, sf0001))
+    assert(plan.contains("LeftSemi"), plan.take(4000))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
 }

@@ -644,4 +644,73 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
         r.getLong(4))).toSeq
     assert(got === Seq((0, 2L, 2L, 1L, 1L), (1, 2L, 1L, 1L, 1L)))
   }
+
+  test("q97 chunking conserves tokens, overlaps by chunk-stride, keeps short tail") {
+    val session = spark
+    import session.implicits._
+    // 7 tokens, chunk 3, stride 2 -> starts 1,3,5,7: windows abc/cde/efg/g
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.chunkDocumentsOf(docs, chunk = 3, stride = 2)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 3L, "a b c"), (1L, 1L, 3L, "c d e"),
+      (1L, 2L, 3L, "e f g"), (1L, 3L, 1L, "g"),
+      (2L, 0L, 1L, "x"),
+      // split('', ' ') is [""] in both engines: one empty 1-token chunk
+      (3L, 0L, 1L, "")))
+    // coverage on the fixture defaults: chunk c starts at c*stride+1 and
+    // reaches c*stride + chunk_len; with stride <= chunk the last chunk's
+    // reach is exactly n, so every doc has chunk 0 and full token coverage
+    val fixture = sources.Tables.documents(spark, sf001)
+    val perDoc = operators.TextOps.chunkDocumentsOf(fixture)
+      .groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.min($"chunk_id").as("lo"),
+        org.apache.spark.sql.functions.max(
+          $"chunk_id" * operators.TextOps.ChunkStride + $"chunk_len").as("reach"))
+      .join(fixture.selectExpr("doc_id", "size(split(text, ' ')) as n"), "doc_id")
+      .selectExpr("min(lo) as min_lo", "max(lo) as max_lo",
+        "sum(case when reach >= n then 0 else 1 end) as short_docs")
+      .as[(Long, Long, Long)].head()
+    assert(perDoc === ((0L, 0L, 0L)))
+  }
+
+  test("q98 rebalances a skewed corpus toward the smallest language") {
+    val session = spark
+    import session.implicits._
+    // en 40 docs, fr 4 -> thr(fr) = SampleMod (keep all), thr(en) = 100
+    val docs = ((1L to 40L).map(i => (i * 7L, "en")) ++
+      (1L to 4L).map(i => (10000L + i, "fr")))
+      .toDF("doc_id", "lang")
+    val got = operators.TextOps.mixToUniformOf(docs)
+    val thrs = got.select($"lang", $"thr").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(thrs.get("fr").contains(operators.TextOps.SampleMod))
+    assert(thrs.get("en").forall(_ === operators.TextOps.SampleMod * 4 / 40))
+    val keptFr = got.filter($"lang" === "fr").count()
+    assert(keptFr === 4L, "smallest language must be kept whole")
+    // determinism: the kept set is a pure function of doc_id
+    val again = operators.TextOps.mixToUniformOf(docs)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+
+  test("q99 classifies planted cross-batch exact and near duplicates") {
+    val session = spark
+    import session.implicits._
+    // doc_ids: % 5 == 0 -> incoming, else seen.
+    // 10 = exact copy of seen 11; 15 = near copy of seen 16 (most
+    // shingles shared); 20 = genuinely new; 21/22 seen-only filler.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (10L, base, "en", "s0"),
+      (11L, base, "en", "s0"),
+      (15L, base + " lambda", "en", "s1"),
+      (16L, base + " mu", "en", "s1"),
+      (20L, "one two three four five six seven eight nine ten", "en", "s2"),
+      (21L, "red orange yellow green blue indigo violet ultraviolet", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = operators.Dedup.incrementalDedupOf(docs)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toSeq
+    assert(got === Seq((10L, "exact_dup"), (15L, "near_dup"), (20L, "new")))
+  }
 }
