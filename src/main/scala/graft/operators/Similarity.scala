@@ -327,6 +327,127 @@ object Similarity extends QueryModule {
       |FROM q
       |ORDER BY vec_id NULLS FIRST""".stripMargin
 
+  // ---- k-means training (Lloyd iterations as a DataFrame loop) ----------
+
+  /** q100 model shape: [[KmeansK]] centroids over [[KmeansDim]]-dim
+    * vectors, [[KmeansIters]] Lloyd iterations — FIXED so the oracle can
+    * unroll the identical computation. */
+  val KmeansK = 8
+  val KmeansIters = 3
+  val KmeansDim = 64
+
+  /** q100: k-means training — the clustering loop itself (q84 consumes
+    * per-label centroids as a given coarse quantizer; this TRAINS a
+    * codebook from scratch, the IVF/PQ prerequisite every embedding
+    * pipeline runs). Deterministic throughout: init = the k lowest
+    * vec_ids' vectors, per-step distances rounded to 6 dp with cluster-id
+    * tiebreak, per-dim centroid averages rounded to 6 dp (the q84
+    * fixed-point regime and its documented rounding-boundary assumption,
+    * compounded over [[KmeansIters]] steps), inertia/centroid checksums
+    * summed as DECIMAL so aggregation order cannot move the result.
+    *
+    * Scale posture: the model (k×dim) is broadcast each iteration and the
+    * corpus passes ONCE per iteration through a narrow
+    * assign-via-broadcast + per-(cluster,dim) partial aggregate — the
+    * textbook distributed Lloyd shape. Per-iteration
+    * `localCheckpoint(lazy)` truncates lineage so the plan does not
+    * deepen with the iteration count; nothing but the k-row model is
+    * ever on the driver side of a broadcast. */
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrainOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (ScaleProbe feeds enlarged inputs). Empty
+    * clusters simply vanish from the model — identically in the oracle. */
+  def kmeansTrainOf(emb: DataFrame, k: Int = KmeansK,
+      iters: Int = KmeansIters): DataFrame = {
+    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    // squared euclidean with the same sequential fold order as the
+    // oracle's LIST_SUM(LIST_TRANSFORM(...)); 6-dp rounding absorbs ulps
+    val sqDist = expr(
+      "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+    // argmin as a min_by hash aggregate, NOT a window: the broadcast
+    // cross join emits each vector's k candidate rows inside one map
+    // partition, so partial aggregation collapses them there and the
+    // shuffle carries ONE row per vector — a vec_id window would shuffle
+    // and sort all n×k rows. Tie-break on (dist, cluster) is total.
+    def assign(c: DataFrame): DataFrame =
+      e.crossJoin(broadcast(c))
+        .withColumn("dist", round(sqDist, 6))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cluster"), col("v"), col("dist")),
+          struct(col("dist"), col("cluster"))).as("best"))
+        .select(col("vec_id"), col("best.cluster").as("cluster"),
+          col("best.v").as("v"), col("best.dist").as("dist"))
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster")).pivot("pos", (0 until KmeansDim).map(_.toString))
+        .agg(round(avg(col("x")), 6))
+        .select(col("cluster"),
+          array((0 until KmeansDim).map(i => col(s"`$i`")): _*).as("cv"))
+        .localCheckpoint(eager = false)
+    }
+    val fin = assign(cents)
+    val sizes = fin.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+          .as("inertia"))
+    val csum = cents
+      .select(col("cluster"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"))
+      .agg(round(sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+        .as("centroid_sum"))
+    // pinned broadcast: csum is the k-row model summary by construction
+    sizes.join(broadcast(csum), Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("centroid_sum"), col("inertia"))
+      .orderBy(col("cluster"))
+  }
+
+  /** One unrolled Lloyd step: assignment a$i against c${i-1}, recompute
+    * c$i — the SQL twin of one loop pass in [[kmeansTrainOf]]. */
+  private def kmeansStepSql(i: Int): String = {
+    val prev = if (i == 1) "c0" else s"c${i - 1}"
+    s"""a$i AS (
+      |  SELECT vec_id, v, cluster, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                       ORDER BY dist, cluster) AS rk
+      |  FROM (SELECT e.vec_id, e.v, c.cluster,
+      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $KmeansDim),
+      |            j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))), 6) AS dist
+      |        FROM e CROSS JOIN $prev c) t),
+      |c$i AS (
+      |  SELECT cluster, LIST(c ORDER BY pos) AS cv FROM (
+      |    SELECT cluster, pos, ROUND(AVG(v[pos]), 6) AS c
+      |    FROM a$i, UNNEST(GENERATE_SERIES(1, $KmeansDim)) AS t(pos)
+      |    WHERE rk = 1 GROUP BY cluster, pos) g
+      |  GROUP BY cluster)""".stripMargin
+  }
+
+  private val kmeansTrainSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansK),
+      |${(1 to KmeansIters).map(kmeansStepSql).mkString(",\n")},
+      |afin AS (
+      |  SELECT vec_id, cluster, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                       ORDER BY dist, cluster) AS rk
+      |  FROM (SELECT e.vec_id, c.cluster,
+      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $KmeansDim),
+      |            j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))), 6) AS dist
+      |        FROM e CROSS JOIN c$KmeansIters c) t),
+      |s AS (SELECT cluster, COUNT(*) AS n_members,
+      |        ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS inertia
+      |      FROM afin WHERE rk = 1 GROUP BY 1),
+      |cs AS (SELECT cluster,
+      |         ROUND(CAST(SUM(CAST(x AS DECIMAL(38, 6))) AS DOUBLE), 6) AS centroid_sum
+      |       FROM (SELECT cluster, UNNEST(cv) AS x FROM c$KmeansIters) u
+      |       GROUP BY 1)
+      |SELECT s.cluster, s.n_members, cs.centroid_sum, s.inertia
+      |FROM s JOIN cs USING (cluster)
+      |ORDER BY s.cluster NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
@@ -334,5 +455,6 @@ object Similarity extends QueryModule {
     GraftQuery("q83_nearest_pair_per_label", nearestPairPerLabel, Some(nearestPairPerLabelSql)),
     GraftQuery("q84_ann_ivf", annIvf, Some(annIvfSql)),
     GraftQuery("q95_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
+    GraftQuery("q100_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
   )
 }

@@ -209,6 +209,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("q100 assignment is broadcast + min_by aggregate, never a shuffle join") {
+    // each Lloyd step must broadcast the k-row model over the corpus (the
+    // BroadcastNestedLoopJoin here IS the broadcast scalar/model idiom)
+    // and pick the argmin with a hash aggregate; a sort-merge join or a
+    // vec_id window would shuffle n×k candidate rows per iteration
+    val plan = executedPlan(Similarity.kmeansTrain(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(!plan.contains("Window"), plan.take(4000))
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+  }
+
   test("q99 gates: exact is a semi-join, DF gate anti, no cartesian") {
     val plan = executedPlan(Dedup.incrementalDedup(spark, sf0001))
     assert(plan.contains("LeftSemi"), plan.take(4000))
