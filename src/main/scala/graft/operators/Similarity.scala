@@ -448,6 +448,128 @@ object Similarity extends QueryModule {
       |FROM s JOIN cs USING (cluster)
       |ORDER BY s.cluster NULLS FIRST""".stripMargin
 
+  // ---- product-quantization codebook training ----------------------------
+
+  /** q101 model shape: [[PqBlocks]] sub-vector blocks of [[PqBlockDim]]
+    * dims each (8×8 = the 64-dim fixture vectors), [[PqK]] centroids per
+    * block, [[PqIters]] Lloyd iterations — fixed so the oracle unrolls
+    * the identical computation. */
+  val PqBlocks = 8
+  val PqBlockDim = 8
+  val PqK = 4
+  val PqIters = 2
+
+  /** q101: product-quantization codebook training — q100's Lloyd loop
+    * generalized to a PER-BLOCK model: each vector splits into
+    * [[PqBlocks]] sub-vectors and every block trains its own [[PqK]]-way
+    * codebook simultaneously (the compression stage of a PQ/IVF-PQ index,
+    * which is how an embedding store actually fits 100 TB: 64 floats →
+    * 8 byte-codes). One DataFrame program trains ALL blocks at once —
+    * block id is just another key in the model join, the assignment
+    * min_by, and the recompute aggregate, so block-parallelism costs
+    * nothing extra. Same fixed-point determinism regime as q100/q84.
+    *
+    * Scale posture: the corpus passes once per iteration through a
+    * broadcast join on block id (model = blocks×k×blockDim, bounded) and
+    * a min_by collapse keyed (vec_id, block) — map-side-partial, one
+    * shuffled row per sub-vector. Nothing driver-side but the model. */
+  def pqTrain(spark: SparkSession, dir: String): DataFrame =
+    pqTrainOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core. Requires dim = [[PqBlocks]]×[[PqBlockDim]]. */
+  def pqTrainOf(emb: DataFrame): DataFrame = {
+    val e2 = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqBlocks - 1}), " +
+          s"b -> slice(v, b * $PqBlockDim + 1, $PqBlockDim))"))
+        .as(Seq("block", "sv")))
+    val sqDist = expr(
+      "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+    // same argmin-as-aggregate shape as q100, keyed by (vec, block)
+    def assign(m: DataFrame): DataFrame =
+      e2.join(broadcast(m), Seq("block"))
+        .withColumn("dist", round(sqDist, 6))
+        .groupBy(col("vec_id"), col("block"))
+        .agg(min_by(struct(col("cluster"), col("sv"), col("dist")),
+          struct(col("dist"), col("cluster"))).as("best"))
+        .select(col("vec_id"), col("block"), col("best.cluster").as("cluster"),
+          col("best.sv").as("sv"), col("best.dist").as("dist"))
+    var model = e2.filter(col("vec_id") < PqK)
+      .select(col("block"), col("vec_id").as("cluster"), col("sv").as("cv"))
+    for (_ <- 1 to PqIters) {
+      model = assign(model)
+        .select(col("block"), col("cluster"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("block"), col("cluster"))
+        .pivot("pos", (0 until PqBlockDim).map(_.toString))
+        .agg(round(avg(col("x")), 6))
+        .select(col("block"), col("cluster"),
+          array((0 until PqBlockDim).map(i => col(s"`$i`")): _*).as("cv"))
+        .localCheckpoint(eager = false)
+    }
+    val fin = assign(model)
+    val sizes = fin.groupBy(col("block"), col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+          .as("inertia"))
+    val csum = model
+      .select(col("block"), col("cluster"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy(col("block"), col("cluster"))
+      .agg(round(sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+        .as("centroid_sum"))
+    sizes.join(broadcast(csum), Seq("block", "cluster"))
+      // posexplode's pos is int; the oracle's GENERATE_SERIES is BIGINT
+      .select(col("block").cast(LongType).as("block"), col("cluster"),
+        col("n_members"), col("centroid_sum"), col("inertia"))
+      .orderBy(col("block"), col("cluster"))
+  }
+
+  /** One unrolled per-block Lloyd step (SQL twin of one [[pqTrainOf]]
+    * loop pass). */
+  private def pqStepSql(i: Int): String = {
+    val prev = if (i == 1) "pc0" else s"pc${i - 1}"
+    s"""pa$i AS (
+      |  SELECT vec_id, block, sv, cluster, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, block
+      |                       ORDER BY dist, cluster) AS rk
+      |  FROM (SELECT e2.vec_id, e2.block, e2.sv, c.cluster,
+      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
+      |            j -> (e2.sv[j] - c.cv[j]) * (e2.sv[j] - c.cv[j]))), 6) AS dist
+      |        FROM e2 JOIN $prev c USING (block)) t),
+      |pc$i AS (
+      |  SELECT block, cluster, LIST(c ORDER BY pos) AS cv FROM (
+      |    SELECT block, cluster, pos, ROUND(AVG(sv[pos]), 6) AS c
+      |    FROM pa$i, UNNEST(GENERATE_SERIES(1, $PqBlockDim)) AS t(pos)
+      |    WHERE rk = 1 GROUP BY block, cluster, pos) g
+      |  GROUP BY block, cluster)""".stripMargin
+  }
+
+  private val pqTrainSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |e2 AS (SELECT vec_id, b AS block,
+      |         v[b * $PqBlockDim + 1 : (b + 1) * $PqBlockDim] AS sv
+      |       FROM e, UNNEST(GENERATE_SERIES(0, ${PqBlocks - 1})) AS t(b)),
+      |pc0 AS (SELECT block, vec_id AS cluster, sv AS cv FROM e2
+      |        WHERE vec_id < $PqK),
+      |${(1 to PqIters).map(pqStepSql).mkString(",\n")},
+      |pafin AS (
+      |  SELECT vec_id, block, cluster, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, block
+      |                       ORDER BY dist, cluster) AS rk
+      |  FROM (SELECT e2.vec_id, e2.block, c.cluster,
+      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
+      |            j -> (e2.sv[j] - c.cv[j]) * (e2.sv[j] - c.cv[j]))), 6) AS dist
+      |        FROM e2 JOIN pc$PqIters c USING (block)) t),
+      |ps AS (SELECT block, cluster, COUNT(*) AS n_members,
+      |         ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS inertia
+      |       FROM pafin WHERE rk = 1 GROUP BY 1, 2),
+      |pcs AS (SELECT block, cluster,
+      |          ROUND(CAST(SUM(CAST(x AS DECIMAL(38, 6))) AS DOUBLE), 6) AS centroid_sum
+      |        FROM (SELECT block, cluster, UNNEST(cv) AS x FROM pc$PqIters) u
+      |        GROUP BY 1, 2)
+      |SELECT ps.block, ps.cluster, ps.n_members, pcs.centroid_sum, ps.inertia
+      |FROM ps JOIN pcs USING (block, cluster)
+      |ORDER BY ps.block NULLS FIRST, ps.cluster NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
@@ -456,5 +578,6 @@ object Similarity extends QueryModule {
     GraftQuery("q84_ann_ivf", annIvf, Some(annIvfSql)),
     GraftQuery("q95_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     GraftQuery("q100_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
+    GraftQuery("q101_pq_train", pqTrain, Some(pqTrainSql)),
   )
 }

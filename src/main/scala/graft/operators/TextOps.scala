@@ -807,6 +807,48 @@ object TextOps extends QueryModule {
       |WHERE k.sample_key < t.thr
       |ORDER BY k.doc_id NULLS FIRST""".stripMargin
 
+  /** q102: BPE-style merge candidates — corpus-wide adjacent-token-pair
+    * frequencies, top 20 (the pair-selection step of one
+    * byte-pair-encoding merge round: the highest-count adjacent pair
+    * becomes the next vocabulary merge). q86 measures WITHIN-doc bigram
+    * repetition per doc; this aggregates the pair distribution ACROSS
+    * the corpus — the tokenizer-training view of the same stream. Rank
+    * ties break on the pair text so the emitted top-k is deterministic.
+    *
+    * Scale posture: per-row pair explode (narrow, codegen'd) → one keyed
+    * count whose partials collapse map-side to the pair vocabulary →
+    * TakeOrderedAndProject for the top-k (no global sort). */
+  def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame =
+    bpeMergeCandidatesOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def bpeMergeCandidatesOf(d: DataFrame): DataFrame = {
+    // size >= 2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+    // empty (same divergence trap as q86)
+    d.select(toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("left_tok"), col("right_tok"))
+      .limit(20)
+  }
+
+  private val bpeMergeCandidatesSql =
+    """WITH toks AS (SELECT STRING_SPLIT(text, ' ') AS t FROM documents),
+      |p AS (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+      |        i -> {'l': t[i], 'r': t[i+1]})) AS p
+      |      FROM toks WHERE LEN(t) >= 2)
+      |SELECT p.l AS left_tok, p.r AS right_tok, COUNT(*) AS pair_cnt
+      |FROM p
+      |GROUP BY 1, 2
+      |ORDER BY pair_cnt DESC NULLS LAST, left_tok NULLS FIRST,
+      |  right_tok NULLS FIRST
+      |LIMIT 20""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q60_word_count", wordCount, Some(wordCountSql)),
     GraftQuery("q61_lang_stats", langStats, Some(langStatsSql)),
@@ -827,5 +869,6 @@ object TextOps extends QueryModule {
     GraftQuery("q94_tfidf_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     GraftQuery("q97_chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     GraftQuery("q98_mix_to_uniform", mixToUniform, Some(mixToUniformSql)),
+    GraftQuery("q102_bpe_merges", bpeMergeCandidates, Some(bpeMergeCandidatesSql)),
   )
 }

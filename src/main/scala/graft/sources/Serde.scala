@@ -60,4 +60,19 @@ object Serde {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Sharded dataset export — the final step of a training-data pipeline:
+    * hive-partition the corpus by a routing column (e.g. lang or split)
+    * and cap records per output file so downstream loaders stream
+    * fixed-size shards instead of one multi-GB file per partition.
+    * `maxRecordsPerFile` does the capping inside each write task — no
+    * extra shuffle beyond the optional `repartition` the caller controls;
+    * at 100 TB the cap is what keeps any single shard re-readable and
+    * retryable. */
+  def writeShardedParquet(df: DataFrame, path: String, partitionCol: String,
+                          maxRecordsPerFile: Int): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .parquet(path)
 }

@@ -272,6 +272,22 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming ingest dedup by CONTENT identity — the streaming
+    * complement of the batch new-vs-seen classifier (q99): an arriving
+    * document stream keeps only the first copy of each text, keyed by
+    * its SHA-256 so the dedup state stores 32-byte hashes rather than
+    * full documents (the same bounded-state reason q70/q71 aggregate on
+    * the hash). Watermark bounds the state: a duplicate arriving later
+    * than the delay is admitted — the batch path (q99) is the backstop,
+    * exactly like retention + compaction compose in the reference's log
+    * model (kafka/README.md:27,:433-434). */
+  def dedupByContentHash(docs: DataFrame, tsCol: String = "ts",
+                         textCol: String = "text",
+                         watermarkDelay: String = "10 minutes"): DataFrame =
+    docs.withColumn("content_sha256", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_sha256")
+
   /** Reprocessing comparison (kafka/README.md:335-337): rows produced by
     * the new version that the old version lacks (and vice versa via
     * swapped args). Multiset semantics — duplicates count. */

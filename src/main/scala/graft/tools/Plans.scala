@@ -144,7 +144,30 @@ object Plans {
           "embeddings (broadcast at runtime: the cluster table is " +
           "bounded by the pair graph), then one small aggregate per " +
           "class label.",
-        Dedup.semanticDedup(spark, dir)))
+        Dedup.semanticDedup(spark, dir)),
+      section("q99 incremental new-vs-seen dedup (verdict assembly)",
+        "What to look for: the exact gate is a LeftSemi hash join on " +
+          "32-byte content hashes (seen side collapses to distinct " +
+          "hashes map-side); the near gate reuses the cached DF-gated " +
+          "shingle table (LeftAnti gate inside the InMemoryRelation); " +
+          "verdict assembly is two left joins against flag tables " +
+          "bounded by the incoming batch.",
+        Dedup.incrementalDedup(spark, dir)),
+      section("q100 k-means final step (broadcast model + min_by argmin)",
+        "What to look for: the k-row model arrives via " +
+          "BroadcastNestedLoopJoin (the broadcast scalar/model idiom — " +
+          "no equi key on a cross join by design); the argmin is a " +
+          "partial/final min_by SortAggregate keyed vec_id whose " +
+          "partials collapse map-side, so the only exchange of vector " +
+          "data carries ONE row per vector; earlier iterations live in " +
+          "checkpointed RDD scans.",
+        Similarity.kmeansTrain(spark, dir)),
+      section("q101 PQ codebook training (per-block broadcast equi-join)",
+        "What to look for: q100's shape with an equi key — the " +
+          "per-block model joins via BroadcastHashJoin on block id; " +
+          "the min_by argmin is keyed (vec_id, block); the recompute " +
+          "aggregate shuffles only (block, cluster, dim) partials.",
+        Similarity.pqTrain(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

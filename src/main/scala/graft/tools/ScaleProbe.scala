@@ -202,6 +202,33 @@ object ScaleProbe {
     time("q96 semantic dedup 1x (5k)")(semCount(e1))
     time(s"q96 semantic dedup ${copies}x")(semCount(eN))
 
+    // round-6b shapes: q97 is a pure narrow map + explode and should
+    // track the scan; q98's threshold table stays #languages-sized while
+    // the corpus passes once through a broadcast join + filter; q99
+    // composes the exact-hash semi-join with the gated-shingle join
+    // (q76's shape, flipped to a verdict); q100 runs `iters` broadcast +
+    // min_by-collapse passes whose model stays k×64 no matter the corpus.
+    def chunkCount(docs: DataFrame): Long =
+      graft.operators.TextOps.chunkDocumentsOf(docs).count()
+    def mixCount(docs: DataFrame): Long =
+      graft.operators.TextOps.mixToUniformOf(docs).count()
+    def incCount(docs: DataFrame): Long =
+      graft.operators.Dedup.incrementalDedupOf(docs).count()
+    def kmeansCount(e: DataFrame): Long =
+      graft.operators.Similarity.kmeansTrainOf(e).count()
+    time("q97 chunking 1x (5k docs)")(chunkCount(d1))
+    time(s"q97 chunking ${copies}x")(chunkCount(dN))
+    time("q98 mixture 1x (5k docs)")(mixCount(d1))
+    time(s"q98 mixture ${copies}x")(mixCount(dN))
+    time("q99 incr dedup 1x (5k docs)")(incCount(d1))
+    time(s"q99 incr dedup ${copies}x")(incCount(dN))
+    time("q100 kmeans 1x (5k)")(kmeansCount(e1))
+    time(s"q100 kmeans ${copies}x")(kmeansCount(eN))
+    def pqCount(e: DataFrame): Long =
+      graft.operators.Similarity.pqTrainOf(e).count()
+    time("q101 pq train 1x (5k)")(pqCount(e1))
+    time(s"q101 pq train ${copies}x")(pqCount(eN))
+
     spark.stop()
   }
 }

@@ -221,6 +221,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(4000))
   }
 
+  test("q101 PQ assignment joins the broadcast model on block id, no window") {
+    // the per-block model join has an equi key (block), so it must plan
+    // as a BroadcastHashJoin; argmin stays a min_by aggregate as in q100
+    val plan = executedPlan(Similarity.pqTrain(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(!plan.contains("Window"), plan.take(4000))
+  }
+
+  test("q102 top-k pairs use TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan(TextOps.bpeMergeCandidates(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("q99 gates: exact is a semi-join, DF gate anti, no cartesian") {
     val plan = executedPlan(Dedup.incrementalDedup(spark, sf0001))
     assert(plan.contains("LeftSemi"), plan.take(4000))

@@ -663,6 +663,38 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((0L, 3L, 2.0, 8.0), (1L, 3L, 10.0, 8.0)))
   }
 
+  test("q101 PQ trains identical per-block codebooks on block-repeated blobs") {
+    val session = spark
+    import session.implicits._
+    // every vector repeats one 8-dim subvector across all 8 blocks, so
+    // each block must train the SAME codebook: init = vec_ids 0-3, blob
+    // A on block-dim 0 (ids 0,2,3 -> own centroids 2/4/0), blob B on
+    // block-dim 7 (ids 1,10,11 -> cluster 1 converges to mean 10)
+    def vec(i: Int, x: Float): Seq[Float] =
+      Seq.tabulate(64)(j => if (j % 8 == i) x else 0f)
+    val emb = Seq(
+      (0L, vec(0, 2f), 0), (2L, vec(0, 4f), 0), (3L, vec(0, 0f), 0),
+      (1L, vec(7, 8f), 1), (10L, vec(7, 10f), 1), (11L, vec(7, 12f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.pqTrainOf(emb)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val perBlock = Seq((0L, 1L, 2.0, 0.0), (1L, 3L, 10.0, 8.0),
+      (2L, 1L, 4.0, 0.0), (3L, 1L, 0.0, 0.0))
+    val want = for (b <- 0 until 8; c <- perBlock)
+      yield (b.toLong, c._1, c._2, c._3, c._4)
+    assert(got === want)
+  }
+
+  test("q102 counts corpus-wide adjacent pairs, skips 1-token docs") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "a b"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.bpeMergeCandidatesOf(docs)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L)))
+  }
+
   test("q97 chunking conserves tokens, overlaps by chunk-stride, keeps short tail") {
     val session = spark
     import session.implicits._

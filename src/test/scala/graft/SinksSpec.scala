@@ -32,6 +32,26 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan.take(2000))
   }
 
+  test("sharded corpus export: lang partitions, per-file record cap, lossless") {
+    val out = Files.createTempDirectory("graft-shard").toString
+    val d = Tables.documents(spark, sf0001).coalesce(1)
+    graft.sources.Serde.writeShardedParquet(d, out, "lang", 20)
+    val back = spark.read.parquet(out)
+    // lossless round-trip, hive layout per language
+    assert(back.count() === d.count())
+    val langDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(langDirs.nonEmpty, s"no lang= dirs under $out")
+    // the record cap holds for every emitted shard file
+    langDirs.foreach { dir =>
+      new java.io.File(s"$out/$dir").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val n = spark.read.parquet(f.getAbsolutePath).count()
+          assert(n <= 20, s"${f.getName} has $n rows > cap 20")
+        }
+    }
+  }
+
   test("append mode accumulates immutably (append-only log, S1)") {
     val out = Files.createTempDirectory("graft-append").toString
     val e = Tables.events(spark, sf0001).limit(100)

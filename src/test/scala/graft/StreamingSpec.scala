@@ -279,6 +279,26 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming content-hash dedup keeps the first copy of each text (q99 stream analog)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupByContentHash(
+        in.toDF().toDF("ts", "doc_id", "text"))
+      .select($"doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("cdedup")
+      .option("checkpointLocation", tmp("ck-cdedup")).start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      in.addData((t(0), 1L, "alpha beta"), (t(1), 2L, "gamma delta"))
+      in.addData((t(2), 3L, "alpha beta")) // same content, different doc_id
+      q.processAllAvailable()
+      val ids = spark.table("cdedup").as[Long].collect().toList
+      assert(ids.sorted === List(1L, 2L), "content duplicate must be dropped")
+    } finally q.stop()
+  }
+
   test("file-source topic replay: streaming over a parquet log matches batch (S2/T10)") {
     val session = spark
     import session.implicits._
