@@ -57,6 +57,18 @@ object ScopedCache {
     }
   }
 
+  /** Release the cached blocks of a `localCheckpoint`'d DataFrame once a
+    * successor that superseded it is materialized (ContextCleaner would
+    * get there eventually via GC, but long sessions running iterative
+    * operators — q77/q78 label propagation, q100/q101 training loops —
+    * should not accumulate dead rdd blocks in the meantime). */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false); ()
+      case _ =>
+    }
+
   /** Drop every cached generation (benchmarks call this between passes so
     * steady-state timings include the cached subtree's recomputation).
     * `blocking = true` waits for block eviction to finish — benchmarks need

@@ -251,15 +251,10 @@ object Dedup extends QueryModule {
     * Returns (labels, iterations): labels = one (node, label) row per doc
     * that appears in ≥1 pair, label = min doc_id of its component. */
   /** Release the cached blocks of a localCheckpoint'd label table once
-    * the FOLLOWING round is materialized (ContextCleaner would get there
-    * eventually via GC, but a long session invoking q77/q78 repeatedly
-    * should not accumulate dead rdd blocks in the meantime). */
+    * the FOLLOWING round is materialized (shared hygiene — see
+    * [[graft.functions.ScopedCache.releaseCheckpoint]]). */
   private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false); ()
-      case _ =>
-    }
+    graft.functions.ScopedCache.releaseCheckpoint(df)
 
   /** Convergence witness: sum of labels, in DecimalType(38,0) so the sum
     * cannot overflow Long even at 1e10 nodes x 1e10-sized doc ids (ANSI

@@ -349,10 +349,12 @@ object Similarity extends QueryModule {
     * Scale posture: the model (k×dim) is broadcast each iteration and the
     * corpus passes ONCE per iteration through a narrow
     * assign-via-broadcast + per-(cluster,dim) partial aggregate — the
-    * textbook distributed Lloyd shape. Per-iteration
-    * `localCheckpoint(lazy)` truncates lineage so the plan does not
-    * deepen with the iteration count; nothing but the k-row model is
-    * ever on the driver side of a broadcast. */
+    * textbook distributed Lloyd shape — plus one final slim accounting
+    * pass (iters+1 corpus scans total). Per-iteration eager
+    * `localCheckpoint` truncates lineage so the plan does not deepen
+    * with the iteration count, and each superseded round's blocks are
+    * released immediately; nothing but the k-row model is ever on the
+    * driver side of a broadcast. */
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     kmeansTrainOf(Tables.embeddings(spark, dir))
 
@@ -365,31 +367,50 @@ object Similarity extends QueryModule {
     // oracle's LIST_SUM(LIST_TRANSFORM(...)); 6-dp rounding absorbs ulps
     val sqDist = expr(
       "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
-    // argmin as a min_by hash aggregate, NOT a window: the broadcast
-    // cross join emits each vector's k candidate rows inside one map
+    // argmin as a min_by aggregate, NOT a window: the broadcast cross
+    // join emits each vector's k candidate rows inside one map
     // partition, so partial aggregation collapses them there and the
     // shuffle carries ONE row per vector — a vec_id window would shuffle
     // and sort all n×k rows. Tie-break on (dist, cluster) is total.
-    def assign(c: DataFrame): DataFrame =
-      e.crossJoin(broadcast(c))
+    // `carryVector` = false for the final accounting pass: Catalyst
+    // cannot prune fields inside the aggregate's input struct, so
+    // carrying v would shuffle ~8·dim dead bytes per vector there.
+    def assign(c: DataFrame, carryVector: Boolean): DataFrame = {
+      val payload =
+        if (carryVector) struct(col("cluster"), col("v"), col("dist"))
+        else struct(col("cluster"), col("dist"))
+      val best = e.crossJoin(broadcast(c))
         .withColumn("dist", round(sqDist, 6))
         .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("cluster"), col("v"), col("dist")),
-          struct(col("dist"), col("cluster"))).as("best"))
-        .select(col("vec_id"), col("best.cluster").as("cluster"),
+        .agg(min_by(payload, struct(col("dist"), col("cluster"))).as("best"))
+      if (carryVector)
+        best.select(col("vec_id"), col("best.cluster").as("cluster"),
           col("best.v").as("v"), col("best.dist").as("dist"))
-    var cents = e.filter(col("vec_id") < k)
+      else
+        best.select(col("vec_id"), col("best.cluster").as("cluster"),
+          col("best.dist").as("dist"))
+    }
+    // init = the k lowest vec_ids' vectors (TakeOrdered, never a global
+    // sort); ids need not be dense or zero-based
+    var cents = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cluster"), col("v").as("cv"))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      cents = assign(cents)
+      // eager checkpoint: materializes this round's k×dim model now (the
+      // same one corpus pass it would cost lazily) so the PREVIOUS
+      // round's dead blocks can be released immediately instead of
+      // accumulating until GC (q77's loop hygiene)
+      cents = assign(cents, carryVector = true)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster")).pivot("pos", (0 until KmeansDim).map(_.toString))
         .agg(round(avg(col("x")), 6))
         .select(col("cluster"),
           array((0 until KmeansDim).map(i => col(s"`$i`")): _*).as("cv"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
+      if (prev != null) graft.functions.ScopedCache.releaseCheckpoint(prev)
+      prev = cents
     }
-    val fin = assign(cents)
+    val fin = assign(cents, carryVector = false)
     val sizes = fin.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
@@ -405,18 +426,24 @@ object Similarity extends QueryModule {
       .orderBy(col("cluster"))
   }
 
-  /** One unrolled Lloyd step: assignment a$i against c${i-1}, recompute
-    * c$i — the SQL twin of one loop pass in [[kmeansTrainOf]]. */
-  private def kmeansStepSql(i: Int): String = {
-    val prev = if (i == 1) "c0" else s"c${i - 1}"
-    s"""a$i AS (
-      |  SELECT vec_id, v, cluster, dist,
+  /** The assignment subquery against `model` — ONE builder shared by the
+    * per-step CTEs and the final accounting CTE, so the distance and
+    * tie-break expressions cannot drift between them. */
+  private def kmeansAssignSql(model: String): String =
+    s"""SELECT vec_id, v, cluster, dist,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id
       |                       ORDER BY dist, cluster) AS rk
       |  FROM (SELECT e.vec_id, e.v, c.cluster,
       |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $KmeansDim),
       |            j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))), 6) AS dist
-      |        FROM e CROSS JOIN $prev c) t),
+      |        FROM e CROSS JOIN $model c) t""".stripMargin
+
+  /** One unrolled Lloyd step: assignment a$i against c${i-1}, recompute
+    * c$i — the SQL twin of one loop pass in [[kmeansTrainOf]]. */
+  private def kmeansStepSql(i: Int): String = {
+    val prev = if (i == 1) "c0" else s"c${i - 1}"
+    s"""a$i AS (
+      |  ${kmeansAssignSql(prev)}),
       |c$i AS (
       |  SELECT cluster, LIST(c ORDER BY pos) AS cv FROM (
       |    SELECT cluster, pos, ROUND(AVG(v[pos]), 6) AS c
@@ -427,16 +454,11 @@ object Similarity extends QueryModule {
 
   private val kmeansTrainSql =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < $KmeansK),
+      |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
+      |       ORDER BY vec_id LIMIT $KmeansK),
       |${(1 to KmeansIters).map(kmeansStepSql).mkString(",\n")},
       |afin AS (
-      |  SELECT vec_id, cluster, dist,
-      |    ROW_NUMBER() OVER (PARTITION BY vec_id
-      |                       ORDER BY dist, cluster) AS rk
-      |  FROM (SELECT e.vec_id, c.cluster,
-      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $KmeansDim),
-      |            j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))), 6) AS dist
-      |        FROM e CROSS JOIN c$KmeansIters c) t),
+      |  ${kmeansAssignSql(s"c$KmeansIters")}),
       |s AS (SELECT cluster, COUNT(*) AS n_members,
       |        ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS inertia
       |      FROM afin WHERE rk = 1 GROUP BY 1),
@@ -485,28 +507,41 @@ object Similarity extends QueryModule {
         .as(Seq("block", "sv")))
     val sqDist = expr(
       "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
-    // same argmin-as-aggregate shape as q100, keyed by (vec, block)
-    def assign(m: DataFrame): DataFrame =
-      e2.join(broadcast(m), Seq("block"))
+    // same argmin-as-aggregate shape as q100, keyed by (vec, block); the
+    // final accounting pass drops the sub-vector from the min_by payload
+    def assign(m: DataFrame, carryVector: Boolean): DataFrame = {
+      val payload =
+        if (carryVector) struct(col("cluster"), col("sv"), col("dist"))
+        else struct(col("cluster"), col("dist"))
+      val best = e2.join(broadcast(m), Seq("block"))
         .withColumn("dist", round(sqDist, 6))
         .groupBy(col("vec_id"), col("block"))
-        .agg(min_by(struct(col("cluster"), col("sv"), col("dist")),
-          struct(col("dist"), col("cluster"))).as("best"))
-        .select(col("vec_id"), col("block"), col("best.cluster").as("cluster"),
+        .agg(min_by(payload, struct(col("dist"), col("cluster"))).as("best"))
+      if (carryVector)
+        best.select(col("vec_id"), col("block"), col("best.cluster").as("cluster"),
           col("best.sv").as("sv"), col("best.dist").as("dist"))
-    var model = e2.filter(col("vec_id") < PqK)
+      else
+        best.select(col("vec_id"), col("block"), col("best.cluster").as("cluster"),
+          col("best.dist").as("dist"))
+    }
+    // init = the PqK lowest vec_ids' sub-vectors in every block
+    val initIds = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(PqK)
+    var model = e2.join(broadcast(initIds), Seq("vec_id"))
       .select(col("block"), col("vec_id").as("cluster"), col("sv").as("cv"))
+    var prev: DataFrame = null
     for (_ <- 1 to PqIters) {
-      model = assign(model)
+      model = assign(model, carryVector = true)
         .select(col("block"), col("cluster"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("block"), col("cluster"))
         .pivot("pos", (0 until PqBlockDim).map(_.toString))
         .agg(round(avg(col("x")), 6))
         .select(col("block"), col("cluster"),
           array((0 until PqBlockDim).map(i => col(s"`$i`")): _*).as("cv"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint()
+      if (prev != null) graft.functions.ScopedCache.releaseCheckpoint(prev)
+      prev = model
     }
-    val fin = assign(model)
+    val fin = assign(model, carryVector = false)
     val sizes = fin.groupBy(col("block"), col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
@@ -523,18 +558,24 @@ object Similarity extends QueryModule {
       .orderBy(col("block"), col("cluster"))
   }
 
-  /** One unrolled per-block Lloyd step (SQL twin of one [[pqTrainOf]]
-    * loop pass). */
-  private def pqStepSql(i: Int): String = {
-    val prev = if (i == 1) "pc0" else s"pc${i - 1}"
-    s"""pa$i AS (
-      |  SELECT vec_id, block, sv, cluster, dist,
+  /** The per-block assignment subquery against `model` — shared by the
+    * step CTEs and the final accounting CTE (same no-drift rule as
+    * [[kmeansAssignSql]]). */
+  private def pqAssignSql(model: String): String =
+    s"""SELECT vec_id, block, sv, cluster, dist,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id, block
       |                       ORDER BY dist, cluster) AS rk
       |  FROM (SELECT e2.vec_id, e2.block, e2.sv, c.cluster,
       |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
       |            j -> (e2.sv[j] - c.cv[j]) * (e2.sv[j] - c.cv[j]))), 6) AS dist
-      |        FROM e2 JOIN $prev c USING (block)) t),
+      |        FROM e2 JOIN $model c USING (block)) t""".stripMargin
+
+  /** One unrolled per-block Lloyd step (SQL twin of one [[pqTrainOf]]
+    * loop pass). */
+  private def pqStepSql(i: Int): String = {
+    val prev = if (i == 1) "pc0" else s"pc${i - 1}"
+    s"""pa$i AS (
+      |  ${pqAssignSql(prev)}),
       |pc$i AS (
       |  SELECT block, cluster, LIST(c ORDER BY pos) AS cv FROM (
       |    SELECT block, cluster, pos, ROUND(AVG(sv[pos]), 6) AS c
@@ -549,16 +590,10 @@ object Similarity extends QueryModule {
       |         v[b * $PqBlockDim + 1 : (b + 1) * $PqBlockDim] AS sv
       |       FROM e, UNNEST(GENERATE_SERIES(0, ${PqBlocks - 1})) AS t(b)),
       |pc0 AS (SELECT block, vec_id AS cluster, sv AS cv FROM e2
-      |        WHERE vec_id < $PqK),
+      |        WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
       |${(1 to PqIters).map(pqStepSql).mkString(",\n")},
       |pafin AS (
-      |  SELECT vec_id, block, cluster, dist,
-      |    ROW_NUMBER() OVER (PARTITION BY vec_id, block
-      |                       ORDER BY dist, cluster) AS rk
-      |  FROM (SELECT e2.vec_id, e2.block, c.cluster,
-      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
-      |            j -> (e2.sv[j] - c.cv[j]) * (e2.sv[j] - c.cv[j]))), 6) AS dist
-      |        FROM e2 JOIN pc$PqIters c USING (block)) t),
+      |  ${pqAssignSql(s"pc$PqIters")}),
       |ps AS (SELECT block, cluster, COUNT(*) AS n_members,
       |         ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS inertia
       |       FROM pafin WHERE rk = 1 GROUP BY 1, 2),

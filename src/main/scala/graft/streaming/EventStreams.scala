@@ -277,7 +277,10 @@ object EventStreams {
     * document stream keeps only the first copy of each text, keyed by
     * its SHA-256 so the dedup state stores 32-byte hashes rather than
     * full documents (the same bounded-state reason q70/q71 aggregate on
-    * the hash). Watermark bounds the state: a duplicate arriving later
+    * the hash). The output schema RETAINS the `content_sha256` column —
+    * it is the record's content identity, which downstream batch dedup
+    * (q99) and audit joins key on; drop it explicitly if a sink wants
+    * the original shape. Watermark bounds the state: a duplicate arriving later
     * than the delay is admitted — the batch path (q99) is the backstop,
     * exactly like retention + compaction compose in the reference's log
     * model (kafka/README.md:27,:433-434). */

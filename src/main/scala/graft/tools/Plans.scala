@@ -158,9 +158,10 @@ object Plans {
           "BroadcastNestedLoopJoin (the broadcast scalar/model idiom — " +
           "no equi key on a cross join by design); the argmin is a " +
           "partial/final min_by SortAggregate keyed vec_id whose " +
-          "partials collapse map-side, so the only exchange of vector " +
-          "data carries ONE row per vector; earlier iterations live in " +
-          "checkpointed RDD scans.",
+          "partials collapse map-side, and this final accounting pass " +
+          "carries only (cluster, dist) per vector — the vector itself " +
+          "rides the min_by payload only inside training steps; earlier " +
+          "iterations live in checkpointed RDD scans.",
         Similarity.kmeansTrain(spark, dir)),
       section("q101 PQ codebook training (per-block broadcast equi-join)",
         "What to look for: q100's shape with an equi key — the " +

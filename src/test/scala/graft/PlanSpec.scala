@@ -212,13 +212,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q100 assignment is broadcast + min_by aggregate, never a shuffle join") {
     // each Lloyd step must broadcast the k-row model over the corpus (the
     // BroadcastNestedLoopJoin here IS the broadcast scalar/model idiom)
-    // and pick the argmin with a hash aggregate; a sort-merge join or a
+    // and pick the argmin with a map-side-partial min_by (struct buffers
+    // plan as SortAggregate — the partial_min_by below is what proves the
+    // collapse happens BEFORE the exchange); a sort-merge join or a
     // vec_id window would shuffle n×k candidate rows per iteration
     val plan = executedPlan(Similarity.kmeansTrain(spark, sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
     assert(!plan.contains("SortMergeJoin"), plan.take(4000))
     assert(!plan.contains("Window"), plan.take(4000))
-    assert(plan.contains("HashAggregate"), plan.take(4000))
+    assert(plan.contains("partial_min_by"), plan.take(4000))
   }
 
   test("q101 PQ assignment joins the broadcast model on block id, no window") {

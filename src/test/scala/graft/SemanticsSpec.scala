@@ -648,19 +648,21 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
   test("q100 k-means separates two exact blobs and reports exact inertia") {
     val session = spark
     import session.implicits._
-    // two axis-aligned blobs; init = vec_ids 0 and 1 (one in each blob).
-    // After one Lloyd step centroids are the blob means (2e_0 and 10e_63)
-    // and assignments are stable: integer-exact distances, no rounding.
+    // two axis-aligned blobs with SPARSE, non-zero-based vec_ids: init
+    // must take the k LOWEST ids (1000 in blob A, 1001 in blob B), not
+    // assume ids 0..k-1 exist. After one Lloyd step centroids are the
+    // blob means (2e_0 and 10e_63) and assignments are stable:
+    // integer-exact distances, no rounding.
     def vec(i: Int, x: Float): Seq[Float] =
       Seq.tabulate(64)(j => if (j == i) x else 0f)
     val emb = Seq(
-      (0L, vec(0, 2f), 0), (2L, vec(0, 4f), 0), (3L, vec(0, 0f), 0),
-      (1L, vec(63, 8f), 1), (10L, vec(63, 10f), 1), (11L, vec(63, 12f), 1))
+      (1000L, vec(0, 2f), 0), (1200L, vec(0, 4f), 0), (1300L, vec(0, 0f), 0),
+      (1001L, vec(63, 8f), 1), (2010L, vec(63, 10f), 1), (2011L, vec(63, 12f), 1))
       .toDF("vec_id", "embedding", "label")
     val got = operators.Similarity.kmeansTrainOf(emb, k = 2, iters = 2)
       .as[(Long, Long, Double, Double)].collect().toSeq
     // inertia per blob: (2-?)² sums = 0+4+4 = 8 around mean 2 (resp. 10)
-    assert(got === Seq((0L, 3L, 2.0, 8.0), (1L, 3L, 10.0, 8.0)))
+    assert(got === Seq((1000L, 3L, 2.0, 8.0), (1001L, 3L, 10.0, 8.0)))
   }
 
   test("q101 PQ trains identical per-block codebooks on block-repeated blobs") {
