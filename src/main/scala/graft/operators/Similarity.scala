@@ -498,39 +498,50 @@ object Similarity extends QueryModule {
   def pqTrain(spark: SparkSession, dir: String): DataFrame =
     pqTrainOf(Tables.embeddings(spark, dir))
 
-  /** DataFrame-level core. Requires dim = [[PqBlocks]]×[[PqBlockDim]]. */
-  def pqTrainOf(emb: DataFrame): DataFrame = {
-    val e2 = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+  /** (vec_id, block, sv): each vector split into its [[PqBlocks]]
+    * sub-vectors — the working grain of training, encoding, and search. */
+  private def pqSubvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqBlocks - 1}), " +
           s"b -> slice(v, b * $PqBlockDim + 1, $PqBlockDim))"))
         .as(Seq("block", "sv")))
+
+  /** Same argmin-as-aggregate shape as q100, keyed by (vec, block);
+    * accounting/encoding passes drop the sub-vector from the min_by
+    * payload (carryVector = false) — Catalyst cannot prune fields inside
+    * the aggregate's input struct. */
+  private def pqAssign(e2: DataFrame, m: DataFrame,
+      carryVector: Boolean): DataFrame = {
     val sqDist = expr(
       "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
-    // same argmin-as-aggregate shape as q100, keyed by (vec, block); the
-    // final accounting pass drops the sub-vector from the min_by payload
-    def assign(m: DataFrame, carryVector: Boolean): DataFrame = {
-      val payload =
-        if (carryVector) struct(col("cluster"), col("sv"), col("dist"))
-        else struct(col("cluster"), col("dist"))
-      val best = e2.join(broadcast(m), Seq("block"))
-        .withColumn("dist", round(sqDist, 6))
-        .groupBy(col("vec_id"), col("block"))
-        .agg(min_by(payload, struct(col("dist"), col("cluster"))).as("best"))
-      if (carryVector)
-        best.select(col("vec_id"), col("block"), col("best.cluster").as("cluster"),
-          col("best.sv").as("sv"), col("best.dist").as("dist"))
-      else
-        best.select(col("vec_id"), col("block"), col("best.cluster").as("cluster"),
-          col("best.dist").as("dist"))
-    }
+    val payload =
+      if (carryVector) struct(col("cluster"), col("sv"), col("dist"))
+      else struct(col("cluster"), col("dist"))
+    val best = e2.join(broadcast(m), Seq("block"))
+      .withColumn("dist", round(sqDist, 6))
+      .groupBy(col("vec_id"), col("block"))
+      .agg(min_by(payload, struct(col("dist"), col("cluster"))).as("best"))
+    if (carryVector)
+      best.select(col("vec_id"), col("block"), col("best.cluster").as("cluster"),
+        col("best.sv").as("sv"), col("best.dist").as("dist"))
+    else
+      best.select(col("vec_id"), col("block"), col("best.cluster").as("cluster"),
+        col("best.dist").as("dist"))
+  }
+
+  /** The converged per-block codebook (block, cluster, cv) — shared by
+    * q101's training summary and q105's encoder. Deterministic, so both
+    * callers see the identical model. */
+  def pqModelOf(emb: DataFrame): DataFrame = {
+    val e2 = pqSubvectors(emb)
     // init = the PqK lowest vec_ids' sub-vectors in every block
     val initIds = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(PqK)
     var model = e2.join(broadcast(initIds), Seq("vec_id"))
       .select(col("block"), col("vec_id").as("cluster"), col("sv").as("cv"))
     var prev: DataFrame = null
     for (_ <- 1 to PqIters) {
-      model = assign(model, carryVector = true)
+      model = pqAssign(e2, model, carryVector = true)
         .select(col("block"), col("cluster"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("block"), col("cluster"))
         .pivot("pos", (0 until PqBlockDim).map(_.toString))
@@ -541,7 +552,13 @@ object Similarity extends QueryModule {
       if (prev != null) graft.functions.ScopedCache.releaseCheckpoint(prev)
       prev = model
     }
-    val fin = assign(model, carryVector = false)
+    model
+  }
+
+  /** DataFrame-level core. Requires dim = [[PqBlocks]]×[[PqBlockDim]]. */
+  def pqTrainOf(emb: DataFrame): DataFrame = {
+    val model = pqModelOf(emb)
+    val fin = pqAssign(pqSubvectors(emb), model, carryVector = false)
     val sizes = fin.groupBy(col("block"), col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
@@ -584,8 +601,12 @@ object Similarity extends QueryModule {
       |  GROUP BY block, cluster)""".stripMargin
   }
 
-  private val pqTrainSql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared oracle prefix: sub-vector table, init codebook, unrolled
+    * training steps, and the final assignment — everything up to the
+    * converged model + per-(vec, block) codes, used verbatim by q101's
+    * summary and q105's encoder so they cannot drift. */
+  private val pqModelCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |e2 AS (SELECT vec_id, b AS block,
       |         v[b * $PqBlockDim + 1 : (b + 1) * $PqBlockDim] AS sv
       |       FROM e, UNNEST(GENERATE_SERIES(0, ${PqBlocks - 1})) AS t(b)),
@@ -593,7 +614,10 @@ object Similarity extends QueryModule {
       |        WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
       |${(1 to PqIters).map(pqStepSql).mkString(",\n")},
       |pafin AS (
-      |  ${pqAssignSql(s"pc$PqIters")}),
+      |  ${pqAssignSql(s"pc$PqIters")})""".stripMargin
+
+  private val pqTrainSql =
+    s"""WITH $pqModelCtes,
       |ps AS (SELECT block, cluster, COUNT(*) AS n_members,
       |         ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS inertia
       |       FROM pafin WHERE rk = 1 GROUP BY 1, 2),
@@ -605,6 +629,42 @@ object Similarity extends QueryModule {
       |FROM ps JOIN pcs USING (block, cluster)
       |ORDER BY ps.block NULLS FIRST, ps.cluster NULLS FIRST""".stripMargin
 
+  /** q105: PQ encoding — compress every vector to its [[PqBlocks]]
+    * codebook codes using the model q101 trains (the encode stage of an
+    * IVF-PQ index: 64 floats → 8 small ints + a reconstruction-error
+    * audit; this is what actually makes a 100 TB embedding store fit —
+    * the codes table is ~32× smaller than the vectors). The model is
+    * retrained in-plan (deterministic, so codes are stable across runs
+    * and engines); codes sort by block id, and the per-vector error is
+    * the DECIMAL-exact sum of squared sub-vector distances.
+    *
+    * Scale posture: one broadcast equi-join of the corpus against the
+    * bounded model + a min_by collapse (one shuffled row per
+    * sub-vector), then one per-vector aggregate. Nothing new shuffles
+    * beyond q101's training passes. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame =
+    pqEncodeOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def pqEncodeOf(emb: DataFrame): DataFrame = {
+    val fin = pqAssign(pqSubvectors(emb), pqModelOf(emb), carryVector = false)
+    fin.groupBy(col("vec_id"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(block, cluster))), " +
+          "x -> x.cluster)").as("codes"),
+        round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+          .as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val pqEncodeSql =
+    s"""WITH $pqModelCtes
+      |SELECT vec_id, LIST(cluster ORDER BY block) AS codes,
+      |  ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS recon_err
+      |FROM pafin WHERE rk = 1
+      |GROUP BY vec_id
+      |ORDER BY vec_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
@@ -614,5 +674,6 @@ object Similarity extends QueryModule {
     GraftQuery("q95_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     GraftQuery("q100_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     GraftQuery("q101_pq_train", pqTrain, Some(pqTrainSql)),
+    GraftQuery("q105_pq_encode", pqEncode, Some(pqEncodeSql)),
   )
 }

@@ -849,6 +849,118 @@ object TextOps extends QueryModule {
       |  right_tok NULLS FIRST
       |LIMIT 20""".stripMargin
 
+  /** q103: bigram-LM surprisal — q93's quality filter upgraded to a
+    * first-order model: per-doc average of −ln p(w_{i+1} | w_i) under the
+    * corpus's own bigram conditional (pair count / left-token count).
+    * Catches degenerate text a unigram model scores as normal (shuffled
+    * word salad has normal unigram mass but improbable transitions).
+    * Docs with <2 tokens have no transitions and are excluded — same
+    * filter in the oracle. Same DECIMAL(38,12) term casts as q93 so the
+    * per-doc sum is order-independent across engines.
+    *
+    * Scale posture: the shuffles carry distinct (doc, bigram) count rows
+    * and the bigram-vocabulary-sized probability table (joins
+    * AQE-decided — vocabulary is corpus-dependent, so no pinned
+    * broadcast); one keyed aggregate per doc at the end. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def bigramSurprisalOf(d: DataFrame): DataFrame = {
+    val bg = d.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"))
+        .as("p"))
+      .groupBy(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+    val pair = bg.groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_cnt"))
+    val left = pair.groupBy(col("l")).agg(sum(col("pair_cnt")).as("left_cnt"))
+    val probs = pair.join(left, Seq("l"))
+      .select(col("l"), col("r"),
+        (col("pair_cnt").cast(DoubleType) / col("left_cnt")).as("p"))
+    val term = (col("cnt").cast(DoubleType) * log(col("p")))
+      .cast(DecimalType(38, 12))
+    bg.join(probs, Seq("l", "r"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(term).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("avg_bigram_surprisal_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val bigramSurprisalSql =
+    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |bg0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+      |          i -> {'l': t[i], 'r': t[i+1]})) AS p
+      |        FROM toks WHERE LEN(t) >= 2),
+      |bc AS (SELECT doc_id, p.l AS l, p.r AS r, COUNT(*) AS cnt
+      |       FROM bg0 GROUP BY 1, 2, 3),
+      |pair AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+      |         FROM bc GROUP BY 1, 2),
+      |lft AS (SELECT l, CAST(SUM(pair_cnt) AS BIGINT) AS left_cnt
+      |        FROM pair GROUP BY 1),
+      |pr AS (SELECT pair.l, pair.r, CAST(pair_cnt AS DOUBLE) / left_cnt AS p
+      |       FROM pair JOIN lft USING (l))
+      |SELECT bc.doc_id, CAST(SUM(bc.cnt) AS BIGINT) AS n_bigrams,
+      |  ROUND(-CAST(SUM(CAST(bc.cnt * LN(pr.p) AS DECIMAL(38,12))) AS DOUBLE)
+      |        / SUM(bc.cnt), 6) AS avg_bigram_surprisal_nats
+      |FROM bc JOIN pr ON bc.l = pr.l AND bc.r = pr.r
+      |GROUP BY bc.doc_id
+      |ORDER BY bc.doc_id NULLS FIRST""".stripMargin
+
+  /** q104: temperature-scaled mixture rebalancing (T = 2) — the standard
+    * softening between q87's fixed rates and q98's full flattening: the
+    * keep rate for language l is √(min_cnt / cnt_l), so over-represented
+    * languages are damped by the square root of their excess rather than
+    * flattened to uniform (the multilingual-pretraining temperature trick
+    * with no upsampling — the smallest language's rate is exactly 1).
+    * Same engine-portable sample key as q87/q98. Threshold determinism:
+    * IEEE 754 sqrt and division are correctly rounded in both engines,
+    * so floor(1000·√(min/cnt)) agrees exactly unless the true value is an
+    * integer within one ulp — impossible here because 1000·√(min/cnt) is
+    * irrational unless min/cnt is a perfect square of a rational with
+    * thousandth precision, and the only such fixture case (min=cnt → 1000
+    * exactly) is boundary-safe. Same shape as q98 at 100 TB. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    mixTemperatureOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def mixTemperatureOf(d: DataFrame): DataFrame = {
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
+    val thr = counts.crossJoin(broadcast(minCnt))
+      .select(col("lang"), expr(
+        s"CAST(floor($SampleMod * sqrt(CAST(min_cnt AS DOUBLE) / cnt)) AS BIGINT)")
+        .as("thr"))
+    val key = pmod(pmod(col("doc_id"), lit(SampleModPrime)) * lit(SampleMult),
+      lit(SampleMod))
+    d.withColumn("sample_key", key)
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("sample_key") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("sample_key"), col("thr"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mixTemperatureSql =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |m AS (SELECT MIN(cnt) AS min_cnt FROM c),
+      |t AS (SELECT lang,
+      |        CAST(FLOOR($SampleMod * SQRT(CAST(min_cnt AS DOUBLE) / cnt))
+      |          AS BIGINT) AS thr
+      |      FROM c, m),
+      |k AS (SELECT doc_id, lang,
+      |        CAST(((((doc_id % $SampleModPrime) + $SampleModPrime) % $SampleModPrime
+      |          * $SampleMult) % $SampleMod + $SampleMod) % $SampleMod
+      |          AS BIGINT) AS sample_key
+      |      FROM documents)
+      |SELECT k.doc_id, k.lang, k.sample_key, t.thr
+      |FROM k JOIN t USING (lang)
+      |WHERE k.sample_key < t.thr
+      |ORDER BY k.doc_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q60_word_count", wordCount, Some(wordCountSql)),
     GraftQuery("q61_lang_stats", langStats, Some(langStatsSql)),
@@ -870,5 +982,7 @@ object TextOps extends QueryModule {
     GraftQuery("q97_chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     GraftQuery("q98_mix_to_uniform", mixToUniform, Some(mixToUniformSql)),
     GraftQuery("q102_bpe_merges", bpeMergeCandidates, Some(bpeMergeCandidatesSql)),
+    GraftQuery("q103_bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),
+    GraftQuery("q104_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
   )
 }

@@ -228,6 +228,13 @@ object ScaleProbe {
       graft.operators.Similarity.pqTrainOf(e).count()
     time("q101 pq train 1x (5k)")(pqCount(e1))
     time(s"q101 pq train ${copies}x")(pqCount(eN))
+    // q103 shape: the bigram-vocabulary probability table grows with the
+    // marker-rewritten copies (unlike q93's unigram vocab it is pair-
+    // cardinality), so this row watches the conditional-prob join scale
+    def bigramCount(docs: DataFrame): Long =
+      graft.operators.TextOps.bigramSurprisalOf(docs).count()
+    time("q103 bigram srp 1x (5k docs)")(bigramCount(d1))
+    time(s"q103 bigram srp ${copies}x")(bigramCount(dN))
 
     spark.stop()
   }

@@ -199,14 +199,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("HashAggregate"), plan.take(3000))
   }
 
-  test("q98 keep-filter joins broadcast; the corpus is never shuffle-joined") {
+  test("q98/q104 keep-filter joins broadcast; the corpus is never shuffle-joined") {
     // the per-lang threshold table is #languages rows — the corpus pass
     // must ride a BroadcastHashJoin; a sort-merge join here would shuffle
     // the full corpus on lang (a handful of giant skewed partitions)
-    val plan = executedPlan(TextOps.mixToUniform(spark, sf0001))
-    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
-    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
-    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    for (df <- Seq(TextOps.mixToUniform(spark, sf0001),
+                   TextOps.mixTemperature(spark, sf0001))) {
+      val plan = executedPlan(df)
+      assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+      assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    }
   }
 
   test("q100 assignment is broadcast + min_by aggregate, never a shuffle join") {

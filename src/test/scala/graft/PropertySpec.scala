@@ -130,6 +130,39 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("chunking laws: stride==chunk partitions; stride<chunk de-overlaps losslessly") {
+    val session = spark
+    import session.implicits._
+    val genText: Gen[String] = for {
+      n <- Gen.choose(1, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "ddd", "e1"))
+    } yield toks.mkString(" ")
+    val genDocs: Gen[List[(Long, String)]] =
+      Gen.listOfN(15, for {
+        id <- Gen.choose(0L, 100000L); t <- genText
+      } yield (id, t)).map(_.distinctBy(_._1))
+    checkProp(Prop.forAllNoShrink(genDocs) { rows =>
+      val d = rows.toDF("doc_id", "text")
+      // law 1: stride == chunk is a partition — concatenating a doc's
+      // chunks in chunk_id order reproduces the text exactly
+      val part = graft.operators.TextOps.chunkDocumentsOf(d, 7, 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      val rebuilt = part.groupBy(_._1).map { case (id, cs) =>
+        id -> cs.sortBy(_._2).map(_._3).mkString(" ") }
+      // law 2: stride < chunk — taking each non-final chunk's first
+      // `stride` tokens plus the whole final chunk de-overlaps losslessly
+      val over = graft.operators.TextOps.chunkDocumentsOf(d, 5, 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+      val rebuilt2 = over.groupBy(_._1).map { case (id, cs) =>
+        val sorted = cs.sortBy(_._2)
+        val parts = sorted.init.map(_._3.split(" ").take(3).mkString(" ")) :+
+          sorted.last._3
+        id -> parts.mkString(" ")
+      }
+      rebuilt == rows.toMap && rebuilt2 == rows.toMap
+    })
+  }
+
   test("sharded packing = per-shard greedy packing with interleaved chunk ids") {
     val session = spark
     import session.implicits._

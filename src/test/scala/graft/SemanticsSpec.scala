@@ -687,6 +687,26 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("q105 PQ codes are the per-block argmin with exact reconstruction error") {
+    val session = spark
+    import session.implicits._
+    // q101's block-repeated fixture: every block's codebook is the same,
+    // so each vector's 8 codes all equal its cluster; recon_err = 8 × the
+    // per-block squared distance (vec 1 and 11 sit 2 away from mean 10)
+    def vec(i: Int, x: Float): Seq[Float] =
+      Seq.tabulate(64)(j => if (j % 8 == i) x else 0f)
+    val emb = Seq(
+      (0L, vec(0, 2f), 0), (2L, vec(0, 4f), 0), (3L, vec(0, 0f), 0),
+      (1L, vec(7, 8f), 1), (10L, vec(7, 10f), 1), (11L, vec(7, 12f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.pqEncodeOf(emb)
+      .as[(Long, Seq[Long], Double)].collect().toSeq
+    def c(x: Long) = Seq.fill(8)(x)
+    assert(got === Seq(
+      (0L, c(0), 0.0), (1L, c(1), 32.0), (2L, c(2), 0.0),
+      (3L, c(3), 0.0), (10L, c(1), 0.0), (11L, c(1), 32.0)))
+  }
+
   test("q102 counts corpus-wide adjacent pairs, skips 1-token docs") {
     val session = spark
     import session.implicits._
@@ -695,6 +715,41 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val got = operators.TextOps.bpeMergeCandidatesOf(docs)
       .as[(String, String, Long)].collect().toSeq
     assert(got === Seq(("a", "b", 3L), ("b", "a", 1L), ("b", "c", 1L)))
+  }
+
+  test("q103 bigram surprisal matches hand-computed transition entropy") {
+    val session = spark
+    import session.implicits._
+    // pair counts: (a,b)=2, (a,c)=1; left count a=3 -> p(b|a)=2/3,
+    // p(c|a)=1/3. 1-token doc 4 has no transitions and is excluded.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.bigramSurprisalOf(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    val ln32 = BigDecimal(math.log(1.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln3 = BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((1L, 1L, ln32), (2L, 1L, ln32), (3L, 1L, ln3)))
+  }
+
+  test("q104 temperature mixing damps (not flattens) over-represented langs") {
+    val session = spark
+    import session.implicits._
+    // en 40 docs, fr 4 -> q98 flattens en to thr 100; T=2 damps it to
+    // floor(1000*sqrt(4/40)) = 316; fr stays whole in both
+    val docs = ((1L to 40L).map(i => (i * 7L, "en")) ++
+      (1L to 4L).map(i => (10000L + i, "fr")))
+      .toDF("doc_id", "lang")
+    val temp = operators.TextOps.mixTemperatureOf(docs)
+    val thrs = temp.select($"lang", $"thr").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(thrs.get("fr").contains(operators.TextOps.SampleMod))
+    assert(thrs.get("en").forall(_ === 316L))
+    val keptEnTemp = temp.filter($"lang" === "en").count()
+    val keptEnUni = operators.TextOps.mixToUniformOf(docs)
+      .filter($"lang" === "en").count()
+    assert(keptEnTemp >= keptEnUni,
+      s"temperature keep ($keptEnTemp) must be >= uniform keep ($keptEnUni)")
+    assert(temp.filter($"lang" === "fr").count() === 4L)
   }
 
   test("q97 chunking conserves tokens, overlaps by chunk-stride, keeps short tail") {
