@@ -665,6 +665,80 @@ object Similarity extends QueryModule {
       |GROUP BY vec_id
       |ORDER BY vec_id NULLS FIRST""".stripMargin
 
+  /** q106 probe-set bound and top-k, interpolated into the oracle. */
+  val PqSearchProbes = 10L
+  val PqSearchK = 5
+
+  /** q106: PQ approximate search (asymmetric distance computation) — the
+    * query stage that train (q101) and encode (q105) exist for: for each
+    * probe, a per-block lookup table of squared distances to every
+    * centroid (probes × blocks × k rows — tiny), then every encoded
+    * vector's approximate distance is the sum of 8 TABLE LOOKUPS instead
+    * of a 64-dim kernel. Probes = vec_id < [[PqSearchProbes]] (the
+    * declared small-probe baseline, as q80/q84). Determinism: LUT
+    * entries rounded to 6 dp, per-vector sums DECIMAL-exact, ties break
+    * on neighbor id — fully oracle-comparable.
+    *
+    * Scale posture: the LUT join is a broadcast equi-join on (block,
+    * cluster) against the codes table (the corpus never shuffles); the
+    * per-(probe, vector) sum collapses map-side. At 100 TB this ADC scan
+    * composes with an IVF cell gate (q84's shape) so only one cell's
+    * codes are scanned per probe — the scan here is the in-cell inner
+    * loop, demonstrated corpus-wide because the fixture has no cells. */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame =
+    pqSearchOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def pqSearchOf(emb: DataFrame): DataFrame = {
+    val e2 = pqSubvectors(emb)
+    val model = pqModelOf(emb)
+    val codes = pqAssign(e2, model, carryVector = false)
+      .select(col("vec_id"), col("block"), col("cluster"))
+    val probes = e2.filter(col("vec_id") < PqSearchProbes)
+      .select(col("vec_id").as("query_id"), col("block"), col("sv"))
+    val sqDist = expr(
+      "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+    val lut = probes.join(broadcast(model), Seq("block"))
+      .select(col("query_id"), col("block"), col("cluster"),
+        round(sqDist, 6).as("pdist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dist"), col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("block", "cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("pdist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+        .as("approx_dist"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= PqSearchK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val pqSearchSql =
+    s"""WITH $pqModelCtes,
+      |codes AS (SELECT vec_id, block, cluster FROM pafin WHERE rk = 1),
+      |probes AS (SELECT vec_id AS query_id, block, sv FROM e2
+      |           WHERE vec_id < $PqSearchProbes),
+      |lut AS (SELECT p.query_id, p.block, c.cluster,
+      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
+      |            j -> (p.sv[j] - c.cv[j]) * (p.sv[j] - c.cv[j]))), 6) AS pdist
+      |        FROM probes p JOIN pc$PqIters c USING (block)),
+      |ad AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+      |         ROUND(CAST(SUM(CAST(l.pdist AS DECIMAL(38, 6))) AS DOUBLE), 6)
+      |           AS approx_dist
+      |       FROM codes k
+      |       JOIN lut l ON k.block = l.block AND k.cluster = l.cluster
+      |       WHERE k.vec_id <> l.query_id
+      |       GROUP BY 1, 2),
+      |rnk AS (SELECT query_id, neighbor_id, approx_dist,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY approx_dist, neighbor_id) AS INT) AS rank
+      |        FROM ad)
+      |SELECT query_id, rank, neighbor_id, approx_dist
+      |FROM rnk WHERE rank <= $PqSearchK
+      |ORDER BY query_id NULLS FIRST, rank""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
@@ -675,5 +749,6 @@ object Similarity extends QueryModule {
     GraftQuery("q100_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
     GraftQuery("q101_pq_train", pqTrain, Some(pqTrainSql)),
     GraftQuery("q105_pq_encode", pqEncode, Some(pqEncodeSql)),
+    GraftQuery("q106_pq_search", pqSearch, Some(pqSearchSql)),
   )
 }

@@ -865,7 +865,13 @@ object TextOps extends QueryModule {
   def bigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisalOf(Tables.documents(spark, dir))
 
-  /** DataFrame-level core (testable on constructed corpora). */
+  /** DataFrame-level core (testable on constructed corpora). The per-doc
+    * bigram count table is referenced three times through the plan (pair
+    * stats twice, final join once) and deliberately NOT cached: an A/B at
+    * sf0.1 measured scope-caching it a wash (2.51 s vs 2.52 s median —
+    * the recompute is scan-dominated and cache materialization costs what
+    * the two saved passes save), the same result as r4's probe on q72's
+    * raw shingle explode. Matches q93's uncached token counts. */
   def bigramSurprisalOf(d: DataFrame): DataFrame = {
     val bg = d.select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 2)

@@ -241,6 +241,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("q106 ADC search: codes join the broadcast LUT, corpus never shuffle-joined") {
+    val plan = executedPlan(Similarity.pqSearch(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("q99 gates: exact is a semi-join, DF gate anti, no cartesian") {
     val plan = executedPlan(Dedup.incrementalDedup(spark, sf0001))
     assert(plan.contains("LeftSemi"), plan.take(4000))
