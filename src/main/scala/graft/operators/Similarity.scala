@@ -360,36 +360,46 @@ object Similarity extends QueryModule {
 
   /** DataFrame-level core (ScaleProbe feeds enlarged inputs). Empty
     * clusters simply vanish from the model — identically in the oracle. */
-  def kmeansTrainOf(emb: DataFrame, k: Int = KmeansK,
+  /** (vec_id, v): vectors as doubles — the full-vector working grain. */
+  private def kmVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+
+  /** Squared euclidean over (v, cv) with the same sequential fold order
+    * as the oracle's LIST_SUM(LIST_TRANSFORM(...)); 6-dp rounding
+    * absorbs ulps. */
+  private val kmSqDist = expr(
+    "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+
+  /** Argmin as a min_by aggregate, NOT a window: the broadcast cross
+    * join emits each vector's k candidate rows inside one map partition,
+    * so partial aggregation collapses them there and the shuffle carries
+    * ONE row per vector — a vec_id window would shuffle and sort all n×k
+    * rows. Tie-break on (dist, cluster) is total. `carryVector` = false
+    * for accounting/assignment-only passes: Catalyst cannot prune fields
+    * inside the aggregate's input struct, so carrying v would shuffle
+    * ~8·dim dead bytes per vector there. */
+  private def kmAssign(e: DataFrame, c: DataFrame,
+      carryVector: Boolean): DataFrame = {
+    val payload =
+      if (carryVector) struct(col("cluster"), col("v"), col("dist"))
+      else struct(col("cluster"), col("dist"))
+    val best = e.crossJoin(broadcast(c))
+      .withColumn("dist", round(kmSqDist, 6))
+      .groupBy(col("vec_id"))
+      .agg(min_by(payload, struct(col("dist"), col("cluster"))).as("best"))
+    if (carryVector)
+      best.select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.v").as("v"), col("best.dist").as("dist"))
+    else
+      best.select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.dist").as("dist"))
+  }
+
+  /** The converged k-means model (cluster, cv) — shared by q100's
+    * training summary and q107's coarse quantizer. Deterministic. */
+  def kmeansModelOf(emb: DataFrame, k: Int = KmeansK,
       iters: Int = KmeansIters): DataFrame = {
-    val e = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    // squared euclidean with the same sequential fold order as the
-    // oracle's LIST_SUM(LIST_TRANSFORM(...)); 6-dp rounding absorbs ulps
-    val sqDist = expr(
-      "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
-    // argmin as a min_by aggregate, NOT a window: the broadcast cross
-    // join emits each vector's k candidate rows inside one map
-    // partition, so partial aggregation collapses them there and the
-    // shuffle carries ONE row per vector — a vec_id window would shuffle
-    // and sort all n×k rows. Tie-break on (dist, cluster) is total.
-    // `carryVector` = false for the final accounting pass: Catalyst
-    // cannot prune fields inside the aggregate's input struct, so
-    // carrying v would shuffle ~8·dim dead bytes per vector there.
-    def assign(c: DataFrame, carryVector: Boolean): DataFrame = {
-      val payload =
-        if (carryVector) struct(col("cluster"), col("v"), col("dist"))
-        else struct(col("cluster"), col("dist"))
-      val best = e.crossJoin(broadcast(c))
-        .withColumn("dist", round(sqDist, 6))
-        .groupBy(col("vec_id"))
-        .agg(min_by(payload, struct(col("dist"), col("cluster"))).as("best"))
-      if (carryVector)
-        best.select(col("vec_id"), col("best.cluster").as("cluster"),
-          col("best.v").as("v"), col("best.dist").as("dist"))
-      else
-        best.select(col("vec_id"), col("best.cluster").as("cluster"),
-          col("best.dist").as("dist"))
-    }
+    val e = kmVectors(emb)
     // init = the k lowest vec_ids' vectors (TakeOrdered, never a global
     // sort); ids need not be dense or zero-based
     var cents = e.orderBy(col("vec_id")).limit(k)
@@ -400,7 +410,7 @@ object Similarity extends QueryModule {
       // same one corpus pass it would cost lazily) so the PREVIOUS
       // round's dead blocks can be released immediately instead of
       // accumulating until GC (q77's loop hygiene)
-      cents = assign(cents, carryVector = true)
+      cents = kmAssign(e, cents, carryVector = true)
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster")).pivot("pos", (0 until KmeansDim).map(_.toString))
         .agg(round(avg(col("x")), 6))
@@ -410,7 +420,13 @@ object Similarity extends QueryModule {
       if (prev != null) graft.functions.ScopedCache.releaseCheckpoint(prev)
       prev = cents
     }
-    val fin = assign(cents, carryVector = false)
+    cents
+  }
+
+  def kmeansTrainOf(emb: DataFrame, k: Int = KmeansK,
+      iters: Int = KmeansIters): DataFrame = {
+    val cents = kmeansModelOf(emb, k, iters)
+    val fin = kmAssign(kmVectors(emb), cents, carryVector = false)
     val sizes = fin.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
@@ -452,13 +468,20 @@ object Similarity extends QueryModule {
       |  GROUP BY cluster)""".stripMargin
   }
 
-  private val kmeansTrainSql =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** Shared oracle prefix: vectors, init, unrolled Lloyd steps, and the
+    * final full-vector assignment (afin carries EVERY rank, so rk = 1 is
+    * the cell assignment and rk ≤ p is a probe's p nearest cells) — used
+    * by q100's summary and q107's coarse quantizer. */
+  private val kmeansModelCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
       |       ORDER BY vec_id LIMIT $KmeansK),
       |${(1 to KmeansIters).map(kmeansStepSql).mkString(",\n")},
       |afin AS (
-      |  ${kmeansAssignSql(s"c$KmeansIters")}),
+      |  ${kmeansAssignSql(s"c$KmeansIters")})""".stripMargin
+
+  private val kmeansTrainSql =
+    s"""WITH $kmeansModelCtes,
       |s AS (SELECT cluster, COUNT(*) AS n_members,
       |        ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS inertia
       |      FROM afin WHERE rk = 1 GROUP BY 1),
@@ -605,9 +628,10 @@ object Similarity extends QueryModule {
     * training steps, and the final assignment — everything up to the
     * converged model + per-(vec, block) codes, used verbatim by q101's
     * summary and q105's encoder so they cannot drift. */
-  private val pqModelCtes =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |e2 AS (SELECT vec_id, b AS block,
+  /** The PQ prefix WITHOUT the leading vectors CTE, so q107 can chain it
+    * after [[kmeansModelCtes]] (which defines the identical `e`). */
+  private val pqModelCtesAfterE =
+    s"""e2 AS (SELECT vec_id, b AS block,
       |         v[b * $PqBlockDim + 1 : (b + 1) * $PqBlockDim] AS sv
       |       FROM e, UNNEST(GENERATE_SERIES(0, ${PqBlocks - 1})) AS t(b)),
       |pc0 AS (SELECT block, vec_id AS cluster, sv AS cv FROM e2
@@ -615,6 +639,10 @@ object Similarity extends QueryModule {
       |${(1 to PqIters).map(pqStepSql).mkString(",\n")},
       |pafin AS (
       |  ${pqAssignSql(s"pc$PqIters")})""".stripMargin
+
+  private val pqModelCtes =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$pqModelCtesAfterE""".stripMargin
 
   private val pqTrainSql =
     s"""WITH $pqModelCtes,
@@ -688,24 +716,25 @@ object Similarity extends QueryModule {
   def pqSearch(spark: SparkSession, dir: String): DataFrame =
     pqSearchOf(Tables.embeddings(spark, dir))
 
-  /** DataFrame-level core (testable on constructed corpora). */
-  def pqSearchOf(emb: DataFrame): DataFrame = {
-    val e2 = pqSubvectors(emb)
-    val model = pqModelOf(emb)
-    val codes = pqAssign(e2, model, carryVector = false)
-      .select(col("vec_id"), col("block"), col("cluster"))
-    val probes = e2.filter(col("vec_id") < PqSearchProbes)
-      .select(col("vec_id").as("query_id"), col("block"), col("sv"))
+  /** Per-probe distance lookup table (query_id, block, cluster, pdist) —
+    * probes × blocks × k rows, broadcast-sized. Shared by q106 and q107
+    * so the ADC arithmetic cannot drift between them. */
+  private def pqLut(e2: DataFrame, model: DataFrame): DataFrame = {
     val sqDist = expr(
       "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
-    val lut = probes.join(broadcast(model), Seq("block"))
+    e2.filter(col("vec_id") < PqSearchProbes)
+      .select(col("vec_id").as("query_id"), col("block"), col("sv"))
+      .join(broadcast(model), Seq("block"))
       .select(col("query_id"), col("block"), col("cluster"),
         round(sqDist, 6).as("pdist"))
+  }
+
+  /** ADC sum + top-k over (query_id, vec_id, pdist) rows: per-(probe,
+    * vector) distances summed DECIMAL-exact, ranked with id tiebreak. */
+  private def adcRank(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dist"), col("neighbor_id"))
-    codes.join(broadcast(lut), Seq("block", "cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
+    scored.groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("pdist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
         .as("approx_dist"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
@@ -715,15 +744,42 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val pqSearchSql =
-    s"""WITH $pqModelCtes,
-      |codes AS (SELECT vec_id, block, cluster FROM pafin WHERE rk = 1),
+  /** DataFrame-level core (testable on constructed corpora). */
+  def pqSearchOf(emb: DataFrame): DataFrame = {
+    val e2 = pqSubvectors(emb)
+    val model = pqModelOf(emb)
+    val codes = pqAssign(e2, model, carryVector = false)
+      .select(col("vec_id"), col("block"), col("cluster"))
+    val lut = pqLut(e2, model)
+    adcRank(codes.join(broadcast(lut), Seq("block", "cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("pdist")))
+  }
+
+  /** Shared search CTEs (codes, probes, LUT) and the shared ranking
+    * tail — q106 and q107 differ only in which (probe, vector) pairs
+    * enter the ADC sum. */
+  private val pqSearchCtes =
+    s"""codes AS (SELECT vec_id, block, cluster FROM pafin WHERE rk = 1),
       |probes AS (SELECT vec_id AS query_id, block, sv FROM e2
       |           WHERE vec_id < $PqSearchProbes),
       |lut AS (SELECT p.query_id, p.block, c.cluster,
       |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
       |            j -> (p.sv[j] - c.cv[j]) * (p.sv[j] - c.cv[j]))), 6) AS pdist
-      |        FROM probes p JOIN pc$PqIters c USING (block)),
+      |        FROM probes p JOIN pc$PqIters c USING (block))""".stripMargin
+
+  private val adcRankSql =
+    s"""rnk AS (SELECT query_id, neighbor_id, approx_dist,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY approx_dist, neighbor_id) AS INT) AS rank
+      |        FROM ad)
+      |SELECT query_id, rank, neighbor_id, approx_dist
+      |FROM rnk WHERE rank <= $PqSearchK
+      |ORDER BY query_id NULLS FIRST, rank""".stripMargin
+
+  private val pqSearchSql =
+    s"""WITH $pqModelCtes,
+      |$pqSearchCtes,
       |ad AS (SELECT l.query_id, k.vec_id AS neighbor_id,
       |         ROUND(CAST(SUM(CAST(l.pdist AS DECIMAL(38, 6))) AS DOUBLE), 6)
       |           AS approx_dist
@@ -731,13 +787,83 @@ object Similarity extends QueryModule {
       |       JOIN lut l ON k.block = l.block AND k.cluster = l.cluster
       |       WHERE k.vec_id <> l.query_id
       |       GROUP BY 1, 2),
-      |rnk AS (SELECT query_id, neighbor_id, approx_dist,
-      |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-      |            ORDER BY approx_dist, neighbor_id) AS INT) AS rank
-      |        FROM ad)
-      |SELECT query_id, rank, neighbor_id, approx_dist
-      |FROM rnk WHERE rank <= $PqSearchK
-      |ORDER BY query_id NULLS FIRST, rank""".stripMargin
+      |$adcRankSql""".stripMargin
+
+  // ---- IVF-PQ composed search ---------------------------------------------
+
+  /** q107 cell fan-out: each probe searches its 2 nearest k-means cells
+    * (q84's probe pattern applied to the q100 quantizer). */
+  val IvfPqProbeCells = 2
+
+  /** q107: IVF-PQ search — the full index the embedding family builds
+    * toward, composed end to end: q100's k-means model is the coarse
+    * quantizer (every vector lives in one cell), q101's codebooks
+    * compress the vectors, and q106's ADC scores them — but only the
+    * probe's [[IvfPqProbeCells]] nearest cells' codes enter the scan,
+    * which is the mechanism that makes ADC affordable at 100 TB (the
+    * corpus-wide q106 scan becomes a per-cell one; with c cells a probe
+    * touches ~2/c of the codes). Everything is the same fixed-point
+    * regime, so the DuckDB oracle replays both training loops and the
+    * gated scan exactly.
+    *
+    * Scale posture: cells and codes are corpus-sized tables that never
+    * shuffle-join — the cell gate and the LUT are broadcast equi-joins;
+    * the per-(probe, vector) sum collapses map-side. The two in-plan
+    * trainings dominate fixture runtime; a production pipeline trains
+    * once and reuses the model (the operator exists to pin the composed
+    * semantics). */
+  def ivfPqSearch(spark: SparkSession, dir: String): DataFrame =
+    ivfPqSearchOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def ivfPqSearchOf(emb: DataFrame): DataFrame = {
+    val e = kmVectors(emb)
+    val cellModel = kmeansModelOf(emb)
+    val cellsAll = kmAssign(e, cellModel, carryVector = false)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    // probe cells: a tiny window over probes × k candidate rows, same
+    // (dist, cluster) ordering as the oracle's afin ranks
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("cell"))
+    val probeCells = e.filter(col("vec_id") < PqSearchProbes)
+      .crossJoin(broadcast(cellModel))
+      .withColumn("dist", round(kmSqDist, 6))
+      .select(col("vec_id").as("query_id"), col("cluster").as("cell"), col("dist"))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= IvfPqProbeCells)
+      .select(col("query_id"), col("cell"))
+    val e2 = pqSubvectors(emb)
+    val pqModel = pqModelOf(emb)
+    val codes = pqAssign(e2, pqModel, carryVector = false)
+      .select(col("vec_id"), col("block"), col("cluster"))
+    val lut = pqLut(e2, pqModel)
+    val cand = cellsAll.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    adcRank(cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "block", "cluster"))
+      .select(col("query_id"), col("vec_id"), col("pdist")))
+  }
+
+  private val ivfPqSearchSql =
+    s"""WITH $kmeansModelCtes,
+      |$pqModelCtesAfterE,
+      |$pqSearchCtes,
+      |cellsall AS (SELECT vec_id, cluster AS cell FROM afin WHERE rk = 1),
+      |pcell AS (SELECT vec_id AS query_id, cluster AS cell FROM afin
+      |          WHERE rk <= $IvfPqProbeCells AND vec_id < $PqSearchProbes),
+      |cand AS (SELECT p.query_id, ca.vec_id FROM cellsall ca
+      |         JOIN pcell p USING (cell)
+      |         WHERE ca.vec_id <> p.query_id),
+      |ad AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+      |         ROUND(CAST(SUM(CAST(l.pdist AS DECIMAL(38, 6))) AS DOUBLE), 6)
+      |           AS approx_dist
+      |       FROM cand cd
+      |       JOIN codes k ON cd.vec_id = k.vec_id
+      |       JOIN lut l ON l.query_id = cd.query_id
+      |         AND l.block = k.block AND l.cluster = k.cluster
+      |       GROUP BY 1, 2),
+      |$adcRankSql""".stripMargin
 
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
@@ -750,5 +876,6 @@ object Similarity extends QueryModule {
     GraftQuery("q101_pq_train", pqTrain, Some(pqTrainSql)),
     GraftQuery("q105_pq_encode", pqEncode, Some(pqEncodeSql)),
     GraftQuery("q106_pq_search", pqSearch, Some(pqSearchSql)),
+    GraftQuery("q107_ivfpq_search", ivfPqSearch, Some(ivfPqSearchSql)),
   )
 }

@@ -733,6 +733,27 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (3L, 4, 10L, 800.0), (3L, 5, 11L, 800.0)))
   }
 
+  test("q107 cell-gated ADC agrees with q106 on shared pairs, never beats it") {
+    // the IVF gate only FILTERS candidates: any (probe, neighbor) pair
+    // present in both results must carry the identical ADC distance, and
+    // the gated top-1 can never be closer than the corpus-wide top-1
+    val fullRows = Similarity.pqSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val gatedRows = Similarity.ivfPqSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(gatedRows.nonEmpty)
+    val fullDist = fullRows.map(t => (t._1, t._3) -> t._4).toMap
+    gatedRows.foreach { case (q, _, n, d) =>
+      fullDist.get((q, n)).foreach(fd =>
+        assert(fd === d, s"pair ($q,$n): full $fd vs gated $d"))
+    }
+    val fullBest = fullRows.filter(_._2 == 1).map(t => t._1 -> t._4).toMap
+    gatedRows.filter(_._2 == 1).foreach { case (q, _, _, d) =>
+      assert(d >= fullBest(q) - 1e-9,
+        s"query $q: gated best $d beats corpus-wide best ${fullBest(q)}")
+    }
+  }
+
   test("q102 counts corpus-wide adjacent pairs, skips 1-token docs") {
     val session = spark
     import session.implicits._
