@@ -530,19 +530,23 @@ object Similarity extends QueryModule {
           s"b -> slice(v, b * $PqBlockDim + 1, $PqBlockDim))"))
         .as(Seq("block", "sv")))
 
+  /** Squared euclidean over (sv, cv) — the sub-vector twin of
+    * [[kmSqDist]], shared by [[pqAssign]] and [[pqLut]] so codes and the
+    * LUT they are looked up in cannot drift. */
+  private val pqSqDist = expr(
+    "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+
   /** Same argmin-as-aggregate shape as q100, keyed by (vec, block);
     * accounting/encoding passes drop the sub-vector from the min_by
     * payload (carryVector = false) — Catalyst cannot prune fields inside
     * the aggregate's input struct. */
   private def pqAssign(e2: DataFrame, m: DataFrame,
       carryVector: Boolean): DataFrame = {
-    val sqDist = expr(
-      "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
     val payload =
       if (carryVector) struct(col("cluster"), col("sv"), col("dist"))
       else struct(col("cluster"), col("dist"))
     val best = e2.join(broadcast(m), Seq("block"))
-      .withColumn("dist", round(sqDist, 6))
+      .withColumn("dist", round(pqSqDist, 6))
       .groupBy(col("vec_id"), col("block"))
       .agg(min_by(payload, struct(col("dist"), col("cluster"))).as("best"))
     if (carryVector)
@@ -719,15 +723,12 @@ object Similarity extends QueryModule {
   /** Per-probe distance lookup table (query_id, block, cluster, pdist) —
     * probes × blocks × k rows, broadcast-sized. Shared by q106 and q107
     * so the ADC arithmetic cannot drift between them. */
-  private def pqLut(e2: DataFrame, model: DataFrame): DataFrame = {
-    val sqDist = expr(
-      "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+  private def pqLut(e2: DataFrame, model: DataFrame): DataFrame =
     e2.filter(col("vec_id") < PqSearchProbes)
       .select(col("vec_id").as("query_id"), col("block"), col("sv"))
       .join(broadcast(model), Seq("block"))
       .select(col("query_id"), col("block"), col("cluster"),
-        round(sqDist, 6).as("pdist"))
-  }
+        round(pqSqDist, 6).as("pdist"))
 
   /** ADC sum + top-k over (query_id, vec_id, pdist) rows: per-(probe,
     * vector) distances summed DECIMAL-exact, ranked with id tiebreak. */
@@ -806,12 +807,15 @@ object Similarity extends QueryModule {
     * regime, so the DuckDB oracle replays both training loops and the
     * gated scan exactly.
     *
-    * Scale posture: cells and codes are corpus-sized tables that never
-    * shuffle-join — the cell gate and the LUT are broadcast equi-joins;
-    * the per-(probe, vector) sum collapses map-side. The two in-plan
-    * trainings dominate fixture runtime; a production pipeline trains
-    * once and reuses the model (the operator exists to pin the composed
-    * semantics). */
+    * Scale posture: the cell gate (probeCells) and the LUT are broadcast
+    * equi-joins and the per-(probe, vector) sum collapses map-side; the
+    * one corpus⋈corpus join — cells⋈codes on vec_id — is the INDEX-BUILD
+    * join (a production index stores cell and codes in one table,
+    * written once), left AQE-decided: broadcast when a side is small,
+    * an honest co-partitionable primary-key shuffle when both are huge.
+    * The two in-plan trainings dominate fixture runtime; a production
+    * pipeline trains once and reuses the model (the operator exists to
+    * pin the composed semantics). */
   def ivfPqSearch(spark: SparkSession, dir: String): DataFrame =
     ivfPqSearchOf(Tables.embeddings(spark, dir))
 

@@ -242,18 +242,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q106/q107 ADC search: broadcast LUT/cell gates, corpus never shuffle-joined") {
+    // q106: every join carries an explicit broadcast() hint, so the
+    // FULL plan string (initial plan included) must be shuffle-join-free
+    // — a dropped hint would otherwise hide behind AQE's fixture-size
+    // conversion and only degrade at production scale
+    val q106 = executedPlan(Similarity.pqSearch(spark, sf0001))
+    assert(q106.contains("BroadcastHashJoin"), q106.take(4000))
+    assert(!q106.contains("SortMergeJoin"), q106.take(4000))
+    assert(!q106.contains("CartesianProduct"), q106.take(4000))
     // q107's cand⋈codes is an unhinted primary-key join (the index-build
     // join between the cell table and the codes table) — AQE decides it
     // at runtime, so assert the EXECUTED section only: the initial plan
     // legitimately shows the sort-merge fallback it would degrade to
     // when both index sides are genuinely huge
-    for (df <- Seq(Similarity.pqSearch(spark, sf0001),
-                   Similarity.ivfPqSearch(spark, sf0001))) {
-      val plan = executedPlan(df).split("== Initial Plan ==")(0)
-      assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
-      assert(!plan.contains("SortMergeJoin"), plan.take(4000))
-      assert(!plan.contains("CartesianProduct"), plan.take(4000))
-    }
+    val q107 = executedPlan(Similarity.ivfPqSearch(spark, sf0001))
+      .split("== Initial Plan ==")(0)
+    assert(q107.contains("BroadcastHashJoin"), q107.take(4000))
+    assert(!q107.contains("SortMergeJoin"), q107.take(4000))
+    assert(!q107.contains("CartesianProduct"), q107.take(4000))
   }
 
   test("q99 gates: exact is a semi-join, DF gate anti, no cartesian") {

@@ -743,9 +743,12 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(gatedRows.nonEmpty)
     val fullDist = fullRows.map(t => (t._1, t._3) -> t._4).toMap
-    gatedRows.foreach { case (q, _, n, d) =>
-      fullDist.get((q, n)).foreach(fd =>
-        assert(fd === d, s"pair ($q,$n): full $fd vs gated $d"))
+    val shared = gatedRows.filter { case (q, _, n, _) => fullDist.contains((q, n)) }
+    // non-vacuity: an inverted/broken cell gate would make the top-5
+    // lists disjoint and silently skip every comparison below
+    assert(shared.nonEmpty, "no (probe, neighbor) pair shared between q106 and q107")
+    shared.foreach { case (q, _, n, d) =>
+      assert(fullDist((q, n)) === d, s"pair ($q,$n): full ${fullDist((q, n))} vs gated $d")
     }
     val fullBest = fullRows.filter(_._2 == 1).map(t => t._1 -> t._4).toMap
     gatedRows.filter(_._2 == 1).foreach { case (q, _, _, d) =>
