@@ -168,7 +168,23 @@ object Plans {
           "per-block model joins via BroadcastHashJoin on block id; " +
           "the min_by argmin is keyed (vec_id, block); the recompute " +
           "aggregate shuffles only (block, cluster, dim) partials.",
-        Similarity.pqTrain(spark, dir)))
+        Similarity.pqTrain(spark, dir)),
+      section("q106 PQ ADC search (broadcast lookup table)",
+        "What to look for: every join is an explicitly hinted " +
+          "BroadcastHashJoin (LUT on (block, cluster), model on block) " +
+          "— the corpus-side codes never shuffle; the per-(probe, " +
+          "vector) distance sum is a partial/final aggregate over " +
+          "DECIMAL casts; top-k is a 10-partition window over " +
+          "probe-count rows, not corpus rows.",
+        Similarity.pqSearch(spark, dir)),
+      section("q107 IVF-PQ composed search (cell-gated ADC)",
+        "What to look for: the probe-cells gate and the LUT arrive by " +
+          "broadcast; the one corpus-to-corpus join (cells-codes on " +
+          "vec_id, the index-build join) is unhinted and AQE-decided — " +
+          "broadcast at this scale, an honest primary-key shuffle when " +
+          "both index sides are huge; both training loops live in " +
+          "checkpointed RDD scans.",
+        Similarity.ivfPqSearch(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +
