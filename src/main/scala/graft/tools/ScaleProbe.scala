@@ -236,6 +236,19 @@ object ScaleProbe {
     time("q103 bigram srp 1x (5k docs)")(bigramCount(d1))
     time(s"q103 bigram srp ${copies}x")(bigramCount(dN))
 
+    // q106/q107 shapes: the probe set and both models are fixed-size, so
+    // the corpus-side codes table is the only thing that grows — the ADC
+    // scan (q106) and the cell-gated scan + index-build join (q107)
+    // should track the training passes, not explode with candidates
+    def adcCount(e: DataFrame): Long =
+      graft.operators.Similarity.pqSearchOf(e).count()
+    def ivfPqCount(e: DataFrame): Long =
+      graft.operators.Similarity.ivfPqSearchOf(e).count()
+    time("q106 ADC search 1x (5k)")(adcCount(e1))
+    time(s"q106 ADC search ${copies}x")(adcCount(eN))
+    time("q107 IVF-PQ search 1x (5k)")(ivfPqCount(e1))
+    time(s"q107 IVF-PQ search ${copies}x")(ivfPqCount(eN))
+
     spark.stop()
   }
 }
