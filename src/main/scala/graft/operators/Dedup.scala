@@ -817,8 +817,10 @@ object Dedup extends QueryModule {
   val IncomingCarveMod = 5
 
   /** q99: ingest-time incremental dedup — classify each INCOMING document
-    * against the SEEN corpus as `exact_dup` (content hash already
-    * present), `near_dup` (some seen doc matches ≥ half the incoming
+    * against the SEEN corpus as `exact_dup` (content hash already present
+    * in the seen corpus, OR a smaller-id copy arrived in the same batch —
+    * within-batch exact duplicates must not all be admitted as "new"),
+    * `near_dup` (some seen doc matches ≥ half the incoming
     * doc's discriminative shingles, with ≥ [[ContaminationMinShared]]
     * shared as a small-doc fluke guard — containment, the directional
     * near-dup criterion; contamination's bare n_shared trigger is
@@ -829,6 +831,9 @@ object Dedup extends QueryModule {
     * form of the keep-one-per-identity compaction semantics,
     * kafka/README.md:27,:433-434). Exact precedence over near: an exact
     * copy also shares all shingles, and callers want the cheaper verdict.
+    * Within-batch NEAR duplicates are intentionally out of scope — run
+    * the fuzzy path (q72/q77/q85) over the admitted batch for those;
+    * this operator's near gate compares only against the seen corpus.
     *
     * Scale posture: the exact gate is a semi-join on 32-byte hashes —
     * the seen side collapses to distinct hashes map-side and in steady
@@ -848,9 +853,18 @@ object Dedup extends QueryModule {
     val incoming = docs.filter(isIncoming)
     val seenHashes = docs.filter(!isIncoming)
       .select(sha2(col("text"), 256).as("h")).distinct()
-    val exact = incoming.select(col("doc_id"), sha2(col("text"), 256).as("h"))
-      .join(seenHashes, Seq("h"), "left_semi")
-      .select(col("doc_id"), lit(true).as("is_exact"))
+    val incHashes = incoming.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    // exact = hash already in the seen corpus OR a smaller-id copy in the
+    // SAME batch — without the within-batch leg, two identical incoming
+    // docs would both be admitted as "new" and the deduplicated-corpus
+    // invariant would break on the first such batch
+    val firstInBatch = incHashes.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    val exact = incHashes.join(seenHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"))
+      .unionByName(incHashes.join(firstInBatch, Seq("h"))
+        .filter(col("doc_id") > col("first_id")).select(col("doc_id")))
+      .distinct()
+      .withColumn("is_exact", lit(true))
     val sh = gatedShingles(docs, maxDF, SharedShingleScope)
     val incSh = sh.filter(pmod(col("doc_id"), lit(IncomingCarveMod.toLong)) === 0)
       .select(col("sh"), col("doc_id").as("inc_doc"))
@@ -883,7 +897,13 @@ object Dedup extends QueryModule {
       |        WHERE doc_id % $IncomingCarveMod = 0),
       |seenh AS (SELECT DISTINCT SHA256(text) AS h FROM documents
       |          WHERE doc_id % $IncomingCarveMod <> 0),
-      |ex AS (SELECT DISTINCT i.doc_id FROM inc i JOIN seenh s ON i.h = s.h),
+      |ex AS (SELECT DISTINCT doc_id FROM (
+      |         SELECT i.doc_id FROM inc i JOIN seenh s ON i.h = s.h
+      |         UNION ALL
+      |         SELECT i.doc_id FROM inc i
+      |         JOIN (SELECT h, MIN(doc_id) AS first_id FROM inc GROUP BY h) f
+      |           ON i.h = f.h
+      |         WHERE i.doc_id > f.first_id) u),
       |incsh AS (SELECT doc_id AS inc_doc, sh FROM sh
       |          WHERE doc_id % $IncomingCarveMod = 0),
       |seensh AS (SELECT doc_id AS seen_doc, sh FROM sh

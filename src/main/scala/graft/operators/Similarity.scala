@@ -358,8 +358,6 @@ object Similarity extends QueryModule {
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     kmeansTrainOf(Tables.embeddings(spark, dir))
 
-  /** DataFrame-level core (ScaleProbe feeds enlarged inputs). Empty
-    * clusters simply vanish from the model — identically in the oracle. */
   /** (vec_id, v): vectors as doubles — the full-vector working grain. */
   private def kmVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
@@ -396,7 +394,10 @@ object Similarity extends QueryModule {
   }
 
   /** The converged k-means model (cluster, cv) — shared by q100's
-    * training summary and q107's coarse quantizer. Deterministic. */
+    * training summary and q107's coarse quantizer. Deterministic.
+    * Requires [[KmeansDim]]-dim vectors: the recompute pivots on dim
+    * positions 0..63, so shorter vectors would materialize NULL centroid
+    * tails and silently poison the next assignment. */
   def kmeansModelOf(emb: DataFrame, k: Int = KmeansK,
       iters: Int = KmeansIters): DataFrame = {
     val e = kmVectors(emb)
@@ -423,6 +424,10 @@ object Similarity extends QueryModule {
     cents
   }
 
+  /** DataFrame-level core (ScaleProbe feeds enlarged inputs). Requires
+    * [[KmeansDim]]-dim vectors (the recompute pivot is dim-indexed, as
+    * [[pqTrainOf]] requires blocks×blockDim). Empty clusters simply
+    * vanish from the model — identically in the oracle. */
   def kmeansTrainOf(emb: DataFrame, k: Int = KmeansK,
       iters: Int = KmeansIters): DataFrame = {
     val cents = kmeansModelOf(emb, k, iters)
@@ -628,12 +633,11 @@ object Similarity extends QueryModule {
       |  GROUP BY block, cluster)""".stripMargin
   }
 
-  /** Shared oracle prefix: sub-vector table, init codebook, unrolled
-    * training steps, and the final assignment — everything up to the
-    * converged model + per-(vec, block) codes, used verbatim by q101's
-    * summary and q105's encoder so they cannot drift. */
-  /** The PQ prefix WITHOUT the leading vectors CTE, so q107 can chain it
-    * after [[kmeansModelCtes]] (which defines the identical `e`). */
+  /** Shared oracle prefix (sub-vector table, init codebook, unrolled
+    * training steps, final per-(vec, block) assignment) WITHOUT the
+    * leading vectors CTE, so q107 can chain it after [[kmeansModelCtes]]
+    * (which defines the identical `e`); q101/q105/q106 prepend `e` via
+    * [[pqModelCtes]]. One definition, so the oracles cannot drift. */
   private val pqModelCtesAfterE =
     s"""e2 AS (SELECT vec_id, b AS block,
       |         v[b * $PqBlockDim + 1 : (b + 1) * $PqBlockDim] AS sv

@@ -464,26 +464,48 @@ object TextOps extends QueryModule {
     * window, no shuffle, and the key is engine-portable arithmetic (not an
     * engine hash), so the SAME docs are kept across engines, runs, and
     * cluster sizes — what makes a sampled corpus auditable. */
+  /** The engine-portable multiplicative-hash sample key shared by the
+    * three samplers (q87 fixed rates, q98 uniform, q104 temperature) —
+    * ONE definition plus the SQL twin below, so the kept sets stay
+    * mutually auditable across the family. */
+  private def sampleKey: Column =
+    pmod(pmod(col("doc_id"), lit(SampleModPrime)) * lit(SampleMult), lit(SampleMod))
+
+  // ((x % m) + m) % m mirrors Spark's pmod (q67's trap)
+  private val sampleKeySqlExpr =
+    s"CAST(((((doc_id % $SampleModPrime) + $SampleModPrime) % $SampleModPrime" +
+      s" * $SampleMult) % $SampleMod + $SampleMod) % $SampleMod AS BIGINT)"
+
+  /** Shared corpus pass of q98/q104: deterministic keep-filter against a
+    * per-lang integer threshold table. Pinned broadcast is justified:
+    * rows = distinct languages, a naturally bounded set. NULL-lang docs
+    * have no mixture bucket and drop out of the inner join — same
+    * semantics as the oracles' JOIN USING. */
+  private def mixByThreshold(d: DataFrame, thr: DataFrame): DataFrame =
+    d.withColumn("sample_key", sampleKey)
+      .join(broadcast(thr), Seq("lang"))
+      .filter(col("sample_key") < col("thr"))
+      .select(col("doc_id"), col("lang"), col("sample_key"), col("thr"))
+      .orderBy(col("doc_id"))
+
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val key = pmod(pmod(col("doc_id"), lit(SampleModPrime)) * lit(SampleMult), lit(SampleMod))
     val rate = SampleRates.foldRight(lit(SampleDefaultRate): Column) {
       case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
-    d.withColumn("sample_key", key)
+    d.withColumn("sample_key", sampleKey)
       .filter(col("sample_key") < rate)
       .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
       .orderBy(col("doc_id"))
   }
 
-  // ((x % m) + m) % m mirrors Spark's pmod (q67's trap); the CASE arms are
-  // generated from SampleRates so plan and oracle share one rate table
+  // the CASE arms are generated from SampleRates so plan and oracle
+  // share one rate table; the key comes from the shared SQL twin
   private val stratifiedSampleSql = {
     val arms = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
     s"""SELECT doc_id, lang, source, sample_key FROM (
       |  SELECT doc_id, lang, source,
-      |    ((((doc_id % $SampleModPrime) + $SampleModPrime) % $SampleModPrime
-      |      * $SampleMult) % $SampleMod + $SampleMod) % $SampleMod AS sample_key
+      |    $sampleKeySqlExpr AS sample_key
       |  FROM documents) t
       |WHERE sample_key < CASE lang $arms ELSE $SampleDefaultRate END
       |ORDER BY doc_id NULLS FIRST""".stripMargin
@@ -727,7 +749,10 @@ object TextOps extends QueryModule {
     * doc emits ≥1 chunk in both engines (no empty-list divergence). */
   def chunkDocumentsOf(d: DataFrame, chunk: Int = ChunkTokens,
       stride: Int = ChunkStride): DataFrame = {
-    require(chunk >= 1 && stride >= 1, s"bad chunk/stride: $chunk/$stride")
+    // stride > chunk would skip tokens between windows, violating the
+    // documented conservation invariant — refuse instead of silently drop
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      s"bad chunk/stride: $chunk/$stride (need 1 <= stride <= chunk)")
     d.select(col("doc_id"), toks.as("t"))
       .withColumn("n", size(col("t")))
       .select(col("doc_id"), col("t"), col("n"),
@@ -781,15 +806,7 @@ object TextOps extends QueryModule {
     val thr = counts.crossJoin(broadcast(minCnt))
       .select(col("lang"),
         expr(s"($SampleMod * min_cnt) div cnt").cast(LongType).as("thr"))
-    val key = pmod(pmod(col("doc_id"), lit(SampleModPrime)) * lit(SampleMult),
-      lit(SampleMod))
-    d.withColumn("sample_key", key)
-      // pinned broadcast is justified: rows = distinct languages, a
-      // naturally bounded set (unlike the unbounded hot lists in Dedup)
-      .join(broadcast(thr), Seq("lang"))
-      .filter(col("sample_key") < col("thr"))
-      .select(col("doc_id"), col("lang"), col("sample_key"), col("thr"))
-      .orderBy(col("doc_id"))
+    mixByThreshold(d, thr)
   }
 
   private val mixToUniformSql =
@@ -797,15 +814,30 @@ object TextOps extends QueryModule {
       |m AS (SELECT MIN(cnt) AS min_cnt FROM c),
       |t AS (SELECT lang, CAST(($SampleMod * min_cnt) // cnt AS BIGINT) AS thr
       |      FROM c, m),
-      |k AS (SELECT doc_id, lang,
-      |        CAST(((((doc_id % $SampleModPrime) + $SampleModPrime) % $SampleModPrime
-      |          * $SampleMult) % $SampleMod + $SampleMod) % $SampleMod
-      |          AS BIGINT) AS sample_key
+      |k AS (SELECT doc_id, lang, $sampleKeySqlExpr AS sample_key
       |      FROM documents)
       |SELECT k.doc_id, k.lang, k.sample_key, t.thr
       |FROM k JOIN t USING (lang)
       |WHERE k.sample_key < t.thr
       |ORDER BY k.doc_id NULLS FIRST""".stripMargin
+
+  /** Adjacent-token pairs per row, exploded to struct(l, r) — shared by
+    * q102 (corpus pair counts) and q103 (bigram conditionals) so the
+    * pair construction cannot drift. size >= 2 guard: Spark's
+    * sequence(1, 0) is the DESCENDING [1, 0], not empty (DuckDB's
+    * GENERATE_SERIES(1, 0) IS empty — q86's divergence trap). */
+  private def adjacentPairs(d: DataFrame, carryDocId: Boolean): DataFrame = {
+    val base =
+      if (carryDocId) d.select(col("doc_id"), toks.as("t"))
+      else d.select(toks.as("t"))
+    val exploded = base.filter(size(col("t")) >= 2)
+      .withColumn("p", explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))")))
+    val cols = (if (carryDocId) Seq(col("doc_id")) else Nil) ++
+      Seq(col("p.l").as("l"), col("p.r").as("r"))
+    exploded.select(cols: _*)
+  }
 
   /** q102: BPE-style merge candidates — corpus-wide adjacent-token-pair
     * frequencies, top 20 (the pair-selection step of one
@@ -822,20 +854,12 @@ object TextOps extends QueryModule {
     bpeMergeCandidatesOf(Tables.documents(spark, dir))
 
   /** DataFrame-level core (testable on constructed corpora). */
-  def bpeMergeCandidatesOf(d: DataFrame): DataFrame = {
-    // size >= 2 guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not
-    // empty (same divergence trap as q86)
-    d.select(toks.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"))
-        .as("p"))
-      .groupBy(col("p.l").as("left_tok"), col("p.r").as("right_tok"))
+  def bpeMergeCandidatesOf(d: DataFrame): DataFrame =
+    adjacentPairs(d, carryDocId = false)
+      .groupBy(col("l").as("left_tok"), col("r").as("right_tok"))
       .agg(count(lit(1)).as("pair_cnt"))
       .orderBy(col("pair_cnt").desc, col("left_tok"), col("right_tok"))
       .limit(20)
-  }
 
   private val bpeMergeCandidatesSql =
     """WITH toks AS (SELECT STRING_SPLIT(text, ' ') AS t FROM documents),
@@ -873,13 +897,8 @@ object TextOps extends QueryModule {
     * the two saved passes save), the same result as r4's probe on q72's
     * raw shingle explode. Matches q93's uncached token counts. */
   def bigramSurprisalOf(d: DataFrame): DataFrame = {
-    val bg = d.select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"))
-        .as("p"))
-      .groupBy(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+    val bg = adjacentPairs(d, carryDocId = true)
+      .groupBy(col("doc_id"), col("l"), col("r"))
       .agg(count(lit(1)).as("cnt"))
     val pair = bg.groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_cnt"))
     val left = pair.groupBy(col("l")).agg(sum(col("pair_cnt")).as("left_cnt"))
@@ -941,13 +960,7 @@ object TextOps extends QueryModule {
       .select(col("lang"), expr(
         s"CAST(floor($SampleMod * sqrt(CAST(min_cnt AS DOUBLE) / cnt)) AS BIGINT)")
         .as("thr"))
-    val key = pmod(pmod(col("doc_id"), lit(SampleModPrime)) * lit(SampleMult),
-      lit(SampleMod))
-    d.withColumn("sample_key", key)
-      .join(broadcast(thr), Seq("lang"))
-      .filter(col("sample_key") < col("thr"))
-      .select(col("doc_id"), col("lang"), col("sample_key"), col("thr"))
-      .orderBy(col("doc_id"))
+    mixByThreshold(d, thr)
   }
 
   private val mixTemperatureSql =
@@ -957,10 +970,7 @@ object TextOps extends QueryModule {
       |        CAST(FLOOR($SampleMod * SQRT(CAST(min_cnt AS DOUBLE) / cnt))
       |          AS BIGINT) AS thr
       |      FROM c, m),
-      |k AS (SELECT doc_id, lang,
-      |        CAST(((((doc_id % $SampleModPrime) + $SampleModPrime) % $SampleModPrime
-      |          * $SampleMult) % $SampleMod + $SampleMod) % $SampleMod
-      |          AS BIGINT) AS sample_key
+      |k AS (SELECT doc_id, lang, $sampleKeySqlExpr AS sample_key
       |      FROM documents)
       |SELECT k.doc_id, k.lang, k.sample_key, t.thr
       |FROM k JOIN t USING (lang)

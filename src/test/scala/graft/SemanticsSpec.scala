@@ -851,23 +851,29 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
   }
 
-  test("q99 classifies planted cross-batch exact and near duplicates") {
+  test("q99 classifies planted cross-batch AND within-batch duplicates") {
     val session = spark
     import session.implicits._
     // doc_ids: % 5 == 0 -> incoming, else seen.
     // 10 = exact copy of seen 11; 15 = near copy of seen 16 (most
-    // shingles shared); 20 = genuinely new; 21/22 seen-only filler.
+    // shingles shared); 20 = genuinely new; 25/30 = WITHIN-batch exact
+    // pair of a text absent from the seen corpus (first-id copy 25 is
+    // admitted, 30 must be exact_dup); 21 seen-only filler.
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val batchDup = "sigma tau upsilon phi chi psi omega digamma koppa sampi"
     val docs = Seq(
       (10L, base, "en", "s0"),
       (11L, base, "en", "s0"),
       (15L, base + " lambda", "en", "s1"),
       (16L, base + " mu", "en", "s1"),
       (20L, "one two three four five six seven eight nine ten", "en", "s2"),
+      (25L, batchDup, "en", "s3"),
+      (30L, batchDup, "en", "s3"),
       (21L, "red orange yellow green blue indigo violet ultraviolet", "en", "s2"))
       .toDF("doc_id", "text", "lang", "source")
     val got = operators.Dedup.incrementalDedupOf(docs)
       .select($"doc_id", $"status").as[(Long, String)].collect().toSeq
-    assert(got === Seq((10L, "exact_dup"), (15L, "near_dup"), (20L, "new")))
+    assert(got === Seq((10L, "exact_dup"), (15L, "near_dup"),
+      (20L, "new"), (25L, "new"), (30L, "exact_dup")))
   }
 }
