@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's one-line JSON from a stdout tail.
+// Default forked-run output goes through sbt's logger, which prefixes
+// every line with "[info] " and appends a "[success] Total time" line —
+// six rounds of BENCH_r*.json parsed:null. StdoutOutput passes the
+// forked JVM's stdout through verbatim, and showSuccess drops the
+// trailer, so the bare JSON line is the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting —
+// lintUnused flags it as a false positive
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

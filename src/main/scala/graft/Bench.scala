@@ -95,7 +95,16 @@ object Bench {
     val shortQs = results.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"errors":$errs,"sf":"$sfDir"}""")
-    spark.stop()
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"errors":$errs,"sf":"$sfDir"}"""
+    // stop() first: its stderr chatter must not land after the JSON line
+    // in a merged capture. The finally guarantees the line is emitted (and
+    // last) even if stop() throws; build.sbt's StdoutOutput + showSuccess
+    // settings keep sbt from prefixing it or appending a trailer.
+    try spark.stop()
+    finally {
+      println(compact)
+      System.out.flush()
+    }
   }
 }

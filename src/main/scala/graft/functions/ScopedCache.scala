@@ -61,7 +61,15 @@ object ScopedCache {
     * successor that superseded it is materialized (ContextCleaner would
     * get there eventually via GC, but long sessions running iterative
     * operators — q77/q78 label propagation, q100/q101 training loops —
-    * should not accumulate dead rdd blocks in the meantime). */
+    * should not accumulate dead rdd blocks in the meantime).
+    *
+    * The TERMINAL model each training loop returns (k×dim / blocks×k×dim
+    * rows — a few KB) is deliberately NOT released here or by its
+    * consumers: the returned DataFrame is lazy, so the consumer cannot
+    * know when the caller has materialized its last downstream use, and
+    * an eager release would truncate a live plan (the lineage is gone
+    * after localCheckpoint). ContextCleaner reclaims it once the
+    * reference drops — the right trade for a k-row block (ADVICE r6). */
   def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>

@@ -358,9 +358,19 @@ object Similarity extends QueryModule {
   def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
     kmeansTrainOf(Tables.embeddings(spark, dir))
 
+  /** Loud dimension gate (ADVICE r6): the training recomputes pivot on
+    * fixed dim positions, so a wrong-dim vector would materialize NULL
+    * centroid tails and silently poison the next assignment. raise_error
+    * sits behind a `when`, so conforming rows pay only a size() check. */
+  private def requireDim(v: Column, dim: Int, who: String): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(s"$who requires $dim-dim vectors, got "), size(v).cast(StringType),
+      lit(" for vec_id "), col("vec_id").cast(StringType))))
+
   /** (vec_id, v): vectors as doubles — the full-vector working grain. */
   private def kmVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .select(col("vec_id"), requireDim(col("v"), KmeansDim, "kmeans").as("v"))
 
   /** Squared euclidean over (v, cv) with the same sequential fold order
     * as the oracle's LIST_SUM(LIST_TRANSFORM(...)); 6-dp rounding
@@ -530,6 +540,8 @@ object Similarity extends QueryModule {
     * sub-vectors — the working grain of training, encoding, and search. */
   private def pqSubvectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        requireDim(col("v"), PqBlocks * PqBlockDim, "pq").as("v"))
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqBlocks - 1}), " +
           s"b -> slice(v, b * $PqBlockDim + 1, $PqBlockDim))"))
@@ -671,8 +683,11 @@ object Similarity extends QueryModule {
     * audit; this is what actually makes a 100 TB embedding store fit —
     * the codes table is ~32× smaller than the vectors). The model is
     * retrained in-plan (deterministic, so codes are stable across runs
-    * and engines); codes sort by block id, and the per-vector error is
-    * the DECIMAL-exact sum of squared sub-vector distances.
+    * and engines); codes sort by block id and are emitted as one
+    * '-'-joined string (q97's `chunk_text` pattern — the driver's pandas
+    * comparator sorts result columns and cannot hash an array cell, the
+    * round-6 q105 comparator crash), and the per-vector error is the
+    * DECIMAL-exact sum of squared sub-vector distances.
     *
     * Scale posture: one broadcast equi-join of the corpus against the
     * bounded model + a min_by collapse (one shuffled row per
@@ -686,8 +701,8 @@ object Similarity extends QueryModule {
     val fin = pqAssign(pqSubvectors(emb), pqModelOf(emb), carryVector = false)
     fin.groupBy(col("vec_id"))
       .agg(
-        expr("transform(array_sort(collect_list(struct(block, cluster))), " +
-          "x -> x.cluster)").as("codes"),
+        expr("concat_ws('-', transform(array_sort(collect_list(struct(block, cluster))), " +
+          "x -> cast(x.cluster as string)))").as("codes"),
         round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
           .as("recon_err"))
       .orderBy(col("vec_id"))
@@ -695,7 +710,7 @@ object Similarity extends QueryModule {
 
   private val pqEncodeSql =
     s"""WITH $pqModelCtes
-      |SELECT vec_id, LIST(cluster ORDER BY block) AS codes,
+      |SELECT vec_id, ARRAY_TO_STRING(LIST(cluster ORDER BY block), '-') AS codes,
       |  ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS recon_err
       |FROM pafin WHERE rk = 1
       |GROUP BY vec_id

@@ -700,8 +700,8 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (1L, vec(7, 8f), 1), (10L, vec(7, 10f), 1), (11L, vec(7, 12f), 1))
       .toDF("vec_id", "embedding", "label")
     val got = operators.Similarity.pqEncodeOf(emb)
-      .as[(Long, Seq[Long], Double)].collect().toSeq
-    def c(x: Long) = Seq.fill(8)(x)
+      .as[(Long, String, Double)].collect().toSeq
+    def c(x: Long) = Seq.fill(8)(x).mkString("-")
     assert(got === Seq(
       (0L, c(0), 0.0), (1L, c(1), 32.0), (2L, c(2), 0.0),
       (3L, c(3), 0.0), (10L, c(1), 0.0), (11L, c(1), 32.0)))
