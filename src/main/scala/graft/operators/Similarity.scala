@@ -838,12 +838,16 @@ object Similarity extends QueryModule {
   def ivfPqSearch(spark: SparkSession, dir: String): DataFrame =
     ivfPqSearchOf(Tables.embeddings(spark, dir))
 
-  /** DataFrame-level core (testable on constructed corpora). */
-  def ivfPqSearchOf(emb: DataFrame): DataFrame = {
+  /** The gated ADC scan given an index — the four tables a production
+    * IVF-PQ index persists: `cellModel` (cluster, cv), `pqModel` (block,
+    * cluster, cv), `cellsAll` (vec_id, cell), `codes` (vec_id, block,
+    * cluster). Shared verbatim by q107 (index computed in-plan) and q109
+    * (index read back from q108's parquet), so the search semantics
+    * cannot drift between the composed and the persisted form. Probes
+    * always come fresh from `emb` — they are the query side. */
+  private def ivfPqScan(emb: DataFrame, cellModel: DataFrame,
+      pqModel: DataFrame, cellsAll: DataFrame, codes: DataFrame): DataFrame = {
     val e = kmVectors(emb)
-    val cellModel = kmeansModelOf(emb)
-    val cellsAll = kmAssign(e, cellModel, carryVector = false)
-      .select(col("vec_id"), col("cluster").as("cell"))
     // probe cells: a tiny window over probes × k candidate rows, same
     // (dist, cluster) ordering as the oracle's afin ranks
     val wCell = Window.partitionBy(col("query_id"))
@@ -856,9 +860,6 @@ object Similarity extends QueryModule {
       .filter(col("crk") <= IvfPqProbeCells)
       .select(col("query_id"), col("cell"))
     val e2 = pqSubvectors(emb)
-    val pqModel = pqModelOf(emb)
-    val codes = pqAssign(e2, pqModel, carryVector = false)
-      .select(col("vec_id"), col("block"), col("cluster"))
     val lut = pqLut(e2, pqModel)
     val cand = cellsAll.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -866,6 +867,17 @@ object Similarity extends QueryModule {
     adcRank(cand.join(codes, Seq("vec_id"))
       .join(broadcast(lut), Seq("query_id", "block", "cluster"))
       .select(col("query_id"), col("vec_id"), col("pdist")))
+  }
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def ivfPqSearchOf(emb: DataFrame): DataFrame = {
+    val cellModel = kmeansModelOf(emb)
+    val cellsAll = kmAssign(kmVectors(emb), cellModel, carryVector = false)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val pqModel = pqModelOf(emb)
+    val codes = pqAssign(pqSubvectors(emb), pqModel, carryVector = false)
+      .select(col("vec_id"), col("block"), col("cluster"))
+    ivfPqScan(emb, cellModel, pqModel, cellsAll, codes)
   }
 
   private val ivfPqSearchSql =
@@ -888,6 +900,133 @@ object Similarity extends QueryModule {
       |       GROUP BY 1, 2),
       |$adcRankSql""".stripMargin
 
+  // ---- persisted IVF-PQ index: train once, search many --------------------
+
+  /** Where the persisted index for a fixture dir lives: tmpdir-scoped,
+    * keyed by the sanitized source dir so different scale factors never
+    * collide. The content is a deterministic function of the embeddings
+    * table (the q100/q101 fixed-point regime), so an existing index for
+    * the same dir is always valid — [[ensureIvfPqIndex]] reuses it. */
+  def ivfPqIndexPath(dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
+    s"$tmp/graft_ivfpq_${dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")}"
+  }
+
+  /** The four tables a production IVF-PQ index stores. */
+  private val IndexTables = Seq("cells", "centroids", "codes", "pq_codebook")
+
+  /** Train both quantizers and persist the index artifact: `centroids`
+    * (coarse k-means model), `pq_codebook` (per-block PQ model), `cells`
+    * (vec_id → cell), `codes` (vec_id → 8 byte-codes). This is the
+    * write-once half of the production split the q107 docstring promises:
+    * train/encode pays its corpus passes ONCE here, and every q109 search
+    * after it is just broadcast gate + LUT joins against these tables. */
+  private def writeIvfPqIndex(emb: DataFrame, base: String): Unit = {
+    val cellModel = kmeansModelOf(emb)
+    val pqModel = pqModelOf(emb)
+    val cells = kmAssign(kmVectors(emb), cellModel, carryVector = false)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val codes = pqAssign(pqSubvectors(emb), pqModel, carryVector = false)
+      .select(col("vec_id"), col("block"), col("cluster"))
+    Seq("centroids" -> cellModel, "pq_codebook" -> pqModel,
+      "cells" -> cells, "codes" -> codes).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$base/$name")
+    }
+  }
+
+  /** Build the index for `dir` unless a complete one is already on disk
+    * (every table dir carries the Spark writer's _SUCCESS marker — a
+    * crashed partial write rebuilds). Returns the index path. Lets q109
+    * run standalone: whichever of q108/q109 executes first in a session
+    * pays the build, deterministically producing the same artifact. */
+  def ensureIvfPqIndex(spark: SparkSession, dir: String): String = {
+    val base = ivfPqIndexPath(dir)
+    val complete = IndexTables.forall(t =>
+      new java.io.File(s"$base/$t/_SUCCESS").exists())
+    if (!complete) writeIvfPqIndex(Tables.embeddings(spark, dir), base)
+    base
+  }
+
+  /** q108: IVF-PQ index build — trains the coarse quantizer and the PQ
+    * codebooks, assigns every vector its cell and codes, and writes the
+    * four-table index artifact to parquet (the train-once half of
+    * train-once / search-many; q107 keeps the composed in-plan semantics
+    * pin). The result is a per-table accounting read BACK from the
+    * written files — row counts plus DECIMAL-exact content checksums —
+    * and the oracle recomputes the same figures from the embeddings
+    * table alone, so a green row certifies the on-disk artifact is
+    * bit-equal to an independent engine's recomputation.
+    *
+    * Scale posture: identical to q100/q101/q105 (their passes, plus four
+    * parquet writes that partition like their inputs); the summary scans
+    * only the written index (codes ≈ n×8 rows, the rest model-sized). */
+  def ivfPqIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val base = ivfPqIndexPath(dir)
+    writeIvfPqIndex(Tables.embeddings(spark, dir), base)
+    def sumChk(c: Column): Column =
+      round(sum(c.cast(DecimalType(38, 6))).cast(DoubleType), 6).as("checksum")
+    val cells = spark.read.parquet(s"$base/cells")
+      .groupBy().agg(count(lit(1)).as("n_rows"), sumChk(col("cell")))
+      .select(lit("cells").as("component"), col("n_rows"), col("checksum"))
+    val cents = spark.read.parquet(s"$base/centroids")
+      .select(col("cluster"), explode(col("cv")).as("x"))
+      .groupBy().agg(countDistinct(col("cluster")).as("n_rows"), sumChk(col("x")))
+      .select(lit("centroids").as("component"), col("n_rows"), col("checksum"))
+    val codes = spark.read.parquet(s"$base/codes")
+      .groupBy().agg(count(lit(1)).as("n_rows"), sumChk(col("cluster")))
+      .select(lit("codes").as("component"), col("n_rows"), col("checksum"))
+    val pqcb = spark.read.parquet(s"$base/pq_codebook")
+      .select(col("block"), col("cluster"), explode(col("cv")).as("x"))
+      .groupBy().agg(countDistinct(col("block"), col("cluster")).as("n_rows"),
+        sumChk(col("x")))
+      .select(lit("pq_codebook").as("component"), col("n_rows"), col("checksum"))
+    cells.unionAll(cents).unionAll(codes).unionAll(pqcb)
+      .orderBy(col("component"))
+  }
+
+  private val ivfPqIndexBuildSql =
+    s"""WITH $kmeansModelCtes,
+      |$pqModelCtesAfterE,
+      |cellsall AS (SELECT vec_id, cluster AS cell FROM afin WHERE rk = 1),
+      |codetbl AS (SELECT vec_id, block, cluster FROM pafin WHERE rk = 1)
+      |SELECT component, n_rows, checksum FROM (
+      |  SELECT 'cells' AS component, COUNT(*) AS n_rows,
+      |    ROUND(CAST(SUM(CAST(cell AS DECIMAL(38,6))) AS DOUBLE), 6) AS checksum
+      |  FROM cellsall
+      |  UNION ALL
+      |  SELECT 'centroids', (SELECT COUNT(*) FROM c$KmeansIters),
+      |    (SELECT ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |     FROM (SELECT UNNEST(cv) AS x FROM c$KmeansIters) u)
+      |  UNION ALL
+      |  SELECT 'codes', COUNT(*),
+      |    ROUND(CAST(SUM(CAST(cluster AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |  FROM codetbl
+      |  UNION ALL
+      |  SELECT 'pq_codebook', (SELECT COUNT(*) FROM pc$PqIters),
+      |    (SELECT ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |     FROM (SELECT UNNEST(cv) AS x FROM pc$PqIters) u2)
+      |) t ORDER BY component NULLS FIRST""".stripMargin
+
+  /** q109: IVF-PQ search against the PERSISTED index — the search-many
+    * half: no training, no encoding, just [[ivfPqScan]] over the four
+    * tables q108 wrote (built on demand if absent, so the query is
+    * self-contained). Same probes, gate, LUT, and ranking as q107, and
+    * the same oracle SQL — the persisted artifact is deterministic, so
+    * searching it must equal searching the in-plan index bit-for-bit.
+    *
+    * Scale posture: THE production search shape — the corpus-sized reads
+    * are two column-pruned parquet scans (cells, codes); everything
+    * joined against them (probe cells, LUT) is broadcast; the ADC sum
+    * collapses map-side. Training cost appears nowhere. */
+  def ivfPqQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfPqIndex(spark, dir)
+    ivfPqScan(Tables.embeddings(spark, dir),
+      spark.read.parquet(s"$base/centroids"),
+      spark.read.parquet(s"$base/pq_codebook"),
+      spark.read.parquet(s"$base/cells"),
+      spark.read.parquet(s"$base/codes"))
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
@@ -900,5 +1039,9 @@ object Similarity extends QueryModule {
     GraftQuery("q105_pq_encode", pqEncode, Some(pqEncodeSql)),
     GraftQuery("q106_pq_search", pqSearch, Some(pqSearchSql)),
     GraftQuery("q107_ivfpq_search", ivfPqSearch, Some(ivfPqSearchSql)),
+    GraftQuery("q108_ivfpq_index_build", ivfPqIndexBuild, Some(ivfPqIndexBuildSql)),
+    // the persisted index is deterministic, so the persisted-form search
+    // answers to the identical oracle as the composed in-plan form
+    GraftQuery("q109_ivfpq_query", ivfPqQuery, Some(ivfPqSearchSql)),
   )
 }

@@ -936,6 +936,88 @@ object TextOps extends QueryModule {
       |GROUP BY bc.doc_id
       |ORDER BY bc.doc_id NULLS FIRST""".stripMargin
 
+  /** q110 pair-count floor — interpolated into plan and oracle so the
+    * pruning rule cannot drift. 2 is the smallest floor that prunes (it
+    * drops exactly the hapax pairs — by Zipf the bulk of the pair
+    * vocabulary). */
+  val BigramFloorMinCount = 2L
+
+  /** q110: bigram surprisal with a min-pair-count floor — q103's scale
+    * fix (the r6 verdict's one flagged design note: both sides of q103's
+    * probability join grow with the corpus pair-vocabulary, its steepest
+    * honest ScaleProbe row). Pairs seen fewer than
+    * [[BigramFloorMinCount]] times are dropped from the probability
+    * table, and the matching per-doc transitions are excluded from
+    * scoring symmetrically (inner join) — so each doc is scored only on
+    * transitions the corpus actually attests, over `n_scored_bigrams` of
+    * them. Left-token totals are taken BEFORE the floor, so p(r|l) stays
+    * the true conditional, not one renormalized over survivors. Docs
+    * whose every transition is rare drop out (same rule in the oracle).
+    *
+    * Scale posture: counting still passes over the full pair stream —
+    * unavoidable, but those are map-side-collapsing aggregates. What the
+    * floor bounds is both JOIN sides: the probability table keeps only
+    * attested-≥m pairs (the Zipf head), and the per-doc rows joining it
+    * shrink identically — the q103 row whose 10× enlargement measured
+    * 6.7× becomes a join against a vocabulary that grows sublinearly. */
+  def bigramSurprisalFloored(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisalFlooredOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (ScaleProbe feeds enlarged corpora;
+    * minPairCount is parameterized for probes, defaulting to the oracle
+    * constant). */
+  def bigramSurprisalFlooredOf(d: DataFrame,
+      minPairCount: Long = BigramFloorMinCount): DataFrame = {
+    val bg = adjacentPairs(d, carryDocId = true)
+      .groupBy(col("doc_id"), col("l"), col("r"))
+      .agg(count(lit(1)).as("cnt"))
+    val pair = bg.groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_cnt"))
+    val left = pair.groupBy(col("l")).agg(sum(col("pair_cnt")).as("left_cnt"))
+    val probs = pair.filter(col("pair_cnt") >= minPairCount)
+      .join(left, Seq("l"))
+      .select(col("l"), col("r"),
+        (col("pair_cnt").cast(DoubleType) / col("left_cnt")).as("p"))
+    val term = (col("cnt").cast(DoubleType) * log(col("p")))
+      .cast(DecimalType(38, 12))
+    bg.join(probs, Seq("l", "r"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_scored_bigrams"), sum(term).as("s"))
+      .select(col("doc_id"), col("n_scored_bigrams"),
+        round(-col("s").cast(DoubleType) / col("n_scored_bigrams"), 6)
+          .as("avg_bigram_surprisal_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Probe helper: the probability-join vocabulary size under a floor —
+    * |{(l, r) : pair_cnt >= m}|. ScaleProbe prints it at m=1 vs m=2 so
+    * BASELINE.md can record how much of the pair vocabulary the floor
+    * actually keeps out of q110's joins. */
+  def pairVocabularySize(d: DataFrame, minPairCount: Long): Long =
+    adjacentPairs(d, carryDocId = false)
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairCount).count()
+
+  private val bigramSurprisalFlooredSql =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |bg0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+      |          i -> {'l': t[i], 'r': t[i+1]})) AS p
+      |        FROM toks WHERE LEN(t) >= 2),
+      |bc AS (SELECT doc_id, p.l AS l, p.r AS r, COUNT(*) AS cnt
+      |       FROM bg0 GROUP BY 1, 2, 3),
+      |pair AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+      |         FROM bc GROUP BY 1, 2),
+      |lft AS (SELECT l, CAST(SUM(pair_cnt) AS BIGINT) AS left_cnt
+      |        FROM pair GROUP BY 1),
+      |pr AS (SELECT pair.l, pair.r, CAST(pair_cnt AS DOUBLE) / left_cnt AS p
+      |       FROM pair JOIN lft USING (l)
+      |       WHERE pair_cnt >= $BigramFloorMinCount)
+      |SELECT bc.doc_id, CAST(SUM(bc.cnt) AS BIGINT) AS n_scored_bigrams,
+      |  ROUND(-CAST(SUM(CAST(bc.cnt * LN(pr.p) AS DECIMAL(38,12))) AS DOUBLE)
+      |        / SUM(bc.cnt), 6) AS avg_bigram_surprisal_nats
+      |FROM bc JOIN pr ON bc.l = pr.l AND bc.r = pr.r
+      |GROUP BY bc.doc_id
+      |ORDER BY bc.doc_id NULLS FIRST""".stripMargin
+
   /** q104: temperature-scaled mixture rebalancing (T = 2) — the standard
     * softening between q87's fixed rates and q98's full flattening: the
     * keep rate for language l is √(min_cnt / cnt_l), so over-represented
@@ -1000,5 +1082,7 @@ object TextOps extends QueryModule {
     GraftQuery("q102_bpe_merges", bpeMergeCandidates, Some(bpeMergeCandidatesSql)),
     GraftQuery("q103_bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),
     GraftQuery("q104_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
+    GraftQuery("q110_bigram_surprisal_floored", bigramSurprisalFloored,
+      Some(bigramSurprisalFlooredSql)),
   )
 }

@@ -184,7 +184,15 @@ object Plans {
           "broadcast at this scale, an honest primary-key shuffle when " +
           "both index sides are huge; both training loops live in " +
           "checkpointed RDD scans.",
-        Similarity.ivfPqSearch(spark, dir)))
+        Similarity.ivfPqSearch(spark, dir)),
+      section("q109 IVF-PQ search over the persisted index (production shape)",
+        "What to look for: NO training anywhere — the corpus-sized " +
+          "inputs are two column-pruned parquet scans of the q108 " +
+          "artifact (cells: vec_id/cell; codes: vec_id/block/cluster); " +
+          "the probe-cell gate and the LUT join by broadcast against " +
+          "them; the ADC sum collapses map-side. Compare with q107: " +
+          "same scan tail, minus the seven in-plan training passes.",
+        Similarity.ivfPqQuery(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

@@ -235,6 +235,22 @@ object ScaleProbe {
       graft.operators.TextOps.bigramSurprisalOf(docs).count()
     time("q103 bigram srp 1x (5k docs)")(bigramCount(d1))
     time(s"q103 bigram srp ${copies}x")(bigramCount(dN))
+    // q110: the floor's whole point at scale — the probability-join
+    // vocabulary must grow SUBLINEARLY in the corpus (marker rewriting
+    // makes every copy's pairs distinct, so the unfloored pair vocab
+    // grows ~linearly while the attested-≥2 head grows far slower).
+    // Printed vocab sizes let BASELINE.md record the bound directly.
+    def flooredVocab(docs: DataFrame): Long = {
+      val n = graft.operators.TextOps.bigramSurprisalFlooredOf(docs).count()
+      println(s"[scale]   q110 scored docs=$n")
+      n
+    }
+    time("q110 floored srp 1x (5k docs)")(flooredVocab(d1))
+    time(s"q110 floored srp ${copies}x")(flooredVocab(dN))
+    def pairVocab(docs: DataFrame, m: Long): Long =
+      graft.operators.TextOps.pairVocabularySize(docs, m)
+    for (df <- Seq(("1x", d1), (s"${copies}x", dN)); m <- Seq(1L, 2L))
+      println(s"[scale]   pair vocab ${df._1} (cnt>=$m) = ${pairVocab(df._2, m)}")
 
     // q106/q107 shapes: the probe set and both models are fixed-size, so
     // the corpus-side codes table is the only thing that grows — the ADC

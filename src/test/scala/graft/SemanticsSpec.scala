@@ -757,6 +757,41 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q108 persists a complete index whose accounting matches the corpus") {
+    // fresh build: cover the write path, not a leftover artifact
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(operators.Similarity.ivfPqIndexPath(sf0001)))
+    val n = graft.sources.Tables.embeddings(spark, sf0001).count()
+    val got = Similarity.ivfPqIndexBuild(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("cells", "centroids", "codes", "pq_codebook"))
+    assert(got("cells") === n, "one cell assignment per vector")
+    assert(got("codes") === n * Similarity.PqBlocks, "one code per sub-vector")
+    // empty clusters vanish from a model, so counts are upper-bounded
+    assert(got("centroids") >= 1 && got("centroids") <= Similarity.KmeansK)
+    assert(got("pq_codebook") >= Similarity.PqBlocks.toLong &&
+      got("pq_codebook") <= (Similarity.PqBlocks * Similarity.PqK).toLong)
+    val base = operators.Similarity.ivfPqIndexPath(sf0001)
+    Seq("cells", "centroids", "codes", "pq_codebook").foreach { t =>
+      assert(new java.io.File(s"$base/$t/_SUCCESS").exists(), s"$t incomplete")
+    }
+  }
+
+  test("q109 search over the persisted index is bit-equal to composed q107") {
+    // q109 ensure-builds if q108 hasn't run; either way the artifact is
+    // the deterministic function of the corpus, so persisted-form search
+    // must reproduce the in-plan composed search exactly
+    val persisted = Similarity.ivfPqQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val composed = Similarity.ivfPqSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(persisted.nonEmpty)
+    assert(persisted === composed)
+  }
+
   test("q102 counts corpus-wide adjacent pairs, skips 1-token docs") {
     val session = spark
     import session.implicits._
@@ -779,6 +814,28 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val ln32 = BigDecimal(math.log(1.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val ln3 = BigDecimal(math.log(3.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got === Seq((1L, 1L, ln32), (2L, 1L, ln32), (3L, 1L, ln3)))
+  }
+
+  test("q110 floor prunes hapax pairs but keeps true (pre-floor) conditionals") {
+    val session = spark
+    import session.implicits._
+    // q103's fixture. pair counts: (a,b)=2, (a,c)=1. Floor 2 drops (a,c)
+    // from the probability table, but p(b|a) stays 2/3 — the left total
+    // is taken BEFORE pruning. Doc 3's only transition is rare → the doc
+    // drops out entirely (as does tokenless doc 4).
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.bigramSurprisalFlooredOf(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    val ln32 = BigDecimal(math.log(1.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((1L, 1L, ln32), (2L, 1L, ln32)))
+    // floor 1 = no pruning: must reproduce q103 exactly (modulo the
+    // column rename)
+    val unfloored = operators.TextOps.bigramSurprisalFlooredOf(docs, minPairCount = 1L)
+      .as[(Long, Long, Double)].collect().toSeq
+    val q103 = operators.TextOps.bigramSurprisalOf(docs)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(unfloored === q103)
   }
 
   test("q104 temperature mixing damps (not flattens) over-represented langs") {

@@ -33,6 +33,27 @@ class SmokeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("oracle-bearing queries emit only driver-sortable scalar columns") {
+    // the driver's pandas comparator row-sorts every column before
+    // hashing and crashes on array/map/struct cells (round 6: q105's
+    // ArrayType codes column → 'unhashable numpy.ndarray', the only
+    // non-green contract row of the round). Gate it at build time:
+    // any query claiming an oracle must emit scalar top-level columns.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => SparkEntry.oracleSql.contains(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, sf0001).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"non-scalar top-level columns in oracle-bearing queries: $offenders")
+  }
+
   test("queries that must be non-empty at sf0.001 are non-empty") {
     val mustBeNonEmpty = Seq(
       "q01_pricing_summary", "q02_revenue_by_nation", "q42_compact_latest_per_key",
