@@ -235,22 +235,32 @@ object ScaleProbe {
       graft.operators.TextOps.bigramSurprisalOf(docs).count()
     time("q103 bigram srp 1x (5k docs)")(bigramCount(d1))
     time(s"q103 bigram srp ${copies}x")(bigramCount(dN))
-    // q110: the floor's whole point at scale — the probability-join
-    // vocabulary must grow SUBLINEARLY in the corpus (marker rewriting
-    // makes every copy's pairs distinct, so the unfloored pair vocab
-    // grows ~linearly while the attested-≥2 head grows far slower).
-    // Printed vocab sizes let BASELINE.md record the bound directly.
-    def flooredVocab(docs: DataFrame): Long = {
-      val n = graft.operators.TextOps.bigramSurprisalFlooredOf(docs).count()
-      println(s"[scale]   q110 scored docs=$n")
-      n
-    }
-    time("q110 floored srp 1x (5k docs)")(flooredVocab(d1))
-    time(s"q110 floored srp ${copies}x")(flooredVocab(dN))
+    // q110 timing vs q103 on the same enlarged corpus: the floor prunes
+    // both sides of the probability join, so the 10x row should come in
+    // well under q103's (the r6 verdict's steepest honest row)
+    def flooredCount(docs: DataFrame): Long =
+      graft.operators.TextOps.bigramSurprisalFlooredOf(docs).count()
+    time("q110 floored srp 1x (5k docs)")(flooredCount(d1))
+    time(s"q110 floored srp ${copies}x")(flooredCount(dN))
+    // the floor's BOUND needs a corpus with a genuine Zipf tail — the
+    // fixture's synthetic texts have no hapax pairs (vocab at cnt>=1 ==
+    // cnt>=2), so neither d1 nor the marker-rewritten dN can show it.
+    // Constructed corpus: each doc carries head pairs shared corpus-wide
+    // plus two pairs unique to the doc, so the unfloored pair vocabulary
+    // grows LINEARLY in docs while the attested->=2 head stays ~fixed —
+    // exactly the join-side blowup the floor exists to cap.
+    def zipfDocs(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          concat(lit("h"), pmod(col("id"), lit(40L))),
+          concat(lit("h"), pmod(col("id") + 1, lit(40L))),
+          concat(lit("h"), pmod(col("id"), lit(7L))),
+          concat(lit("u"), col("id")),
+          concat(lit("v"), col("id"))).as("text"))
     def pairVocab(docs: DataFrame, m: Long): Long =
       graft.operators.TextOps.pairVocabularySize(docs, m)
-    for (df <- Seq(("1x", d1), (s"${copies}x", dN)); m <- Seq(1L, 2L))
-      println(s"[scale]   pair vocab ${df._1} (cnt>=$m) = ${pairVocab(df._2, m)}")
+    for (n <- Seq(50000L, 500000L); m <- Seq(1L, 2L))
+      println(s"[scale]   zipf-tail pair vocab docs=$n (cnt>=$m) = ${pairVocab(zipfDocs(n), m)}")
 
     // q106/q107 shapes: the probe set and both models are fixed-size, so
     // the corpus-side codes table is the only thing that grows — the ADC

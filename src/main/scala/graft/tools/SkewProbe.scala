@@ -97,6 +97,59 @@ object SkewProbe {
     require(a == b, s"salted != direct: $a vs $b")
     println("[skew] salted == direct on hot keys: OK")
 
+    // (c) mega-cluster label propagation (r6 verdict stretch): one huge
+    // near-dup cluster makes a single label hot in every round-join of
+    // Dedup.clusterLabels (edges⋈labels on v; pointer-jump on label).
+    // Finding 1: end-to-end, a star resolves in O(1) rounds and at probe
+    // scale AQE BROADCASTS the label/nbr-min tables — the hot key never
+    // shuffles, so no straggler exists to split.
+    for (leaves <- Seq(100000L, 1000000L)) {
+      val star = spark.range(2L, leaves + 2L)
+        .select(lit(1L).as("doc_a"), $"id".as("doc_b"))
+      val t0 = System.nanoTime()
+      val (labels, iters) = graft.operators.Dedup.clusterLabels(star)
+      val resolved = labels.filter($"label" === 1L).count()
+      require(resolved == leaves + 1,
+        s"star of $leaves leaves resolved $resolved nodes to the hub label")
+      println(f"[skew] q77 star leaves=$leaves%-8d iters=$iters ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    // Finding 2: force the 100 TB shape — both sides too big to
+    // broadcast → SMJ — on the round-1 propagation join and confirm
+    // AQE's skew split engages on the hot-label edge partition (the
+    // same runtime re-plan a billion-node label table depends on; the
+    // downstream aggregate keys on u, not the join key v, so AQE is
+    // free to split).
+    val starLeaves = 1000000L
+    val star = spark.range(2L, starLeaves + 2L)
+      .select(lit(1L).as("doc_a"), $"id".as("doc_b"))
+    val edges = star.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .unionByName(star.select($"doc_b".as("u"), $"doc_a".as("v")))
+    // checkpointed like the real loop's label table (an ExistingRDD scan
+    // that shuffles freshly on v) — without this the aggregate's hash(u)
+    // output partitioning satisfies the join's hash(v) requirement after
+    // the rename, the shuffle-sort-join pattern never forms, and AQE has
+    // no skewed shuffle stage to split
+    val labels0 = edges.groupBy($"u").agg(min($"v").as("nbr_min"))
+      .select($"u".as("node"), least($"u", $"nbr_min").as("label"))
+      .localCheckpoint()
+    def starRoundDf(): DataFrame =
+      edges.hint("merge")
+        .join(labels0.select($"node".as("v"), $"label".as("vl")).hint("merge"), "v")
+        .groupBy($"u").agg(min($"vl").as("nbr_min"))
+    withConf("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m") {
+      withConf("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m") {
+        time("star round-1 join, forced SMJ")(starRoundDf().count())
+        time("star round-1 join, forced SMJ (2)")(starRoundDf().count())
+        val df = starRoundDf()
+        df.collect() // finalize AQE on THIS df
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin(skew=true)"),
+          s"AQE skew split did not engage on the star round-1 join:\n$plan")
+        println("[skew] mega-cluster: AQE broadcasts at probe scale; " +
+          "forced-SMJ round join splits the hot partition (skew=true)")
+      }
+    }
+
     spark.stop()
   }
 }
