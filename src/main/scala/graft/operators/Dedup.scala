@@ -924,6 +924,213 @@ object Dedup extends QueryModule {
       |LEFT JOIN nr ON i.doc_id = nr.doc_id
       |ORDER BY i.doc_id NULLS FIRST""".stripMargin
 
+  // ---- persisted dedup index: build once, admit batches forever ---------
+
+  /** Where the persisted dedup index for a fixture dir lives — same
+    * tmpdir/dir-keyed convention as
+    * [[graft.operators.Similarity.ivfPqIndexPath]]; content is a
+    * deterministic function of the seen carve, so an existing index for
+    * the same dir is always valid. */
+  def dedupIndexPath(dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
+    s"$tmp/graft_dedup_${dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")}"
+  }
+
+  private val DedupIndexTables = Seq("hashes", "hot", "shingles")
+
+  /** The three tables q99's docstring promises as the steady-state form:
+    * `hashes` (distinct SHA-256 of every seen doc — the exact gate),
+    * `shingles` (the seen corpus's DF-gated (doc_id, shingle) universe —
+    * the near gate's join side), `hot` (shingles over the DF cap — small,
+    * persisted so incoming batches are pruned by the SAME gate). The DF
+    * gate is computed over the SEEN corpus alone — at build time the
+    * future batch does not exist, which is exactly why q112 carries its
+    * own oracle instead of sharing q99's (whose corpus-wide gate counts
+    * the batch's shingles too). */
+  private def writeDedupIndex(docs: DataFrame, base: String): Unit = {
+    val seen = docs.filter(pmod(col("doc_id"), lit(IncomingCarveMod.toLong)) =!= 0)
+    val hashes = seen.select(sha2(col("text"), 256).as("h")).distinct()
+    // gatedShingles' body, kept inline because the hot list is itself an
+    // index table here (the helper only returns the gated output)
+    val shAll = shingled(seen).select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDF).select(col("sh"))
+    val gated = shAll.join(hot, Seq("sh"), "left_anti")
+    Seq("hashes" -> hashes, "hot" -> hot, "shingles" -> gated)
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$base/$name")
+      }
+  }
+
+  /** Build-if-absent (every table carries _SUCCESS), as
+    * [[graft.operators.Similarity.ensureIvfPqIndex]]. */
+  def ensureDedupIndex(spark: SparkSession, dir: String): String = {
+    val base = dedupIndexPath(dir)
+    val complete = DedupIndexTables.forall(t =>
+      new java.io.File(s"$base/$t/_SUCCESS").exists())
+    if (!complete) writeDedupIndex(Tables.documents(spark, dir), base)
+    base
+  }
+
+  /** q111: dedup index build — persists the seen corpus's admission index
+    * (content hashes + DF-gated shingle universe + the hot list) and
+    * returns per-table accounting read BACK from the written files. The
+    * shingle column is the engine's 64-bit hash, so the accounting uses
+    * hash-independent figures the oracle can recompute from text (row and
+    * distinct-shingle counts — equal to the text-shingle counts under the
+    * same no-collision assumption every shingle oracle here relies on)
+    * plus min/max SHA-256 bounds for the hash table (lowercase hex in
+    * both engines, so the ordering agrees).
+    *
+    * Scale posture: one pass for hashes (map-side distinct collapse), one
+    * shingle explode + DF aggregate + anti-join for the gate — q99's
+    * exact shapes, paid ONCE per corpus instead of per batch. */
+  def dedupIndexBuild(spark: SparkSession, dir: String): DataFrame = {
+    val base = dedupIndexPath(dir)
+    writeDedupIndex(Tables.documents(spark, dir), base)
+    val nullStr = lit(null).cast(StringType)
+    val hashes = spark.read.parquet(s"$base/hashes")
+      .groupBy().agg(count(lit(1)).as("n_rows"), min(col("h")).as("lo"),
+        max(col("h")).as("hi"))
+      .select(lit("hashes").as("component"), col("n_rows"),
+        col("n_rows").as("n_distinct"), col("lo"), col("hi"))
+    val hot = spark.read.parquet(s"$base/hot")
+      .groupBy().agg(count(lit(1)).as("n_rows"))
+      .select(lit("hot").as("component"), col("n_rows"),
+        col("n_rows").as("n_distinct"), nullStr.as("lo"), nullStr.as("hi"))
+    val shingles = spark.read.parquet(s"$base/shingles")
+      .groupBy().agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("sh")).as("n_distinct"))
+      .select(lit("shingles").as("component"), col("n_rows"),
+        col("n_distinct"), nullStr.as("lo"), nullStr.as("hi"))
+    hashes.unionAll(hot).unionAll(shingles).orderBy(col("component"))
+  }
+
+  /** Seen-only gate CTEs (build-time semantics): DF counted over the
+    * seen carve alone, applied to both sides at query time — shared by
+    * the q111 and q112 oracles so the gate cannot drift between them. */
+  private val seenGatedShinglesCtes =
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |    GENERATE_SERIES(1, LEN(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |  FROM toks WHERE LEN(t) >= 3),
+      |hotseen AS (SELECT sh FROM sh0 WHERE doc_id % $IncomingCarveMod <> 0
+      |            GROUP BY sh HAVING COUNT(*) > $MaxShingleDF),
+      |seensh AS (SELECT s.doc_id AS seen_doc, s.sh FROM sh0 s
+      |           WHERE s.doc_id % $IncomingCarveMod <> 0
+      |             AND NOT EXISTS (SELECT 1 FROM hotseen h WHERE h.sh = s.sh)),
+      |incsh AS (SELECT s.doc_id AS inc_doc, s.sh FROM sh0 s
+      |          WHERE s.doc_id % $IncomingCarveMod = 0
+      |            AND NOT EXISTS (SELECT 1 FROM hotseen h WHERE h.sh = s.sh))""".stripMargin
+
+  private val dedupIndexBuildSql =
+    s"""WITH $seenGatedShinglesCtes,
+      |hsh AS (SELECT DISTINCT SHA256(text) AS h FROM documents
+      |        WHERE doc_id % $IncomingCarveMod <> 0)
+      |SELECT component, n_rows, n_distinct, lo, hi FROM (
+      |  SELECT 'hashes' AS component, COUNT(*) AS n_rows, COUNT(*) AS n_distinct,
+      |    MIN(h) AS lo, MAX(h) AS hi FROM hsh
+      |  UNION ALL
+      |  SELECT 'hot', COUNT(*), COUNT(*), CAST(NULL AS VARCHAR),
+      |    CAST(NULL AS VARCHAR) FROM hotseen
+      |  UNION ALL
+      |  SELECT 'shingles', COUNT(*), COUNT(DISTINCT sh), CAST(NULL AS VARCHAR),
+      |    CAST(NULL AS VARCHAR) FROM seensh
+      |) t ORDER BY component NULLS FIRST""".stripMargin
+
+  /** q112: incremental dedup against the PERSISTED index — the
+    * admit-batches-forever half of q99's promised production split: the
+    * exact gate semi-joins the batch's hashes against the `hashes` table,
+    * the near gate prunes the batch's shingles by the persisted `hot`
+    * list and joins them against the persisted `shingles` universe, and
+    * the within-batch exact leg is unchanged. Semantics differ from q99
+    * in exactly one deliberate way: the DF gate is the index's (seen-only
+    * — a batch cannot retroactively change the index it is admitted
+    * against), hence the operator's own oracle.
+    *
+    * Scale posture: the seen corpus appears ONLY as parquet scans of its
+    * index; per batch, only batch-sized inputs are shingled/hashed, the
+    * hot anti-join and hash semi-join broadcast the small side at
+    * runtime, and the containment join shuffles batch×matched rows —
+    * admission cost is batch-proportional, not corpus-proportional. */
+  def incrementalDedupIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureDedupIndex(spark, dir)
+    val incoming = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(IncomingCarveMod.toLong)) === 0)
+    incrementalDedupIndexedOf(incoming,
+      spark.read.parquet(s"$base/hashes"),
+      spark.read.parquet(s"$base/hot"),
+      spark.read.parquet(s"$base/shingles"))
+  }
+
+  /** DataFrame-level core: classify `incoming` against an index given as
+    * the three tables (testable on constructed corpora + in-memory
+    * indexes). */
+  def incrementalDedupIndexedOf(incoming: DataFrame, seenHashes: DataFrame,
+      hot: DataFrame, seenShingles: DataFrame): DataFrame = {
+    val incHashes = incoming.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val firstInBatch = incHashes.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+    val exact = incHashes.join(seenHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"))
+      .unionByName(incHashes.join(firstInBatch, Seq("h"))
+        .filter(col("doc_id") > col("first_id")).select(col("doc_id")))
+      .distinct()
+      .withColumn("is_exact", lit(true))
+    val incSh = shingled(incoming)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(hot.select(col("sh")), Seq("sh"), "left_anti")
+      .select(col("sh"), col("doc_id").as("inc_doc"))
+    val seenSh = seenShingles.select(col("sh"), col("doc_id").as("seen_doc"))
+    val incSizes = incSh.groupBy(col("inc_doc")).agg(count(lit(1)).as("n_inc_sh"))
+    val near = incSh.join(seenSh, Seq("sh"))
+      .groupBy(col("inc_doc"), col("seen_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(incSizes, Seq("inc_doc"))
+      .filter(col("n_shared") >= ContaminationMinShared &&
+        col("n_shared") * 2 >= col("n_inc_sh"))
+      .select(col("inc_doc").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    incoming.select(col("doc_id"), col("lang"), col("source"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("is_near"), lit("near_dup"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalDedupIndexedSql =
+    s"""WITH $seenGatedShinglesCtes,
+      |inc AS (SELECT doc_id, lang, source, SHA256(text) AS h FROM documents
+      |        WHERE doc_id % $IncomingCarveMod = 0),
+      |seenh AS (SELECT DISTINCT SHA256(text) AS h FROM documents
+      |          WHERE doc_id % $IncomingCarveMod <> 0),
+      |ex AS (SELECT DISTINCT doc_id FROM (
+      |         SELECT i.doc_id FROM inc i JOIN seenh s ON i.h = s.h
+      |         UNION ALL
+      |         SELECT i.doc_id FROM inc i
+      |         JOIN (SELECT h, MIN(doc_id) AS first_id FROM inc GROUP BY h) f
+      |           ON i.h = f.h
+      |         WHERE i.doc_id > f.first_id) u),
+      |isz AS (SELECT inc_doc, COUNT(*) AS n_inc_sh FROM incsh GROUP BY 1),
+      |nr AS (SELECT DISTINCT p.inc_doc AS doc_id FROM (
+      |         SELECT inc_doc, seen_doc, COUNT(*) AS n_shared
+      |         FROM incsh a JOIN seensh b ON a.sh = b.sh GROUP BY 1, 2) p
+      |       JOIN isz USING (inc_doc)
+      |       WHERE n_shared >= $ContaminationMinShared
+      |         AND 2 * n_shared >= n_inc_sh)
+      |SELECT i.doc_id, i.lang, i.source,
+      |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+      |       ELSE 'new' END AS status
+      |FROM inc i
+      |LEFT JOIN ex ON i.doc_id = ex.doc_id
+      |LEFT JOIN nr ON i.doc_id = nr.doc_id
+      |ORDER BY i.doc_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
@@ -941,5 +1148,9 @@ object Dedup extends QueryModule {
     GraftQuery("q96_semantic_dedup", semanticDedup, Some(semanticDedupSql)),
     GraftQuery("q99_incremental_dedup", incrementalDedup,
       Some(incrementalDedupSql)),
+    GraftQuery("q111_dedup_index_build", dedupIndexBuild,
+      Some(dedupIndexBuildSql)),
+    GraftQuery("q112_incremental_dedup_indexed", incrementalDedupIndexed,
+      Some(incrementalDedupIndexedSql)),
   )
 }

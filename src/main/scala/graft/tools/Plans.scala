@@ -192,7 +192,16 @@ object Plans {
           "the probe-cell gate and the LUT join by broadcast against " +
           "them; the ADC sum collapses map-side. Compare with q107: " +
           "same scan tail, minus the seven in-plan training passes.",
-        Similarity.ivfPqQuery(spark, dir)))
+        Similarity.ivfPqQuery(spark, dir)),
+      section("q112 incremental dedup against the persisted index (admission shape)",
+        "What to look for: the seen corpus appears ONLY as parquet " +
+          "scans of the q111 artifact (hashes / hot / shingles) — no " +
+          "seen-side shingling or hashing in-plan; only the batch is " +
+          "shingled and hashed; the hash semi-join, hot anti-join, and " +
+          "containment join all broadcast their small side at runtime. " +
+          "Admission cost is batch-proportional, not corpus-proportional " +
+          "— q99's docstring promise, realized.",
+        Dedup.incrementalDedupIndexed(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

@@ -792,6 +792,72 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(persisted === composed)
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  test("q112 classifies a batch against the persisted index (planted statuses)") {
+    val session = spark
+    import session.implicits._
+    // doc_id % 5 == 0 → incoming. Planted: 5 = exact copy of seen 1;
+    // 10 shares 5 of its 6 shingles with seen 2 (2·5 ≥ 6 → near);
+    // 15 is new; 20 repeats 15 within the batch (first-id 15 wins).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (2L, "one two three four five six seven eight", "en", "web", 39L),
+      (3L, "filler corpus text entirely unrelated", "en", "web", 37L),
+      (5L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      (10L, "one two three four five six seven nine", "en", "web", 38L),
+      (15L, "totally unique text about nothing whatsoever", "en", "web", 44L),
+      (20L, "totally unique text about nothing whatsoever", "en", "web", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    rmTree(new java.io.File(operators.Dedup.dedupIndexPath(dir))) // fresh build
+    val got = operators.Dedup.incrementalDedupIndexed(spark, dir)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toSeq
+    assert(got === Seq((5L, "exact_dup"), (10L, "near_dup"),
+      (15L, "new"), (20L, "exact_dup")))
+  }
+
+  test("q111 persists a complete dedup index with consistent accounting") {
+    rmTree(new java.io.File(operators.Dedup.dedupIndexPath(sf0001)))
+    val rows = operators.Dedup.dedupIndexBuild(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)), Option(r.getString(4))))
+      .toMap
+    assert(rows.keySet === Set("hashes", "hot", "shingles"))
+    val (hn, hd, hlo, hhi) = rows("hashes")
+    assert(hn > 0 && hn === hd)
+    // SHA-256 lowercase hex bounds, well-formed and ordered
+    Seq(hlo, hhi).flatten.foreach(h => assert(h.matches("[0-9a-f]{64}")))
+    assert(hlo.get <= hhi.get)
+    val (sn, sd, _, _) = rows("shingles")
+    assert(sn > 0 && sd > 0 && sd <= sn)
+    val base = operators.Dedup.dedupIndexPath(sf0001)
+    Seq("hashes", "hot", "shingles").foreach { t =>
+      assert(new java.io.File(s"$base/$t/_SUCCESS").exists(), s"$t incomplete")
+    }
+  }
+
+  test("q112 equals q99 on the fixture while the fixture's hot list is empty") {
+    // the ONE deliberate semantic difference between q99 and q112 is the
+    // DF gate's scope (corpus-wide vs seen-only); with no shingle over
+    // the cap on either scope the two must agree bit-for-bit — guard the
+    // precondition so this equivalence can't silently go vacuous
+    val base = operators.Dedup.ensureDedupIndex(spark, sf0001)
+    val hotCount = spark.read.parquet(s"$base/hot").count()
+    assert(hotCount === 0L,
+      "fixture grew a hot shingle; this equivalence no longer applies — rewrite the test")
+    val indexed = Dedup.incrementalDedupIndexed(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    val inline = Dedup.incrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(indexed.nonEmpty)
+    assert(indexed === inline)
+  }
+
   test("q102 counts corpus-wide adjacent pairs, skips 1-token docs") {
     val session = spark
     import session.implicits._
