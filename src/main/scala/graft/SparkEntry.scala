@@ -18,6 +18,7 @@ object SparkEntry {
     Dedup,
     Similarity,
     Multimodal,
+    Curation,
   )
 
   private lazy val all: Seq[GraftQuery] = {

@@ -1,0 +1,417 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{GraftQuery, QueryModule}
+import graft.sources.Tables
+
+/** Corpus-curation operators for LLM training-data pipelines (SURVEY.md
+  * §2.12 widening, round 7): within-doc repetition trimming, hashed-feature
+  * linear quality classification, per-language quantile gating, Zipf
+  * rank-frequency diagnostics, and deterministic random-projection
+  * dimensionality reduction over the `documents`/`embeddings` fixtures.
+  *
+  * Scale posture: q113/q116 are per-doc windows (partitioned by doc or
+  * lang — no global sort); q114 is a pure narrow map + one map-side-
+  * collapsed aggregate; q115 is a narrow map over embeddings; q117's only
+  * global structure is a top-1000 TakeOrderedAndProject over the (already
+  * corpus-bounded) vocabulary table. Nothing here joins the corpus to
+  * itself.
+  *
+  * Determinism posture (what makes these oracle-green): every floating
+  * value is either a single division of exact integers, a literal-parsed
+  * constant, or a DECIMAL(38,12)-summed series (q93's pattern — decimal
+  * addition is associative, so partial-aggregation order cannot change
+  * the result), and every rank orders on a full tiebreak.
+  */
+object Curation extends QueryModule {
+
+  private def toks = split(col("text"), " ")
+
+  // ---------------------------------------------------------------------
+  // q113: within-doc run collapse
+  // ---------------------------------------------------------------------
+
+  /** Maximum surviving occurrences of a token within one consecutive run
+    * ("ha ha ha ha" → "ha ha"). 2 keeps legitimate doubling ("had had",
+    * "very very") while trimming elongated repetition spam. */
+  val MaxRunLen = 2
+
+  /** q113: within-document repetition trimming — collapse every run of
+    * consecutive identical tokens to at most [[MaxRunLen]] occurrences and
+    * rebuild the document in order. The standard cleaning step for
+    * elongated-repetition spam (the *signal* version is q86; this is the
+    * transform). Runs are identified with two per-doc windows (change-flag
+    * → prefix-sum run id → rank within run); all windows partition by
+    * doc_id, so per-task memory is bounded by the largest single document
+    * and the operator scales horizontally with the corpus. */
+  def collapseRepeats(spark: SparkSession, dir: String): DataFrame =
+    collapseRepeatsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def collapseRepeatsOf(d: DataFrame): DataFrame = {
+    val tok = d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // change flag via null-safe compare: the first token of a doc has no
+    // predecessor (lag = NULL) and must start a new run
+    val runs = tok
+      .withColumn("chg",
+        when(lag(col("tok"), 1).over(byPos) <=> col("tok"), lit(0)).otherwise(lit(1)))
+      .withColumn("run_id",
+        sum(col("chg")).over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val inRun = Window.partitionBy(col("doc_id"), col("run_id")).orderBy(col("pos"))
+    val kept = runs
+      .withColumn("rk", row_number().over(inRun))
+      .filter(col("rk") <= lit(MaxRunLen))
+    // order-preserving rebuild (q88's idiom): per-doc memory = the doc
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("clean_text"))
+    d.select(col("doc_id"), size(toks).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val collapseRepeatsSql =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok
+      |        FROM (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t)),
+      |                i -> struct_pack(pos := i, tok := t[i]))) AS u
+      |              FROM toks) x),
+      |chg AS (SELECT doc_id, pos, tok,
+      |          CASE WHEN tok IS NOT DISTINCT FROM
+      |                 LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+      |               THEN 0 ELSE 1 END AS chg
+      |        FROM tok),
+      |runs AS (SELECT doc_id, pos, tok,
+      |           SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos
+      |                          ROWS UNBOUNDED PRECEDING) AS run_id
+      |         FROM chg),
+      |kept AS (SELECT doc_id, pos, tok,
+      |           ROW_NUMBER() OVER (PARTITION BY doc_id, run_id ORDER BY pos) AS rk
+      |         FROM runs),
+      |rb AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |         ARRAY_TO_STRING(LIST(tok ORDER BY pos), ' ') AS clean_text
+      |       FROM kept WHERE rk <= $MaxRunLen GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(LEN(STRING_SPLIT(d.text, ' ')) AS INT) AS n_tokens,
+      |  CAST(COALESCE(rb.n_kept, 0) AS BIGINT) AS n_kept,
+      |  COALESCE(rb.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id
+      |ORDER BY d.doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q114: hashed-feature linear quality classifier
+  // ---------------------------------------------------------------------
+
+  /** Feature-hashing parameters for the linear scorer. The polynomial
+    * base/prefix bound the per-token hash to < 31^8 ≈ 8.5e11 (no 64-bit
+    * overflow); the LCG constants map a feature id to a deterministic
+    * weight in [-1000, 1000]. A trained model would replace the LCG with
+    * a learned weight table — the *dataflow* (hash → weight → sum) is the
+    * production shape either way. All operands stay non-negative, so `%`
+    * agrees between engines without the pmod dance (q67's trap). */
+  val FeatHashChars = 8
+  val FeatHashBase = 31L
+  val FeatSpace = 1048576L // 2^20 hashed-feature buckets
+  val FeatLcgMult = 1103515245L
+  val FeatLcgAdd = 12345L
+  val FeatLcgMod = 2147483647L
+  val FeatWeightRange = 2001L // weights in [-1000, 1000]
+
+  /** The per-token weight as a Column: polynomial hash over the first
+    * [[FeatHashChars]] characters → feature bucket → LCG-derived integer
+    * weight. Pure codegen'd arithmetic (ascii/substring/CASE) — no UDF,
+    * no lookup join, no shuffle. */
+  private def tokenWeight(tok: Column): Column = {
+    val poly = (0 until FeatHashChars).foldLeft(lit(0L)) { (acc, i) =>
+      val c = when(length(tok) > lit(i), ascii(substring(tok, i + 1, 1)).cast(LongType))
+        .otherwise(lit(0L))
+      acc + c * lit(powL(FeatHashBase, i))
+    }
+    val feat = poly % lit(FeatSpace)
+    (feat * lit(FeatLcgMult) + lit(FeatLcgAdd)) % lit(FeatLcgMod) % lit(FeatWeightRange) - lit(1000L)
+  }
+
+  private def powL(b: Long, e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * b)
+
+  /** The same weight formula as a SQL expression over a token column
+    * reference — generated from the SAME constants so plan and oracle
+    * cannot drift. */
+  private def tokenWeightSqlExpr(tok: String): String = {
+    val poly = (0 until FeatHashChars).map { i =>
+      s"(CASE WHEN LEN($tok) > $i THEN CAST(ASCII(SUBSTR($tok, ${i + 1}, 1)) AS BIGINT)" +
+        s" ELSE 0 END) * ${powL(FeatHashBase, i)}"
+    }.mkString("(", " + ", ")")
+    s"(($poly % $FeatSpace) * $FeatLcgMult + $FeatLcgAdd) % $FeatLcgMod % $FeatWeightRange - 1000"
+  }
+
+  /** q114: model-based quality filtering with hashed features — the
+    * fasttext-style linear classifier shape: token → hashed feature
+    * bucket → weight, document score = mean weight, keep iff positive.
+    * The whole scorer is narrow per-row arithmetic (explode + codegen'd
+    * ascii/CASE terms) followed by ONE map-side-collapsed per-doc sum:
+    * at 100 TB it is scan-bound, and swapping the arithmetic weights for
+    * a learned table turns the explode into the same plan q93 uses
+    * (AQE-broadcast vocab join) with nothing else changing. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def qualityClassifierOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      .select(col("doc_id"), col("lang"), tokenWeight(col("tok")).as("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("w_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("w_sum"),
+        // one division of exact integers → bit-identical across engines
+        (col("w_sum").cast(DoubleType) / col("n_tokens")).as("score"),
+        (col("w_sum") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+
+  private val qualityClassifierSql =
+    s"""WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |             FROM documents),
+      |w AS (SELECT doc_id, lang, ${tokenWeightSqlExpr("tok")} AS w FROM tok),
+      |s AS (SELECT doc_id, lang, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS w_sum
+      |      FROM w GROUP BY 1, 2)
+      |SELECT doc_id, lang, n_tokens, w_sum,
+      |  CAST(w_sum AS DOUBLE) / n_tokens AS score,
+      |  w_sum > 0 AS keep
+      |FROM s
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q116: per-language quality-quantile gate
+  // ---------------------------------------------------------------------
+
+  /** Keep documents at or above this percent_rank of lexical diversity
+    * within their own language. */
+  val QualityKeepFrac = 0.5
+
+  /** q116: per-language quantile gating — rank each document's lexical
+    * diversity (q63's core signal) WITHIN its language and keep the top
+    * half. Quantile-per-stratum is how real pipelines apply a quality
+    * model without letting high-resource languages starve low-resource
+    * ones (an absolute threshold would). One window partitioned by lang
+    * (no global sort); percent_rank orders on (diversity, doc_id) so tied
+    * scores rank deterministically in both engines. */
+  def qualityFilterPerLang(spark: SparkSession, dir: String): DataFrame =
+    qualityFilterPerLangOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def qualityFilterPerLangOf(d: DataFrame): DataFrame = {
+    val scored = d.select(
+      col("doc_id"), col("lang"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast(DoubleType) / col("n_tokens"))
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("diversity"), col("doc_id"))
+    scored
+      .withColumn("pr", percent_rank().over(byLang))
+      .filter(col("pr") >= lit(QualityKeepFrac))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"),
+        col("diversity"), col("pr"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityFilterPerLangSql =
+    s"""WITH s AS (
+      |  SELECT doc_id, lang,
+      |    CAST(LEN(toks) AS INT) AS n_tokens,
+      |    CAST(LEN(LIST_DISTINCT(toks)) AS INT) AS n_distinct
+      |  FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents) a),
+      |r AS (
+      |  SELECT doc_id, lang, n_tokens, n_distinct,
+      |    CAST(n_distinct AS DOUBLE) / n_tokens AS diversity
+      |  FROM s),
+      |p AS (
+      |  SELECT doc_id, lang, n_tokens, n_distinct, diversity,
+      |    PERCENT_RANK() OVER (PARTITION BY lang ORDER BY diversity, doc_id) AS pr
+      |  FROM r)
+      |SELECT doc_id, lang, n_tokens, n_distinct, diversity, pr
+      |FROM p WHERE pr >= $QualityKeepFrac
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q117: Zipf rank-frequency diagnostics
+  // ---------------------------------------------------------------------
+
+  /** Regression head: the slope is fit over the top-N vocabulary ranks
+    * (Zipf's law is a statement about the head; the tail is hapax noise).
+    * Also what bounds the cost: the only global structure in the query is
+    * a top-1000 TakeOrderedAndProject over the vocabulary table. */
+  val ZipfHead = 1000
+
+  /** Ranks counted as "head coverage" in the summary row. */
+  val ZipfCoverTop = 100
+
+  /** q117: corpus token-distribution diagnostics — vocabulary size, total
+    * tokens, top-[[ZipfCoverTop]] mass fraction, and the Zipf slope (the
+    * least-squares slope of ln(freq) on ln(rank) over the top-
+    * [[ZipfHead]] ranks; healthy natural-language corpora sit near −1,
+    * and a big departure flags synthetic/spam admixture). The regression
+    * sums are DECIMAL(38,12)-cast per-row doubles (q93's pattern), so
+    * partial-aggregation order cannot perturb the slope; ranks tiebreak
+    * on the token itself. Emits ONE row — the shape of a corpus health
+    * dashboard feed. */
+  def zipfStats(spark: SparkSession, dir: String): DataFrame =
+    zipfStatsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def zipfStatsOf(d: DataFrame): DataFrame = {
+    val uni = d.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = uni.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("cnt")).as("total_tokens"))
+    // top-N head with deterministic ranks; limit-then-window keeps the
+    // global sort a TakeOrderedAndProject instead of a full exchange
+    val head = uni.orderBy(col("cnt").desc, col("tok")).limit(ZipfHead)
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+    val dec = DecimalType(38, 12)
+    val lx = log(col("r").cast(DoubleType))
+    val ly = log(col("cnt").cast(DoubleType))
+    val fit = head.select(
+      col("r"), col("cnt"),
+      lx.cast(dec).as("x"), ly.cast(dec).as("y"),
+      (lx * lx).cast(dec).as("xx"), (lx * ly).cast(dec).as("xy"),
+      when(col("r") <= ZipfCoverTop, col("cnt")).otherwise(lit(0L)).as("top_cnt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("xx")).cast(DoubleType).as("sxx"),
+        sum(col("xy")).cast(DoubleType).as("sxy"),
+        sum(col("top_cnt")).as("top_mass"))
+    fit.crossJoin(broadcast(totals))
+      .select(
+        col("vocab_size"), col("total_tokens"), col("n").as("head_n"),
+        round((col("n").cast(DoubleType) * col("sxy") - col("sx") * col("sy")) /
+          (col("n").cast(DoubleType) * col("sxx") - col("sx") * col("sx")), 6)
+          .as("zipf_slope"),
+        round(col("top_mass").cast(DoubleType) / col("total_tokens"), 6)
+          .as("top100_frac"))
+  }
+
+  private val zipfStatsSql =
+    s"""WITH uni AS (SELECT tok, COUNT(*) AS cnt
+      |             FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |                   FROM documents) x GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+      |               CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM uni),
+      |head AS (SELECT tok, cnt,
+      |           ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS r
+      |         FROM uni ORDER BY cnt DESC, tok LIMIT $ZipfHead),
+      |fit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |          CAST(SUM(CAST(LN(CAST(r AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |          CAST(SUM(CAST(LN(CAST(cnt AS DOUBLE)) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |          CAST(SUM(CAST(LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE))
+      |                 AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |          CAST(SUM(CAST(LN(CAST(r AS DOUBLE)) * LN(CAST(cnt AS DOUBLE))
+      |                 AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |          CAST(SUM(CASE WHEN r <= $ZipfCoverTop THEN cnt ELSE 0 END) AS BIGINT)
+      |            AS top_mass
+      |        FROM head)
+      |SELECT vocab_size, total_tokens, n AS head_n,
+      |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |        / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+      |  ROUND(CAST(top_mass AS DOUBLE) / total_tokens, 6) AS top100_frac
+      |FROM fit, tot""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q115: deterministic random-projection dimensionality reduction
+  // ---------------------------------------------------------------------
+
+  /** Projection geometry: 64-d fixture embeddings down to 16-d. */
+  val RpInDim = 64
+  val RpOutDim = 16
+
+  /** LCG constants generating the projection matrix entry for flat index
+    * k = j*[[RpInDim]]+i as (k*Mult + Add) % Mod % Range − 1000, scaled to
+    * [−1, 1]. The matrix is pure in-plan integer arithmetic — no literal
+    * table to ship, no model to broadcast, and the SAME formula string
+    * feeds plan and oracle so they cannot drift. A learned/Gaussian
+    * matrix would arrive as a broadcast k×d table instead; the dataflow
+    * is unchanged. */
+  val RpMult = 1103515245L
+  val RpAdd = 12345L
+  val RpMod = 2147483647L
+  val RpRange = 2001L
+
+  /** Output column j as a SQL expression: a sequential DECIMAL(38,12)
+    * fold of v[i] * R(j,i) over the vector. Decimal addition is exact and
+    * associative, so the value is bit-identical however the work is
+    * scheduled — which is what lets a float dot product survive a hash
+    * compare (q93's pattern, applied inside a higher-order fold). */
+  private def rpProjExpr(j: Int): String =
+    // the fold's lambda must RETURN the accumulator type, but Spark
+    // decimal addition grows precision by 1 — so the sum is explicitly
+    // cast back to DECIMAL(34,12) each step. (34,12)+(30,12) = (35,12)
+    // stays under 38, so no scale is lost and the cast is exact for any
+    // magnitude < 1e22 (the fold's true bound is RpInDim × |v|).
+    s"ROUND(CAST(aggregate(sequence(0, ${RpInDim - 1}), CAST(0 AS DECIMAL(34,12)), " +
+      s"(acc, i) -> CAST(acc + CAST(CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
+      // CAST AS BIGINT first: ANSI mode makes a 32-bit overflow here fatal
+      s"(CAST((CAST($j * $RpInDim + i AS BIGINT) * $RpMult + $RpAdd) % $RpMod % $RpRange - 1000 " +
+      s"AS DOUBLE) / 1000.0) AS DECIMAL(30,12)) AS DECIMAL(34,12))) AS DOUBLE), 6)"
+
+  /** q115: random-projection dimensionality reduction (Johnson-
+    * Lindenstrauss-style, deterministic) — 64-d embeddings to 16-d with a
+    * pseudo-random ±sign-magnitude matrix derived from integer
+    * arithmetic. THE preprocessing step that makes downstream ANN/dedup
+    * cheaper: 4× fewer dimensions in every subsequent distance. A pure
+    * narrow map (one projected row per input row, no shuffle, no model
+    * state); emits 16 scalar double columns (driver-sortable, SmokeSpec
+    * guard). */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame =
+    randomProjectionOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed vectors). */
+  def randomProjectionOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id") +:
+      (0 until RpOutDim).map(j => expr(rpProjExpr(j)).as(f"p$j%02d")): _*)
+      .orderBy(col("vec_id"))
+
+  private val randomProjectionSql = {
+    val cols = (0 until RpOutDim).map { j =>
+      s"ROUND(MAX(CASE WHEN j = $j THEN v END), 6) AS p${"%02d".format(j)}"
+    }.mkString(",\n|  ")
+    s"""WITH ji AS (SELECT j, i
+      |            FROM generate_series(0, ${RpOutDim - 1}) s1(j),
+      |                 generate_series(0, ${RpInDim - 1}) s2(i)),
+      |prod AS (SELECT e.vec_id, ji.j,
+      |    CAST(CAST(e.embedding[ji.i + 1] AS DOUBLE) *
+      |      (CAST(((ji.j * $RpInDim + ji.i) * $RpMult + $RpAdd)
+      |            % $RpMod % $RpRange - 1000 AS DOUBLE) / 1000.0)
+      |    AS DECIMAL(30,12)) AS p
+      |  FROM embeddings e, ji),
+      |s AS (SELECT vec_id, j, CAST(SUM(p) AS DOUBLE) AS v FROM prod GROUP BY 1, 2)
+      |SELECT vec_id,
+      |  $cols
+      |FROM s GROUP BY vec_id
+      |ORDER BY vec_id NULLS FIRST""".stripMargin
+  }
+
+  override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
+    GraftQuery("q114_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    GraftQuery("q115_random_projection", randomProjection,
+      Some(randomProjectionSql)),
+    GraftQuery("q116_quality_filter_per_lang", qualityFilterPerLang,
+      Some(qualityFilterPerLangSql)),
+    GraftQuery("q117_zipf_stats", zipfStats, Some(zipfStatsSql)),
+  )
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Constructed-corpus checks for the round-7 curation operators
+  * (q113/q114/q116/q117): hand-computable fixtures pin the semantics the
+  * DuckDB oracle then re-verifies at sf0.01.
+  */
+class CurationSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(rows: (Long, String, String)*) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 2),
+      schema)
+  }
+
+  test("q113 collapses runs to 2, keeps legitimate doubles, preserves order") {
+    val d = docs(
+      (1L, "en", "ha ha ha ha ha end"),   // run of 5 -> 2
+      (2L, "en", "a b a b a b"),           // alternation: no run > 1, untouched
+      (3L, "en", "x x y y y x"),           // runs 2,3,1 -> 2,2,1
+      (4L, "en", "solo"))
+    val out = Curation.collapseRepeatsOf(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((6, 3L, "ha ha end")))
+    assert(out(2L) === ((6, 6L, "a b a b a b")))
+    assert(out(3L) === ((6, 5L, "x x y y x")))
+    assert(out(4L) === ((1, 1L, "solo")))
+  }
+
+  test("q114 weights are deterministic, repeat-sensitive, and mean-scored") {
+    val d = docs((1L, "en", "tok tok"), (2L, "en", "tok"), (3L, "en", "other"))
+    val out = Curation.qualityClassifierOf(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    val (n1, w1, s1, k1) = out(1L)
+    val (n2, w2, s2, k2) = out(2L)
+    // same token twice = exactly twice the single-occurrence sum; the
+    // mean score is identical; keep agrees with the sum's sign
+    assert(n1 === 2L && n2 === 1L)
+    assert(w1 === 2 * w2)
+    assert(s1 === s2 && s2 === w2.toDouble)
+    assert(k1 === k2 && k2 === (w2 > 0))
+    // weights live in the documented range
+    Seq(w2, out(3L)._2).foreach(w => assert(w >= -1000L && w <= 1000L))
+    // distinct tokens map to distinct weights here (not a collision test,
+    // just a guard that the hash actually varies with the input)
+    assert(w2 !== out(3L)._2)
+  }
+
+  test("q116 keeps the top diversity half per language, ties broken by doc_id") {
+    val d = docs(
+      (1L, "en", "a a a a"),     // diversity 0.25
+      (2L, "en", "a b a b"),     // 0.5
+      (3L, "en", "a b c d"),     // 1.0
+      (4L, "en", "a b c c"),     // 0.75
+      (5L, "de", "x x"),         // 0.5  de rank 0/1 -> dropped
+      (6L, "de", "x y"))         // 1.0  de rank 1/1 -> kept
+    val kept = Curation.qualityFilterPerLangOf(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(5))).toMap
+    // en percent_ranks: 0, 1/3, 2/3, 1 for docs 1,2,4,3 -> keep pr >= 0.5
+    assert(kept.keySet === Set(3L, 4L, 6L))
+    assert(kept(3L) === 1.0 && kept(4L) === 2.0 / 3 && kept(6L) === 1.0)
+  }
+
+  test("q117 fits the exact slope on a constructed two-point distribution") {
+    // freq 8 at rank 1, freq 4,4 at ranks 2,3 (tie broken by token name);
+    // regression over {(ln r, ln cnt)}: slope from the closed form
+    val d = docs((1L, "en", Seq.fill(8)("top").mkString(" ") + " " +
+      Seq.fill(4)("mid").mkString(" ") + " " + Seq.fill(4)("mad").mkString(" ")))
+    val r = Curation.zipfStatsOf(d).collect()(0)
+    assert(r.getAs[Long]("vocab_size") === 3L)
+    assert(r.getAs[Long]("total_tokens") === 16L)
+    assert(r.getAs[Long]("head_n") === 3L)
+    assert(r.getAs[Double]("top100_frac") === 1.0)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(8.0, 4.0, 4.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-6)
+  }
+
+  test("q115 projects a unit basis vector onto its matrix column") {
+    // input e_i: the projection output j is exactly R(j, i), the LCG
+    // matrix entry, rounded to 6 — checked against the formula in Scala
+    val i = 7
+    val vec = Array.fill(Curation.RpInDim)(0.0f).updated(i, 1.0f)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val e = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, vec.toSeq)), 1), schema)
+    val out = Curation.randomProjectionOf(e).collect()(0)
+    (0 until Curation.RpOutDim).foreach { j =>
+      val k = j.toLong * Curation.RpInDim + i
+      val r = ((k * Curation.RpMult + Curation.RpAdd)
+        % Curation.RpMod % Curation.RpRange - 1000L).toDouble / 1000.0
+      val got = out.getAs[Double](f"p$j%02d")
+      assert(math.abs(got - BigDecimal(r).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"j=$j")
+    }
+  }
+
+  test("q113/q116/q117 run on the fixture with sane global properties") {
+    val collapsed = Curation.collapseRepeats(spark, sf0001)
+    // trimming never grows a doc and never drops a doc
+    assert(collapsed.filter("n_kept > n_tokens").count() === 0L)
+    assert(collapsed.count() ===
+      sources.Tables.documents(spark, sf0001).count())
+    val gate = Curation.qualityFilterPerLang(spark, sf0001)
+    // the gate keeps roughly half of each language (>= floor(n/2) rows
+    // kept means pr >= 0.5 covered the upper half inclusive)
+    val perLang = gate.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langTotals = sources.Tables.documents(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (l, k) =>
+      assert(k <= langTotals(l) / 2 + 1, s"lang $l kept $k of ${langTotals(l)}")
+    }
+    val z = Curation.zipfStats(spark, sf0001).collect()(0)
+    // natural-ish corpus: negative slope, head mass below 1
+    assert(z.getAs[Double]("zipf_slope") < 0.0)
+    val frac = z.getAs[Double]("top100_frac")
+    assert(frac > 0.0 && frac <= 1.0)
+  }
+}
