@@ -97,7 +97,9 @@ object GraftFunctions {
     ("graft_simhash", classOf[SimHashAgg],
       (exprs: Seq[Expression]) => new SimHashAgg(Cast(exprs.head, LongType))),
     ("graft_shingles", classOf[ShingleHashes],
-      (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))))
+      (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))),
+    ("graft_heavy_hitters", classOf[HeavyHittersAgg],
+      (exprs: Seq[Expression]) => new HeavyHittersAgg(Cast(exprs.head, StringType))))
 
   /** Idempotent per-session fallback: queries can run against sessions
     * not built by GraftSession (e.g. a driver-owned session), so each

@@ -405,6 +405,56 @@ object Curation extends QueryModule {
       |ORDER BY vec_id NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q118: heavy hitters (sketch candidates + exact recount)
+  // ---------------------------------------------------------------------
+
+  /** Heavy = frequency strictly above 1/[[HhThresholdDen]] of all tokens.
+    * Must stay under (capacity+1)⁻¹ = 1/201 for the sketch guarantee;
+    * 1/100 leaves a 2× margin. */
+  val HhThresholdDen = 100
+
+  /** q118: corpus heavy-hitter report — every token above 1% of total
+    * token mass, with exact counts. Two-pass sketch-then-verify shape:
+    * a Misra-Gries [[graft.functions.HeavyHittersAgg]] (bounded state:
+    * ≤200 counters per partial buffer, any merge order) produces a
+    * guaranteed candidate SUPERSET in one pass; a second pass recounts
+    * ONLY the ≤200 candidates exactly (broadcast semi-filter, map-side
+    * collapse) and applies the threshold. The final output is therefore
+    * deterministic and oracle-exact even though the intermediate
+    * candidate set is merge-order-dependent — which is exactly why this
+    * is the 100 TB form: the alternative (full vocabulary groupBy +
+    * having) shuffles the whole vocabulary to answer a ≤200-row
+    * question. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def heavyHittersOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    val tok = d.select(explode(toks).as("tok"))
+    val cands = tok.agg(expr("graft_heavy_hitters(tok)").as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(HhThresholdDen.toLong) > col("n_total"))
+      .select(col("tok"), col("cnt"),
+        round(col("cnt").cast(DoubleType) / col("n_total"), 6).as("frac"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  private val heavyHittersSql =
+    s"""WITH tok AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+      |uni AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM uni)
+      |SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+      |  ROUND(CAST(cnt AS DOUBLE) / n_total, 6) AS frac
+      |FROM uni, tot
+      |WHERE cnt * $HhThresholdDen > n_total
+      |ORDER BY cnt DESC NULLS LAST, tok NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q114_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
@@ -413,5 +463,6 @@ object Curation extends QueryModule {
     GraftQuery("q116_quality_filter_per_lang", qualityFilterPerLang,
       Some(qualityFilterPerLangSql)),
     GraftQuery("q117_zipf_stats", zipfStats, Some(zipfStatsSql)),
+    GraftQuery("q118_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
   )
 }

@@ -112,6 +112,39 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q118 finds exactly the true heavy hitters past the sketch's capacity") {
+    // vocabulary (1 heavy + 600 rare) is 3× the sketch capacity (200), so
+    // Misra-Gries decrements MUST fire — the candidate set is lossy, but
+    // the guarantee keeps the heavy token and the recount makes the final
+    // output exact. heavy: 300 of 900 tokens (33% > 1%); rares: 1 each
+    // (0.11% each, below threshold).
+    val heavyText = Seq.fill(300)("heavy").mkString(" ")
+    val rareText = (0 until 600).map(i => s"rare$i").mkString(" ")
+    val d = docs((1L, "en", heavyText), (2L, "en", rareText))
+    val out = Curation.heavyHittersOf(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("heavy", 300L)))
+    // merge-order robustness: many tiny partitions -> same final rows
+    val out2 = Curation.heavyHittersOf(d.repartition(13)).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out2.toSeq === Seq(("heavy", 300L)))
+  }
+
+  test("q118 candidate sketch is a superset of all true heavy hitters (fixture)") {
+    import org.apache.spark.sql.functions.{col, explode, expr, split}
+    val spark2 = spark
+    graft.functions.GraftFunctions.ensureRegistered(spark2)
+    val tok = sources.Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cands = tok.agg(expr("graft_heavy_hitters(tok)").as("c"))
+      .selectExpr("explode(c) AS tok").collect().map(_.getString(0)).toSet
+    assert(cands.size <= graft.functions.HeavyHitters.Capacity)
+    val trueHeavy = Curation.heavyHitters(spark, sf001).collect()
+      .map(_.getString(0)).toSet
+    assert(trueHeavy.nonEmpty, "fixture should have >1% tokens")
+    assert(trueHeavy.subsetOf(cands), s"missing: ${trueHeavy -- cands}")
+  }
+
   test("q113/q116/q117 run on the fixture with sane global properties") {
     val collapsed = Curation.collapseRepeats(spark, sf0001)
     // trimming never grows a doc and never drops a doc
