@@ -202,9 +202,17 @@ object Curation extends QueryModule {
     * diversity (q63's core signal) WITHIN its language and keep the top
     * half. Quantile-per-stratum is how real pipelines apply a quality
     * model without letting high-resource languages starve low-resource
-    * ones (an absolute threshold would). One window partitioned by lang
-    * (no global sort); percent_rank orders on (diversity, doc_id) so tied
-    * scores rank deterministically in both engines. */
+    * ones (an absolute threshold would).
+    *
+    * A naive `percent_rank() OVER (PARTITION BY lang ...)` puts a whole
+    * language in ONE window partition — a handful of giant tasks at
+    * 100 TB. This computes the IDENTICAL rank with bounded state
+    * instead: rank = (#docs with strictly smaller diversity, from a
+    * per-(lang, value) count table whose cardinality is value-bounded,
+    * not corpus-bounded) + (row_number within the tie group, a window
+    * partitioned by (lang, diversity) whose partitions are tie groups).
+    * percent_rank = (rank − 1)/(n_lang − 1) then matches the oracle's
+    * window form bit-for-bit (one division of exact integers). */
   def qualityFilterPerLang(spark: SparkSession, dir: String): DataFrame =
     qualityFilterPerLangOf(Tables.documents(spark, dir))
 
@@ -216,10 +224,26 @@ object Curation extends QueryModule {
       size(array_distinct(toks)).as("n_distinct"))
       .withColumn("diversity",
         col("n_distinct").cast(DoubleType) / col("n_tokens"))
-    val byLang = Window.partitionBy(col("lang"))
-      .orderBy(col("diversity"), col("doc_id"))
+    val nLang = scored.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    // distinct (lang, diversity) counts: diversity is n_distinct/n_tokens,
+    // so cardinality is bounded by (doc length)² pairs, not by the corpus
+    val vals = scored.groupBy(col("lang"), col("diversity"))
+      .agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy(col("lang")).orderBy(col("diversity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = vals
+      .withColumn("cum", sum(col("c")).over(byVal))
+      .select(col("lang"), col("diversity"), (col("cum") - col("c")).as("below"))
+    val tieW = Window.partitionBy(col("lang"), col("diversity")).orderBy(col("doc_id"))
     scored
-      .withColumn("pr", percent_rank().over(byLang))
+      .withColumn("tie_rk", row_number().over(tieW))
+      .join(below, Seq("lang", "diversity"))
+      .join(broadcast(nLang), Seq("lang"))
+      .withColumn("pr",
+        when(col("n_lang") > 1,
+          (col("below") + col("tie_rk") - lit(1L)).cast(DoubleType) /
+            (col("n_lang") - lit(1L)))
+          .otherwise(lit(0.0)))
       .filter(col("pr") >= lit(QualityKeepFrac))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_distinct"),
         col("diversity"), col("pr"))
@@ -455,6 +479,197 @@ object Curation extends QueryModule {
       |WHERE cnt * $HhThresholdDen > n_total
       |ORDER BY cnt DESC NULLS LAST, tok NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q119: curriculum ordering by difficulty decile
+  // ---------------------------------------------------------------------
+
+  /** Number of curriculum stages (difficulty deciles). */
+  val CurriculumTiles = 10
+
+  /** q119: difficulty-ordered training curriculum — rank every document
+    * by its unigram surprisal (q93's score: low = predictable/easy) and
+    * assign NTILE-style difficulty deciles, the order a curriculum
+    * schedule feeds batches in.
+    *
+    * The interesting part is HOW the global rank is computed: a plain
+    * `ntile() OVER (ORDER BY ...)` is a single-task window over the whole
+    * corpus. This builds the identical total rank with bounded state:
+    * range-repartition on the sort key, count rows per range partition
+    * (one tiny row per partition), prefix-sum those counts into per-
+    * partition offsets (a window over #partitions rows), then
+    * rank = offset + row_number within the partition. Every task touches
+    * only its shuffle-partition's rows; the result is invariant to the
+    * (sampled, nondeterministic) range boundaries because the rank is a
+    * total order on (surprisal, doc_id). Deciles then come from the
+    * standard NTILE closed form on (rank, n). */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrderOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def curriculumOrderOf(d: DataFrame): DataFrame = {
+    val s = TextOps.lmSurprisalOf(d)
+      .select(col("doc_id"), col("n_tokens"), col("avg_surprisal_nats"))
+    val parts = s.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = s
+      .repartitionByRange(parts, col("avg_surprisal_nats"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // per-partition counts -> exclusive prefix sum = rank offsets. The
+    // window is over #partitions rows, not corpus rows.
+    val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("pc"))
+      .withColumn("offset",
+        coalesce(
+          sum(col("pc")).over(Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("pid"), col("offset"))
+    val n = s.agg(count(lit(1)).as("n_docs"))
+    val local = Window.partitionBy(col("pid"))
+      .orderBy(col("avg_surprisal_nats"), col("doc_id"))
+    // NTILE closed form: with q = n div k, r = n mod k, the first r
+    // buckets hold q+1 rows. ceil(a/b) spelled (a+b-1) div b; the q=0
+    // case (n < k) never reaches the ELSE branch because (q+1)*r = n.
+    val tileExpr =
+      s"""CAST(CASE
+         |  WHEN rank <= (n_docs DIV $CurriculumTiles + 1) * (n_docs % $CurriculumTiles)
+         |    THEN (rank + n_docs DIV $CurriculumTiles)
+         |         DIV (n_docs DIV $CurriculumTiles + 1)
+         |  ELSE (n_docs % $CurriculumTiles)
+         |       + (rank - (n_docs DIV $CurriculumTiles + 1) * (n_docs % $CurriculumTiles)
+         |          + n_docs DIV $CurriculumTiles - 1)
+         |         DIV (n_docs DIV $CurriculumTiles)
+         |END AS BIGINT)""".stripMargin
+    ranged
+      .withColumn("lrk", row_number().over(local))
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(broadcast(n))
+      .withColumn("rank", col("offset") + col("lrk"))
+      .withColumn("decile", expr(tileExpr))
+      .select(col("doc_id"), col("n_tokens"), col("avg_surprisal_nats"),
+        col("rank"), col("decile"))
+      .orderBy(col("rank"))
+  }
+
+  private val curriculumOrderSql =
+    s"""WITH srp AS (${TextOps.lmSurprisalSql})
+      |SELECT doc_id, n_tokens, avg_surprisal_nats,
+      |  ROW_NUMBER() OVER (ORDER BY avg_surprisal_nats, doc_id) AS rank,
+      |  NTILE($CurriculumTiles) OVER (ORDER BY avg_surprisal_nats, doc_id) AS decile
+      |FROM srp
+      |ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q120: per-source epoch/repetition plan
+  // ---------------------------------------------------------------------
+
+  /** Epoch-plan knobs: temperature-2 source weights (∝ √tokens) against a
+    * budget of one corpus-size worth of tokens, with per-source
+    * repetition capped at 4 epochs (the standard guard against
+    * overfitting a tiny source). */
+  val EpochCap = 4.0
+
+  /** q120: mixture epoch planning — the table a training run is
+    * provisioned from: for each source, its measured size, its
+    * temperature-smoothed target share of the token budget, and the
+    * resulting repetition factor (epochs), capped at [[EpochCap]].
+    * q98/q104 DOWN-sample documents to hit a mixture; this emits the
+    * budget-level plan that decides how many times each source is
+    * repeated. One narrow map + a #sources-row aggregate — the whole
+    * plan is scan-bound with a scalar broadcast, at any corpus size. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame =
+    epochPlanOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def epochPlanOf(d: DataFrame): DataFrame = {
+    val per = d.select(col("source"), size(toks).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    // √tokens summed as DECIMAL so the normalizer is order-independent
+    val tot = per.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(sqrt(col("n_tokens").cast(DoubleType)).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("sw"))
+    val w = sqrt(col("n_tokens").cast(DoubleType)) / col("sw")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(w, 6).as("weight"),
+        round(w * col("total_tokens"), 6).as("planned_tokens"),
+        round(least(lit(EpochCap), w * col("total_tokens") / col("n_tokens")), 6)
+          .as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  private val epochPlanSql =
+    s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+      |        CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+      |      FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |          CAST(SUM(CAST(SQRT(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,12)))
+      |            AS DOUBLE) AS sw
+      |        FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |  ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / sw, 6) AS weight,
+      |  ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / sw * total_tokens, 6)
+      |    AS planned_tokens,
+      |  ROUND(LEAST($EpochCap, SQRT(CAST(n_tokens AS DOUBLE)) / sw * total_tokens
+      |              / n_tokens), 6) AS epochs
+      |FROM per, tot
+      |ORDER BY source NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q121: per-source distribution drift (KL divergence)
+  // ---------------------------------------------------------------------
+
+  /** q121: per-source token-distribution drift — KL(source ‖ corpus) in
+    * nats over unigram distributions. The monitoring signal that flags a
+    * source whose language shifted (scraper broke, spam flood, template
+    * change) relative to the corpus at large. KL terms are per-row
+    * double arithmetic cast DECIMAL(38,12) before the per-source sum
+    * (q93's order-independence pattern); every source token exists in
+    * the corpus distribution, so no zero-probability guard is needed.
+    * Dataflow is q93's: one (source, tok) shuffle, a vocab-sized join
+    * AQE decides, and scalar broadcasts. */
+  def sourceDriftKl(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftKlOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def sourceDriftKlOf(d: DataFrame): DataFrame = {
+    val st = d.select(col("source"), explode(toks).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+    val ts = st.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val tot = ct.agg(sum(col("c_t")).as("t_all"))
+    val p = col("c_st").cast(DoubleType) / col("t_s")
+    val q = col("c_t").cast(DoubleType) / col("t_all")
+    val term = (p * log(p / q)).cast(DecimalType(38, 12))
+    st.join(broadcast(ts), Seq("source"))
+      .join(ct, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_tokens"), sum(term).as("s"))
+      .select(col("source"), col("n_tokens"),
+        round(col("s").cast(DoubleType), 6).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
+  private val sourceDriftKlSql =
+    """WITH st AS (SELECT source, tok, COUNT(*) AS c_st
+      |            FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |                  FROM documents) x GROUP BY 1, 2),
+      |ts AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1),
+      |ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_all FROM ct)
+      |SELECT st.source, MAX(ts.t_s) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(
+      |      (CAST(c_st AS DOUBLE) / t_s)
+      |      * LN((CAST(c_st AS DOUBLE) / t_s) / (CAST(c_t AS DOUBLE) / t_all))
+      |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_nats
+      |FROM st
+      |JOIN ts ON st.source = ts.source
+      |JOIN ct ON st.tok = ct.tok
+      |CROSS JOIN tot
+      |GROUP BY st.source
+      |ORDER BY st.source NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q114_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
@@ -464,5 +679,8 @@ object Curation extends QueryModule {
       Some(qualityFilterPerLangSql)),
     GraftQuery("q117_zipf_stats", zipfStats, Some(zipfStatsSql)),
     GraftQuery("q118_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    GraftQuery("q119_curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
+    GraftQuery("q120_epoch_plan", epochPlan, Some(epochPlanSql)),
+    GraftQuery("q121_source_drift_kl", sourceDriftKl, Some(sourceDriftKlSql)),
   )
 }

@@ -670,7 +670,9 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val lmSurprisalSql =
+  // package-visible: q119's curriculum oracle embeds this as its CTE so
+  // the surprisal definition cannot drift between the two queries
+  private[operators] val lmSurprisalSql =
     """WITH tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
       |            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
       |                  FROM documents) x GROUP BY 1, 2),

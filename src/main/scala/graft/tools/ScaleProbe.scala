@@ -275,6 +275,55 @@ object ScaleProbe {
     time("q107 IVF-PQ search 1x (5k)")(ivfPqCount(e1))
     time(s"q107 IVF-PQ search ${copies}x")(ivfPqCount(eN))
 
+    // round-7 curation shapes over dN/eN: q113's windows partition by
+    // doc (state bounded by the longest doc); q114 is explode + one
+    // map-side-collapsed aggregate; q116 replaces the per-lang window
+    // with the value-count join, so NO task ever holds a whole language;
+    // q117's only global structure is the top-1000 TakeOrdered over the
+    // (growing) vocabulary; q118's sketch state stays ≤200 counters per
+    // partial buffer no matter the corpus. All five should track the
+    // scan near-linearly.
+    def collapseCount(docs: DataFrame): Long =
+      graft.operators.Curation.collapseRepeatsOf(docs).count()
+    def classifierCount(docs: DataFrame): Long =
+      graft.operators.Curation.qualityClassifierOf(docs).count()
+    def gateCount(docs: DataFrame): Long =
+      graft.operators.Curation.qualityFilterPerLangOf(docs).count()
+    def zipfCount(docs: DataFrame): Long =
+      graft.operators.Curation.zipfStatsOf(docs).count()
+    def hhCount(docs: DataFrame): Long =
+      graft.operators.Curation.heavyHittersOf(docs).count()
+    def rpCount(e: DataFrame): Long =
+      graft.operators.Curation.randomProjectionOf(e).count()
+    time("q113 collapse 1x (5k docs)")(collapseCount(d1))
+    time(s"q113 collapse ${copies}x")(collapseCount(dN))
+    time("q114 classifier 1x (5k docs)")(classifierCount(d1))
+    time(s"q114 classifier ${copies}x")(classifierCount(dN))
+    time("q115 projection 1x (5k)")(rpCount(e1))
+    time(s"q115 projection ${copies}x")(rpCount(eN))
+    time("q116 quantile gate 1x (5k docs)")(gateCount(d1))
+    time(s"q116 quantile gate ${copies}x")(gateCount(dN))
+    time("q117 zipf 1x (5k docs)")(zipfCount(d1))
+    time(s"q117 zipf ${copies}x")(zipfCount(dN))
+    time("q118 heavy hitters 1x (5k docs)")(hhCount(d1))
+    time(s"q118 heavy hitters ${copies}x")(hhCount(dN))
+
+    // q119's global rank must scale like a sort (range shuffle + local
+    // windows), NOT like a single-task corpus window; q120 is a
+    // #sources-row plan over a narrow scan; q121 adds the vocab join.
+    def curriculumCount(docs: DataFrame): Long =
+      graft.operators.Curation.curriculumOrderOf(docs).count()
+    def epochCount(docs: DataFrame): Long =
+      graft.operators.Curation.epochPlanOf(docs).count()
+    def klCount(docs: DataFrame): Long =
+      graft.operators.Curation.sourceDriftKlOf(docs).count()
+    time("q119 curriculum 1x (5k docs)")(curriculumCount(d1))
+    time(s"q119 curriculum ${copies}x")(curriculumCount(dN))
+    time("q120 epoch plan 1x (5k docs)")(epochCount(d1))
+    time(s"q120 epoch plan ${copies}x")(epochCount(dN))
+    time("q121 drift KL 1x (5k docs)")(klCount(d1))
+    time(s"q121 drift KL ${copies}x")(klCount(dN))
+
     spark.stop()
   }
 }

@@ -145,6 +145,74 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(trueHeavy.subsetOf(cands), s"missing: ${trueHeavy -- cands}")
   }
 
+  test("q119 bounded-state rank/deciles match the single-window ntile ground truth") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions.{col, ntile, row_number}
+    // 23 docs (n % 10 = 3) exercises the NTILE remainder branch: the
+    // first 3 deciles get 3 rows, the rest 2. Distinct texts give
+    // distinct surprisals; a few duplicated texts create rank ties broken
+    // by doc_id.
+    val rows = (1L to 23L).map { i =>
+      val text = if (i <= 3) "tie tie alpha" // 3-way surprisal tie
+      else (0 until i.toInt).map(j => s"w${(i + j) % 17}").mkString(" ")
+      (i, "en", text)
+    }
+    val d = docs(rows: _*)
+    val mine = Curation.curriculumOrderOf(d)
+      .select("doc_id", "rank", "decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val truth = graft.operators.TextOps.lmSurprisalOf(d)
+      .withColumn("rank", row_number().over(
+        W.orderBy(col("avg_surprisal_nats"), col("doc_id"))).cast("long"))
+      .withColumn("decile", ntile(Curation.CurriculumTiles).over(
+        W.orderBy(col("avg_surprisal_nats"), col("doc_id"))).cast("long"))
+      .select("doc_id", "rank", "decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mine === truth)
+    // rank invariance under input partitioning
+    val mine7 = Curation.curriculumOrderOf(d.repartition(7))
+      .select("doc_id", "rank", "decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mine7 === truth)
+  }
+
+  test("q120 weights follow sqrt(tokens), tiny sources hit the epoch cap") {
+    val big = (1L to 16L).map(i => (i, "big", Seq.fill(100)("w").mkString(" ")))
+    val tiny = Seq((100L, "tiny", "x")) // 1 token: target share >> size -> cap
+    val d = docs((big ++ tiny): _*).withColumnRenamed("lang", "source")
+    val out = Curation.epochPlanOf(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(5)))).toMap
+    val (bigTok, bigW, bigE) = out("big")
+    val (tinyTok, tinyW, tinyE) = out("tiny")
+    assert(bigTok === 1600L)
+    assert(tinyTok === 1L)
+    // sqrt weights: 40 vs 1 -> shares 40/41, 1/41
+    assert(math.abs(bigW - 40.0 / 41) < 1e-6)
+    assert(math.abs(tinyW - 1.0 / 41) < 1e-6)
+    // tiny source's target (1601/41 ≈ 39 tokens) is 39x its size -> capped
+    assert(tinyE === Curation.EpochCap)
+    assert(bigE < Curation.EpochCap)
+  }
+
+  test("q121 KL is zero for an identically-distributed source, positive for drift") {
+    val d = docs(
+      (1L, "en", "a b c d"), (2L, "en", "a b c d"), // src en
+      (3L, "de", "a b c d"),                        // same distribution
+      (4L, "fr", "z z z z"))                        // divergent
+      .withColumnRenamed("lang", "source")
+    val out = Curation.sourceDriftKlOf(d).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // en and de share the per-source distribution {a,b,c,d: 1/4 each};
+    // corpus has z mass, so even they drift a little — but equally
+    assert(out("en") === out("de"))
+    assert(out("fr") > out("en"))
+    // one-source corpus: KL must be exactly 0
+    val solo = Curation.sourceDriftKlOf(
+      docs((1L, "en", "a b b c")).withColumnRenamed("lang", "source"))
+      .collect()(0).getDouble(2)
+    assert(solo === 0.0)
+  }
+
   test("q113/q116/q117 run on the fixture with sane global properties") {
     val collapsed = Curation.collapseRepeats(spark, sf0001)
     // trimming never grows a doc and never drops a doc

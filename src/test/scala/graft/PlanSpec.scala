@@ -269,4 +269,70 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
   }
+
+  test("q114/q115 scorers are scan-bound: no join, no shuffle beyond the contract") {
+    // the hashed classifier is explode + ONE map-side-collapsed aggregate
+    // — a lookup join or window here would serialize the hot path
+    val clf = executedPlan(Curation.qualityClassifier(spark, sf0001))
+    assert(!clf.contains("Join"), clf.take(3000))
+    assert(!clf.contains("Window"), clf.take(3000))
+    assert(!clf.contains("Expand"), clf.take(3000))
+    // random projection is a pure narrow map: the only exchange allowed
+    // is the presentation sort's range partitioning
+    val rp = executedPlan(Curation.randomProjection(spark, sf0001))
+    assert(!rp.contains("hashpartitioning"), rp.take(3000))
+    assert(!rp.contains("Join"), rp.take(3000))
+    assert(!rp.contains("HashAggregate"), rp.take(3000))
+  }
+
+  test("q113/q116 windows stay partitioned; no cartesian or global-sort window") {
+    // both operators must partition every window by doc_id/lang — an
+    // unpartitioned window moves the corpus to ONE task at 100 TB.
+    // (q117's head window IS unpartitioned by design: it runs on the
+    // top-1000 rows after a TakeOrderedAndProject, not on the corpus.)
+    for (df <- Seq(Curation.collapseRepeats(spark, sf0001),
+                   Curation.qualityFilterPerLang(spark, sf0001))) {
+      val plan = executedPlan(df)
+      assert(!plan.contains("CartesianProduct"), plan.take(4000))
+      val winSpecs = "Window \\[".r.findAllIn(plan).size
+      val partitioned = "windowspecdefinition\\((doc_id|lang)".r.findAllIn(plan).size
+      assert(winSpecs === 0 || partitioned > 0,
+        "window without doc/lang partitioning:\n" + plan.take(4000))
+    }
+  }
+
+  test("q117/q118 head work is top-k + broadcast, the vocabulary is never re-shuffled") {
+    // Zipf's only global structure must be the top-1000 TakeOrdered, not
+    // a full vocabulary sort exchange
+    val zipf = executedPlan(Curation.zipfStats(spark, sf0001))
+    assert(zipf.contains("TakeOrderedAndProject"), zipf.take(4000))
+    // heavy hitters: the candidate recount joins ≤200 broadcast rows —
+    // a sort-merge join would shuffle the full token stream by token
+    val hh = executedPlan(Curation.heavyHitters(spark, sf0001))
+    assert(hh.contains("BroadcastHashJoin"), hh.take(4000))
+    assert(!hh.contains("SortMergeJoin"), hh.take(4000))
+    assert(!hh.contains("CartesianProduct"), hh.take(4000))
+  }
+
+  test("q119 global rank windows by range-partition id, never the whole corpus") {
+    // the corpus-sized window must partition by pid (each partition = one
+    // range-shuffle partition); the only unpartitioned window allowed is
+    // the offsets prefix-sum over #partitions rows. Offsets and n ride
+    // broadcasts.
+    val plan = executedPlan(Curation.curriculumOrder(spark, sf0001))
+    assert(plan.contains("windowspecdefinition(pid"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q120/q121 plan with broadcast scalars and no corpus-sized shuffle joins") {
+    val ep = executedPlan(Curation.epochPlan(spark, sf0001))
+    assert(!ep.contains("SortMergeJoin"), ep.take(4000))
+    assert(!ep.contains("CartesianProduct"), ep.take(4000))
+    assert(!ep.contains("Window"), ep.take(4000)) // pure agg + scalar broadcast
+    val kl = executedPlan(Curation.sourceDriftKl(spark, sf0001))
+    assert(kl.contains("BroadcastHashJoin"), kl.take(4000))
+    assert(!kl.contains("CartesianProduct"), kl.take(4000))
+    assert(!kl.contains("Window"), kl.take(4000))
+  }
 }
