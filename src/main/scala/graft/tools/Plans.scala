@@ -201,7 +201,28 @@ object Plans {
           "containment join all broadcast their small side at runtime. " +
           "Admission cost is batch-proportional, not corpus-proportional " +
           "— q99's docstring promise, realized.",
-        Dedup.incrementalDedupIndexed(spark, dir)))
+        Dedup.incrementalDedupIndexed(spark, dir)),
+      section("q116 per-language quantile gate (bounded-state percent_rank)",
+        "What to look for: NO window partitioned by lang alone — the " +
+          "rank splits into a value-count cum-sum (window over distinct " +
+          "(lang, diversity) values) plus a row_number over tie groups, " +
+          "then a value-table equi-join AQE broadcasts. A naive " +
+          "percent_rank would put each whole language in one task.",
+        Curation.qualityFilterPerLang(spark, dir)),
+      section("q118 heavy hitters (Misra-Gries sketch + exact recount)",
+        "What to look for: the first aggregate carries the bounded " +
+          "graft_heavy_hitters sketch buffer (no token-keyed exchange " +
+          "of the corpus for candidates); the recount pass joins the " +
+          "≤200 candidates via BroadcastHashJoin and map-side-collapses " +
+          "before its exchange; the scalar total rides the broadcast " +
+          "nested-loop idiom.",
+        Curation.heavyHitters(spark, dir)),
+      section("q119 curriculum deciles (bounded-state global rank)",
+        "What to look for: a RangePartitioning exchange on the sort key, " +
+          "window functions keyed by pid (the range-partition id) — " +
+          "never an empty windowspecdefinition over the corpus; the " +
+          "offsets and n_docs tables arrive via broadcast.",
+        Curation.curriculumOrder(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +
