@@ -99,7 +99,14 @@ object GraftFunctions {
     ("graft_shingles", classOf[ShingleHashes],
       (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))),
     ("graft_heavy_hitters", classOf[HeavyHittersAgg],
-      (exprs: Seq[Expression]) => new HeavyHittersAgg(Cast(exprs.head, StringType))))
+      (exprs: Seq[Expression]) => new HeavyHittersAgg(Cast(exprs.head, StringType))),
+    // arg 1 must be a literal output-dimension index (it selects the
+    // matrix row at plan time); arg 0 stays an array<float> column —
+    // no Cast, because float→double widening happens inside the kernel
+    // exactly where the SQL formulation it replaced did it
+    ("graft_random_project", classOf[RandomProjectCol],
+      (exprs: Seq[Expression]) => RandomProjectCol(
+        exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())))
 
   /** Idempotent per-session fallback: queries can run against sessions
     * not built by GraftSession (e.g. a driver-owned session), so each

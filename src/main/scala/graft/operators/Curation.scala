@@ -359,38 +359,30 @@ object Curation extends QueryModule {
   // q115: deterministic random-projection dimensionality reduction
   // ---------------------------------------------------------------------
 
-  /** Projection geometry: 64-d fixture embeddings down to 16-d. */
-  val RpInDim = 64
-  val RpOutDim = 16
-
-  /** LCG constants generating the projection matrix entry for flat index
-    * k = j*[[RpInDim]]+i as (k*Mult + Add) % Mod % Range − 1000, scaled to
-    * [−1, 1]. The matrix is pure in-plan integer arithmetic — no literal
-    * table to ship, no model to broadcast, and the SAME formula string
-    * feeds plan and oracle so they cannot drift. A learned/Gaussian
+  /** Projection geometry + LCG matrix constants: aliased from the native
+    * kernel ([[graft.functions.RandomProjectKernel]]) so the kernel, this
+    * plan, and the oracle SQL generated below share ONE definition. The
+    * matrix entry for flat index k = j*[[RpInDim]]+i is
+    * (k*Mult + Add) % Mod % Range − 1000, scaled to [−1, 1] — pure
+    * integer arithmetic, no literal table to ship. A learned/Gaussian
     * matrix would arrive as a broadcast k×d table instead; the dataflow
     * is unchanged. */
-  val RpMult = 1103515245L
-  val RpAdd = 12345L
-  val RpMod = 2147483647L
-  val RpRange = 2001L
+  val RpInDim: Int = graft.functions.RandomProjectKernel.InDim
+  val RpOutDim: Int = graft.functions.RandomProjectKernel.OutDim
+  val RpMult: Long = graft.functions.RandomProjectKernel.Mult
+  val RpAdd: Long = graft.functions.RandomProjectKernel.Add
+  val RpMod: Long = graft.functions.RandomProjectKernel.Mod
+  val RpRange: Long = graft.functions.RandomProjectKernel.Range
 
-  /** Output column j as a SQL expression: a sequential DECIMAL(38,12)
-    * fold of v[i] * R(j,i) over the vector. Decimal addition is exact and
-    * associative, so the value is bit-identical however the work is
-    * scheduled — which is what lets a float dot product survive a hash
-    * compare (q93's pattern, applied inside a higher-order fold). */
+  /** Output column j: the native [[graft.functions.RandomProjectCol]]
+    * kernel — per-element products quantized to scale-12 decimals
+    * (exactly Spark's double→DECIMAL(_,12) cast) and summed exactly,
+    * then cast double and rounded to 6. Semantically identical to a
+    * `aggregate(...)` DECIMAL fold in SQL, but hand-evaluated: the
+    * 16-fold interpreted-HOF formulation this replaced measured 4.8 s at
+    * sf0.1; the kernel is sub-second. */
   private def rpProjExpr(j: Int): String =
-    // the fold's lambda must RETURN the accumulator type, but Spark
-    // decimal addition grows precision by 1 — so the sum is explicitly
-    // cast back to DECIMAL(34,12) each step. (34,12)+(30,12) = (35,12)
-    // stays under 38, so no scale is lost and the cast is exact for any
-    // magnitude < 1e22 (the fold's true bound is RpInDim × |v|).
-    s"ROUND(CAST(aggregate(sequence(0, ${RpInDim - 1}), CAST(0 AS DECIMAL(34,12)), " +
-      s"(acc, i) -> CAST(acc + CAST(CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
-      // CAST AS BIGINT first: ANSI mode makes a 32-bit overflow here fatal
-      s"(CAST((CAST($j * $RpInDim + i AS BIGINT) * $RpMult + $RpAdd) % $RpMod % $RpRange - 1000 " +
-      s"AS DOUBLE) / 1000.0) AS DECIMAL(30,12)) AS DECIMAL(34,12))) AS DOUBLE), 6)"
+    s"graft_random_project(embedding, $j)"
 
   /** q115: random-projection dimensionality reduction (Johnson-
     * Lindenstrauss-style, deterministic) — 64-d embeddings to 16-d with a
@@ -403,11 +395,20 @@ object Curation extends QueryModule {
   def randomProjection(spark: SparkSession, dir: String): DataFrame =
     randomProjectionOf(Tables.embeddings(spark, dir))
 
-  /** DataFrame-level core (testable on constructed vectors). */
-  def randomProjectionOf(e: DataFrame): DataFrame =
-    e.select(col("vec_id") +:
-      (0 until RpOutDim).map(j => expr(rpProjExpr(j)).as(f"p$j%02d")): _*)
+  /** DataFrame-level core (testable on constructed vectors). Projection
+    * columns are computed ABOVE the presentation sort's range exchange
+    * (sort first, then project): a small input can arrive as one file
+    * split, and projecting before the exchange would run all 16 kernels
+    * in a single task; after it, they spread across the post-shuffle
+    * partitions (measured 2.8 s → 0.3 s at sf0.1). At scale the input's
+    * own splits parallelize either way. */
+  def randomProjectionOf(e: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(e.sparkSession)
+    e.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id"))
+      .select(col("vec_id") +:
+        (0 until RpOutDim).map(j => expr(rpProjExpr(j)).as(f"p$j%02d")): _*)
+  }
 
   private val randomProjectionSql = {
     val cols = (0 until RpOutDim).map { j =>

@@ -213,6 +213,26 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(solo === 0.0)
   }
 
+  test("q115 kernel fast-path quantization equals the BigDecimal reference") {
+    import java.math.{BigDecimal => JBD}
+    val k = graft.functions.RandomProjectKernel
+    def ref(d: Double): Long = k.quantize12(JBD.valueOf(d))
+    val rnd = new scala.util.Random(42)
+    // random magnitudes across the float-embedding range, plus
+    // adversarial values engineered to sit ON and NEAR the .5 decimal
+    // rounding boundary (these must take the slow path and still agree)
+    val randoms = Seq.fill(200000) {
+      val mag = math.pow(10.0, rnd.nextInt(10) - 6) // 1e-6 .. 1e3
+      (rnd.nextDouble() * 2 - 1) * mag
+    }
+    val adversarial = Seq(0.5e-12, 1.5e-12, 2.5e-12, -0.5e-12, -1.5e-12,
+      1.0000000000005, -1.0000000000005, 0.9999999999995,
+      123.4567890123455, 1e-13, -1e-13, 0.0, 1e3, -1e3)
+    (randoms ++ adversarial).foreach { d =>
+      assert(k.quantize12(d) === ref(d), s"d=$d")
+    }
+  }
+
   test("q113/q116/q117 run on the fixture with sane global properties") {
     val collapsed = Curation.collapseRepeats(spark, sf0001)
     // trimming never grows a doc and never drops a doc

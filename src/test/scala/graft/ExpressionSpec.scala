@@ -43,6 +43,21 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
 
+  test("graft_random_project: codegen and interpreted paths agree") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = sources.Tables.embeddings(spark, sf0001).limit(50)
+    val proj = df.select(
+      (0 until graft.functions.RandomProjectKernel.OutDim)
+        .map(j => expr(s"graft_random_project(embedding, $j)").as(s"p$j")): _*)
+    val fromCodegen = proj.collect().map(_.toSeq)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = proj.collect().map(_.toSeq)
+      assert(fromCodegen.toSeq === interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("graft_cosine: null elements are 0.0 — counterpart keeps its norm") {
     val session = spark
     import session.implicits._
