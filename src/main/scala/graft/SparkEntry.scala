@@ -19,6 +19,7 @@ object SparkEntry {
     Similarity,
     Multimodal,
     Curation,
+    Profiling,
   )
 
   private lazy val all: Seq[GraftQuery] = {

@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.{GraftQuery, QueryModule}
+import graft.sources.Tables
+
+/** Corpus profiling / audit operators (SURVEY.md §2.12 widening, round 7
+  * part 2): Unicode text normalization, per-source data cards, vocabulary
+  * growth (Heaps-law) curves, train/val/test leakage auditing, and
+  * deterministic fixed-size per-source sampling. These are the governance
+  * half of a training-data pipeline — the reports a data curator reads
+  * before shipping a corpus, alongside the transforms in TextOps/Curation.
+  *
+  * Scale posture: q122 is a pure narrow map (the NFC kernel is a native
+  * codegen expression — see [[graft.functions.NormalizeNfc]]); q123/q124/
+  * q125 each make one pass over the corpus into per-source / per-bucket /
+  * per-hash aggregates whose results are naturally bounded (#sources,
+  * 10 buckets, #distinct texts), with every post-aggregate join broadcast;
+  * q126's only corpus structure is a per-source sort (distributed
+  * sort-based window, state bounded by the largest source). Nothing here
+  * joins the corpus to itself.
+  *
+  * Determinism posture: floats are single divisions of exact integers
+  * (rounded identically on both sides); sample/rank keys are engine-
+  * portable multiplicative-hash arithmetic (q87's pattern), never engine
+  * hash functions — except MD5 in q125, which is a published algorithm
+  * with identical hex output in every engine; ranks order with full
+  * tiebreaks.
+  */
+object Profiling extends QueryModule {
+
+  private def toks = split(col("text"), " ")
+
+  // ---------------------------------------------------------------------
+  // q122: Unicode normalization pass
+  // ---------------------------------------------------------------------
+
+  /** q122: canonical text normalization — NFC composition (native codegen
+    * expression; Spark has no built-in), lowercase, trim, and inner
+    * whitespace collapse. The first transform of any multilingual corpus
+    * pipeline: NFC makes byte-level dedup (q70/q71) and hash-based
+    * near-dup (q72–q74) see "é" and "e+combining-acute" as the same
+    * document. Pure narrow map — no shuffle until the presentation sort. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    normalizeTextOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def normalizeTextOf(d: DataFrame): DataFrame = {
+    val norm = regexp_replace(trim(lower(expr("graft_nfc(text)"))), " +", " ")
+    d.select(col("doc_id"), col("lang"), norm.as("norm_text"), col("text"))
+      .select(col("doc_id"), col("lang"), col("norm_text"),
+        // LongType: DuckDB's LENGTH is BIGINT and the driver compares schemas
+        length(col("norm_text")).cast(LongType).as("n_chars_norm"),
+        when(col("norm_text") =!= col("text"), lit(1)).otherwise(lit(0))
+          .as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val normalizeTextSql =
+    """WITH n AS (
+      |  SELECT doc_id, lang, text,
+      |    REGEXP_REPLACE(TRIM(LOWER(NFC_NORMALIZE(text))), ' +', ' ', 'g')
+      |      AS norm_text
+      |  FROM documents)
+      |SELECT doc_id, lang, norm_text,
+      |  LENGTH(norm_text) AS n_chars_norm,
+      |  CASE WHEN norm_text <> text THEN 1 ELSE 0 END AS changed
+      |FROM n ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q123: per-source data card
+  // ---------------------------------------------------------------------
+
+  /** q123: the per-source data card — document/language/token/byte
+    * accounting plus each source's share of the corpus token budget and
+    * its dominant language. What a mixture designer (q98/q104/q120) reads
+    * before setting weights. One corpus pass into a #sources-row
+    * aggregate; the dominant language comes from a (source, lang) count
+    * table (bounded by #sources × #langs) ranked with a full tiebreak,
+    * and every post-aggregate join is broadcast. */
+  def sourceDatacard(spark: SparkSession, dir: String): DataFrame =
+    sourceDatacardOf(Tables.documents(spark, dir))
+
+  def sourceDatacardOf(d: DataFrame): DataFrame = {
+    val t = d.select(col("source"), col("lang"),
+      size(toks).cast(LongType).as("n_toks"), length(col("text")).as("n_chars"))
+    val bySrc = t.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_toks")).cast(LongType).as("total_tokens"),
+      sum(col("n_chars")).cast(LongType).as("total_chars"))
+    val corpusTokens = t.agg(sum(col("n_toks")).cast(LongType).as("corpus_tokens"))
+    val langCnt = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    // deterministic argmax: count desc, then lang asc (Spark asc = NULLS
+    // FIRST; the oracle window says so explicitly — q67's class of trap)
+    val bySrcLang = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("lang").asc)
+    val topLang = langCnt
+      .withColumn("rk", row_number().over(bySrcLang))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("c").as("top_lang_docs"))
+    bySrc
+      .join(broadcast(topLang), Seq("source"))
+      .crossJoin(broadcast(corpusTokens))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_tokens"), col("total_chars"),
+        // single divisions of exact integers: bit-identical across
+        // engines, so the ROUND sees the same double on both sides
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_tokens_per_doc"),
+        round(col("total_tokens").cast("double") / col("corpus_tokens"), 6)
+          .as("corpus_token_share"),
+        col("top_lang"), col("top_lang_docs"))
+      .orderBy(col("source"))
+  }
+
+  private val sourceDatacardSql =
+    """WITH t AS (
+      |  SELECT source, lang, LEN(STRING_SPLIT(text, ' ')) AS n_toks,
+      |         LENGTH(text) AS n_chars
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+      |         CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+      |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS corpus_tokens FROM t),
+      |lc AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+      |tl AS (
+      |  SELECT source, lang AS top_lang, c AS top_lang_docs,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |                            ORDER BY c DESC, lang ASC NULLS FIRST) AS rk
+      |  FROM lc)
+      |SELECT s.source, n_docs, n_langs, total_tokens, total_chars,
+      |  ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens_per_doc,
+      |  ROUND(CAST(total_tokens AS DOUBLE) / corpus_tokens, 6)
+      |    AS corpus_token_share,
+      |  top_lang, top_lang_docs
+      |FROM s JOIN tl ON s.source = tl.source AND tl.rk = 1
+      |CROSS JOIN tot
+      |ORDER BY s.source NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q124: vocabulary growth (Heaps-law) curve
+  // ---------------------------------------------------------------------
+
+  /** Number of equal-width doc_id buckets the corpus is cut into for the
+    * growth curve (also the row count of the result). */
+  val GrowthBuckets = 10L
+
+  /** q124: vocabulary growth curve — cut the corpus into [[GrowthBuckets]]
+    * equal doc_id ranges and report, per bucket, the token volume and the
+    * number of NEW token types first seen there, plus both as cumulative
+    * series. The classic Heaps-law diagnostic: a corpus whose cum_types
+    * curve flattens is re-treading vocabulary (near-duplicate-heavy); one
+    * that keeps climbing linearly is still surfacing novel content.
+    *
+    * The trick that keeps it one pass: a type's contribution to every
+    * cumulative point is determined by its FIRST bucket alone, so
+    * `min(bucket) per token` (a map-side-collapsible agg over the corpus)
+    * followed by a 10-row cumulative window replaces 10 cumulative
+    * distinct-counts. The only windows run over ≤[[GrowthBuckets]] rows. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowthOf(Tables.documents(spark, dir))
+
+  def vocabGrowthOf(d: DataFrame): DataFrame = {
+    val nDocs = d.agg((max(col("doc_id")) + 1).as("n_docs"))
+    val tk = d.crossJoin(broadcast(nDocs))
+      // integer floor-division on both sides (DuckDB `//`): doc_id and
+      // n_docs are exact BIGINTs, so bucket boundaries cannot drift
+      .select(
+        (expr(s"(doc_id * $GrowthBuckets) div n_docs") + 1).cast("int")
+          .as("bucket"),
+        explode(toks).as("tok"))
+    val cb = tk.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_tokens"))
+    val vb = tk.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val byBucket = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cb.join(vb, Seq("bucket"), "left")
+      .select(col("bucket"), col("bucket_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(byBucket))
+      .withColumn("cum_types", sum(col("new_types")).over(byBucket))
+      .orderBy(col("bucket"))
+  }
+
+  private val vocabGrowthSql =
+    s"""WITH nd AS (SELECT MAX(doc_id) + 1 AS n_docs FROM documents),
+      |tk AS (
+      |  SELECT CAST((doc_id * $GrowthBuckets) // n_docs AS INT) + 1 AS bucket,
+      |         UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |  FROM documents CROSS JOIN nd),
+      |cb AS (SELECT bucket, COUNT(*) AS bucket_tokens FROM tk GROUP BY 1),
+      |fb AS (SELECT tok, MIN(bucket) AS bucket FROM tk GROUP BY 1),
+      |vb AS (SELECT bucket, COUNT(*) AS new_types FROM fb GROUP BY 1)
+      |SELECT cb.bucket, bucket_tokens,
+      |  COALESCE(new_types, 0) AS new_types,
+      |  CAST(SUM(bucket_tokens) OVER (ORDER BY cb.bucket) AS BIGINT)
+      |    AS cum_tokens,
+      |  CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY cb.bucket) AS BIGINT)
+      |    AS cum_types
+      |FROM cb LEFT JOIN vb ON cb.bucket = vb.bucket
+      |ORDER BY cb.bucket""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q125: train/val/test leakage audit
+  // ---------------------------------------------------------------------
+
+  /** q125: split-leakage audit — verify that q67's train/val/test cut is
+    * safe to evaluate against by content, not just by doc_id. Exact-
+    * duplicate texts that land in different splits leak evaluation data
+    * into training (the split is disjoint on doc_id by construction, but
+    * NOT on content when the corpus has duplicates — which real corpora
+    * always do; that is what q70–q79 exist to measure). One corpus pass
+    * into a per-distinct-text aggregate, then a single summary row:
+    * documents, distinct texts, texts (and docs) appearing in >1 split,
+    * and within-split duplicate texts (wasted tokens, not leakage).
+    * MD5 here is content identity, not a sampling key — identical hex on
+    * every engine, and collision-safe at corpus scale for exact-dup
+    * accounting (2^64 birthday bound). */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(Tables.documents(spark, dir))
+
+  def splitLeakageOf(d: DataFrame): DataFrame = {
+    val bucket = pmod(col("doc_id"), lit(10L))
+    val s = d.select(md5(col("text")).as("h"),
+      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+        .as("split"))
+    val perText = s.groupBy(col("h")).agg(
+      countDistinct(col("split")).as("n_splits"), count(lit(1)).as("nd"))
+    perText.agg(
+      count(lit(1)).as("n_texts"),
+      sum(col("nd")).cast(LongType).as("n_docs"),
+      sum(when(col("n_splits") > 1, lit(1L)).otherwise(lit(0L)))
+        .cast(LongType).as("leaked_texts"),
+      sum(when(col("n_splits") > 1, col("nd")).otherwise(lit(0L)))
+        .cast(LongType).as("leaked_docs"),
+      sum(when(col("n_splits") === 1 && col("nd") > 1, lit(1L)).otherwise(lit(0L)))
+        .cast(LongType).as("dup_texts_within"))
+  }
+
+  // ((x % 10) + 10) % 10 mirrors Spark's pmod (q67's trap)
+  private val splitLeakageSql =
+    """WITH s AS (
+      |  SELECT MD5(text) AS h,
+      |    CASE WHEN ((doc_id % 10) + 10) % 10 < 8 THEN 'train'
+      |         WHEN ((doc_id % 10) + 10) % 10 = 8 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |p AS (SELECT h, COUNT(DISTINCT split) AS n_splits, COUNT(*) AS nd
+      |      FROM s GROUP BY 1)
+      |SELECT COUNT(*) AS n_texts,
+      |  CAST(SUM(nd) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS leaked_texts,
+      |  CAST(SUM(CASE WHEN n_splits > 1 THEN nd ELSE 0 END) AS BIGINT)
+      |    AS leaked_docs,
+      |  CAST(SUM(CASE WHEN n_splits = 1 AND nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_texts_within
+      |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q126: deterministic fixed-k per-source sample
+  // ---------------------------------------------------------------------
+
+  /** Sample size per source (the audit-sample / eyeballing use case). */
+  val FixedSampleK = 5
+
+  // A second multiplicative-hash family (offset +17, wider modulus than
+  // q87's per-mille key so ranks behave like a random permutation):
+  // engine-portable arithmetic, mirrored by the SQL twin below.
+  private val RankModPrime = 1000003L
+  private val RankMult = 2654435761L
+  private val RankMod = 1048573L
+
+  private def rankKey = pmod(
+    pmod(col("doc_id") + lit(17L), lit(RankModPrime)) * lit(RankMult),
+    lit(RankMod))
+
+  private val rankKeySqlExpr =
+    s"CAST((((((doc_id + 17) % $RankModPrime) + $RankModPrime) % $RankModPrime" +
+      s" * $RankMult) % $RankMod + $RankMod) % $RankMod AS BIGINT)"
+
+  /** q126: deterministic fixed-size per-source sample — exactly
+    * [[FixedSampleK]] documents from every source (fewer only when the
+    * source is smaller), chosen by ranking an engine-portable
+    * multiplicative-hash key with a full (key, doc_id) tiebreak. The
+    * reservoir-sampling use case (audit samples, eval seeds, labeling
+    * batches) made reproducible: the same docs come back on every engine,
+    * run, and cluster size, unlike rand()-based sampling. q87/q98/q104
+    * sample by RATE (narrow map, no shuffle); fixed-COUNT semantics
+    * genuinely need a per-source rank, which is a distributed sort-based
+    * window — state bounded by the largest source, nothing global. */
+  def fixedSample(spark: SparkSession, dir: String): DataFrame =
+    fixedSampleOf(Tables.documents(spark, dir))
+
+  def fixedSampleOf(d: DataFrame): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("rank_key").asc, col("doc_id").asc)
+    d.withColumn("rank_key", rankKey)
+      // LongType: DuckDB's ROW_NUMBER is BIGINT and the driver compares schemas
+      .withColumn("rk", row_number().over(bySrc).cast(LongType))
+      .filter(col("rk") <= FixedSampleK)
+      .select(col("source"), col("rk"), col("doc_id"), col("lang"),
+        col("rank_key"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val fixedSampleSql =
+    s"""WITH t AS (
+      |  SELECT source, doc_id, lang, $rankKeySqlExpr AS rank_key
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, lang, rank_key,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |                       ORDER BY rank_key, doc_id) AS rk
+      |  FROM t)
+      |SELECT source, rk, doc_id, lang, rank_key
+      |FROM r WHERE rk <= $FixedSampleK
+      |ORDER BY source NULLS FIRST, rk""".stripMargin
+
+  override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q122_normalize_text", normalizeText, Some(normalizeTextSql)),
+    GraftQuery("q123_source_datacard", sourceDatacard, Some(sourceDatacardSql)),
+    GraftQuery("q124_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
+    GraftQuery("q125_split_leakage", splitLeakage, Some(splitLeakageSql)),
+    GraftQuery("q126_fixed_sample", fixedSample, Some(fixedSampleSql)),
+  )
+}

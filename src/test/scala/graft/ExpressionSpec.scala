@@ -148,4 +148,38 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     val c = sig(Seq("completely", "different", "words", "here"))
     assert(java.lang.Long.bitCount(a ^ c) > 0)
   }
+
+  test("graft_nfc: composes, passes normalized text through, null-safe") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val session = spark
+    import session.implicits._
+    val decomposed = "e\u0301te\u0301"  // NFD rendering of "\u00e9t\u00e9": 5 chars
+    val df = Seq(decomposed).toDF("t")
+      .select(expr("graft_nfc(t)").as("n"), expr("CAST(NULL AS STRING)").as("z"))
+      .select(col("n"), length(col("n")).as("len"), expr("graft_nfc(z)").as("nz"))
+    val r = df.collect().head
+    assert(r.getString(0) === "\u00e9t\u00e9" && r.getInt(1) === 3)
+    assert(r.isNullAt(2))
+    // already-NFC input comes back identical
+    assert(Seq("plain ascii", "\u00e9t\u00e9").toDF("t")
+      .select(expr("graft_nfc(t) = t")).as[Boolean].collect().forall(identity))
+  }
+
+  test("graft_nfc: codegen and interpreted paths agree") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val session = spark
+    import session.implicits._
+    // decomposed e-acute, composed e-acute, decomposed a-ring, ascii,
+    // empty, and an NFC-invariant compatibility ligature (\ufb03 only
+    // changes under NFKC)
+    val df = Seq("e\u0301", "\u00e9", "a\u030a", "plain", "", "f\ufb03")
+      .toDF("t").select(expr("graft_nfc(t)").as("n"))
+    val fromCodegen = df.as[String].collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.as[String].collect()
+      assert(fromCodegen.toSeq === interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
 }

@@ -335,4 +335,50 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!kl.contains("CartesianProduct"), kl.take(4000))
     assert(!kl.contains("Window"), kl.take(4000))
   }
+
+  test("q122 normalization is a narrow map: no shuffle, join, or aggregate") {
+    // the NFC+lower+collapse pass must stay embarrassingly parallel — the
+    // only exchange allowed is the presentation sort's range partitioning
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val plan = executedPlan(Profiling.normalizeText(spark, sf0001))
+    assert(!plan.contains("hashpartitioning"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    // and the kernel rides whole-stage codegen (the `*(stageId)` marker
+    // on the projection), not a UDF fallback
+    assert(plan.contains("*(1) Project"), plan.take(3000))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      plan.take(3000))
+  }
+
+  test("q123/q125 audits: one corpus pass, post-aggregate joins broadcast") {
+    // the data card's top-lang and corpus-total joins run on #sources-row
+    // aggregates — a SortMergeJoin would mean a corpus-sized side slipped
+    // into a post-aggregate join
+    val card = executedPlan(Profiling.sourceDatacard(spark, sf0001))
+    assert(card.contains("BroadcastHashJoin"), card.take(4000))
+    assert(!card.contains("SortMergeJoin"), card.take(4000))
+    assert(!card.contains("CartesianProduct"), card.take(4000))
+    // the leakage audit is aggregate-only: any Join here is a regression
+    val leak = executedPlan(Profiling.splitLeakage(spark, sf0001))
+    assert(!leak.contains("Join"), leak.take(4000))
+    assert(!leak.contains("Window"), leak.take(4000))
+  }
+
+  test("q124/q126 windows are bounded: bucket-row frame or source-partitioned") {
+    // q124's cumulative windows run over <= GrowthBuckets aggregated rows
+    // (q117's head-window class — fine); its corpus passes must collapse
+    // map-side into HashAggregates with no sort-merge or cartesian join
+    val vg = executedPlan(Profiling.vocabGrowth(spark, sf0001))
+    assert(!vg.contains("SortMergeJoin"), vg.take(4000))
+    assert(!vg.contains("CartesianProduct"), vg.take(4000))
+    assert(vg.contains("HashAggregate"), vg.take(4000))
+    // q126's rank window must partition by source — unpartitioned would
+    // move the corpus to ONE task at 100 TB
+    val fs = executedPlan(Profiling.fixedSample(spark, sf0001))
+    val winSpecs = "windowspecdefinition\\(".r.findAllIn(fs).size
+    val bySource = "windowspecdefinition\\(source".r.findAllIn(fs).size
+    assert(winSpecs > 0 && winSpecs === bySource, fs.take(4000))
+    assert(!fs.contains("CartesianProduct"), fs.take(4000))
+  }
 }
