@@ -222,7 +222,20 @@ object Plans {
           "window functions keyed by pid (the range-partition id) — " +
           "never an empty windowspecdefinition over the corpus; the " +
           "offsets and n_docs tables arrive via broadcast.",
-        Curation.curriculumOrder(spark, dir)))
+        Curation.curriculumOrder(spark, dir)),
+
+      section("q122 Unicode normalization (native graft_nfc narrow map)",
+        "What to look for: one codegen'd Project over the scan carrying " +
+          "graft_nfc/lower/trim/regexp_replace — no UDF node, no " +
+          "exchange other than the presentation sort's range partitioning.",
+        { graft.functions.GraftFunctions.ensureRegistered(spark)
+          Profiling.normalizeText(spark, dir) }),
+
+      section("q126 fixed-k per-source sample (partitioned rank window)",
+        "What to look for: the row_number window specs partitioned by " +
+          "source (state bounded by the largest source) over a single " +
+          "hash exchange — never an empty windowspecdefinition.",
+        Profiling.fixedSample(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

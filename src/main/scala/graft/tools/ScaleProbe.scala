@@ -15,6 +15,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional args 2+: probe-name prefixes for targeted runs
+    // (`runMain graft.tools.ScaleProbe /root/testdata/sf0.1 10 q122 q126`);
+    // none = the full sweep
+    val only = args.drop(2).toSeq
     val spark = graft.GraftSession.get("graft-scale-probe")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
@@ -28,11 +32,12 @@ object ScaleProbe {
         df.withColumn(keyCol, col(keyCol) + lit(i.toLong * stride)))
         .reduce(_ unionByName _)
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scale] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(name.startsWith)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[scale] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
 
     val li1 = Tables.lineitem(spark, dir)
     val liN = enlarged(li1)
@@ -323,6 +328,34 @@ object ScaleProbe {
     time(s"q120 epoch plan ${copies}x")(epochCount(dN))
     time("q121 drift KL 1x (5k docs)")(klCount(d1))
     time(s"q121 drift KL ${copies}x")(klCount(dN))
+
+    // round-7 profiling shapes over dN: q122 is the narrow NFC map; q123
+    // collapses to a #sources-row card; q124's cumulative-distinct trick
+    // must scale like ONE token agg (min-bucket per type), not 10
+    // distinct-counts; q125 aggregates per distinct text; q126's rank
+    // windows partition by source (the shifted copies keep ~5 sources, so
+    // each source grows N× — the honest worst case for the per-source
+    // sort). All should track the scan near-linearly.
+    def nfcCount(docs: DataFrame): Long =
+      graft.operators.Profiling.normalizeTextOf(docs).count()
+    def cardCount(docs: DataFrame): Long =
+      graft.operators.Profiling.sourceDatacardOf(docs).count()
+    def growthCount(docs: DataFrame): Long =
+      graft.operators.Profiling.vocabGrowthOf(docs).count()
+    def leakCount(docs: DataFrame): Long =
+      graft.operators.Profiling.splitLeakageOf(docs).count()
+    def fixedCount(docs: DataFrame): Long =
+      graft.operators.Profiling.fixedSampleOf(docs).count()
+    time("q122 nfc normalize 1x (5k docs)")(nfcCount(d1))
+    time(s"q122 nfc normalize ${copies}x")(nfcCount(dN))
+    time("q123 data card 1x (5k docs)")(cardCount(d1))
+    time(s"q123 data card ${copies}x")(cardCount(dN))
+    time("q124 vocab growth 1x (5k docs)")(growthCount(d1))
+    time(s"q124 vocab growth ${copies}x")(growthCount(dN))
+    time("q125 leakage audit 1x (5k docs)")(leakCount(d1))
+    time(s"q125 leakage audit ${copies}x")(leakCount(dN))
+    time("q126 fixed sample 1x (5k docs)")(fixedCount(d1))
+    time(s"q126 fixed sample ${copies}x")(fixedCount(dN))
 
     spark.stop()
   }
