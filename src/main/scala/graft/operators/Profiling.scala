@@ -39,18 +39,24 @@ object Profiling extends QueryModule {
   // q122: Unicode normalization pass
   // ---------------------------------------------------------------------
 
-  /** q122: canonical text normalization — NFC composition (native codegen
-    * expression; Spark has no built-in), lowercase, trim, and inner
-    * whitespace collapse. The first transform of any multilingual corpus
-    * pipeline: NFC makes byte-level dedup (q70/q71) and hash-based
-    * near-dup (q72–q74) see "é" and "e+combining-acute" as the same
-    * document. Pure narrow map — no shuffle until the presentation sort. */
+  /** q122: canonical text normalization — NFC composition + lowercase in
+    * one native codegen expression (graft_nfc_lower; Spark has no Unicode
+    * normalizer, and Spark's own `lower()` is default-LOCALE-dependent on
+    * non-ASCII input — see [[graft.functions.NfcLowerSimple]]), then trim
+    * and inner whitespace collapse. The first transform of any
+    * multilingual corpus pipeline: NFC makes byte-level dedup (q70/q71)
+    * and hash-based near-dup (q72–q74) see "é" and "e+combining-acute" as
+    * the same document. Pure narrow map — no shuffle until the
+    * presentation sort. */
   def normalizeText(spark: SparkSession, dir: String): DataFrame =
     normalizeTextOf(Tables.documents(spark, dir))
 
   /** DataFrame-level core (testable on constructed corpora). */
   def normalizeTextOf(d: DataFrame): DataFrame = {
-    val norm = regexp_replace(trim(lower(expr("graft_nfc(text)"))), " +", " ")
+    // self-heal registration (randomProjectionOf's pattern): the core must
+    // work on driver-owned sessions not built via GraftSession
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    val norm = regexp_replace(trim(expr("graft_nfc_lower(text)")), " +", " ")
     d.select(col("doc_id"), col("lang"), norm.as("norm_text"), col("text"))
       .select(col("doc_id"), col("lang"), col("norm_text"),
         // LongType: DuckDB's LENGTH is BIGINT and the driver compares schemas
@@ -169,9 +175,17 @@ object Profiling extends QueryModule {
 
   def vocabGrowthOf(d: DataFrame): DataFrame = {
     val nDocs = d.agg((max(col("doc_id")) + 1).as("n_docs"))
-    val tk = d.crossJoin(broadcast(nDocs))
-      // integer floor-division on both sides (DuckDB `//`): doc_id and
-      // n_docs are exact BIGINTs, so bucket boundaries cannot drift
+    val tk = d
+      // loud non-negativity gate (kmVectors' idiom): Spark's `div`
+      // TRUNCATES while DuckDB's `//` FLOORS — identical for doc_id >= 0,
+      // divergent below it, so a negative id must fail, not drift
+      .withColumn("doc_id",
+        when(col("doc_id") >= 0, col("doc_id")).otherwise(raise_error(
+          concat(lit("vocabGrowth requires non-negative doc_id, got "),
+            col("doc_id").cast("string")))))
+      .crossJoin(broadcast(nDocs))
+      // exact-BIGINT division on both sides (Spark `div` / DuckDB `//`):
+      // bucket boundaries cannot drift for the gated non-negative domain
       .select(
         (expr(s"(doc_id * $GrowthBuckets) div n_docs") + 1).cast("int")
           .as("bucket"),
@@ -200,12 +214,12 @@ object Profiling extends QueryModule {
       |vb AS (SELECT bucket, COUNT(*) AS new_types FROM fb GROUP BY 1)
       |SELECT cb.bucket, bucket_tokens,
       |  COALESCE(new_types, 0) AS new_types,
-      |  CAST(SUM(bucket_tokens) OVER (ORDER BY cb.bucket) AS BIGINT)
-      |    AS cum_tokens,
-      |  CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY cb.bucket) AS BIGINT)
-      |    AS cum_types
+      |  CAST(SUM(bucket_tokens) OVER (ORDER BY cb.bucket NULLS FIRST)
+      |    AS BIGINT) AS cum_tokens,
+      |  CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY cb.bucket NULLS FIRST)
+      |    AS BIGINT) AS cum_types
       |FROM cb LEFT JOIN vb ON cb.bucket = vb.bucket
-      |ORDER BY cb.bucket""".stripMargin
+      |ORDER BY cb.bucket NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
   // q125: train/val/test leakage audit
@@ -227,10 +241,9 @@ object Profiling extends QueryModule {
     splitLeakageOf(Tables.documents(spark, dir))
 
   def splitLeakageOf(d: DataFrame): DataFrame = {
-    val bucket = pmod(col("doc_id"), lit(10L))
-    val s = d.select(md5(col("text")).as("h"),
-      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
-        .as("split"))
+    // THE q67 assignment, shared — the audit cannot drift from the split
+    // it audits (change the cut in TextOps and both follow)
+    val s = d.select(md5(col("text")).as("h"), TextOps.splitAssign.as("split"))
     val perText = s.groupBy(col("h")).agg(
       countDistinct(col("split")).as("n_splits"), count(lit(1)).as("nd"))
     perText.agg(
@@ -244,13 +257,10 @@ object Profiling extends QueryModule {
         .cast(LongType).as("dup_texts_within"))
   }
 
-  // ((x % 10) + 10) % 10 mirrors Spark's pmod (q67's trap)
   private val splitLeakageSql =
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT MD5(text) AS h,
-      |    CASE WHEN ((doc_id % 10) + 10) % 10 < 8 THEN 'train'
-      |         WHEN ((doc_id % 10) + 10) % 10 = 8 THEN 'val'
-      |         ELSE 'test' END AS split
+      |    ${TextOps.splitAssignSqlCase} AS split
       |  FROM documents),
       |p AS (SELECT h, COUNT(DISTINCT split) AS n_splits, COUNT(*) AS nd
       |      FROM s GROUP BY 1)
@@ -318,7 +328,8 @@ object Profiling extends QueryModule {
       |r AS (
       |  SELECT source, doc_id, lang, rank_key,
       |    ROW_NUMBER() OVER (PARTITION BY source
-      |                       ORDER BY rank_key, doc_id) AS rk
+      |                       ORDER BY rank_key NULLS FIRST, doc_id NULLS FIRST)
+      |      AS rk
       |  FROM t)
       |SELECT source, rk, doc_id, lang, rank_key
       |FROM r WHERE rk <= $FixedSampleK

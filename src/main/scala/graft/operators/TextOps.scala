@@ -252,23 +252,33 @@ object TextOps extends QueryModule {
     * narrow map — no shuffle until the summary aggregate — and the
     * modulus (not an engine hash) makes it reproducible across engines
     * and runs, which is what makes held-out sets auditable. */
+  /** THE split assignment, shared with q125's leakage audit (Profiling) so
+    * the audit can never drift from the split it audits: change the cut
+    * here and both the summary and the audit follow, plan AND oracle. */
+  private[operators] def splitAssign: Column = {
+    val bucket = pmod(col("doc_id"), lit(10L))
+    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+  }
+
+  // ((x % 10) + 10) % 10 mirrors Spark's pmod: DuckDB's % keeps the
+  // dividend's sign, which would route negative doc_ids differently
+  private[operators] val splitAssignSqlCase: String =
+    """CASE WHEN ((doc_id % 10) + 10) % 10 < 8 THEN 'train'
+      |       WHEN ((doc_id % 10) + 10) % 10 = 8 THEN 'val' ELSE 'test' END"""
+      .stripMargin
+
   def trainSplit(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val bucket = pmod(col("doc_id"), lit(10L))
-    d.withColumn("split",
-        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+    d.withColumn("split", splitAssign)
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
            sum(size(toks).cast(LongType)).as("total_tokens"))
       .orderBy(col("source"), col("split"))
   }
 
-  // ((x % 10) + 10) % 10 mirrors Spark's pmod: DuckDB's % keeps the
-  // dividend's sign, which would route negative doc_ids differently
   private val trainSplitSql =
-    """SELECT source,
-      |  CASE WHEN ((doc_id % 10) + 10) % 10 < 8 THEN 'train'
-      |       WHEN ((doc_id % 10) + 10) % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+    s"""SELECT source,
+      |  $splitAssignSqlCase AS split,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
       |FROM documents

@@ -224,12 +224,11 @@ object Plans {
           "offsets and n_docs tables arrive via broadcast.",
         Curation.curriculumOrder(spark, dir)),
 
-      section("q122 Unicode normalization (native graft_nfc narrow map)",
+      section("q122 Unicode normalization (native graft_nfc_lower narrow map)",
         "What to look for: one codegen'd Project over the scan carrying " +
-          "graft_nfc/lower/trim/regexp_replace — no UDF node, no " +
+          "graft_nfc_lower/trim/regexp_replace — no UDF node, no " +
           "exchange other than the presentation sort's range partitioning.",
-        { graft.functions.GraftFunctions.ensureRegistered(spark)
-          Profiling.normalizeText(spark, dir) }),
+        Profiling.normalizeText(spark, dir)),
 
       section("q126 fixed-k per-source sample (partitioned rank window)",
         "What to look for: the row_number window specs partitioned by " +

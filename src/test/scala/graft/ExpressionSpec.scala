@@ -182,4 +182,36 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
       assert(fromCodegen.toSeq === interpreted.toSeq)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
+
+  test("graft_nfc_lower: simple 1:1 mapping, locale-independent, composes first") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val session = spark
+    import session.implicits._
+    // ascii, decomposed E-acute (compose THEN lower), dotted capital I
+    // (U+0130: Java's FULL mapping gives i + combining dot = 2 codepoints;
+    // the SIMPLE mapping both this kernel and DuckDB's utf8proc use gives
+    // plain 'i' = 1), and sharp s (no 1:M 'ss' expansion under simple)
+    val got = Seq("MiXeD", "E\u0301te\u0301", "\u0130", "STRA\u00dfE")
+      .toDF("t").select(expr("graft_nfc_lower(t)").as("n"), length(col("n")))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got(0) === (("mixed", 5)))
+    assert(got(1) === (("\u00e9t\u00e9", 3)))
+    assert(got(2) === (("i", 1)))
+    assert(got(3) === (("stra\u00dfe", 6)))
+  }
+
+  test("graft_nfc_lower: codegen and interpreted paths agree") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val session = spark
+    import session.implicits._
+    val df = Seq("e\u0301", "\u00c9", "A\u030a", "PLAIN", "", "\u0130\u0131")
+      .toDF("t").select(expr("graft_nfc_lower(t)").as("n"))
+    val fromCodegen = df.as[String].collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.as[String].collect()
+      assert(fromCodegen.toSeq === interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
 }
