@@ -92,20 +92,30 @@ object Profiling extends QueryModule {
     sourceDatacardOf(Tables.documents(spark, dir))
 
   def sourceDatacardOf(d: DataFrame): DataFrame = {
-    val t = d.select(col("source"), col("lang"),
-      size(toks).cast(LongType).as("n_toks"), length(col("text")).as("n_chars"))
-    val bySrc = t.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs"),
-      countDistinct(col("lang")).as("n_langs"),
-      sum(col("n_toks")).cast(LongType).as("total_tokens"),
-      sum(col("n_chars")).cast(LongType).as("total_chars"))
-    val corpusTokens = t.agg(sum(col("n_toks")).cast(LongType).as("corpus_tokens"))
-    val langCnt = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    // ONE corpus pass: everything downstream — per-source card, corpus
+    // total, dominant language — re-aggregates the (source, lang)
+    // pre-aggregate, whose cardinality is #sources × #langs (bounded),
+    // not the corpus. The pre-agg collapses map-side; the scope cache
+    // pins the tiny result so the three consumers cannot re-scan the
+    // corpus even when exchange reuse does not fire.
+    val pre = graft.functions.ScopedCache.persist("q123.pre",
+      d.groupBy(col("source"), col("lang")).agg(
+        count(lit(1)).as("c"),
+        sum(size(toks).cast(LongType)).as("tok_sum"),
+        sum(length(col("text")).cast(LongType)).as("chr_sum")))
+    val bySrc = pre.groupBy(col("source")).agg(
+      sum(col("c")).as("n_docs"),
+      // each pre row is one distinct (source, lang): counting non-null
+      // lang rows IS the distinct-language count
+      count(col("lang")).as("n_langs"),
+      sum(col("tok_sum")).cast(LongType).as("total_tokens"),
+      sum(col("chr_sum")).cast(LongType).as("total_chars"))
+    val corpusTokens = pre.agg(sum(col("tok_sum")).cast(LongType).as("corpus_tokens"))
     // deterministic argmax: count desc, then lang asc (Spark asc = NULLS
     // FIRST; the oracle window says so explicitly — q67's class of trap)
     val bySrcLang = Window.partitionBy(col("source"))
       .orderBy(col("c").desc, col("lang").asc)
-    val topLang = langCnt
+    val topLang = pre
       .withColumn("rk", row_number().over(bySrcLang))
       .filter(col("rk") === 1)
       .select(col("source"), col("lang").as("top_lang"), col("c").as("top_lang_docs"))
@@ -190,8 +200,13 @@ object Profiling extends QueryModule {
         (expr(s"(doc_id * $GrowthBuckets) div n_docs") + 1).cast("int")
           .as("bucket"),
         explode(toks).as("tok"))
-    val cb = tk.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_tokens"))
-    val vb = tk.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
+    // ONE explode pass: both series re-aggregate the (tok, bucket) count
+    // table (cardinality ≤ vocabulary × GrowthBuckets, corpus-bounded),
+    // so the corpus is scanned and exploded exactly once
+    val pre = graft.functions.ScopedCache.persist("q124.pre",
+      tk.groupBy(col("tok"), col("bucket")).agg(count(lit(1)).as("c")))
+    val cb = pre.groupBy(col("bucket")).agg(sum(col("c")).as("bucket_tokens"))
+    val vb = pre.groupBy(col("tok")).agg(min(col("bucket")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
     val byBucket = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
