@@ -211,4 +211,92 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       reunited.exceptAll(df).count() == 0 && df.exceptAll(reunited).count() == 0
     })
   }
+
+  // ---- profiling-family laws (q122/q124/q125/q126) ----------------------
+
+  // mixed case, composed AND decomposed accents, occasional empty token
+  // (a double space once joined) — the inputs normalization exists for
+  private val genDoc: Gen[(Long, String, String, String)] = for {
+    id <- Gen.choose(0L, 60L)
+    lang <- Gen.oneOf("en", "fr", "de")
+    src <- Gen.oneOf("s0", "s1", "s2")
+    n <- Gen.choose(1, 8)
+    ts <- Gen.listOfN(n, Gen.oneOf("a", "B", "cc", "Dd", "É", "é", ""))
+  } yield (id, lang, src, ts.mkString(" "))
+
+  private val genCorpus: Gen[List[(Long, String, String, String)]] =
+    Gen.listOfN(30, genDoc).map(_.groupBy(_._1).map(_._2.head).toList)
+
+  private def corpusDf(docs: List[(Long, String, String, String)]) = {
+    val session = spark
+    import session.implicits._
+    docs.toDF("doc_id", "lang", "source", "text")
+  }
+
+  test("q122 normalization is idempotent: re-normalizing changes nothing") {
+    checkProp(Prop.forAllNoShrink(genCorpus) { docs =>
+      docs.isEmpty || {
+        val once = operators.Profiling.normalizeTextOf(corpusDf(docs))
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("lang"),
+            org.apache.spark.sql.functions.col("norm_text").as("text"))
+        val twice = operators.Profiling.normalizeTextOf(once)
+        twice.filter(org.apache.spark.sql.functions.col("changed") =!= 0).count() == 0
+      }
+    })
+  }
+
+  test("q124 growth curve conserves totals: final cums = corpus totals") {
+    checkProp(Prop.forAllNoShrink(genCorpus) { docs =>
+      docs.isEmpty || {
+        val rows = operators.Profiling.vocabGrowthOf(corpusDf(docs)).collect()
+        val toks = docs.flatMap(_._4.split(" ", -1))
+        val cumTok = rows.last.getLong(3)
+        val cumTyp = rows.last.getLong(4)
+        val nonDec = rows.sliding(2).forall {
+          case Array(a, b) => a.getLong(3) <= b.getLong(3) && a.getLong(4) <= b.getLong(4)
+          case _ => true
+        }
+        cumTok == toks.size && cumTyp == toks.distinct.size && nonDec
+      }
+    })
+  }
+
+  test("q125 leakage accounting matches a direct recount") {
+    checkProp(Prop.forAllNoShrink(genCorpus) { docs =>
+      docs.isEmpty || {
+        def split(id: Long): String = {
+          val b = ((id % 10) + 10) % 10
+          if (b < 8) "train" else if (b == 8) "val" else "test"
+        }
+        val byText = docs.groupBy(_._4)
+        val leakedTexts = byText.count(_._2.map(d => split(d._1)).distinct.size > 1)
+        val leakedDocs = byText.values
+          .filter(_.map(d => split(d._1)).distinct.size > 1).map(_.size).sum
+        val dupWithin = byText.count(g =>
+          g._2.map(d => split(d._1)).distinct.size == 1 && g._2.size > 1)
+        val r = operators.Profiling.splitLeakageOf(corpusDf(docs)).collect().head
+        r.getLong(0) == byText.size && r.getLong(1) == docs.size &&
+          r.getLong(2) == leakedTexts && r.getLong(3) == leakedDocs &&
+          r.getLong(4) == dupWithin
+      }
+    })
+  }
+
+  test("q126 sample = the k smallest (key, doc_id) per source, exactly") {
+    checkProp(Prop.forAllNoShrink(genCorpus) { docs =>
+      docs.isEmpty || {
+        def key(id: Long): Long = (((id + 17) % 1000003L) * 2654435761L) % 1048573L
+        // .toSeq first: flatMap on a Map with pair results rebuilds a Map,
+        // collapsing the k same-source pairs to one
+        val expect = docs.groupBy(_._3).toSeq.flatMap { case (src, ds) =>
+          ds.map(d => (key(d._1), d._1)).sorted
+            .take(operators.Profiling.FixedSampleK).map(src -> _._2)
+        }.toSet
+        val got = operators.Profiling.fixedSampleOf(corpusDf(docs)).collect()
+          .map(r => r.getString(0) -> r.getLong(2)).toSet
+        got == expect
+      }
+    })
+  }
 }
