@@ -2,8 +2,9 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.StatsAggregator
@@ -104,6 +105,76 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException] {
       sources.AvroSerde.decode(bytes, writerJson, mistyped)
     }
+  }
+
+  test("Proto serde golden bytes match the public wire-format spec (S10)") {
+    val session = spark
+    import session.implicits._
+    // protobuf.dev's canonical examples: field 1 = varint 150 encodes as
+    // 08 96 01; field 2 = string "testing" as 12 07 74 65 73 74 69 6e 67
+    val one = Seq((150L, "testing")).toDF("a", "b")
+    val bytes = sources.ProtoSerde.encode(one).collect().head.getAs[Array[Byte]](0)
+    val expect = Array(0x08, 0x96, 0x01, 0x12, 0x07) ++ "testing".getBytes("UTF-8").map(_.toInt)
+    assert(bytes.map(_ & 0xff).toSeq === expect.map(_ & 0xff).toSeq)
+  }
+
+  test("Proto serde round-trips all supported types incl. negatives and nulls (S10)") {
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("b", BooleanType), StructField("d", DoubleType),
+      StructField("f", FloatType), StructField("s", StringType),
+      StructField("raw", BinaryType)))
+    val rows = Seq(
+      Row(-42L, -7, true, -1.5, 2.5f, "héllo", Array[Byte](0, 1, 127)),
+      Row(0L, 0, false, 0.0, 0.0f, "", Array.empty[Byte]),
+      Row(null, null, null, null, null, null, null),
+      Row(Long.MaxValue, Int.MinValue, true, Double.MinPositiveValue, Float.NaN, "x", null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val writer = sources.ProtoSerde.protoSchema(schema)
+    val back = sources.ProtoSerde.decode(sources.ProtoSerde.encode(df), writer, schema)
+    assert(back.exceptAll(df).count() === 0 && df.exceptAll(back).count() === 0)
+  }
+
+  test("Proto serde on the events table matches Avro's round-trip contract (S10)") {
+    val e = Tables.events(spark, sf0001)
+      .select("event_id", "user_id", "event_type", "value")
+    val writer = sources.ProtoSerde.protoSchema(e.schema)
+    val bytes = sources.ProtoSerde.encode(e)
+    assert(bytes.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq
+      === Seq(("value", "binary")))
+    val back = sources.ProtoSerde.decode(bytes, writer, e.schema)
+    assert(back.exceptAll(e).count() === 0 && e.exceptAll(back).count() === 0)
+  }
+
+  test("Proto evolution resolves by field NUMBER: middle drop + add default (S10)") {
+    val e = Tables.events(spark, sf0001)
+      .select("event_id", "event_type", "value")
+    val writer = sources.ProtoSerde.protoSchema(e.schema)
+    val bytes = sources.ProtoSerde.encode(e)
+    // forward: reader drops the MIDDLE field — surviving fields must keep
+    // their writer numbers (positional renumbering would misread `value`'s
+    // fixed64 bytes as field 2)
+    val narrowed = StructType(e.schema.filter(_.name != "event_type"))
+    val dropped = sources.ProtoSerde.decode(bytes, writer, narrowed)
+    assert(dropped.columns.toSeq === Seq("event_id", "value"))
+    assert(dropped.exceptAll(e.select("event_id", "value")).count() === 0)
+    // backward: reader adds a nullable field → absent on wire → null
+    val widened = e.schema.add(StructField("score", DoubleType, nullable = true))
+    val withNew = sources.ProtoSerde.decode(bytes, writer, widened)
+    assert(withNew.count() === e.count())
+    assert(withNew.filter(col("score").isNotNull).count() === 0)
+  }
+
+  test("Proto compatibility gate rejects a type change on a shared field (S10)") {
+    val e = Tables.events(spark, sf0001).select("event_id", "event_type")
+    val writer = sources.ProtoSerde.protoSchema(e.schema)
+    val bytes = sources.ProtoSerde.encode(e)
+    val mistyped = StructType(e.schema.map(f =>
+      if (f.name == "event_id") f.copy(dataType = StringType) else f))
+    val err = intercept[IllegalArgumentException] {
+      sources.ProtoSerde.decode(bytes, writer, mistyped)
+    }
+    assert(err.getMessage.contains("incompatible"))
   }
 
   test("typed StatsAggregator matches built-in avg/variance/min/max (A2)") {
