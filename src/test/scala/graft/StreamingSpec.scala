@@ -448,4 +448,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         (3L, 0, 0, 1, "id <NUM>")))
     } finally q.stop()
   }
+
+  test("proto serde rides a live stream: encode -> wire -> decode (S10 x S6)") {
+    // the producer-serializer / consumer-deserializer path the reference
+    // pairs serde with: a stream proto-encodes per-batch, the consumer
+    // decodes under ITS OWN (evolved) schema — here one field behind the
+    // writer, exercising unknown-field skip on live micro-batches
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Double)]
+    val writerSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("typ", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val writer = sources.ProtoSerde.protoSchema(writerSchema)
+    val readerSchema = org.apache.spark.sql.types.StructType(
+      writerSchema.filter(_.name != "typ"))
+    val decoded = sources.ProtoSerde.decode(
+      sources.ProtoSerde.encode(in.toDF().toDF("id", "typ", "value")),
+      writer, readerSchema)
+    val q = decoded.writeStream.outputMode("append").format("memory")
+      .queryName("proto_stream").option("checkpointLocation", tmp("ck-proto")).start()
+    try {
+      in.addData((1L, "click", 1.5), (2L, "view", -2.0))
+      q.processAllAvailable()
+      in.addData((3L, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("proto_stream").as[(Long, Double)].collect().toSet
+      assert(rows === Set((1L, 1.5), (2L, -2.0), (3L, 0.0)))
+    } finally q.stop()
+  }
 }
