@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types._
 
@@ -9,68 +11,142 @@ import org.apache.spark.sql.types._
   * format (kafka/README.md:391). No `spark-protobuf` or protobuf-java jar
   * ships in this build, and none is needed: the wire format is four
   * primitives — varint, fixed64, fixed32, and length-delimited — under a
-  * `(field_number << 3) | wire_type` tag, all implemented here in ~100
-  * lines of allocation-conscious Scala.
+  * `(field_number << 3) | wire_type` tag, implemented here in
+  * allocation-conscious Scala. Embedded messages (Spark `StructType`) and
+  * repeated fields (`ArrayType`) ride the same four primitives: a message
+  * is length-delimited bytes, a repeated field is one tagged occurrence
+  * per element on write, with the decoder ALSO accepting proto3's packed
+  * encoding for numeric repeats (one length-delimited blob) — so payloads
+  * from stock protobuf writers parse correctly.
   *
   * Schema model: field numbers are assigned by struct position (1-based),
-  * the same implicit numbering a `.proto` writer would freeze. Evolution
-  * follows protobuf's own rules, which the codec realizes mechanically:
-  * a decoder SKIPS unknown field numbers (forward compatibility — old
-  * reader, new writer) and DEFAULTS fields absent on the wire to null
-  * (backward compatibility — new reader, old writer). The registry-style
-  * gate [[ProtoSerde.requireCompatible]] enforces the one rule evolution
-  * cannot survive: a field number reused with a different type.
+  * independently at every nesting level — the numbering a generated
+  * `.proto` would freeze. Evolution follows protobuf's own rules, which
+  * the codec realizes mechanically: decoders SKIP unknown field numbers
+  * (forward compatibility), DEFAULT absent scalar/struct fields to null
+  * and absent repeated fields to empty (proto3 has no presence for
+  * repeated), and apply LAST-ONE-WINS when a non-repeated field appears
+  * twice — which also makes scalar↔repeated a compatible evolution in
+  * both directions, as in stock protobuf. The registry-style gate
+  * [[ProtoSerde.requireCompatible]] enforces the one rule evolution
+  * cannot survive: a field number reused with a different payload type
+  * (recursively, for embedded messages).
   *
   * Presence semantics: non-null values are always written, including
   * zero (explicit presence, as proto3 `optional` / proto2 fields);
-  * nulls are omitted and decode back as null — so Spark's three-valued
-  * column semantics round-trip exactly.
+  * nulls are omitted and decode back as null. A null ELEMENT inside a
+  * repeated field is rejected loudly — the wire format has no way to
+  * express it, and dropping it silently would corrupt positional data.
   *
   * Scale shape: serde is per-row work inside `mapPartitions` with a
-  * per-partition reusable buffer (no per-row codec state) —
-  * embarrassingly parallel, no shuffle, same as [[AvroSerde]].
+  * per-partition reusable buffer for the top-level record (embedded
+  * messages pay one small sub-buffer per occurrence) — embarrassingly
+  * parallel, no shuffle, same as [[AvroSerde]].
   */
 object ProtoSerde {
 
-  /** One field of the frozen wire contract. */
-  final case class ProtoField(number: Int, name: String, dataType: DataType) {
-    val wireType: Int = dataType match {
+  /** One field of the frozen wire contract. `childrenOverride` carries a
+    * derived nested contract (see [[readerContract]]); absent, nested
+    * numbering is positional like every other level. */
+  final case class ProtoField(
+      number: Int, name: String, dataType: DataType,
+      childrenOverride: Option[Seq[ProtoField]] = None) {
+
+    /** The type of ONE wire occurrence (a repeated field's element). */
+    val payloadType: DataType = dataType match {
+      case ArrayType(et, _) => et
+      case dt => dt
+    }
+
+    val repeated: Boolean = dataType.isInstanceOf[ArrayType]
+
+    val wireType: Int = payloadType match {
       case LongType | IntegerType | BooleanType => 0 // varint
       case DoubleType                           => 1 // fixed64
       case FloatType                            => 5 // fixed32
       case StringType | BinaryType              => 2 // length-delimited
+      case _: StructType                        => 2 // embedded message
       case other =>
         throw new IllegalArgumentException(s"unsupported proto serde type: $other")
     }
+
+    def children: Seq[ProtoField] = childrenOverride.getOrElse(payloadType match {
+      case st: StructType => protoSchema(st)
+      case _ => Nil
+    })
   }
 
   /** Declared Spark schema → wire contract (field numbers by position,
-    * 1-based — the numbering a generated `.proto` would pin). */
+    * 1-based, independently per nesting level). */
   def protoSchema(st: StructType): Seq[ProtoField] =
     st.fields.zipWithIndex.map { case (f, i) => ProtoField(i + 1, f.name, f.dataType) }.toSeq
 
   /** The registry compatibility gate: shared field numbers must keep their
-    * type — protobuf's one unbreakable evolution rule (added and removed
-    * numbers are always compatible; the codec handles both). */
+    * payload type, recursively through embedded messages — protobuf's one
+    * unbreakable evolution rule. Added and removed numbers are always
+    * compatible (the codec handles both), and so is scalar↔repeated on
+    * the same payload (accumulate vs last-one-wins). */
   def requireCompatible(writer: Seq[ProtoField], reader: Seq[ProtoField]): Unit = {
-    val w = writer.map(f => f.number -> f).toMap
-    val clashes = reader.flatMap { r =>
-      w.get(r.number).filter(_.dataType != r.dataType)
-        .map(wf => s"field ${r.number}: writer ${wf.dataType.simpleString} vs " +
-          s"reader ${r.dataType.simpleString}")
-    }
+    val clashes = compatClashes(writer, reader, "")
     require(clashes.isEmpty, s"proto schemas incompatible: ${clashes.mkString("; ")}")
+  }
+
+  private def compatClashes(
+      writer: Seq[ProtoField], reader: Seq[ProtoField], path: String): Seq[String] = {
+    val w = writer.map(f => f.number -> f).toMap
+    reader.flatMap { r =>
+      w.get(r.number).toSeq.flatMap { wf =>
+        (wf.payloadType, r.payloadType) match {
+          case (_: StructType, _: StructType) =>
+            compatClashes(wf.children, r.children, s"$path${r.name}.")
+          case (a, b) if a == b => Nil
+          case (a, b) => Seq(s"field $path${r.name} (#${r.number}): writer " +
+            s"${a.simpleString} vs reader ${b.simpleString}")
+        }
+      }
+    }
+  }
+
+  /** Reader wire contract derived from the writer's: protobuf resolves by
+    * FIELD NUMBER (not name, as Avro does), so an evolved reader keeps the
+    * writer's number for every field name it shares — recursively through
+    * embedded messages — and assigns fresh numbers to genuinely new
+    * fields, exactly how a `.proto` file evolves. Deriving instead of
+    * renumbering positionally is what makes dropping a MIDDLE field a
+    * compatible evolution. */
+  def readerContract(writer: Seq[ProtoField], reader: StructType): Seq[ProtoField] = {
+    val byName = writer.map(f => f.name -> f).toMap
+    var next = (writer.map(_.number) :+ 0).max
+    reader.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(wf) =>
+          val elemType = f.dataType match {
+            case ArrayType(et, _) => et
+            case dt => dt
+          }
+          val kids = (wf.payloadType, elemType) match {
+            case (_: StructType, rs: StructType) => Some(readerContract(wf.children, rs))
+            case _ => None
+          }
+          ProtoField(wf.number, f.name, f.dataType, kids)
+        case None =>
+          next += 1
+          ProtoField(next, f.name, f.dataType)
+      }
+    }
   }
 
   // ---- wire primitives (public encoding spec) ---------------------------
 
-  /** Growable little write buffer, reused across a partition's rows. */
+  /** Growable little write buffer; the top-level one is reused across a
+    * partition's rows. */
   private final class WireBuf(var a: Array[Byte] = new Array[Byte](256)) {
     var n = 0
     def reset(): Unit = n = 0
     private def ensure(extra: Int): Unit =
       if (n + extra > a.length) {
-        val b = new Array[Byte](math.max(a.length * 2, n + extra)); System.arraycopy(a, 0, b, 0, n); a = b
+        val b = new Array[Byte](math.max(a.length * 2, n + extra))
+        System.arraycopy(a, 0, b, 0, n); a = b
       }
     def varint(v0: Long): Unit = { // unsigned LEB128; negatives take 10 bytes
       ensure(10)
@@ -86,13 +162,34 @@ object ProtoSerde {
       ensure(4); var i = 0
       while (i < 4) { a(n) = ((bits >>> (8 * i)) & 0xff).toByte; n += 1; i += 1 }
     }
-    def bytes(b: Array[Byte]): Unit = { ensure(b.length); System.arraycopy(b, 0, a, n, b.length); n += b.length }
+    def bytes(b: Array[Byte], len: Int): Unit = {
+      ensure(len); System.arraycopy(b, 0, a, n, len); n += len
+    }
     def result(): Array[Byte] = java.util.Arrays.copyOf(a, n)
   }
 
-  private def writeField(buf: WireBuf, f: ProtoField, v: Any): Unit = {
+  private def writeRow(buf: WireBuf, fields: Seq[ProtoField], row: Row): Unit = {
+    var i = 0
+    while (i < fields.length) {
+      if (!row.isNullAt(i)) writeField(buf, fields(i), row.get(i))
+      i += 1
+    }
+  }
+
+  private def writeField(buf: WireBuf, f: ProtoField, v: Any): Unit =
+    if (f.repeated) {
+      val it = v.asInstanceOf[scala.collection.Seq[Any]].iterator
+      while (it.hasNext) {
+        val e = it.next()
+        require(e != null, s"null element in repeated field ${f.name}: the wire" +
+          " format cannot express it and silent drops corrupt positional data")
+        writeOne(buf, f, e)
+      }
+    } else writeOne(buf, f, v)
+
+  private def writeOne(buf: WireBuf, f: ProtoField, v: Any): Unit = {
     buf.varint((f.number.toLong << 3) | f.wireType)
-    f.dataType match {
+    f.payloadType match {
       case LongType    => buf.varint(v.asInstanceOf[Long])
       case IntegerType => buf.varint(v.asInstanceOf[Int].toLong)
       case BooleanType => buf.varint(if (v.asInstanceOf[Boolean]) 1L else 0L)
@@ -100,10 +197,14 @@ object ProtoSerde {
       case FloatType   => buf.fixed32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
       case StringType =>
         val b = v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        buf.varint(b.length.toLong); buf.bytes(b)
+        buf.varint(b.length.toLong); buf.bytes(b, b.length)
       case BinaryType =>
         val b = v.asInstanceOf[Array[Byte]]
-        buf.varint(b.length.toLong); buf.bytes(b)
+        buf.varint(b.length.toLong); buf.bytes(b, b.length)
+      case _: StructType =>
+        val sub = new WireBuf(new Array[Byte](64))
+        writeRow(sub, f.children, v.asInstanceOf[Row])
+        buf.varint(sub.n.toLong); buf.bytes(sub.a, sub.n)
       case other => throw new IllegalArgumentException(s"unsupported: $other")
     }
   }
@@ -150,79 +251,88 @@ object ProtoSerde {
     }
   }
 
+  private def readScalar(r: WireReader, f: ProtoField): Any = f.payloadType match {
+    case LongType    => r.varint()
+    case IntegerType => r.varint().toInt
+    case BooleanType => r.varint() != 0L
+    case DoubleType  => java.lang.Double.longBitsToDouble(r.fixed64())
+    case FloatType   => java.lang.Float.intBitsToFloat(r.fixed32())
+    case StringType  => new String(r.lengthDelimited(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    case BinaryType  => r.lengthDelimited()
+    case st: StructType =>
+      Row.fromSeq(decodeRecord(r.lengthDelimited(), f.children).toIndexedSeq)
+    case other => throw new IllegalArgumentException(s"unsupported: $other")
+  }
+
+  /** One record's fields from `bytes` under `fields`: unknown numbers
+    * skipped, absent scalars null, absent repeats empty, last-one-wins for
+    * duplicate non-repeated occurrences, packed numeric repeats accepted
+    * alongside the unpacked form this codec writes. */
+  private def decodeRecord(bytes: Array[Byte], fields: Seq[ProtoField]): Array[Any] = {
+    val byNumber = fields.map(f => f.number -> f).toMap
+    val slot = fields.map(_.number).zipWithIndex.toMap
+    val out = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      if (fields(i).repeated) out(i) = new ArrayBuffer[Any]
+      i += 1
+    }
+    val r = new WireReader(bytes)
+    while (r.hasNext) {
+      val tag = r.varint()
+      val number = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      byNumber.get(number) match {
+        case Some(f) if f.wireType == wt =>
+          val v = readScalar(r, f)
+          if (f.repeated) out(slot(number)).asInstanceOf[ArrayBuffer[Any]] += v
+          else out(slot(number)) = v
+        case Some(f) if f.repeated && wt == 2 && f.wireType != 2 =>
+          // proto3 writers PACK numeric repeats: one length-delimited blob
+          // of back-to-back payloads
+          val packed = new WireReader(r.lengthDelimited())
+          val buf = out(slot(number)).asInstanceOf[ArrayBuffer[Any]]
+          while (packed.hasNext) buf += readScalar(packed, f)
+        case _ => r.skip(wt) // unknown number (or a true type conflict,
+        // which the gate rejected before any byte was read)
+      }
+    }
+    i = 0
+    while (i < fields.length) {
+      if (fields(i).repeated) out(i) = out(i).asInstanceOf[ArrayBuffer[Any]].toSeq
+      i += 1
+    }
+    out
+  }
+
   // ---- DataFrame surface (AvroSerde's shape) ----------------------------
 
   /** Serialize every row of `df` to protobuf binary (one `binary` column
     * named `value` — the producer serializer analog). */
   def encode(df: DataFrame): DataFrame = {
     val fields = protoSchema(df.schema)
-    val n = fields.length
     df.mapPartitions { it =>
       val buf = new WireBuf()
       it.map { row =>
         buf.reset()
-        var i = 0
-        while (i < n) {
-          if (!row.isNullAt(i)) writeField(buf, fields(i), row.get(i))
-          i += 1
-        }
+        writeRow(buf, fields, row)
         buf.result()
       }
     }(Encoders.BINARY).toDF("value")
   }
 
-  /** Reader wire contract derived from the writer's: protobuf resolves by
-    * FIELD NUMBER (not name, as Avro does), so an evolved reader keeps the
-    * writer's number for every field name it shares and assigns fresh
-    * numbers to genuinely new fields — exactly how a `.proto` file
-    * evolves. Deriving instead of renumbering positionally is what makes
-    * dropping a MIDDLE field a compatible evolution. */
-  def readerContract(writer: Seq[ProtoField], reader: StructType): Seq[ProtoField] = {
-    val byName = writer.map(f => f.name -> f.number).toMap
-    var next = (writer.map(_.number) :+ 0).max
-    reader.fields.toSeq.map { f =>
-      val num = byName.getOrElse(f.name, { next += 1; next })
-      ProtoField(num, f.name, f.dataType)
-    }
-  }
-
   /** Deserialize a `value: binary` column written under `writer` into rows
     * of the declared `reader` Spark schema: unknown field numbers are
-    * skipped (forward compat), absent fields decode as null (backward
-    * compat). The compatibility gate runs first. */
+    * skipped (forward compat), absent fields decode as null / empty
+    * (backward compat). The compatibility gate runs first. */
   def decode(bytes: DataFrame, writer: Seq[ProtoField], reader: StructType): DataFrame = {
     val readerFields = readerContract(writer, reader)
     requireCompatible(writer, readerFields)
-    val byNumber = readerFields.map(f => f.number -> f).toMap
-    val slot = readerFields.map(_.number).zipWithIndex.toMap
-    val nOut = readerFields.length
     bytes.select("value").mapPartitions { it =>
       it.map { row =>
-        val r = new WireReader(row.getAs[Array[Byte]](0))
-        val out = new Array[Any](nOut)
-        while (r.hasNext) {
-          val tag = r.varint()
-          val number = (tag >>> 3).toInt
-          val wt = (tag & 7).toInt
-          byNumber.get(number) match {
-            case Some(f) if f.wireType == wt =>
-              out(slot(number)) = f.dataType match {
-                case LongType    => r.varint()
-                case IntegerType => r.varint().toInt
-                case BooleanType => r.varint() != 0L
-                case DoubleType  => java.lang.Double.longBitsToDouble(r.fixed64())
-                case FloatType   => java.lang.Float.intBitsToFloat(r.fixed32())
-                case StringType  => new String(r.lengthDelimited(),
-                  java.nio.charset.StandardCharsets.UTF_8)
-                case BinaryType  => r.lengthDelimited()
-                case other => throw new IllegalArgumentException(s"unsupported: $other")
-              }
-            case _ => r.skip(wt) // unknown number, or number whose declared
-            // type changed wire class — the gate rejects true conflicts up
-            // front, so this skip only ever drops unknown fields
-          }
-        }
-        Row.fromSeq(out.toSeq)
+        Row.fromSeq(
+          decodeRecord(row.getAs[Array[Byte]](0), readerFields).toIndexedSeq)
       }
     }(Encoders.row(reader))
   }

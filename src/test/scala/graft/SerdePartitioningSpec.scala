@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.StatsAggregator
@@ -163,6 +163,119 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
     val withNew = sources.ProtoSerde.decode(bytes, writer, widened)
     assert(withNew.count() === e.count())
     assert(withNew.filter(col("score").isNotNull).count() === 0)
+  }
+
+  test("Proto embedded-message golden bytes match the spec's Test3 example (S10)") {
+    // protobuf.dev Test3: field 3 = embedded message whose field 1 = 150
+    // encodes as 1a 03 08 96 01 (fields 1/2 absent)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", StructType(Seq(StructField("inner", LongType))))))
+    val rows = Seq(Row(null, null, Row(150L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val bytes = sources.ProtoSerde.encode(df).collect().head.getAs[Array[Byte]](0)
+    assert(bytes.map(_ & 0xff).toSeq === Seq(0x1a, 0x03, 0x08, 0x96, 0x01))
+  }
+
+  test("Proto decoder accepts the spec's PACKED repeated example (S10)") {
+    // protobuf.dev Test4: repeated int32 d = 4 with [3, 270, 86942] packs
+    // as 22 06 03 8e 02 9e a7 05 — written by stock proto3 writers; this
+    // codec writes unpacked but must read both
+    val session = spark
+    import session.implicits._
+    val wire = Array(0x22, 0x06, 0x03, 0x8e, 0x02, 0x9e, 0xa7, 0x05).map(_.toByte)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType),
+      StructField("d", ArrayType(IntegerType, containsNull = false))))
+    val writer = sources.ProtoSerde.protoSchema(schema)
+    val bytesDf = Seq(wire).toDF("value")
+    val back = sources.ProtoSerde.decode(bytesDf, writer, schema).collect().head
+    assert(back.getSeq[Int](3) === Seq(3, 270, 86942))
+    assert(back.isNullAt(0) && back.isNullAt(1) && back.isNullAt(2))
+  }
+
+  test("Proto nested + repeated round-trip, absent repeated decodes empty (S10)") {
+    val inner = StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType, containsNull = false)),
+      StructField("meta", inner),
+      StructField("pts", ArrayType(inner, containsNull = false))))
+    val rows = Seq(
+      Row(1L, Seq("x", "y"), Row("k1", 7L), Seq(Row("a", 1L), Row("b", null))),
+      Row(2L, Seq.empty[String], null, Seq.empty[Row]),
+      Row(3L, null, Row(null, null), null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val writer = sources.ProtoSerde.protoSchema(schema)
+    val back = sources.ProtoSerde.decode(sources.ProtoSerde.encode(df), writer, schema)
+      .collect().sortBy(_.getLong(0))
+    assert(back(0).getSeq[String](1) === Seq("x", "y"))
+    assert(back(0).getStruct(2) === Row("k1", 7L))
+    assert(back(0).getSeq[Row](3) === Seq(Row("a", 1L), Row("b", null)))
+    // proto3 has no presence for repeated: both empty-written and
+    // null-written arrays come back EMPTY; absent scalars stay null
+    assert(back(1).getSeq[String](1) === Seq.empty && back(1).getSeq[Row](3) === Seq.empty)
+    assert(back(1).isNullAt(2))
+    assert(back(2).getSeq[String](1) === Seq.empty)
+    assert(back(2).getStruct(2) === Row(null, null))
+  }
+
+  test("Proto nested evolution: inner field drop resolves by number (S10)") {
+    val inner = StructType(Seq(
+      StructField("k", StringType), StructField("drop_me", LongType),
+      StructField("n", LongType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("meta", inner)))
+    val rows = Seq(Row(1L, Row("k1", 99L, 7L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val writer = sources.ProtoSerde.protoSchema(schema)
+    // the reader drops the MIDDLE inner field: survivor `n` must keep
+    // inner number 3, not renumber to 2 (= drop_me's varint bytes)
+    val readerInner = StructType(Seq(
+      StructField("k", StringType), StructField("n", LongType)))
+    val reader = StructType(Seq(
+      StructField("id", LongType), StructField("meta", readerInner)))
+    val back = sources.ProtoSerde.decode(sources.ProtoSerde.encode(df), writer, reader)
+      .collect().head
+    assert(back.getStruct(1) === Row("k1", 7L))
+    // and a nested TYPE change is rejected by the recursive gate
+    val badInner = StructType(Seq(
+      StructField("k", LongType), StructField("n", LongType)))
+    val bad = StructType(Seq(
+      StructField("id", LongType), StructField("meta", badInner)))
+    val err = intercept[IllegalArgumentException] {
+      sources.ProtoSerde.decode(sources.ProtoSerde.encode(df), writer, bad)
+    }
+    assert(err.getMessage.contains("meta.k"))
+  }
+
+  test("Proto scalar<->repeated evolution and null repeated elements (S10)") {
+    val session = spark
+    import session.implicits._
+    // scalar-written data read as repeated -> singleton list; repeated-
+    // written read as scalar -> last one wins (protobuf's actual rules)
+    val scalarDf = Seq(Tuple1(5L)).toDF("v")
+    val wScalar = sources.ProtoSerde.protoSchema(scalarDf.schema)
+    val asRepeated = StructType(Seq(
+      StructField("v", ArrayType(LongType, containsNull = false))))
+    val up = sources.ProtoSerde.decode(
+      sources.ProtoSerde.encode(scalarDf), wScalar, asRepeated).collect().head
+    assert(up.getSeq[Long](0) === Seq(5L))
+    val repDf = Seq(Tuple1(Seq(1L, 2L, 3L))).toDF("v")
+    val wRep = sources.ProtoSerde.protoSchema(repDf.schema)
+    val down = sources.ProtoSerde.decode(
+      sources.ProtoSerde.encode(repDf), wRep,
+      StructType(Seq(StructField("v", LongType)))).collect().head
+    assert(down.getLong(0) === 3L)
+    // a null element inside a repeated field fails loudly at encode
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](1L, null))).toDF("v")
+    val err = intercept[org.apache.spark.SparkException] {
+      sources.ProtoSerde.encode(withNull).collect()
+    }
+    assert(err.getMessage.contains("repeated") ||
+      Option(err.getCause).exists(_.getMessage.contains("repeated")))
   }
 
   test("Proto compatibility gate rejects a type change on a shared field (S10)") {
