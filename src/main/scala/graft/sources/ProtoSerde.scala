@@ -62,6 +62,10 @@ object ProtoSerde {
 
     val wireType: Int = payloadType match {
       case LongType | IntegerType | BooleanType => 0 // varint
+      // epoch micros / days as varint — the pragmatic int64 mapping
+      // (protobuf's well-known Timestamp message costs a nested record
+      // per value for no fidelity gain at micros precision)
+      case TimestampType | DateType             => 0
       case DoubleType                           => 1 // fixed64
       case FloatType                            => 5 // fixed32
       case StringType | BinaryType              => 2 // length-delimited
@@ -193,6 +197,11 @@ object ProtoSerde {
       case LongType    => buf.varint(v.asInstanceOf[Long])
       case IntegerType => buf.varint(v.asInstanceOf[Int].toLong)
       case BooleanType => buf.varint(if (v.asInstanceOf[Boolean]) 1L else 0L)
+      case TimestampType => buf.varint(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(v.asInstanceOf[java.sql.Timestamp].toInstant))
+      case DateType => buf.varint(
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay)
       case DoubleType  => buf.fixed64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
       case FloatType   => buf.fixed32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
       case StringType =>
@@ -255,6 +264,9 @@ object ProtoSerde {
     case LongType    => r.varint()
     case IntegerType => r.varint().toInt
     case BooleanType => r.varint() != 0L
+    case TimestampType => java.sql.Timestamp.from(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToInstant(r.varint()))
+    case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(r.varint()))
     case DoubleType  => java.lang.Double.longBitsToDouble(r.fixed64())
     case FloatType   => java.lang.Float.intBitsToFloat(r.fixed32())
     case StringType  => new String(r.lengthDelimited(),

@@ -136,8 +136,9 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("Proto serde on the events table matches Avro's round-trip contract (S10)") {
+    // the FULL event record, timestamp included (epoch-micros varint)
     val e = Tables.events(spark, sf0001)
-      .select("event_id", "user_id", "event_type", "value")
+      .select("event_id", "ts", "user_id", "event_type", "value")
     val writer = sources.ProtoSerde.protoSchema(e.schema)
     val bytes = sources.ProtoSerde.encode(e)
     assert(bytes.schema.fields.map(f => (f.name, f.dataType.typeName)).toSeq
