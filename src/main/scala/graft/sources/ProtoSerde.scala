@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   * is length-delimited bytes, a repeated field is one tagged occurrence
   * per element on write, with the decoder ALSO accepting proto3's packed
   * encoding for numeric repeats (one length-delimited blob) — so payloads
-  * from stock protobuf writers parse correctly.
+  * from stock protobuf writers parse correctly. A map field (`MapType`)
+  * is protobuf's own map encoding verbatim — `repeated message
+  * { key = 1; value = 2; }` — with last-entry-wins on duplicate keys.
   *
   * Schema model: field numbers are assigned by struct position (1-based),
   * independently at every nesting level — the numbering a generated
@@ -52,13 +54,21 @@ object ProtoSerde {
       number: Int, name: String, dataType: DataType,
       childrenOverride: Option[Seq[ProtoField]] = None) {
 
-    /** The type of ONE wire occurrence (a repeated field's element). */
+    /** The type of ONE wire occurrence (a repeated field's element). A
+      * map field IS `repeated message { key = 1; value = 2; }` on the
+      * wire — protobuf's own map encoding, verbatim from the spec — so
+      * its payload is that synthetic entry message. */
     val payloadType: DataType = dataType match {
       case ArrayType(et, _) => et
+      case MapType(kt, vt, _) => StructType(Seq(
+        StructField("key", kt), StructField("value", vt)))
       case dt => dt
     }
 
-    val repeated: Boolean = dataType.isInstanceOf[ArrayType]
+    val repeated: Boolean =
+      dataType.isInstanceOf[ArrayType] || dataType.isInstanceOf[MapType]
+
+    val isMap: Boolean = dataType.isInstanceOf[MapType]
 
     val wireType: Int = payloadType match {
       case LongType | IntegerType | BooleanType => 0 // varint
@@ -126,6 +136,8 @@ object ProtoSerde {
         case Some(wf) =>
           val elemType = f.dataType match {
             case ArrayType(et, _) => et
+            case MapType(kt, vt, _) => StructType(Seq(
+              StructField("key", kt), StructField("value", vt)))
             case dt => dt
           }
           val kids = (wf.payloadType, elemType) match {
@@ -181,7 +193,14 @@ object ProtoSerde {
   }
 
   private def writeField(buf: WireBuf, f: ProtoField, v: Any): Unit =
-    if (f.repeated) {
+    if (f.isMap) {
+      val it = v.asInstanceOf[scala.collection.Map[Any, Any]].iterator
+      while (it.hasNext) {
+        val (k, value) = it.next()
+        require(k != null, s"null key in map field ${f.name}")
+        writeOne(buf, f, Row(k, value)) // one entry message per pair
+      }
+    } else if (f.repeated) {
       val it = v.asInstanceOf[scala.collection.Seq[Any]].iterator
       while (it.hasNext) {
         val e = it.next()
@@ -312,7 +331,12 @@ object ProtoSerde {
     }
     i = 0
     while (i < fields.length) {
-      if (fields(i).repeated) out(i) = out(i).asInstanceOf[ArrayBuffer[Any]].toSeq
+      if (fields(i).isMap)
+        // duplicate keys: last entry wins, protobuf's map rule
+        out(i) = out(i).asInstanceOf[ArrayBuffer[Any]]
+          .map { case e: Row => e.get(0) -> e.get(1) }.toMap
+      else if (fields(i).repeated)
+        out(i) = out(i).asInstanceOf[ArrayBuffer[Any]].toSeq
       i += 1
     }
     out

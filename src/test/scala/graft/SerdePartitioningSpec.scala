@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DoubleType, FloatType, IntegerType, LongType, MapType, StringType, StructField, StructType}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.StatsAggregator
@@ -277,6 +277,39 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
     }
     assert(err.getMessage.contains("repeated") ||
       Option(err.getCause).exists(_.getMessage.contains("repeated")))
+  }
+
+  test("Proto map fields use the spec's repeated-entry encoding (S10)") {
+    val session = spark
+    import session.implicits._
+    // map<string,int64> {"a": 1} at field 1: entry message = key (0a 01
+    // 61) + value (10 01), tagged length-delimited -> 0a 05 0a 01 61 10 01
+    val one = Seq(Tuple1(Map("a" -> 1L))).toDF("m")
+    val bytes = sources.ProtoSerde.encode(one).collect().head.getAs[Array[Byte]](0)
+    assert(bytes.map(_ & 0xff).toSeq === Seq(0x0a, 0x05, 0x0a, 0x01, 0x61, 0x10, 0x01))
+    // round-trip incl. struct values, empty and null maps, null values
+    val inner = StructType(Seq(StructField("n", LongType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("attrs", MapType(StringType, StringType)),
+      StructField("objs", MapType(StringType, inner))))
+    val rows = Seq(
+      Row(1L, Map("k1" -> "v1", "k2" -> null), Map("o" -> Row(7L))),
+      Row(2L, Map.empty[String, String], null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val writer = sources.ProtoSerde.protoSchema(schema)
+    val back = sources.ProtoSerde.decode(sources.ProtoSerde.encode(df), writer, schema)
+      .collect().sortBy(_.getLong(0))
+    assert(back(0).getMap[String, String](1) === Map("k1" -> "v1", "k2" -> null))
+    assert(back(0).getMap[String, Row](2) === Map("o" -> Row(7L)))
+    // no presence for maps either: empty- and null-written both come back empty
+    assert(back(1).getMap[String, String](1).isEmpty && back(1).getMap[String, Row](2).isEmpty)
+    // duplicate keys on the wire (legal from stock writers): last wins
+    val dup = (bytes ++ Array(0x0a, 0x05, 0x0a, 0x01, 0x61, 0x10, 0x09).map(_.toByte))
+    val dupBack = sources.ProtoSerde.decode(
+      Seq(dup).toDF("value"), sources.ProtoSerde.protoSchema(one.schema), one.schema)
+      .collect().head
+    assert(dupBack.getMap[String, Long](0) === Map("a" -> 9L))
   }
 
   test("Proto compatibility gate rejects a type change on a shared field (S10)") {
