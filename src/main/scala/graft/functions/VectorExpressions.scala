@@ -102,6 +102,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => NormalizeNfc(Cast(exprs.head, StringType))),
     ("graft_nfc_lower", classOf[NfcLowerSimple],
       (exprs: Seq[Expression]) => NfcLowerSimple(Cast(exprs.head, StringType))),
+    ("graft_deflate_len", classOf[DeflateLen],
+      (exprs: Seq[Expression]) => DeflateLen(Cast(exprs.head, StringType))),
     ("graft_heavy_hitters", classOf[HeavyHittersAgg],
       (exprs: Seq[Expression]) => new HeavyHittersAgg(Cast(exprs.head, StringType))),
     // arg 1 must be a literal output-dimension index (it selects the

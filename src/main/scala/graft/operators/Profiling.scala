@@ -350,11 +350,87 @@ object Profiling extends QueryModule {
       |FROM r WHERE rk <= $FixedSampleK
       |ORDER BY source NULLS FIRST, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q127: packing-efficiency report
+  // ---------------------------------------------------------------------
+
+  /** q127: packing efficiency — per source, how well q68's greedy packing
+    * fills the [[TextOps.PackBudget]]-token chunks a trainer consumes:
+    * chunk/doc/token counts, chunks that overflow the budget (a doc's
+    * tail spills past it by design), padding tokens (budget minus fill,
+    * over underfull chunks), and the fill ratio as a single division of
+    * exact integers. The report a pipeline owner reads before choosing
+    * budget or shard count. Aggregates q68's own chunk table (shared
+    * plan AND shared oracle CTE, so the report cannot drift from the
+    * packer); cardinality in = #chunks, out = #sources. */
+  def packEfficiency(spark: SparkSession, dir: String): DataFrame =
+    packEfficiencyOf(TextOps.packSequences(spark, dir))
+
+  /** Expects q68's output: (source, chunk_id, n_docs, chunk_tokens, ...). */
+  def packEfficiencyOf(chunks: DataFrame): DataFrame = {
+    val budget = TextOps.PackBudget
+    chunks.groupBy(col("source")).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("n_docs")).cast(LongType).as("n_docs"),
+      sum(col("chunk_tokens")).cast(LongType).as("total_tokens"),
+      sum(when(col("chunk_tokens") > budget, lit(1L)).otherwise(lit(0L)))
+        .cast(LongType).as("overfull_chunks"),
+      sum(greatest(lit(budget) - col("chunk_tokens"), lit(0L)))
+        .cast(LongType).as("padding_tokens"))
+      .withColumn("fill_ratio",
+        round(col("total_tokens").cast("double") / (col("n_chunks") * budget), 6))
+      .orderBy(col("source"))
+  }
+
+  private val packEfficiencySql = {
+    val budget = TextOps.PackBudget
+    s"""WITH pack AS (${TextOps.packSequencesSql})
+      |SELECT source, COUNT(*) AS n_chunks,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(chunk_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN chunk_tokens > $budget THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS overfull_chunks,
+      |  CAST(SUM(GREATEST($budget - chunk_tokens, 0)) AS BIGINT)
+      |    AS padding_tokens,
+      |  ROUND(CAST(SUM(chunk_tokens) AS DOUBLE) / (COUNT(*) * $budget), 6)
+      |    AS fill_ratio
+      |FROM pack
+      |GROUP BY source
+      |ORDER BY source NULLS FIRST""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q128: compression-ratio quality signal
+  // ---------------------------------------------------------------------
+
+  /** q128: compression-ratio scoring — DEFLATE length over raw UTF-8
+    * length per document (the published curation signal: repetitive or
+    * templated text compresses hard; near-random text doesn't compress at
+    * all). Rides the native [[graft.functions.DeflateLen]] expression, so
+    * the pass stays a codegen'd narrow map. Engine-specific bytes (zlib)
+    * → rows-only by design, semantics pinned in ProfilingSpec: see the
+    * SmokeSpec rows-only ledger. */
+  def compressionSignal(spark: SparkSession, dir: String): DataFrame =
+    compressionSignalOf(Tables.documents(spark, dir))
+
+  def compressionSignalOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    d.select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"),
+        expr("graft_deflate_len(text)").as("deflate_len"))
+      .withColumn("compression_ratio",
+        when(col("n_bytes") > 0,
+          round(col("deflate_len").cast("double") / col("n_bytes"), 6)))
+      .orderBy(col("doc_id"))
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q122_normalize_text", normalizeText, Some(normalizeTextSql)),
     GraftQuery("q123_source_datacard", sourceDatacard, Some(sourceDatacardSql)),
     GraftQuery("q124_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     GraftQuery("q125_split_leakage", splitLeakage, Some(splitLeakageSql)),
     GraftQuery("q126_fixed_sample", fixedSample, Some(fixedSampleSql)),
+    GraftQuery("q127_pack_efficiency", packEfficiency, Some(packEfficiencySql)),
+    GraftQuery("q128_compression_signal", compressionSignal, None),
   )
 }

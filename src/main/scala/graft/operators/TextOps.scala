@@ -319,7 +319,9 @@ object TextOps extends QueryModule {
       .orderBy(col("source"), col("chunk_id"))
   }
 
-  private val packSequencesSql =
+  // private[operators]: q127's efficiency report aggregates over THIS
+  // exact packing (shared CTE = audit cannot drift from the packer)
+  private[operators] val packSequencesSql =
     s"""WITH d AS (SELECT doc_id, source,
       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents),

@@ -214,4 +214,23 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
       assert(fromCodegen.toSeq === interpreted.toSeq)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
+
+  test("graft_deflate_len: codegen and interpreted paths agree; null-safe") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val session = spark
+    import session.implicits._
+    val df = Seq("a" * 500, "short", "", "the quick brown fox " * 20)
+      .toDF("t").select(expr("graft_deflate_len(t)").as("n"),
+        expr("graft_deflate_len(CAST(NULL AS STRING))").as("z"))
+    val fromCodegen = df.collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(fromCodegen.forall(_._2)) // null in, null out
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.collect().map(r => (r.getLong(0), r.isNullAt(1)))
+      assert(fromCodegen.toSeq === interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    // 500 identical bytes deflate to a handful
+    assert(fromCodegen(0)._1 < 30L)
+  }
 }

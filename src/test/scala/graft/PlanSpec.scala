@@ -365,6 +365,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!leak.contains("Window"), leak.take(4000))
   }
 
+  test("q127/q128 ride the packer's shapes / a pure narrow map") {
+    // the efficiency report re-aggregates q68's chunk table: its only
+    // windows are the packer's source-partitioned running sums
+    val pe = executedPlan(Profiling.packEfficiency(spark, sf0001))
+    assert(!pe.contains("CartesianProduct") && !pe.contains("Join"), pe.take(4000))
+    val winSpecs = "windowspecdefinition\\(".r.findAllIn(pe).size
+    val bySource = "windowspecdefinition\\(source".r.findAllIn(pe).size
+    assert(winSpecs === bySource, pe.take(4000))
+    // the compression signal is scan-bound codegen'd arithmetic
+    val cs = executedPlan(Profiling.compressionSignal(spark, sf0001))
+    assert(!cs.contains("hashpartitioning"), cs.take(3000))
+    assert(!cs.contains("Join"), cs.take(3000))
+    assert(!cs.contains("HashAggregate"), cs.take(3000))
+    assert(cs.contains("*(1) Project"), cs.take(3000))
+  }
+
   test("q124/q126 windows are bounded: bucket-row frame or source-partitioned") {
     // q124's cumulative windows run over <= GrowthBuckets aggregated rows
     // (q117's head-window class — fine); its corpus passes must collapse

@@ -102,6 +102,38 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     assert(bySrc("big").map(_.getLong(2)).toSet === expectBig)
   }
 
+  test("q127 efficiency report: hand-computed fill, overflow, and padding") {
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("chunk_id", LongType),
+      StructField("n_docs", LongType), StructField("chunk_tokens", LongType)))
+    // budget 2048: chunk 0 exactly full, chunk 1 overfull, chunk 2 a stub
+    val rows = Seq(Row("s", 0L, 3L, 2048L), Row("s", 1L, 2L, 2100L), Row("s", 2L, 1L, 500L))
+    val chunks = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val r = Profiling.packEfficiencyOf(chunks).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      === ((3L, 6L, 4648L, 1L, 1548L)))
+    assert(r.getDouble(6) === math.rint(4648.0 / 6144 * 1e6) / 1e6)
+  }
+
+  test("q128 compression signal: repetition compresses, ratios deterministic") {
+    val d = docs(
+      (1L, "en", "s", "spam " * 200),             // highly repetitive
+      (2L, "en", "s", (1 to 200).map(i => s"w${i * 7919 % 997}x${i}").mkString(" ")),
+      (3L, "en", "s", ""))                        // empty: no ratio
+    val out = Profiling.compressionSignalOf(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rep = out(1L); val div = out(2L)
+    assert(rep.getLong(1) === 1000L && rep.getLong(2) > 0L)
+    // the signal's whole point: repetitive text compresses far harder
+    assert(rep.getDouble(3) < div.getDouble(3))
+    assert(rep.getDouble(3) < 0.1 && div.getDouble(3) > 0.3)
+    assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(3))
+    // deterministic across invocations (same JVM zlib)
+    val again = Profiling.compressionSignalOf(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === out.map { case (k, r) => k -> r.getLong(2) })
+  }
+
   test("q122/q125 hold oracle-shape on the sf0.001 fixture (rows > 0, scalar cols)") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val norm = Profiling.normalizeText(spark, sf0001)

@@ -22,8 +22,10 @@ class SmokeSpec extends AnyFunSuite with SparkSpec {
     // sketches, stubs):
     // (q84 gained an oracle in r4: fixed-point centroid rounding makes the
     // IVF assignment deterministic across engines)
+    // (q128 joined in r7: zlib bytes are engine-specific, like the hashes)
     assert(rowsOnly === Set("q18_approx_percentiles", "q27_approx_distinct_parts",
-      "q73_minhash_lsh_pairs", "q74_simhash_pairs", "q92_decode_features"))
+      "q73_minhash_lsh_pairs", "q74_simhash_pairs", "q92_decode_features",
+      "q128_compression_signal"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
