@@ -84,7 +84,9 @@ object ProtoSerde {
         throw new IllegalArgumentException(s"unsupported proto serde type: $other")
     }
 
-    def children: Seq[ProtoField] = childrenOverride.getOrElse(payloadType match {
+    // lazy val, not def: writeOne/readScalar touch this per embedded-
+    // struct OCCURRENCE — a def would rebuild the nested contract per row
+    lazy val children: Seq[ProtoField] = childrenOverride.getOrElse(payloadType match {
       case st: StructType => protoSchema(st)
       case _ => Nil
     })
@@ -134,12 +136,9 @@ object ProtoSerde {
     reader.fields.toSeq.map { f =>
       byName.get(f.name) match {
         case Some(wf) =>
-          val elemType = f.dataType match {
-            case ArrayType(et, _) => et
-            case MapType(kt, vt, _) => StructType(Seq(
-              StructField("key", kt), StructField("value", vt)))
-            case dt => dt
-          }
+          // payload derivation shared with ProtoField so the two cannot
+          // drift (the synthetic map-entry shape lives in ONE place)
+          val elemType = ProtoField(wf.number, f.name, f.dataType).payloadType
           val kids = (wf.payloadType, elemType) match {
             case (_: StructType, rs: StructType) => Some(readerContract(wf.children, rs))
             case _ => None
@@ -291,18 +290,67 @@ object ProtoSerde {
     case StringType  => new String(r.lengthDelimited(),
       java.nio.charset.StandardCharsets.UTF_8)
     case BinaryType  => r.lengthDelimited()
-    case st: StructType =>
-      Row.fromSeq(decodeRecord(r.lengthDelimited(), f.children).toIndexedSeq)
-    case other => throw new IllegalArgumentException(s"unsupported: $other")
+    case other => // embedded messages never reach here: decodeRecord's
+      // main loop decodes them with its pre-built child codec, and the
+      // wire grammar forbids packing them
+      throw new IllegalArgumentException(s"unsupported payload: $other")
   }
 
-  /** One record's fields from `bytes` under `fields`: unknown numbers
-    * skipped, absent scalars null, absent repeats empty, last-one-wins for
-    * duplicate non-repeated occurrences, packed numeric repeats accepted
-    * alongside the unpacked form this codec writes. */
-  private def decodeRecord(bytes: Array[Byte], fields: Seq[ProtoField]): Array[Any] = {
-    val byNumber = fields.map(f => f.number -> f).toMap
-    val slot = fields.map(_.number).zipWithIndex.toMap
+  /** Per-contract decode plan, built ONCE (per decode() call / nested
+    * level) so the row loop does zero lookup-structure allocation — the
+    * hot-path discipline the class doc promises. `lookup(number)` yields
+    * (field, slot) or null. */
+  private final case class RecordCodec(fields: IndexedSeq[ProtoField]) {
+    val lookup: Map[Int, (ProtoField, Int)] =
+      fields.zipWithIndex.map { case (f, i) => f.number -> (f, i) }.toMap
+    val childCodecs: IndexedSeq[RecordCodec] = fields.map { f =>
+      if (f.payloadType.isInstanceOf[StructType]) RecordCodec(f.children) else null
+    }
+  }
+  private object RecordCodec {
+    def apply(fields: Seq[ProtoField]): RecordCodec =
+      new RecordCodec(fields.toIndexedSeq)
+  }
+
+  /** proto3 default for an absent value inside an entry/message where
+    * presence is implicit (map KEYS: stock writers omit default keys, and
+    * a null map key is unrepresentable downstream). */
+  private def protoDefault(dt: DataType): Any = dt match {
+    case StringType  => ""
+    case LongType    => 0L
+    case IntegerType => 0
+    case BooleanType => false
+    case other => throw new IllegalArgumentException(
+      s"type ${other.simpleString} cannot key a proto map")
+  }
+
+  /** Protobuf's message-merge rule: concatenated encodings of a message
+    * merge field-by-field — scalars last-wins, repeats concatenate,
+    * embedded messages merge recursively. Applied when a non-repeated
+    * struct field occurs more than once in one record. */
+  private def mergeRows(fields: Seq[ProtoField], prev: Row, next: Row): Row =
+    Row.fromSeq(fields.zipWithIndex.map { case (f, i) =>
+      (prev.get(i), next.get(i)) match {
+        case (p, null) => p
+        case (null, n) => n
+        case (p: Row, n: Row) if f.payloadType.isInstanceOf[StructType] &&
+          !f.repeated => mergeRows(f.children, p, n)
+        case (p: scala.collection.Seq[_], n: scala.collection.Seq[_])
+          if f.repeated && !f.isMap => p ++ n
+        case (p: scala.collection.Map[_, _], n: scala.collection.Map[_, _]) =>
+          p ++ n
+        case (_, n) => n // scalars: last one wins
+      }
+    }.toIndexedSeq)
+
+  /** One record's fields from `bytes` under `codec`: unknown numbers
+    * skipped, absent scalars null, absent repeats empty, last-one-wins
+    * for duplicate scalar occurrences, field-wise MERGE for duplicate
+    * embedded-message occurrences (the spec's concatenation rule), packed
+    * numeric repeats accepted alongside the unpacked form this codec
+    * writes — under a repeated OR a scalar-evolved reader field. */
+  private def decodeRecord(bytes: Array[Byte], codec: RecordCodec): Array[Any] = {
+    val fields = codec.fields
     val out = new Array[Any](fields.length)
     var i = 0
     while (i < fields.length) {
@@ -314,28 +362,47 @@ object ProtoSerde {
       val tag = r.varint()
       val number = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
-      byNumber.get(number) match {
-        case Some(f) if f.wireType == wt =>
-          val v = readScalar(r, f)
-          if (f.repeated) out(slot(number)).asInstanceOf[ArrayBuffer[Any]] += v
-          else out(slot(number)) = v
-        case Some(f) if f.repeated && wt == 2 && f.wireType != 2 =>
+      codec.lookup.get(number) match {
+        case Some((f, slot)) if f.wireType == wt =>
+          val v = f.payloadType match {
+            case _: StructType =>
+              Row.fromSeq(decodeRecord(r.lengthDelimited(),
+                codec.childCodecs(slot)).toIndexedSeq)
+            case _ => readScalar(r, f)
+          }
+          if (f.repeated) out(slot).asInstanceOf[ArrayBuffer[Any]] += v
+          else out(slot) = (out(slot), v) match {
+            case (prev: Row, next: Row)
+              if f.payloadType.isInstanceOf[StructType] =>
+              mergeRows(f.children, prev, next)
+            case _ => v
+          }
+        case Some((f, slot)) if wt == 2 && f.wireType != 2 =>
           // proto3 writers PACK numeric repeats: one length-delimited blob
-          // of back-to-back payloads
+          // of back-to-back payloads. Accepted under a repeated reader
+          // field (accumulate) AND a scalar-evolved one (last value wins,
+          // completing scalar<->repeated in both directions)
           val packed = new WireReader(r.lengthDelimited())
-          val buf = out(slot(number)).asInstanceOf[ArrayBuffer[Any]]
-          while (packed.hasNext) buf += readScalar(packed, f)
+          if (f.repeated) {
+            val buf = out(slot).asInstanceOf[ArrayBuffer[Any]]
+            while (packed.hasNext) buf += readScalar(packed, f)
+          } else while (packed.hasNext) out(slot) = readScalar(packed, f)
         case _ => r.skip(wt) // unknown number (or a true type conflict,
         // which the gate rejected before any byte was read)
       }
     }
     i = 0
     while (i < fields.length) {
-      if (fields(i).isMap)
-        // duplicate keys: last entry wins, protobuf's map rule
+      if (fields(i).isMap) {
+        // duplicate keys: last entry wins; an ABSENT key in an entry is a
+        // default-valued key a stock writer omitted (implicit presence
+        // inside map entries) — materialize the default, never a null key
+        val keyType = fields(i).payloadType.asInstanceOf[StructType].fields(0).dataType
         out(i) = out(i).asInstanceOf[ArrayBuffer[Any]]
-          .map { case e: Row => e.get(0) -> e.get(1) }.toMap
-      else if (fields(i).repeated)
+          .map { case e: Row =>
+            (if (e.isNullAt(0)) protoDefault(keyType) else e.get(0)) -> e.get(1)
+          }.toMap
+      } else if (fields(i).repeated)
         out(i) = out(i).asInstanceOf[ArrayBuffer[Any]].toSeq
       i += 1
     }
@@ -365,10 +432,13 @@ object ProtoSerde {
   def decode(bytes: DataFrame, writer: Seq[ProtoField], reader: StructType): DataFrame = {
     val readerFields = readerContract(writer, reader)
     requireCompatible(writer, readerFields)
+    // one codec tree per decode call: the row loop allocates no lookup
+    // structures (RecordCodec pre-resolves number -> (field, slot, child))
+    val codec = RecordCodec(readerFields)
     bytes.select("value").mapPartitions { it =>
       it.map { row =>
         Row.fromSeq(
-          decodeRecord(row.getAs[Array[Byte]](0), readerFields).toIndexedSeq)
+          decodeRecord(row.getAs[Array[Byte]](0), codec).toIndexedSeq)
       }
     }(Encoders.row(reader))
   }

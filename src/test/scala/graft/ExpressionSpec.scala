@@ -45,15 +45,17 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
 
   test("graft_random_project: codegen and interpreted paths agree") {
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val df = sources.Tables.embeddings(spark, sf0001).limit(50)
-    val proj = df.select(
-      (0 until graft.functions.RandomProjectKernel.OutDim)
+    // rebuilt per phase: a Dataset caches its executed plan at first
+    // action, so reusing one instance would compare codegen to itself
+    def run() = sources.Tables.embeddings(spark, sf0001).limit(50)
+      .select((0 until graft.functions.RandomProjectKernel.OutDim)
         .map(j => expr(s"graft_random_project(embedding, $j)").as(s"p$j")): _*)
-    val fromCodegen = proj.collect().map(_.toSeq)
+      .collect().map(_.toSeq)
+    val fromCodegen = run()
     val prev = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
-      val interpreted = proj.collect().map(_.toSeq)
+      val interpreted = run()
       assert(fromCodegen.toSeq === interpreted.toSeq)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
@@ -219,15 +221,18 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val session = spark
     import session.implicits._
-    val df = Seq("a" * 500, "short", "", "the quick brown fox " * 20)
+    // rebuilt per phase: a Dataset caches its executed plan at first
+    // action, so reusing one instance would compare codegen to itself
+    def run() = Seq("a" * 500, "short", "", "the quick brown fox " * 20)
       .toDF("t").select(expr("graft_deflate_len(t)").as("n"),
         expr("graft_deflate_len(CAST(NULL AS STRING))").as("z"))
-    val fromCodegen = df.collect().map(r => (r.getLong(0), r.isNullAt(1)))
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    val fromCodegen = run()
     assert(fromCodegen.forall(_._2)) // null in, null out
     val prev = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
-      val interpreted = df.collect().map(r => (r.getLong(0), r.isNullAt(1)))
+      val interpreted = run()
       assert(fromCodegen.toSeq === interpreted.toSeq)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
     // 500 identical bytes deflate to a handful

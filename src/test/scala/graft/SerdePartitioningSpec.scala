@@ -312,6 +312,41 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
     assert(dupBack.getMap[String, Long](0) === Map("a" -> 9L))
   }
 
+  test("Proto stock-writer edge cases: default map key, message merge, packed-to-scalar (S10)") {
+    val session = spark
+    import session.implicits._
+    // 1. a stock proto3 writer omits a DEFAULT map key from the entry:
+    //    entry bytes carry only the value (10 05) — the key must decode
+    //    as "" (its default), never as a null map key
+    val mapSchema = StructType(Seq(StructField("m", MapType(StringType, LongType))))
+    val keylessEntry = Array(0x0a, 0x02, 0x10, 0x05).map(_.toByte)
+    val m = sources.ProtoSerde.decode(Seq(keylessEntry).toDF("value"),
+      sources.ProtoSerde.protoSchema(mapSchema), mapSchema).collect().head
+    assert(m.getMap[String, Long](0) === Map("" -> 5L))
+    // 2. concatenated encodings of a message MERGE field-by-field (the
+    //    spec's concatenation rule), not last-occurrence-wins wholesale:
+    //    two occurrences of struct field 1, first sets k="a" (0a 03 0a 01
+    //    61), second sets n=7 (0a 02 10 07)
+    val inner = StructType(Seq(StructField("k", StringType), StructField("n", LongType)))
+    val structSchema = StructType(Seq(StructField("meta", inner)))
+    val twoOccurrences = Array(
+      0x0a, 0x03, 0x0a, 0x01, 0x61,  // meta { k: "a" }
+      0x0a, 0x02, 0x10, 0x07         // meta { n: 7 }
+    ).map(_.toByte)
+    val merged = sources.ProtoSerde.decode(Seq(twoOccurrences).toDF("value"),
+      sources.ProtoSerde.protoSchema(structSchema), structSchema).collect().head
+    assert(merged.getStruct(0) === Row("a", 7L))
+    // 3. a PACKED repeated blob read under a scalar-evolved reader takes
+    //    the last element (protobuf's last-one-wins), not null
+    val packed = Array(0x0a, 0x03, 0x03, 0x8e, 0x02).map(_.toByte) // [3, 270]
+    val repWriter = sources.ProtoSerde.protoSchema(StructType(Seq(
+      StructField("v", ArrayType(LongType, containsNull = false)))))
+    val scalarReader = StructType(Seq(StructField("v", LongType)))
+    val last = sources.ProtoSerde.decode(Seq(packed).toDF("value"),
+      repWriter, scalarReader).collect().head
+    assert(last.getLong(0) === 270L)
+  }
+
   test("Proto compatibility gate rejects a type change on a shared field (S10)") {
     val e = Tables.events(spark, sf0001).select("event_id", "event_type")
     val writer = sources.ProtoSerde.protoSchema(e.schema)
