@@ -357,6 +357,22 @@ object ScaleProbe {
     time("q126 fixed sample 1x (5k docs)")(fixedCount(d1))
     time(s"q126 fixed sample ${copies}x")(fixedCount(dN))
 
+    // r7d shapes: q127 re-aggregates the packer's chunk table (scales
+    // like q68's per-source windows); q128 is a codegen'd narrow map
+    // whose per-row cost is the deflate itself
+    def packEffCount(docs: DataFrame): Long =
+      graft.operators.Profiling.packEfficiencyOf(
+        graft.operators.TextOps.packSequencesOf(
+          docs.select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          budget = graft.operators.TextOps.PackBudget)).count()
+    def deflateCount(docs: DataFrame): Long =
+      graft.operators.Profiling.compressionSignalOf(docs).count()
+    time("q127 pack efficiency 1x (5k docs)")(packEffCount(d1))
+    time(s"q127 pack efficiency ${copies}x")(packEffCount(dN))
+    time("q128 deflate signal 1x (5k docs)")(deflateCount(d1))
+    time(s"q128 deflate signal ${copies}x")(deflateCount(dN))
+
     spark.stop()
   }
 }
