@@ -91,11 +91,18 @@ case class HeavyHittersAgg(
       buf.keysIterator.toArray.sortInPlace()
         .map(t => UTF8String.fromString(t): AnyRef))
 
+  // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws
+  // UTFDataFormatException past 64 KB, and one space-free >64 KB run
+  // (minified JSON, base64 spam) becoming a counter key would crash the
+  // whole job at shuffle-serialize time
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -104,7 +111,10 @@ case class HeavyHittersAgg(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach(_ => buf(in.readUTF()) = in.readLong())
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      buf(new String(b, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+    }
     buf
   }
 

@@ -458,9 +458,13 @@ object Curation extends QueryModule {
   def heavyHittersOf(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
     val tok = d.select(explode(toks).as("tok"))
-    val cands = tok.agg(expr("graft_heavy_hitters(tok)").as("cands"))
-      .select(explode(col("cands")).as("tok"))
-    val total = tok.agg(count(lit(1)).as("n_total"))
+    // ONE sketch pass carries the total too — a separate total aggregate
+    // was a third full corpus scan+explode for one BIGINT
+    val sketch = graft.functions.ScopedCache.persist("q118.sketch",
+      tok.agg(expr("graft_heavy_hitters(tok)").as("cands"),
+        count(lit(1)).as("n_total")))
+    val cands = sketch.select(explode(col("cands")).as("tok"))
+    val total = sketch.select(col("n_total"))
     tok.join(broadcast(cands), Seq("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
@@ -511,9 +515,15 @@ object Curation extends QueryModule {
     val s = TextOps.lmSurprisalOf(d)
       .select(col("doc_id"), col("n_tokens"), col("avg_surprisal_nats"))
     val parts = s.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = s
+    // persist: BOTH consumers (the offsets aggregate and the local-rank
+    // branch) must observe the SAME sampled range boundaries. Exchange
+    // reuse usually guarantees that, but it is an optimizer courtesy —
+    // with it disabled or defeated by a plan change, two independent
+    // range exchanges sample different boundaries and offset+lrk would
+    // assign wrong ranks silently. Materializing pins one partitioning.
+    val ranged = graft.functions.ScopedCache.persist("q119.ranged", s
       .repartitionByRange(parts, col("avg_surprisal_nats"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid", spark_partition_id()))
     // per-partition counts -> exclusive prefix sum = rank offsets. The
     // window is over #partitions rows, not corpus rows.
     val offsets = ranged.groupBy(col("pid")).agg(count(lit(1)).as("pc"))

@@ -926,15 +926,13 @@ object Dedup extends QueryModule {
 
   // ---- persisted dedup index: build once, admit batches forever ---------
 
-  /** Where the persisted dedup index for a fixture dir lives — same
-    * tmpdir/dir-keyed convention as
-    * [[graft.operators.Similarity.ivfPqIndexPath]]; content is a
-    * deterministic function of the seen carve, so an existing index for
-    * the same dir is always valid. */
-  def dedupIndexPath(dir: String): String = {
-    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
-    s"$tmp/graft_dedup_${dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")}"
-  }
+  /** Where the persisted dedup index for a fixture dir lives —
+    * ArtifactStore's convention, shared with the IVF-PQ index. Reuse
+    * validity is the store's source-signature check: content is a
+    * deterministic function of the seen carve, so SAME-SIGNATURE reuse is
+    * always valid, and a regenerated fixture rebuilds. */
+  def dedupIndexPath(dir: String): String =
+    graft.sources.ArtifactStore.path("dedup", dir)
 
   private val DedupIndexTables = Seq("hashes", "hot", "shingles")
 
@@ -948,6 +946,7 @@ object Dedup extends QueryModule {
     * own oracle instead of sharing q99's (whose corpus-wide gate counts
     * the batch's shingles too). */
   private def writeDedupIndex(docs: DataFrame, base: String): Unit = {
+    val spark = docs.sparkSession
     val seen = docs.filter(pmod(col("doc_id"), lit(IncomingCarveMod.toLong)) =!= 0)
     val hashes = seen.select(sha2(col("text"), 256).as("h")).distinct()
     // gatedShingles' body, kept inline because the hot list is itself an
@@ -955,22 +954,22 @@ object Dedup extends QueryModule {
     val shAll = shingled(seen).select(col("doc_id"), explode(col("shingles")).as("sh"))
     val hot = shAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDF).select(col("sh"))
-    val gated = shAll.join(hot, Seq("sh"), "left_anti")
-    Seq("hashes" -> hashes, "hot" -> hot, "shingles" -> gated)
-      .foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$base/$name")
-      }
+    hashes.write.mode("overwrite").parquet(s"$base/hashes")
+    hot.write.mode("overwrite").parquet(s"$base/hot")
+    // gate against the hot table JUST WRITTEN, not the hot plan: reusing
+    // the plan re-pays the full shingle explode + DF aggregate a third
+    // time; the parquet read costs a bounded hot-list scan instead
+    val gated = shAll.join(
+      spark.read.parquet(s"$base/hot"), Seq("sh"), "left_anti")
+    gated.write.mode("overwrite").parquet(s"$base/shingles")
   }
 
-  /** Build-if-absent (every table carries _SUCCESS), as
-    * [[graft.operators.Similarity.ensureIvfPqIndex]]. */
-  def ensureDedupIndex(spark: SparkSession, dir: String): String = {
-    val base = dedupIndexPath(dir)
-    val complete = DedupIndexTables.forall(t =>
-      new java.io.File(s"$base/$t/_SUCCESS").exists())
-    if (!complete) writeDedupIndex(Tables.documents(spark, dir), base)
-    base
-  }
+  /** Build unless a complete, signature-valid artifact exists
+    * (ArtifactStore's rule — crashed partial writes and regenerated
+    * fixtures both rebuild), as [[graft.operators.Similarity.ensureIvfPqIndex]]. */
+  def ensureDedupIndex(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("dedup", dir, DedupIndexTables)(
+      base => writeDedupIndex(Tables.documents(spark, dir), base))
 
   /** q111: dedup index build — persists the seen corpus's admission index
     * (content hashes + DF-gated shingle universe + the hot list) and
@@ -986,8 +985,10 @@ object Dedup extends QueryModule {
     * shingle explode + DF aggregate + anti-join for the gate — q99's
     * exact shapes, paid ONCE per corpus instead of per batch. */
   def dedupIndexBuild(spark: SparkSession, dir: String): DataFrame = {
-    val base = dedupIndexPath(dir)
-    writeDedupIndex(Tables.documents(spark, dir), base)
+    // rebuild (not ensure): the build operator's contract is "index the
+    // corpus NOW"; the stamp lets a following q112 reuse this artifact
+    val base = graft.sources.ArtifactStore.rebuild("dedup", dir, DedupIndexTables)(
+      b => writeDedupIndex(Tables.documents(spark, dir), b))
     val nullStr = lit(null).cast(StringType)
     val hashes = spark.read.parquet(s"$base/hashes")
       .groupBy().agg(count(lit(1)).as("n_rows"), min(col("h")).as("lo"),

@@ -902,15 +902,14 @@ object Similarity extends QueryModule {
 
   // ---- persisted IVF-PQ index: train once, search many --------------------
 
-  /** Where the persisted index for a fixture dir lives: tmpdir-scoped,
-    * keyed by the sanitized source dir so different scale factors never
-    * collide. The content is a deterministic function of the embeddings
-    * table (the q100/q101 fixed-point regime), so an existing index for
-    * the same dir is always valid — [[ensureIvfPqIndex]] reuses it. */
-  def ivfPqIndexPath(dir: String): String = {
-    val tmp = System.getProperty("java.io.tmpdir", "/tmp").stripSuffix("/")
-    s"$tmp/graft_ivfpq_${dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")}"
-  }
+  /** Where the persisted index for a fixture dir lives: ArtifactStore's
+    * tmpdir-scoped, full-dir-hash-keyed convention. Reuse validity is the
+    * store's SOURCE-SIGNATURE check — a regenerated fixture (same path,
+    * new data) rebuilds instead of silently serving the old corpus's
+    * index (the content is a deterministic function of the embeddings
+    * table, so same-signature reuse is always valid). */
+  def ivfPqIndexPath(dir: String): String =
+    graft.sources.ArtifactStore.path("ivfpq", dir)
 
   /** The four tables a production IVF-PQ index stores. */
   private val IndexTables = Seq("cells", "centroids", "codes", "pq_codebook")
@@ -934,18 +933,16 @@ object Similarity extends QueryModule {
     }
   }
 
-  /** Build the index for `dir` unless a complete one is already on disk
-    * (every table dir carries the Spark writer's _SUCCESS marker — a
-    * crashed partial write rebuilds). Returns the index path. Lets q109
-    * run standalone: whichever of q108/q109 executes first in a session
-    * pays the build, deterministically producing the same artifact. */
-  def ensureIvfPqIndex(spark: SparkSession, dir: String): String = {
-    val base = ivfPqIndexPath(dir)
-    val complete = IndexTables.forall(t =>
-      new java.io.File(s"$base/$t/_SUCCESS").exists())
-    if (!complete) writeIvfPqIndex(Tables.embeddings(spark, dir), base)
-    base
-  }
+  /** Build the index for `dir` unless a complete, signature-valid one is
+    * already on disk (ArtifactStore's rule: every table carries _SUCCESS
+    * AND the source-dir signature stamp matches — crashed partial writes
+    * and regenerated fixtures both rebuild). Returns the index path.
+    * Lets q109 run standalone: whichever of q108/q109 executes first in
+    * a session pays the build, deterministically producing the same
+    * artifact. */
+  def ensureIvfPqIndex(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("ivfpq", dir, IndexTables)(
+      base => writeIvfPqIndex(Tables.embeddings(spark, dir), base))
 
   /** q108: IVF-PQ index build — trains the coarse quantizer and the PQ
     * codebooks, assigns every vector its cell and codes, and writes the
@@ -961,8 +958,10 @@ object Similarity extends QueryModule {
     * parquet writes that partition like their inputs); the summary scans
     * only the written index (codes ≈ n×8 rows, the rest model-sized). */
   def ivfPqIndexBuild(spark: SparkSession, dir: String): DataFrame = {
-    val base = ivfPqIndexPath(dir)
-    writeIvfPqIndex(Tables.embeddings(spark, dir), base)
+    // rebuild (not ensure): the build operator's contract is "train and
+    // write NOW"; the stamp lets a following q109 reuse this artifact
+    val base = graft.sources.ArtifactStore.rebuild("ivfpq", dir, IndexTables)(
+      b => writeIvfPqIndex(Tables.embeddings(spark, dir), b))
     def sumChk(c: Column): Column =
       round(sum(c.cast(DecimalType(38, 6))).cast(DoubleType), 6).as("checksum")
     val cells = spark.read.parquet(s"$base/cells")

@@ -130,6 +130,19 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     assert(out2.toSeq === Seq(("heavy", 300L)))
   }
 
+  test("q118 survives a >64KB token (buffer serde is length-prefixed, not writeUTF)") {
+    // writeUTF caps modified-UTF-8 keys at 64KB: one space-free run past
+    // that (minified JSON, base64 spam) becoming a counter key would
+    // crash the whole job at shuffle-serialize time under the old serde
+    val giant = "x" * 70000
+    val d = docs((1L, "en", s"$giant $giant a"), (2L, "en", "a b c"))
+      .repartition(2) // force partial buffers through serialize/merge
+    val out = Curation.heavyHittersOf(d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out(giant) === 2L) // 2 of 6 tokens = 33% > 1%
+    assert(out("a") === 2L)
+  }
+
   test("q118 candidate sketch is a superset of all true heavy hitters (fixture)") {
     import org.apache.spark.sql.functions.{col, explode, expr, split}
     val spark2 = spark

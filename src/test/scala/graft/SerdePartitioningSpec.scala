@@ -359,6 +359,32 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("incompatible"))
   }
 
+  test("ArtifactStore: builds once, reuses on match, rebuilds when the source changes") {
+    val src = Files.createTempDirectory("graft-artifact-src").toFile
+    val data = new java.io.File(src, "part-0.parquet")
+    java.nio.file.Files.write(data.toPath, Array[Byte](1, 2, 3))
+    var builds = 0
+    def build(base: String): Unit = {
+      builds += 1
+      val t = new java.io.File(s"$base/t"); t.mkdirs()
+      java.nio.file.Files.write(new java.io.File(t, "_SUCCESS").toPath, Array.empty[Byte])
+    }
+    val base = sources.ArtifactStore.ensure("testpfx", src.getAbsolutePath, Seq("t"))(build)
+    assert(builds === 1)
+    // same source state -> reuse, same path
+    assert(sources.ArtifactStore.ensure("testpfx", src.getAbsolutePath, Seq("t"))(build) === base)
+    assert(builds === 1)
+    // regenerated fixture (same path, new content/mtime) -> rebuild
+    java.nio.file.Files.write(data.toPath, Array[Byte](9, 9, 9, 9))
+    data.setLastModified(data.lastModified() + 5000)
+    sources.ArtifactStore.ensure("testpfx", src.getAbsolutePath, Seq("t"))(build)
+    assert(builds === 2)
+    // distinct dirs that sanitize identically get distinct artifact keys
+    val other = Files.createTempDirectory("graft-artifact-src").toFile
+    assert(sources.ArtifactStore.path("testpfx", src.getAbsolutePath)
+      !== sources.ArtifactStore.path("testpfx", other.getAbsolutePath.replace('-', '_')))
+  }
+
   test("typed StatsAggregator matches built-in avg/variance/min/max (A2)") {
     val session = spark
     import session.implicits._
