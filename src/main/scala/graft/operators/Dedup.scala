@@ -172,9 +172,9 @@ object Dedup extends QueryModule {
   /** DataFrame-level core of q72. |A∩B| comes from a shingle-keyed
     * equi-self-join (on 64-bit shingle hashes over the [[gatedShingles]]
     * universe) + pair group-count; |A∪B| = |A|+|B|−|A∩B| via two
-    * broadcast joins against the tiny per-doc size table. The oracle SQL
-    * mirrors the same pruned-universe computation exactly ("Jaccard over
-    * discriminative shingles" semantics). */
+    * AQE-decided equi-joins against the per-doc size table. The oracle
+    * SQL mirrors the same pruned-universe computation exactly ("Jaccard
+    * over discriminative shingles" semantics). */
   def ngramJaccardPairsOf(docs: DataFrame, maxDF: Int = MaxShingleDF,
       scope: String = SharedShingleScope): DataFrame =
     jaccardPairsUnsorted(docs, maxDF, scope).orderBy(col("doc_a"), col("doc_b"))
@@ -191,9 +191,15 @@ object Dedup extends QueryModule {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
+    // NO broadcast hint on the size joins: `sizes` is one row PER GATED
+    // DOC — bounded at fixture scale but O(corpus) at 100 TB, where a
+    // forced broadcast is a driver OOM, not a slowdown. Left AQE-decided,
+    // the join broadcasts at runtime when the side is actually small and
+    // degrades to an honest doc_id-keyed shuffle when it is not
+    // (PlanSpec guards that no forced hint reappears in this core).
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b"))), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("n_inter").cast(DoubleType) / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= t)
@@ -320,20 +326,36 @@ object Dedup extends QueryModule {
     * doc_id of the connected component. */
   def clustersOfPairs(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val (labels, _) = clusterLabels(pairs, maxIters)
+    clustersOfLabels(labels)
+  }
+
+  /** Presentation tail labels → (cluster_id, doc_id, cluster_size) —
+    * shared by the direct core above and the artifact-backed q77, so the
+    * output shape cannot drift between them. The window partition is one
+    * CLUSTER (bounded by the largest duplicate group), never the corpus. */
+  private def clustersOfLabels(labels: DataFrame): DataFrame =
     labels.select(col("label").as("cluster_id"), col("node").as("doc_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("cluster_id"), col("doc_id"))
-  }
 
   /** q77: near-dup cluster resolution — q72's thresholded Jaccard pairs
     * resolved into duplicate clusters (transitive closure), the
     * keep-one-per-identity compaction semantics of the reference
     * (kafka/README.md:27,:433-434) lifted from key identity to content
     * identity. Oracle: DuckDB `WITH RECURSIVE` reachability over the
-    * identical pair set. */
-  def neardupClusters(spark: SparkSession, dir: String): DataFrame =
-    neardupClustersOf(Tables.documents(spark, dir))
+    * identical pair set.
+    *
+    * Admits against the persisted near-dup artifact (q129's raw-corpus
+    * label table; built on demand if absent, signature-validated), so a
+    * session that already built the artifact answers from a parquet scan
+    * + per-cluster window instead of re-paying the cache-cold pair
+    * pipeline. [[neardupClustersOf]] remains the direct composed form;
+    * DedupSpec pins the two bit-equal. */
+  def neardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureNeardupArtifact(spark, dir)
+    clustersOfLabels(spark.read.parquet(s"$base/doc_labels"))
+  }
 
   /** DataFrame-level core (testable on constructed corpora). */
   def neardupClustersOf(docs: DataFrame): DataFrame =
@@ -366,8 +388,17 @@ object Dedup extends QueryModule {
     * per-source accounting of what a purge would drop vs keep. This is
     * the operator a user actually runs to deduplicate a corpus with the
     * fuzzy path (q66/q71 are the exact-only analogs). */
-  def dedupPurge(spark: SparkSession, dir: String): DataFrame =
-    dedupPurgeOf(Tables.documents(spark, dir))
+  def dedupPurge(spark: SparkSession, dir: String): DataFrame = {
+    // admit against the persisted artifact (built on demand, signature-
+    // validated): the expensive front half — survivors, pairs, labels —
+    // becomes two tiny parquet scans; only the per-source accounting
+    // (one cheap docs pass) runs in-plan. DedupSpec pins this bit-equal
+    // to the direct core [[dedupPurgeOf]].
+    val base = ensureNeardupArtifact(spark, dir)
+    purgeAccounting(Tables.documents(spark, dir),
+      spark.read.parquet(s"$base/survivors"),
+      ndDropsOf(spark.read.parquet(s"$base/surv_labels")))
+  }
 
   /** Shared core of the fuzzy-dedup pipeline (q78 accounting / q85
     * corpus emitter): exact keep-first survivors — carrying every
@@ -376,26 +407,40 @@ object Dedup extends QueryModule {
     * for both callers (same plan; two scopes would make the second
     * persist a no-op); the near-dup stage shingles the SURVIVOR corpus,
     * so it does not share the fixture-documents shingle scope. */
-  private def fuzzyPurgeParts(docs: DataFrame): (DataFrame, DataFrame) = {
+  /** Exact keep-first survivors, carrying every non-text column through
+    * `min_by` — the first pass of the fuzzy pipeline, shared by the
+    * direct cores and the artifact build. Scope-cached: referenced by
+    * the shingle pipeline, the exact-drop anti-join, and the near-dup
+    * drop join. */
+  private def exactSurvivors(docs: DataFrame): DataFrame = {
     val carry = docs.columns.filter(_ != "text").map(col)
-    val survivors = graft.functions.ScopedCache.persist("dedup.purge.survivors",
+    graft.functions.ScopedCache.persist("dedup.purge.survivors",
       docs.groupBy(col("text"))
         .agg(min_by(struct(carry: _*), col("doc_id")).as("keep"))
         .select(col("keep.*"), col("text")))
+  }
+
+  /** labels → the doc_ids a purge drops (every node that is not its own
+    * component minimum). */
+  private def ndDropsOf(labels: DataFrame): DataFrame =
+    labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+
+  private def fuzzyPurgeParts(docs: DataFrame): (DataFrame, DataFrame) = {
+    val survivors = exactSurvivors(docs)
     val pairs = jaccardPairsUnsorted(
         survivors.select(col("doc_id"), col("text")), scope = "dedup.purge.shingles")
       .select(col("doc_a"), col("doc_b"))
     val (labels, _) = clusterLabels(pairs)
-    val ndDrops = labels.filter(col("node") =!= col("label"))
-      .select(col("node").as("doc_id"))
-    (survivors, ndDrops)
+    (survivors, ndDropsOf(labels))
   }
 
-  /** DataFrame-level core. Survivors are cached (referenced by the
-    * shingle pipeline, the exact-drop anti-join, and the near-dup drop
-    * join). */
-  def dedupPurgeOf(docs: DataFrame): DataFrame = {
-    val (survivors, ndDrops) = fuzzyPurgeParts(docs)
+  /** Per-source accounting tail (q78's shape), shared by the direct core
+    * and the artifact-backed form. `survivors` needs only (doc_id,
+    * source) here, so both the cached-with-text and the persisted
+    * metadata-only table satisfy it. */
+  private def purgeAccounting(docs: DataFrame, survivors: DataFrame,
+      ndDrops: DataFrame): DataFrame = {
     val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val ex = docs.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .groupBy(col("source")).agg(count(lit(1)).as("n_dropped_exact"))
@@ -408,6 +453,12 @@ object Dedup extends QueryModule {
       .withColumn("n_kept",
         col("n_docs") - col("n_dropped_exact") - col("n_dropped_neardup"))
       .orderBy(col("source"))
+  }
+
+  /** DataFrame-level core. */
+  def dedupPurgeOf(docs: DataFrame): DataFrame = {
+    val (survivors, ndDrops) = fuzzyPurgeParts(docs)
+    purgeAccounting(docs, survivors, ndDrops)
   }
 
   private val dedupPurgeSql =
@@ -444,16 +495,26 @@ object Dedup extends QueryModule {
     * (identity travels as doc_id + metadata); at 100 TB the kept rows
     * would be written back as parquet keyed however the training job
     * shards. */
-  def fuzzyDedupCorpus(spark: SparkSession, dir: String): DataFrame =
-    fuzzyDedupCorpusOf(Tables.documents(spark, dir))
+  def fuzzyDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    // artifact-backed like q78: survivors anti-join near-dup drops, both
+    // read from q129's persisted tables (built on demand if absent)
+    val base = ensureNeardupArtifact(spark, dir)
+    keptCorpus(spark.read.parquet(s"$base/survivors"),
+      ndDropsOf(spark.read.parquet(s"$base/surv_labels")))
+  }
+
+  /** Kept-corpus tail: survivors minus near-dup drops, metadata columns
+    * only. Shared by the direct core and the artifact-backed form. */
+  private def keptCorpus(survivors: DataFrame, ndDrops: DataFrame): DataFrame =
+    survivors.join(ndDrops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
 
   /** DataFrame-level core: expects documents columns
     * (doc_id, text, lang, source, n_chars). */
   def fuzzyDedupCorpusOf(docs: DataFrame): DataFrame = {
     val (survivors, ndDrops) = fuzzyPurgeParts(docs)
-    survivors.join(ndDrops, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      .orderBy(col("doc_id"))
+    keptCorpus(survivors, ndDrops)
   }
 
   private val fuzzyDedupCorpusSql =
@@ -470,6 +531,85 @@ object Dedup extends QueryModule {
       |WHERE NOT EXISTS (SELECT 1 FROM cc
       |                  WHERE cc.doc_id = s.doc_id AND cc.doc_id <> cc.cluster_id)
       |ORDER BY s.doc_id NULLS FIRST""".stripMargin
+
+  // ---- persisted near-dup artifact: build once, admit many ---------------
+
+  /** Tables the near-dup artifact persists: `survivors` (exact keep-first
+    * corpus, metadata only — text stays in the fixture), `surv_pairs`
+    * (thresholded Jaccard pairs over the survivors), `surv_labels`
+    * (the survivors' cluster labels, q78/q85's drop set), and
+    * `doc_labels` (cluster labels over the RAW corpus — q77's universe,
+    * genuinely distinct because its DF gate counts exact duplicates). */
+  private val NeardupTables =
+    Seq("survivors", "surv_pairs", "surv_labels", "doc_labels")
+
+  /** Where the persisted near-dup artifact for a fixture dir lives —
+    * ArtifactStore's tmpdir-scoped, full-dir-hash-keyed, signature-
+    * validated convention (same policy as the IVF-PQ and admission
+    * indexes). */
+  def neardupArtifactPath(dir: String): String =
+    graft.sources.ArtifactStore.path("neardup", dir)
+
+  /** The build body: the fuzzy-dedup front half, once. Pairs are written
+    * FIRST and the label propagation reads them BACK from parquet, so
+    * the O(log n) iterative joins carry a tiny pair scan instead of the
+    * whole shingle self-join lineage. */
+  private def writeNeardupArtifact(spark: SparkSession, dir: String,
+      base: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val survivors = exactSurvivors(docs)
+    survivors.drop("text").write.mode("overwrite").parquet(s"$base/survivors")
+    jaccardPairsUnsorted(survivors.select(col("doc_id"), col("text")),
+        scope = "dedup.purge.shingles")
+      .write.mode("overwrite").parquet(s"$base/surv_pairs")
+    val (sl, _) = clusterLabels(spark.read.parquet(s"$base/surv_pairs")
+      .select(col("doc_a"), col("doc_b")))
+    sl.write.mode("overwrite").parquet(s"$base/surv_labels")
+    val (dl, _) = clusterLabels(
+      jaccardPairsUnsorted(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b")))
+    dl.write.mode("overwrite").parquet(s"$base/doc_labels")
+  }
+
+  /** Build the artifact for `dir` unless a complete, signature-valid one
+    * is already on disk. Whichever of q77/q78/q85/q129 runs first in a
+    * session pays the build, deterministically producing the same
+    * artifact; everyone after reads parquet. */
+  def ensureNeardupArtifact(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("neardup", dir, NeardupTables)(
+      base => writeNeardupArtifact(spark, dir, base))
+
+  /** q129: near-dup pair/label build — runs the fuzzy-dedup front half
+    * ONCE (exact keep-first survivors, DF-gated shingle Jaccard pairs,
+    * O(log n) cluster labels, over both the survivor and the raw corpus)
+    * and persists it as a signature-stamped artifact, so the consumers
+    * (q77 clusters, q78 purge accounting, q85 corpus emitter) admit
+    * against parquet reads instead of each re-paying the cache-cold pair
+    * pipeline — the same build-once/admit-many split as q108/q109 and
+    * q111/q112, applied to cluster resolution. Rebuild (not ensure):
+    * the build operator's contract is "recompute and write NOW".
+    *
+    * The result is the survivor pair table read BACK from the written
+    * files; the oracle recomputes it from the documents table alone, so
+    * a green row certifies the on-disk pairs match an independent
+    * engine's recomputation. */
+  def neardupPairsBuild(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.ArtifactStore.rebuild("neardup", dir, NeardupTables)(
+      b => writeNeardupArtifact(spark, dir, b))
+    spark.read.parquet(s"$base/surv_pairs")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val neardupPairsBuildSql =
+    s"""WITH keep AS (
+      |  SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS rn
+      |  FROM documents),
+      |sv AS (SELECT doc_id, text FROM keep WHERE rn = 1),
+      |${gatedShinglesCtes("sv")},
+      |$jaccardPairsCtes
+      |SELECT doc_a, doc_b, n_inter, jaccard FROM pairs
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
   // ---- MinHash + LSH ----------------------------------------------------
 
@@ -1153,5 +1293,7 @@ object Dedup extends QueryModule {
       Some(dedupIndexBuildSql)),
     GraftQuery("q112_incremental_dedup_indexed", incrementalDedupIndexed,
       Some(incrementalDedupIndexedSql)),
+    GraftQuery("q129_neardup_pairs_build", neardupPairsBuild,
+      Some(neardupPairsBuildSql)),
   )
 }

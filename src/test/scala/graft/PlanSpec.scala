@@ -114,6 +114,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("the Jaccard pair core carries no forced broadcast hint") {
+    // the per-doc size table is one row per gated doc — O(corpus) at
+    // 100 TB, where a forced broadcast is a driver OOM. The size joins
+    // must stay AQE-decided; this guards the hint out of the whole pair
+    // subtree (q72 and, through jaccardPairsUnsorted, the q77/q78/q85/
+    // q129 cluster family)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = Dedup.ngramJaccardPairs(spark, sf0001)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"forced hints in pair core: $hints")
+  }
+
   test("q73 LSH bucket gate is an anti-join and candidate join stays equi") {
     val plan = fullPlanText(Dedup.minhashLshPairs(spark, sf0001))
     assert(plan.contains("LeftAnti"), plan.take(4000))

@@ -471,6 +471,28 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(ids === 0)
   }
 
+  test("artifact-backed q77/q78/q85/q129 are bit-equal to the direct composed cores") {
+    // the registered cluster family admits against q129's persisted
+    // artifact (built on demand); the artifact is a deterministic
+    // function of the corpus, so each form must reproduce its direct
+    // in-plan core exactly — on the fixture, row for row
+    val session = spark
+    import session.implicits._
+    val docs = sources.Tables.documents(spark, sf0001)
+    assert(Dedup.neardupClusters(spark, sf0001).collect() ===
+      Dedup.neardupClustersOf(docs).collect())
+    assert(Dedup.dedupPurge(spark, sf0001).collect() ===
+      Dedup.dedupPurgeOf(docs).collect())
+    assert(Dedup.fuzzyDedupCorpus(spark, sf0001).collect() ===
+      Dedup.fuzzyDedupCorpusOf(docs).collect())
+    // q129's emitted pair table = the pairs the direct pipeline computes
+    // over the exact-dedup survivors
+    val direct = Dedup.ngramJaccardPairsOf(
+      docs.groupBy($"text").agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"text"))
+    assert(Dedup.neardupPairsBuild(spark, sf0001).collect() === direct.collect())
+  }
+
   test("q78 purge accounting is conserved and composes exact + near-dup stages") {
     val session = spark
     import session.implicits._
@@ -780,16 +802,28 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q109 search over the persisted index is bit-equal to composed q107") {
-    // q109 ensure-builds if q108 hasn't run; either way the artifact is
+  test("persisted-index q107 is bit-equal to the composed in-plan form") {
+    // q107 ensure-builds if q108 hasn't run; either way the artifact is
     // the deterministic function of the corpus, so persisted-form search
-    // must reproduce the in-plan composed search exactly
-    val persisted = Similarity.ivfPqQuery(spark, sf0001).collect()
+    // must reproduce the in-plan composed (train-in-query) search exactly
+    val persisted = Similarity.ivfPqSearch(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
-    val composed = Similarity.ivfPqSearch(spark, sf0001).collect()
+    val composed = Similarity
+      .ivfPqSearchOf(graft.sources.Tables.embeddings(spark, sf0001)).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(persisted.nonEmpty)
     assert(persisted === composed)
+  }
+
+  test("q109's batch contains q107's probes bit-equal (batch size can't bend answers)") {
+    // the cell gate and LUT are per-probe, so a 3x batch must answer the
+    // first PqSearchProbes probes identically to the single-batch q107
+    val many = Similarity.ivfPqQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val single = Similarity.ivfPqSearch(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(many.size > single.size, "search-many must cover more probes")
+    assert(many.filter(_._1 < Similarity.PqSearchProbes) === single)
   }
 
   private def rmTree(f: java.io.File): Unit = {
