@@ -98,6 +98,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => new SimHashAgg(Cast(exprs.head, LongType))),
     ("graft_shingles", classOf[ShingleHashes],
       (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))),
+    ("graft_shingles_poly", classOf[ShinglePolyHashes],
+      (exprs: Seq[Expression]) => ShinglePolyHashes(Cast(exprs.head, StringType))),
+    ("graft_simtoken", classOf[SimTokenPolyHash],
+      (exprs: Seq[Expression]) => SimTokenPolyHash(Cast(exprs.head, StringType))),
     ("graft_nfc", classOf[NormalizeNfc],
       (exprs: Seq[Expression]) => NormalizeNfc(Cast(exprs.head, StringType))),
     ("graft_nfc_lower", classOf[NfcLowerSimple],

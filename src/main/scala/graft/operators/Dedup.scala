@@ -613,24 +613,31 @@ object Dedup extends QueryModule {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
-  import graft.functions.MinHash.{Bands, NumHashes, RowsPerBand, P => MersennePrime}
+  import graft.functions.MinHash.{Bands, NumHashes, RowsPerBand}
+  import graft.functions.PolyHash
 
   /** Per-doc 64-slot MinHash signature via the custom
     * [[graft.functions.MinHashAgg]] TypedImperativeAggregate: one explode
     * + one hash aggregate whose buffer is the 64 running minima (map-side
-    * combined; the shuffle carries one row per doc). */
+    * combined; the shuffle carries one row per doc). Shingle bases come
+    * from the ENGINE-PORTABLE polynomial family
+    * ([[graft.functions.ShinglePolyHashes]]) — already in [0, p), and
+    * recomputable by the DuckDB oracle — rather than the xxhash64
+    * shingles the exact-Jaccard path uses. */
   private def signatures(docs: DataFrame): DataFrame =
-    shingled(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("base", pmod(col("sh"), lit(MersennePrime)))
+    docs.select(col("doc_id"), expr("graft_shingles_poly(text)").as("shingles"))
+      .filter(size(col("shingles")) >= 1)
+      .select(col("doc_id"), explode(col("shingles")).as("base"))
       .groupBy(col("doc_id"))
       .agg(expr("graft_minhash(base)").as("sig"))
 
   /** MinHash+LSH near-dup pairs: band the signature (16 bands × 4 rows),
-    * bucket-join on (band, signature-slice hash), then estimate Jaccard as
-    * the fraction of agreeing hash slots. Hash-function internals are
-    * engine-specific, so this is a rows-only query (no SQL oracle); the
-    * ScalaTest suite cross-checks it against exact Jaccard. */
+    * bucket-join on the band's SLOT TUPLE, then estimate Jaccard as the
+    * fraction of agreeing hash slots. Every hash is the portable
+    * polynomial family, and the band bucket key is the raw 4-slot tuple
+    * (never an engine hash of it), so the DuckDB oracle replays the
+    * whole pipeline — signatures, banding, hot-bucket gate, candidates,
+    * estimates — exactly. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairsOf(Tables.documents(spark, dir))
 
@@ -643,19 +650,20 @@ object Dedup extends QueryModule {
   def minhashLshPairsOf(docs: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
     // referenced by banding + both signature-compare joins
     val sigs = graft.functions.ScopedCache.persist("q73.signatures", signatures(docs))
+    val bandKey = Seq("band", "s0", "s1", "s2", "s3")
     val banded = graft.functions.ScopedCache.persist("q73.banded", sigs
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${Bands - 1}), j -> struct(
            |  j AS band,
-           |  xxhash64(sig[$RowsPerBand*j], sig[$RowsPerBand*j+1],
-           |           sig[$RowsPerBand*j+2], sig[$RowsPerBand*j+3]) AS bsig))""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bsig").as("bsig")))
+           |  sig[$RowsPerBand*j] AS s0, sig[$RowsPerBand*j+1] AS s1,
+           |  sig[$RowsPerBand*j+2] AS s2, sig[$RowsPerBand*j+3] AS s3))""".stripMargin)).as("b"))
+      .select(col("doc_id") +: bandKey.map(k => col(s"b.$k").as(k)): _*))
     // hot list = only buckets over the cap — no broadcast hint; AQE
     // broadcasts at runtime when it is actually small
-    val hot = banded.groupBy(col("band"), col("bsig")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket).select(col("band"), col("bsig"))
-    val gated = banded.join(hot, Seq("band", "bsig"), "left_anti")
-    val cand = gated.as("x").join(gated.as("y"), Seq("band", "bsig"))
+    val hot = banded.groupBy(bandKey.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(bandKey.map(col): _*)
+    val gated = banded.join(hot, bandKey, "left_anti")
+    val cand = gated.as("x").join(gated.as("y"), bandKey)
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -670,12 +678,64 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** DuckDB mirror of [[graft.functions.PolyHash.foldToken]]: LIST_REDUCE
+    * over the word's code points (LEN/SUBSTR/UNICODE are code-point
+    * based, as is the Scala fold), seeded by prepending the same sentinel
+    * so empty words fold to the seed instead of erroring. */
+  private def polyFoldSql(wordExpr: String, mult: Long): String =
+    s"(LIST_REDUCE([CAST(${PolyHash.Seed} AS BIGINT)] || " +
+      s"LIST_TRANSFORM(GENERATE_SERIES(1, LEN($wordExpr)), ci -> " +
+      s"CAST(UNICODE(SUBSTR($wordExpr, ci, 1)) AS BIGINT)), " +
+      s"(acc, c) -> (acc * $mult + c) % ${PolyHash.P}) " +
+      s"* ${PolyHash.MixA} + ${PolyHash.MixB}) % ${PolyHash.P}"
+
+  /** The 64 (a, b) MinHash coefficients interpolated as a VALUES list —
+    * the constants are deterministic (fixed seed), so inlining them into
+    * the oracle guarantees both engines run the identical hash family. */
+  private val minhashCoefValues = (0 until NumHashes).map(i =>
+    s"(${i}, ${graft.functions.MinHash.coeffA(i)}, ${graft.functions.MinHash.coeffB(i)})")
+    .mkString(", ")
+
+  private val minhashLshPairsSql =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |tht AS (SELECT doc_id,
+      |  LIST_TRANSFORM(t, w -> ${polyFoldSql("w", PolyHash.M1)}) AS th,
+      |  LEN(t) AS nt FROM toks),
+      |shp AS (SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |    GENERATE_SERIES(1, nt - 2),
+      |    i -> ((th[i] * ${PolyHash.M1} + th[i+1]) % ${PolyHash.P} * ${PolyHash.M1}
+      |          + th[i+2]) % ${PolyHash.P}))) AS base
+      |  FROM tht WHERE nt >= 3),
+      |coef(ci, ca, cb) AS (VALUES $minhashCoefValues),
+      |sig AS (SELECT doc_id, ci, MIN((ca * base + cb) % ${graft.functions.MinHash.P}) AS s
+      |        FROM shp CROSS JOIN coef GROUP BY 1, 2),
+      |bnd AS (SELECT doc_id, ci // $RowsPerBand AS band, LIST(s ORDER BY ci) AS slots
+      |        FROM sig GROUP BY 1, 2),
+      |hot AS (SELECT band, slots FROM bnd GROUP BY 1, 2 HAVING COUNT(*) > $MaxBandBucket),
+      |gated AS (SELECT b.* FROM bnd b WHERE NOT EXISTS
+      |          (SELECT 1 FROM hot h WHERE h.band = b.band AND h.slots = b.slots)),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM gated x JOIN gated y
+      |           ON x.band = y.band AND x.slots = y.slots AND x.doc_id < y.doc_id),
+      |est AS (SELECT c.doc_a, c.doc_b,
+      |          CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / $NumHashes
+      |            AS est_jaccard
+      |        FROM cand c
+      |        JOIN sig sa ON sa.doc_id = c.doc_a
+      |        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.ci = sa.ci
+      |        GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash per doc: per-token hash bits weighted by token count,
+  /** SimHash per doc: per-token hash bits weighted by token count,
     * signature bit i = sign of the summed ±count contributions. Near-dup
     * pairs block on 16-bit signature chunks and verify Hamming distance.
-    * Rows-only (engine-specific hash), cross-checked in ScalaTest. */
+    * Token hashes are the PORTABLE 60-bit pack of two polynomial folds
+    * ([[graft.functions.PolyHash.simToken]]) — bits 60-63 are zero in
+    * both engines — so the DuckDB oracle replays signatures, chunk
+    * blocking, and Hamming verification exactly. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =
     simhashPairsOf(Tables.documents(spark, dir))
 
@@ -689,7 +749,7 @@ object Dedup extends QueryModule {
   def simhashPairsOf(d: DataFrame, maxBucket: Int = MaxChunkBucket): DataFrame = {
     val sigsPlan = d
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", expr("graft_simtoken(tok)"))
       .groupBy(col("doc_id"))
       .agg(expr("graft_simhash(h)").as("simhash"))
     val sigs = graft.functions.ScopedCache.persist("q74.signatures", sigsPlan)
@@ -710,6 +770,32 @@ object Dedup extends QueryModule {
       .filter(col("hamming") <= 8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  private val simhashPairsSql =
+    s"""WITH tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+      |th AS (SELECT doc_id,
+      |  ${polyFoldSql("w", PolyHash.M1)} AS p1,
+      |  ${polyFoldSql("w", PolyHash.M2)} AS p2 FROM tk),
+      |hh AS (SELECT doc_id,
+      |  (p1 % 1073741824) * 1073741824 + (p2 % 1073741824) AS h FROM th),
+      |bs AS (SELECT doc_id, j,
+      |         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS wsum
+      |       FROM hh, (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS j) js
+      |       GROUP BY 1, 2),
+      |sg AS (SELECT doc_id, CAST(SUM(CASE WHEN wsum > 0
+      |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |       FROM bs GROUP BY 1),
+      |ch AS (SELECT doc_id, simhash, pos, (simhash >> (16 * pos)) & 65535 AS chunk
+      |       FROM sg, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS pos) ps),
+      |hot AS (SELECT pos, chunk FROM ch GROUP BY 1, 2 HAVING COUNT(*) > $MaxChunkBucket),
+      |bl AS (SELECT c.* FROM ch c WHERE NOT EXISTS
+      |       (SELECT 1 FROM hot h WHERE h.pos = c.pos AND h.chunk = c.chunk)),
+      |pr AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |         CAST(BIT_COUNT(XOR(x.simhash, y.simhash)) AS INT) AS hamming
+      |       FROM bl x JOIN bl y
+      |         ON x.pos = y.pos AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, hamming FROM pr WHERE hamming <= 8
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
   // ---- embedding-cosine near-dup ----------------------------------------
 
@@ -1276,8 +1362,8 @@ object Dedup extends QueryModule {
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
     GraftQuery("q72_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
-    GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, None),
-    GraftQuery("q74_simhash_pairs", simhashPairs, None),
+    GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
+    GraftQuery("q74_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     GraftQuery("q75_embedding_neardup", embeddingNearDupPairs, Some(embeddingNearDupPairsSql)),
     GraftQuery("q76_contamination", contamination, Some(contaminationSql)),
     GraftQuery("q77_neardup_clusters", neardupClusters, Some(neardupClustersSql)),
