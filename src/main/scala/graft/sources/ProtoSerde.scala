@@ -180,6 +180,10 @@ object ProtoSerde {
     def bytes(b: Array[Byte], len: Int): Unit = {
       ensure(len); System.arraycopy(b, 0, a, n, len); n += len
     }
+    def bytesRange(b: Array[Byte], from: Int, until: Int): Unit = {
+      val len = until - from
+      ensure(len); System.arraycopy(b, from, a, n, len); n += len
+    }
     def result(): Array[Byte] = java.util.Arrays.copyOf(a, n)
   }
 
@@ -242,6 +246,14 @@ object ProtoSerde {
     def varint(): Long = {
       var shift = 0; var v = 0L
       while ({
+        // bounds + width checks make corrupt payloads FAIL, not misparse:
+        // an unbounded shift wraps mod 64 (Long <<) and yields a silently
+        // wrong value after 10 continuation bytes — match stock protobuf's
+        // "malformed varint" error instead
+        if (p >= a.length) throw new IllegalArgumentException(
+          "truncated varint: payload ends mid-value")
+        if (shift >= 64) throw new IllegalArgumentException(
+          "malformed varint: more than 10 bytes")
         val b = a(p); p += 1
         v |= (b & 0x7fL) << shift; shift += 7
         (b & 0x80) != 0
@@ -258,8 +270,18 @@ object ProtoSerde {
       while (i < 4) { v |= (a(p) & 0xff) << (8 * i); p += 1; i += 1 }
       v
     }
-    def lengthDelimited(): Array[Byte] = {
+    /** Decoded length, validated: a corrupt varint truncating to a
+      * negative Int would move `p` BACKWARDS (an executor-task infinite
+      * loop in decodeRecord), and an over-long one would read past the
+      * buffer — both must throw instead. */
+    private def checkedLen(): Int = {
       val len = varint().toInt
+      if (len < 0 || p + len > a.length) throw new IllegalArgumentException(
+        s"corrupt length-delimited field: len=$len at offset $p of ${a.length}")
+      len
+    }
+    def lengthDelimited(): Array[Byte] = {
+      val len = checkedLen()
       val out = java.util.Arrays.copyOfRange(a, p, p + len); p += len; out
     }
     def skip(wireType: Int): Unit = wireType match {
@@ -267,10 +289,9 @@ object ProtoSerde {
       case 1 => p += 8
       case 5 => p += 4
       case 2 =>
-        // two statements, deliberately: `p += varint().toInt` reads the OLD
-        // p before varint() advances it, silently dropping the length
-        // byte's own advance from the sum
-        val len = varint().toInt
+        // two statements, deliberately: `p += checkedLen()` would read the
+        // OLD p in the validation before the varint advances it
+        val len = checkedLen()
         p += len
       case other => // groups (3/4) are pre-proto3 legacy; a payload using
         // them is not from this codec family — fail loudly, don't misparse
@@ -299,8 +320,10 @@ object ProtoSerde {
   /** Per-contract decode plan, built ONCE (per decode() call / nested
     * level) so the row loop does zero lookup-structure allocation — the
     * hot-path discipline the class doc promises. `lookup(number)` yields
-    * (field, slot) or null. */
-  private final case class RecordCodec(fields: IndexedSeq[ProtoField]) {
+    * (field, slot) or null. `oneofPeers(slot)` = the other member slots
+    * of the slot's oneof group (setting one member clears the rest). */
+  private final case class RecordCodec(fields: IndexedSeq[ProtoField],
+      oneofPeers: Map[Int, Array[Int]] = Map.empty) {
     val lookup: Map[Int, (ProtoField, Int)] =
       fields.zipWithIndex.map { case (f, i) => f.number -> (f, i) }.toMap
     val childCodecs: IndexedSeq[RecordCodec] = fields.map { f =>
@@ -310,6 +333,22 @@ object ProtoSerde {
   private object RecordCodec {
     def apply(fields: Seq[ProtoField]): RecordCodec =
       new RecordCodec(fields.toIndexedSeq)
+  }
+
+  /** oneof groups (by field NAME) → per-slot peer arrays. Members must be
+    * non-repeated: proto forbids repeated fields inside a oneof. */
+  private def oneofPeerMap(
+      fields: Seq[ProtoField], oneofs: Seq[Seq[String]]): Map[Int, Array[Int]] = {
+    val slotByName = fields.zipWithIndex.map { case (f, i) => f.name -> i }.toMap
+    oneofs.flatMap { group =>
+      val slots = group.map(n => slotByName.getOrElse(n,
+        throw new IllegalArgumentException(s"oneof member $n not in schema")))
+      slots.foreach { s =>
+        require(!fields(s).repeated,
+          s"oneof member ${fields(s).name} cannot be repeated (proto forbids it)")
+      }
+      slots.map(s => s -> slots.filter(_ != s).toArray)
+    }.toMap
   }
 
   /** proto3 default for an absent value inside an entry/message where
@@ -349,7 +388,8 @@ object ProtoSerde {
     * embedded-message occurrences (the spec's concatenation rule), packed
     * numeric repeats accepted alongside the unpacked form this codec
     * writes — under a repeated OR a scalar-evolved reader field. */
-  private def decodeRecord(bytes: Array[Byte], codec: RecordCodec): Array[Any] = {
+  private def decodeRecord(bytes: Array[Byte], codec: RecordCodec,
+      unknown: WireBuf = null): Array[Any] = {
     val fields = codec.fields
     val out = new Array[Any](fields.length)
     var i = 0
@@ -359,6 +399,7 @@ object ProtoSerde {
     }
     val r = new WireReader(bytes)
     while (r.hasNext) {
+      val tagStart = r.p
       val tag = r.varint()
       val number = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
@@ -371,11 +412,21 @@ object ProtoSerde {
             case _ => readScalar(r, f)
           }
           if (f.repeated) out(slot).asInstanceOf[ArrayBuffer[Any]] += v
-          else out(slot) = (out(slot), v) match {
-            case (prev: Row, next: Row)
-              if f.payloadType.isInstanceOf[StructType] =>
-              mergeRows(f.children, prev, next)
-            case _ => v
+          else {
+            out(slot) = (out(slot), v) match {
+              case (prev: Row, next: Row)
+                if f.payloadType.isInstanceOf[StructType] =>
+                mergeRows(f.children, prev, next)
+              case _ => v
+            }
+            // oneof: setting one member CLEARS the others — last occurrence
+            // across the whole group wins, the spec's oneof parse rule
+            codec.oneofPeers.get(slot) match {
+              case Some(peers) =>
+                var k = 0
+                while (k < peers.length) { out(peers(k)) = null; k += 1 }
+              case None =>
+            }
           }
         case Some((f, slot)) if wt == 2 && f.wireType != 2 =>
           // proto3 writers PACK numeric repeats: one length-delimited blob
@@ -387,8 +438,13 @@ object ProtoSerde {
             val buf = out(slot).asInstanceOf[ArrayBuffer[Any]]
             while (packed.hasNext) buf += readScalar(packed, f)
           } else while (packed.hasNext) out(slot) = readScalar(packed, f)
-        case _ => r.skip(wt) // unknown number (or a true type conflict,
-        // which the gate rejected before any byte was read)
+        case _ => // unknown number (or a true type conflict, which the
+          // gate rejected before any byte was read): skip — and when a
+          // retention sink is attached, copy tag + payload verbatim so a
+          // re-encode can round-trip fields this reader doesn't model
+          r.skip(wt)
+          if (unknown != null)
+            unknown.bytesRange(bytes, tagStart, r.p)
       }
     }
     i = 0
@@ -412,12 +468,22 @@ object ProtoSerde {
   // ---- DataFrame surface (AvroSerde's shape) ----------------------------
 
   /** Serialize every row of `df` to protobuf binary (one `binary` column
-    * named `value` — the producer serializer analog). */
-  def encode(df: DataFrame): DataFrame = {
+    * named `value` — the producer serializer analog). `oneofs` declares
+    * groups of field names with oneof semantics: a row with MORE than one
+    * member set is rejected loudly (generated proto classes make that
+    * state unrepresentable; a serializer that silently picked one would
+    * hide data loss). */
+  def encode(df: DataFrame, oneofs: Seq[Seq[String]] = Nil): DataFrame = {
     val fields = protoSchema(df.schema)
+    val groups = oneofs.map(_.map(n => df.schema.fieldIndex(n)).toArray)
     df.mapPartitions { it =>
       val buf = new WireBuf()
       it.map { row =>
+        groups.foreach { g =>
+          val set = g.count(i => !row.isNullAt(i))
+          require(set <= 1, s"oneof violation: $set members of group " +
+            s"${g.map(fields(_).name).mkString("{", ",", "}")} are set")
+        }
         buf.reset()
         writeRow(buf, fields, row)
         buf.result()
@@ -428,18 +494,81 @@ object ProtoSerde {
   /** Deserialize a `value: binary` column written under `writer` into rows
     * of the declared `reader` Spark schema: unknown field numbers are
     * skipped (forward compat), absent fields decode as null / empty
-    * (backward compat). The compatibility gate runs first. */
-  def decode(bytes: DataFrame, writer: Seq[ProtoField], reader: StructType): DataFrame = {
+    * (backward compat). The compatibility gate runs first. `oneofs`
+    * groups (by reader field name) apply the spec's oneof parse rule:
+    * the LAST group member on the wire wins and clears the others. */
+  def decode(bytes: DataFrame, writer: Seq[ProtoField], reader: StructType,
+      oneofs: Seq[Seq[String]] = Nil): DataFrame = {
     val readerFields = readerContract(writer, reader)
     requireCompatible(writer, readerFields)
     // one codec tree per decode call: the row loop allocates no lookup
     // structures (RecordCodec pre-resolves number -> (field, slot, child))
-    val codec = RecordCodec(readerFields)
+    val codec = RecordCodec(readerFields.toIndexedSeq,
+      oneofPeerMap(readerFields, oneofs))
     bytes.select("value").mapPartitions { it =>
       it.map { row =>
         Row.fromSeq(
           decodeRecord(row.getAs[Array[Byte]](0), codec).toIndexedSeq)
       }
     }(Encoders.row(reader))
+  }
+
+  // ---- unknown-field retention (registry forward-compat round trip) -----
+
+  /** Column that carries a record's unretained-by-schema wire bytes. */
+  val UnknownCol = "_unknown_proto"
+
+  /** [[decode]], but fields this reader does NOT model are retained as
+    * raw wire bytes (tag + payload, concatenated in wire order) in a
+    * trailing [[UnknownCol]] binary column instead of being dropped —
+    * the registry model's forward-compat story: an old reader can
+    * transform records written by a newer schema and [[encodeRetaining]]
+    * them WITHOUT destroying the newer fields. Retention scope is the
+    * top-level record: a nested unknown inside a KNOWN embedded message
+    * is still dropped on re-encode (retaining it would need recursive
+    * schema augmentation), while an unknown embedded message rides the
+    * unknown bytes whole. Null when the record had no unknown fields. */
+  def decodeRetaining(bytes: DataFrame, writer: Seq[ProtoField],
+      reader: StructType): DataFrame = {
+    val readerFields = readerContract(writer, reader)
+    requireCompatible(writer, readerFields)
+    val codec = RecordCodec(readerFields)
+    val outSchema = StructType(
+      reader.fields :+ StructField(UnknownCol, BinaryType, nullable = true))
+    bytes.select("value").mapPartitions { it =>
+      val sink = new WireBuf(new Array[Byte](64))
+      it.map { row =>
+        sink.reset()
+        val known = decodeRecord(row.getAs[Array[Byte]](0), codec, sink)
+        Row.fromSeq(known.toIndexedSeq :+
+          (if (sink.n == 0) null else sink.result()))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Re-encode rows produced by [[decodeRetaining]] under the SAME
+    * derived contract (pass `readerContract(writer, reader)` — positional
+    * renumbering would corrupt the round trip), appending each record's
+    * retained unknown bytes verbatim after the known fields. Stock
+    * protobuf also re-emits unknown fields after known ones; field order
+    * is irrelevant on the wire, so a subsequent decode under the FULL
+    * writer schema recovers every field. */
+  def encodeRetaining(df: DataFrame, contract: Seq[ProtoField]): DataFrame = {
+    val ui = df.schema.fieldIndex(UnknownCol)
+    require(ui == df.schema.length - 1, s"$UnknownCol must be the last column")
+    require(contract.length == ui,
+      s"contract has ${contract.length} fields but frame has $ui known columns")
+    df.mapPartitions { it =>
+      val buf = new WireBuf()
+      it.map { row =>
+        buf.reset()
+        writeRow(buf, contract, row) // ignores the trailing unknown column
+        if (!row.isNullAt(ui)) {
+          val u = row.getAs[Array[Byte]](ui)
+          buf.bytes(u, u.length)
+        }
+        buf.result()
+      }
+    }(Encoders.BINARY).toDF("value")
   }
 }
