@@ -61,17 +61,36 @@ object ArtifactStore {
     tables.forall(t => new File(s"$base/$t/_SUCCESS").exists()) &&
       readStamp(base).contains(signature(dir))
 
+  /** Per-artifact-path JVM-local build locks: two concurrent consumers
+    * of the same invalid artifact (e.g. q77 and q78 in a parallel
+    * harness) must not interleave their parquet writes. The signature
+    * stamp alone is crash-safe but not race-safe. Cross-JVM races are
+    * out of scope (the driver runs one JVM; a shared multi-writer store
+    * would need a filesystem lease, not a JVM monitor). */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(base: String): Object =
+    buildLocks.computeIfAbsent(base, _ => new Object)
+
+  private def buildAndStamp(base: String, dir: String)
+                           (build: String => Unit): Unit = {
+    stampFile(base).delete() // invalidate first: crash mid-build rebuilds
+    build(base)
+    java.nio.file.Files.createDirectories(new File(base).toPath)
+    java.nio.file.Files.write(stampFile(base).toPath,
+      (signature(dir) + "\n").getBytes("UTF-8"))
+  }
+
   /** Run `build` unless a valid artifact already exists; stamp the source
-    * signature after a successful build. Returns the artifact path. */
+    * signature after a successful build. Returns the artifact path.
+    * Validity is re-checked UNDER the lock: the loser of a build race
+    * sees the winner's stamp and skips its own rebuild. */
   def ensure(prefix: String, dir: String, tables: Seq[String])
             (build: String => Unit): String = {
     val base = path(prefix, dir)
-    if (!valid(base, dir, tables)) {
-      stampFile(base).delete() // invalidate first: crash mid-build rebuilds
-      build(base)
-      java.nio.file.Files.createDirectories(new File(base).toPath)
-      java.nio.file.Files.write(stampFile(base).toPath,
-        (signature(dir) + "\n").getBytes("UTF-8"))
+    if (!valid(base, dir, tables)) lockFor(base).synchronized {
+      if (!valid(base, dir, tables)) buildAndStamp(base, dir)(build)
     }
     base
   }
@@ -81,11 +100,7 @@ object ArtifactStore {
   def rebuild(prefix: String, dir: String, tables: Seq[String])
              (build: String => Unit): String = {
     val base = path(prefix, dir)
-    stampFile(base).delete()
-    build(base)
-    java.nio.file.Files.createDirectories(new File(base).toPath)
-    java.nio.file.Files.write(stampFile(base).toPath,
-      (signature(dir) + "\n").getBytes("UTF-8"))
+    lockFor(base).synchronized { buildAndStamp(base, dir)(build) }
     base
   }
 }

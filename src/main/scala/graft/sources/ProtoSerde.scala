@@ -273,10 +273,16 @@ object ProtoSerde {
     /** Decoded length, validated: a corrupt varint truncating to a
       * negative Int would move `p` BACKWARDS (an executor-task infinite
       * loop in decodeRecord), and an over-long one would read past the
-      * buffer — both must throw instead. */
+      * buffer — both must throw instead. The raw varint is checked BEFORE
+      * the Int narrowing (2^32+5 must not misparse as 5) and the bounds
+      * sum is computed in Long (p + len near Int.MaxValue must not wrap
+      * negative and slip past the guard). */
     private def checkedLen(): Int = {
-      val len = varint().toInt
-      if (len < 0 || p + len > a.length) throw new IllegalArgumentException(
+      val raw = varint()
+      if (raw < 0L || raw > Int.MaxValue) throw new IllegalArgumentException(
+        s"corrupt length-delimited field: len=$raw at offset $p of ${a.length}")
+      val len = raw.toInt
+      if (p.toLong + len > a.length) throw new IllegalArgumentException(
         s"corrupt length-delimited field: len=$len at offset $p of ${a.length}")
       len
     }
@@ -382,6 +388,18 @@ object ProtoSerde {
       }
     }.toIndexedSeq)
 
+  /** oneof: setting one member CLEARS the others — last occurrence
+    * across the whole group wins, the spec's oneof parse rule. Shared by
+    * the normal wire-type path and the packed scalar-evolved path. */
+  private def clearOneofPeers(codec: RecordCodec, slot: Int,
+      out: Array[Any]): Unit =
+    codec.oneofPeers.get(slot) match {
+      case Some(peers) =>
+        var k = 0
+        while (k < peers.length) { out(peers(k)) = null; k += 1 }
+      case None =>
+    }
+
   /** One record's fields from `bytes` under `codec`: unknown numbers
     * skipped, absent scalars null, absent repeats empty, last-one-wins
     * for duplicate scalar occurrences, field-wise MERGE for duplicate
@@ -419,14 +437,7 @@ object ProtoSerde {
                 mergeRows(f.children, prev, next)
               case _ => v
             }
-            // oneof: setting one member CLEARS the others — last occurrence
-            // across the whole group wins, the spec's oneof parse rule
-            codec.oneofPeers.get(slot) match {
-              case Some(peers) =>
-                var k = 0
-                while (k < peers.length) { out(peers(k)) = null; k += 1 }
-              case None =>
-            }
+            clearOneofPeers(codec, slot, out)
           }
         case Some((f, slot)) if wt == 2 && f.wireType != 2 =>
           // proto3 writers PACK numeric repeats: one length-delimited blob
@@ -437,7 +448,14 @@ object ProtoSerde {
           if (f.repeated) {
             val buf = out(slot).asInstanceOf[ArrayBuffer[Any]]
             while (packed.hasNext) buf += readScalar(packed, f)
-          } else while (packed.hasNext) out(slot) = readScalar(packed, f)
+          } else {
+            // a oneof member arriving packed must still clear its peers,
+            // or a sibling set earlier survives and encode() rejects the
+            // row as a oneof violation (empty blob sets nothing → no clear)
+            val hadPayload = packed.hasNext
+            while (packed.hasNext) out(slot) = readScalar(packed, f)
+            if (hadPayload) clearOneofPeers(codec, slot, out)
+          }
         case _ => // unknown number (or a true type conflict, which the
           // gate rejected before any byte was read): skip — and when a
           // retention sink is attached, copy tag + payload verbatim so a
