@@ -39,6 +39,13 @@ object GraftSession {
       // TimestampType in Tables.events (truncation to micros matches what
       // DuckDB does when it reads the same file).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture timestamps are NAIVE parquet micros (isAdjustedToUTC=
+      // false); with NTZ inference on, Spark 4 would surface them as
+      // TIMESTAMP_NTZ — a type unix_micros/window() reject and the serde
+      // schemas don't model. Read them as TimestampType instead: with the
+      // UTC session timezone above, the stored values are the same
+      // instants DuckDB sees, so oracle parity is unchanged.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
   }
 
   def get(appName: String = "graft"): SparkSession = {

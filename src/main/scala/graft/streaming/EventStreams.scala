@@ -82,6 +82,19 @@ object EventStreams {
 
   // ---- keyed state + timers (T6/T7: the ProcessFunction analog) --------
 
+  /** Merge point events + stored intervals by gap (classic interval
+    * merging over the start-sorted union). Shared by both timer flavors. */
+  private def mergeByGap(intervals: List[SessionBuf], gapMs: Long): List[SessionBuf] =
+    intervals.sortBy(s => (s.startMs, s.lastMs)).foldLeft(List.empty[SessionBuf]) {
+      case (acc @ (prev :: rest), s) if s.startMs <= prev.lastMs + gapMs =>
+        SessionBuf(prev.n + s.n, prev.startMs,
+          math.max(prev.lastMs, s.lastMs), prev.total + s.total) :: rest
+      case (acc, s) => s :: acc
+    }.reverse
+
+  private def emitSession(userId: Long, s: SessionBuf): SessionSummary =
+    SessionSummary(userId, s.n, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.total)
+
   /** Custom sessionization with explicit keyed state and an event-time
     * timer: the direct analog of Flink's ProcessFunction + ValueState +
     * timers (flink/README.md:28-61). State holds ALL open intervals for
@@ -97,20 +110,9 @@ object EventStreams {
       .flatMapGroupsWithState[List[SessionBuf], SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[List[SessionBuf]]) =>
-          def emit(s: SessionBuf) = SessionSummary(
-            userId, s.n, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.total)
-          // merge point events + stored intervals by gap (classic
-          // interval merging over the start-sorted union)
-          def mergeAll(intervals: List[SessionBuf]): List[SessionBuf] =
-            intervals.sortBy(s => (s.startMs, s.lastMs)).foldLeft(List.empty[SessionBuf]) {
-              case (acc @ (prev :: rest), s) if s.startMs <= prev.lastMs + gapMs =>
-                SessionBuf(prev.n + s.n, prev.startMs,
-                  math.max(prev.lastMs, s.lastMs), prev.total + s.total) :: rest
-              case (acc, s) => s :: acc
-            }.reverse
           val incoming = it.toList.map(e =>
             SessionBuf(1, e.ts.getTime, e.ts.getTime, e.value))
-          val merged = mergeAll(state.getOption.getOrElse(Nil) ++ incoming)
+          val merged = mergeByGap(state.getOption.getOrElse(Nil) ++ incoming, gapMs)
           // emit sessions no future event can touch: strictly below the
           // watermark — an event AT exactly end+gap would still merge by
           // the (inclusive) gap rule, so `<= wm` could split that session
@@ -124,7 +126,41 @@ object EventStreams {
           } else {
             state.remove()
           }
-          closed.map(emit).iterator
+          closed.map(emitSession(userId, _)).iterator
+      }
+  }
+
+  /** PROCESSING-time flavor of the session timer — the reference
+    * documents timers for both time notions (flink/README.md:28).
+    * Sessions still merge by EVENT-time gap, but a key's open sessions
+    * flush after `idleMs` of processing-time inactivity (no arrivals for
+    * the key across micro-batches). This is the shape for unreliable
+    * event time or drain-on-quiesce semantics; state is bounded by the
+    * idle timer itself (an idle key always flushes), so no watermark is
+    * declared. Caveat inherent to processing time: a genuinely late
+    * event after a flush opens a NEW session rather than extending the
+    * flushed one. */
+  def sessionizeIdleFlush(events: Dataset[Event],
+                          gapMs: Long = 30L * 60 * 1000,
+                          idleMs: Long = 1000L): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionBuf], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[SessionBuf]]) =>
+          if (state.hasTimedOut) {
+            // timer fired: the key saw no events for idleMs — flush all
+            val out = state.getOption.getOrElse(Nil).map(emitSession(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val incoming = it.toList.map(e =>
+              SessionBuf(1, e.ts.getTime, e.ts.getTime, e.value))
+            state.update(mergeByGap(state.getOption.getOrElse(Nil) ++ incoming, gapMs))
+            // re-arm: any arrival pushes the flush out by idleMs
+            state.setTimeoutDuration(idleMs)
+            Iterator.empty
+          }
       }
   }
 

@@ -18,14 +18,15 @@ class SmokeSpec extends AnyFunSuite with SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q))
     val rowsOnly = q -- o
-    // the intentionally non-SQL-expressible ops (engine-specific hashes,
-    // sketches, stubs):
+    // the intentionally non-SQL-expressible ops (sketches, stubs, raw
+    // zlib bytes):
     // (q84 gained an oracle in r4: fixed-point centroid rounding makes the
     // IVF assignment deterministic across engines)
     // (q128 joined in r7: zlib bytes are engine-specific, like the hashes)
+    // (q73/q74 LEFT in r8: the engine-portable multiplicative hash family
+    // made the MinHash/SimHash signatures recomputable in DuckDB SQL)
     assert(rowsOnly === Set("q18_approx_percentiles", "q27_approx_distinct_parts",
-      "q73_minhash_lsh_pairs", "q74_simhash_pairs", "q92_decode_features",
-      "q128_compression_signal"))
+      "q92_decode_features", "q128_compression_signal"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -98,6 +98,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState with PROCESSING-time timeout flushes idle keys (T7)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // NOTE: processAllAvailable() must NOT be used on this stream — with
+    // processing-time timers armed, shouldRunAnotherBatch is always true
+    // (the engine keeps running no-data batches to check timers), so the
+    // "no new data" signal never fires and processAllAvailable blocks
+    // forever. Poll the sink with a deadline instead; the real trigger
+    // interval keeps the timer-checking batches from busy-spinning.
+    val q = EventStreams.sessionizeIdleFlush(in.toDS(), gapMs = 30 * 60000L, idleMs = 500L)
+      .writeStream.outputMode("append").format("memory").queryName("ptt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", tmp("ck-ptt")).start()
+    try {
+      in.addData(ev(1, 0, 7, "click", 2.0), ev(2, 5, 7, "view", 3.0),
+                 ev(3, 60, 7, "click", 5.0))
+      // the idleness timer fires ~500ms after the batch that consumed the
+      // events; wall-clock timers need a tolerant deadline, not exact sleeps
+      var waitedMs = 0
+      while (spark.table("ptt").count() < 2 && waitedMs < 60000) {
+        Thread.sleep(250); waitedMs += 250
+      }
+      val rows = spark.table("ptt").as[SessionSummary].collect().toSet
+      // two sessions by EVENT-time gap (t=0..5 and t=60), both flushed by
+      // the same idleness timer once key 7 goes quiet
+      assert(rows === Set(
+        SessionSummary(7L, 2L, ts(0), ts(5), 5.0),
+        SessionSummary(7L, 1L, ts(60), ts(60), 5.0)))
+    } finally q.stop()
+  }
+
   test("sessionizeWithState absorbs in-watermark out-of-order events and extends boundaries") {
     val session = spark
     import session.implicits._
@@ -247,6 +280,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.count() === noFailure.count())
     assert(totals(got) === totals(noFailure))
     assert(got.filter($"event_type" === "error").count() === 0)
+  }
+
+  test("exactly-once under failure injection: killed mid-batch, restart replays to identical output (T8)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmp("fi-out"); val ck = tmp("ck-fi")
+    val in = MemoryStream[Event]
+    // first attempt of batch 1 writes PARTIAL output, then dies — the
+    // at-least-once failure mode the idempotent sink must absorb
+    // (kafka/README.md:162-171). foreachBatch runs on the driver, so a
+    // captured flag records the injection.
+    var injected = false
+    def sink(failOnce: Boolean) = in.toDF().writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (failOnce && id == 1L && !injected) {
+          injected = true
+          EventStreams.writeBatchIdempotent(batch.limit(1), id, out)
+          throw new RuntimeException("injected crash after partial write")
+        }
+        EventStreams.writeBatchIdempotent(batch, id, out)
+      }
+    val q1 = sink(failOnce = true).start()
+    val all = Seq(
+      ev(1, 0, 1, "click", 10.0), ev(2, 1, 2, "view", 5.0),          // batch 0
+      ev(3, 2, 1, "purchase", 20.0), ev(4, 3, 3, "click", 7.0), ev(5, 4, 2, "view", 1.0))
+    try {
+      in.addData(all(0), all(1))
+      q1.processAllAvailable()
+      in.addData(all(2), all(3), all(4)) // batch 1: dies after 1 of 3 rows
+      intercept[Exception] { q1.processAllAvailable() }
+      assert(q1.exception.isDefined, "query must have died from the injected crash")
+    } finally q1.stop()
+    assert(injected)
+    // partial output of the failed attempt IS on disk — the dirty state
+    // a naive append sink would duplicate
+    assert(spark.read.parquet(out).filter($"batch_id" === 1L).count() === 1)
+    // restart from the same checkpoint with a healthy sink: batch 1
+    // replays and its dynamic partition overwrite REPLACES the partial file
+    val q2 = sink(failOnce = false).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() === all.size, "each input row exactly once after recovery")
+    assert(got.select($"event_id").as[Long].collect().sorted === all.map(_.event_id).toArray)
+    // and totals match the no-failure reference run bit-for-bit
+    val ref = all.toDF()
+    assert(got.agg(sum($"value")).as[Double].head() === ref.agg(sum($"value")).as[Double].head())
   }
 
   test("idempotent batch sink: replaying a batch id does not duplicate (T8)") {
