@@ -359,6 +359,84 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage.contains("incompatible"))
   }
 
+  test("Proto oneof: last member on the wire wins and clears its peers (S10)") {
+    val session = spark
+    import session.implicits._
+    // oneof {a: string = 1, b: int64 = 2}; wire bytes place BOTH members
+    // in one record — the spec's parse rule keeps only the LAST one
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", LongType)))
+    val writer = sources.ProtoSerde.protoSchema(schema)
+    val aBytes = Array[Byte](0x0A, 3, 'o', 'l', 'd')          // a = "old"
+    val bBytes = Array[Byte](0x10, 0x96.toByte, 0x01)         // b = 150
+    val aThenB = sources.ProtoSerde.decode(Seq(aBytes ++ bBytes).toDF("value"),
+      writer, schema, oneofs = Seq(Seq("a", "b"))).collect().head
+    assert(aThenB.isNullAt(0) && aThenB.getLong(1) === 150L)
+    val bThenA = sources.ProtoSerde.decode(Seq(bBytes ++ aBytes).toDF("value"),
+      writer, schema, oneofs = Seq(Seq("a", "b"))).collect().head
+    assert(bThenA.getString(0) === "old" && bThenA.isNullAt(1))
+    // the serializer side makes the two-members-set state unrepresentable
+    val both = Seq(("x", 1L)).toDF("a", "b")
+    val err = intercept[Exception] {
+      sources.ProtoSerde.encode(both, oneofs = Seq(Seq("a", "b"))).collect()
+    }
+    assert(err.getMessage.contains("oneof violation")
+      || err.getCause.getMessage.contains("oneof violation"))
+  }
+
+  test("Proto oneof member arriving PACKED still clears peers; empty blob clears nothing (S10)") {
+    val session = spark
+    import session.implicits._
+    // writer declared b REPEATED (packs numerics); reader evolved b to a
+    // scalar oneof member — the packed payload's last value must win AND
+    // clear sibling a, exactly like the unpacked path
+    val repWriter = sources.ProtoSerde.protoSchema(StructType(Seq(
+      StructField("a", StringType),
+      StructField("b", ArrayType(LongType, containsNull = false)))))
+    val reader = StructType(Seq(
+      StructField("a", StringType), StructField("b", LongType)))
+    val aBytes = Array[Byte](0x0A, 3, 'o', 'l', 'd')               // a = "old"
+    val packed = Array[Byte](0x12, 3, 0x96.toByte, 0x01, 0x01)     // b = [150, 1] packed
+    val got = sources.ProtoSerde.decode(Seq(aBytes ++ packed).toDF("value"),
+      repWriter, reader, oneofs = Seq(Seq("a", "b"))).collect().head
+    assert(got.isNullAt(0) && got.getLong(1) === 1L)
+    // an EMPTY packed blob sets nothing, so it must not clear a either
+    val empty = Array[Byte](0x12, 0)
+    val kept = sources.ProtoSerde.decode(Seq(aBytes ++ empty).toDF("value"),
+      repWriter, reader, oneofs = Seq(Seq("a", "b"))).collect().head
+    assert(kept.getString(0) === "old" && kept.isNullAt(1))
+  }
+
+  test("Proto unknown-field retention: an old reader transforms and re-encodes without destroying new fields (S10)") {
+    val full = StructType(Seq(
+      StructField("id", LongType), StructField("typ", StringType),
+      StructField("value", DoubleType)))
+    val rows = Seq(Row(1L, "testing", 1.5), Row(2L, null, 2.5))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), full)
+    val writer = sources.ProtoSerde.protoSchema(full)
+    val bytes = sources.ProtoSerde.encode(df)
+    // the OLD reader does not model `typ` (field 2): retained verbatim
+    val reader = StructType(full.filter(_.name != "typ"))
+    val ret = sources.ProtoSerde.decodeRetaining(bytes, writer, reader)
+    assert(ret.columns.toSeq === Seq("id", "value", sources.ProtoSerde.UnknownCol))
+    val byId = ret.collect().map(r => r.getLong(0) -> r).toMap
+    // golden: the retained bytes ARE field 2's wire encoding (tag 0x12,
+    // len 7, "testing" — protobuf.dev's canonical string example)
+    val expect = Array[Byte](0x12, 0x07) ++ "testing".getBytes("UTF-8")
+    assert(byId(1L).getAs[Array[Byte]](2).toSeq === expect.toSeq)
+    // a record with nothing unknown carries null, not empty bytes
+    assert(byId(2L).isNullAt(2))
+    // transform under the old reader, then re-encode retaining
+    val transformed = ret.withColumn("value", col("value") * 2)
+    val contract = sources.ProtoSerde.readerContract(writer, reader)
+    val re = sources.ProtoSerde.encodeRetaining(transformed, contract)
+    // a FULL-schema decode of the old reader's output recovers `typ`
+    val back = sources.ProtoSerde.decode(re, writer, full).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(back(1L).getString(1) === "testing" && back(1L).getDouble(2) === 3.0)
+    assert(back(2L).isNullAt(1) && back(2L).getDouble(2) === 5.0)
+  }
+
   test("ArtifactStore: builds once, reuses on match, rebuilds when the source changes") {
     val src = Files.createTempDirectory("graft-artifact-src").toFile
     val data = new java.io.File(src, "part-0.parquet")
