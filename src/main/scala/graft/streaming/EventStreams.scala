@@ -139,7 +139,15 @@ object EventStreams {
     * idle timer itself (an idle key always flushes), so no watermark is
     * declared. Caveat inherent to processing time: a genuinely late
     * event after a flush opens a NEW session rather than extending the
-    * flushed one. */
+    * flushed one.
+    *
+    * Operational notes: run this sink with a real trigger interval
+    * (`Trigger.ProcessingTime(...)`) — armed processing-time timers make
+    * the engine schedule timer-check batches continuously, and the
+    * default as-fast-as-possible trigger busy-spins empty micro-batches.
+    * For the same reason `processAllAvailable()` never returns on this
+    * stream (the engine always reports another batch pending); poll the
+    * sink or use awaitTermination with a timeout instead. */
   def sessionizeIdleFlush(events: Dataset[Event],
                           gapMs: Long = 30L * 60 * 1000,
                           idleMs: Long = 1000L): Dataset[SessionSummary] = {
