@@ -1,0 +1,140 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.{lit, pmod}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** KMV (k-minimum-values) distinct-count sketch — the ENGINE-PORTABLE
+  * cardinality estimator that lets q27 answer to a DuckDB oracle, the
+  * same portability move that took MinHash/SimHash (q73/q74) from
+  * rows-only to hash-green. `approx_count_distinct`'s HyperLogLog is
+  * engine-private (its buckets can't be replayed in SQL); KMV's entire
+  * state is "the k smallest distinct hash values", which any engine
+  * reproduces with `ROW_NUMBER() OVER (ORDER BY hash) <= k`.
+  *
+  * Estimator (Bar-Yossef et al., "Counting distinct elements in a data
+  * stream", RANDOM 2002): with h uniform on [0, P), the k-th smallest of
+  * n distinct hashes sits near k·P/n, so n̂ = (k−1)·P / h₍ₖ₎. Fewer than
+  * k distinct hashes → the sketch IS the distinct set, return its size
+  * exactly. All arithmetic is integer (BIGINT-safe: (k−1)·P < 2⁴¹ and
+  * both engines truncate positive division identically), so the oracle
+  * matches bit-for-bit, not approximately.
+  *
+  * Relative error ~1/√k ≈ 3% at the default k=1024; the ScalaTest suite
+  * bounds it against the exact count. Same 100 TB story as HLL: constant
+  * memory per group (k longs), map-side combinable (merge = union+trim,
+  * associative and commutative), shuffle carries one sketch per group.
+  */
+object Kmv {
+  val K = 1024
+  val P: Long = PolyHash.P // 2^31 - 1
+
+  /** Portable integer hash into [0, P): an affine spread (the PolyHash
+    * mix constants) followed by a modular square for non-linearity —
+    * an affine-only map of a DENSE key domain (partkeys are 1..N) walks
+    * an arithmetic progression mod P whose min-k is far from uniform,
+    * which would bias the estimator; squaring breaks the progression.
+    * Every intermediate fits a signed 64-bit integer ((x mod P) < 2³¹,
+    * ·MixA < 2⁶¹; u² < 2⁶²; (u² mod P)·M1 < 2³⁸), so DuckDB replays it
+    * with plain BIGINT `%` arithmetic — no overflow semantics to match.
+    */
+  def hashCol(x: Column): Column = {
+    val u = (pmod(x.cast(LongType), lit(P)) * lit(PolyHash.MixA) + lit(PolyHash.MixB)) % lit(P)
+    ((u * u) % lit(P) * lit(PolyHash.M1) + u) % lit(P)
+  }
+
+  /** The same hash as [[hashCol]] for a DuckDB oracle, as a SQL fragment
+    * over `xExpr` (oracle side CASTs to BIGINT first — parquet may have
+    * surfaced the key as INT32, whose product would overflow). */
+  def hashSql(xExpr: String): String = {
+    val u = s"(((CAST($xExpr AS BIGINT) % $P) * ${PolyHash.MixA} + ${PolyHash.MixB}) % $P)"
+    s"(($u * $u) % $P * ${PolyHash.M1} + $u) % $P"
+  }
+}
+
+/** The sketch as a single `TypedImperativeAggregate` (same shape as
+  * [[MinHashAgg]]): buffer = bounded sorted set of the k smallest
+  * DISTINCT hash values; update inserts-if-smaller; merge unions and
+  * trims back to k. Input: the [[Kmv.hashCol]] hash (bigint in [0, P)).
+  * Output: the estimated distinct count as a bigint.
+  */
+case class KmvAgg(
+    child: Expression,
+    k: Int = Kmv.K,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  def this(child: Expression) = this(child, Kmv.K, 0, 0)
+
+  override def prettyName: String = "graft_kmv"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last) {
+      // add returns false when h is already present — only then does the
+      // set NOT grow, so only a true add evicts the current maximum
+      if (buf.add(h)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      a: java.util.TreeSet[java.lang.Long],
+      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) insert(a, it.next())
+    a
+  }
+
+  /** n < k: the sketch saw every distinct hash — exact. Otherwise
+    * (k−1)·P / h₍ₖ₎ with positive integer division (bit-identical to the
+    * oracle's `//`). h₍ₖ₎ > 0 always: the k kept values are distinct
+    * non-negatives, so the LARGEST of them is ≥ k−1 ≥ 1. */
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    else ((k - 1).toLong * Kmv.P) / buf.last
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { out.add(bb.getLong()); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+    copy(child = newChild)
+}

@@ -96,6 +96,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => new MinHashAgg(Cast(exprs.head, LongType))),
     ("graft_simhash", classOf[SimHashAgg],
       (exprs: Seq[Expression]) => new SimHashAgg(Cast(exprs.head, LongType))),
+    ("graft_kmv", classOf[KmvAgg],
+      (exprs: Seq[Expression]) => new KmvAgg(Cast(exprs.head, LongType))),
     ("graft_shingles", classOf[ShingleHashes],
       (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))),
     ("graft_shingles_poly", classOf[ShinglePolyHashes],

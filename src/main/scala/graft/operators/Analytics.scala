@@ -206,17 +206,52 @@ object Analytics extends QueryModule {
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey NULLS FIRST""".stripMargin
 
-  /** approx_count_distinct (HLL sketch): the 100 TB cardinality path —
-    * constant memory per group vs the exact expansion above. Sketch
-    * internals differ per engine, so no SQL oracle (rows-only check);
-    * the ScalaTest suite bounds its error against the exact count. */
+  /** Approximate distinct count: the 100 TB cardinality path — constant
+    * memory per group vs the exact expansion above. A KMV (k-minimum-
+    * values) sketch over the engine-portable hash family
+    * ([[graft.functions.Kmv]]) rather than `approx_count_distinct`'s
+    * HyperLogLog: identical scale story (bounded buffer, map-side
+    * combinable, one sketch per group through the shuffle), but the
+    * sketch state is REPLAYABLE in plain SQL, so the DuckDB oracle
+    * certifies the estimate bit-for-bit (the r8 MinHash/SimHash
+    * portability move applied to cardinality). The exact count rides
+    * along so the estimate's error is visible in the output. */
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
+    li.select(col("l_returnflag"), col("l_partkey"),
+        graft.functions.Kmv.hashCol(col("l_partkey")).as("h"))
+      .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("graft_kmv(h)").as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** DuckDB replay of the KMV sketch: same hash, `ROW_NUMBER() <= k`
+    * keeps the k minimum distinct values, same integer estimate. */
+  private val approxDistinctPartsSql = {
+    val k = graft.functions.Kmv.K
+    val p = graft.functions.Kmv.P
+    s"""WITH u AS (
+       |  SELECT l_returnflag, ${graft.functions.Kmv.hashSql("l_partkey")} AS h
+       |  FROM lineitem WHERE l_partkey IS NOT NULL),
+       |h AS (SELECT DISTINCT l_returnflag, h FROM u),
+       |r AS (SELECT l_returnflag, h,
+       |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+       |        COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+       |      FROM h),
+       |k AS (SELECT l_returnflag, ANY_VALUE(nd) AS nd,
+       |        MAX(CASE WHEN rn = $k THEN h END) AS kth
+       |      FROM r WHERE rn <= $k GROUP BY l_returnflag),
+       |e AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts
+       |      FROM lineitem GROUP BY l_returnflag)
+       |SELECT e.l_returnflag,
+       |  COALESCE(CASE WHEN k.nd < $k THEN k.nd
+       |                ELSE (CAST(${k - 1} AS BIGINT) * $p) // k.kth END,
+       |           0) AS approx_parts,
+       |  e.exact_parts
+       |FROM e LEFT JOIN k ON e.l_returnflag IS NOT DISTINCT FROM k.l_returnflag
+       |ORDER BY e.l_returnflag NULLS FIRST""".stripMargin
   }
 
   /** String functions (§2.10): split/lower/substring/concat/regexp. */
@@ -450,76 +485,115 @@ object Analytics extends QueryModule {
     * value->count buffer. */
   val P25Bins = 10000
 
-  def p25PriceBucketedOf(li: DataFrame): DataFrame = {
-    val rows = li.select(col("l_returnflag"), col("l_extendedprice").as("v"))
+  /** Generalized multi-percentile form of the bucketed algorithm above:
+    * one histogram pass serves ANY list of percentiles over the same
+    * (group, value) pair — the targets table just carries every wanted
+    * order statistic. Returns (groupCol, <name per requested p>). This is
+    * the q18 implementation (bounded state, oracle-certified) and the
+    * engine behind [[p25PriceBucketedOf]]. */
+  def bucketedPercentilesOf(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val rows = df.select(col(groupCol).as("gk"), col(valueCol).as("v"))
       .filter(col("v").isNotNull)
-    val stats = rows.groupBy(col("l_returnflag"))
+    val base = rows.groupBy(col("gk"))
       .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
            count(lit(1)).as("n"))
-      .withColumn("pos", (col("n") - 1).cast(DoubleType) * lit(0.25))
-      .withColumn("lo_rank", floor(col("pos")).cast(LongType))
-      .withColumn("hi_rank", ceil(col("pos")).cast(LongType))
       .withColumn("width", (col("vmax") - col("vmin")) / lit(P25Bins.toDouble))
+    val stats = ps.zipWithIndex.foldLeft(base) { case (acc, ((_, p), i)) =>
+      acc.withColumn(s"pos_$i", (col("n") - 1).cast(DoubleType) * lit(p))
+        .withColumn(s"lo_$i", floor(col(s"pos_$i")).cast(LongType))
+        .withColumn(s"hi_$i", ceil(col(s"pos_$i")).cast(LongType))
+    }
     // group keys may be NULL: every stats join below is null-safe (<=>)
     // on a renamed key, mirroring the q26/q35 branch-join contract
-    val statsB = broadcast(stats.withColumnRenamed("l_returnflag", "g"))
+    val statsB = broadcast(stats.withColumnRenamed("gk", "g"))
     def binOf(v: Column): Column =
       when(col("width") === 0d, lit(0L))
         .otherwise(least(floor((v - col("vmin")) / col("width")).cast(LongType),
                          lit(P25Bins - 1L)))
     val withBin = rows
       .join(statsB.select(col("g"), col("vmin"), col("width")),
-            col("l_returnflag") <=> col("g"))
-      .select(col("l_returnflag"), col("v"), binOf(col("v")).as("bin"))
-    val hist = withBin.groupBy(col("l_returnflag"), col("bin"))
+            col("gk") <=> col("g"))
+      .select(col("gk"), col("v"), binOf(col("v")).as("bin"))
+    val hist = withBin.groupBy(col("gk"), col("bin"))
       .agg(count(lit(1)).as("c"))
-    val wcum = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+    val wcum = Window.partitionBy(col("gk")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist.withColumn("cum_before", coalesce(sum(col("c")).over(wcum), lit(0L)))
-    // one target row per wanted order statistic (p25 needs two)
-    val targets = stats.select(col("l_returnflag").as("g"),
-        explode(array(col("lo_rank"), col("hi_rank"))).as("t"))
+    // one target row per wanted order statistic (each p needs two)
+    val targets = stats.select(col("gk").as("g"),
+        explode(array(ps.indices.flatMap(i =>
+          Seq(col(s"lo_$i"), col(s"hi_$i"))): _*)).as("t"))
       .distinct()
     val cand = cum.join(broadcast(targets),
-        col("l_returnflag") <=> col("g") &&
+        col("gk") <=> col("g") &&
         col("t") >= col("cum_before") && col("t") < col("cum_before") + col("c"))
       .select(col("g"), col("t"), col("bin").as("cbin"), col("cum_before"))
     // refine: only rows in a straddling bin are ever sorted, and the
     // window partitions are (group, target) — ~n/bins rows each
     val wrank = Window.partitionBy(col("g"), col("t")).orderBy(col("v"))
     val picked = withBin.join(broadcast(cand),
-        col("l_returnflag") <=> col("g") && col("bin") === col("cbin"))
+        col("gk") <=> col("g") && col("bin") === col("cbin"))
       .withColumn("rn", row_number().over(wrank).cast(LongType) - 1L)
       .filter(col("rn") === col("t") - col("cum_before"))
       .select(col("g"), col("t"), col("v"))
-    val p25 = picked.join(
-        statsB.select(col("g").as("g2"), col("pos"), col("lo_rank"), col("hi_rank")),
+    val perP = ps.indices.flatMap { i => Seq(
+      min(when(col("t") === col(s"lo_$i"), col("v"))).as(s"vlo_$i"),
+      min(when(col("t") === col(s"hi_$i"), col("v"))).as(s"vhi_$i"),
+      first(col(s"pos_$i")).as(s"fpos_$i"),
+      first(col(s"lo_$i")).as(s"flo_$i"),
+      first(col(s"hi_$i")).as(s"fhi_$i")) }
+    val out = picked.join(
+        statsB.select(col("g").as("g2") +: ps.indices.flatMap(i =>
+          Seq(col(s"pos_$i"), col(s"lo_$i"), col(s"hi_$i"))): _*),
         col("g") <=> col("g2"))
       .groupBy(col("g"))
-      .agg(
-        min(when(col("t") === col("lo_rank"), col("v"))).as("vlo"),
-        min(when(col("t") === col("hi_rank"), col("v"))).as("vhi"),
-        first(col("pos")).as("pos"),
-        first(col("lo_rank")).as("lo"),
-        first(col("hi_rank")).as("hi"))
-      .select(col("g"),
-        when(col("lo") === col("hi"), col("vlo"))
-          .otherwise((col("hi") - col("pos")) * col("vlo") +
-                     (col("pos") - col("lo")) * col("vhi")).as("p25_price"))
+      .agg(perP.head, perP.tail: _*)
+      .select(col("g") +: ps.zipWithIndex.map { case ((name, _), i) =>
+        when(col(s"flo_$i") === col(s"fhi_$i"), col(s"vlo_$i"))
+          .otherwise((col(s"fhi_$i") - col(s"fpos_$i")) * col(s"vlo_$i") +
+                     (col(s"fpos_$i") - col(s"flo_$i")) * col(s"vhi_$i")).as(name)
+      }: _*)
     // a group whose values are ALL null has no stats row, but the plain
-    // percentile still emits it (with a NULL p25) — preserve such groups
+    // percentile still emits it (with NULL stats) — preserve such groups
     // with a left join from the full group universe
-    li.select(col("l_returnflag")).distinct()
-      .join(p25, col("l_returnflag") <=> col("g"), "left")
-      .select(col("l_returnflag"), col("p25_price"))
+    df.select(col(groupCol)).distinct()
+      .join(out, col(groupCol) <=> col("g"), "left")
+      .select(col(groupCol) +: ps.map { case (name, _) => col(name) }: _*)
   }
 
-  /** Sketch-based twin of [[quantityPercentiles]] — the 100 TB variant.
+  def p25PriceBucketedOf(li: DataFrame): DataFrame =
+    bucketedPercentilesOf(li, "l_returnflag", "l_extendedprice",
+      Seq(("p25_price", 0.25)))
+
+  /** q18: the bounded-state percentile — [[bucketedPercentilesOf]] over
+    * the same three statistics as q35. Unlike the Greenwald-Khanna
+    * sketch ([[approxQuantityPercentiles]], which stays in the library
+    * as the one-pass alternative), the bucketed form is EXACT — bit-
+    * identical to the plain percentile (SemanticsSpec pins it), so the
+    * plain QUANTILE_CONT oracle certifies it hash-green — while keeping
+    * the 100 TB property the plain form lacks: per-group state is ≤
+    * [[P25Bins]] histogram rows, never a value buffer proportional to
+    * the group. */
+  def bucketedQuantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qty = bucketedPercentilesOf(li, "l_returnflag", "l_quantity",
+      Seq(("median_qty", 0.5), ("p90_qty", 0.9)))
+    val price = bucketedPercentilesOf(li, "l_returnflag", "l_extendedprice",
+      Seq(("p25_price", 0.25)))
+    qty.join(price, qty("l_returnflag") <=> price("l_returnflag"))
+      .select(qty("l_returnflag"), col("median_qty"), col("p90_qty"), col("p25_price"))
+      .orderBy(qty("l_returnflag"))
+  }
+
+  /** Sketch-based twin of [[quantityPercentiles]] / the bucketed q18.
     * `approx_percentile` (Greenwald-Khanna) is a bounded-memory,
     * map-side-combinable sketch: one pass, no per-group sort, mergeable
-    * partials — exactly what replaces q35's sort-heavy exact percentile
-    * at scale. Sketch internals are engine-specific, so this is rows-only;
-    * the suite bounds its error against the exact percentile. */
+    * partials. Sketch internals are engine-specific (not oracle-
+    * replayable), so q18 ships the bucketed exact form instead; this
+    * stays as the one-pass library alternative, error-bounded against
+    * the exact percentile in the suite. */
   def approxQuantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
@@ -633,7 +707,7 @@ object Analytics extends QueryModule {
     GraftQuery("q24_rollup_customer_value", rollupCustomerValue, Some(rollupCustomerValueSql)),
     GraftQuery("q25_cube_order_status", cubeOrderStatus, Some(cubeOrderStatusSql)),
     GraftQuery("q26_distinct_parts_per_nation", distinctPartsPerNation, Some(distinctPartsPerNationSql)),
-    GraftQuery("q27_approx_distinct_parts", approxDistinctParts, None),
+    GraftQuery("q27_approx_distinct_parts", approxDistinctParts, Some(approxDistinctPartsSql)),
     GraftQuery("q28_string_functions", stringFunctions, Some(stringFunctionsSql)),
     GraftQuery("q29_orders_by_month", ordersByMonth, Some(ordersByMonthSql)),
     GraftQuery("q30_json_payload_stats", jsonPayloadStats, Some(jsonPayloadStatsSql)),
@@ -641,7 +715,7 @@ object Analytics extends QueryModule {
     GraftQuery("q32_first_last_order", firstLastOrder, Some(firstLastOrderSql)),
     GraftQuery("q33_grouping_sets", groupingSetsTotals, Some(groupingSetsTotalsSql)),
     GraftQuery("q34_map_functions", mapFunctions, Some(mapFunctionsSql)),
-    GraftQuery("q18_approx_percentiles", approxQuantityPercentiles, None),
+    GraftQuery("q18_approx_percentiles", bucketedQuantityPercentiles, Some(quantityPercentilesSql)),
     GraftQuery("q35_percentiles", quantityPercentiles, Some(quantityPercentilesSql)),
     GraftQuery("q36_correlations", priceCorrelations, Some(priceCorrelationsSql)),
     GraftQuery("q37_status_pivot", statusPriorityPivot, Some(statusPriorityPivotSql)),

@@ -87,13 +87,33 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("approx_count_distinct stays within 10% of exact") {
+  test("KMV distinct sketch stays within 10% of exact (q27)") {
     Analytics.approxDistinctParts(spark, sf001).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact < 0.10,
         s"flag ${r.getString(0)}: approx $approx vs exact $exact")
     }
+  }
+
+  test("KMV sketch is exact below k, and duplicates never inflate it") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    // 100 distinct keys, each seen 5 times: well under k=1024, so the
+    // sketch holds the whole distinct hash set and must answer exactly
+    val df = (1 to 500).map(i => ("g", (i % 100).toLong + 1L)).toDF("g", "k")
+    val out = df.select($"g", graft.functions.Kmv.hashCol($"k").as("h"))
+      .groupBy($"g").agg(expr("graft_kmv(h)").as("n"))
+      .collect()
+    assert(out.head.getLong(1) === 100L)
+    // above k the estimate engages; with 50k dense keys it must land
+    // within the ~1/sqrt(k) band (generous 4-sigma bound: 12.5%)
+    val big = (1 to 50000).map(i => ("g", i.toLong)).toDF("g", "k")
+    val est = big.select($"g", graft.functions.Kmv.hashCol($"k").as("h"))
+      .groupBy($"g").agg(expr("graft_kmv(h)").as("n"))
+      .collect().head.getLong(1).toDouble
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.125, s"estimate $est")
   }
 
   /** 500 copies of one stop-phrase text (every shingle/bucket shared by
@@ -412,6 +432,18 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .toDF("l_returnflag", "l_extendedprice")
     assert(bucketed(edge) === plain(edge))
     assert(bucketed(edge).contains(Some("Z")))
+  }
+
+  test("bucketed q18 is bit-identical to the plain exact percentiles (q35)") {
+    // the generalized multi-percentile path (median+p90 qty, p25 price)
+    // must reproduce q35's plain-percentile answer bit-for-bit — this is
+    // what lets q18 share q35's QUANTILE_CONT oracle
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => Option(r.get(0)) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    val got = rows(Analytics.bucketedQuantityPercentiles(spark, sf001))
+    val want = rows(Analytics.quantityPercentiles(spark, sf001))
+    assert(got === want)
   }
 
   test("q77 transitivity: A~B and B~C puts A,B,C in one cluster though A!~C") {

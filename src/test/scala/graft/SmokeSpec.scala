@@ -25,8 +25,10 @@ class SmokeSpec extends AnyFunSuite with SparkSpec {
     // (q128 joined in r7: zlib bytes are engine-specific, like the hashes)
     // (q73/q74 LEFT in r8: the engine-portable multiplicative hash family
     // made the MinHash/SimHash signatures recomputable in DuckDB SQL)
-    assert(rowsOnly === Set("q18_approx_percentiles", "q27_approx_distinct_parts",
-      "q92_decode_features", "q128_compression_signal"))
+    // (q27 LEFT in r10: portable KMV sketch, oracle replays the min-k set;
+    // q18 LEFT in r10: the bucketed exact percentile is bit-equal to plain,
+    // so it shares q35's QUANTILE_CONT oracle)
+    assert(rowsOnly === Set("q92_decode_features", "q128_compression_signal"))
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
