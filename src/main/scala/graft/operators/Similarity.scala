@@ -941,7 +941,7 @@ object Similarity extends QueryModule {
     * write-once half of the production split the q107 docstring promises:
     * train/encode pays its corpus passes ONCE here, and every q109 search
     * after it is just broadcast gate + LUT joins against these tables. */
-  private def writeIvfPqIndex(emb: DataFrame, base: String): Unit = {
+  private[graft] def writeIvfPqIndex(emb: DataFrame, base: String): Unit = {
     val cellModel = kmeansModelOf(emb)
     val pqModel = pqModelOf(emb)
     val cells = kmAssign(kmVectors(emb), cellModel, carryVector = false)

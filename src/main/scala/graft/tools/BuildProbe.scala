@@ -1,0 +1,137 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Dev probe for the two BUILD operators (q129 near-dup artifact, q108
+  * IVF-PQ index) — the jobs that dominate a 100 TB deployment, which the
+  * query-shape ScaleProbe does not cover. Times the end-to-end build on
+  * N shifted copies of the sf corpus (doc/vec ids shifted per copy so
+  * distinct-entity cardinality grows with the data, like a real larger
+  * corpus), plus a stage breakdown of the near-dup build at 1× so the
+  * expensive stage is measured, not guessed. Not part of the library
+  * surface.
+  *
+  * Usage: runMain graft.tools.BuildProbe [sfDir] [copies] [probe...]
+  */
+object BuildProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(1)
+    val only = args.drop(2).toSeq
+    val spark = graft.GraftSession.get("graft-build-probe")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def docsN: DataFrame = {
+      val d = Tables.documents(spark, dir)
+      if (copies == 1) d
+      else (1 to copies).map(i =>
+        // shift ids AND make each copy's text distinct (a suffix token):
+        // an unshifted-text replica would be one giant exact-dup group
+        // per source doc, which is a DIFFERENT corpus shape than "N×
+        // more documents" (kept as its own probe below)
+        d.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" probecopy$i")))
+      ).reduce(_ unionByName _)
+    }
+
+    def embN: DataFrame = {
+      val e = Tables.embeddings(spark, dir)
+      if (copies == 1) e
+      else (1 to copies).map(i =>
+        e.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+      ).reduce(_ unionByName _)
+    }
+
+    def clearCaches(): Unit = {
+      graft.functions.ScopedCache.clear(blocking = true)
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    def rmrf(path: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rec); f.delete(); ()
+      }
+      rec(new java.io.File(path))
+    }
+
+    def timeWith(name: String, clear: Boolean)(f: => Long): Unit =
+      if (only.isEmpty || only.exists(name.startsWith)) {
+        if (clear) clearCaches()
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[build] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
+
+    def time(name: String)(f: => Long): Unit = timeWith(name, clear = true)(f)
+    // stage timings are INCREMENTAL in build order (shared scoped
+    // caches), exactly like the real build body — no clearing between
+    def stage(name: String)(f: => Long): Unit = timeWith(name, clear = false)(f)
+
+    // ---- near-dup artifact build (q129 shape), end to end -------------
+    time(s"neardup_build_${copies}x") {
+      val base = "/tmp/graft_probe_neardup"
+      rmrf(base)
+      graft.operators.Dedup.writeNeardupArtifactOf(docsN, base)
+      spark.read.parquet(s"$base/doc_labels").count()
+    }
+
+    // exact-dup-heavy variant: N verbatim copies (every doc becomes a
+    // group of N exact duplicates) — exercises the weighted-gate path
+    // and the derived blow-up under real duplication
+    if (copies > 1) time(s"neardup_build_dups_${copies}x") {
+      val d = Tables.documents(spark, dir)
+      val dup = (1 to copies).map(i =>
+        d.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      ).reduce(_ unionByName _)
+      val base = "/tmp/graft_probe_neardup_dups"
+      rmrf(base)
+      graft.operators.Dedup.writeNeardupArtifactOf(dup, base)
+      spark.read.parquet(s"$base/doc_labels").count()
+    }
+
+    // ---- near-dup build stage breakdown (1× semantics, any N) ---------
+    {
+      clearCaches()
+      val pairsPath = "/tmp/graft_probe_neardup_stage_pairs"
+      val docs = docsN
+      var survivors: DataFrame = null
+      var labels: DataFrame = null
+      stage(s"neardup_stage_survivors_${copies}x") {
+        survivors = graft.operators.Dedup.exactSurvivors(docs)
+        survivors.write.format("noop").mode("overwrite").save()
+        survivors.count()
+      }
+      stage(s"neardup_stage_pairs_${copies}x") {
+        // written then read back, like the real build body
+        graft.operators.Dedup.jaccardPairsUnsorted(
+            survivors.select(col("doc_id"), col("text")),
+            scope = "dedup.purge.shingles")
+          .write.mode("overwrite").parquet(pairsPath)
+        spark.read.parquet(pairsPath).count()
+      }
+      stage(s"neardup_stage_cluster_${copies}x") {
+        labels = graft.operators.Dedup.clusterLabels(
+          spark.read.parquet(pairsPath).select(col("doc_a"), col("doc_b")))._1
+        labels.count()
+      }
+      stage(s"neardup_stage_rawlabels_${copies}x") {
+        graft.operators.Dedup.rawLabelsViaSurvivors(docs, survivors, labels)
+          .count()
+      }
+    }
+
+    // ---- IVF-PQ index build (q108 shape), end to end ------------------
+    time(s"ivfpq_build_${copies}x") {
+      val base = "/tmp/graft_probe_ivfpq"
+      rmrf(base)
+      graft.operators.Similarity.writeIvfPqIndex(embN, base)
+      spark.read.parquet(s"$base/codes").count()
+    }
+
+    spark.stop()
+  }
+}

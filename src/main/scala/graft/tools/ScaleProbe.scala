@@ -159,7 +159,8 @@ object ScaleProbe {
       val pairs = spark.range(1, n)
         .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
       val t0 = System.nanoTime()
-      val (labels, iters) = graft.operators.Dedup.clusterLabels(pairs)
+      // smallCutoff = 0: probe the distributed propagation itself
+      val (labels, iters) = graft.operators.Dedup.clusterLabels(pairs, smallCutoff = 0)
       val resolved = labels.filter(col("label") === 1).count()
       require(resolved == n, s"chain of $n resolved $resolved to min label")
       println(f"[scale] q77 chain n=$n%-5d iters=$iters ${(System.nanoTime() - t0) / 1e9}%8.2f s")

@@ -107,7 +107,8 @@ object SkewProbe {
       val star = spark.range(2L, leaves + 2L)
         .select(lit(1L).as("doc_a"), $"id".as("doc_b"))
       val t0 = System.nanoTime()
-      val (labels, iters) = graft.operators.Dedup.clusterLabels(star)
+      // smallCutoff = 0: probe the distributed propagation itself
+      val (labels, iters) = graft.operators.Dedup.clusterLabels(star, smallCutoff = 0)
       val resolved = labels.filter($"label" === 1L).count()
       require(resolved == leaves + 1,
         s"star of $leaves leaves resolved $resolved nodes to the hub label")

@@ -446,6 +446,52 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("derived raw-corpus labels match the direct raw pipeline on duplicate-heavy corpora") {
+    val session = spark
+    import session.implicits._
+    // the fixture has zero exact duplicates, so the artifact build's
+    // derived doc_labels path (r10) needs constructed corpora: with
+    // duplicates below the DF gate (fast path: survivor labels reused),
+    // and with a duplicate group big enough that the RAW document
+    // frequency of a shingle crosses MaxShingleDF while the survivor
+    // frequency does not (slow path: re-gated pair graph)
+    def direct(docs: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.clusterLabels(
+        operators.Dedup.ngramJaccardPairsOf(docs).select($"doc_a", $"doc_b"))._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def derived(docs: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.rawLabelsOf(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val clique = (3001L to 3005L).map(i => (i, "zebra quokka axolotl wombat capybara"))
+    val nearDup = Seq(
+      (4001L, "lemur pangolin tapir okapi narwhal"),
+      (4002L, "lemur pangolin tapir okapi gibbon"))
+    val shortDupes = Seq((5001L, "aa bb"), (5002L, "aa bb"))
+
+    // fast path: 5-copy exact group (clique labels), a near-dup pair,
+    // and a shingle-less duplicate group (must stay unlabeled)
+    val mild = (clique ++ nearDup ++ shortDupes).toDF("doc_id", "text")
+    val mildDirect = direct(mild)
+    assert(mildDirect === (3001L to 3005L).map(_ -> 3001L).toSet +
+      (4001L -> 4001L) + (4002L -> 4001L))
+    assert(derived(mild) === mildDirect)
+
+    // slow path: 99 exact copies of the 4-token base push its two
+    // shingles to raw DF 101 (> MaxShingleDF=100) while the survivor
+    // DF stays 3 — in the raw universe the base group and its two
+    // near-extensions lose ALL shared evidence and must be unlabeled,
+    // even though the SURVIVOR pipeline clusters them
+    val base = (1000L to 1098L).map(i => (i, "w1 w2 w3 w4"))
+    val ext = Seq((2001L, "w1 w2 w3 w4 aa"), (2002L, "w1 w2 w3 w4 bb"))
+    val crossing = (base ++ ext ++ clique ++ nearDup).toDF("doc_id", "text")
+    val crossDirect = direct(crossing)
+    assert(crossDirect === (3001L to 3005L).map(_ -> 3001L).toSet +
+      (4001L -> 4001L) + (4002L -> 4001L))
+    assert(!crossDirect.exists(_._1 == 2001L))
+    assert(derived(crossing) === crossDirect)
+  }
+
   test("q77 transitivity: A~B and B~C puts A,B,C in one cluster though A!~C") {
     val session = spark
     import session.implicits._
@@ -475,7 +521,9 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val chain = (1L until 64L).map(i => (i, i + 1))
     val pairs = (chain ++ Seq((100L, 101L), (103L, 100L), (101L, 103L)))
       .toDF("doc_a", "doc_b")
-    val (labels, iters) = Dedup.clusterLabels(pairs)
+    // smallCutoff = 0: this test pins the DISTRIBUTED pointer-jumping
+    // path, which the small-graph union-find fast path would bypass
+    val (labels, iters) = Dedup.clusterLabels(pairs, smallCutoff = 0)
     val m = labels.as[(Long, Long)].collect().toMap
     assert((1L to 64L).forall(m(_) == 1L))
     assert(Seq(100L, 101L, 103L).forall(m(_) == 100L))
