@@ -14,9 +14,12 @@ import java.io.File
   * Spark writer's `_SUCCESS` marker (a crashed partial write rebuilds)
   * AND the `_signature` stamp matches the current source directory's
   * file listing (name, length, mtime of every data file). The signature
-  * is metadata-only — no data is read to validate — and is written LAST,
-  * after all tables, so a crash between table writes and the stamp also
-  * rebuilds.
+  * is metadata-only — no data is read to validate. Builds run in a
+  * process-private staging dir and PUBLISH with an atomic directory
+  * rename (r10), so the live path never holds a partial artifact: a
+  * crash at any point leaves either the previous complete generation or
+  * a dead staging dir the next build sweeps, and concurrent builder
+  * JVMs can race without corruption (last complete publish wins).
   *
   * Path keying appends a hash of the FULL raw dir string to the
   * sanitized name: the sanitizer alone mapped distinct dirs (`/a/b` vs
@@ -63,23 +66,78 @@ object ArtifactStore {
 
   /** Per-artifact-path JVM-local build locks: two concurrent consumers
     * of the same invalid artifact (e.g. q77 and q78 in a parallel
-    * harness) must not interleave their parquet writes. The signature
-    * stamp alone is crash-safe but not race-safe. Cross-JVM races are
-    * out of scope (the driver runs one JVM; a shared multi-writer store
-    * would need a filesystem lease, not a JVM monitor). */
+    * harness) in ONE JVM must not build twice. Cross-JVM safety comes
+    * from the staging-dir publish below, not from this monitor: two
+    * processes may both pay a build (wasted work, not corruption), but a
+    * half-written artifact is never at the live path, so `valid()` can
+    * never admit one. */
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def lockFor(base: String): Object =
     buildLocks.computeIfAbsent(base, _ => new Object)
 
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Reap finished or crashed builders' leftovers next to `base`:
+    * retired generations (`.old.`) are always garbage; staging dirs
+    * (`.tmp.<pid>.<nonce>`) are garbage only when their builder process
+    * is no longer alive — a LIVE foreign builder's staging dir is its
+    * private workspace and must be left alone. */
+  private def sweepLeftovers(base: String): Unit = {
+    val b = new File(base)
+    Option(b.getParentFile.listFiles()).toSeq.flatten.foreach { f =>
+      val n = f.getName
+      if (n.startsWith(b.getName + ".old.")) deleteRecursively(f)
+      else if (n.startsWith(b.getName + ".tmp.")) {
+        val pid = n.drop(b.getName.length + 5).takeWhile(_ != '.')
+        val alive = scala.util.Try(
+          ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false)
+        ).getOrElse(false)
+        if (!alive) deleteRecursively(f)
+      }
+    }
+  }
+
+  /** Build into a process-private STAGING dir and publish with an atomic
+    * directory rename — the cross-process hardening: the live path only
+    * ever holds a COMPLETE, stamped artifact (or nothing), so a
+    * concurrent Verify/Bench JVM can never `valid()` a half-written one,
+    * and a crash mid-build leaves only a dead staging dir the next build
+    * sweeps. Publish order: stamp staging → retire the old generation
+    * (atomic rename aside) → move staging in (atomic rename) → delete
+    * the retired dir. If another process publishes in the tiny window
+    * between retire and move, its artifact is complete by the same
+    * invariant — ours is dropped, theirs kept. */
   private def buildAndStamp(base: String, dir: String)
                            (build: String => Unit): Unit = {
-    stampFile(base).delete() // invalidate first: crash mid-build rebuilds
-    build(base)
-    java.nio.file.Files.createDirectories(new File(base).toPath)
-    java.nio.file.Files.write(stampFile(base).toPath,
-      (signature(dir) + "\n").getBytes("UTF-8"))
+    sweepLeftovers(base)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new File(s"$base.tmp.${ProcessHandle.current().pid()}.$nonce")
+    try {
+      build(staging.getAbsolutePath)
+      java.nio.file.Files.createDirectories(staging.toPath)
+      java.nio.file.Files.write(stampFile(staging.getAbsolutePath).toPath,
+        (signature(dir) + "\n").getBytes("UTF-8"))
+      val target = new File(base)
+      val retired = new File(s"$base.old.$nonce")
+      if (target.exists())
+        java.nio.file.Files.move(target.toPath, retired.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      try
+        java.nio.file.Files.move(staging.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(staging)
+      }
+      deleteRecursively(retired)
+    } catch {
+      case t: Throwable => deleteRecursively(staging); throw t
+    }
   }
 
   /** Run `build` unless a valid artifact already exists; stamp the source

@@ -187,21 +187,71 @@ object ProtoSerde {
     def result(): Array[Byte] = java.util.Arrays.copyOf(a, n)
   }
 
-  private def writeRow(buf: WireBuf, fields: Seq[ProtoField], row: Row): Unit = {
+  /** proto3 IMPLICIT presence (a field declared without `optional`):
+    * true iff a stock proto3 writer would OMIT this singular scalar
+    * value. Numeric comparison for floats deliberately — stock
+    * implementations test `value != 0`, so -0.0 is omitted (and lost to
+    * +0.0 on read), a documented proto3 wire fact the golden tests pin.
+    * Messages keep explicit presence even in proto3; repeats are
+    * per-element and never reach here. */
+  private def isImplicitDefault(f: ProtoField, v: Any): Boolean =
+    f.payloadType match {
+      case LongType    => v.asInstanceOf[Long] == 0L
+      case IntegerType => v.asInstanceOf[Int] == 0
+      case BooleanType => !v.asInstanceOf[Boolean]
+      case DoubleType  => v.asInstanceOf[Double] == 0.0
+      case FloatType   => v.asInstanceOf[Float] == 0.0f
+      case StringType  => v.asInstanceOf[String].isEmpty
+      case BinaryType  => v.asInstanceOf[Array[Byte]].isEmpty
+      case TimestampType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(v.asInstanceOf[java.sql.Timestamp].toInstant) == 0L
+      case DateType    => v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay == 0L
+      case _ => false
+    }
+
+  /** The value an implicit-presence reader materializes for an absent
+    * singular scalar. */
+  private def implicitDefault(dt: DataType): Any = dt match {
+    case StringType  => ""
+    case LongType    => 0L
+    case IntegerType => 0
+    case BooleanType => false
+    case DoubleType  => 0.0
+    case FloatType   => 0.0f
+    case BinaryType  => Array.empty[Byte]
+    case TimestampType => java.sql.Timestamp.from(java.time.Instant.EPOCH)
+    case DateType    => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(0))
+    case other => throw new IllegalArgumentException(
+      s"no implicit default for ${other.simpleString}")
+  }
+
+  /** `omitDefaults` = proto3 implicit presence: zero-valued singular
+    * scalars leave the wire (recursively — stock writers apply this at
+    * every nesting level). `explicitSlot` exempts oneof members: a set
+    * oneof member has EXPLICIT presence in proto3 and is written even
+    * when zero-valued, else the choice itself would vanish. */
+  private def writeRow(buf: WireBuf, fields: Seq[ProtoField], row: Row,
+      omitDefaults: Boolean = false, explicitSlot: Array[Boolean] = null): Unit = {
     var i = 0
     while (i < fields.length) {
-      if (!row.isNullAt(i)) writeField(buf, fields(i), row.get(i))
+      if (!row.isNullAt(i)) {
+        val f = fields(i); val v = row.get(i)
+        val skip = omitDefaults && !f.repeated &&
+          (explicitSlot == null || !explicitSlot(i)) && isImplicitDefault(f, v)
+        if (!skip) writeField(buf, f, v, omitDefaults)
+      }
       i += 1
     }
   }
 
-  private def writeField(buf: WireBuf, f: ProtoField, v: Any): Unit =
+  private def writeField(buf: WireBuf, f: ProtoField, v: Any,
+      omitDefaults: Boolean = false): Unit =
     if (f.isMap) {
       val it = v.asInstanceOf[scala.collection.Map[Any, Any]].iterator
       while (it.hasNext) {
         val (k, value) = it.next()
         require(k != null, s"null key in map field ${f.name}")
-        writeOne(buf, f, Row(k, value)) // one entry message per pair
+        writeOne(buf, f, Row(k, value), omitDefaults) // one entry message per pair
       }
     } else if (f.repeated) {
       val it = v.asInstanceOf[scala.collection.Seq[Any]].iterator
@@ -209,11 +259,12 @@ object ProtoSerde {
         val e = it.next()
         require(e != null, s"null element in repeated field ${f.name}: the wire" +
           " format cannot express it and silent drops corrupt positional data")
-        writeOne(buf, f, e)
+        writeOne(buf, f, e, omitDefaults)
       }
-    } else writeOne(buf, f, v)
+    } else writeOne(buf, f, v, omitDefaults)
 
-  private def writeOne(buf: WireBuf, f: ProtoField, v: Any): Unit = {
+  private def writeOne(buf: WireBuf, f: ProtoField, v: Any,
+      omitDefaults: Boolean = false): Unit = {
     buf.varint((f.number.toLong << 3) | f.wireType)
     f.payloadType match {
       case LongType    => buf.varint(v.asInstanceOf[Long])
@@ -234,7 +285,9 @@ object ProtoSerde {
         buf.varint(b.length.toLong); buf.bytes(b, b.length)
       case _: StructType =>
         val sub = new WireBuf(new Array[Byte](64))
-        writeRow(sub, f.children, v.asInstanceOf[Row])
+        // a PRESENT all-defaults message still writes tag + length 0:
+        // message presence is explicit even under proto3
+        writeRow(sub, f.children, v.asInstanceOf[Row], omitDefaults)
         buf.varint(sub.n.toLong); buf.bytes(sub.a, sub.n)
       case other => throw new IllegalArgumentException(s"unsupported: $other")
     }
@@ -483,6 +536,49 @@ object ProtoSerde {
     out
   }
 
+  /** proto3 implicit-presence materialization, applied AFTER decoding
+    * (deliberately not during: the message-merge rule needs null to mean
+    * "unset in this occurrence", or a later occurrence's unset fields
+    * would stomp earlier set ones with zeros). Absent singular scalars
+    * become their zero value at every nesting level — embedded messages,
+    * repeated elements, scalar map values. Absent MESSAGES stay null
+    * (explicit presence even in proto3), and unset oneof members stay
+    * null — zero-filling a cleared member would erase which member of
+    * the group was set. */
+  private def fillDefaults(codec: RecordCodec, out: Array[Any]): Array[Any] = {
+    val fields = codec.fields
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      f.payloadType match {
+        case _: StructType if f.isMap =>
+          val valueField = f.children(1)
+          val entryCodec = codec.childCodecs(i)
+          out(i) = out(i).asInstanceOf[scala.collection.Map[Any, Any]].map {
+            case (k, null) if !valueField.payloadType.isInstanceOf[StructType] =>
+              k -> implicitDefault(valueField.payloadType)
+            case (k, v: Row) if valueField.payloadType.isInstanceOf[StructType] =>
+              k -> fillRow(entryCodec.childCodecs(1), v)
+            case kv => kv
+          }
+        case _: StructType if f.repeated =>
+          out(i) = out(i).asInstanceOf[scala.collection.Seq[Any]]
+            .map(e => fillRow(codec.childCodecs(i), e.asInstanceOf[Row]))
+        case _: StructType =>
+          if (out(i) != null)
+            out(i) = fillRow(codec.childCodecs(i), out(i).asInstanceOf[Row])
+        case _ =>
+          if (!f.repeated && out(i) == null && !codec.oneofPeers.contains(i))
+            out(i) = implicitDefault(f.payloadType)
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def fillRow(codec: RecordCodec, row: Row): Row =
+    Row.fromSeq(fillDefaults(codec, row.toSeq.toArray).toIndexedSeq)
+
   // ---- DataFrame surface (AvroSerde's shape) ----------------------------
 
   /** Serialize every row of `df` to protobuf binary (one `binary` column
@@ -490,10 +586,26 @@ object ProtoSerde {
     * groups of field names with oneof semantics: a row with MORE than one
     * member set is rejected loudly (generated proto classes make that
     * state unrepresentable; a serializer that silently picked one would
-    * hide data loss). */
-  def encode(df: DataFrame, oneofs: Seq[Seq[String]] = Nil): DataFrame = {
+    * hide data loss).
+    *
+    * `implicitPresence = true` selects proto3 IMPLICIT presence (fields
+    * declared without `optional`): zero-valued singular scalars are
+    * OMITTED from the wire like stock proto3 writers omit them, at every
+    * nesting level; pair with the matching [[decode]] flag, which
+    * materializes the zeros back. Message fields and oneof members keep
+    * explicit presence, exactly as the spec does. The default (false) is
+    * the codec's long-standing explicit-presence contract: non-null
+    * values are always written, zeros included, null ⇄ absent. */
+  def encode(df: DataFrame, oneofs: Seq[Seq[String]] = Nil,
+      implicitPresence: Boolean = false): DataFrame = {
     val fields = protoSchema(df.schema)
     val groups = oneofs.map(_.map(n => df.schema.fieldIndex(n)).toArray)
+    val explicitSlot =
+      if (!implicitPresence || oneofs.isEmpty) null
+      else {
+        val a = new Array[Boolean](df.schema.length)
+        groups.foreach(_.foreach(a(_) = true)); a
+      }
     df.mapPartitions { it =>
       val buf = new WireBuf()
       it.map { row =>
@@ -503,7 +615,7 @@ object ProtoSerde {
             s"${g.map(fields(_).name).mkString("{", ",", "}")} are set")
         }
         buf.reset()
-        writeRow(buf, fields, row)
+        writeRow(buf, fields, row, implicitPresence, explicitSlot)
         buf.result()
       }
     }(Encoders.BINARY).toDF("value")
@@ -514,9 +626,14 @@ object ProtoSerde {
     * skipped (forward compat), absent fields decode as null / empty
     * (backward compat). The compatibility gate runs first. `oneofs`
     * groups (by reader field name) apply the spec's oneof parse rule:
-    * the LAST group member on the wire wins and clears the others. */
+    * the LAST group member on the wire wins and clears the others.
+    * `implicitPresence` mirrors [[encode]]'s flag: absent singular
+    * scalars materialize their proto3 zero value (at every nesting
+    * level) instead of null; absent messages stay null and unset oneof
+    * members stay null, as the spec's presence rules say. */
   def decode(bytes: DataFrame, writer: Seq[ProtoField], reader: StructType,
-      oneofs: Seq[Seq[String]] = Nil): DataFrame = {
+      oneofs: Seq[Seq[String]] = Nil,
+      implicitPresence: Boolean = false): DataFrame = {
     val readerFields = readerContract(writer, reader)
     requireCompatible(writer, readerFields)
     // one codec tree per decode call: the row loop allocates no lookup
@@ -525,8 +642,9 @@ object ProtoSerde {
       oneofPeerMap(readerFields, oneofs))
     bytes.select("value").mapPartitions { it =>
       it.map { row =>
+        val out = decodeRecord(row.getAs[Array[Byte]](0), codec)
         Row.fromSeq(
-          decodeRecord(row.getAs[Array[Byte]](0), codec).toIndexedSeq)
+          (if (implicitPresence) fillDefaults(codec, out) else out).toIndexedSeq)
       }
     }(Encoders.row(reader))
   }

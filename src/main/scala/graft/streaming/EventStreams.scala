@@ -135,11 +135,16 @@ object EventStreams {
     * Sessions still merge by EVENT-time gap, but a key's open sessions
     * flush after `idleMs` of processing-time inactivity (no arrivals for
     * the key across micro-batches). This is the shape for unreliable
-    * event time or drain-on-quiesce semantics; state is bounded by the
-    * idle timer itself (an idle key always flushes), so no watermark is
-    * declared. Caveat inherent to processing time: a genuinely late
-    * event after a flush opens a NEW session rather than extending the
-    * flushed one.
+    * event time or drain-on-quiesce semantics; no watermark is declared,
+    * so state is reclaimed by the idle timer alone — which bounds it
+    * only for keys that eventually GO idle. A key receiving events
+    * forever accumulates its gap-separated open sessions indefinitely;
+    * if such hot keys are expected, compose this with a periodic
+    * force-flush (cap the open-session list on update, emitting the
+    * oldest) or prefer [[sessionize]]'s watermark-driven variant, whose
+    * state the event-time watermark bounds unconditionally. Caveat
+    * inherent to processing time: a genuinely late event after a flush
+    * opens a NEW session rather than extending the flushed one.
     *
     * Operational notes: run this sink with a real trigger interval
     * (`Trigger.ProcessingTime(...)`) — armed processing-time timers make

@@ -380,8 +380,98 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
     val err = intercept[Exception] {
       sources.ProtoSerde.encode(both, oneofs = Seq(Seq("a", "b"))).collect()
     }
-    assert(err.getMessage.contains("oneof violation")
-      || err.getCause.getMessage.contains("oneof violation"))
+    // Option-wrapped: a cause-less exception must fail the assertion,
+    // not NPE it
+    assert(Option(err.getMessage).exists(_.contains("oneof violation"))
+      || Option(err.getCause).flatMap(c => Option(c.getMessage))
+           .exists(_.contains("oneof violation")))
+  }
+
+  test("Proto3 implicit presence: zero-valued singular fields leave the wire (S10)") {
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("s", StringType),
+      StructField("b", BooleanType), StructField("d", DoubleType)))
+    val writer = sources.ProtoSerde.protoSchema(schema)
+    def df(rows: Row*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+    def firstBytes(frame: org.apache.spark.sql.DataFrame) =
+      frame.collect().head.getAs[Array[Byte]](0)
+    // golden: the all-defaults record is ZERO bytes, like a stock proto3
+    // writer without `optional`
+    val allZero = Row(0L, "", false, 0.0)
+    assert(firstBytes(sources.ProtoSerde.encode(df(allZero),
+      implicitPresence = true)).isEmpty)
+    // ... while the explicit-presence contract (the default) writes the
+    // zero varint: golden 08 00
+    assert(firstBytes(sources.ProtoSerde.encode(df(Row(0L, null, null, null))))
+      .map(_ & 0xff).toSeq === Seq(0x08, 0x00))
+    // non-default values are byte-identical in both modes (spec example)
+    val set = Row(150L, "testing", null, null)
+    assert(firstBytes(sources.ProtoSerde.encode(df(set), implicitPresence = true)).toSeq
+      === firstBytes(sources.ProtoSerde.encode(df(set))).toSeq)
+    // decode of the EMPTY record materializes zeros under implicit
+    // presence — and nulls under the explicit contract
+    val session = spark
+    import session.implicits._
+    val empty = Seq(Array.empty[Byte]).toDF("value")
+    val zeros = sources.ProtoSerde.decode(empty, writer, schema,
+      implicitPresence = true).collect().head
+    assert(zeros === Row(0L, "", false, 0.0))
+    val nulls = sources.ProtoSerde.decode(empty, writer, schema).collect().head
+    assert((0 until 4).forall(nulls.isNullAt))
+    // full round trip: zeros -> empty wire -> zeros
+    val back = sources.ProtoSerde.decode(
+      sources.ProtoSerde.encode(df(allZero), implicitPresence = true),
+      writer, schema, implicitPresence = true).collect().head
+    assert(back === allZero)
+    // the documented proto3 wire fact: -0.0 compares == 0, is omitted by
+    // stock writers, and reads back as +0.0
+    val negZero = sources.ProtoSerde.decode(
+      sources.ProtoSerde.encode(df(Row(null, null, null, -0.0)),
+        implicitPresence = true),
+      writer, schema, implicitPresence = true).collect().head
+    assert(java.lang.Double.doubleToLongBits(negZero.getDouble(3)) === 0L)
+  }
+
+  test("Proto3 implicit presence: messages and oneof members keep explicit presence (S10)") {
+    val session = spark
+    import session.implicits._
+    // nested message, all-default fields: PRESENT writes tag + length 0
+    // (messages have explicit presence even in proto3) and decodes to an
+    // all-zeros row; ABSENT stays null
+    val nested = StructType(Seq(
+      StructField("id", LongType),
+      StructField("m", StructType(Seq(
+        StructField("x", LongType), StructField("s", StringType))))))
+    val writer = sources.ProtoSerde.protoSchema(nested)
+    val present = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(0L, Row(0L, ""))), 1), nested)
+    val pBytes = sources.ProtoSerde.encode(present, implicitPresence = true)
+      .collect().head.getAs[Array[Byte]](0)
+    assert(pBytes.map(_ & 0xff).toSeq === Seq(0x12, 0x00)) // field 2, len 0
+    val pBack = sources.ProtoSerde.decode(
+      Seq(pBytes).toDF("value"), writer, nested, implicitPresence = true)
+      .collect().head
+    assert(pBack === Row(0L, Row(0L, "")))
+    val aBack = sources.ProtoSerde.decode(
+      Seq(Array.empty[Byte]).toDF("value"), writer, nested,
+      implicitPresence = true).collect().head
+    assert(aBack.getLong(0) === 0L && aBack.isNullAt(1))
+    // a oneof member set to its zero value still reaches the wire under
+    // implicit presence (golden 08 00) — omitting it would erase WHICH
+    // member was chosen — and its unset peer stays null, never zero
+    val oneofSchema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val ow = sources.ProtoSerde.protoSchema(oneofSchema)
+    val chosen = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(0L, null)), 1), oneofSchema)
+    val oBytes = sources.ProtoSerde.encode(chosen, oneofs = Seq(Seq("a", "b")),
+      implicitPresence = true).collect().head.getAs[Array[Byte]](0)
+    assert(oBytes.map(_ & 0xff).toSeq === Seq(0x08, 0x00))
+    val oBack = sources.ProtoSerde.decode(Seq(oBytes).toDF("value"), ow,
+      oneofSchema, oneofs = Seq(Seq("a", "b")), implicitPresence = true)
+      .collect().head
+    assert(oBack.getLong(0) === 0L && oBack.isNullAt(1))
   }
 
   test("Proto oneof member arriving PACKED still clears peers; empty blob clears nothing (S10)") {
@@ -461,6 +551,47 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
     val other = Files.createTempDirectory("graft-artifact-src").toFile
     assert(sources.ArtifactStore.path("testpfx", src.getAbsolutePath)
       !== sources.ArtifactStore.path("testpfx", other.getAbsolutePath.replace('-', '_')))
+  }
+
+  test("ArtifactStore staging publish: a failed or in-flight build never touches the live artifact") {
+    val src = Files.createTempDirectory("graft-artifact-src2").toFile
+    java.nio.file.Files.write(new java.io.File(src, "d.parquet").toPath, Array[Byte](1))
+    val live = sources.ArtifactStore.path("testpfx2", src.getAbsolutePath)
+    def okBuild(marker: Byte)(base: String): Unit = {
+      val t = new java.io.File(s"$base/t"); t.mkdirs()
+      java.nio.file.Files.write(new java.io.File(t, "_SUCCESS").toPath, Array.empty[Byte])
+      java.nio.file.Files.write(new java.io.File(t, "payload").toPath, Array[Byte](marker))
+    }
+    sources.ArtifactStore.rebuild("testpfx2", src.getAbsolutePath, Seq("t"))(okBuild(1))
+    def payload() = java.nio.file.Files
+      .readAllBytes(new java.io.File(s"$live/t/payload").toPath).head
+    assert(payload() === 1.toByte)
+    // a crashing rebuild: the build writes into its PRIVATE staging dir
+    // and dies — the live artifact must be byte-for-byte untouched and
+    // still valid, and no half-written generation may replace it
+    intercept[RuntimeException] {
+      sources.ArtifactStore.rebuild("testpfx2", src.getAbsolutePath, Seq("t")) { base =>
+        okBuild(9)(base) // a COMPLETE-looking write, then the crash
+        assert(!new java.io.File(s"$base/t").getAbsolutePath.startsWith(live),
+          "build must run in a staging dir, not the live path")
+        // mid-build, a concurrent reader of the live path sees the OLD
+        // complete generation, not a mix
+        assert(payload() === 1.toByte)
+        throw new RuntimeException("builder died")
+      }
+    }
+    assert(payload() === 1.toByte)
+    assert(sources.ArtifactStore.ensure("testpfx2", src.getAbsolutePath, Seq("t"))(
+      okBuild(5)) === live)
+    assert(payload() === 1.toByte) // ensure() admitted the surviving generation
+    // successful rebuild swaps generations atomically and leaves no
+    // staging/retired leftovers behind
+    sources.ArtifactStore.rebuild("testpfx2", src.getAbsolutePath, Seq("t"))(okBuild(2))
+    assert(payload() === 2.toByte)
+    val leftovers = Option(new java.io.File(live).getParentFile.listFiles()).toSeq.flatten
+      .map(_.getName).filter(n => n.contains(".tmp.") || n.contains(".old."))
+      .filter(_.startsWith(new java.io.File(live).getName))
+    assert(leftovers.isEmpty, s"leftover dirs: $leftovers")
   }
 
   test("typed StatsAggregator matches built-in avg/variance/min/max (A2)") {

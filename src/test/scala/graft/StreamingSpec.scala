@@ -77,58 +77,76 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState sessionization with event-time timeout (T6/T7)") {
+  /** Run `body` under a named state-store provider: "default" = the
+    * HDFS-backed in-memory provider, "rocksdb" = RocksDBStateStoreProvider.
+    * The state-HEAVY shapes (both sessionize timer flavors, the
+    * stream-stream join) run under BOTH — provider-specific behavior
+    * (value encoding, timeout bookkeeping) must never change semantics. */
+  private def withStateProvider(provider: String)(body: => Unit): Unit =
+    if (provider == "rocksdb") {
+      EventStreams.rocksdbStateConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } else body
+
+  for (provider <- Seq("default", "rocksdb"))
+  test(s"flatMapGroupsWithState sessionization with event-time timeout (T6/T7) [$provider]") {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[Event]
-    val q = EventStreams.sessionizeWithState(in.toDS(), gapMs = 30 * 60000L,
-        watermarkDelay = "10 minutes")
-      .writeStream.outputMode("append").format("memory").queryName("fmgs")
-      .option("checkpointLocation", tmp("ck-fmgs")).start()
-    try {
-      in.addData(ev(1, 0, 7, "click", 2.0), ev(2, 5, 7, "view", 3.0), ev(3, 10, 7, "click", 5.0))
-      in.addData(ev(4, 60, 7, "view", 1.0)) // closes session 1 (gap > 30min)
-      in.addData(ev(5, 300, 9, "click"))    // watermark 290 > 60+30: times out session 2
-      q.processAllAvailable()
-      val rows = spark.table("fmgs").as[SessionSummary].collect().toSet
-      assert(rows === Set(
-        SessionSummary(7L, 3L, ts(0), ts(10), 10.0),
-        SessionSummary(7L, 1L, ts(60), ts(60), 1.0)))
-    } finally q.stop()
+    withStateProvider(provider) {
+      val in = MemoryStream[Event]
+      val q = EventStreams.sessionizeWithState(in.toDS(), gapMs = 30 * 60000L,
+          watermarkDelay = "10 minutes")
+        .writeStream.outputMode("append").format("memory").queryName(s"fmgs_$provider")
+        .option("checkpointLocation", tmp("ck-fmgs")).start()
+      try {
+        in.addData(ev(1, 0, 7, "click", 2.0), ev(2, 5, 7, "view", 3.0), ev(3, 10, 7, "click", 5.0))
+        in.addData(ev(4, 60, 7, "view", 1.0)) // closes session 1 (gap > 30min)
+        in.addData(ev(5, 300, 9, "click"))    // watermark 290 > 60+30: times out session 2
+        q.processAllAvailable()
+        val rows = spark.table(s"fmgs_$provider").as[SessionSummary].collect().toSet
+        assert(rows === Set(
+          SessionSummary(7L, 3L, ts(0), ts(10), 10.0),
+          SessionSummary(7L, 1L, ts(60), ts(60), 1.0)))
+      } finally q.stop()
+    }
   }
 
-  test("flatMapGroupsWithState with PROCESSING-time timeout flushes idle keys (T7)") {
+  for (provider <- Seq("default", "rocksdb"))
+  test(s"flatMapGroupsWithState with PROCESSING-time timeout flushes idle keys (T7) [$provider]") {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[Event]
-    // NOTE: processAllAvailable() must NOT be used on this stream — with
-    // processing-time timers armed, shouldRunAnotherBatch is always true
-    // (the engine keeps running no-data batches to check timers), so the
-    // "no new data" signal never fires and processAllAvailable blocks
-    // forever. Poll the sink with a deadline instead; the real trigger
-    // interval keeps the timer-checking batches from busy-spinning.
-    val q = EventStreams.sessionizeIdleFlush(in.toDS(), gapMs = 30 * 60000L, idleMs = 500L)
-      .writeStream.outputMode("append").format("memory").queryName("ptt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
-      .option("checkpointLocation", tmp("ck-ptt")).start()
-    try {
-      in.addData(ev(1, 0, 7, "click", 2.0), ev(2, 5, 7, "view", 3.0),
-                 ev(3, 60, 7, "click", 5.0))
-      // the idleness timer fires ~500ms after the batch that consumed the
-      // events; wall-clock timers need a tolerant deadline, not exact sleeps
-      var waitedMs = 0
-      while (spark.table("ptt").count() < 2 && waitedMs < 60000) {
-        Thread.sleep(250); waitedMs += 250
-      }
-      val rows = spark.table("ptt").as[SessionSummary].collect().toSet
-      // two sessions by EVENT-time gap (t=0..5 and t=60), both flushed by
-      // the same idleness timer once key 7 goes quiet
-      assert(rows === Set(
-        SessionSummary(7L, 2L, ts(0), ts(5), 5.0),
-        SessionSummary(7L, 1L, ts(60), ts(60), 5.0)))
-    } finally q.stop()
+    withStateProvider(provider) {
+      val in = MemoryStream[Event]
+      // NOTE: processAllAvailable() must NOT be used on this stream — with
+      // processing-time timers armed, shouldRunAnotherBatch is always true
+      // (the engine keeps running no-data batches to check timers), so the
+      // "no new data" signal never fires and processAllAvailable blocks
+      // forever. Poll the sink with a deadline instead; the real trigger
+      // interval keeps the timer-checking batches from busy-spinning.
+      val q = EventStreams.sessionizeIdleFlush(in.toDS(), gapMs = 30 * 60000L, idleMs = 500L)
+        .writeStream.outputMode("append").format("memory").queryName(s"ptt_$provider")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .option("checkpointLocation", tmp("ck-ptt")).start()
+      try {
+        in.addData(ev(1, 0, 7, "click", 2.0), ev(2, 5, 7, "view", 3.0),
+                   ev(3, 60, 7, "click", 5.0))
+        // the idleness timer fires ~500ms after the batch that consumed the
+        // events; wall-clock timers need a tolerant deadline, not exact sleeps
+        var waitedMs = 0
+        while (spark.table(s"ptt_$provider").count() < 2 && waitedMs < 60000) {
+          Thread.sleep(250); waitedMs += 250
+        }
+        val rows = spark.table(s"ptt_$provider").as[SessionSummary].collect().toSet
+        // two sessions by EVENT-time gap (t=0..5 and t=60), both flushed by
+        // the same idleness timer once key 7 goes quiet
+        assert(rows === Set(
+          SessionSummary(7L, 2L, ts(0), ts(5), 5.0),
+          SessionSummary(7L, 1L, ts(60), ts(60), 5.0)))
+      } finally q.stop()
+    }
   }
 
   test("sessionizeWithState absorbs in-watermark out-of-order events and extends boundaries") {
@@ -153,26 +171,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("stream-stream windowed join matches same-key events in window (J2)") {
+  for (provider <- Seq("default", "rocksdb"))
+  test(s"stream-stream windowed join matches same-key events in window (J2) [$provider]") {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[Event]
-    val q = EventStreams.purchaseClickJoin(in.toDF(), windowMinutes = 10)
-      .select($"p_id", $"c_id")
-      .writeStream.outputMode("append").format("memory").queryName("ssj")
-      .option("checkpointLocation", tmp("ck-ssj")).start()
-    try {
-      in.addData(
-        ev(100, 4, 1, "click"),
-        ev(101, 9, 2, "click"),    // other user: no match
-        ev(102, 25, 1, "click"),   // after purchase 103, before 104
-        ev(103, 10, 1, "purchase"),
-        ev(104, 30, 1, "purchase"))
-      q.processAllAvailable()
-      val pairs = spark.table("ssj").as[(Long, Long)].collect().toSet
-      assert(pairs === Set((103L, 100L), (104L, 102L)))
-    } finally q.stop()
+    withStateProvider(provider) {
+      val in = MemoryStream[Event]
+      val q = EventStreams.purchaseClickJoin(in.toDF(), windowMinutes = 10)
+        .select($"p_id", $"c_id")
+        .writeStream.outputMode("append").format("memory").queryName(s"ssj_$provider")
+        .option("checkpointLocation", tmp("ck-ssj")).start()
+      try {
+        in.addData(
+          ev(100, 4, 1, "click"),
+          ev(101, 9, 2, "click"),    // other user: no match
+          ev(102, 25, 1, "click"),   // after purchase 103, before 104
+          ev(103, 10, 1, "purchase"),
+          ev(104, 30, 1, "purchase"))
+        q.processAllAvailable()
+        val pairs = spark.table(s"ssj_$provider").as[(Long, Long)].collect().toSet
+        assert(pairs === Set((103L, 100L), (104L, 102L)))
+      } finally q.stop()
+    }
   }
 
   test("stream-stream LEFT OUTER join emits unmatched rows after the watermark closes them (J2)") {
