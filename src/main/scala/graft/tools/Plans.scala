@@ -234,7 +234,38 @@ object Plans {
         "What to look for: the row_number window specs partitioned by " +
           "source (state bounded by the largest source) over a single " +
           "hash exchange — never an empty windowspecdefinition.",
-        Profiling.fixedSample(spark, dir)))
+        Profiling.fixedSample(spark, dir)),
+
+      section("q27 portable KMV distinct sketch (r10, oracle-green)",
+        "What to look for: the hash is plain codegen'd column arithmetic " +
+          "in the Project over the scan (no UDF, no blackbox expression); " +
+          "graft_kmv is an ObjectHashAggregate whose partial mode runs " +
+          "map-side, so every exchange carries bounded sketch buffers " +
+          "(k=1024 longs), never raw values — the HLL scale story with a " +
+          "replayable state. The two-level shape (partial on (flag, key), " +
+          "final on flag) is the q26-style single-distinct rewrite that " +
+          "the exact_parts comparison column forces; no Expand anywhere.",
+        Analytics.approxDistinctParts(spark, dir)),
+
+      section("q18 bucketed exact percentiles (r10, oracle-green)",
+        "What to look for: three pruned 2-column scans per value column " +
+          "(stats, histogram, refine); every stats/targets/candidate join " +
+          "is a BroadcastHashJoin of a model-sized side, and AQE converts " +
+          "the two unhinted group-universe left joins to broadcast at " +
+          "runtime — the one surviving SortMergeJoin is the group-count-" +
+          "sized qty⋈price assembly. Window specs are partitioned by " +
+          "group or (group, target) — per-group state is bounded by the " +
+          "10k histogram bins, never a value buffer proportional to the " +
+          "group.",
+        Analytics.bucketedQuantityPercentiles(spark, dir)),
+
+      section("q129 near-dup artifact build (r10 single-pipeline shape)",
+        "What to look for: ONE gated shingle self-join lineage (the " +
+          "survivor pipeline) — the raw-corpus label table is derived, so " +
+          "no second shingle explode/self-join subtree appears; the final " +
+          "output is a parquet scan of the written pairs plus the " +
+          "presentation sort.",
+        Dedup.neardupPairsBuild(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +
