@@ -90,6 +90,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q27 KMV sketch: no Expand, no UDF, bounded sketch buffers through the exchanges") {
+    val plan = executedPlan(operators.Analytics.approxDistinctParts(spark, sf001))
+    // the countDistinct comparison column must plan the q26-style
+    // two-level rewrite, never an Expand; the KMV hash must be plain
+    // column arithmetic (codegen'd), never a UDF node
+    assert(!plan.contains("Expand"), plan.take(3000))
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
+      plan.take(3000))
+    // graft_kmv plans as an ObjectHashAggregate with a partial (map-side)
+    // mode, so every exchange carries sketch buffers, not raw values
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    assert(plan.contains("partial_graft_kmv"), plan.take(3000))
+  }
+
+  test("q18 bucketed percentiles: model joins broadcast, windows stay partitioned") {
+    val plan = executedPlan(operators.Analytics.bucketedQuantityPercentiles(spark, sf001))
+    // no cartesian/BNLJ anywhere — every stats/targets/candidate join is
+    // keyed, and the model-sized sides broadcast
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    // every window spec is partitioned (by group or (group, target)):
+    // an empty windowspecdefinition would serialize the corpus through
+    // one task, the exact failure mode the bucketing exists to avoid
+    val winSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val partitioned = "windowspecdefinition\\((l_returnflag|g)".r.findAllIn(plan).size
+    assert(winSpecs > 0 && winSpecs === partitioned,
+      s"unpartitioned window spec present ($partitioned/$winSpecs):\n" + plan.take(4000))
+  }
+
   test("q26 multi-distinct plans without Expand (two-level aggregate)") {
     // one Aggregate with >=2 distinct columns would plan an Expand that
     // multiplies every fact row through the shuffle

@@ -490,6 +490,15 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (4001L -> 4001L) + (4002L -> 4001L))
     assert(!crossDirect.exists(_._1 == 2001L))
     assert(derived(crossing) === crossDirect)
+
+    // the full artifact BUILD body (parquet writes + read-backs included)
+    // must produce the same doc_labels on the duplicate-heavy corpus
+    val buildBase = java.nio.file.Files
+      .createTempDirectory("graft-neardup-dup-test").toString
+    operators.Dedup.writeNeardupArtifactOf(crossing, buildBase)
+    val fromBuild = spark.read.parquet(s"$buildBase/doc_labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromBuild === crossDirect)
   }
 
   test("q77 transitivity: A~B and B~C puts A,B,C in one cluster though A!~C") {
