@@ -58,18 +58,45 @@ object Kmv {
   }
 }
 
+/** Bounded primitive buffer for the k smallest DISTINCT hash values: a
+  * plain long array kept SORTED ascending. The hot path after the
+  * buffer saturates is one primitive comparison against the current
+  * maximum (`a(n-1)`) — no boxing, no tree walk; an accepted value
+  * (probability ~k/seen, vanishing over a scan) pays one binary search
+  * + one System.arraycopy shift. Far fewer accepts than rejects is the
+  * KMV regime this is shaped for.
+  */
+final class KmvBuffer(val k: Int) {
+  val a = new Array[Long](k)
+  var n = 0
+
+  def maxKept: Long = a(n - 1)
+
+  /** Insert h if it belongs among the k smallest distinct values. */
+  def insert(h: Long): Unit = {
+    if (n == k && h >= a(n - 1)) return // saturated reject: 1 comparison
+    var idx = java.util.Arrays.binarySearch(a, 0, n, h)
+    if (idx >= 0) return // already present: distinct set unchanged
+    idx = -(idx + 1)
+    val shift = math.min(n, k - 1) - idx // drop the max when full
+    if (shift > 0) System.arraycopy(a, idx, a, idx + 1, shift)
+    a(idx) = h
+    if (n < k) n += 1
+  }
+}
+
 /** The sketch as a single `TypedImperativeAggregate` (same shape as
-  * [[MinHashAgg]]): buffer = bounded sorted set of the k smallest
-  * DISTINCT hash values; update inserts-if-smaller; merge unions and
-  * trims back to k. Input: the [[Kmv.hashCol]] hash (bigint in [0, P)).
-  * Output: the estimated distinct count as a bigint.
+  * [[MinHashAgg]]): buffer = the k smallest DISTINCT hash values;
+  * update inserts-if-smaller; merge unions and trims back to k. Input:
+  * the [[Kmv.hashCol]] hash (bigint in [0, P)). Output: the estimated
+  * distinct count as a bigint.
   */
 case class KmvAgg(
     child: Expression,
     k: Int = Kmv.K,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    extends TypedImperativeAggregate[KmvBuffer]
     with UnaryLike[Expression] {
 
   def this(child: Expression) = this(child, Kmv.K, 0, 0)
@@ -78,31 +105,17 @@ case class KmvAgg(
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
-  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last) {
-      // add returns false when h is already present — only then does the
-      // set NOT grow, so only a true add evicts the current maximum
-      if (buf.add(h)) { buf.pollLast(); () }
-    }
-  }
-
-  override def update(
-      buf: java.util.TreeSet[java.lang.Long],
-      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[Long])
+    if (v != null) buf.insert(v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(
-      a: java.util.TreeSet[java.lang.Long],
-      b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    val it = b.iterator()
-    while (it.hasNext) insert(a, it.next())
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    var i = 0
+    while (i < b.n) { a.insert(b.a(i)); i += 1 }
     a
   }
 
@@ -110,24 +123,26 @@ case class KmvAgg(
     * (k−1)·P / h₍ₖ₎ with positive integer division (bit-identical to the
     * oracle's `//`). h₍ₖ₎ > 0 always: the k kept values are distinct
     * non-negatives, so the LARGEST of them is ≥ k−1 ≥ 1. */
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
-    if (buf.size < k) buf.size.toLong
-    else ((k - 1).toLong * Kmv.P) / buf.last
+  override def eval(buf: KmvBuffer): Any =
+    if (buf.n < k) buf.n.toLong
+    else ((k - 1).toLong * Kmv.P) / buf.maxKept
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 8)
-    bb.putInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next())
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 8)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.a(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val out = new java.util.TreeSet[java.lang.Long]()
+    val out = new KmvBuffer(k)
+    // serialized ascending (the buffer IS sorted), so inserts hit the
+    // fast append path
     var i = 0
-    while (i < n) { out.add(bb.getLong()); i += 1 }
+    while (i < n) { out.insert(bb.getLong()); i += 1 }
     out
   }
 
