@@ -125,13 +125,23 @@ object ArtifactStore {
       val target = new File(base)
       val retired = new File(s"$base.old.$nonce")
       if (target.exists())
-        java.nio.file.Files.move(target.toPath, retired.toPath,
+        try java.nio.file.Files.move(target.toPath, retired.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // a concurrent publisher retired the old generation between our
+          // exists() and move — fine, the path is clear either way
+          case _: java.nio.file.NoSuchFileException =>
+        }
       try
         java.nio.file.Files.move(staging.toPath, target.toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
+        // a concurrent publisher won the race to the live path; its
+        // artifact is complete by the same staging invariant — keep
+        // theirs, drop ours
         case _: java.nio.file.FileAlreadyExistsException =>
+          deleteRecursively(staging)
+        case e: java.nio.file.FileSystemException if target.exists() =>
           deleteRecursively(staging)
       }
       deleteRecursively(retired)

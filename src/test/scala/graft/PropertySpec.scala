@@ -299,4 +299,71 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     })
   }
+
+  test("bucketed percentiles equal plain percentiles on random frames (q18 law)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.expr
+    // ties, negatives, tiny/huge magnitudes, null values, null group keys
+    val genVal: Gen[Option[Double]] = Gen.frequency(
+      5 -> Gen.choose(-1000, 1000).map(v => Some(v / 7.0)),
+      2 -> Gen.oneOf(Seq(Some(0.0), Some(-0.0), Some(1e12), Some(-1e-9))),
+      1 -> Gen.const(Option.empty[Double]))
+    val genRow: Gen[(Option[String], Option[Double])] = for {
+      g <- Gen.frequency(6 -> Gen.oneOf("A", "B", "C").map(Option(_)),
+                         1 -> Gen.const(Option.empty[String]))
+      v <- genVal
+    } yield (g, v)
+    val genP: Gen[Double] = Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0)
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(60, genRow), genP, genP) { (rows, p1, p2) =>
+      rows.nonEmpty && {
+        val df = rows.toDF("l_returnflag", "v").repartition(7)
+        val plain = df.groupBy($"l_returnflag")
+          .agg(expr(s"percentile(v, $p1)").as("a"), expr(s"percentile(v, $p2)").as("b"))
+          .collect().map(r => Option(r.get(0)) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+        val bucketed = operators.Analytics.bucketedPercentilesOf(
+            df, "l_returnflag", "v", Seq(("a", p1), ("b", p2)))
+          .collect().map(r => Option(r.get(0)) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+        bucketed == plain
+      }
+    })
+  }
+
+  test("KMV sketch equals the reference min-k computation under any partitioning (q27 law)") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.expr
+    // a k SMALL enough that random inputs saturate it, so the estimate
+    // path — bounded-eviction inserts and cross-partition merges — is
+    // what the law checks, not just below-k exactness
+    val k = 16
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_kmv16",
+      exprs => new graft.functions.KmvAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+          org.apache.spark.sql.types.LongType), k),
+      "scala_udf")
+    val genKeys: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 300)
+      // key range comparable to list size: duplicates are frequent
+      keys <- Gen.listOfN(n, Gen.choose(0L, 120L))
+    } yield keys
+    def refHash(x: Long): Long = {
+      val u = ((x % graft.functions.Kmv.P) * graft.functions.PolyHash.MixA +
+        graft.functions.PolyHash.MixB) % graft.functions.Kmv.P
+      ((u * u) % graft.functions.Kmv.P * graft.functions.PolyHash.M1 + u) %
+        graft.functions.Kmv.P
+    }
+    checkProp(Prop.forAllNoShrink(genKeys, Gen.choose(1, 8)) { (keys, parts) =>
+      val distinctHashes = keys.map(refHash).distinct.sorted
+      val expect =
+        if (distinctHashes.size < k) distinctHashes.size.toLong
+        else ((k - 1).toLong * graft.functions.Kmv.P) / distinctHashes(k - 1)
+      // random partitioning exercises the merge path with arbitrary
+      // buffer contents and orders
+      val got = keys.toDF("x").repartition(parts)
+        .select(graft.functions.Kmv.hashCol($"x").as("h"))
+        .agg(expr("graft_kmv16(h)")).collect().head.getLong(0)
+      got == expect
+    })
+  }
 }

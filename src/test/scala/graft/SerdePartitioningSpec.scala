@@ -592,6 +592,62 @@ class SerdePartitioningSpec extends AnyFunSuite with SparkSpec {
       .map(_.getName).filter(n => n.contains(".tmp.") || n.contains(".old."))
       .filter(_.startsWith(new java.io.File(live).getName))
     assert(leftovers.isEmpty, s"leftover dirs: $leftovers")
+    // a crashed builder's staging dir (dead pid) is swept by the next
+    // build; a LIVE process's staging dir is left alone
+    val deadStaging = new java.io.File(s"$live.tmp.999999999.deadbeef")
+    new java.io.File(deadStaging, "t").mkdirs()
+    val liveStaging = new java.io.File(
+      s"$live.tmp.${ProcessHandle.current().pid()}.cafe0001")
+    new java.io.File(liveStaging, "t").mkdirs()
+    sources.ArtifactStore.rebuild("testpfx2", src.getAbsolutePath, Seq("t"))(okBuild(3))
+    assert(!deadStaging.exists(), "dead builder's staging not swept")
+    assert(liveStaging.exists(), "live builder's staging must not be swept")
+    assert(payload() === 3.toByte)
+    def rmAll(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmAll); f.delete(); ()
+    }
+    rmAll(liveStaging)
+  }
+
+  test("ArtifactStore two-process race: concurrent rebuild storms never mix generations") {
+    val src = Files.createTempDirectory("graft-artifact-race-src").toFile
+    java.nio.file.Files.write(new java.io.File(src, "d.parquet").toPath, Array[Byte](7))
+    val live = sources.ArtifactStore.path("racepfx", src.getAbsolutePath)
+    // second JVM: ArtifactStore + the helper depend only on scala-library,
+    // so the compiled classes dir + the scala jar are a sufficient classpath
+    val classesDir = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+    val scalaLib = classOf[scala.Option[_]]
+      .getProtectionDomain.getCodeSource.getLocation.getPath
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val iters = 30
+    val proc = new ProcessBuilder(javaBin, "-cp", s"$classesDir:$scalaLib",
+        "graft.tools.ArtifactRaceHelper", src.getAbsolutePath, iters.toString)
+      .redirectErrorStream(true).start()
+    // race the same storm from THIS process
+    val me = ProcessHandle.current().pid()
+    (1 to iters).foreach(i =>
+      graft.tools.ArtifactRaceHelper.buildOnce(src.getAbsolutePath, s"$me-$i"))
+    val helperOut = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "helper JVM did not finish")
+    assert(proc.exitValue() === 0, s"helper JVM failed:\n$helperOut")
+    // whichever publish won: the live artifact is complete, valid, and
+    // carries ONE generation's marker in BOTH tables — interleaved
+    // direct-to-live writes would mix markers across tables
+    assert(sources.ArtifactStore.ensure("racepfx", src.getAbsolutePath,
+      Seq("t1", "t2"))(_ => fail("valid artifact should be admitted")) === live)
+    def marker(t: String) = new String(java.nio.file.Files
+      .readAllBytes(new java.io.File(s"$live/$t/payload").toPath), "UTF-8")
+    assert(marker("t1") === marker("t2"),
+      s"mixed generations: t1=${marker("t1")} t2=${marker("t2")}")
+    // no staging/retired leftovers survive the storm (both pids are
+    // done; a fresh build sweeps anything transient)
+    graft.tools.ArtifactRaceHelper.buildOnce(src.getAbsolutePath, "final")
+    val leftovers = Option(new java.io.File(live).getParentFile.listFiles()).toSeq.flatten
+      .map(_.getName)
+      .filter(n => n.startsWith(new java.io.File(live).getName + ".tmp.") ||
+                   n.startsWith(new java.io.File(live).getName + ".old."))
+    assert(leftovers.isEmpty, s"leftover dirs: $leftovers")
   }
 
   test("typed StatsAggregator matches built-in avg/variance/min/max (A2)") {
