@@ -137,14 +137,14 @@ object EventStreams {
     * the key across micro-batches). This is the shape for unreliable
     * event time or drain-on-quiesce semantics; no watermark is declared,
     * so state is reclaimed by the idle timer alone — which bounds it
-    * only for keys that eventually GO idle. A key receiving events
-    * forever accumulates its gap-separated open sessions indefinitely;
-    * if such hot keys are expected, compose this with a periodic
-    * force-flush (cap the open-session list on update, emitting the
-    * oldest) or prefer [[sessionize]]'s watermark-driven variant, whose
-    * state the event-time watermark bounds unconditionally. Caveat
-    * inherent to processing time: a genuinely late event after a flush
-    * opens a NEW session rather than extending the flushed one.
+    * only for keys that eventually GO idle. For keys that never do,
+    * `maxOpenSessions` is the hard bound: beyond it the OLDEST open
+    * sessions (by event time) are force-flushed on update, so per-key
+    * state is ≤ maxOpenSessions buffers regardless of traffic; the
+    * watermark-driven variant remains the alternative whose state the
+    * event-time watermark bounds without a cap. Caveat inherent to
+    * processing time: a genuinely late event after a flush opens a NEW
+    * session rather than extending the flushed one.
     *
     * Operational notes: run this sink with a real trigger interval
     * (`Trigger.ProcessingTime(...)`) — armed processing-time timers make
@@ -155,7 +155,8 @@ object EventStreams {
     * sink or use awaitTermination with a timeout instead. */
   def sessionizeIdleFlush(events: Dataset[Event],
                           gapMs: Long = 30L * 60 * 1000,
-                          idleMs: Long = 1000L): Dataset[SessionSummary] = {
+                          idleMs: Long = 1000L,
+                          maxOpenSessions: Int = Int.MaxValue): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionBuf], SessionSummary](
@@ -169,10 +170,25 @@ object EventStreams {
           } else {
             val incoming = it.toList.map(e =>
               SessionBuf(1, e.ts.getTime, e.ts.getTime, e.value))
-            state.update(mergeByGap(state.getOption.getOrElse(Nil) ++ incoming, gapMs))
+            val merged = mergeByGap(state.getOption.getOrElse(Nil) ++ incoming, gapMs)
+            // hot-key bound: a key that NEVER goes idle would otherwise
+            // accumulate gap-separated open sessions forever (the idle
+            // timer alone only reclaims state for keys that quiet down).
+            // Keep the newest maxOpenSessions by event time and force-
+            // flush the oldest — those are the least likely to see a
+            // late extension, the same trade the watermark variant makes
+            // explicitly.
+            val (open, forced) =
+              if (merged.size <= maxOpenSessions) (merged, Nil)
+              else {
+                val sorted = merged.sortBy(_.lastMs)
+                (sorted.drop(merged.size - maxOpenSessions),
+                  sorted.take(merged.size - maxOpenSessions))
+              }
+            state.update(open)
             // re-arm: any arrival pushes the flush out by idleMs
             state.setTimeoutDuration(idleMs)
-            Iterator.empty
+            forced.map(emitSession(userId, _)).iterator
           }
       }
   }

@@ -149,6 +149,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sessionizeIdleFlush maxOpenSessions force-flushes the oldest sessions of a hot key (T7)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // four gap-separated sessions for ONE key in one batch, cap of 2:
+    // the two oldest must flush immediately (bounded state), the two
+    // newest on the idle timer — all four summaries eventually emitted
+    val q = EventStreams.sessionizeIdleFlush(in.toDS(), gapMs = 30 * 60000L,
+        idleMs = 500L, maxOpenSessions = 2)
+      .writeStream.outputMode("append").format("memory").queryName("pttcap")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .option("checkpointLocation", tmp("ck-pttcap")).start()
+    try {
+      in.addData(ev(1, 0, 7, "click", 1.0), ev(2, 60, 7, "view", 2.0),
+                 ev(3, 120, 7, "click", 3.0), ev(4, 180, 7, "view", 4.0))
+      var waitedMs = 0
+      while (spark.table("pttcap").count() < 4 && waitedMs < 60000) {
+        Thread.sleep(250); waitedMs += 250
+      }
+      val rows = spark.table("pttcap").as[SessionSummary].collect().toSet
+      assert(rows === Set(
+        SessionSummary(7L, 1L, ts(0), ts(0), 1.0),
+        SessionSummary(7L, 1L, ts(60), ts(60), 2.0),
+        SessionSummary(7L, 1L, ts(120), ts(120), 3.0),
+        SessionSummary(7L, 1L, ts(180), ts(180), 4.0)))
+    } finally q.stop()
+  }
+
   test("sessionizeWithState absorbs in-watermark out-of-order events and extends boundaries") {
     val session = spark
     import session.implicits._
