@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.{lit, pmod}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** KMV (k-minimum-values) distinct-count sketch — the ENGINE-PORTABLE
   * cardinality estimator that lets q27 answer to a DuckDB oracle, the
@@ -151,5 +152,73 @@ case class KmvAgg(
   override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KmvAgg =
+    copy(child = newChild)
+}
+
+/** [[KmvAgg]]'s SET form: same buffer, same update/merge, but eval
+  * returns the sketch ITSELF (the k smallest distinct hashes, ascending)
+  * instead of the cardinality estimate. This is what makes KMV an
+  * ALGEBRA rather than just a counter (Beyer et al., SIGMOD 2007, "On
+  * synopses for distinct value estimation under multiset operations"):
+  * the k smallest values of A∪B are all present in sketch(A) ∪
+  * sketch(B), so union/intersection/Jaccard estimates over ANY
+  * combination of groups are computable from the per-group sketches
+  * alone — no second corpus pass. q130 does exactly that for
+  * cross-source vocabulary overlap; the oracle replays the sketch with
+  * `ROW_NUMBER() OVER (ORDER BY hash) <= k` and the same integer
+  * estimator arithmetic, so the rows are hash-exact. */
+case class KmvSetAgg(
+    child: Expression,
+    k: Int = Kmv.K,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer]
+    with UnaryLike[Expression] {
+
+  def this(child: Expression) = this(child, Kmv.K, 0, 0)
+
+  override def prettyName: String = "graft_kmv_set"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    var i = 0
+    while (i < b.n) { a.insert(b.a(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: KmvBuffer): Any =
+    new GenericArrayData(java.util.Arrays.copyOf(buf.a, buf.n))
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 8)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.a(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val out = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { out.insert(bb.getLong()); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSetAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSetAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSetAgg =
     copy(child = newChild)
 }

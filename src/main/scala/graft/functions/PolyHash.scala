@@ -111,6 +111,26 @@ case class ShinglePolyHashes(child: Expression, n: Int = 3)
     copy(child = newChild)
 }
 
+/** [[PolyHash.foldToken]] (M1 family) as a scalar expression — the plain
+  * per-token portable hash in [0, P). q73 uses the same fold per word
+  * inside its shingle combine; this exposes it standalone for operators
+  * that sketch the TOKEN universe directly (q130's per-source KMV
+  * vocabulary sketches). Oracle mirror: the shared `polyFoldSql`
+  * fragment (Dedup.scala) replays it in DuckDB character by character. */
+case class TokenPolyHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_tokhash"
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.foldToken(input.asInstanceOf[UTF8String].toString, PolyHash.M1)
+
+  override protected def withNewChildInternal(newChild: Expression): TokenPolyHash =
+    copy(child = newChild)
+}
+
 /** [[PolyHash.simToken]] as an expression — q74's per-token hash. */
 case class SimTokenPolyHash(child: Expression)
     extends UnaryExpression with CodegenFallback {

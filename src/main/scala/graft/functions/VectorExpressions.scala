@@ -98,6 +98,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => new SimHashAgg(Cast(exprs.head, LongType))),
     ("graft_kmv", classOf[KmvAgg],
       (exprs: Seq[Expression]) => new KmvAgg(Cast(exprs.head, LongType))),
+    ("graft_kmv_set", classOf[KmvSetAgg],
+      (exprs: Seq[Expression]) => new KmvSetAgg(Cast(exprs.head, LongType))),
+    ("graft_tokhash", classOf[TokenPolyHash],
+      (exprs: Seq[Expression]) => TokenPolyHash(Cast(exprs.head, StringType))),
     ("graft_shingles", classOf[ShingleHashes],
       (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))),
     ("graft_shingles_poly", classOf[ShinglePolyHashes],

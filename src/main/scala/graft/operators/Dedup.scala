@@ -905,7 +905,7 @@ object Dedup extends QueryModule {
     * over the word's code points (LEN/SUBSTR/UNICODE are code-point
     * based, as is the Scala fold), seeded by prepending the same sentinel
     * so empty words fold to the seed instead of erroring. */
-  private def polyFoldSql(wordExpr: String, mult: Long): String =
+  private[graft] def polyFoldSql(wordExpr: String, mult: Long): String =
     s"(LIST_REDUCE([CAST(${PolyHash.Seed} AS BIGINT)] || " +
       s"LIST_TRANSFORM(GENERATE_SERIES(1, LEN($wordExpr)), ci -> " +
       s"CAST(UNICODE(SUBSTR($wordExpr, ci, 1)) AS BIGINT)), " +

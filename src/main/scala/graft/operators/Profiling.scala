@@ -424,6 +424,116 @@ object Profiling extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q130: cross-source vocabulary overlap from KMV sketch algebra
+  // ---------------------------------------------------------------------
+
+  /** q130: cross-source vocabulary overlap — estimated distinct-token
+    * union, intersection, and Jaccard for every source pair, computed
+    * entirely from per-source KMV sketches ([[graft.functions.KmvSetAgg]];
+    * Beyer et al., SIGMOD 2007). ONE corpus pass builds a k-longs sketch
+    * per source (map-side combined, constant state); the pairwise algebra
+    * then runs on #sources² sketch rows: the k smallest hashes of A∪B are
+    * all present in sketch(A) ∪ sketch(B), so
+    * `uk = first k of sort(union(sk_a, sk_b))` is a valid union sketch
+    * (n̂ = (k−1)·P / h₍ₖ₎), and the fraction of `uk` present in BOTH input
+    * sketches estimates the intersection (n̂∩ = |uk ∩ A ∩ B| · n̂∪ / k).
+    * Under k distinct hashes the sketches ARE the vocabulary sets and
+    * every figure is exact — both engines take the same branch.
+    *
+    * This is the 100 TB comparison shape: comparing vocabularies across
+    * N sources pairwise on raw tokens is N² corpus joins; with sketches
+    * it is one scan plus arithmetic on N·k longs. All estimator math is
+    * integer (products < 2⁴¹), replayed bit-for-bit by the DuckDB oracle
+    * via per-source `ROW_NUMBER() ... <= k`; the only float is a single
+    * ROUND(6)-ed division of exact integers (q123/q127's parity rule).
+    */
+  def vocabOverlapSketch(spark: SparkSession, dir: String): DataFrame =
+    vocabOverlapSketchOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def vocabOverlapSketchOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    val k = graft.functions.Kmv.K
+    val p = graft.functions.PolyHash.P
+    // scope-cached: both sides of the pair join derive from this plan,
+    // and without the pin the corpus scan + sketch pass would run twice
+    // (exchange reuse is not guaranteed across the crossJoin's sides)
+    val sk = graft.functions.ScopedCache.persist("q130.sketches",
+      d.select(col("source"), explode(toks).as("tok"))
+        .select(col("source"), expr("graft_tokhash(tok)").as("h"))
+        .groupBy(col("source")).agg(expr("graft_kmv_set(h)").as("sk")))
+    // #sources rows of k longs each — broadcast by construction; the
+    // non-equi pair condition would otherwise force a BNLJ of the
+    // same tiny table against itself
+    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+    a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+      .withColumn("uk", slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+      .withColumn("nk", size(col("uk")).cast(LongType))
+      .withColumn("hk", element_at(col("uk"), size(col("uk"))))
+      .withColumn("in_both",
+        size(array_intersect(array_intersect(col("uk"), col("sk_a")), col("sk_b")))
+          .cast(LongType))
+      .withColumn("est_union",
+        when(col("nk") < k, col("nk"))
+          .otherwise(expr(s"${(k - 1).toLong * p}L div hk")))
+      .withColumn("est_inter",
+        when(col("nk") < k, col("in_both"))
+          .otherwise(expr(s"(in_both * est_union) div ${k}L")))
+      .withColumn("est_jaccard",
+        when(col("est_union") > 0,
+          round(col("est_inter").cast("double") / col("est_union"), 6)))
+      .select(col("src_a"), col("src_b"), col("est_union"), col("est_inter"),
+        col("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val vocabOverlapSketchSql = {
+    val k = graft.functions.Kmv.K
+    val p = graft.functions.PolyHash.P
+    val fold = Dedup.polyFoldSql("w", graft.functions.PolyHash.M1)
+    s"""WITH toks AS (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+      |              FROM documents),
+      |th AS (SELECT DISTINCT source, $fold AS h FROM toks),
+      |rk AS (SELECT source, h,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+      |       FROM th),
+      |sk AS (SELECT source, h FROM rk WHERE rn <= $k),
+      |srcs AS (SELECT DISTINCT source FROM documents),
+      |prs AS (SELECT a.source AS src_a, b.source AS src_b
+      |        FROM srcs a JOIN srcs b ON a.source < b.source),
+      |u AS (SELECT p.src_a, p.src_b, s.h FROM prs p JOIN sk s ON s.source = p.src_a
+      |      UNION
+      |      SELECT p.src_a, p.src_b, s.h FROM prs p JOIN sk s ON s.source = p.src_b),
+      |urk AS (SELECT src_a, src_b, h,
+      |          ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+      |        FROM u),
+      |uk AS (SELECT src_a, src_b, h FROM urk WHERE rn <= $k),
+      |mem AS (SELECT u.src_a, u.src_b, u.h,
+      |          CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END
+      |            AS inb
+      |        FROM uk u
+      |        LEFT JOIN sk a ON a.source = u.src_a AND a.h = u.h
+      |        LEFT JOIN sk b ON b.source = u.src_b AND b.h = u.h),
+      |agg AS (SELECT src_a, src_b, COUNT(*) AS nk, MAX(h) AS hk,
+      |          CAST(SUM(inb) AS BIGINT) AS in_both
+      |        FROM mem GROUP BY 1, 2),
+      |est AS (SELECT src_a, src_b,
+      |          CASE WHEN nk < $k THEN nk
+      |               ELSE ${(k - 1).toLong * p} // hk END AS est_union, in_both, nk
+      |        FROM agg)
+      |SELECT src_a, src_b, est_union,
+      |  CASE WHEN nk < $k THEN in_both
+      |       ELSE (in_both * est_union) // $k END AS est_inter,
+      |  CASE WHEN est_union > 0 THEN
+      |    ROUND(CAST(CASE WHEN nk < $k THEN in_both
+      |               ELSE (in_both * est_union) // $k END AS DOUBLE) / est_union, 6)
+      |  END AS est_jaccard
+      |FROM est
+      |ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q122_normalize_text", normalizeText, Some(normalizeTextSql)),
     GraftQuery("q123_source_datacard", sourceDatacard, Some(sourceDatacardSql)),
@@ -432,5 +542,7 @@ object Profiling extends QueryModule {
     GraftQuery("q126_fixed_sample", fixedSample, Some(fixedSampleSql)),
     GraftQuery("q127_pack_efficiency", packEfficiency, Some(packEfficiencySql)),
     GraftQuery("q128_compression_signal", compressionSignal, None),
+    GraftQuery("q130_vocab_overlap_sketch", vocabOverlapSketch,
+      Some(vocabOverlapSketchSql)),
   )
 }

@@ -104,6 +104,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial_graft_kmv"), plan.take(3000))
   }
 
+  test("q130 sketch algebra: map-side-combined sketches, corpus never self-joined") {
+    val plan = executedPlan(operators.Profiling.vocabOverlapSketch(spark, sf0001))
+    // the per-source sketch must partial-aggregate map-side so shuffles
+    // carry k-long buffers, not raw token hashes
+    assert(plan.contains("partial_graft_kmv_set"), plan.take(3000))
+    // the only join is the #sources² sketch pairing, and it must ride a
+    // broadcast of the aggregated (tiny) side — a SortMergeJoin here
+    // would mean the pairing somehow reached corpus granularity
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q18 bucketed percentiles: model joins broadcast, windows stay partitioned") {
     val plan = executedPlan(operators.Analytics.bucketedQuantityPercentiles(spark, sf001))
     // no cartesian/BNLJ anywhere — every stats/targets/candidate join is

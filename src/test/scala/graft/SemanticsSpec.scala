@@ -116,6 +116,39 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(est - 50000.0) / 50000.0 < 0.125, s"estimate $est")
   }
 
+  test("q130 KMV set algebra is exact below k and near-exact above it") {
+    val session = spark
+    import session.implicits._
+    // unsaturated branch: sketches ARE the vocabularies, figures exact.
+    // s1 = {a,b,c,d,e}, s2 = {c,d,e,f,g} (union 7, inter 3), s3 disjoint.
+    val small = Seq(
+      (1L, "a b c d e", "en", "s1", 9L),
+      (2L, "c d e f g", "en", "s2", 9L),
+      (3L, "x y z", "en", "s3", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = Profiling.vocabOverlapSketchOf(small).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(("s1", "s2")) === ((7L, 3L, 0.428571)))
+    assert(rows(("s1", "s3")) === ((8L, 0L, 0.0)))
+    assert(rows(("s2", "s3")) === ((8L, 0L, 0.0)))
+
+    // saturated branch: 40k-token vocabularies overlapping on 20k tokens.
+    // KMV error ~1/sqrt(k) ≈ 3.1% at k=1024; 4-sigma bounds: union 12.5%,
+    // intersection 20% (the membership fraction adds binomial noise).
+    def docsOf(src: String, lo: Int, hi: Int) =
+      (lo until hi).grouped(100).zipWithIndex.map { case (g, i) =>
+        (src.hashCode.toLong * 100000 + i,
+          g.map(n => s"tok$n").mkString(" "), "en", src, 1L)
+      }.toSeq
+    val big = (docsOf("sa", 0, 40000) ++ docsOf("sb", 20000, 60000))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Profiling.vocabOverlapSketchOf(big).collect().head
+    assert(math.abs(r.getLong(2) - 60000.0) / 60000.0 < 0.125,
+      s"union estimate ${r.getLong(2)}")
+    assert(math.abs(r.getLong(3) - 20000.0) / 20000.0 < 0.20,
+      s"intersection estimate ${r.getLong(3)}")
+  }
+
   /** 500 copies of one stop-phrase text (every shingle/bucket shared by
     * all 500 docs — the quadratic skew bomb) plus a rare-vocabulary
     * near-dup pair and a rare exact-dup pair that the guards must NOT
