@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Cast, Expression, ExpressionInfo, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -102,6 +103,19 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => new KmvSetAgg(Cast(exprs.head, LongType))),
     ("graft_tokhash", classOf[TokenPolyHash],
       (exprs: Seq[Expression]) => TokenPolyHash(Cast(exprs.head, StringType))),
+    // Spark's own runtime-filter machinery (BloomFilterAggregate +
+    // BloomFilterMightContain) exposed as SQL functions, with the key
+    // pre-hashed through XxHash64 exactly as InjectRuntimeFilter wires
+    // them. The bloom's bytes never surface in a result — q131 uses the
+    // filter as a PRE-JOIN prune and an exact semi-join finishes the
+    // query — so the engine-private hash is fine here. 100k expected
+    // items ≈ 120 KB of filter, the broadcast-as-scalar-subquery budget.
+    ("graft_bloom_agg", classOf[BloomFilterAggregate],
+      (exprs: Seq[Expression]) => new BloomFilterAggregate(
+        new XxHash64(Seq(Cast(exprs.head, LongType))), Literal(100000L))),
+    ("graft_might_contain", classOf[BloomFilterMightContain],
+      (exprs: Seq[Expression]) => BloomFilterMightContain(
+        exprs(0), new XxHash64(Seq(Cast(exprs(1), LongType))))),
     ("graft_shingles", classOf[ShingleHashes],
       (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))),
     ("graft_shingles_poly", classOf[ShinglePolyHashes],

@@ -396,6 +396,52 @@ object Relational extends QueryModule {
       |                    AND EXTRACT(YEAR FROM o.o_orderdate) = 1997)
       |ORDER BY c_custkey NULLS FIRST""".stripMargin
 
+  /** Bloom-filter semi-join reduction (q131): Spark's runtime-filter
+    * primitives driven explicitly. The build side aggregates the
+    * filtered dimension's keys into ONE Bloom filter
+    * ([[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]],
+    * distributed + map-side merged, landing as a scalar-subquery result);
+    * the fact side then filters `graft_might_contain(bloom, key)` BEFORE
+    * its shuffle, and an exact IN semi-join finishes the query — so
+    * Bloom false positives cannot reach the result and the oracle is the
+    * plain semi-join SQL.
+    *
+    * This is the 100 TB shuffle killer for selective dim filters: when
+    * the dim is too big to broadcast, a plain semi-join shuffles the
+    * ENTIRE fact table; the ~120 KB filter ships to every task and
+    * drops non-qualifying fact rows at the scan, so the exchange
+    * carries only nearly-qualifying rows. Spark's AQE-injected runtime
+    * filter does this opportunistically behind thresholds; q131 pins
+    * the shape deterministically (PlanSpec asserts the prune sits below
+    * the join). */
+  def bloomJoinPrune(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    Tables.orders(spark, dir).createOrReplaceTempView("g131_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("g131_customer")
+    spark.sql(
+      """WITH bld AS (SELECT c_custkey FROM g131_customer
+        |             WHERE c_mktsegment = 'BUILDING')
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_value
+        |FROM g131_orders o
+        |WHERE graft_might_contain((SELECT graft_bloom_agg(c_custkey) FROM bld),
+        |                          o.o_custkey)
+        |  AND o.o_custkey IN (SELECT c_custkey FROM bld)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val bloomJoinPruneSql =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS total_value
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority NULLS FIRST""".stripMargin
+
   /** Custom typed Aggregator registered as a UDAF (§2.11 A2 — the Flink
     * AggregateFunction analog) driving a DataFrame aggregation: one pass
     * computes count/mean/variance/min/max per group (Chan/Welford merge,
@@ -476,5 +522,6 @@ object Relational extends QueryModule {
     GraftQuery("q16_stats_summary", statsSummary, Some(statsSummarySql)),
     GraftQuery("q17_small_qty_revenue", smallQuantityRevenue, Some(smallQuantityRevenueSql)),
     GraftQuery("q19_exists_churn", existsChurn, Some(existsChurnSql)),
+    GraftQuery("q131_bloom_join_prune", bloomJoinPrune, Some(bloomJoinPruneSql)),
   )
 }

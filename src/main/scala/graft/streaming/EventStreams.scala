@@ -59,6 +59,29 @@ object EventStreams {
               col("window.end").as("window_end"),
               col("event_type"), col("n"), col("total_value"))
 
+  /** Tumbling-window approximate distinct users via the KMV sketch — the
+    * streaming twin of q27's portable estimator. A streaming
+    * `COUNT(DISTINCT user_id)` needs per-window state proportional to
+    * the user cardinality; the sketch state is k longs per window no
+    * matter how many users flow through, merged incrementally across
+    * micro-batches by the same union+trim the batch aggregate uses
+    * (below k distinct hashes it is exact — tests pin that branch).
+    * Same 100 TB posture as the batch path: map-side-combined
+    * ObjectHashAggregate, the shuffle and the state store carry sketch
+    * buffers, never raw user ids. */
+  def tumblingDistinctUsers(events: DataFrame,
+                            windowDur: String = "10 minutes",
+                            watermarkDelay: String = "10 minutes"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    events.withWatermark("ts", watermarkDelay)
+      .select(col("ts"), graft.functions.Kmv.hashCol(col("user_id")).as("h"))
+      .groupBy(window(col("ts"), windowDur))
+      .agg(expr("graft_kmv(h)").as("n_users_approx"))
+      .select(col("window.start").as("window_start"),
+              col("window.end").as("window_end"),
+              col("n_users_approx"))
+  }
+
   /** Sliding windows: each event lands in windowDur/slide windows. */
   def slidingCounts(events: DataFrame,
                     windowDur: String = "10 minutes",

@@ -104,6 +104,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial_graft_kmv"), plan.take(3000))
   }
 
+  test("q131 bloom prune filters the fact side BELOW the exact semi-join") {
+    val plan = executedPlan(Relational.bloomJoinPrune(spark, sf0001))
+    assert(plan.contains("might_contain"), plan.take(3000))
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    // tree text prints parents before children: the bloom filter must be
+    // a descendant of the semi join (pre-join prune), not a post-join
+    // residual filter
+    assert(plan.indexOf("might_contain") > plan.indexOf("LeftSemi"),
+      plan.take(3000))
+  }
+
   test("q130 sketch algebra: map-side-combined sketches, corpus never self-joined") {
     val plan = executedPlan(operators.Profiling.vocabOverlapSketch(spark, sf0001))
     // the per-source sketch must partial-aggregate map-side so shuffles

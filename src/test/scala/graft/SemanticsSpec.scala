@@ -116,6 +116,33 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(est - 50000.0) / 50000.0 < 0.125, s"estimate $est")
   }
 
+  test("q131 bloom prune equals the plain semi-join; empty build side yields none") {
+    val viaBloom = Relational.bloomJoinPrune(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val bld = graft.sources.Tables.customer(spark, sf001)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .select(org.apache.spark.sql.functions.col("c_custkey"))
+    val plain = graft.sources.Tables.orders(spark, sf001)
+      .join(bld, org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"), "left_semi")
+      .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+        graft.functions.Exact.exactSum(graft.functions.Exact.money(
+          org.apache.spark.sql.functions.col("o_totalprice"))).as("total_value"))
+      .orderBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(viaBloom.toSeq === plain.toSeq)
+    // a bloom built over zero rows is null → might_contain is null →
+    // the filter admits nothing (same verdict the exact join would give)
+    val empty = spark.sql(
+      """SELECT x FROM (SELECT CAST(1 AS BIGINT) AS x)
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(y)
+        |   FROM (SELECT CAST(2 AS BIGINT) AS y) WHERE y < 0), x)""".stripMargin)
+    assert(empty.count() === 0L)
+  }
+
   test("q130 KMV set algebra is exact below k and near-exact above it") {
     val session = spark
     import session.implicits._

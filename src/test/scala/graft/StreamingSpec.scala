@@ -55,6 +55,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("KMV sketch aggregates through streaming windowed state (exact below k)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumblingDistinctUsers(in.toDF(), "10 minutes", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("kmvwin")
+      .option("checkpointLocation", tmp("ck-kmvwin")).start()
+    try {
+      // users 1,2,3 in window [0,10) — user 1 twice ACROSS micro-batches,
+      // so the sketch state must merge between batches without
+      // double-counting the duplicate
+      in.addData(ev(1, 1, 1, "click"), ev(2, 2, 2, "click"))
+      q.processAllAvailable()
+      in.addData(ev(3, 5, 1, "view"), ev(4, 6, 3, "click"))
+      q.processAllAvailable()
+      in.addData(ev(5, 25, 9, "click")) // watermark -> 15min: closes [0,10)
+      q.processAllAvailable()
+      val closed = spark.table("kmvwin")
+        .select($"window_start", $"n_users_approx").as[(Timestamp, Long)]
+        .collect().toSet
+      // 3 distinct users << k=1024: the sketch saw every hash — exact
+      assert(closed === Set((ts(0), 3L)))
+    } finally q.stop()
+  }
+
   test("session windows merge by gap (T3)") {
     val session = spark
     import session.implicits._
