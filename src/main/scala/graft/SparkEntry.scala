@@ -16,6 +16,7 @@ object SparkEntry {
     EventLog,
     TextOps,
     Dedup,
+    SpanDedup,
     Similarity,
     Multimodal,
     Curation,

@@ -111,6 +111,49 @@ case class ShinglePolyHashes(child: Expression, n: Int = 3)
     copy(child = newChild)
 }
 
+/** POSITIONAL word-n-gram hashes under the portable family: element i
+  * (0-based) is the hash of tokens i..i+n−1, NO dedup — length
+  * max(L−n+1, 0). [[ShinglePolyHashes]] answers "which shingles does
+  * this doc contain" (a set, for Jaccard/MinHash); this answers "what
+  * span STARTS at each position" (a sequence), which is what
+  * span-level dedup needs: a position is duplicated text iff some
+  * corpus-frequent span covers it, so the start offsets must survive
+  * hashing. Same token fold + arithmetic combine as the set form, so
+  * the oracle replays it from its token-hash list with one
+  * GENERATE_SERIES. */
+case class SpanPolyHashes(child: Expression, n: Int = 5)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_spans_poly"
+
+  override def nullSafeEval(input: Any): Any = {
+    // limit -1 keeps trailing empty tokens, matching Spark's split() and
+    // DuckDB's STRING_SPLIT tokenization exactly
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < n) new GenericArrayData(Array.empty[Long])
+    else {
+      val th = new Array[Long](words.length)
+      var w = 0
+      while (w < words.length) { th(w) = PolyHash.foldToken(words(w), PolyHash.M1); w += 1 }
+      val out = new Array[Long](words.length - n + 1)
+      var i = 0
+      while (i <= words.length - n) {
+        var b = th(i)
+        var k = 1
+        while (k < n) { b = (b * PolyHash.M1 + th(i + k)) % PolyHash.P; k += 1 }
+        out(i) = b
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanPolyHashes =
+    copy(child = newChild)
+}
+
 /** [[PolyHash.foldToken]] (M1 family) as a scalar expression — the plain
   * per-token portable hash in [0, P). q73 uses the same fold per word
   * inside its shingle combine; this exposes it standalone for operators

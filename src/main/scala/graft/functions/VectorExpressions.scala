@@ -120,6 +120,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ShingleHashes(Cast(exprs.head, StringType))),
     ("graft_shingles_poly", classOf[ShinglePolyHashes],
       (exprs: Seq[Expression]) => ShinglePolyHashes(Cast(exprs.head, StringType))),
+    ("graft_spans_poly", classOf[SpanPolyHashes],
+      (exprs: Seq[Expression]) => SpanPolyHashes(Cast(exprs.head, StringType))),
     ("graft_simtoken", classOf[SimTokenPolyHash],
       (exprs: Seq[Expression]) => SimTokenPolyHash(Cast(exprs.head, StringType))),
     ("graft_nfc", classOf[NormalizeNfc],

@@ -265,7 +265,17 @@ object Plans {
           "no second shingle explode/self-join subtree appears; the final " +
           "output is a parquet scan of the written pairs plus the " +
           "presentation sort.",
-        Dedup.neardupPairsBuild(spark, dir)))
+        Dedup.neardupPairsBuild(spark, dir)),
+
+      section("q132 duplicated-span coverage (r10 span-level dedup)",
+        "What to look for: the span explode is a generator over the " +
+          "pruned 2-column scan; the duplicated-span gate is ONE " +
+          "two-level single-distinct aggregate over 8-byte hashes (no " +
+          "Expand, no strings in the exchange); start flagging is a " +
+          "LeftSemi equi-join; the coverage window partitions by doc_id " +
+          "with the bounded (-4, currentrow) row frame — constant " +
+          "per-key state.",
+        SpanDedup.dupSpanStats(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

@@ -374,6 +374,16 @@ object ScaleProbe {
     time("q128 deflate signal 1x (5k docs)")(deflateCount(d1))
     time(s"q128 deflate signal ${copies}x")(deflateCount(dN))
 
+    // r10 span-dedup shape: positional span hashes → single-distinct
+    // gate → semi-join flags → bounded doc-window. dN's marker rewrite
+    // keeps each copy's INTERNAL dup-span structure (the rewrite is
+    // uniform within a copy) while the copies stay mutually disjoint —
+    // N× docs with N× dup structure, the honest scaling direction.
+    def spanCount(docs: DataFrame): Long =
+      graft.operators.SpanDedup.dupSpanStatsOf(docs).count()
+    time("q132 span dedup 1x (5k docs)")(spanCount(d1))
+    time(s"q132 span dedup ${copies}x")(spanCount(dN))
+
     spark.stop()
   }
 }

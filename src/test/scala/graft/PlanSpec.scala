@@ -462,4 +462,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(winSpecs > 0 && winSpecs === bySource, fs.take(4000))
     assert(!fs.contains("CartesianProduct"), fs.take(4000))
   }
+
+  test("q132 span dedup: no Expand, semi-join flag, doc-partitioned bounded window") {
+    val plan = executedPlan(SpanDedup.dupSpanStats(spark, sf0001))
+    // the duplicated-span gate is ONE single-distinct aggregate — a
+    // multi-distinct Expand here would multiply every span row through
+    // the shuffle
+    assert(!plan.contains("Expand"), plan.take(4000))
+    // duplicated-start flagging is an equi semi-join on the 8-byte hash
+    assert(plan.contains("LeftSemi"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    // coverage windows partition by doc_id with a BOUNDED row frame
+    // (-4, currentrow) — an unbounded or unpartitioned frame would pull
+    // whole-corpus state through one task at 100 TB
+    val winSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val byDoc = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(winSpecs > 0 && winSpecs === byDoc, plan.take(4000))
+    assert(plan.contains("specifiedwindowframe(RowFrame, -4, currentrow"),
+      plan.take(4000))
+  }
 }

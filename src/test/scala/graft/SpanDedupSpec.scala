@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.PolyHash
+import graft.operators.{Dedup, SpanDedup}
+
+/** Span-level dedup (q132-q134): positional hash parity, a brute-force
+  * coverage oracle over the real fixture, cross-query consistency, and a
+  * constructed corpus with known duplicated runs.
+  */
+class SpanDedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def foldRef(s: String): Long = PolyHash.foldToken(s, PolyHash.M1)
+
+  test("graft_spans_poly: positional hashes match the reference fold") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val df = spark.sql("SELECT graft_spans_poly('a b c d e f') AS h")
+    val got = df.collect()(0).getSeq[Long](0)
+    val toks = "a b c d e f".split(" ")
+    val th = toks.map(foldRef)
+    val want = (0 to 1).map { i =>
+      (1 until 5).foldLeft(th(i)) { (b, k) =>
+        (b * PolyHash.M1 + th(i + k)) % PolyHash.P
+      }
+    }
+    assert(got === want)
+    // below n tokens -> empty, not null
+    assert(spark.sql("SELECT graft_spans_poly('a b') AS h")
+      .collect()(0).getSeq[Long](0).isEmpty)
+  }
+
+  /** Brute-force coverage on the sf0.001 fixture: span STRINGS (not
+    * hashes) in >=2 distinct docs, interval-covered positions computed
+    * in driver Scala. The operator must agree doc-for-doc (the one
+    * mirrored-collision caveat is a hash-vs-string difference; assert
+    * equality and let a failure here flag a real collision on this
+    * corpus — there is none). */
+  test("q132 coverage matches a driver brute force on sf0.001") {
+    val docs = sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = SpanDedup.SpanN
+    val spanDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, toks) <- docs; i <- 0 to toks.length - n) {
+      val s = toks.slice(i, i + n).mkString(" ")
+      spanDocs(s) = spanDocs.getOrElse(s, Set.empty) + id
+    }
+    val dup = spanDocs.filter(_._2.size >= SpanDedup.MinSpanDocs).keySet
+    val want = docs.map { case (id, toks) =>
+      val covered = new Array[Boolean](toks.length)
+      for (i <- 0 to toks.length - n
+           if dup.contains(toks.slice(i, i + n).mkString(" ")); j <- i until i + n)
+        covered(j) = true
+      id -> ((toks.length.toLong, covered.count(identity).toLong))
+    }.toMap
+    val got = SpanDedup.dupSpanStats(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
+  test("q133 strip is consistent with q132 counts and is order-preserving") {
+    val stats = SpanDedup.dupSpanStats(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stripped = SpanDedup.stripDupSpans(spark, sf0001).collect()
+    assert(stripped.length === stats.size)
+    val texts = sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- stripped) {
+      val (nTok, nCov) = stats(r.getLong(0))
+      assert(r.getLong(1) === nTok)
+      assert(r.getLong(2) === nTok - nCov, s"doc ${r.getLong(0)}")
+      // kept tokens appear in original order: clean_text tokens must be a
+      // subsequence of the original token stream
+      val orig = texts(r.getLong(0)).split(" ", -1)
+      val clean = r.getString(3).split(" ", -1).filter(_ => true)
+      if (r.getLong(2) == 0L) assert(r.getString(3) === "")
+      else {
+        var i = 0
+        for (t <- clean) {
+          while (i < orig.length && orig(i) != t) i += 1
+          assert(i < orig.length, s"doc ${r.getLong(0)}: '$t' out of order")
+          i += 1
+        }
+      }
+    }
+  }
+
+  test("q134 per-source profile re-aggregates q132 exactly") {
+    val docs = sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stats = SpanDedup.dupSpanStats(spark, sf0001).collect()
+    val want = stats.groupBy(r => docs(r.getLong(0))).map { case (src, rs) =>
+      src -> ((rs.length.toLong, rs.count(_.getLong(2) > 0).toLong,
+        rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum))
+    }
+    val got = SpanDedup.spanDupBySource(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+  }
+
+  test("constructed corpus: injected shared run is covered, unique doc untouched") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val corpus = Seq(
+      (1L, s"one two $shared three four"),
+      (2L, s"five $shared six seven eight"),
+      (3L, "nine ten eleven twelve thirteen fourteen fifteen"))
+      .toDF("doc_id", "text")
+    val cov = SpanDedup.coveredTokens(corpus)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), sum($"covered").as("c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the shared run is 6 tokens = two overlapping 5-gram spans, both in
+    // 2 docs -> exactly those 6 positions are covered in docs 1 and 2
+    assert(cov(1L) === ((10L, 6L)))
+    assert(cov(2L) === ((10L, 6L)))
+    assert(cov(3L) === ((7L, 0L)))
+  }
+}
