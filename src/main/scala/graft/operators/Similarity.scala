@@ -460,14 +460,14 @@ object Similarity extends QueryModule {
   /** The assignment subquery against `model` — ONE builder shared by the
     * per-step CTEs and the final accounting CTE, so the distance and
     * tie-break expressions cannot drift between them. */
-  private def kmeansAssignSql(model: String): String =
+  private def kmeansAssignSql(model: String, src: String = "e"): String =
     s"""SELECT vec_id, v, cluster, dist,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id
       |                       ORDER BY dist, cluster) AS rk
       |  FROM (SELECT e.vec_id, e.v, c.cluster,
       |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $KmeansDim),
       |            j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))), 6) AS dist
-      |        FROM e CROSS JOIN $model c) t""".stripMargin
+      |        FROM $src e CROSS JOIN $model c) t""".stripMargin
 
   /** One unrolled Lloyd step: assignment a$i against c${i-1}, recompute
     * c$i — the SQL twin of one loop pass in [[kmeansTrainOf]]. */
@@ -487,13 +487,19 @@ object Similarity extends QueryModule {
     * final full-vector assignment (afin carries EVERY rank, so rk = 1 is
     * the cell assignment and rk ≤ p is a probe's p nearest cells) — used
     * by q100's summary and q107's coarse quantizer. */
-  private val kmeansModelCtes =
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def kmeansModelCtesOver(eDef: String): String =
+    s"""e AS ($eDef),
       |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
       |       ORDER BY vec_id LIMIT $KmeansK),
       |${(1 to KmeansIters).map(kmeansStepSql).mkString(",\n")},
       |afin AS (
       |  ${kmeansAssignSql(s"c$KmeansIters")})""".stripMargin
+
+  /** The full-corpus vectors CTE body — the default training set. */
+  private val embAllSqlDef =
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+
+  private val kmeansModelCtes = kmeansModelCtesOver(embAllSqlDef)
 
   private val kmeansTrainSql =
     s"""WITH $kmeansModelCtes,
@@ -622,14 +628,14 @@ object Similarity extends QueryModule {
   /** The per-block assignment subquery against `model` — shared by the
     * step CTEs and the final accounting CTE (same no-drift rule as
     * [[kmeansAssignSql]]). */
-  private def pqAssignSql(model: String): String =
+  private def pqAssignSql(model: String, src: String = "e2"): String =
     s"""SELECT vec_id, block, sv, cluster, dist,
       |    ROW_NUMBER() OVER (PARTITION BY vec_id, block
       |                       ORDER BY dist, cluster) AS rk
       |  FROM (SELECT e2.vec_id, e2.block, e2.sv, c.cluster,
       |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
       |            j -> (e2.sv[j] - c.cv[j]) * (e2.sv[j] - c.cv[j]))), 6) AS dist
-      |        FROM e2 JOIN $model c USING (block)) t""".stripMargin
+      |        FROM $src e2 JOIN $model c USING (block)) t""".stripMargin
 
   /** One unrolled per-block Lloyd step (SQL twin of one [[pqTrainOf]]
     * loop pass). */
@@ -650,10 +656,16 @@ object Similarity extends QueryModule {
     * leading vectors CTE, so q107 can chain it after [[kmeansModelCtes]]
     * (which defines the identical `e`); q101/q105/q106 prepend `e` via
     * [[pqModelCtes]]. One definition, so the oracles cannot drift. */
-  private val pqModelCtesAfterE =
-    s"""e2 AS (SELECT vec_id, b AS block,
+  /** The sub-vector split of a vectors CTE `src(vec_id, v)` — shared by
+    * the training prefix and q135/q136's append-batch CTEs so the block
+    * slicing cannot drift. */
+  private def subvectorsSqlOver(src: String): String =
+    s"""SELECT vec_id, b AS block,
       |         v[b * $PqBlockDim + 1 : (b + 1) * $PqBlockDim] AS sv
-      |       FROM e, UNNEST(GENERATE_SERIES(0, ${PqBlocks - 1})) AS t(b)),
+      |       FROM $src, UNNEST(GENERATE_SERIES(0, ${PqBlocks - 1})) AS t(b)""".stripMargin
+
+  private val pqModelCtesAfterE =
+    s"""e2 AS (${subvectorsSqlOver("e")}),
       |pc0 AS (SELECT block, vec_id AS cluster, sv AS cv FROM e2
       |        WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $PqK)),
       |${(1 to PqIters).map(pqStepSql).mkString(",\n")},
@@ -941,15 +953,24 @@ object Similarity extends QueryModule {
     * write-once half of the production split the q107 docstring promises:
     * train/encode pays its corpus passes ONCE here, and every q109 search
     * after it is just broadcast gate + LUT joins against these tables. */
+  /** Encode one corpus segment with FROZEN models — cell assignment and
+    * PQ codes. Shared by the full build (q108) and the delta append
+    * (q135), so base and appended segments are encoded by the identical
+    * program. */
+  private def segmentCells(e: DataFrame, cellModel: DataFrame): DataFrame =
+    kmAssign(kmVectors(e), cellModel, carryVector = false)
+      .select(col("vec_id"), col("cluster").as("cell"))
+
+  private def segmentCodes(e: DataFrame, pqModel: DataFrame): DataFrame =
+    pqAssign(pqSubvectors(e), pqModel, carryVector = false)
+      .select(col("vec_id"), col("block"), col("cluster"))
+
   private[graft] def writeIvfPqIndex(emb: DataFrame, base: String): Unit = {
     val cellModel = kmeansModelOf(emb)
     val pqModel = pqModelOf(emb)
-    val cells = kmAssign(kmVectors(emb), cellModel, carryVector = false)
-      .select(col("vec_id"), col("cluster").as("cell"))
-    val codes = pqAssign(pqSubvectors(emb), pqModel, carryVector = false)
-      .select(col("vec_id"), col("block"), col("cluster"))
     Seq("centroids" -> cellModel, "pq_codebook" -> pqModel,
-      "cells" -> cells, "codes" -> codes).foreach { case (name, df) =>
+      "cells" -> segmentCells(emb, cellModel),
+      "codes" -> segmentCodes(emb, pqModel)).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$base/$name")
     }
   }
@@ -984,26 +1005,39 @@ object Similarity extends QueryModule {
     // write NOW"; the stamp lets a following q109 reuse this artifact
     val base = graft.sources.ArtifactStore.rebuild("ivfpq", dir, IndexTables)(
       b => writeIvfPqIndex(Tables.embeddings(spark, dir), b))
-    def sumChk(c: Column): Column =
-      round(sum(c.cast(DecimalType(38, 6))).cast(DoubleType), 6).as("checksum")
-    val cells = spark.read.parquet(s"$base/cells")
-      .groupBy().agg(count(lit(1)).as("n_rows"), sumChk(col("cell")))
-      .select(lit("cells").as("component"), col("n_rows"), col("checksum"))
-    val cents = spark.read.parquet(s"$base/centroids")
-      .select(col("cluster"), explode(col("cv")).as("x"))
-      .groupBy().agg(countDistinct(col("cluster")).as("n_rows"), sumChk(col("x")))
-      .select(lit("centroids").as("component"), col("n_rows"), col("checksum"))
-    val codes = spark.read.parquet(s"$base/codes")
-      .groupBy().agg(count(lit(1)).as("n_rows"), sumChk(col("cluster")))
-      .select(lit("codes").as("component"), col("n_rows"), col("checksum"))
-    val pqcb = spark.read.parquet(s"$base/pq_codebook")
-      .select(col("block"), col("cluster"), explode(col("cv")).as("x"))
-      .groupBy().agg(countDistinct(col("block"), col("cluster")).as("n_rows"),
-        sumChk(col("x")))
-      .select(lit("pq_codebook").as("component"), col("n_rows"), col("checksum"))
-    cells.unionAll(cents).unionAll(codes).unionAll(pqcb)
+    val rd = (t: String) => spark.read.parquet(s"$base/$t")
+    cellsComponent(rd("cells"), "cells")
+      .unionAll(centroidsComponent(rd("centroids"), "centroids"))
+      .unionAll(codesComponent(rd("codes"), "codes"))
+      .unionAll(pqCodebookComponent(rd("pq_codebook"), "pq_codebook"))
       .orderBy(col("component"))
   }
+
+  /** Per-component accounting rows (component, n_rows, checksum) over a
+    * written index table — the shape both build operators (q108, q135)
+    * admit with, so a green row certifies the on-disk artifact against
+    * an independent recomputation. */
+  private def sumChk(c: Column): Column =
+    round(sum(c.cast(DecimalType(38, 6))).cast(DoubleType), 6).as("checksum")
+
+  private def cellsComponent(df: DataFrame, comp: String): DataFrame =
+    df.groupBy().agg(count(lit(1)).as("n_rows"), sumChk(col("cell")))
+      .select(lit(comp).as("component"), col("n_rows"), col("checksum"))
+
+  private def codesComponent(df: DataFrame, comp: String): DataFrame =
+    df.groupBy().agg(count(lit(1)).as("n_rows"), sumChk(col("cluster")))
+      .select(lit(comp).as("component"), col("n_rows"), col("checksum"))
+
+  private def centroidsComponent(df: DataFrame, comp: String): DataFrame =
+    df.select(col("cluster"), explode(col("cv")).as("x"))
+      .groupBy().agg(countDistinct(col("cluster")).as("n_rows"), sumChk(col("x")))
+      .select(lit(comp).as("component"), col("n_rows"), col("checksum"))
+
+  private def pqCodebookComponent(df: DataFrame, comp: String): DataFrame =
+    df.select(col("block"), col("cluster"), explode(col("cv")).as("x"))
+      .groupBy().agg(countDistinct(col("block"), col("cluster")).as("n_rows"),
+        sumChk(col("x")))
+      .select(lit(comp).as("component"), col("n_rows"), col("checksum"))
 
   private val ivfPqIndexBuildSql =
     s"""WITH $kmeansModelCtes,
@@ -1059,6 +1093,242 @@ object Similarity extends QueryModule {
 
   private val ivfPqQuerySql = ivfPqSearchSqlFor(PqSearchManyProbes)
 
+  // ---- delta-segment index maintenance: append without retrain ------------
+
+  /** Which vectors arrive AFTER the index was built: vec_id ≡ 0 (mod 5),
+    * i.e. a 20% append batch against an 80% base corpus. A fixed modulus
+    * (not a hash) keeps the split engine-portable for the oracle. */
+  val DeltaSplitMod = 5L
+
+  private def baseSide(emb: DataFrame): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(DeltaSplitMod)) =!= 0L)
+  private def batchSide(emb: DataFrame): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(DeltaSplitMod)) === 0L)
+
+  /** The six tables of a delta-maintained index: the four base tables
+    * plus the appended segment's cells/codes. Base segments are
+    * IMMUTABLE — an append never rewrites them (the LSM pattern every
+    * production vector store uses; compaction = a periodic q108-style
+    * retrain over base+delta). */
+  private val DeltaIndexTables = IndexTables ++ Seq("cells_delta", "codes_delta")
+
+  /** Train on the BASE corpus only, encode base into the base segment
+    * and the append batch into the delta segment with the same frozen
+    * models. At 100 TB this is the difference between an append being an
+    * encode-only job over the new data (two broadcast joins against
+    * model-sized tables) and a full retrain over the whole corpus. */
+  private[graft] def writeIvfPqDeltaIndex(emb: DataFrame, base: String): Unit = {
+    val bEmb = baseSide(emb)
+    val nEmb = batchSide(emb)
+    val cellModel = kmeansModelOf(bEmb)
+    val pqModel = pqModelOf(bEmb)
+    Seq("centroids" -> cellModel, "pq_codebook" -> pqModel,
+      "cells" -> segmentCells(bEmb, cellModel),
+      "codes" -> segmentCodes(bEmb, pqModel),
+      "cells_delta" -> segmentCells(nEmb, cellModel),
+      "codes_delta" -> segmentCodes(nEmb, pqModel)).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$base/$name")
+    }
+  }
+
+  def ensureIvfPqDeltaIndex(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("ivfpqdelta", dir, DeltaIndexTables)(
+      b => writeIvfPqDeltaIndex(Tables.embeddings(spark, dir), b))
+
+  /** q135: incremental index append — encode a batch of NEW vectors with
+    * the index's FROZEN quantizers and persist it as an immutable delta
+    * segment beside the untouched base segment (no retrain, no base
+    * rewrite). The admitted result is the same per-table accounting as
+    * q108, now over all six tables, so a green row certifies base AND
+    * delta segments bit-equal to an independent engine's replay of
+    * "train on base, encode base, encode batch".
+    *
+    * Scale posture: the batch pays two broadcast equi-joins against
+    * model-sized tables and writes only its own rows — append cost is
+    * O(batch), not O(corpus); the base corpus is read only to train
+    * (once — in production the models already exist and even that
+    * vanishes). This, plus q136's merged search, is how a 100 TB index
+    * absorbs daily arrivals. */
+  def ivfPqIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.sources.ArtifactStore.rebuild("ivfpqdelta", dir,
+      DeltaIndexTables)(b => writeIvfPqDeltaIndex(Tables.embeddings(spark, dir), b))
+    val rd = (t: String) => spark.read.parquet(s"$base/$t")
+    cellsComponent(rd("cells"), "cells")
+      .unionAll(cellsComponent(rd("cells_delta"), "cells_delta"))
+      .unionAll(centroidsComponent(rd("centroids"), "centroids"))
+      .unionAll(codesComponent(rd("codes"), "codes"))
+      .unionAll(codesComponent(rd("codes_delta"), "codes_delta"))
+      .unionAll(pqCodebookComponent(rd("pq_codebook"), "pq_codebook"))
+      .orderBy(col("component"))
+  }
+
+  /** Oracle prefix for the delta family: train both quantizers on the
+    * base split (`e` = base vectors, so every training CTE runs verbatim
+    * on it), then assign the append batch against the frozen models via
+    * the same shared assignment builders the training steps use. */
+  private val deltaModulusSql =
+    s"((vec_id % $DeltaSplitMod) + $DeltaSplitMod) % $DeltaSplitMod"
+
+  private val embBaseSqlDef =
+    s"$embAllSqlDef WHERE $deltaModulusSql <> 0"
+
+  private val deltaCtes =
+    s"""${kmeansModelCtesOver(embBaseSqlDef)},
+      |$pqModelCtesAfterE,
+      |enew AS ($embAllSqlDef WHERE $deltaModulusSql = 0),
+      |afinnew AS (
+      |  ${kmeansAssignSql(s"c$KmeansIters", "enew")}),
+      |e2new AS (${subvectorsSqlOver("enew")}),
+      |pafinnew AS (
+      |  ${pqAssignSql(s"pc$PqIters", "e2new")})""".stripMargin
+
+  private val ivfPqIndexAppendSql =
+    s"""WITH $deltaCtes
+      |SELECT component, n_rows, checksum FROM (
+      |  SELECT 'cells' AS component, COUNT(*) AS n_rows,
+      |    ROUND(CAST(SUM(CAST(cluster AS DECIMAL(38,6))) AS DOUBLE), 6) AS checksum
+      |  FROM afin WHERE rk = 1
+      |  UNION ALL
+      |  SELECT 'cells_delta', COUNT(*),
+      |    ROUND(CAST(SUM(CAST(cluster AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |  FROM afinnew WHERE rk = 1
+      |  UNION ALL
+      |  SELECT 'centroids', (SELECT COUNT(*) FROM c$KmeansIters),
+      |    (SELECT ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |     FROM (SELECT UNNEST(cv) AS x FROM c$KmeansIters) u)
+      |  UNION ALL
+      |  SELECT 'codes', COUNT(*),
+      |    ROUND(CAST(SUM(CAST(cluster AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |  FROM pafin WHERE rk = 1
+      |  UNION ALL
+      |  SELECT 'codes_delta', COUNT(*),
+      |    ROUND(CAST(SUM(CAST(cluster AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |  FROM pafinnew WHERE rk = 1
+      |  UNION ALL
+      |  SELECT 'pq_codebook', (SELECT COUNT(*) FROM pc$PqIters),
+      |    (SELECT ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |     FROM (SELECT UNNEST(cv) AS x FROM pc$PqIters) u2)
+      |) t ORDER BY component NULLS FIRST""".stripMargin
+
+  /** q136: merged search over base ∪ delta — the freshness half of the
+    * append story: probes (drawn from the FULL corpus, so appended
+    * vectors can also query) search the base and delta segments as one
+    * index, with the base-trained quantizers. An appended vector is
+    * findable the moment its delta segment lands, no retrain, and
+    * SemanticsSpec pins that appended ids actually surface as neighbors.
+    *
+    * Scale posture: identical to q109 (THE production search shape) —
+    * the union adds one more column-pruned parquet scan per segment;
+    * probe cells and LUT stay broadcast; ADC collapses map-side. */
+  def ivfPqSearchMerged(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfPqDeltaIndex(spark, dir)
+    val rd = (t: String) => spark.read.parquet(s"$base/$t")
+    ivfPqScan(Tables.embeddings(spark, dir), rd("centroids"), rd("pq_codebook"),
+      rd("cells").unionByName(rd("cells_delta")),
+      rd("codes").unionByName(rd("codes_delta")))
+  }
+
+  private val ivfPqSearchMergedSql =
+    s"""WITH $deltaCtes,
+      |e2all AS (SELECT * FROM e2 UNION ALL SELECT * FROM e2new),
+      |probes AS (SELECT vec_id AS query_id, block, sv FROM e2all
+      |           WHERE vec_id < $PqSearchProbes),
+      |lut AS (SELECT p.query_id, p.block, c.cluster,
+      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
+      |            j -> (p.sv[j] - c.cv[j]) * (p.sv[j] - c.cv[j]))), 6) AS pdist
+      |        FROM probes p JOIN pc$PqIters c USING (block)),
+      |cellsall AS (SELECT vec_id, cluster AS cell FROM afin WHERE rk = 1
+      |             UNION ALL
+      |             SELECT vec_id, cluster FROM afinnew WHERE rk = 1),
+      |pcell AS (SELECT vec_id AS query_id, cluster AS cell FROM afin
+      |          WHERE rk <= $IvfPqProbeCells AND vec_id < $PqSearchProbes
+      |          UNION ALL
+      |          SELECT vec_id, cluster FROM afinnew
+      |          WHERE rk <= $IvfPqProbeCells AND vec_id < $PqSearchProbes),
+      |codes AS (SELECT vec_id, block, cluster FROM pafin WHERE rk = 1
+      |          UNION ALL
+      |          SELECT vec_id, block, cluster FROM pafinnew WHERE rk = 1),
+      |cand AS (SELECT p.query_id, ca.vec_id FROM cellsall ca
+      |         JOIN pcell p USING (cell)
+      |         WHERE ca.vec_id <> p.query_id),
+      |ad AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+      |         ROUND(CAST(SUM(CAST(l.pdist AS DECIMAL(38, 6))) AS DOUBLE), 6)
+      |           AS approx_dist
+      |       FROM cand cd
+      |       JOIN codes k ON cd.vec_id = k.vec_id
+      |       JOIN lut l ON l.query_id = cd.query_id
+      |         AND l.block = k.block AND l.cluster = k.cluster
+      |       GROUP BY 1, 2),
+      |$adcRankSql""".stripMargin
+
+  // ---- cell-proportional diverse sampling ---------------------------------
+
+  /** Keep 1 in [[DiverseSampleDenom]] of every cell (and never less than
+    * one vector per cell) — the coverage-preserving rate. */
+  val DiverseSampleDenom = 5
+
+  // q126's multiplicative-hash rank family with its own offset (+29), so
+  // the sample is independent of the q126 audit sample: engine-portable
+  // arithmetic, mirrored by the SQL twin below.
+  private val SRankPrime = 1000003L
+  private val SRankMult = 2654435761L
+  private val SRankMod = 1048573L
+
+  private def sampleRankKey = pmod(
+    pmod(col("vec_id") + lit(29L), lit(SRankPrime)) * lit(SRankMult),
+    lit(SRankMod))
+
+  private val sampleRankKeySql =
+    s"CAST((((((vec_id + 29) % $SRankPrime) + $SRankPrime) % $SRankPrime" +
+      s" * $SRankMult) % $SRankMod + $SRankMod) % $SRankMod AS BIGINT)"
+
+  /** q137: cell-proportional diverse sample — a coverage-preserving
+    * subsample drawn from the PERSISTED index's cells (the SemDeDup-style
+    * curation move: thin dense semantic regions proportionally instead of
+    * sampling uniformly, so small clusters — rare topics, rare languages
+    * — keep representation). Every cell keeps ⌊n/[[DiverseSampleDenom]]⌋
+    * (min 1) vectors, chosen by an engine-portable multiplicative-hash
+    * rank, so the same sample comes back on every engine, run, and
+    * cluster size.
+    *
+    * Scale posture: one column-pruned scan of the cells table, one
+    * window partitioned by cell (state bounded by the largest cell — and
+    * cells are quantizer-balanced, unlike raw group keys); no join, no
+    * corpus shuffle beyond the window's. */
+  def cellDiverseSample(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfPqIndex(spark, dir)
+    cellDiverseSampleOf(spark.read.parquet(s"$base/cells"))
+  }
+
+  private[graft] def cellDiverseSampleOf(cells: DataFrame): DataFrame = {
+    val byCell = Window.partitionBy(col("cell"))
+    val rankW = byCell.orderBy(col("rank_key").asc, col("vec_id").asc)
+    cells
+      .withColumn("rank_key", sampleRankKey)
+      .withColumn("cell_n", count(lit(1)).over(byCell))
+      .withColumn("quota",
+        greatest(lit(1L), floor(col("cell_n") / lit(DiverseSampleDenom.toDouble))))
+      .withColumn("rk", row_number().over(rankW).cast(LongType))
+      .filter(col("rk") <= col("quota"))
+      .select(col("cell"), col("rk"), col("vec_id"), col("cell_n"), col("quota"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
+  private val cellDiverseSampleSql =
+    s"""WITH $kmeansModelCtes,
+      |cellsall AS (SELECT vec_id, cluster AS cell FROM afin WHERE rk = 1),
+      |t AS (SELECT cell, vec_id, $sampleRankKeySql AS rank_key FROM cellsall),
+      |r AS (SELECT cell, vec_id,
+      |        ROW_NUMBER() OVER (PARTITION BY cell
+      |          ORDER BY rank_key NULLS FIRST, vec_id NULLS FIRST) AS rk,
+      |        COUNT(*) OVER (PARTITION BY cell) AS cell_n
+      |      FROM t)
+      |SELECT cell, rk, vec_id, cell_n,
+      |  GREATEST(1, CAST(FLOOR(cell_n / ${DiverseSampleDenom}.0) AS BIGINT)) AS quota
+      |FROM r
+      |WHERE rk <= GREATEST(1, CAST(FLOOR(cell_n / ${DiverseSampleDenom}.0) AS BIGINT))
+      |ORDER BY cell NULLS FIRST, rk""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
@@ -1075,5 +1345,8 @@ object Similarity extends QueryModule {
     // the persisted index is deterministic, so the persisted-form search
     // answers to the oracle that replays the training loops in-plan
     GraftQuery("q109_ivfpq_query", ivfPqQuery, Some(ivfPqQuerySql)),
+    GraftQuery("q135_ivfpq_index_append", ivfPqIndexAppend, Some(ivfPqIndexAppendSql)),
+    GraftQuery("q136_ivfpq_search_merged", ivfPqSearchMerged, Some(ivfPqSearchMergedSql)),
+    GraftQuery("q137_cell_diverse_sample", cellDiverseSample, Some(cellDiverseSampleSql)),
   )
 }

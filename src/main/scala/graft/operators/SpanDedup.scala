@@ -194,13 +194,25 @@ object SpanDedup extends QueryModule {
     * shares), the positional 5-gram combine (same arithmetic as
     * [[graft.functions.SpanPolyHashes]]), the distinct-doc gate, and the
     * bounded window. */
-  private def coveredSqlPrefix(): String = {
+  /** The positional n-gram combine over a token-hash list `th` at offset
+    * `i` — the SQL twin of [[graft.functions.SpanPolyHashes]]'s arithmetic,
+    * shared by the covered-token replay and q138's decontamination oracle
+    * so the span identity cannot drift between them. */
+  // a def, not a val: the per-query SQL vals above initialize BEFORE
+  // later-declared vals, and a val here would still be null when
+  // coveredSqlPrefix() runs during their initialization
+  private def spanCombineSql: String = {
     val P = PolyHash.P
     val M = PolyHash.M1
     // ((((th[i]*M + th[i+1]) % P * M + th[i+2]) % P ... ) — the n=5 fold
-    val combine = (1 until SpanN).foldLeft("th[i]") { (acc, k) =>
+    (1 until SpanN).foldLeft("th[i]") { (acc, k) =>
       s"($acc * $M + th[i+$k]) % $P"
     }
+  }
+
+  private def coveredSqlPrefix(): String = {
+    val M = PolyHash.M1
+    val combine = spanCombineSql
     s"""WITH toks AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS t FROM documents),
       |tht AS (SELECT doc_id,
       |  LIST_TRANSFORM(t, w -> ${Dedup.polyFoldSql("w", M)}) AS th,
@@ -221,9 +233,98 @@ object SpanDedup extends QueryModule {
       |        FROM tok k LEFT JOIN st ON st.doc_id = k.doc_id AND st.pos = k.pos)""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q138: eval-set decontamination audit
+  // ---------------------------------------------------------------------
+
+  /** q138: split decontamination — flag val/test documents that share
+    * any [[SpanN]]-gram span with ANY train document (the GPT-3 /
+    * PaLM-style n-gram rule applied to the INTERNAL train/val/test cut:
+    * q125's exact-text leakage audit upgraded to partial overlap — a
+    * quoted paragraph, a shared template — while q76/q79 aim the same
+    * idea at an EXTERNAL benchmark table).
+    * The split is THE q67 assignment ([[TextOps.splitAssign]]), so the
+    * audit can never drift from the split it audits. Emits, per held-out
+    * split: document count, contaminated count and rate, and the
+    * span-level hit mass (how MUCH of the held-out spans also occur in
+    * train — severity, not just incidence).
+    *
+    * Scale shape: spans are per-doc DISTINCT (bounded by doc length); the
+    * train-span set is one distinct aggregate over 8-byte hashes; the
+    * containment test is a single equi-join of eval spans against it
+    * (AQE-decided — at 100 TB both sides shuffle-partition on the hash;
+    * no strings shuffle, nothing joins the corpus to itself); everything
+    * after is per-doc then per-split aggregation. Docs shorter than
+    * [[SpanN]] tokens produce no spans and are counted, uncontaminated,
+    * via the left join. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Tables.documents(spark, dir))
+
+  private[graft] def decontaminateOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val spans = docs
+      .select(col("doc_id"), TextOps.splitAssign.as("split"),
+        explode(array_distinct(expr("graft_spans_poly(text)"))).as("span"))
+    val trainSpans = spans.filter(col("split") === "train")
+      .select(col("span")).distinct().withColumn("hit", lit(1L))
+    val perDoc = spans.filter(col("split") =!= "train")
+      .join(trainSpans, Seq("span"), "left")
+      .groupBy(col("split"), col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    docs.select(col("doc_id"), TextOps.splitAssign.as("split"))
+      .filter(col("split") =!= "train")
+      .join(perDoc, Seq("split", "doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(coalesce(col("n_spans"), lit(0L))).as("n_eval_spans"),
+        sum(coalesce(col("n_hit"), lit(0L))).as("n_hit_spans"))
+      .withColumn("contam_rate",
+        col("n_contaminated").cast(DoubleType) / col("n_docs"))
+      .select(col("split"), col("n_docs"), col("n_contaminated"),
+        col("n_eval_spans"), col("n_hit_spans"), col("contam_rate"))
+      .orderBy(col("split"))
+  }
+
+  private val decontaminateSql: String = {
+    val M = PolyHash.M1
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |tht AS (SELECT doc_id,
+      |  LIST_TRANSFORM(t, w -> ${Dedup.polyFoldSql("w", M)}) AS th,
+      |  LEN(t) AS nt FROM toks),
+      |spn AS (SELECT DISTINCT doc_id,
+      |          ${TextOps.splitAssignSqlCase} AS split,
+      |          $spanCombineSql AS span
+      |        FROM tht, UNNEST(GENERATE_SERIES(1, nt - ${SpanN - 1})) AS u(i)
+      |        WHERE nt >= $SpanN),
+      |tr AS (SELECT DISTINCT span FROM spn WHERE split = 'train'),
+      |pd AS (SELECT s.split, s.doc_id, COUNT(*) AS n_spans,
+      |         SUM(CASE WHEN tr.span IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |       FROM spn s LEFT JOIN tr ON s.span = tr.span
+      |       WHERE s.split <> 'train' GROUP BY 1, 2),
+      |ed AS (SELECT doc_id, ${TextOps.splitAssignSqlCase} AS split
+      |       FROM documents)
+      |SELECT ed.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN COALESCE(pd.n_hit, 0) > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_contaminated,
+      |  CAST(SUM(COALESCE(pd.n_spans, 0)) AS BIGINT) AS n_eval_spans,
+      |  CAST(SUM(COALESCE(pd.n_hit, 0)) AS BIGINT) AS n_hit_spans,
+      |  CAST(SUM(CASE WHEN COALESCE(pd.n_hit, 0) > 0 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*) AS contam_rate
+      |FROM ed LEFT JOIN pd ON pd.split = ed.split AND pd.doc_id = ed.doc_id
+      |WHERE ed.split <> 'train'
+      |GROUP BY ed.split
+      |ORDER BY ed.split NULLS FIRST""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q132_dup_span_stats", dupSpanStats, Some(dupSpanStatsSql)),
     GraftQuery("q133_strip_dup_spans", stripDupSpans, Some(stripDupSpansSql)),
     GraftQuery("q134_span_dup_by_source", spanDupBySource, Some(spanDupBySourceSql)),
+    GraftQuery("q138_decontaminate", decontaminate, Some(decontaminateSql)),
   )
 }

@@ -482,4 +482,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("specifiedwindowframe(RowFrame, -4, currentrow"),
       plan.take(4000))
   }
+
+  test("q136 merged search keeps q109's shape: broadcast gates, no BNLJ/cartesian") {
+    // same contract as q107/q109: the only unhinted join is the
+    // index-build cand⋈codes primary-key join (AQE-decided), so the
+    // EXECUTED section must show broadcasts and no nested-loop fallback
+    val plan = executedPlan(Similarity.ivfPqSearchMerged(spark, sf0001))
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    // the only nested-loop is the HINTED probe×model broadcast cross join
+    // (model-sized build side, q107's own shape) — never an unhinted one
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.replace("BroadcastNestedLoopJoin BuildRight, Cross", "")
+      .contains("BroadcastNestedLoop"), plan.take(4000))
+  }
+
+  test("q137 sample is one scan + one cell-partitioned window: no join, no Expand") {
+    val plan = executedPlan(Similarity.cellDiverseSample(spark, sf0001))
+    assert(!plan.contains("Join"), plan.take(4000))
+    assert(!plan.contains("Expand"), plan.take(4000))
+    // both window functions (count + row_number) partition by cell —
+    // never an unpartitioned whole-corpus window
+    val winSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val byCell = "windowspecdefinition\\(cell".r.findAllIn(plan).size
+    assert(winSpecs > 0 && winSpecs === byCell, plan.take(4000))
+  }
+
+  test("q138 decontamination: span containment is an equi-join, no Expand/cartesian") {
+    val plan = executedPlan(SpanDedup.decontaminate(spark, sf0001))
+    // the train-span set is ONE distinct aggregate (no multi-distinct
+    // Expand), the containment test an equi join on the 8-byte hash, the
+    // doc roll-up left outer — and nothing nested-loops
+    assert(!plan.contains("Expand"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(plan.contains("LeftOuter"), plan.take(4000))
+  }
 }

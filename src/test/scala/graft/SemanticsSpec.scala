@@ -980,6 +980,72 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     f.delete(); ()
   }
 
+  test("q135 delta append: base segment untouched, delta covers exactly the batch") {
+    // fresh build: cover the write path, not a leftover artifact
+    rmTree(new java.io.File(graft.sources.ArtifactStore.path("ivfpqdelta", sf0001)))
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val nBatch = emb.filter(s"vec_id % ${Similarity.DeltaSplitMod} = 0").count()
+    assert(nBatch > 0 && nBatch < n, "split must be non-degenerate")
+    val got = Similarity.ivfPqIndexAppend(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("cells", "cells_delta", "centroids", "codes",
+      "codes_delta", "pq_codebook"))
+    assert(got("cells") === n - nBatch, "base segment = base corpus")
+    assert(got("cells_delta") === nBatch, "delta segment = append batch")
+    assert(got("codes") === (n - nBatch) * Similarity.PqBlocks)
+    assert(got("codes_delta") === nBatch * Similarity.PqBlocks)
+    // segment partition law: delta holds exactly the mod-0 ids, the base
+    // segment none of them, and together they tile the corpus
+    val base = graft.sources.ArtifactStore.path("ivfpqdelta", sf0001)
+    val baseIds = spark.read.parquet(s"$base/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val deltaIds = spark.read.parquet(s"$base/cells_delta")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(deltaIds.forall(_ % Similarity.DeltaSplitMod == 0))
+    assert(baseIds.forall(_ % Similarity.DeltaSplitMod != 0))
+    assert((baseIds ++ deltaIds).size.toLong === n)
+  }
+
+  test("q136 merged search: appended vectors are findable and can query (freshness)") {
+    val rows = Similarity.ivfPqSearchMerged(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._3 % Similarity.DeltaSplitMod == 0),
+      "no appended vector surfaced as a neighbor — delta segment unsearched")
+    assert(rows.exists(_._1 % Similarity.DeltaSplitMod == 0),
+      "no appended vector acted as a probe")
+    // the artifact is a pure function of the corpus: a second search
+    // (ensure-reusing the index) answers bit-equal
+    val again = Similarity.ivfPqSearchMerged(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows === again)
+  }
+
+  test("q137 quotas: every cell keeps max(1, floor(n/denom)) members of itself") {
+    val base = Similarity.ensureIvfPqIndex(spark, sf0001)
+    val cells = spark.read.parquet(s"$base/cells")
+    val cellN = cells.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = cells.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sample = Similarity.cellDiverseSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sample.nonEmpty)
+    sample.groupBy(_._1).foreach { case (cell, rows) =>
+      val n = cellN(cell)
+      val quota = math.max(1L, n / Similarity.DiverseSampleDenom)
+      assert(rows.length.toLong === quota, s"cell $cell kept ${rows.length}, want $quota")
+      assert(rows.forall(_._4 == n), s"cell $cell cell_n mismatch")
+      assert(rows.forall(_._5 == quota), s"cell $cell quota mismatch")
+    }
+    // every cell is represented (coverage preservation), and only by its
+    // own members
+    assert(sample.map(_._1).toSet === cellN.keySet)
+    assert(sample.forall { case (cell, _, vecId, _, _) =>
+      members.contains((vecId, cell)) })
+  }
+
   test("q112 classifies a batch against the persisted index (planted statuses)") {
     val session = spark
     import session.implicits._

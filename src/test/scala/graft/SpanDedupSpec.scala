@@ -122,4 +122,29 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(cov(2L) === ((10L, 6L)))
     assert(cov(3L) === ((7L, 0L)))
   }
+
+  test("q138: shared-span val doc flagged, clean and short docs not, train ignored") {
+    import spark.implicits._
+    // doc_id mod 10: 0-7 train, 8 val, 9 test (THE q67 assignment)
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // train
+      (1L, "one two three four five six"), // train
+      (8L, "pre alpha beta gamma delta epsilon post"), // val: shares a 5-gram with doc 0
+      (18L, "tiny doc"), // val: < 5 tokens, no spans, counted clean
+      (9L, "unique apple banana cherry date fig"), // test: clean
+      (19L, "one two three four five six")) // test: exact copy of train doc 1
+      .toDF("doc_id", "text")
+    val got = SpanDedup.decontaminateOf(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // val: 2 docs; doc 8 has 3 spans, 1 of which ("alpha..epsilon") is in
+    // train; doc 18 contributes no spans but still counts as a doc
+    assert(got("val") === ((2L, 1L, 3L, 1L)))
+    // test: doc 9's 2 spans miss, doc 19's 2 spans BOTH hit (exact copy)
+    assert(got("test") === ((2L, 1L, 4L, 2L)))
+    // contam_rate column is n_contaminated / n_docs
+    val rates = SpanDedup.decontaminateOf(corpus).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(rates("val") === 0.5 && rates("test") === 0.5)
+  }
 }
