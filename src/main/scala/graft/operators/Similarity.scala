@@ -1119,16 +1119,31 @@ object Similarity extends QueryModule {
     * model-sized tables) and a full retrain over the whole corpus. */
   private[graft] def writeIvfPqDeltaIndex(emb: DataFrame, base: String): Unit = {
     val bEmb = baseSide(emb)
-    val nEmb = batchSide(emb)
     val cellModel = kmeansModelOf(bEmb)
     val pqModel = pqModelOf(bEmb)
     Seq("centroids" -> cellModel, "pq_codebook" -> pqModel,
       "cells" -> segmentCells(bEmb, cellModel),
-      "codes" -> segmentCodes(bEmb, pqModel),
-      "cells_delta" -> segmentCells(nEmb, cellModel),
-      "codes_delta" -> segmentCodes(nEmb, pqModel)).foreach { case (name, df) =>
+      "codes" -> segmentCodes(bEmb, pqModel)).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$base/$name")
     }
+    appendSegment(batchSide(emb), base, "delta")
+  }
+
+  /** Append a batch of NEW vectors to an EXISTING index at `base`:
+    * encode against the PERSISTED (frozen) models and write one more
+    * immutable segment pair (`cells_<suffix>`, `codes_<suffix>`). This
+    * is the marginal job a daily arrival pays in production — two
+    * broadcast joins against model-sized tables, cost O(batch) with the
+    * corpus appearing nowhere (BuildProbe measures exactly this). */
+  private[graft] def appendSegment(newVecs: DataFrame, base: String,
+      suffix: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cellModel = spark.read.parquet(s"$base/centroids")
+    val pqModel = spark.read.parquet(s"$base/pq_codebook")
+    segmentCells(newVecs, cellModel)
+      .write.mode("overwrite").parquet(s"$base/cells_$suffix")
+    segmentCodes(newVecs, pqModel)
+      .write.mode("overwrite").parquet(s"$base/codes_$suffix")
   }
 
   def ensureIvfPqDeltaIndex(spark: SparkSession, dir: String): String =

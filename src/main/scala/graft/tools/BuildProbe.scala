@@ -132,6 +132,25 @@ object BuildProbe {
       spark.read.parquet(s"$base/codes").count()
     }
 
+    // ---- delta index (q135 shape): full build, then the MARGINAL append
+    // job — encode-only against the persisted models. The append number
+    // must scale with the BATCH (20% of the corpus here), never pay the
+    // training loops; at a fixed batch size it would be flat in corpus
+    // size, since the corpus appears nowhere in its plan.
+    val deltaBase = "/tmp/graft_probe_ivfpq_delta"
+    time(s"ivfpq_delta_build_${copies}x") {
+      rmrf(deltaBase)
+      graft.operators.Similarity.writeIvfPqDeltaIndex(embN, deltaBase)
+      spark.read.parquet(s"$deltaBase/codes_delta").count()
+    }
+    // depends on the delta build's artifact directly above
+    time(s"ivfpq_append_encode_${copies}x") {
+      val batch = embN.filter(
+        pmod(col("vec_id"), lit(graft.operators.Similarity.DeltaSplitMod)) === 0L)
+      graft.operators.Similarity.appendSegment(batch, deltaBase, "delta2")
+      spark.read.parquet(s"$deltaBase/codes_delta2").count()
+    }
+
     spark.stop()
   }
 }

@@ -275,7 +275,31 @@ object Plans {
           "LeftSemi equi-join; the coverage window partitions by doc_id " +
           "with the bounded (-4, currentrow) row frame — constant " +
           "per-key state.",
-        SpanDedup.dupSpanStats(spark, dir)))
+        SpanDedup.dupSpanStats(spark, dir)),
+
+      section("q136 merged delta search (r10 append-without-retrain)",
+        "What to look for: q109's gated-ADC shape with each index table " +
+          "a Union of two column-pruned parquet scans (base + delta " +
+          "segment); probe-cell gate and LUT joins BroadcastHashJoin; " +
+          "the one unhinted join (cand⋈codes, the index-build primary-" +
+          "key join) AQE-decided; ADC sum collapses map-side before the " +
+          "per-probe top-k.",
+        Similarity.ivfPqSearchMerged(spark, dir)),
+
+      section("q137 cell-proportional diverse sample (r10)",
+        "What to look for: ONE column-pruned scan of the persisted cells " +
+          "table, no join anywhere; both window functions (count + " +
+          "row_number) partition by cell — state bounded by the largest " +
+          "quantizer cell, never the corpus.",
+        Similarity.cellDiverseSample(spark, dir)),
+
+      section("q138 split decontamination (r10 partial-overlap audit)",
+        "What to look for: per-doc-DISTINCT span explode (narrow), the " +
+          "train-span set ONE distinct aggregate over 8-byte hashes (no " +
+          "Expand), containment a single equi-join on the hash, then " +
+          "per-doc and per-split aggregation — the corpus never joins " +
+          "itself and no strings shuffle.",
+        SpanDedup.decontaminate(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +
