@@ -470,15 +470,17 @@ object Similarity extends QueryModule {
       |        FROM $src e CROSS JOIN $model c) t""".stripMargin
 
   /** One unrolled Lloyd step: assignment a$i against c${i-1}, recompute
-    * c$i — the SQL twin of one loop pass in [[kmeansTrainOf]]. */
-  private def kmeansStepSql(i: Int): String = {
-    val prev = if (i == 1) "c0" else s"c${i - 1}"
-    s"""a$i AS (
-      |  ${kmeansAssignSql(prev)}),
-      |c$i AS (
+    * c$i — the SQL twin of one loop pass in [[kmeansTrainOf]]. The `p`
+    * prefix names the whole chain, so two independently-trained models
+    * (q139's base vs compacted) can share one WITH clause. */
+  private def kmeansStepSql(i: Int, p: String = ""): String = {
+    val prev = if (i == 1) s"${p}c0" else s"${p}c${i - 1}"
+    s"""${p}a$i AS (
+      |  ${kmeansAssignSql(prev, s"${p}e")}),
+      |${p}c$i AS (
       |  SELECT cluster, LIST(c ORDER BY pos) AS cv FROM (
       |    SELECT cluster, pos, ROUND(AVG(v[pos]), 6) AS c
-      |    FROM a$i, UNNEST(GENERATE_SERIES(1, $KmeansDim)) AS t(pos)
+      |    FROM ${p}a$i, UNNEST(GENERATE_SERIES(1, $KmeansDim)) AS t(pos)
       |    WHERE rk = 1 GROUP BY cluster, pos) g
       |  GROUP BY cluster)""".stripMargin
   }
@@ -487,13 +489,13 @@ object Similarity extends QueryModule {
     * final full-vector assignment (afin carries EVERY rank, so rk = 1 is
     * the cell assignment and rk ≤ p is a probe's p nearest cells) — used
     * by q100's summary and q107's coarse quantizer. */
-  private def kmeansModelCtesOver(eDef: String): String =
-    s"""e AS ($eDef),
-      |c0 AS (SELECT vec_id AS cluster, v AS cv FROM e
+  private def kmeansModelCtesOver(eDef: String, p: String = ""): String =
+    s"""${p}e AS ($eDef),
+      |${p}c0 AS (SELECT vec_id AS cluster, v AS cv FROM ${p}e
       |       ORDER BY vec_id LIMIT $KmeansK),
-      |${(1 to KmeansIters).map(kmeansStepSql).mkString(",\n")},
-      |afin AS (
-      |  ${kmeansAssignSql(s"c$KmeansIters")})""".stripMargin
+      |${(1 to KmeansIters).map(i => kmeansStepSql(i, p)).mkString(",\n")},
+      |${p}afin AS (
+      |  ${kmeansAssignSql(s"${p}c$KmeansIters", s"${p}e")})""".stripMargin
 
   /** The full-corpus vectors CTE body — the default training set. */
   private val embAllSqlDef =
@@ -1344,6 +1346,52 @@ object Similarity extends QueryModule {
       |WHERE rk <= GREATEST(1, CAST(FLOOR(cell_n / ${DiverseSampleDenom}.0) AS BIGINT))
       |ORDER BY cell NULLS FIRST, rk""".stripMargin
 
+  /** q139: compaction-drift report — the "when to retrain" signal that
+    * completes the delta-index lifecycle (q108 build → q135 append →
+    * q136 merged search → compact when THIS says so). Compares the
+    * coarse quantizer's total assignment inertia over the FULL corpus
+    * under (a) the delta index's base-trained centroids — what q136
+    * searches with today — vs (b) a compacted full-retrain model. The
+    * gap is the quantization-quality debt the appended data has built
+    * up; a pipeline triggers compaction when it crosses a threshold
+    * (emitting the raw numbers keeps the operator policy-free).
+    *
+    * Scale posture: two k-means trainings (q100's broadcast-assign +
+    * map-side min_by shape) plus two full-corpus assignment passes —
+    * all model-sized broadcasts, one shuffled row per vector; in
+    * production the base model is read from the index, halving it. */
+  def indexDrift(spark: SparkSession, dir: String): DataFrame =
+    indexDriftOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed drifted corpora). */
+  private[graft] def indexDriftOf(emb: DataFrame): DataFrame = {
+    def inertiaUnder(model: DataFrame, name: String): DataFrame =
+      kmAssign(kmVectors(emb), model, carryVector = false)
+        .groupBy()
+        .agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+            .as("inertia"))
+        .select(lit(name).as("model"), col("n_vectors"), col("inertia"))
+    inertiaUnder(kmeansModelOf(emb), "compacted")
+      .unionAll(inertiaUnder(kmeansModelOf(baseSide(emb)), "delta"))
+      .orderBy(col("model"))
+  }
+
+  private val indexDriftSql =
+    s"""WITH $kmeansModelCtes,
+      |${kmeansModelCtesOver(embBaseSqlDef, "b")},
+      |allb AS (
+      |  ${kmeansAssignSql(s"bc$KmeansIters", "e")})
+      |SELECT model, n_vectors, inertia FROM (
+      |  SELECT 'compacted' AS model, COUNT(*) AS n_vectors,
+      |    ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS inertia
+      |  FROM afin WHERE rk = 1
+      |  UNION ALL
+      |  SELECT 'delta', COUNT(*),
+      |    ROUND(CAST(SUM(CAST(dist AS DECIMAL(38, 6))) AS DOUBLE), 6)
+      |  FROM allb WHERE rk = 1
+      |) t ORDER BY model NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
@@ -1363,5 +1411,6 @@ object Similarity extends QueryModule {
     GraftQuery("q135_ivfpq_index_append", ivfPqIndexAppend, Some(ivfPqIndexAppendSql)),
     GraftQuery("q136_ivfpq_search_merged", ivfPqSearchMerged, Some(ivfPqSearchMergedSql)),
     GraftQuery("q137_cell_diverse_sample", cellDiverseSample, Some(cellDiverseSampleSql)),
+    GraftQuery("q139_index_drift", indexDrift, Some(indexDriftSql)),
   )
 }

@@ -1022,6 +1022,35 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(rows === again)
   }
 
+  test("q139 drift: retrain fits the fixture better; planted drift widens the gap") {
+    val rows = Similarity.indexDrift(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.keySet === Set("compacted", "delta"))
+    val n = graft.sources.Tables.embeddings(spark, sf0001).count()
+    assert(rows("compacted")._1 === n && rows("delta")._1 === n,
+      "both inertias must cover the FULL corpus")
+    assert(rows("compacted")._2 > 0 && rows("delta")._2 > 0)
+    // a model trained on the full corpus cannot fit it worse than one
+    // trained on 80% of it (same init rule, same iterations) on this
+    // fixture; the planted case below makes the ordering structural
+    assert(rows("compacted")._2 <= rows("delta")._2)
+
+    // planted drift: the append batch (vec_id % 5 == 0) lives in a
+    // far-away region the base corpus never saw — the base-trained
+    // quantizer must pay a large inertia for it, the full retrain not
+    val session = spark
+    import session.implicits._
+    val dim = Similarity.KmeansDim
+    val drifted = (0L until 100L).map { i =>
+      val shift = if (i % Similarity.DeltaSplitMod == 0) 100.0f else 0.0f
+      (i, Array.tabulate(dim)(j => shift + 0.01f * ((i + j) % 7)))
+    }.toDF("vec_id", "embedding")
+    val d = Similarity.indexDriftOf(drifted).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(d("delta") > d("compacted") * 2,
+      s"planted far-away batch must dominate the base model's inertia: $d")
+  }
+
   test("q137 quotas: every cell keeps max(1, floor(n/denom)) members of itself") {
     val base = Similarity.ensureIvfPqIndex(spark, sf0001)
     val cells = spark.read.parquet(s"$base/cells")
