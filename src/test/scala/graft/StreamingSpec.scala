@@ -299,6 +299,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming index append: arriving vectors encode against the frozen index per micro-batch") {
+    // the streaming half of the q135 story: a vector stream lands as one
+    // immutable segment pair per micro-batch, encoded against the
+    // PERSISTED models (broadcast joins only — foreachBatch reuses the
+    // exact batch append entry point, so stream and batch cannot drift)
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = operators.Similarity.ensureIvfPqDeltaIndex(spark, sf0001)
+    val dim = operators.Similarity.KmeansDim
+    def vec(i: Long): Array[Float] = Array.tabulate(dim)(j => 0.01f * ((i + j) % 11))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        operators.Similarity.appendSegment(b, base, s"stream$id"); ()
+      }
+      .option("checkpointLocation", tmp("ck-append"))
+      .start()
+    try {
+      in.addData((9001L, vec(9001L)), (9002L, vec(9002L)))
+      q.processAllAvailable()
+      in.addData((9003L, vec(9003L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // each micro-batch is its own segment pair, holding exactly its rows
+    val s0 = spark.read.parquet(s"$base/codes_stream0")
+    val s1 = spark.read.parquet(s"$base/codes_stream1")
+    assert(s0.select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(9001L, 9002L))
+    assert(s1.select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(9003L))
+    // parity: the streamed encoding is bit-equal to the batch append
+    // path on the same vectors
+    val statics = Seq((9001L, vec(9001L)), (9002L, vec(9002L)))
+      .toDF("vec_id", "embedding")
+    operators.Similarity.appendSegment(statics, base, "parity")
+    assert(s0.collect().toSet
+      === spark.read.parquet(s"$base/codes_parity").collect().toSet)
+    assert(spark.read.parquet(s"$base/cells_stream0").collect().toSet
+      === spark.read.parquet(s"$base/cells_parity").collect().toSet)
+  }
+
   test("DLQ fan-out splits poison records with origin metadata (S9)") {
     val session = spark
     import session.implicits._
