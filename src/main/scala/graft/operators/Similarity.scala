@@ -1120,15 +1120,25 @@ object Similarity extends QueryModule {
     * encode-only job over the new data (two broadcast joins against
     * model-sized tables) and a full retrain over the whole corpus. */
   private[graft] def writeIvfPqDeltaIndex(emb: DataFrame, base: String): Unit = {
-    val bEmb = baseSide(emb)
-    val cellModel = kmeansModelOf(bEmb)
-    val pqModel = pqModelOf(bEmb)
-    Seq("centroids" -> cellModel, "pq_codebook" -> pqModel,
-      "cells" -> segmentCells(bEmb, cellModel),
-      "codes" -> segmentCodes(bEmb, pqModel)).foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$base/$name")
+    val cellModel = kmeansModelOf(baseSide(emb))
+    val pqModel = pqModelOf(baseSide(emb))
+    Seq("centroids" -> cellModel, "pq_codebook" -> pqModel).foreach {
+      case (name, df) => df.write.mode("overwrite").parquet(s"$base/$name")
     }
-    appendSegment(batchSide(emb), base, "delta")
+    // ONE assignment pass per quantizer over the FULL corpus (both
+    // segments use the same frozen base-trained models, so assigning
+    // base and batch separately would scan and broadcast-join twice for
+    // the identical result), split into the immutable segment pair at
+    // write time from the materialized assignment
+    val isBatch = pmod(col("vec_id"), lit(DeltaSplitMod)) === 0L
+    Seq(("cells", "cells_delta", segmentCells(emb, cellModel)),
+      ("codes", "codes_delta", segmentCodes(emb, pqModel))).foreach {
+      case (baseName, deltaName, all) =>
+        val a = all.localCheckpoint()
+        a.filter(!isBatch).write.mode("overwrite").parquet(s"$base/$baseName")
+        a.filter(isBatch).write.mode("overwrite").parquet(s"$base/$deltaName")
+        graft.functions.ScopedCache.releaseCheckpoint(a)
+    }
   }
 
   /** Append a batch of NEW vectors to an EXISTING index at `base`:
@@ -1356,26 +1366,39 @@ object Similarity extends QueryModule {
     * up; a pipeline triggers compaction when it crosses a threshold
     * (emitting the raw numbers keeps the operator policy-free).
     *
-    * Scale posture: two k-means trainings (q100's broadcast-assign +
-    * map-side min_by shape) plus two full-corpus assignment passes —
-    * all model-sized broadcasts, one shuffled row per vector; in
-    * production the base model is read from the index, halving it. */
-  def indexDrift(spark: SparkSession, dir: String): DataFrame =
-    indexDriftOf(Tables.embeddings(spark, dir))
-
-  /** DataFrame-level core (testable on constructed drifted corpora). */
-  private[graft] def indexDriftOf(emb: DataFrame): DataFrame = {
-    def inertiaUnder(model: DataFrame, name: String): DataFrame =
-      kmAssign(kmVectors(emb), model, carryVector = false)
-        .groupBy()
-        .agg(count(lit(1)).as("n_vectors"),
-          round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
-            .as("inertia"))
-        .select(lit(name).as("model"), col("n_vectors"), col("inertia"))
-    inertiaUnder(kmeansModelOf(emb), "compacted")
-      .unionAll(inertiaUnder(kmeansModelOf(baseSide(emb)), "delta"))
+    * Scale posture: ONE k-means training (the compaction candidate —
+    * q100's broadcast-assign + map-side min_by shape) plus two
+    * full-corpus assignment passes; the index's own centroids are READ
+    * from the persisted artifact (built on demand if absent), not
+    * retrained — measuring the index actually being served, for free.
+    * The in-plan twin [[indexDriftOf]] retrains both (pinned bit-equal
+    * in SemanticsSpec, which is what lets the oracle replay this). */
+  def indexDrift(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfPqDeltaIndex(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    inertiaUnder(emb, kmeansModelOf(emb), "compacted")
+      .unionAll(inertiaUnder(emb,
+        spark.read.parquet(s"$base/centroids"), "delta"))
       .orderBy(col("model"))
   }
+
+  private def inertiaUnder(emb: DataFrame, model: DataFrame,
+      name: String): DataFrame =
+    kmAssign(kmVectors(emb), model, carryVector = false)
+      .groupBy()
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("dist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+          .as("inertia"))
+      .select(lit(name).as("model"), col("n_vectors"), col("inertia"))
+
+  /** DataFrame-level core: both models trained in-plan (testable on
+    * constructed drifted corpora; the registered query reads the delta
+    * model from the persisted index instead — same centroids, since the
+    * artifact is a deterministic function of the corpus). */
+  private[graft] def indexDriftOf(emb: DataFrame): DataFrame =
+    inertiaUnder(emb, kmeansModelOf(emb), "compacted")
+      .unionAll(inertiaUnder(emb, kmeansModelOf(baseSide(emb)), "delta"))
+      .orderBy(col("model"))
 
   private val indexDriftSql =
     s"""WITH $kmeansModelCtes,

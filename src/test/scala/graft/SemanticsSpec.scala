@@ -1034,6 +1034,15 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     // trained on 80% of it (same init rule, same iterations) on this
     // fixture; the planted case below makes the ordering structural
     assert(rows("compacted")._2 <= rows("delta")._2)
+    // the registered query reads the delta model from the persisted
+    // index; the in-plan twin retrains it — bit-equal, which is what
+    // lets the oracle replay the persisted path
+    val inPlan = Similarity
+      .indexDriftOf(graft.sources.Tables.embeddings(spark, sf0001)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val persisted = Similarity.indexDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(persisted === inPlan)
 
     // planted drift: the append batch (vec_id % 5 == 0) lives in a
     // far-away region the base corpus never saw — the base-trained
