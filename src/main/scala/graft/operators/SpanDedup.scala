@@ -260,22 +260,40 @@ object SpanDedup extends QueryModule {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateOf(Tables.documents(spark, dir))
 
-  private[graft] def decontaminateOf(docs: DataFrame): DataFrame = {
+  /** Distinct (doc_id, split, span) triples — per-doc-DISTINCT span
+    * hashes under THE q67 split. Shared (ScopedCache, per-corpus
+    * variant) by the whole decontamination family (q138/q140/q141), so
+    * the span explode and the distinct run once per corpus. */
+  private def splitSpans(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    val spans = docs
-      .select(col("doc_id"), TextOps.splitAssign.as("split"),
-        explode(array_distinct(expr("graft_spans_poly(text)"))).as("span"))
+    val variant = docs.queryExecution.analyzed.semanticHash().toString
+    ScopedCache.persist("spandedup.splitspans", variant,
+      docs.select(col("doc_id"), TextOps.splitAssign.as("split"),
+        explode(array_distinct(expr("graft_spans_poly(text)"))).as("span")))
+  }
+
+  /** Per eval doc with ≥1 span: (split, doc_id, n_spans, n_hit) where
+    * n_hit counts its spans also present in ANY train doc. */
+  private def evalSpanHits(docs: DataFrame): DataFrame = {
+    val spans = splitSpans(docs)
     val trainSpans = spans.filter(col("split") === "train")
       .select(col("span")).distinct().withColumn("hit", lit(1L))
-    val perDoc = spans.filter(col("split") =!= "train")
+    spans.filter(col("split") =!= "train")
       .join(trainSpans, Seq("span"), "left")
       .groupBy(col("split"), col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+  }
+
+  /** (split, doc_id) of every held-out document, spans or not. */
+  private def evalDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.splitAssign.as("split"))
       .filter(col("split") =!= "train")
-      .join(perDoc, Seq("split", "doc_id"), "left")
+
+  private[graft] def decontaminateOf(docs: DataFrame): DataFrame = {
+    evalDocs(docs)
+      .join(evalSpanHits(docs), Seq("split", "doc_id"), "left")
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -290,9 +308,13 @@ object SpanDedup extends QueryModule {
       .orderBy(col("split"))
   }
 
-  private val decontaminateSql: String = {
+  /** Shared oracle prefix ending in `spn(doc_id, split, span)` — the
+    * DuckDB replay of [[splitSpans]], used by every decontamination-
+    * family oracle so the span identity and the split CASE cannot drift
+    * between them. */
+  private def splitSpanCtesSql: String = {
     val M = PolyHash.M1
-    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
       |tht AS (SELECT doc_id,
       |  LIST_TRANSFORM(t, w -> ${Dedup.polyFoldSql("w", M)}) AS th,
       |  LEN(t) AS nt FROM toks),
@@ -300,7 +322,11 @@ object SpanDedup extends QueryModule {
       |          ${TextOps.splitAssignSqlCase} AS split,
       |          $spanCombineSql AS span
       |        FROM tht, UNNEST(GENERATE_SERIES(1, nt - ${SpanN - 1})) AS u(i)
-      |        WHERE nt >= $SpanN),
+      |        WHERE nt >= $SpanN)""".stripMargin
+  }
+
+  private val decontaminateSql: String = {
+    s"""WITH $splitSpanCtesSql,
       |tr AS (SELECT DISTINCT span FROM spn WHERE split = 'train'),
       |pd AS (SELECT s.split, s.doc_id, COUNT(*) AS n_spans,
       |         SUM(CASE WHEN tr.span IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
@@ -321,10 +347,123 @@ object SpanDedup extends QueryModule {
       |ORDER BY ed.split NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q140: the decontaminated eval set (the action q138 measures)
+  // ---------------------------------------------------------------------
+
+  /** q140: the CLEAN eval set — every val/test document sharing NO
+    * [[SpanN]]-gram span with any train document (the action a pipeline
+    * takes from q138's audit: these are the held-out docs eval scores
+    * may be trusted on). Docs too short to produce a span are clean by
+    * definition and appear with n_spans = 0.
+    *
+    * Scale shape: q138's dataflow with the final per-split roll-up
+    * replaced by a filter — same single equi-join on 8-byte hashes, no
+    * corpus self-join; the shared [[splitSpans]] cache means running the
+    * audit and the action together pays the span explode once. */
+  def cleanEvalSet(spark: SparkSession, dir: String): DataFrame =
+    cleanEvalSetOf(Tables.documents(spark, dir))
+
+  private[graft] def cleanEvalSetOf(docs: DataFrame): DataFrame =
+    evalDocs(docs)
+      .join(evalSpanHits(docs), Seq("split", "doc_id"), "left")
+      .filter(coalesce(col("n_hit"), lit(0L)) === 0L)
+      .select(col("split"), col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .orderBy(col("split"), col("doc_id"))
+
+  private val cleanEvalSetSql: String =
+    s"""WITH $splitSpanCtesSql,
+      |tr AS (SELECT DISTINCT span FROM spn WHERE split = 'train'),
+      |pd AS (SELECT s.split, s.doc_id, COUNT(*) AS n_spans,
+      |         SUM(CASE WHEN tr.span IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |       FROM spn s LEFT JOIN tr ON s.span = tr.span
+      |       WHERE s.split <> 'train' GROUP BY 1, 2),
+      |ed AS (SELECT doc_id, ${TextOps.splitAssignSqlCase} AS split
+      |       FROM documents)
+      |SELECT ed.split, ed.doc_id,
+      |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans
+      |FROM ed LEFT JOIN pd ON pd.split = ed.split AND pd.doc_id = ed.doc_id
+      |WHERE ed.split <> 'train' AND COALESCE(pd.n_hit, 0) = 0
+      |ORDER BY ed.split NULLS FIRST, ed.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q141: contamination provenance
+  // ---------------------------------------------------------------------
+
+  /** Provenance gate: spans occurring in more than this many DISTINCT
+    * train documents are boilerplate (headers, license text) and carry
+    * no provenance signal — they are excluded from attribution, and the
+    * cap bounds the span→train-doc join fan-out (the q72 DF-gate idiom:
+    * an eval doc joins at most n_spans × [[MaxProvSpanDf]] pairs). */
+  val MaxProvSpanDf = 50
+
+  /** q141: contamination provenance — for each contaminated eval doc,
+    * WHICH train document it leaked from: the train doc sharing the most
+    * (provenance-bearing) spans, ties to the lowest train doc_id. The
+    * diagnostic that turns q138's "3% of test is contaminated" into an
+    * actionable fix list (drop the train doc, or the eval doc, or the
+    * shared template). Spans above [[MaxProvSpanDf]] train-DF are
+    * excluded as boilerplate, so a doc whose ONLY shared spans are
+    * boilerplate-hot attributes to no train doc here even though q138
+    * counts it contaminated — deliberate, documented asymmetry.
+    *
+    * Scale shape: train-span DF is one count aggregate; the gate is an
+    * equi-join against the ≤-cap spans; the eval⋈train pair join fans
+    * out at most n_spans × cap per eval doc (bounded); the argmax is a
+    * map-side-collapsible min_by keyed by eval doc — no window over
+    * pairs, nothing joins the corpus to itself unGated. */
+  def contaminationProvenance(spark: SparkSession, dir: String): DataFrame =
+    contaminationProvenanceOf(Tables.documents(spark, dir))
+
+  private[graft] def contaminationProvenanceOf(docs: DataFrame): DataFrame = {
+    val spans = splitSpans(docs)
+    val trainSpans = spans.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc"), col("span"))
+    val gated = trainSpans.join(
+      trainSpans.groupBy(col("span")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxProvSpanDf)
+        .select(col("span")),
+      Seq("span"), "left_semi")
+    val pairs = spans.filter(col("split") =!= "train")
+      .join(gated, Seq("span"))
+      .groupBy(col("split"), col("doc_id"), col("train_doc"))
+      .agg(count(lit(1)).as("shared_spans"))
+    pairs
+      .groupBy(col("split"), col("doc_id"))
+      .agg(min_by(
+        struct(col("train_doc"), col("shared_spans")),
+        struct((-col("shared_spans")).as("neg"), col("train_doc"))).as("best"))
+      .select(col("split"), col("doc_id"),
+        col("best.train_doc").as("train_doc"),
+        col("best.shared_spans").as("shared_spans"))
+      .orderBy(col("split"), col("doc_id"))
+  }
+
+  private val contaminationProvenanceSql: String =
+    s"""WITH $splitSpanCtesSql,
+      |tsp AS (SELECT doc_id AS train_doc, span FROM spn WHERE split = 'train'),
+      |sdf AS (SELECT span, COUNT(*) AS df FROM tsp GROUP BY span),
+      |g AS (SELECT t.train_doc, t.span FROM tsp t
+      |      JOIN sdf ON sdf.span = t.span WHERE sdf.df <= $MaxProvSpanDf),
+      |pr AS (SELECT s.split, s.doc_id, g.train_doc, COUNT(*) AS shared_spans
+      |       FROM spn s JOIN g ON g.span = s.span
+      |       WHERE s.split <> 'train' GROUP BY 1, 2, 3),
+      |r AS (SELECT split, doc_id, train_doc, shared_spans,
+      |        ROW_NUMBER() OVER (PARTITION BY split, doc_id
+      |          ORDER BY shared_spans DESC, train_doc) AS rk
+      |      FROM pr)
+      |SELECT split, doc_id, train_doc, shared_spans
+      |FROM r WHERE rk = 1
+      |ORDER BY split NULLS FIRST, doc_id""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q132_dup_span_stats", dupSpanStats, Some(dupSpanStatsSql)),
     GraftQuery("q133_strip_dup_spans", stripDupSpans, Some(stripDupSpansSql)),
     GraftQuery("q134_span_dup_by_source", spanDupBySource, Some(spanDupBySourceSql)),
     GraftQuery("q138_decontaminate", decontaminate, Some(decontaminateSql)),
+    GraftQuery("q140_clean_eval_set", cleanEvalSet, Some(cleanEvalSetSql)),
+    GraftQuery("q141_contamination_provenance", contaminationProvenance,
+      Some(contaminationProvenanceSql)),
   )
 }

@@ -509,6 +509,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(winSpecs > 0 && winSpecs === byCell, plan.take(4000))
   }
 
+  test("q141 provenance: DF gate is a semi-join, pair join equi, argmax no window") {
+    val plan = fullPlanText(SpanDedup.contaminationProvenance(spark, sf0001))
+    // the boilerplate cap is a LeftSemi against the <=cap span set; the
+    // eval x train pair join is a plain equi-join; the per-doc argmax is
+    // a min_by AGGREGATE (map-side collapsible), never a window over the
+    // pair table
+    assert(plan.contains("LeftSemi"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(!plan.contains("Expand"), plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+  }
+
   test("q138 decontamination: span containment is an equi-join, no Expand/cartesian") {
     val plan = executedPlan(SpanDedup.decontaminate(spark, sf0001))
     // the train-span set is ONE distinct aggregate (no multi-distinct

@@ -146,5 +146,43 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     val rates = SpanDedup.decontaminateOf(corpus).collect()
       .map(r => r.getString(0) -> r.getDouble(5)).toMap
     assert(rates("val") === 0.5 && rates("test") === 0.5)
+
+    // q140 is the complement: clean docs = all eval docs minus the
+    // contaminated ones, short docs included with n_spans = 0
+    val clean = SpanDedup.cleanEvalSetOf(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(clean === Set(("val", 18L, 0L), ("test", 9L, 2L)))
+
+    // q141 attributes each contaminated doc to ITS train source
+    val prov = SpanDedup.contaminationProvenanceOf(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(prov === Set(("val", 8L, 0L, 1L), ("test", 19L, 1L, 2L)))
+  }
+
+  test("q141 boilerplate gate: hot spans attribute nothing, rare spans win") {
+    import spark.implicits._
+    val boiler = "common header alpha beta gamma"
+    // 60 train docs all carry the boilerplate span (df 60 > cap 50); one
+    // also shares a RARE span with eval doc 8
+    val rare = "rare quote delta epsilon zeta"
+    val train = (0 until 60).map { i =>
+      val id = (i / 8) * 10 + (i % 8) // doc_id mod 10 in 0..7 -> train
+      (id.toLong, s"$boiler filler$i" + (if (i == 3) s" $rare" else ""))
+    }
+    val corpus = (train ++ Seq(
+      (8L, s"intro $rare outro x"), // val: rare (attributable) + none of boiler
+      (18L, s"pre $boiler post"), // val: ONLY the boilerplate span
+      (9L, "totally unrelated words here now"))) // test: clean
+      .toDF("doc_id", "text")
+    val audit = SpanDedup.decontaminateOf(corpus).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // q138 counts BOTH val docs contaminated (no gate there)
+    assert(audit("val") === 2L && audit("test") === 0L)
+    val prov = SpanDedup.contaminationProvenanceOf(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // doc 8 attributes to the train doc carrying the rare span (i=3 ->
+    // id 3); doc 18's only shared span is boilerplate-hot -> absent
+    assert(prov.toSet === Set(("val", 8L, 3L)))
   }
 }
