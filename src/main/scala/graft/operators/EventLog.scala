@@ -398,6 +398,82 @@ object EventLog extends QueryModule {
       |GROUP BY a.o_orderkey
       |ORDER BY a.o_orderkey NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q142: funnel / event-sequence conversion (CEP-lite)
+  // ---------------------------------------------------------------------
+
+  /** The funnel's ordered stages, shared plan/oracle/spec. */
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** q142: funnel conversion — per-user earliest-chain sequence match
+    * over the event log (the CEP pattern `A -> B -> C` that Flink's CEP
+    * library and every product-analytics stack run: how many users
+    * progressed view → click → purchase, in event-time order, and how
+    * long the chain took). Greedy earliest-chain semantics: stage k+1 is
+    * the user's FIRST qualifying event strictly after their stage-k
+    * time. Emits, per stage: users reaching it and the total event-time
+    * lag from funnel start (micros — exact integers, so the row hashes
+    * bit-stably).
+    *
+    * Scale shape: one aggregate per stage (min over the stage's events,
+    * map-side collapsible) + one equi-join per transition against the
+    * PER-USER table (events⋈users, shuffle co-partitioned or broadcast
+    * by AQE) — never a per-user window over the whole log and no
+    * event⋈event self-join, so per-stage cost is one filtered pass over
+    * the stage's slice of the log. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame =
+    funnelConversionOf(Tables.events(spark, dir))
+
+  /** DataFrame-level core (testable on constructed event sequences). */
+  private[graft] def funnelConversionOf(e: DataFrame): DataFrame = {
+    def stageEvents(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val s1 = stageEvents(FunnelStages(0))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = stageEvents(FunnelStages(1))
+      .join(s1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"), max(col("t1")).as("t1"))
+    val s3 = stageEvents(FunnelStages(2))
+      .join(s2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t3"), max(col("t1")).as("t1"))
+    def row(df: DataFrame, stage: String, end: String): DataFrame =
+      df.groupBy().agg(
+        count(lit(1)).as("n_users"),
+        coalesce(sum(unix_micros(col(end)) - unix_micros(col("t1"))), lit(0L))
+          .as("total_lag_us"))
+        .select(lit(stage).as("stage"), col("n_users"), col("total_lag_us"))
+    row(s1, s"1_${FunnelStages(0)}", "t1")
+      .unionAll(row(s2, s"2_${FunnelStages(1)}", "t2"))
+      .unionAll(row(s3, s"3_${FunnelStages(2)}", "t3"))
+      .orderBy(col("stage"))
+  }
+
+  private val funnelConversionSql =
+    s"""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = '${FunnelStages(0)}' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2, MAX(s1.t1) AS t1
+      |       FROM events e JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE e.event_type = '${FunnelStages(1)}' AND e.ts > s1.t1
+      |       GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3, MAX(s2.t1) AS t1
+      |       FROM events e JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE e.event_type = '${FunnelStages(2)}' AND e.ts > s2.t2
+      |       GROUP BY 1)
+      |SELECT stage, n_users, total_lag_us FROM (
+      |  SELECT '1_${FunnelStages(0)}' AS stage, COUNT(*) AS n_users,
+      |    CAST(0 AS BIGINT) AS total_lag_us FROM s1
+      |  UNION ALL
+      |  SELECT '2_${FunnelStages(1)}', COUNT(*),
+      |    CAST(COALESCE(SUM(EPOCH_US(t2) - EPOCH_US(t1)), 0) AS BIGINT) FROM s2
+      |  UNION ALL
+      |  SELECT '3_${FunnelStages(2)}', COUNT(*),
+      |    CAST(COALESCE(SUM(EPOCH_US(t3) - EPOCH_US(t1)), 0) AS BIGINT) FROM s3
+      |) t ORDER BY stage NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_seek_replay", seekReplay, Some(seekReplaySql)),
     GraftQuery("q41_retention_window", retentionWindow, Some(retentionWindowSql)),
@@ -412,5 +488,6 @@ object EventLog extends QueryModule {
     GraftQuery("q50_windowed_self_join", windowedSelfJoin, Some(windowedSelfJoinSql)),
     GraftQuery("q51_late_events", lateEvents, Some(lateEventsSql)),
     GraftQuery("q52_range_join_nearby", rangeJoinNearbyOrders, Some(rangeJoinNearbyOrdersSql)),
+    GraftQuery("q142_funnel_conversion", funnelConversion, Some(funnelConversionSql)),
   )
 }

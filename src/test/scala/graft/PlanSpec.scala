@@ -522,6 +522,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("windowspecdefinition"), plan.take(4000))
   }
 
+  test("q142 funnel: per-stage aggregates + equi transitions, no window/self-join") {
+    val plan = executedPlan(EventLog.funnelConversion(spark, sf0001))
+    // each transition joins the event slice to a PER-USER aggregate on
+    // user_id — never a per-user window over the whole log, never an
+    // event x event self-join, nothing nested-loops
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+  }
+
   test("q138 decontamination: span containment is an equi-join, no Expand/cartesian") {
     val plan = executedPlan(SpanDedup.decontaminate(spark, sf0001))
     // the train-span set is ONE distinct aggregate (no multi-distinct

@@ -438,6 +438,43 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, 0L), (5L, 0L)))
   }
 
+  test("q142 funnel: order-strict greedy chain; out-of-order stages don't convert") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions._
+    def e(user: Long, t: String, typ: String) = (user, t, typ)
+    val events = Seq(
+      // A: clean chain view(1:00) -> click(2:00) -> purchase(3:00)
+      e(1, "2024-01-01 01:00:00", "view"),
+      e(1, "2024-01-01 02:00:00", "click"),
+      e(1, "2024-01-01 03:00:00", "purchase"),
+      // B: click BEFORE the first view -> never reaches stage 2
+      e(2, "2024-01-01 01:00:00", "click"),
+      e(2, "2024-01-01 02:00:00", "view"),
+      e(2, "2024-01-01 03:00:00", "purchase"), // purchase needs stage 2 first
+      // C: view only
+      e(3, "2024-01-01 01:00:00", "view"),
+      // D: greedy — FIRST qualifying click (2:00) gates the purchase;
+      // the 1:30 purchase is before it, the 2:30 one converts
+      e(4, "2024-01-01 01:00:00", "view"),
+      e(4, "2024-01-01 01:30:00", "purchase"),
+      e(4, "2024-01-01 02:00:00", "click"),
+      e(4, "2024-01-01 05:00:00", "click"), // later click must not matter
+      e(4, "2024-01-01 02:30:00", "purchase"),
+      // E: no view at all -> not in the funnel
+      e(5, "2024-01-01 01:00:00", "click"),
+      e(5, "2024-01-01 02:00:00", "purchase"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = EventLog.funnelConversionOf(events).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hour = 3600L * 1000000L
+    assert(got.toSeq === Seq(
+      ("1_view", 4L, 0L), // A B C D
+      ("2_click", 2L, (1L + 1L) * hour), // A (1h), D (1h)
+      ("3_purchase", 2L, (2L * hour) + (hour + hour / 2)))) // A 2h, D 1.5h
+  }
+
   test("q26/q35 branch joins keep a NULL group-by key (null-safe join)") {
     val session = spark
     import session.implicits._
