@@ -28,6 +28,16 @@ final case class SessionBuf(n: Long, startMs: Long, lastMs: Long, total: Double)
   * (state emitted by [[EventStreams.runningTotals]]). */
 final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** Per-user funnel progress for [[EventStreams.funnelDetect]]: millis of
+  * the earliest chain's completed stages (-1 = not reached), `done` set
+  * once the completion fired so it emits exactly once per user. */
+final case class FunnelProg(t1: Long, t2: Long, done: Boolean)
+
+/** One completed funnel chain (the CEP match emit). */
+final case class FunnelHit(
+    user_id: Long, view_ts: Timestamp, click_ts: Timestamp,
+    purchase_ts: Timestamp)
+
 /** Structured Streaming pipelines (SURVEY.md §2.9): the live form of the
   * reference's stream-processing surface — tumbling/sliding/session
   * windows (T2/T3), watermarks + late data (T4/T5), keyed state with
@@ -384,4 +394,46 @@ object EventStreams {
     * swapped args). Multiset semantics — duplicates count. */
   def reprocessDiff(oldResult: DataFrame, newResult: DataFrame): DataFrame =
     newResult.exceptAll(oldResult)
+
+  // ---- CEP-lite: streaming funnel detection ----------------------------
+
+  /** Streaming funnel detection — the live twin of q142's batch funnel
+    * (Flink-CEP's `A -> B -> C` as a keyed state machine): per user,
+    * advance earliest-chain progress (view → click → purchase, each
+    * stage strictly after the previous) and emit ONE [[FunnelHit]] the
+    * moment the chain completes. Events are processed in (ts, event_id)
+    * order within each micro-batch; like any streaming CEP, an
+    * out-of-order event arriving in a LATER batch than its successors
+    * cannot rewrite already-advanced progress — the batch q142 is the
+    * reconciliation query for that tail (T10's pattern).
+    *
+    * State: 17 bytes per user (two stage times + the done flag), no
+    * lists — bounded per key regardless of event volume. */
+  def funnelDetect(events: Dataset[Event]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProg, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelProg]) =>
+          var p = state.getOption.getOrElse(FunnelProg(-1L, -1L, done = false))
+          val hits = scala.collection.mutable.ListBuffer.empty[FunnelHit]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val ms = e.ts.getTime
+            e.event_type match {
+              case "view" if p.t1 < 0 =>
+                p = p.copy(t1 = ms)
+              case "click" if p.t1 >= 0 && p.t2 < 0 && ms > p.t1 =>
+                p = p.copy(t2 = ms)
+              case "purchase" if p.t2 >= 0 && !p.done && ms > p.t2 =>
+                hits += FunnelHit(userId, new Timestamp(p.t1),
+                  new Timestamp(p.t2), new Timestamp(ms))
+                p = p.copy(done = true)
+              case _ =>
+            }
+          }
+          state.update(p)
+          hits.iterator
+      }
+  }
 }

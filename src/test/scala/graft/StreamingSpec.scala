@@ -299,6 +299,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel emits one hit per completed chain, order-strict across batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.funnelDetect(in.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("funnel")
+      .option("checkpointLocation", tmp("ck-funnel")).start()
+    try {
+      // batch 1: user 1 views+clicks; user 2 clicks BEFORE viewing
+      in.addData(
+        ev(1, 0, 1, "view"), ev(2, 5, 1, "click"),
+        ev(3, 0, 2, "click"), ev(4, 5, 2, "view"))
+      q.processAllAvailable()
+      assert(spark.table("funnel").count() === 0)
+      // batch 2: user 1 completes (and a second purchase must NOT
+      // re-emit); user 2's purchase has no prior click-after-view
+      in.addData(
+        ev(5, 10, 1, "purchase"), ev(6, 15, 1, "purchase"),
+        ev(7, 10, 2, "purchase"))
+      q.processAllAvailable()
+      val hits = spark.table("funnel")
+        .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSeq
+      assert(hits === Seq((1L, ts(0), ts(5), ts(10))))
+      // batch 3: user 2 finishes a REAL chain -> exactly one more hit
+      in.addData(ev(8, 20, 2, "click"), ev(9, 25, 2, "purchase"))
+      q.processAllAvailable()
+      val all = spark.table("funnel")
+        .as[(Long, Timestamp, Timestamp, Timestamp)].collect().toSet
+      assert(all === Set(
+        (1L, ts(0), ts(5), ts(10)),
+        (2L, ts(5), ts(20), ts(25))))
+    } finally q.stop()
+  }
+
   test("streaming index append: arriving vectors encode against the frozen index per micro-batch") {
     // the streaming half of the q135 story: a vector stream lands as one
     // immutable segment pair per micro-batch, encoded against the
