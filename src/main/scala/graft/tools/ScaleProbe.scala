@@ -384,6 +384,35 @@ object ScaleProbe {
     time("q132 span dedup 1x (5k docs)")(spanCount(d1))
     time(s"q132 span dedup ${copies}x")(spanCount(dN))
 
+    // r10 decontamination family: the train-span set and the containment
+    // join both grow with the corpus; the q141 provenance pair join is
+    // the row to watch — its fan-out must stay bounded by the span-DF
+    // gate even as replicated spans approach the cap
+    def decontamCount(docs: DataFrame): Long =
+      graft.operators.SpanDedup.decontaminateOf(docs).count()
+    def provCount(docs: DataFrame): Long =
+      graft.operators.SpanDedup.contaminationProvenanceOf(docs).count()
+    time("q138 decontam 1x (5k docs)")(decontamCount(d1))
+    time(s"q138 decontam ${copies}x")(decontamCount(dN))
+    time("q141 provenance 1x (5k docs)")(provCount(d1))
+    time(s"q141 provenance ${copies}x")(provCount(dN))
+
+    // r10 funnel shape: per-stage aggregate + per-user equi transitions
+    // — must scale like three filtered scans, not like a per-user window
+    def funnelUsers(ev: DataFrame): Long = {
+      val r = graft.operators.EventLog.funnelConversionOf(ev).collect()
+      r.map(_.getLong(1)).sum
+    }
+    val ev1 = spark.read.parquet(s"$dir/events.parquet")
+    val evN =
+      if (copies == 1) ev1
+      else (1 to copies).map(i =>
+        ev1.withColumn("user_id", col("user_id") + lit(i * 1000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+      ).reduce(_ unionByName _)
+    time("q142 funnel 1x (10k events)")(funnelUsers(ev1))
+    time(s"q142 funnel ${copies}x users+events")(funnelUsers(evN))
+
     spark.stop()
   }
 }
