@@ -299,7 +299,22 @@ object Plans {
           "Expand), containment a single equi-join on the hash, then " +
           "per-doc and per-split aggregation — the corpus never joins " +
           "itself and no strings shuffle.",
-        SpanDedup.decontaminate(spark, dir)))
+        SpanDedup.decontaminate(spark, dir)),
+
+      section("q141 contamination provenance (r10 gated pair attribution)",
+        "What to look for: the boilerplate cap is a LeftSemi against the " +
+          "<=cap span set (bounding the pair join's fan-out); the " +
+          "eval-train pair join is a plain equi-join on the 8-byte hash; " +
+          "the per-doc argmax is a min_by HashAggregate — map-side " +
+          "collapsible, never a window over the pair table.",
+        SpanDedup.contaminationProvenance(spark, dir)),
+
+      section("q142 funnel conversion (r10 CEP-lite sequence match)",
+        "What to look for: one filtered scan + min-aggregate per stage; " +
+          "each transition an equi-join of the stage's event slice " +
+          "against the PER-USER table (AQE-decided); no " +
+          "windowspecdefinition anywhere and no event-to-event self-join.",
+        EventLog.funnelConversion(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +
