@@ -154,6 +154,10 @@ object GraftFunctions {
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // whole-operator surface: the GroupTopK planner strategy (runtime
+    // append — the extraStrategies analog of injectPlannerStrategy)
+    org.apache.spark.sql.graft.GraftSqlBridge
+      .ensureStrategy(spark, graft.plans.GroupTopKStrategy)
   }
 }
 
@@ -161,11 +165,13 @@ object GraftFunctions {
   * `expr(...)` use (the SparkSessionExtensions mechanism — SURVEY.md §4).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),
         builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+  }
 }

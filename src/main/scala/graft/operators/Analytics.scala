@@ -46,6 +46,34 @@ object Analytics extends QueryModule {
       |WHERE rk <= 3
       |ORDER BY c_mktsegment NULLS FIRST, rk NULLS FIRST""".stripMargin
 
+  /** Top-5 orders per customer through the custom GroupTopK operator
+    * (graft.plans.GroupTopK) — the whole-operator Catalyst extension:
+    * logical node → planner strategy → partial/final exec pair. Same
+    * semantics as a row_number-over-window top-k (q20's shape, and the
+    * oracle's formulation) but with a bounded per-key heap BEFORE the
+    * shuffle, so at most k rows per key per input partition are
+    * exchanged and no partition-wide sort runs — the plan that survives
+    * a 100 TB fact table with per-key output of 5 rows. The trailing
+    * orderBy sorts only the reduced output (≤ 5·|custkeys| rows). */
+  def groupTopkOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.GroupTopK.topKPerKey(
+        o, Seq("o_custkey"),
+        Seq(graft.plans.GroupTopK.Key("o_totalprice", desc = true),
+          graft.plans.GroupTopK.Key("o_orderkey")), 5)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  private val groupTopkOrdersSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 5
+      |ORDER BY o_custkey NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST""".stripMargin
+
   /** Moving average over the last 3 orders per customer (A6
     * moving-average, kafka/README.md:326 — batch frame form). Decimal
     * window sum + one double division keeps it hash-exact. */
@@ -721,5 +749,6 @@ object Analytics extends QueryModule {
     GraftQuery("q37_status_pivot", statusPriorityPivot, Some(statusPriorityPivotSql)),
     GraftQuery("q38_above_avg_orders", aboveAverageOrders, Some(aboveAverageOrdersSql)),
     GraftQuery("q39_value_distribution", orderValueDistribution, Some(orderValueDistributionSql)),
+    GraftQuery("q143_group_topk", groupTopkOrders, Some(groupTopkOrdersSql)),
   )
 }

@@ -1,0 +1,189 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.GraftSqlBridge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-key top-k as a whole-operator Catalyst extension — the (c) rung of
+  * the custom-operator ladder (SURVEY.md §4): a logical node, a planner
+  * strategy, and a partial/final physical pair registered through
+  * `SparkSessionExtensions`.
+  *
+  * Why not a window? `row_number() OVER (PARTITION BY key ORDER BY ord)`
+  * — the composed form q20 uses — shuffles EVERY input row to its key's
+  * reducer and sorts the whole partition before the `rn <= k` filter
+  * discards almost all of it. At 100 TB that is a full-data shuffle plus
+  * a full sort for an output of k·|keys| rows. This operator instead runs
+  * a bounded heap per key BEFORE the exchange (the aggregation-style
+  * map-side combine Spark has for `max` but not for `top-k rows`), so at
+  * most k rows per key per input partition reach the shuffle, and the
+  * post-shuffle phase merges heaps instead of sorting partitions. Shuffle
+  * volume drops from O(rows) to O(k · keys · partitions), and no
+  * partition-wide sort ever runs.
+  *
+  * Memory posture mirrors hash aggregation: the map side tracks at most
+  * `spark.graft.topk.maxPartialKeys` distinct keys (k rows each); rows of
+  * keys beyond that cap stream through to the exchange un-reduced —
+  * exactness is unaffected, only the reduction ratio degrades, the same
+  * graceful fallback partial aggregation has for high-cardinality keys.
+  * The final phase is exact and post-shuffle, where each task owns only
+  * its keys.
+  *
+  * Determinism: callers must make `order` a total order (tie-break on a
+  * unique column) for a deterministic result set — the same contract a
+  * `row_number`-over-window top-k has.
+  */
+case class GroupTopK(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"GroupTopK: k must be positive, got $k")
+  require(groupExprs.nonEmpty,
+    "GroupTopK: grouping keys must be non-empty (global top-k is Spark's own ORDER BY + LIMIT / TakeOrderedAndProject)")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupTopK =
+    copy(child = newChild)
+}
+
+/** Physical per-key top-k. `partial = true` is the pre-shuffle combine
+  * (capped key tracking, pass-through beyond the cap); `partial = false`
+  * declares `ClusteredDistribution(groupExprs)` so EnsureRequirements
+  * plants the hash exchange between the two — the same partial/final
+  * shape HashAggregateExec uses, and AQE handles the exchange like any
+  * other (coalescing included).
+  */
+case class GroupTopKExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    maxPartialKeys: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "GroupTopKPartial" else "GroupTopKFinal"
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = output
+    val keyExprs = groupExprs
+    val sortOrders = order
+    val kLocal = k
+    // the final phase must see every key it owns; only the map side caps
+    val keyCap = if (partial) maxPartialKeys else Int.MaxValue
+
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, schema)
+      val ord = RowOrdering.create(sortOrders, schema)
+      // reverse-ordered heap: peek() is the WORST row currently kept, so
+      // admission is one compare against the heap head
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+
+      new Iterator[InternalRow] {
+        private var pending: Iterator[InternalRow] = Iterator.empty
+        private var drained = false
+
+        override def hasNext: Boolean = {
+          while (!pending.hasNext && !drained) {
+            if (iter.hasNext) {
+              val row = iter.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null && heaps.size() < keyCap) {
+                heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, ord.reverse)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap != null) {
+                if (heap.size() < kLocal) heap.add(row.copy())
+                else if (ord.compare(row, heap.peek()) < 0) {
+                  heap.poll(); heap.add(row.copy())
+                }
+                // absorbed into the heap — nothing to emit for this row
+              } else {
+                // beyond the key cap: stream through un-reduced (exactness
+                // is restored by the final phase; consumed before the next
+                // iter.next() so no copy is needed)
+                pending = Iterator.single(row)
+              }
+            } else {
+              drained = true
+              val groups = heaps.values().iterator()
+              pending = new Iterator[InternalRow] {
+                private var current: Iterator[InternalRow] = Iterator.empty
+                override def hasNext: Boolean = {
+                  while (!current.hasNext && groups.hasNext) {
+                    val h = groups.next()
+                    val arr = h.toArray(new Array[InternalRow](h.size()))
+                    java.util.Arrays.sort(arr, ord)
+                    current = arr.iterator
+                  }
+                  current.hasNext
+                }
+                override def next(): InternalRow = { hasNext; current.next() }
+              }
+            }
+          }
+          pending.hasNext
+        }
+
+        override def next(): InternalRow = { hasNext; pending.next() }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupTopKExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as a partial/final exec pair. Registered both
+  * through `GraftExtensions` (sessions graft builds) and, idempotently,
+  * through `experimental.extraStrategies` on first use (sessions it
+  * didn't). */
+object GroupTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupTopK(keys, ord, k, child) =>
+      // SQLConf.get is the active session's conf during planning (no
+      // `conf` member on SparkStrategy itself)
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.topk.maxPartialKeys", "1048576").toInt
+      GroupTopKExec(keys, ord, k, partial = false, cap,
+        GroupTopKExec(keys, ord, k, partial = true, cap, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object GroupTopK {
+
+  /** One sort key: column name + direction. Null ordering follows
+    * Spark's `DataFrame.sort` defaults (asc → nulls first, desc → nulls
+    * last). */
+  final case class Key(name: String, desc: Boolean = false)
+
+  /** The k first rows of `df` per `groupCols` group under `order`, via
+    * the map-side-combined exec pair above. Columns are resolved against
+    * the analyzed child plan here, so the node enters analysis already
+    * resolved. */
+  def topKPerKey(df: DataFrame, groupCols: Seq[String], order: Seq[Key], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    GraftSqlBridge.ensureStrategy(spark, GroupTopKStrategy)
+    val child = df.queryExecution.analyzed
+    def resolve(name: String): Attribute =
+      child.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"GroupTopK: column '$name' not in ${child.output.map(_.name).mkString(", ")}"))
+    val sortOrders = order.map(o =>
+      SortOrder(resolve(o.name), if (o.desc) Descending else Ascending))
+    GraftSqlBridge.ofRows(spark, GroupTopK(groupCols.map(resolve), sortOrders, k, child))
+  }
+}
