@@ -474,6 +474,82 @@ object EventLog extends QueryModule {
       |    CAST(COALESCE(SUM(EPOCH_US(t3) - EPOCH_US(t1)), 0) AS BIGINT) FROM s3
       |) t ORDER BY stage NULLS FIRST""".stripMargin
 
+  /** Robust volume-anomaly detection: flag days whose per-type event count
+    * deviates from that type's median by more than 1.5× the MAD (median
+    * absolute deviation) — the outlier rule that, unlike mean/stddev
+    * z-scores, one bad day cannot drag. Three bounded aggregates: daily
+    * counts (map-side combined over the raw log — the only pass that sees
+    * full data), then medians and MADs over the already-tiny counts table
+    * (types × days rows). Medians are exact interpolated percentiles on
+    * integer counts, so every derived double is dyadic-exact and the
+    * boolean flag hash-stable. */
+  def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = counts.groupBy(col("event_type").as("m_type"))
+      .agg(expr("percentile(cnt, 0.5)").as("med"))
+    val withMed = counts.join(broadcast(med), col("event_type") === col("m_type"))
+      .withColumn("dev", abs(col("cnt") - col("med")))
+    val mad = withMed.groupBy(col("event_type").as("d_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    withMed.join(broadcast(mad), col("event_type") === col("d_type"))
+      .select(col("event_type"), col("day"), col("cnt"), col("med"), col("mad"),
+        (col("dev") > lit(1.5) * col("mad")).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val volumeAnomalySql =
+    """WITH counts AS (
+      |  SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type AS m_type, quantile_cont(cnt, 0.5) AS med
+      |  FROM counts GROUP BY 1),
+      |with_med AS (
+      |  SELECT c.*, m.med, ABS(c.cnt - m.med) AS dev
+      |  FROM counts c JOIN med m ON c.event_type = m.m_type),
+      |mad AS (
+      |  SELECT event_type AS d_type, quantile_cont(dev, 0.5) AS mad
+      |  FROM with_med GROUP BY 1)
+      |SELECT w.event_type, w.day, w.cnt, w.med, d.mad,
+      |  w.dev > 1.5 * d.mad AS is_anomaly
+      |FROM with_med w JOIN mad d ON w.event_type = d.d_type
+      |ORDER BY w.event_type NULLS FIRST, w.day NULLS FIRST""".stripMargin
+
+  /** Weekly cohort retention: users cohorted by the week they were first
+    * seen; a cohort's week-N retention is how many of its users were
+    * active N weeks later. Shapes that survive 100 TB: first-seen is a
+    * map-combined min per user; the fact-side join back is equi on
+    * user_id (the key both sides already aggregate/shuffle on); the
+    * distinct count re-aggregates per (cohort, offset) with partial
+    * dedup — no whole-log window, no self-join. Week offsets divide
+    * exactly (both engines truncate to Monday week boundaries in UTC),
+    * so the integer cast is exact. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val first = e.groupBy(col("user_id").as("f_user"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    e.join(first, col("user_id") === col("f_user"))
+      .withColumn("week_offset",
+        ((unix_micros(date_trunc("week", col("ts"))) -
+          unix_micros(col("cohort_week"))) / lit(604800000000L)).cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH first_seen AS (
+      |  SELECT user_id AS f_user, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY 1)
+      |SELECT cohort_week,
+      |  CAST((EPOCH(DATE_TRUNC('week', e.ts)) - EPOCH(cohort_week)) / 604800 AS INT) AS week_offset,
+      |  COUNT(DISTINCT e.user_id) AS active_users
+      |FROM events e JOIN first_seen f ON e.user_id = f.f_user
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_seek_replay", seekReplay, Some(seekReplaySql)),
     GraftQuery("q41_retention_window", retentionWindow, Some(retentionWindowSql)),
@@ -489,5 +565,7 @@ object EventLog extends QueryModule {
     GraftQuery("q51_late_events", lateEvents, Some(lateEventsSql)),
     GraftQuery("q52_range_join_nearby", rangeJoinNearbyOrders, Some(rangeJoinNearbyOrdersSql)),
     GraftQuery("q142_funnel_conversion", funnelConversion, Some(funnelConversionSql)),
+    GraftQuery("q145_volume_anomaly", volumeAnomaly, Some(volumeAnomalySql)),
+    GraftQuery("q146_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
   )
 }

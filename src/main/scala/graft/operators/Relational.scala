@@ -503,6 +503,63 @@ object Relational extends QueryModule {
       |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*))
       |    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin
 
+  /** SCD2 (slowly-changing-dimension, type 2) enrichment: facts joined to
+    * the dimension VERSION valid at fact time — the temporal-validity twin
+    * of the stream-table enrich join (J1) and the classic warehouse shape
+    * Spark has no dedicated operator for. The versioned dimension is
+    * derived deterministically from `nation` (two tax-rate versions split
+    * at 1998-01-01) so the oracle can rebuild it; the join is a broadcast
+    * equi-join on the nation key with the validity range as a post-join
+    * filter — at 100 TB the dimension's version history stays
+    * dim-table-sized (versions × keys), so broadcast holds and the fact
+    * table is never shuffled for it. Tax application happens once per
+    * GROUP on the exact decimal sum (one well-defined double multiply),
+    * not per row, keeping the output hash-stable. */
+  def scd2Enrich(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    def version(v: Int, centsOff: Int, from: String, to: String): DataFrame =
+      n.select(col("n_nationkey"), col("n_name"),
+        lit(v).as("version"),
+        (col("n_nationkey") + lit(centsOff)).cast("int").as("rate_cents"),
+        lit(from).cast("timestamp").as("valid_from"),
+        lit(to).cast("timestamp").as("valid_to"))
+    val dim = version(1, 5, "1995-01-01", "1998-01-01")
+      .unionByName(version(2, 7, "1998-01-01", "2002-01-01"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    Tables.orders(spark, dir)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dim),
+        col("c_nationkey") === col("n_nationkey") &&
+          col("o_orderdate") >= col("valid_from") &&
+          col("o_orderdate") < col("valid_to"))
+      .groupBy(col("n_name"), col("version"), col("rate_cents"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(money(col("o_totalprice"))).as("base_revenue"))
+      .select(col("n_name"), col("version"), col("rate_cents"), col("n_orders"),
+        col("base_revenue"),
+        (col("base_revenue") * col("rate_cents") / lit(100.0)).as("tax_revenue"))
+      .orderBy(col("n_name"), col("version"))
+  }
+
+  private val scd2EnrichSql =
+    """WITH dim AS (
+      |  SELECT n_nationkey, n_name, 1 AS version, CAST(n_nationkey + 5 AS INT) AS rate_cents,
+      |         TIMESTAMP '1995-01-01' AS valid_from, TIMESTAMP '1998-01-01' AS valid_to
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, n_name, 2, CAST(n_nationkey + 7 AS INT),
+      |         TIMESTAMP '1998-01-01', TIMESTAMP '2002-01-01'
+      |  FROM nation)
+      |SELECT n_name, version, rate_cents, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS base_revenue,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) * rate_cents / 100.0 AS tax_revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN dim ON c_nationkey = n_nationkey
+      |        AND o_orderdate >= valid_from AND o_orderdate < valid_to
+      |GROUP BY n_name, version, rate_cents
+      |ORDER BY n_name NULLS FIRST, version NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     GraftQuery("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -523,5 +580,6 @@ object Relational extends QueryModule {
     GraftQuery("q17_small_qty_revenue", smallQuantityRevenue, Some(smallQuantityRevenueSql)),
     GraftQuery("q19_exists_churn", existsChurn, Some(existsChurnSql)),
     GraftQuery("q131_bloom_join_prune", bloomJoinPrune, Some(bloomJoinPruneSql)),
+    GraftQuery("q144_scd2_enrich", scd2Enrich, Some(scd2EnrichSql)),
   )
 }
