@@ -49,12 +49,13 @@ object Analytics extends QueryModule {
   /** Top-5 orders per customer through the custom GroupTopK operator
     * (graft.plans.GroupTopK) — the whole-operator Catalyst extension:
     * logical node → planner strategy → partial/final exec pair. Same
-    * semantics as a row_number-over-window top-k (q20's shape, and the
-    * oracle's formulation) but with a bounded per-key heap BEFORE the
-    * shuffle, so at most k rows per key per input partition are
-    * exchanged and no partition-wide sort runs — the plan that survives
-    * a 100 TB fact table with per-key output of 5 rows. The trailing
-    * orderBy sorts only the reduced output (≤ 5·|custkeys| rows). */
+    * semantics and shuffle volume as the row_number-over-window form
+    * (q20's shape; Spark's WindowGroupLimit already map-side-limits
+    * that), but sort-free on both sides of the exchange: bounded per-key
+    * heaps replace the partition sorts WindowGroupLimit still needs
+    * before its partial and final passes (O(n log k) vs O(n log n) at
+    * 100 TB), and no Window exec runs. The trailing orderBy sorts only
+    * the reduced output (≤ 5·|custkeys| rows). */
   def groupTopkOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))

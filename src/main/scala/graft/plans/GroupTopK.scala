@@ -14,17 +14,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * strategy, and a partial/final physical pair registered through
   * `SparkSessionExtensions`.
   *
-  * Why not a window? `row_number() OVER (PARTITION BY key ORDER BY ord)`
-  * — the composed form q20 uses — shuffles EVERY input row to its key's
-  * reducer and sorts the whole partition before the `rn <= k` filter
-  * discards almost all of it. At 100 TB that is a full-data shuffle plus
-  * a full sort for an output of k·|keys| rows. This operator instead runs
-  * a bounded heap per key BEFORE the exchange (the aggregation-style
-  * map-side combine Spark has for `max` but not for `top-k rows`), so at
-  * most k rows per key per input partition reach the shuffle, and the
-  * post-shuffle phase merges heaps instead of sorting partitions. Shuffle
-  * volume drops from O(rows) to O(k · keys · partitions), and no
-  * partition-wide sort ever runs.
+  * Honest positioning vs the built-in path: since 3.5 Spark already
+  * rewrites `row_number() OVER (...) <= k` filters into
+  * `Sort → WindowGroupLimit(Partial) → Exchange → Sort →
+  * WindowGroupLimit(Final) → Window → Filter`, so the SHUFFLE VOLUME of
+  * the window formulation is already reduced to ≤ k rows per key per
+  * input partition (the ScaleProbe shuffle-bytes rows measure the two
+  * byte-identical). What the window path still pays, and this operator
+  * does not:
+  *  - a full LOCAL SORT of every input partition before the partial
+  *    limiter, and another sort of every post-shuffle partition before
+  *    the final one — O(n log n) comparisons plus sort-spill I/O, where
+  *    the bounded per-key heaps here are O(n log k) and never sort more
+  *    than k rows per key;
+  *  - the Window exec itself (rank computation over sorted runs) after
+  *    the final sort.
+  * At 100 TB those partition sorts are the dominant cost of per-key
+  * top-k; heap admission is one comparison against the heap head per
+  * row. Note the map-side reduction (both here and in WindowGroupLimit)
+  * only bites when a partition holds >k rows of a key: high-cardinality
+  * keys scattered across partitions reduce nothing on the map side —
+  * the win there is confined to the sorts.
   *
   * Memory posture mirrors hash aggregation: the map side tracks at most
   * `spark.graft.topk.maxPartialKeys` distinct keys (k rows each); rows of

@@ -413,6 +413,96 @@ object ScaleProbe {
     time("q142 funnel 1x (10k events)")(funnelUsers(ev1))
     time(s"q142 funnel ${copies}x users+events")(funnelUsers(evN))
 
+    // r10 GroupTopK shape vs the window formulation: both rows AND
+    // distinct keys scale (shifted custkeys). Shuffle volume is equal
+    // (Spark's WindowGroupLimit already map-side-limits the window
+    // form); the contested cost is the two partition SORTS the window
+    // path runs around its exchange vs GroupTopK's sort-free bounded
+    // heaps — at probe scale the sorts are cheap, so expect parity-ish
+    // wall clock and look at the shuffle-bytes rows for the structural
+    // story.
+    def gtk(o: DataFrame): Long =
+      graft.plans.GroupTopK.topKPerKey(
+        o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"),
+        Seq(graft.plans.GroupTopK.Key("o_totalprice", desc = true),
+          graft.plans.GroupTopK.Key("o_orderkey")), 5).count()
+    def wtk(o: DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).count()
+    }
+    val oCustShifted = replicateShifted(o1, "o_custkey", 1000000000L)
+    time("q143 group-topk 1x")(gtk(o1))
+    time(s"q143 group-topk ${copies}x")(gtk(oCustShifted))
+    time("q143 window-topk 1x")(wtk(o1))
+    time(s"q143 window-topk ${copies}x")(wtk(oCustShifted))
+
+    // low-cardinality keys: 5 distinct o_orderpriority values, so both
+    // map-side limiters (GroupTopK's heaps, WindowGroupLimit's
+    // sort+limit) collapse each input partition to ≤ 5·k rows and the
+    // exchange all but disappears; the cost difference is each input
+    // partition fully SORTED (window path) vs heap-scanned (GroupTopK)
+    def gtkLow(o: DataFrame): Long =
+      graft.plans.GroupTopK.topKPerKey(
+        o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderpriority"),
+        Seq(graft.plans.GroupTopK.Key("o_totalprice", desc = true),
+          graft.plans.GroupTopK.Key("o_orderkey")), 5).count()
+    def wtkLow(o: DataFrame): Long = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5).count()
+    }
+    time(s"q143 group-topk lowcard ${copies}x")(gtkLow(oCustShifted))
+    time(s"q143 window-topk lowcard ${copies}x")(wtkLow(oCustShifted))
+
+    // wall-clock is ambient-noisy at probe scale; shuffled bytes are
+    // the deterministic witness that BOTH formulations map-side-reduce
+    // identically (ratio 1.00) — the honest record that GroupTopK's
+    // edge is the sorts it skips, not shuffle volume
+    def shuffledBytes(df: DataFrame): Long = {
+      df.collect()
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val more = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => nodes(q.plan)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case _ => Nil
+        }
+        (p +: more) ++ p.children.flatMap(nodes)
+      }
+      nodes(df.queryExecution.executedPlan).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          s.metrics.get("dataSize").map(_.value).getOrElse(0L)
+      }.sum
+    }
+    // NOTE the reduction depends on per-partition key co-occurrence,
+    // exactly like partial aggregation: with high-cardinality scattered
+    // keys (custkey) each input partition holds ~1 row per key and the
+    // map side can't reduce (ratio ≈ 1); with grouping-level keys
+    // (orderpriority) the map side collapses each partition to ≤ 5·k
+    // rows and the exchange all but disappears. Print both.
+    if (only.isEmpty || only.exists("q143 shuffle".startsWith) || only.contains("q143")) {
+      def both(keyCol: String, label: String): Unit = {
+        val oSel = oCustShifted.select(col(keyCol), col("o_orderkey"), col("o_totalprice"))
+        val g = shuffledBytes(graft.plans.GroupTopK.topKPerKey(oSel, Seq(keyCol),
+          Seq(graft.plans.GroupTopK.Key("o_totalprice", desc = true),
+            graft.plans.GroupTopK.Key("o_orderkey")), 5))
+        val w0 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val w = shuffledBytes(oSel.withColumn("rn", row_number().over(w0)).filter(col("rn") <= 5))
+        println(f"[scale] q143 shuffle bytes $label ${copies}x: group-topk=$g window=$w ratio=${w.toDouble / g}%.2f")
+      }
+      both("o_custkey", "hicard")
+      both("o_orderpriority", "lowcard")
+    }
+
     spark.stop()
   }
 }

@@ -97,6 +97,19 @@ class GroupTopKSpec extends AnyFunSuite with SparkSpec {
     assert(exIdx >= 0 && partIdx > exIdx, plan)
   }
 
+  test("contrast: the window form sorts (WindowGroupLimit path), GroupTopK never does") {
+    // pins the honest positioning in BASELINE.md: Spark already
+    // map-side-limits the window form (same shuffle bytes); what
+    // GroupTopK removes is the partition sorts on both sides
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wdf = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    wdf.collect()
+    val wplan = wdf.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(wplan.contains("WindowGroupLimit"), wplan)
+    assert(wplan.contains("Sort "), wplan)
+  }
+
   test("SQL-registered sessions also plan GroupTopK (ensureRegistered path)") {
     // ensureRegistered appends the strategy via experimental.extraStrategies;
     // calling it twice must not stack duplicates
