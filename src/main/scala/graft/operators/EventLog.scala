@@ -484,9 +484,14 @@ object EventLog extends QueryModule {
     * integer counts, so every derived double is dyadic-exact and the
     * boolean flag hash-stable. */
   def volumeAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+    // counts is referenced three times downstream; without the scoped
+    // persist each reference would re-scan the raw log — at 100 TB the
+    // whole query must read it exactly once and the rest re-aggregate
+    // this types×days table
+    val counts = graft.functions.ScopedCache.persist("q145.counts", dir,
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")))
     val med = counts.groupBy(col("event_type").as("m_type"))
       .agg(expr("percentile(cnt, 0.5)").as("med"))
     val withMed = counts.join(broadcast(med), col("event_type") === col("m_type"))

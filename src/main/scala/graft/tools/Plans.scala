@@ -314,7 +314,22 @@ object Plans {
           "each transition an equi-join of the stage's event slice " +
           "against the PER-USER table (AQE-decided); no " +
           "windowspecdefinition anywhere and no event-to-event self-join.",
-        EventLog.funnelConversion(spark, dir)))
+        EventLog.funnelConversion(spark, dir)),
+      section("q143 GroupTopK (r10 custom partial/final operator)",
+        "What to look for: GroupTopKPartial below exactly one " +
+          "ENSURE_REQUIREMENTS exchange and GroupTopKFinal above it — " +
+          "the strategy-planned pair; NO Sort and NO Window/" +
+          "WindowGroupLimit anywhere before the trailing output orderBy " +
+          "(the window formulation would carry two partition sorts); " +
+          "the scan reads only the 3 projected columns.",
+        Analytics.groupTopkOrders(spark, dir)),
+      section("q144 SCD2 validity-window enrichment (r10)",
+        "What to look for: the versioned dimension (nation × 2) arrives " +
+          "via BroadcastHashJoin with the valid_from/valid_to range as " +
+          "the join's non-equi condition — the fact table is never " +
+          "shuffled for the dimension; one partial+final hash aggregate " +
+          "after.",
+        Relational.scd2Enrich(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

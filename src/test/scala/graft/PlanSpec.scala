@@ -542,4 +542,51 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
     assert(plan.contains("LeftOuter"), plan.take(4000))
   }
+
+  test("q144 SCD2: versioned dim broadcasts with the validity range inside the join") {
+    val plan = executedPlan(Relational.scd2Enrich(spark, sf0001))
+    // the 50-row dim must arrive by broadcast (the fact side is never
+    // shuffled for it) and the validity window must ride the join, not a
+    // post-join filter over a wider product
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+  }
+
+  test("q145 MAD anomaly: stats joins broadcast, only the first pass sees raw events") {
+    val df = EventLog.volumeAnomaly(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the median/MAD tables are types-sized → broadcast; the raw log is
+    // aggregated exactly once INSIDE the cached counts relation — every
+    // downstream reference must hit the cache, so no file scan may
+    // appear outside an InMemoryRelation's build plan
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(plan.contains("InMemoryTableScan"), plan.take(4000))
+    // top-level walk (crosses AQE stages, NOT cached-relation builds):
+    // zero raw scans outside the cache
+    val topScans = allNodes(df.queryExecution.executedPlan).count {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    } - cachedBuildScans(df)
+    assert(topScans == 0, s"raw scans outside the counts cache: $topScans\n" + plan.take(4000))
+  }
+
+  /** File scans inside cached-relation build plans (allNodes descends
+    * into them; subtract to count only top-level scans). */
+  private def cachedBuildScans(df: org.apache.spark.sql.DataFrame): Int =
+    allNodes(df.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+    }.flatMap(s => allNodes(s.relation.cachedPlan)).count {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    }
+
+  test("q146 cohort retention: equi-join on user_id, no Expand, no whole-log window") {
+    val plan = executedPlan(EventLog.cohortRetention(spark, sf0001))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(!plan.contains("Expand"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+  }
 }
