@@ -154,10 +154,14 @@ object GraftFunctions {
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    // whole-operator surface: the GroupTopK planner strategy (runtime
-    // append — the extraStrategies analog of injectPlannerStrategy)
+    // whole-operator surface: the GroupTopK planner strategy plus the
+    // window-top-k rewrite rule (runtime appends — the extraStrategies/
+    // extraOptimizations analogs of the injectPlannerStrategy/
+    // injectOptimizerRule calls in GraftExtensions)
     org.apache.spark.sql.graft.GraftSqlBridge
       .ensureStrategy(spark, graft.plans.GroupTopKStrategy)
+    org.apache.spark.sql.graft.GraftSqlBridge
+      .ensureOptimizerRule(spark, graft.plans.RewriteWindowTopK)
   }
 }
 
@@ -173,5 +177,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }
 }

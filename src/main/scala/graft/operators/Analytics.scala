@@ -75,6 +75,24 @@ object Analytics extends QueryModule {
       |WHERE rn <= 5
       |ORDER BY o_custkey NULLS FIRST, o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST""".stripMargin
 
+  /** q143's semantics written as plain SQL in the WINDOW form — the
+    * RewriteWindowTopK optimizer rule must recognize `row_number() ≤ k`
+    * with the rank dropped and plan the custom sort-free operator
+    * anyway (GroupTopKSpec pins the plan). Same oracle as q143: the
+    * rewrite is only correct if the driver's hash compare can't tell
+    * the two apart. */
+  def groupTopkSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q147_orders")
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM graft_q147_orders) t
+        |WHERE rn <= 5
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
   /** Moving average over the last 3 orders per customer (A6
     * moving-average, kafka/README.md:326 — batch frame form). Decimal
     * window sum + one double division keeps it hash-exact. */
@@ -751,5 +769,6 @@ object Analytics extends QueryModule {
     GraftQuery("q38_above_avg_orders", aboveAverageOrders, Some(aboveAverageOrdersSql)),
     GraftQuery("q39_value_distribution", orderValueDistribution, Some(orderValueDistributionSql)),
     GraftQuery("q143_group_topk", groupTopkOrders, Some(groupTopkOrdersSql)),
+    GraftQuery("q147_group_topk_sql", groupTopkSql, Some(groupTopkOrdersSql)),
   )
 }

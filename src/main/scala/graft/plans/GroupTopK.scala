@@ -2,8 +2,10 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graft.GraftSqlBridge
@@ -170,6 +172,58 @@ object GroupTopKStrategy extends SparkStrategy {
       GroupTopKExec(keys, ord, k, partial = false, cap,
         GroupTopKExec(keys, ord, k, partial = true, cap, planLater(child))) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer rule: `Project(Filter(rn <= k, Window(row_number())))` where
+  * the rank column is dropped by the Project → [[GroupTopK]]. The user
+  * writes the idiomatic window form (DataFrame or plain SQL) and gets the
+  * sort-free plan automatically — the same contract as Spark's own
+  * InferWindowGroupLimit, taken one step further (that rule bounds the
+  * sorts' input; this one removes the sorts and the Window exec).
+  *
+  * Fires ONLY when every piece is provably equivalent:
+  *  - exactly one window expression, and it is `row_number()` (a `rank`
+  *    filter can keep >k rows on ties; `row_number` cannot);
+  *  - the filter is a sole `rn <= k` / `rn < k` / `rn = 1` conjunct;
+  *  - the Project above references the rank attribute nowhere (a kept
+  *    rank column can't be reproduced by GroupTopK);
+  *  - non-empty partition AND order specs (empty partition = global
+  *    top-k = Spark's TakeOrderedAndProject territory).
+  * Row SET equality holds regardless of tie totality: both forms pick
+  * the same arbitrary-but-ordered first k under the given SortOrder.
+  * If Spark's InferWindowGroupLimit ran first, its limiter node below
+  * the Window is stripped (GroupTopK subsumes it).
+  */
+object RewriteWindowTopK extends Rule[LogicalPlan] {
+
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
+    case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) && v == 1 => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList, Filter(cond, w: Window))
+        if w.windowExpressions.size == 1 &&
+          w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+      w.windowExpressions.head match {
+        case alias @ Alias(WindowExpression(RowNumber(), _), _) =>
+          val rn = alias.toAttribute
+          val child = w.child match {
+            // Spark's inferred limiter below the window: subsumed
+            case WindowGroupLimit(ps, os, RowNumber(), _, c)
+                if ps == w.partitionSpec && os == w.orderSpec => c
+            case c => c
+          }
+          limitOf(cond, rn) match {
+            case Some(k) if k > 0 && projList.forall(!_.references.contains(rn)) =>
+              Project(projList, GroupTopK(w.partitionSpec, w.orderSpec, k, child))
+            case _ => p
+          }
+        case _ => p
+      }
   }
 }
 

@@ -37,9 +37,11 @@ object Plans {
           "post-shuffle partitions.",
         Relational.revenueByNation(spark, dir)),
       section("q42 latest-per-key compaction (event-log table view)",
-        "What to look for: a single hash-partitioned exchange on the key " +
-          "feeding the window; filter on row_number happens before the " +
-          "final projection (no extra shuffle).",
+        "What to look for: since the r10 RewriteWindowTopK rule, the " +
+          "row_number()=1-then-drop pattern plans as GroupTopKPartial → " +
+          "one exchange → GroupTopKFinal (k=1 heaps, no Sort, no " +
+          "Window) — the rule upgrading an existing query untouched; " +
+          "the oracle can't tell the difference.",
         EventLog.compactLatestPerKey(spark, dir)),
       section("q72 exact n-gram Jaccard (near-dup pairs)",
         "What to look for: the shingle table is computed once (InMemory " +

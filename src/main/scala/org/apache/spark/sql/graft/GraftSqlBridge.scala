@@ -31,4 +31,16 @@ object GraftSqlBridge {
     if (!exp.extraStrategies.exists(_ eq strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** Same, for a logical optimizer rule (`experimental.extraOptimizations`
+    * — runs after the built-in optimizer batches, which for the window
+    * top-k rewrite also means after InferWindowGroupLimit). */
+  def ensureOptimizerRule(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[ClassicSparkSession].experimental
+    if (!exp.extraOptimizations.exists(_ eq rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
 }

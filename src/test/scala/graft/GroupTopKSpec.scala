@@ -110,6 +110,47 @@ class GroupTopKSpec extends AnyFunSuite with SparkSpec {
     assert(wplan.contains("Sort "), wplan)
   }
 
+  test("rewrite: SQL window top-k with the rank dropped plans GroupTopK automatically") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    graft.sources.Tables.orders(spark, sf001).createOrReplaceTempView("gtk_orders")
+    val df = spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM gtk_orders) t
+        |WHERE rn <= 5""".stripMargin)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("GroupTopKFinal"), plan)
+    assert(!plan.contains("Window"), plan)
+    // row-for-row against the un-rewritten form (rank kept → no rewrite)
+    val kept = spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM gtk_orders) t
+        |WHERE rn <= 5""".stripMargin)
+    assert(kept.queryExecution.executedPlan.toString.contains("Window"))
+    assert(df.collect().map(_.toString).sorted.toSeq ==
+      kept.drop("rn").collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("rewrite does NOT fire for rank() (ties can exceed k) or kept rank columns") {
+    graft.sources.Tables.orders(spark, sf001).createOrReplaceTempView("gtk_orders")
+    val rankDf = spark.sql(
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk
+        |  FROM gtk_orders) t
+        |WHERE rk <= 5""".stripMargin)
+    rankDf.collect()
+    val plan = rankDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("GroupTopK"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
   test("SQL-registered sessions also plan GroupTopK (ensureRegistered path)") {
     // ensureRegistered appends the strategy via experimental.extraStrategies;
     // calling it twice must not stack duplicates

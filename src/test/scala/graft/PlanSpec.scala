@@ -543,6 +543,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("LeftOuter"), plan.take(4000))
   }
 
+  test("q147 SQL window top-k is rewritten to the custom GroupTopK operator") {
+    val plan = executedPlan(Analytics.groupTopkSql(spark, sf0001))
+    assert(plan.contains("GroupTopKFinal"), plan.take(4000))
+    assert(!plan.contains("Window"), plan.take(4000))
+  }
+
   test("q144 SCD2: versioned dim broadcasts with the validity range inside the join") {
     val plan = executedPlan(Relational.scd2Enrich(spark, sf0001))
     // the 50-row dim must arrive by broadcast (the fact side is never
