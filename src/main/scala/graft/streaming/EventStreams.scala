@@ -38,6 +38,17 @@ final case class FunnelHit(
     user_id: Long, view_ts: Timestamp, click_ts: Timestamp,
     purchase_ts: Timestamp)
 
+/** One kept row of a live per-key top-k ([[EventStreams.topKPerKeyStream]]
+  * state entry; top-level so the state encoder reaches the constructor). */
+final case class TopKEntry(value: Double, event_id: Long)
+
+/** Bounded per-key top-k state: the k best entries seen so far,
+  * best-first. */
+final case class TopKBuf(entries: List[TopKEntry])
+
+/** One rank-stamped row of a key's current top-k snapshot. */
+final case class TopKUpdate(user_id: Long, rank: Int, value: Double, event_id: Long)
+
 /** Structured Streaming pipelines (SURVEY.md §2.9): the live form of the
   * reference's stream-processing surface — tumbling/sliding/session
   * windows (T2/T3), watermarks + late data (T4/T5), keyed state with
@@ -434,6 +445,42 @@ object EventStreams {
           }
           state.update(p)
           hits.iterator
+      }
+  }
+
+  /** Live per-key top-k — the streaming twin of the batch GroupTopK
+    * operator (graft.plans.GroupTopK), with the same bounded-state
+    * posture: each key's state is its k best (value desc, event_id asc)
+    * entries and NOTHING else, so state is O(k) per key forever — no
+    * watermark needed for boundedness (which is why NoTimeout is safe
+    * here, unlike sessionization state that grows until closed).
+    *
+    * Update-mode semantics: a micro-batch that changes a key's top-k
+    * re-emits that key's FULL rank-stamped snapshot (the downstream
+    * upsert target replaces the key's group); a batch that only brings
+    * worse-than-kept values emits nothing for the key. Exactly the
+    * stream⇄table duality the running-totals builder demonstrates, for
+    * an ordered-set aggregate instead of a sum. */
+  def topKPerKeyStream(events: Dataset[Event], k: Int = 3): Dataset[TopKUpdate] = {
+    import events.sparkSession.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TopKBuf, TopKUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[TopKBuf]) =>
+          val old = state.getOption.getOrElse(TopKBuf(Nil))
+          // fold the batch in, keep the k best under (value desc, id asc)
+          val merged = (old.entries ++ it.map(e => TopKEntry(e.value, e.event_id)))
+            .sortBy(t => (-t.value, t.event_id))
+            .take(k)
+          if (merged == old.entries) Iterator.empty
+          else {
+            state.update(TopKBuf(merged))
+            merged.iterator.zipWithIndex.map { case (t, i) =>
+              TopKUpdate(userId, i + 1, t.value, t.event_id)
+            }
+          }
       }
   }
 }

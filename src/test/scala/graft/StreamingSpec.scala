@@ -334,6 +334,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k: O(k) state, snapshots on change, silence on worse values") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.topKPerKeyStream(in.toDS(), k = 2)
+      .writeStream.outputMode("update").format("memory").queryName("topk")
+      .option("checkpointLocation", tmp("ck-topk")).start()
+    def snap(): Seq[(Long, Int, Double, Long)] =
+      spark.table("topk").as[(Long, Int, Double, Long)].collect().toSeq
+    try {
+      // batch 1: three values for user 1 — only the best 2 survive
+      in.addData(ev(1, 0, 1, "view", 5.0), ev(2, 1, 1, "view", 9.0),
+                 ev(3, 2, 1, "view", 1.0))
+      q.processAllAvailable()
+      assert(snap() === Seq((1L, 1, 9.0, 2L), (1L, 2, 5.0, 1L)))
+      // batch 2: strictly worse value → NO new emission for user 1
+      in.addData(ev(4, 3, 1, "view", 0.5))
+      q.processAllAvailable()
+      assert(snap().size === 2)
+      // batch 3: a new best → the key re-emits its full snapshot
+      in.addData(ev(5, 4, 1, "view", 20.0))
+      q.processAllAvailable()
+      assert(snap().takeRight(2) === Seq((1L, 1, 20.0, 5L), (1L, 2, 9.0, 2L)))
+      // tie on value ranks by event_id ascending (total order, like the
+      // batch operator's tie-break contract)
+      in.addData(ev(7, 5, 2, "view", 3.0), ev(6, 5, 2, "view", 3.0))
+      q.processAllAvailable()
+      assert(snap().filter(_._1 == 2L) === Seq((2L, 1, 3.0, 6L), (2L, 2, 3.0, 7L)))
+    } finally q.stop()
+  }
+
   test("streaming index append: arriving vectors encode against the frozen index per micro-batch") {
     // the streaming half of the q135 story: a vector stream lands as one
     // immutable segment pair per micro-batch, encoded against the
