@@ -534,6 +534,62 @@ object Profiling extends QueryModule {
       |ORDER BY src_a NULLS FIRST, src_b NULLS FIRST""".stripMargin
   }
 
+  /** q148 token budget per source (the source-capping curation move:
+    * "cap the over-represented crawl at N tokens, unbiased"). */
+  val BudgetTokens = 800L
+
+  // a third multiplicative-hash family (offset +41) so the cap's
+  // permutation is independent of q126's rank and q87's rate key
+  private def capKey = pmod(
+    pmod(col("doc_id") + lit(41L), lit(RankModPrime)) * lit(RankMult),
+    lit(RankMod))
+
+  private val capKeySqlExpr =
+    s"CAST((((((doc_id + 41) % $RankModPrime) + $RankModPrime) % $RankModPrime" +
+      s" * $RankMult) % $RankMod + $RankMod) % $RankMod AS BIGINT)"
+
+  /** Greedy token-budget fill per source: docs enter in engine-portable
+    * hash order (an unbiased deterministic permutation) until the
+    * source's cumulative token count reaches [[BudgetTokens]]; the doc
+    * that crosses the boundary is kept (greedy-fill convention, q68's
+    * packer). Fixed-COUNT sampling (q126) caps documents; this caps
+    * TOKENS — what a mixture spec actually budgets. The running sum is a
+    * per-source ROWS window: parallel across sources, sequential within
+    * one, state bounded by the largest source — same posture as the
+    * packer, nothing global. */
+  def tokenBudgetCap(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetCapOf(Tables.documents(spark, dir))
+
+  def tokenBudgetCapOf(d: DataFrame): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("cap_key").asc, col("doc_id").asc)
+    d.withColumn("cap_key", capKey)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < lit(BudgetTokens))
+      .select(col("source"), col("doc_id"), col("cap_key"),
+        col("n_tokens"), col("cum_before"))
+      .orderBy(col("source"), col("cap_key"), col("doc_id"))
+  }
+
+  private val tokenBudgetCapSql =
+    s"""WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+      |    $capKeySqlExpr AS cap_key
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, cap_key, n_tokens,
+      |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY cap_key NULLS FIRST, doc_id NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+      |  FROM t)
+      |SELECT source, doc_id, cap_key, n_tokens, cum_before
+      |FROM c WHERE cum_before < $BudgetTokens
+      |ORDER BY source NULLS FIRST, cap_key NULLS FIRST, doc_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q122_normalize_text", normalizeText, Some(normalizeTextSql)),
     GraftQuery("q123_source_datacard", sourceDatacard, Some(sourceDatacardSql)),
@@ -544,5 +600,6 @@ object Profiling extends QueryModule {
     GraftQuery("q128_compression_signal", compressionSignal, None),
     GraftQuery("q130_vocab_overlap_sketch", vocabOverlapSketch,
       Some(vocabOverlapSketchSql)),
+    GraftQuery("q148_token_budget_cap", tokenBudgetCap, Some(tokenBudgetCapSql)),
   )
 }

@@ -83,6 +83,15 @@ case class GroupTopKExec(
   override def nodeName: String =
     if (partial) "GroupTopKPartial" else "GroupTopKFinal"
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    // rows that bypassed the map-side heaps because the key cap was hit
+    // — a nonzero value is the signal to raise maxPartialKeys or accept
+    // window-like shuffle volume for this key distribution
+    "numPassThroughRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows passed through un-reduced"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
@@ -94,6 +103,8 @@ case class GroupTopKExec(
     val kLocal = k
     // the final phase must see every key it owns; only the map side caps
     val keyCap = if (partial) maxPartialKeys else Int.MaxValue
+    val outRows = longMetric("numOutputRows")
+    val passRows = longMetric("numPassThroughRows")
 
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
@@ -126,6 +137,7 @@ case class GroupTopKExec(
                 // beyond the key cap: stream through un-reduced (exactness
                 // is restored by the final phase; consumed before the next
                 // iter.next() so no copy is needed)
+                passRows += 1
                 pending = Iterator.single(row)
               }
             } else {
@@ -149,7 +161,9 @@ case class GroupTopKExec(
           pending.hasNext
         }
 
-        override def next(): InternalRow = { hasNext; pending.next() }
+        override def next(): InternalRow = {
+          hasNext; outRows += 1; pending.next()
+        }
       }
     }, preservesPartitioning = true)
   }

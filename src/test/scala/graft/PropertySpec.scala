@@ -31,6 +31,28 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("GroupTopK law: equals the reference top-k for arbitrary data, k, and direction") {
+    val session = spark
+    import session.implicits._
+    val genK = Gen.choose(1, 6)
+    val genDesc = Gen.oneOf(true, false)
+    checkProp(Prop.forAllNoShrink(genEvents, genK, genDesc) { (evs, k, desc) =>
+      // dedupe ids so (value, event_id) is a total order per key — the
+      // determinism contract both formulations share
+      val rows = evs.distinctBy(_.event_id)
+      val df = rows.toDF().select($"user_id", $"event_id", $"value")
+      val got = graft.plans.GroupTopK.topKPerKey(
+          df, Seq("user_id"),
+          Seq(graft.plans.GroupTopK.Key("value", desc), graft.plans.GroupTopK.Key("event_id")), k)
+        .as[(Long, Long, Double)].collect().toSet
+      val expect = rows.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (if (desc) -e.value else e.value, e.event_id))
+        sorted.take(k).map(e => (e.user_id, e.event_id, e.value))
+      }.toSet
+      got == expect
+    })
+  }
+
   test("DLQ split is a partition: good ∪ dlq = input, good ∩ dlq = ∅") {
     val session = spark
     import session.implicits._

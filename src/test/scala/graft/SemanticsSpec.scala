@@ -1324,6 +1324,26 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (20L, "new"), (25L, "new"), (30L, "exact_dup")))
   }
 
+  test("token-budget cap: greedy fill per source — crossing doc kept, next dropped (q148)") {
+    import spark.implicits._
+    val kept = Profiling.tokenBudgetCap(spark, sf001)
+      .select($"source", $"n_tokens", $"cum_before")
+      .as[(String, Long, Long)].collect().toSeq.groupBy(_._1)
+    val totals = graft.sources.Tables.documents(spark, sf001)
+      .selectExpr("source", "CAST(size(split(text, ' ')) AS LONG) AS n")
+      .as[(String, Long)].collect().toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    assert(kept.nonEmpty)
+    kept.foreach { case (src, rows) =>
+      // every kept doc started strictly under the budget
+      assert(rows.forall(_._3 < Profiling.BudgetTokens))
+      val filled = rows.map(_._2).sum
+      // either the source ran out of docs, or the fill reached the budget
+      // (the crossing doc is included, so filled >= budget then)
+      assert(filled == totals(src) || filled >= Profiling.BudgetTokens,
+        s"$src filled=$filled total=${totals(src)}")
+    }
+  }
+
   test("MAD anomaly flags the known outlier day and nothing else (q145 core)") {
     // fixture-free check of the rule itself: 9 quiet days at ~100 events
     // plus one 10x day must flag exactly the 10x day — and the medians
