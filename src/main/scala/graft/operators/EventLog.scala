@@ -531,8 +531,10 @@ object EventLog extends QueryModule {
     * dedup — no whole-log window, no self-join. Week offsets divide
     * exactly (both engines truncate to Monday week boundaries in UTC),
     * so the integer cast is exact. */
-  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortRetentionOf(Tables.events(spark, dir))
+
+  private[graft] def cohortRetentionOf(e: DataFrame): DataFrame = {
     val first = e.groupBy(col("user_id").as("f_user"))
       .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
     e.join(first, col("user_id") === col("f_user"))

@@ -281,6 +281,26 @@ object EventStreams {
   def enrichWithDim(events: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
     events.join(broadcast(dim), Seq(keyCol), "left")
 
+  /** Stream-static SCD2 enrichment — the live twin of the batch q144:
+    * each event joins the dimension VERSION whose [valid_from, valid_to)
+    * window contains its event time, not the latest version. The dim
+    * (all versions) broadcasts; the validity range rides the join as its
+    * non-equi condition, so the stream side is never shuffled and no
+    * state accrues (stream-static joins keep no state). Late events
+    * automatically enrich against their OWN era's version — the
+    * correctness property that "join the current dim row" pipelines get
+    * wrong on replay. Expects dim columns: `keyCol`, `valid_from`,
+    * `valid_to`, plus attributes. */
+  def enrichWithScd2(events: DataFrame, dim: DataFrame, keyCol: String,
+                     tsCol: String = "ts"): DataFrame = {
+    val d = dim.withColumnRenamed(keyCol, s"dim_$keyCol")
+    events.join(broadcast(d),
+      col(keyCol) === col(s"dim_$keyCol") &&
+        col(tsCol) >= col("valid_from") && col(tsCol) < col("valid_to"),
+      "left")
+      .drop(s"dim_$keyCol")
+  }
+
   /** Stream-stream windowed join (kafka/README.md:333): purchases matched
     * to same-user clicks within the preceding [windowMinutes]. Watermarks
     * on both sides bound the join state. `joinType = "leftOuter"` emits

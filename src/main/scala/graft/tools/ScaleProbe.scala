@@ -413,6 +413,22 @@ object ScaleProbe {
     time("q142 funnel 1x (10k events)")(funnelUsers(ev1))
     time(s"q142 funnel ${copies}x users+events")(funnelUsers(evN))
 
+    // r10 cohort-retention shape: user cardinality AND rows scale (the
+    // evN shift); min-per-user + equi-join back + per-(cohort,offset)
+    // distinct — must grow like two keyed aggregates, no window
+    def cohortCount(ev: DataFrame): Long =
+      graft.operators.EventLog.cohortRetentionOf(ev).count()
+    time("q146 cohort 1x (10k events)")(cohortCount(ev1))
+    time(s"q146 cohort ${copies}x users+events")(cohortCount(evN))
+
+    // r10 token-budget cap: N× docs per source means the budget binds
+    // harder (output flat per source) while the per-source sort grows —
+    // the probe watches the window's growth, the output stays ~capped
+    def capCount(docs: DataFrame): Long =
+      graft.operators.Profiling.tokenBudgetCapOf(docs).count()
+    time("q148 token cap 1x (5k docs)")(capCount(d1))
+    time(s"q148 token cap ${copies}x")(capCount(dN))
+
     // r10 GroupTopK shape vs the window formulation: both rows AND
     // distinct keys scale (shifted custkeys). Shuffle volume is equal
     // (Spark's WindowGroupLimit already map-side-limits the window

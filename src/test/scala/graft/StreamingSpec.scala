@@ -334,6 +334,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 enrich: events join their own era's dim version, even late") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(
+      (1L, ts(0), ts(10), "era1"),
+      (1L, ts(10), ts(100), "era2")
+    ).toDF("user_id", "valid_from", "valid_to", "era")
+    val in = MemoryStream[Event]
+    val q = EventStreams.enrichWithScd2(in.toDF(), dim, "user_id")
+      .select(col("event_id"), col("era"))
+      .writeStream.outputMode("append").format("memory").queryName("scd2")
+      .option("checkpointLocation", tmp("ck-scd2")).start()
+    try {
+      in.addData(ev(1, 5, 1, "view"), ev(2, 15, 1, "view"))
+      q.processAllAvailable()
+      // batch 2 carries a LATE event from era 1 — it must still enrich
+      // against era1's version, not the now-current era2
+      in.addData(ev(3, 7, 1, "view"), ev(4, 999, 1, "view"))
+      q.processAllAvailable()
+      val got = spark.table("scd2").as[(Long, Option[String])].collect().toMap
+      assert(got === Map(1L -> Some("era1"), 2L -> Some("era2"),
+        3L -> Some("era1"), 4L -> None))
+    } finally q.stop()
+  }
+
   test("streaming top-k: O(k) state, snapshots on change, silence on worse values") {
     val session = spark
     import session.implicits._
