@@ -557,6 +557,59 @@ object EventLog extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY cohort_week NULLS FIRST, week_offset NULLS FIRST""".stripMargin
 
+  /** RFM (recency/frequency/monetary) segmentation, the bounded-state
+    * way: per-user purchase aggregates, then ONE 3-scalar median row
+    * broadcast back as the segment thresholds — never a global
+    * ntile/rank window over all users (the formulation that serializes
+    * the user table through one task at 100 TB; q116/q119's
+    * threshold-over-window move, applied to marketing segmentation).
+    * Monetary stays exact decimal until the final cast; recency is
+    * day-granular so every median interpolation is dyadic-exact. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        (unix_micros(date_trunc("day", max(col("ts")))) / lit(86400000000L))
+          .cast("long").as("r_day"),
+        count(lit(1)).as("f"),
+        sum(money(col("value"))).as("m"))
+    val med = u.agg(
+      expr("percentile(r_day, 0.5)").as("r_med"),
+      expr("percentile(f, 0.5)").as("f_med"),
+      expr("percentile(CAST(m AS DOUBLE), 0.5)").as("m_med"))
+    u.crossJoin(broadcast(med))
+      .withColumn("segment", concat(
+        when(col("r_day") >= col("r_med"), lit("R1")).otherwise(lit("R0")),
+        when(col("f") >= col("f_med"), lit("F1")).otherwise(lit("F0")),
+        when(col("m").cast("double") >= col("m_med"), lit("M1")).otherwise(lit("M0"))))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+           sum(col("m")).cast("double").as("total_m"))
+      .orderBy(col("segment"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(EPOCH(DATE_TRUNC('day', MAX(ts))) * 1000000 / 86400000000 AS BIGINT) AS r_day,
+      |    COUNT(*) AS f,
+      |    SUM(CAST(value AS DECIMAL(12,2))) AS m
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |med AS (
+      |  SELECT quantile_cont(r_day, 0.5) AS r_med,
+      |         quantile_cont(f, 0.5) AS f_med,
+      |         quantile_cont(CAST(m AS DOUBLE), 0.5) AS m_med
+      |  FROM u)
+      |SELECT CONCAT(
+      |    CASE WHEN r_day >= r_med THEN 'R1' ELSE 'R0' END,
+      |    CASE WHEN f >= f_med THEN 'F1' ELSE 'F0' END,
+      |    CASE WHEN CAST(m AS DOUBLE) >= m_med THEN 'M1' ELSE 'M0' END) AS segment,
+      |  COUNT(*) AS n_users,
+      |  CAST(SUM(m) AS DOUBLE) AS total_m
+      |FROM u, med
+      |GROUP BY 1 ORDER BY segment NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q40_seek_replay", seekReplay, Some(seekReplaySql)),
     GraftQuery("q41_retention_window", retentionWindow, Some(retentionWindowSql)),
@@ -574,5 +627,6 @@ object EventLog extends QueryModule {
     GraftQuery("q142_funnel_conversion", funnelConversion, Some(funnelConversionSql)),
     GraftQuery("q145_volume_anomaly", volumeAnomaly, Some(volumeAnomalySql)),
     GraftQuery("q146_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    GraftQuery("q149_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
   )
 }

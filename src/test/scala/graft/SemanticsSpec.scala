@@ -1324,6 +1324,22 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (20L, "new"), (25L, "new"), (30L, "exact_dup")))
   }
 
+  test("RFM segments partition the purchasing users; thresholds split near-half (q149)") {
+    import spark.implicits._
+    val segs = EventLog.rfmSegments(spark, sf001)
+      .select($"segment", $"n_users").as[(String, Long)].collect().toSeq
+    val total = graft.sources.Tables.events(spark, sf001)
+      .filter($"event_type" === "purchase").select("user_id").distinct().count()
+    assert(segs.map(_._2).sum == total) // every purchasing user in exactly one segment
+    assert(segs.map(_._1).distinct.size == segs.size)
+    assert(segs.forall(s => s._1.matches("R[01]F[01]M[01]")))
+    // each single letter's >=-side holds at least half the users (median law)
+    for (dim <- Seq(("R1", 0), ("F1", 2), ("M1", 4))) {
+      val hi = segs.filter(_._1.substring(dim._2, dim._2 + 2) == dim._1).map(_._2).sum
+      assert(hi * 2 >= total, s"${dim._1}: $hi of $total")
+    }
+  }
+
   test("token-budget cap: greedy fill per source — crossing doc kept, next dropped (q148)") {
     import spark.implicits._
     val kept = Profiling.tokenBudgetCap(spark, sf001)
