@@ -560,6 +560,41 @@ object Relational extends QueryModule {
       |GROUP BY n_name, version, rate_cents
       |ORDER BY n_name NULLS FIRST, version NULLS FIRST""".stripMargin
 
+  /** S7 connector exercised through the correctness gate: orders written
+    * to the graft-proto DataSource V2 format (varint-framed protobuf wire
+    * records + schema sidecar, sources/ProtoFileSource.scala) and read
+    * back through the connector's pruned scan into an aggregate the
+    * oracle computes from the parquet table directly — the driver's
+    * hash compare certifies the bytes round-tripped exactly. The staging
+    * dir is rebuilt per run (idempotent; replayed tasks can't duplicate
+    * shards thanks to the temp-rename commit). */
+  def protoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val stage = new java.io.File(
+      s"/tmp/graft-proto-stage-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (stage.exists()) rm(stage)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("append").format("graft-proto").save(stage.toString)
+    spark.read.format("graft-proto").load(stage.toString)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           exactSum(money(col("o_totalprice"))).as("total_price"),
+           countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val protoRoundtripSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      |  COUNT(DISTINCT o_custkey) AS n_custs
+      |FROM orders
+      |GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     GraftQuery("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -581,5 +616,6 @@ object Relational extends QueryModule {
     GraftQuery("q19_exists_churn", existsChurn, Some(existsChurnSql)),
     GraftQuery("q131_bloom_join_prune", bloomJoinPrune, Some(bloomJoinPruneSql)),
     GraftQuery("q144_scd2_enrich", scd2Enrich, Some(scd2EnrichSql)),
+    GraftQuery("q150_proto_roundtrip", protoRoundtrip, Some(protoRoundtripSql)),
   )
 }

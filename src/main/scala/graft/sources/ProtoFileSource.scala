@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, FileInputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.Row
+
+/** DataSource V2 connector over graft's native protobuf wire format
+  * (SURVEY.md §2.1 S7/S10 — the connector rung of the extension ladder,
+  * alongside the function/strategy/optimizer-rule rungs):
+  *
+  * {{{
+  *   df.write.format("graft-proto").save(dir)      // varint-framed .gpb shards
+  *   spark.read.format("graft-proto").load(dir)    // self-describing read
+  *   spark.read.format("graft-proto").schema(s)…   // evolved-reader read
+  * }}}
+  *
+  * On-disk layout: one `part-*.gpb` file per write task — each record a
+  * varint length prefix + one [[ProtoSerde]] message — plus a
+  * `_graft_proto_schema.json` sidecar carrying the writer's Spark schema
+  * (the wire contract is positional from it, like a frozen `.proto`).
+  * Readers without an explicit schema read the sidecar; readers WITH one
+  * go through [[ProtoSerde.readerContract]], so schema evolution (add /
+  * drop / reorder fields) follows protobuf's field-number rules and the
+  * registry compat gate rejects the one illegal evolution (number reused
+  * at a different payload type).
+  *
+  * Scale posture: one InputPartition per shard file (embarrassingly
+  * parallel, no coordination); COLUMN PRUNING IS PUSHED THROUGH THE
+  * DECODER — `SupportsPushDownRequiredColumns` hands the pruned schema to
+  * the reader contract, so unwanted field numbers are byte-SKIPPED by the
+  * wire reader, never materialized (the proto analog of parquet column
+  * pruning; PlanSpec asserts the scan's readSchema). Writes are
+  * task-isolated temp files renamed on driver commit — failed tasks leave
+  * nothing visible, replayed tasks overwrite nothing.
+  *
+  * Local-filesystem paths (java.nio) — the fixture/bench environment; a
+  * production build would swap the four file ops for the Hadoop
+  * FileSystem API without touching the format logic.
+  */
+class GraftProtoDataSource extends TableProvider with DataSourceRegister {
+  import GraftProtoDataSource._
+
+  override def shortName(): String = "graft-proto"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    readSidecar(pathOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftProtoTable(schema, properties.get("path"))
+}
+
+object GraftProtoDataSource {
+  val SchemaFile = "_graft_proto_schema.json"
+
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-proto: a path is required")
+    p
+  }
+
+  def readSidecar(dir: String): StructType = {
+    val f = Paths.get(dir, SchemaFile)
+    require(Files.exists(f), s"graft-proto: no $SchemaFile under $dir " +
+      "(write with format(\"graft-proto\") first, or pass .schema(...))")
+    DataType.fromJson(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+      .asInstanceOf[StructType]
+  }
+
+  def dataFiles(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Nil
+    Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".gpb"))
+      .map(_.toString).toSeq.sorted
+  }
+
+  // varint framing (same unsigned LEB128 as the wire format's tags)
+  def writeFrame(out: java.io.OutputStream, bytes: Array[Byte]): Unit = {
+    var v = bytes.length.toLong
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+    out.write(bytes)
+  }
+
+  /** Reads one frame; null at clean EOF; throws on a truncated record. */
+  def readFrame(in: java.io.InputStream): Array[Byte] = {
+    var shift = 0; var len = 0L
+    var b = in.read()
+    if (b < 0) return null
+    while (true) {
+      len |= (b.toLong & 0x7f) << shift
+      if ((b & 0x80) == 0) {
+        require(len >= 0 && len <= Int.MaxValue, s"graft-proto: bad frame length $len")
+        val a = new Array[Byte](len.toInt)
+        var off = 0
+        while (off < a.length) {
+          val n = in.read(a, off, a.length - off)
+          if (n < 0) throw new EOFException(
+            s"graft-proto: truncated record ($off of ${a.length} bytes)")
+          off += n
+        }
+        return a
+      }
+      shift += 7
+      require(shift < 35, "graft-proto: runaway frame-length varint")
+      b = in.read()
+      if (b < 0) throw new EOFException("graft-proto: truncated frame length")
+    }
+    null // unreachable
+  }
+}
+
+class GraftProtoTable(writerSchema: StructType, path: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-proto $path"
+  override def schema(): StructType = writerSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // the sidecar (when present) is the WRITER contract; the table schema
+    // is what the user asked to read (possibly evolved)
+    val sidecar = Paths.get(path, GraftProtoDataSource.SchemaFile)
+    val writer =
+      if (Files.exists(sidecar)) GraftProtoDataSource.readSidecar(path) else writerSchema
+    new GraftProtoScanBuilder(writer, writerSchema, path)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftProtoWriteBuilder(info.schema(), path)
+}
+
+class GraftProtoScanBuilder(writer: StructType, reader: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = reader
+
+  // the pruned schema flows into readerContract, so pruned-away field
+  // numbers are skipped at the BYTE level by the wire reader
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftProtoScan(writer, required, path)
+}
+
+class GraftProtoScan(writer: StructType, reader: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = reader
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-proto $path readSchema=${reader.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftProtoDataSource.dataFiles(path).map(GraftProtoFilePartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftProtoReaderFactory(writer, reader)
+}
+
+case class GraftProtoFilePartition(file: String) extends InputPartition
+
+case class GraftProtoReaderFactory(writer: StructType, reader: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftProtoFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val in = new BufferedInputStream(new FileInputStream(file), 1 << 16)
+      private val decode =
+        ProtoSerde.rowDecoder(ProtoSerde.protoSchema(writer), reader)
+      private val toCatalyst =
+        CatalystTypeConverters.createToCatalystConverter(reader)
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        val frame = GraftProtoDataSource.readFrame(in)
+        if (frame == null) false
+        else {
+          current = toCatalyst(Row.fromSeq(decode(frame))).asInstanceOf[InternalRow]
+          true
+        }
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+class GraftProtoWriteBuilder(schema: StructType, path: String) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftProtoBatchWrite(schema, path)
+  }
+}
+
+case class GraftProtoCommit(tmpFile: String, finalName: String) extends WriterCommitMessage
+
+class GraftProtoBatchWrite(schema: StructType, path: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftProtoWriterFactory(schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    // publish: rename each task's temp shard, then the sidecar LAST — a
+    // reader never sees a schema without its data files
+    messages.foreach { case GraftProtoCommit(tmp, finalName) =>
+      Files.move(Paths.get(tmp), dir.resolve(finalName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    Files.write(dir.resolve(GraftProtoDataSource.SchemaFile),
+      schema.json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftProtoCommit(tmp, _) => Files.deleteIfExists(Paths.get(tmp))
+      case _ =>
+    }
+}
+
+case class GraftProtoWriterFactory(schema: StructType, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val tmp: Path = {
+        Files.createDirectories(Paths.get(path))
+        Paths.get(path, s".tmp-$partitionId-$taskId-${UUID.randomUUID()}")
+      }
+      private val out = new BufferedOutputStream(new FileOutputStream(tmp.toFile), 1 << 16)
+      private val encode = ProtoSerde.rowEncoder(schema)
+      private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+
+      override def write(record: InternalRow): Unit =
+        GraftProtoDataSource.writeFrame(out,
+          encode(toScala(record).asInstanceOf[Row]))
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        GraftProtoCommit(tmp.toString, f"part-$partitionId%05d-$taskId.gpb")
+      }
+      override def abort(): Unit = { out.close(); Files.deleteIfExists(tmp) }
+      override def close(): Unit = ()
+    }
+}

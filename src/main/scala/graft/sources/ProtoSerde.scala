@@ -707,4 +707,24 @@ object ProtoSerde {
       }
     }(Encoders.BINARY).toDF("value")
   }
+
+  /** Per-row decoder for connector use ([[GraftProtoDataSource]]): the
+    * same compat gate + codec tree as [[decode]], minus the DataFrame
+    * plumbing — the file reader calls it once per framed record. The
+    * codec tree is immutable and shareable; each call returns a fresh
+    * value array. */
+  def rowDecoder(writer: Seq[ProtoField], reader: StructType): Array[Byte] => Seq[Any] = {
+    val readerFields = readerContract(writer, reader)
+    requireCompatible(writer, readerFields)
+    val codec = RecordCodec(readerFields.toIndexedSeq)
+    bytes => decodeRecord(bytes, codec).toIndexedSeq
+  }
+
+  /** Per-row encoder for connector use: one [[WireBuf]] per returned
+    * closure (NOT shareable across threads — one per DataWriter). */
+  def rowEncoder(schema: StructType): Row => Array[Byte] = {
+    val fields = protoSchema(schema)
+    val buf = new WireBuf()
+    row => { buf.reset(); writeRow(buf, fields, row); buf.result() }
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graft-proto DataSource V2 connector: write/read round trip through
+  * the varint-framed wire files, sidecar self-description, protobuf-rule
+  * schema evolution on read, column pruning pushed through the byte
+  * decoder, and commit hygiene (no temp shards survive).
+  */
+class ProtoSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def sampleDf = {
+    val session = spark
+    import session.implicits._
+    Seq(
+      (1L, "alpha", 1.5, "en"),
+      (2L, "beta", 0.0, "de"),
+      (3L, "gamma", -2.25, "fr")
+    ).toDF("id", "name", "score", "lang")
+  }
+
+  test("write → read round trip, schema from the sidecar") {
+    val dir = tmpDir("gpb-rt")
+    sampleDf.repartition(2).write.mode("append").format("graft-proto").save(dir)
+    val back = spark.read.format("graft-proto").load(dir)
+    assert(back.schema === sampleDf.schema)
+    assert(back.collect().map(_.toString).sorted.toSeq ===
+      sampleDf.collect().map(_.toString).sorted.toSeq)
+    // commit hygiene: only part files + sidecar, no temp shards
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(files.count(_.endsWith(".gpb")) == 2, files)
+    assert(files.contains("_graft_proto_schema.json"))
+    assert(!files.exists(_.startsWith(".tmp-")), files)
+  }
+
+  test("evolved reader: drop a middle field, add a new one — protobuf number rules") {
+    val dir = tmpDir("gpb-evolve")
+    sampleDf.write.mode("append").format("graft-proto").save(dir)
+    // reader drops `name` (middle field) and adds `extra`
+    val evolved = StructType(Seq(
+      StructField("id", LongType),
+      StructField("score", DoubleType),
+      StructField("extra", StringType)))
+    val session = spark
+    import session.implicits._
+    val back = spark.read.format("graft-proto").schema(evolved).load(dir)
+      .as[(Long, Double, Option[String])].collect().toSet
+    assert(back === Set((1L, 1.5, None), (2L, 0.0, None), (3L, -2.25, None)))
+  }
+
+  test("illegal evolution (same name, new payload type) is rejected by the compat gate") {
+    val dir = tmpDir("gpb-illegal")
+    sampleDf.write.mode("append").format("graft-proto").save(dir)
+    val bad = StructType(Seq(StructField("id", LongType),
+      StructField("name", LongType))) // was string
+    val err = intercept[Exception] {
+      spark.read.format("graft-proto").schema(bad).load(dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("incompatible")), err.toString)
+  }
+
+  test("column pruning reaches the scan (and therefore the byte decoder)") {
+    val dir = tmpDir("gpb-prune")
+    sampleDf.write.mode("append").format("graft-proto").save(dir)
+    val df = spark.read.format("graft-proto").load(dir).select("id", "lang")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    // the Scan's description carries its (pruned) readSchema
+    assert(scans.contains("readSchema=id,lang"), scans)
+    assert(!scans.contains("readSchema=id,name"), scans)
+  }
+
+  test("truncated shard fails loudly, not with silent row loss") {
+    val dir = tmpDir("gpb-trunc")
+    sampleDf.write.mode("append").format("graft-proto").save(dir)
+    val shard = Files.list(Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".gpb")).get
+    val bytes = Files.readAllBytes(shard)
+    Files.write(shard, java.util.Arrays.copyOf(bytes, bytes.length - 1))
+    val err = intercept[Exception] {
+      spark.read.format("graft-proto").load(dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(m =>
+      m.contains("truncated") || m.contains("EOF")), err.toString)
+  }
+}
