@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -131,7 +132,7 @@ class GraftProtoTable(writerSchema: StructType, path: String)
   override def schema(): StructType = writerSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // the sidecar (when present) is the WRITER contract; the table schema
@@ -170,6 +171,53 @@ class GraftProtoScan(writer: StructType, reader: StructType, path: String)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftProtoReaderFactory(writer, reader)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftProtoMicroBatchStream(writer, reader, path)
+}
+
+/** Streaming offset = the SET of shard files already consumed — the same
+  * shape Spark's own FileStreamSource checkpoints. Shards are immutable
+  * once committed (temp-rename publish), so a (start, end] batch is the
+  * deterministic file-set difference and replay from checkpoint re-plans
+  * exactly the same records: the Kafka consumer-offset analog (S2/S5),
+  * with the shard set as the partition-offset vector. A production
+  * compaction of the file list into counted runs is an encoding detail —
+  * the contract is the set. */
+case class GraftProtoStreamOffset(files: Set[String]) extends Offset {
+  override def json: String =
+    files.toSeq.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+class GraftProtoMicroBatchStream(writer: StructType, reader: StructType, path: String)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset = GraftProtoStreamOffset(Set.empty)
+
+  override def latestOffset(): Offset =
+    GraftProtoStreamOffset(GraftProtoDataSource.dataFiles(path).toSet)
+
+  override def deserializeOffset(json: String): Offset = {
+    // the inverse of GraftProtoStreamOffset.json (flat string array)
+    val inner = json.trim.stripPrefix("[").stripSuffix("]")
+    if (inner.isEmpty) GraftProtoStreamOffset(Set.empty)
+    else GraftProtoStreamOffset(
+      inner.split("\",\\s*\"").map(_.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\")).toSet)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftProtoStreamOffset].files
+    val e = end.asInstanceOf[GraftProtoStreamOffset].files
+    (e -- s).toSeq.sorted.map(GraftProtoFilePartition(_): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftProtoReaderFactory(writer, reader)
+
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint log
+  override def stop(): Unit = ()
 }
 
 case class GraftProtoFilePartition(file: String) extends InputPartition

@@ -82,6 +82,26 @@ class ProtoSourceSpec extends AnyFunSuite with SparkSpec {
     assert(!scans.contains("readSchema=id,name"), scans)
   }
 
+  test("micro-batch stream: new shards become new batches, exactly once") {
+    val dir = tmpDir("gpb-stream")
+    val ck = tmpDir("gpb-stream-ck")
+    sampleDf.write.mode("append").format("graft-proto").save(dir)
+    val q = spark.readStream.format("graft-proto").schema(sampleDf.schema).load(dir)
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory").queryName("gpbstream")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gpbstream").collect().head.getLong(0) === 3)
+      // a second producer write appends NEW shards; already-consumed
+      // shards must not replay
+      sampleDf.withColumn("id", col("id") + 10).write.mode("append")
+        .format("graft-proto").save(dir)
+      q.processAllAvailable()
+      assert(spark.table("gpbstream").collect().head.getLong(0) === 6)
+    } finally q.stop()
+  }
+
   test("truncated shard fails loudly, not with silent row loss") {
     val dir = tmpDir("gpb-trunc")
     sampleDf.write.mode("append").format("graft-proto").save(dir)
