@@ -807,14 +807,17 @@ object Similarity extends QueryModule {
 
   private val pqSearchCtes = pqSearchCtesFor(PqSearchProbes)
 
-  private val adcRankSql =
+  // split so q151 can reuse the rank CTE with a different final SELECT
+  private val adcRankCte =
     s"""rnk AS (SELECT query_id, neighbor_id, approx_dist,
       |          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |            ORDER BY approx_dist, neighbor_id) AS INT) AS rank
-      |        FROM ad)
-      |SELECT query_id, rank, neighbor_id, approx_dist
+      |        FROM ad)""".stripMargin
+  private val adcRankSelect =
+    s"""SELECT query_id, rank, neighbor_id, approx_dist
       |FROM rnk WHERE rank <= $PqSearchK
       |ORDER BY query_id NULLS FIRST, rank""".stripMargin
+  private val adcRankSql = s"$adcRankCte\n$adcRankSelect"
 
   private val pqSearchSql =
     s"""WITH $pqModelCtes,
@@ -1094,6 +1097,37 @@ object Similarity extends QueryModule {
   }
 
   private val ivfPqQuerySql = ivfPqSearchSqlFor(PqSearchManyProbes)
+
+  /** q151: retrieval end-to-end — the RAG serving shape. The q109 index
+    * search produces (query, rank, neighbor) hits; joining them to the
+    * `documents` table (doc_id aligned with vec_id in the fixtures)
+    * returns the actual passages a retrieval-augmented pipeline would
+    * feed the model. Scale posture: the hits side is query-batch × k
+    * rows (tiny) — it BROADCASTS into the corpus-sized documents join,
+    * so the text store is scanned once, column-pruned to (id, source,
+    * snippet prefix), and never shuffled. */
+  def ragRetrieve(spark: SparkSession, dir: String): DataFrame = {
+    val hits = ivfPqQuery(spark, dir)
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      substring(col("text"), 1, 40).as("snippet"))
+    d.join(broadcast(hits), col("neighbor_id") === col("doc_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("approx_dist"), col("source"), col("snippet"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val ragRetrieveSql = {
+    // q109's CTE chain verbatim, with the final SELECT joined to documents
+    val ctes = ivfPqSearchSqlFor(PqSearchManyProbes)
+      .stripSuffix(adcRankSelect).stripSuffix("\n")
+    s"""$ctes,
+      |hits AS (SELECT query_id, rank, neighbor_id, approx_dist
+      |         FROM rnk WHERE rank <= $PqSearchK)
+      |SELECT h.query_id, h.rank, h.neighbor_id, h.approx_dist, d.source,
+      |  SUBSTRING(d.text, 1, 40) AS snippet
+      |FROM hits h JOIN documents d ON h.neighbor_id = d.doc_id
+      |ORDER BY h.query_id NULLS FIRST, h.rank""".stripMargin
+  }
 
   // ---- delta-segment index maintenance: append without retrain ------------
 
@@ -1431,6 +1465,7 @@ object Similarity extends QueryModule {
     // the persisted index is deterministic, so the persisted-form search
     // answers to the oracle that replays the training loops in-plan
     GraftQuery("q109_ivfpq_query", ivfPqQuery, Some(ivfPqQuerySql)),
+    GraftQuery("q151_rag_retrieve", ragRetrieve, Some(ragRetrieveSql)),
     GraftQuery("q135_ivfpq_index_append", ivfPqIndexAppend, Some(ivfPqIndexAppendSql)),
     GraftQuery("q136_ivfpq_search_merged", ivfPqSearchMerged, Some(ivfPqSearchMergedSql)),
     GraftQuery("q137_cell_diverse_sample", cellDiverseSample, Some(cellDiverseSampleSql)),

@@ -325,6 +325,13 @@ object Plans {
           "(the window formulation would carry two partition sorts); " +
           "the scan reads only the 3 projected columns.",
         Analytics.groupTopkOrders(spark, dir)),
+      section("q150 graft-proto connector round trip (r10 DSv2 source)",
+        "What to look for: the scan is a BatchScan over the graft-proto " +
+          "DSv2 source whose description carries the PRUNED readSchema " +
+          "(only the aggregate's columns — pruning reached the byte " +
+          "decoder); one partial+final aggregate above it; the write " +
+          "side ran before this plan as a separate job.",
+        Relational.protoRoundtrip(spark, dir)),
       section("q144 SCD2 validity-window enrichment (r10)",
         "What to look for: the versioned dimension (nation × 2) arrives " +
           "via BroadcastHashJoin with the valid_from/valid_to range as " +
