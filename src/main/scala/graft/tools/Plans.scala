@@ -332,6 +332,13 @@ object Plans {
           "decoder); one partial+final aggregate above it; the write " +
           "side ran before this plan as a separate job.",
         Relational.protoRoundtrip(spark, dir)),
+      section("q151 RAG retrieval (r10 search ⋈ text store)",
+        "What to look for: the documents scan is column-pruned to " +
+          "(doc_id, source, text) and joined via BroadcastHashJoin with " +
+          "the BROADCAST on the hits side (query-batch × k rows) — the " +
+          "corpus-sized text store is never shuffled; above the join " +
+          "only the presentation sort of ≤ probes·k rows.",
+        Similarity.ragRetrieve(spark, dir)),
       section("q144 SCD2 validity-window enrichment (r10)",
         "What to look for: the versioned dimension (nation × 2) arrives " +
           "via BroadcastHashJoin with the valid_from/valid_to range as " +
