@@ -566,11 +566,14 @@ object Relational extends QueryModule {
     * back through the connector's pruned scan into an aggregate the
     * oracle computes from the parquet table directly — the driver's
     * hash compare certifies the bytes round-tripped exactly. The staging
-    * dir is rebuilt per run (idempotent; replayed tasks can't duplicate
-    * shards thanks to the temp-rename commit). */
+    * dir is PER-JVM (pid-suffixed) and rebuilt per run: the driver's
+    * harness may run Verify and Bench concurrently in separate processes
+    * (the ArtifactStore r9/r10 lesson), and a shared stage would race a
+    * reader in one JVM against the delete in the other. */
   def protoRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val stage = new java.io.File(
-      s"/tmp/graft-proto-stage-${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"/tmp/graft-proto-stage-${dir.replaceAll("[^a-zA-Z0-9]", "_")}-" +
+        ProcessHandle.current().pid())
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()

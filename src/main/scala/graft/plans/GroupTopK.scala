@@ -38,13 +38,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * keys scattered across partitions reduce nothing on the map side —
   * the win there is confined to the sorts.
   *
-  * Memory posture mirrors hash aggregation: the map side tracks at most
+  * Memory posture: the map side tracks at most
   * `spark.graft.topk.maxPartialKeys` distinct keys (k rows each); rows of
   * keys beyond that cap stream through to the exchange un-reduced —
   * exactness is unaffected, only the reduction ratio degrades, the same
   * graceful fallback partial aggregation has for high-cardinality keys.
   * The final phase is exact and post-shuffle, where each task owns only
-  * its keys.
+  * its keys; its working set is keys-per-task × k rows and — unlike the
+  * window path's external sorter — does NOT spill, so extreme
+  * keys-per-task deployments must size `spark.sql.shuffle.partitions`
+  * accordingly (or keep the row_number form, which the rewrite rule
+  * leaves alone whenever the rank column is consumed). Skew is bounded
+  * by construction for map-side-tracked keys: a hot key contributes at
+  * most k rows PER INPUT PARTITION to the exchange, so a final task
+  * receives ≤ k · input-partitions rows of it, never the key's raw
+  * row count.
   *
   * Determinism: callers must make `order` a total order (tie-break on a
   * unique column) for a deterministic result set — the same contract a
