@@ -185,4 +185,17 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     // id 3); doc 18's only shared span is boilerplate-hot -> absent
     assert(prov.toSet === Set(("val", 8L, 3L)))
   }
+
+  test("q153 index admission is indistinguishable from q138 inline recomputation") {
+    val inline = SpanDedup.decontaminate(spark, sf001)
+      .collect().map(_.toString).toSeq
+    val indexed = SpanDedup.decontaminateIndexed(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(indexed === inline)
+    // and the build's accounting matches a fresh count of the stored set
+    val base = SpanDedup.ensureSpanIndex(spark, sf001)
+    val stored = spark.read.parquet(s"$base/train_spans").count()
+    val built = SpanDedup.spanIndexBuild(spark, sf001).collect().head
+    assert(built.getLong(built.fieldIndex("n_spans")) === stored)
+  }
 }
