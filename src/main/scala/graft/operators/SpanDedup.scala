@@ -354,6 +354,32 @@ object SpanDedup extends QueryModule {
       |  MIN(span) AS lo, MAX(span) AS hi
       |FROM (SELECT DISTINCT span FROM spn WHERE split = 'train') t""".stripMargin
 
+  /** Screen ONE batch of documents (any provenance — a stream
+    * micro-batch, a candidate crawl, a vendor drop) against the
+    * persisted train-span index: per doc, its span count, how many
+    * spans the train corpus already contains, and the contaminated
+    * verdict. The admission kernel the batch q153 roll-up and the
+    * streaming screen share, so live and offline screening cannot
+    * drift. Span-less short docs come back clean with n_spans = 0. */
+  def screenBatch(docs: DataFrame, indexBase: String): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val trainSpans = spark.read.parquet(s"$indexBase/train_spans")
+      .withColumn("hit", lit(1L))
+    val spans = docs.select(col("doc_id"),
+      explode(array_distinct(expr("graft_spans_poly(text)"))).as("span"))
+    val hits = spans.join(trainSpans, Seq("span"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** q153: the admit half — q138's audit with the train side read from
     * the persisted index (built on demand, signature-validated by
     * ArtifactStore, so a regenerated fixture rebuilds instead of

@@ -151,6 +151,31 @@ object BuildProbe {
       spark.read.parquet(s"$deltaBase/codes_delta2").count()
     }
 
+    // r10 span-index lifecycle: the build pays the train-side explode
+    // once; the screen pays only the eval/batch side against the stored
+    // hashes. The contrast row is inline q138 (train re-derived every
+    // run) vs q153-style screen-only on the same corpus.
+    import java.nio.file.{Files, Paths}
+    val spanBase = graft.sources.ArtifactStore.path("spanprobe", dir) + s"-$copies"
+    time(s"span_index_build_${copies}x") {
+      val d = docsN
+      val train = d.filter(pmod(col("doc_id"), lit(10L)) < 8)
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      Files.createDirectories(Paths.get(spanBase))
+      train.select(col("doc_id"),
+          explode(array_distinct(expr("graft_spans_poly(text)"))).as("span"))
+        .select(col("span")).distinct()
+        .write.mode("overwrite").parquet(s"$spanBase/train_spans")
+      spark.read.parquet(s"$spanBase/train_spans").count()
+    }
+    time(s"span_screen_only_${copies}x") {
+      val evalBatch = docsN.filter(pmod(col("doc_id"), lit(10L)) >= 8)
+      graft.operators.SpanDedup.screenBatch(evalBatch, spanBase).count()
+    }
+    time(s"span_inline_audit_${copies}x") {
+      graft.operators.SpanDedup.decontaminateOf(docsN).count()
+    }
+
     spark.stop()
   }
 }

@@ -392,6 +392,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: arriving docs screen against the persisted span index") {
+    // the live twin of q153: each micro-batch admits through the SAME
+    // screenBatch kernel the batch roll-up uses, against the frozen
+    // train-span artifact — no train-side recompute per batch
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = operators.SpanDedup.ensureSpanIndex(spark, sf0001)
+    val trainText = graft.sources.Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(10L)) < 8).orderBy("doc_id")
+      .select("text").as[String].head()
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Boolean)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        operators.SpanDedup.screenBatch(b, base).collect().foreach { r =>
+          results.put(r.getLong(0), (r.getLong(2), r.getBoolean(3)))
+        }; ()
+      }
+      .option("checkpointLocation", tmp("ck-screen"))
+      .start()
+    try {
+      in.addData((9001L, trainText),                       // verbatim train copy
+                 (9002L, "zq xv qj wk pf bg dn lm rs tc")) // gibberish, clean
+      q.processAllAvailable()
+      in.addData((9003L, "too short"))                     // span-less
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results.get(9001L)._2 === true)   // contaminated
+    assert(results.get(9001L)._1 > 0)
+    assert(results.get(9002L) === ((0L, false)))
+    assert(results.get(9003L) === ((0L, false)))
+  }
+
   test("streaming index append: arriving vectors encode against the frozen index per micro-batch") {
     // the streaming half of the q135 story: a vector stream lands as one
     // immutable segment pair per micro-batch, encoded against the
