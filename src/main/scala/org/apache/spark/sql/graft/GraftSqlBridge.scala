@@ -28,8 +28,12 @@ object GraftSqlBridge {
     * query runs don't stack duplicates. */
   def ensureStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[ClassicSparkSession].experimental
-    if (!exp.extraStrategies.exists(_ eq strategy))
-      exp.extraStrategies = exp.extraStrategies :+ strategy
+    // read-modify-write on a plain var: serialize concurrent first-use
+    // (two queries racing ensureRegistered would lose an append)
+    exp.synchronized {
+      if (!exp.extraStrategies.exists(_ eq strategy))
+        exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
   }
 
   /** Same, for a logical optimizer rule (`experimental.extraOptimizations`
@@ -40,7 +44,9 @@ object GraftSqlBridge {
       rule: org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
     val exp = spark.asInstanceOf[ClassicSparkSession].experimental
-    if (!exp.extraOptimizations.exists(_ eq rule))
-      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    exp.synchronized {
+      if (!exp.extraOptimizations.exists(_ eq rule))
+        exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
   }
 }

@@ -360,16 +360,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming top-k: O(k) state, snapshots on change, silence on worse values") {
+  for (provider <- Seq("default", "rocksdb"))
+  test(s"streaming top-k: O(k) state, snapshots on change, silence on worse values [$provider]") {
     val session = spark
     import session.implicits._
     implicit val sqlCtx = spark.sqlContext
+    withStateProvider(provider) {
     val in = MemoryStream[Event]
     val q = EventStreams.topKPerKeyStream(in.toDS(), k = 2)
-      .writeStream.outputMode("update").format("memory").queryName("topk")
+      .writeStream.outputMode("update").format("memory").queryName(s"topk_$provider")
       .option("checkpointLocation", tmp("ck-topk")).start()
     def snap(): Seq[(Long, Int, Double, Long)] =
-      spark.table("topk").as[(Long, Int, Double, Long)].collect().toSeq
+      spark.table(s"topk_$provider").as[(Long, Int, Double, Long)].collect().toSeq
     try {
       // batch 1: three values for user 1 — only the best 2 survive
       in.addData(ev(1, 0, 1, "view", 5.0), ev(2, 1, 1, "view", 9.0),
@@ -390,6 +392,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       assert(snap().filter(_._1 == 2L) === Seq((2L, 1, 3.0, 6L), (2L, 2, 3.0, 7L)))
     } finally q.stop()
+    }
   }
 
   test("streaming decontamination: arriving docs screen against the persisted span index") {
