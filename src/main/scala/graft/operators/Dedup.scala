@@ -950,6 +950,46 @@ object Dedup extends QueryModule {
       |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
+  /** q154: which SOURCE pairs share near-duplicate documents — the
+    * source-level contamination matrix a curator reads before weighting
+    * feeds (mirrored crawls, syndication, vendor overlap show up as hot
+    * off-diagonal cells; a boilerplate-heavy source as a hot diagonal).
+    * Pure composition: q73's gated LSH pairs joined to doc→source twice,
+    * rolled up per unordered source pair. est_jaccard values are exact
+    * multiples of 1/64, so their sum/avg is dyadic-exact and
+    * order-independent — AVG hash-matches across engines. Adds only
+    * two dimension-sized joins and a #sources² aggregate on top of
+    * q73's bucketed (never all-pairs) machinery. */
+  def sourceNeardupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("est_jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("est_jaccard")), 6).as("avg_est"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val sourceNeardupMatrixSql =
+    s"""WITH pairs AS (
+      |$minhashLshPairsSql
+      |),
+      |sp AS (SELECT p.est_jaccard, da.source AS src_a, db.source AS src_b
+      |       FROM pairs p
+      |       JOIN documents da ON p.doc_a = da.doc_id
+      |       JOIN documents db ON p.doc_b = db.doc_id)
+      |SELECT LEAST(src_a, src_b) AS source_a,
+      |  GREATEST(src_a, src_b) AS source_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  ROUND(AVG(est_jaccard), 6) AS avg_est
+      |FROM sp GROUP BY 1, 2
+      |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin
+
   // ---- SimHash ----------------------------------------------------------
 
   /** SimHash per doc: per-token hash bits weighted by token count,
@@ -1586,6 +1626,8 @@ object Dedup extends QueryModule {
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
     GraftQuery("q72_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
     GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
+    GraftQuery("q154_source_neardup_matrix", sourceNeardupMatrix,
+      Some(sourceNeardupMatrixSql)),
     GraftQuery("q74_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     GraftQuery("q75_embedding_neardup", embeddingNearDupPairs, Some(embeddingNearDupPairsSql)),
     GraftQuery("q76_contamination", contamination, Some(contaminationSql)),

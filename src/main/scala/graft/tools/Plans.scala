@@ -339,6 +339,14 @@ object Plans {
           "corpus-sized text store is never shuffled; above the join " +
           "only the presentation sort of ≤ probes·k rows.",
         Similarity.ragRetrieve(spark, dir)),
+      section("q153 indexed decontamination (r10 screen-only admission)",
+        "What to look for: the ONLY scans are the documents table " +
+          "(eval-side span explode) and the train_spans PARQUET ARTIFACT " +
+          "— no second documents pass for the train side, which is the " +
+          "structural claim behind the BuildProbe lifecycle rows: screen " +
+          "cost is O(eval batch + stored hashes) at any train-corpus " +
+          "size.",
+        graft.operators.SpanDedup.decontaminateIndexed(spark, dir)),
       section("q144 SCD2 validity-window enrichment (r10)",
         "What to look for: the versioned dimension (nation × 2) arrives " +
           "via BroadcastHashJoin with the valid_from/valid_to range as " +
