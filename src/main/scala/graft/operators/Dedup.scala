@@ -430,6 +430,53 @@ object Dedup extends QueryModule {
       |FROM cc
       |ORDER BY cluster_id NULLS FIRST, doc_id NULLS FIRST""".stripMargin
 
+  // ---- quality-aware canonical selection ---------------------------------
+
+  /** q155: canonical-document selection per near-dup cluster — the
+    * "which copy do we KEEP" policy upgrade over q78's min-id rule. The
+    * q77 cluster table joins to the q63 quality scores and each cluster
+    * keeps its highest-quality member (doc_id ascending on ties, so the
+    * choice is total and deterministic). This is the curation rule real
+    * pipelines apply after near-dup clustering: a mirrored page's best
+    * extraction survives instead of whichever copy was crawled first.
+    *
+    * Scale shape: the cluster table covers only the near-dup SUBSET of
+    * the corpus (docs in ≥1 pair); the quality join is a doc_id
+    * equi-join (AQE-decided, never hinted — both sides can be O(corpus)
+    * in the worst case); the per-cluster argmax is a rank-1 window that
+    * [[graft.plans.RewriteWindowTopK]] plans as GroupTopK k=1 bounded
+    * heaps — constant state per cluster, no per-partition sort. */
+  def canonicalPerCluster(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = neardupClusters(spark, dir)
+    val quality = TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+        round(col("quality"), 6).as("best_quality"), col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val canonicalPerClusterSql =
+    s"""WITH RECURSIVE ${gatedShinglesCtes("documents")},
+      |$jaccardPairsCtes,
+      |$clusterCtes,
+      |clus AS (SELECT cluster_id, doc_id,
+      |           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |         FROM cc),
+      |quality AS (${TextOps.qualityCoreSql}),
+      |ranked AS (
+      |  SELECT c.cluster_id, c.doc_id, c.cluster_size, q.quality,
+      |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |                       ORDER BY q.quality DESC NULLS LAST, c.doc_id NULLS FIRST) AS rn
+      |  FROM clus c JOIN quality q USING (doc_id))
+      |SELECT cluster_id, doc_id AS canonical_doc,
+      |  ROUND(quality, 6) AS best_quality, cluster_size
+      |FROM ranked WHERE rn = 1
+      |ORDER BY cluster_id NULLS FIRST""".stripMargin
+
   /** q78: the full dedup purge decision — exact keep-first pass, then
     * near-dup cluster resolution over the exact survivors, then
     * per-source accounting of what a purge would drop vs keep. This is
@@ -1633,6 +1680,8 @@ object Dedup extends QueryModule {
     GraftQuery("q76_contamination", contamination, Some(contaminationSql)),
     GraftQuery("q77_neardup_clusters", neardupClusters, Some(neardupClustersSql)),
     GraftQuery("q78_dedup_purge", dedupPurge, Some(dedupPurgeSql)),
+    GraftQuery("q155_canonical_per_cluster", canonicalPerCluster,
+      Some(canonicalPerClusterSql)),
     GraftQuery("q79_contamination_fixed", contaminationFixedBench,
       Some(contaminationFixedBenchSql)),
     GraftQuery("q85_fuzzy_dedup_corpus", fuzzyDedupCorpus,

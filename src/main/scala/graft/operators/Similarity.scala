@@ -70,6 +70,58 @@ object Similarity extends QueryModule {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id NULLS FIRST, rank NULLS FIRST""".stripMargin
 
+  /** q156: hard-negative mining for contrastive retrieval training — for
+    * each anchor in a fixed probe set, the k candidates MOST similar to
+    * the anchor while carrying a DIFFERENT label (the DPR/contrastive
+    * recipe: positives come from the anchor's own label, and the
+    * negatives that actually teach the model are the near-misses, not
+    * random draws). Same broadcast-probe brute-force shape as q80 with
+    * the label-inequality predicate in the join condition, so candidates
+    * of the anchor's own label are pruned before the cosine kernel runs.
+    *
+    * Scale shape: anchors broadcast (a training batch, not the corpus);
+    * the candidate side streams once, column-pruned, never shuffled; the
+    * per-anchor top-k is a bounded window. Mining against a 100 TB
+    * corpus swaps this scan for the q109 persisted-index search with a
+    * label filter — the index path is already green; this operator
+    * certifies the SEMANTICS the index path approximates. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = normed(spark, dir)
+    val q = e.select(col("vec_id").as("anchor_id"), col("v").as("qv"),
+        col("label").as("anchor_label"))
+      .filter(col("anchor_id") < 10)
+    val cand = e.select(col("vec_id").as("negative_id"), col("v").as("cv"),
+      col("label").as("neg_label"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("negative_id"))
+    cand.join(broadcast(q), col("neg_label") =!= col("anchor_label"))
+      .withColumn("sim", cos("qv", "cv"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("anchor_id"), col("rank"), col("negative_id"),
+        col("neg_label"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  private val hardNegativesSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |n AS (SELECT vec_id, v, label,
+      |        SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm FROM e),
+      |sims AS (
+      |  SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id, c.label AS neg_label,
+      |    CASE WHEN q.nrm = 0 OR c.nrm = 0 THEN 0.0
+      |         ELSE LIST_DOT_PRODUCT(q.v, c.v) / (q.nrm * c.nrm) END AS sim
+      |  FROM n q JOIN n c ON c.label <> q.label
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT anchor_id, negative_id, neg_label, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY anchor_id
+      |                       ORDER BY sim DESC NULLS LAST, negative_id NULLS FIRST) AS rank
+      |  FROM sims)
+      |SELECT anchor_id, CAST(rank AS INT) AS rank, negative_id, neg_label, ROUND(sim, 6) AS sim
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY anchor_id NULLS FIRST, rank NULLS FIRST""".stripMargin
+
   /** Per-label centroids (the IVF coarse quantizer, and a typical
     * class-prototype computation): posexplode → (label, dim) average. */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
@@ -1451,6 +1503,7 @@ object Similarity extends QueryModule {
 
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    GraftQuery("q156_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GraftQuery("q82_ann_sign_buckets", annSignBuckets, Some(annSignBucketsSql)),
     GraftQuery("q83_nearest_pair_per_label", nearestPairPerLabel, Some(nearestPairPerLabelSql)),

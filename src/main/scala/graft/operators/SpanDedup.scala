@@ -210,16 +210,24 @@ object SpanDedup extends QueryModule {
     }
   }
 
-  private def coveredSqlPrefix(): String = {
+  /** toks → token hashes → positional span hashes (the `spn` CTE):
+    * shared by the covered-token oracles below and the q157 winnowing
+    * oracle, so the span identity cannot drift between them. Returned
+    * WITHOUT the leading `WITH`. */
+  private def spanSqlCtes(): String = {
     val M = PolyHash.M1
     val combine = spanCombineSql
-    s"""WITH toks AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, text, STRING_SPLIT(text, ' ') AS t FROM documents),
       |tht AS (SELECT doc_id,
       |  LIST_TRANSFORM(t, w -> ${Dedup.polyFoldSql("w", M)}) AS th,
       |  LEN(t) AS nt FROM toks),
       |spn AS (SELECT doc_id, u.i AS pos, $combine AS span
       |        FROM tht, UNNEST(GENERATE_SERIES(1, nt - ${SpanN - 1})) AS u(i)
-      |        WHERE nt >= $SpanN),
+      |        WHERE nt >= $SpanN)""".stripMargin
+  }
+
+  private def coveredSqlPrefix(): String = {
+    s"""WITH ${spanSqlCtes()},
       |dup AS (SELECT span FROM spn GROUP BY span
       |        HAVING COUNT(DISTINCT doc_id) >= $MinSpanDocs),
       |st AS (SELECT DISTINCT s.doc_id, s.pos FROM spn s JOIN dup USING (span)),
@@ -551,6 +559,78 @@ object SpanDedup extends QueryModule {
       |FROM r WHERE rk = 1
       |ORDER BY split NULLS FIRST, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q157: winnowed document fingerprints
+  // ---------------------------------------------------------------------
+
+  /** Winnowing window size: every window of [[WinnowW]] consecutive span
+    * positions contributes (at least) one selected fingerprint, so any
+    * shared token run of length ≥ [[SpanN]] + [[WinnowW]] − 1 between two
+    * documents is GUARANTEED to share a selected fingerprint — the
+    * winnowing detection guarantee (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003). */
+  val WinnowW = 4
+
+  /** q157: winnowed fingerprint selection — the sampled alternative to
+    * indexing EVERY positional span hash (what q152's span index and
+    * q132's coverage stats pay): from each window of [[WinnowW]]
+    * consecutive [[SpanN]]-gram hashes keep the minimum, rightmost on
+    * ties. Expected density is 2/(W+1) of all positions (~40% at W=4),
+    * with the guarantee above on what sampling can miss — the standard
+    * fingerprint set for plagiarism-style overlap detection at corpus
+    * scale, where the full positional index is the dominant storage cost.
+    *
+    * Plan shape: span explode is linear and narrow; window membership is
+    * a bounded ×W explode (each span covers the W window-starts ending
+    * at it); selection is ONE keyed aggregation — `min(struct(span,
+    * −pos))` picks the rightmost minimum with map-side partial
+    * aggregation, no per-partition sort, no self-join, no window
+    * function. Short documents (fewer spans than W) winnow their single
+    * truncated window so no document with ≥1 span loses all its
+    * fingerprints. */
+  def winnowedFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowedFingerprintsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level body (SpanDedupSpec drives it on constructed
+    * corpora for the hand-computed and guarantee properties). */
+  private[graft] def winnowedFingerprintsOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val spans = docs
+      .select(col("doc_id"), posexplode(expr("graft_spans_poly(text)")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("span"))
+    // a span at pos belongs to windows starting at pos-W+1 .. pos; a
+    // window is complete iff it collected exactly W spans (win=1 is kept
+    // even when truncated, so short docs still fingerprint)
+    val wins = spans
+      .select(col("doc_id"), col("pos"), col("span"),
+        explode(sequence(col("pos") - (WinnowW - 1), col("pos"))).as("win"))
+      .filter(col("win") >= 1)
+    wins.groupBy(col("doc_id"), col("win"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("span"), (-col("pos")).as("negpos"))).as("sel"))
+      .filter(col("n") === WinnowW || col("win") === 1)
+      .select(col("doc_id"), (-col("sel.negpos")).as("pos"),
+        col("sel.span").as("fp"))
+      .distinct()
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  private val winnowedFingerprintsSql =
+    s"""WITH ${spanSqlCtes()},
+      |wins AS (
+      |  SELECT s.doc_id, s.pos, s.span, w.win
+      |  FROM spn s, UNNEST(GENERATE_SERIES(s.pos - ${WinnowW - 1}, s.pos)) AS w(win)
+      |  WHERE w.win >= 1),
+      |picks AS (
+      |  SELECT doc_id, win, span, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id, win
+      |                       ORDER BY span NULLS FIRST, pos DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY doc_id, win) AS n
+      |  FROM wins)
+      |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, span AS fp
+      |FROM picks WHERE rn = 1 AND (n = $WinnowW OR win = 1)
+      |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q132_dup_span_stats", dupSpanStats, Some(dupSpanStatsSql)),
     GraftQuery("q133_strip_dup_spans", stripDupSpans, Some(stripDupSpansSql)),
@@ -562,5 +642,7 @@ object SpanDedup extends QueryModule {
     GraftQuery("q152_span_index_build", spanIndexBuild, Some(spanIndexBuildSql)),
     GraftQuery("q153_decontaminate_indexed", decontaminateIndexed,
       Some(decontaminateSql)),
+    GraftQuery("q157_winnowed_fingerprints", winnowedFingerprints,
+      Some(winnowedFingerprintsSql)),
   )
 }

@@ -124,7 +124,10 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val qualityScoresSql =
+  /** The q63 quality computation WITHOUT the presentation sort — shared
+    * with the q155 canonical-selection oracle so the score the canonical
+    * pick maximizes cannot drift from the score q63 certifies. */
+  private[operators] val qualityCoreSql =
     """SELECT doc_id, lang, n_tokens, n_distinct, n_stopwords,
       |  diversity, stopword_ratio, avg_token_len,
       |  diversity * 0.5
@@ -141,7 +144,10 @@ object TextOps extends QueryModule {
       |      CAST(LEN(LIST_DISTINCT(toks)) AS INT) AS n_distinct,
       |      CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','a','of','and','to'))) AS INT) AS n_stopwords
       |    FROM (SELECT doc_id, lang, n_chars, STRING_SPLIT(text, ' ') AS toks
-      |          FROM documents) a) b) c
+      |          FROM documents) a) b) c""".stripMargin
+
+  private val qualityScoresSql =
+    s"""$qualityCoreSql
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** Heuristic language ID (n-gram/marker-token overlap): score each doc

@@ -353,7 +353,24 @@ object Plans {
           "the join's non-equi condition — the fact table is never " +
           "shuffled for the dimension; one partial+final hash aggregate " +
           "after.",
-        Relational.scd2Enrich(spark, dir)))
+        Relational.scd2Enrich(spark, dir)),
+      section("q157 winnowed fingerprints (r10 sampled span index)",
+        "What to look for: two Generate nodes (span explode, then the " +
+          "bounded ×W window-membership explode) feeding ONE partial+" +
+          "final hash aggregate on (doc_id, win) whose min(struct(span," +
+          "−pos)) picks the rightmost window minimum — NO window " +
+          "function, NO join, NO sort before the aggregate; the only " +
+          "Sort is the trailing presentation orderBy.",
+        graft.operators.SpanDedup.winnowedFingerprints(spark, dir)),
+      section("q155 quality-aware canonical selection (r10)",
+        "What to look for: the artifact-backed cluster table joins the " +
+          "quality scores on doc_id (AQE-decided — no forced broadcast; " +
+          "both sides can be corpus-sized); the rank-1 argmax is " +
+          "GroupTopKPartial/Final (RewriteWindowTopK fired on the " +
+          "row_number<=1-then-drop window) — bounded heaps, not a " +
+          "per-cluster sort; the count-window computing cluster_size " +
+          "rides the small artifact side.",
+        graft.operators.Dedup.canonicalPerCluster(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

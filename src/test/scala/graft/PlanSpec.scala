@@ -595,4 +595,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.take(4000))
   }
+
+  test("q155 canonical selection: the rank-1 argmax plans as GroupTopK, no nested loop") {
+    val plan = executedPlan(Dedup.canonicalPerCluster(spark, sf0001))
+    // RewriteWindowTopK must upgrade the row_number<=1-then-drop window
+    // to the bounded-heap operator (the cluster_size count-window from
+    // q77's table legitimately remains)
+    assert(plan.contains("GroupTopKFinal"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+  }
+
+  test("q157 winnowing: one keyed aggregation, no window function, no self-join") {
+    val plan = executedPlan(SpanDedup.winnowedFingerprints(spark, sf0001))
+    // selection is min(struct) with map-side partial aggregation — never
+    // a window over sorted spans, never a join of the corpus to itself
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(plan.contains("partial_min") || plan.contains("partial_finalmerge")
+      || plan.contains("HashAggregate"), plan.take(4000))
+  }
 }

@@ -1420,4 +1420,54 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .select("user_id").distinct().count()
     assert(byCohort.values.map(_.find(_.getInt(1) == 0).get.getLong(2)).sum == totalUsers)
   }
+
+  test("q155 canonical = max-quality member of every q77 cluster, min id on ties") {
+    val clusters = Dedup.neardupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(clusters.nonEmpty)
+    val quality = TextOps.qualityScores(spark, sf0001)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver-side independent argmax with the same total order
+    val want = clusters.groupBy(_._1).map { case (cid, rows) =>
+      val best = rows.map(_._2).minBy(id => (-quality(id), id))
+      (cid, best,
+        BigDecimal(quality(best)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        rows.head._3)
+    }.toSet
+    val got = Dedup.canonicalPerCluster(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === want)
+    // the canonical doc is a member of its own cluster
+    val members = clusters.map(c => (c._1, c._2)).toSet
+    got.foreach { case (cid, doc, _, _) => assert(members.contains((cid, doc))) }
+  }
+
+  test("q156 hard negatives: exactly the top-5 different-label neighbors, never own-label") {
+    val emb = sources.Tables.embeddings(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val labelOf = emb.map(e => e._1 -> e._3).toMap
+    val want = emb.filter(_._1 < 10).flatMap { case (qid, qv, ql) =>
+      emb.filter(_._3 != ql)
+        .map { case (cid, cv, cl) => (cid, cl, cos(qv, cv)) }
+        .sortBy(t => (-t._3, t._1)).take(5).zipWithIndex
+        .map { case ((cid, cl, _), i) => (qid, i + 1, cid, cl) }
+    }.toSet
+    val rows = Similarity.hardNegatives(spark, sf0001).collect()
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got === want)
+    // no negative ever carries its anchor's label
+    rows.foreach(r => assert(r.getInt(3) !== labelOf(r.getLong(0))))
+    // hard negatives can never beat the unrestricted q80 best
+    val bruteBest = Similarity.cosineTopK(spark, sf0001).collect()
+      .filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    rows.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getDouble(4) <= bruteBest(r.getLong(0)) + 1e-9)
+    }
+  }
 }

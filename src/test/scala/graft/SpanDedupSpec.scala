@@ -198,4 +198,76 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     val built = SpanDedup.spanIndexBuild(spark, sf001).collect().head
     assert(built.getLong(built.fieldIndex("n_spans")) === stored)
   }
+
+  /** Driver winnowing reference: rightmost minimum of each w-window over
+    * the positional span hashes; a doc with fewer spans than w winnows
+    * its single truncated window. */
+  private def winnowRef(toks: Array[String]): Set[(Int, Long)] = {
+    val n = SpanDedup.SpanN; val w = SpanDedup.WinnowW
+    if (toks.length < n) return Set.empty
+    val th = toks.map(foldRef)
+    val h = (0 to toks.length - n).map { i =>
+      (1 until n).foldLeft(th(i)) { (b, k) => (b * PolyHash.M1 + th(i + k)) % PolyHash.P }
+    }.toArray
+    val m = h.length
+    val starts = if (m < w) Seq(0) else 0 to (m - w)
+    starts.map { s =>
+      val end = math.min(s + w - 1, m - 1)
+      var best = s
+      for (j <- s to end) if (h(j) <= h(best)) best = j // rightmost min
+      (best + 1, h(best))
+    }.toSet
+  }
+
+  test("q157 winnowing matches the driver reference on sf0.001") {
+    val docs = sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val want = docs.flatMap { case (id, toks) =>
+      winnowRef(toks).map { case (pos, fp) => (id, pos, fp) }
+    }.toSet
+    assert(want.nonEmpty)
+    val got = SpanDedup.winnowedFingerprints(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("q157 guarantee: any shared run of SpanN+W-1 tokens shares a fingerprint") {
+    val session = spark
+    import session.implicits._
+    val runLen = SpanDedup.SpanN + SpanDedup.WinnowW - 1
+    val shared = (1 to runLen).map(i => s"sh$i").mkString(" ")
+    for (off <- Seq(0, 3, 7)) {
+      val a = (((1 to off).map(i => s"a$i") :+ shared) ++ (1 to 5).map(i => s"az$i")).mkString(" ")
+      val b = (((1 to off + 2).map(i => s"b$i") :+ shared) ++ (1 to 3).map(i => s"bz$i")).mkString(" ")
+      val fps = SpanDedup.winnowedFingerprintsOf(
+          Seq((1L, a), (2L, b)).toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val fa = fps.filter(_._1 == 1L).map(_._2).toSet
+      val fb = fps.filter(_._1 == 2L).map(_._2).toSet
+      assert((fa & fb).nonEmpty, s"offset $off: no shared fingerprint")
+    }
+    // fully-distinct docs share none
+    val disj = SpanDedup.winnowedFingerprintsOf(Seq(
+        (1L, (1 to 20).map(i => s"x$i").mkString(" ")),
+        (2L, (1 to 20).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert((disj.filter(_._1 == 1L).map(_._2).toSet &
+      disj.filter(_._1 == 2L).map(_._2).toSet).isEmpty)
+  }
+
+  test("q157 short docs: fewer spans than the window still fingerprint once") {
+    val session = spark
+    import session.implicits._
+    // 6 tokens -> 2 spans (m=2 < W): exactly one pick, the rightmost min
+    val fps = SpanDedup.winnowedFingerprintsOf(
+        Seq((7L, "t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fps.length === 1)
+    val want = winnowRef("t1 t2 t3 t4 t5 t6".split(" "))
+    assert(fps.map(f => (f._2, f._3)).toSet === want)
+    // below SpanN tokens -> no spans, no fingerprints, no crash
+    assert(SpanDedup.winnowedFingerprintsOf(
+      Seq((8L, "t1 t2 t3")).toDF("doc_id", "text")).count() === 0)
+  }
 }
