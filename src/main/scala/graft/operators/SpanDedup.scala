@@ -593,7 +593,13 @@ object SpanDedup extends QueryModule {
 
   /** DataFrame-level body (SpanDedupSpec drives it on constructed
     * corpora for the hand-computed and guarantee properties). */
-  private[graft] def winnowedFingerprintsOf(docs: DataFrame): DataFrame = {
+  private[graft] def winnowedFingerprintsOf(docs: DataFrame): DataFrame =
+    winnowedPicksOf(docs).orderBy(col("doc_id"), col("pos"))
+
+  /** The winnowed pick set (doc_id, pos, fp) WITHOUT the presentation
+    * sort — q157 orders it; q158 consumes (doc_id, fp) into the pair
+    * join where a global order buys nothing but an exchange. */
+  private def winnowedPicksOf(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(docs.sparkSession)
     val spans = docs
       .select(col("doc_id"), posexplode(expr("graft_spans_poly(text)")))
@@ -605,19 +611,76 @@ object SpanDedup extends QueryModule {
       .select(col("doc_id"), col("pos"), col("span"),
         explode(sequence(col("pos") - (WinnowW - 1), col("pos"))).as("win"))
       .filter(col("win") >= 1)
-    wins.groupBy(col("doc_id"), col("win"))
-      .agg(count(lit(1)).as("n"),
-        min(struct(col("span"), (-col("pos")).as("negpos"))).as("sel"))
-      .filter(col("n") === WinnowW || col("win") === 1)
-      .select(col("doc_id"), (-col("sel.negpos")).as("pos"),
-        col("sel.span").as("fp"))
-      .distinct()
-      .orderBy(col("doc_id"), col("pos"))
+    val variant = docs.queryExecution.analyzed.semanticHash().toString
+    ScopedCache.persist("spandedup.winnow", variant,
+      wins.groupBy(col("doc_id"), col("win"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("span"), (-col("pos")).as("negpos"))).as("sel"))
+        .filter(col("n") === WinnowW || col("win") === 1)
+        .select(col("doc_id"), (-col("sel.negpos")).as("pos"),
+          col("sel.span").as("fp"))
+        .distinct())
   }
 
-  private val winnowedFingerprintsSql =
+  /** A fingerprint present in more documents than this is boilerplate
+    * (license blocks, templated headers) and is excluded from pair
+    * generation — the q72 MaxShingleDF rationale applied to the winnowed
+    * set: one corpus-hot fingerprint would otherwise fan the pair join
+    * out O(df²). */
+  val MaxFpDF = 100
+
+  /** Candidate pairs must share at least this many fingerprints (one
+    * shared pick is a single 5-gram — below the noise floor). */
+  val MinSharedFps = 2
+
+  /** q158: overlap-candidate pairs from the WINNOWED fingerprint set —
+    * the MOSS detection step: two documents sharing ≥ [[MinSharedFps]]
+    * selected fingerprints are candidates for sub-document overlap
+    * (plagiarism, syndication, templated content). This is q72's
+    * candidate generation run against a ~39%-size sampled index
+    * (BASELINE.md's q157 density row) with the winnowing guarantee
+    * bounding what the sampling can miss.
+    *
+    * Scale shape identical to the gated-shingle pair pipeline: the pair
+    * join is an equi-join on the 8-byte fingerprint, DF-gated so no hot
+    * fingerprint fans out quadratically; counts aggregate with map-side
+    * combine; size joins never appear (no Jaccard denominator — this is
+    * the candidate DETECTOR; the verifier is q72/q132 on the candidates
+    * only). */
+  def winnowedOverlapPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowedOverlapPairsOf(Tables.documents(spark, dir))
+
+  private[graft] def winnowedOverlapPairsOf(docs: DataFrame): DataFrame = {
+    val fps = winnowedPicksOf(docs).select(col("doc_id"), col("fp")).distinct()
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxFpDF).select(col("fp"))
+    val gated = fps.join(hot, Seq("fp"), "left_anti")
+    gated.as("a").join(gated.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFps)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val winnowedOverlapPairsSql =
     s"""WITH ${spanSqlCtes()},
-      |wins AS (
+      |${winnowCtes()},
+      |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
+      |hotf AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) > $MaxFpDF),
+      |g AS (SELECT doc_id, fp FROM f
+      |      WHERE NOT EXISTS (SELECT 1 FROM hotf h WHERE h.fp = f.fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      |FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= $MinSharedFps
+      |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
+  /** spn → winnowed picks `wfp(doc_id, pos, fp)` — the SQL mirror of
+    * [[winnowedPicksOf]], shared by the q157 and q158 oracles so the
+    * fingerprint selection cannot drift between them. */
+  private def winnowCtes(): String =
+    s"""wins AS (
       |  SELECT s.doc_id, s.pos, s.span, w.win
       |  FROM spn s, UNNEST(GENERATE_SERIES(s.pos - ${WinnowW - 1}, s.pos)) AS w(win)
       |  WHERE w.win >= 1),
@@ -626,9 +689,14 @@ object SpanDedup extends QueryModule {
       |    ROW_NUMBER() OVER (PARTITION BY doc_id, win
       |                       ORDER BY span NULLS FIRST, pos DESC) AS rn,
       |    COUNT(*) OVER (PARTITION BY doc_id, win) AS n
-      |  FROM wins)
-      |SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, span AS fp
-      |FROM picks WHERE rn = 1 AND (n = $WinnowW OR win = 1)
+      |  FROM wins),
+      |wfp AS (SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, span AS fp
+      |        FROM picks WHERE rn = 1 AND (n = $WinnowW OR win = 1))""".stripMargin
+
+  private val winnowedFingerprintsSql =
+    s"""WITH ${spanSqlCtes()},
+      |${winnowCtes()}
+      |SELECT doc_id, pos, fp FROM wfp
       |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin
 
   override def queries: Seq[GraftQuery] = Seq(
@@ -644,5 +712,7 @@ object SpanDedup extends QueryModule {
       Some(decontaminateSql)),
     GraftQuery("q157_winnowed_fingerprints", winnowedFingerprints,
       Some(winnowedFingerprintsSql)),
+    GraftQuery("q158_winnowed_overlap_pairs", winnowedOverlapPairs,
+      Some(winnowedOverlapPairsSql)),
   )
 }

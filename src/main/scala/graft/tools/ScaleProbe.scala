@@ -519,6 +519,20 @@ object ScaleProbe {
       both("o_orderpriority", "lowcard")
     }
 
+    // r10 winnowing family: fingerprint selection (q157) is a linear
+    // explode + one keyed aggregation, so it should scale ~linearly in
+    // corpus size; pair detection (q158) rides the DF-gated fp equi-join
+    // (marker-rewritten copies are pure noise to it — cross-copy runs
+    // share no 5-gram, like the q76 probe's rationale)
+    def winnowCount(docs: DataFrame): Long =
+      graft.operators.SpanDedup.winnowedFingerprintsOf(docs).count()
+    def winnowPairsCount(docs: DataFrame): Long =
+      graft.operators.SpanDedup.winnowedOverlapPairsOf(docs).count()
+    time("q157 winnow select 1x (5k docs)")(winnowCount(d1))
+    time(s"q157 winnow select ${copies}x")(winnowCount(dN))
+    time("q158 winnow pairs 1x (5k docs)")(winnowPairsCount(d1))
+    time(s"q158 winnow pairs ${copies}x")(winnowPairsCount(dCN))
+
     spark.stop()
   }
 }

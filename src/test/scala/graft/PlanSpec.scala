@@ -606,6 +606,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q158 winnowed pairs: fp equi-join with the anti-join gate, no nested loop") {
+    val plan = executedPlan(SpanDedup.winnowedOverlapPairs(spark, sf0001))
+    // pair generation must be an equi-join on the 8-byte fingerprint,
+    // DF-gated by a LeftAnti against the hot set — never a cross product
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+  }
+
   test("q157 winnowing: one keyed aggregation, no window function, no self-join") {
     val plan = executedPlan(SpanDedup.winnowedFingerprints(spark, sf0001))
     // selection is min(struct) with map-side partial aggregation — never

@@ -270,4 +270,43 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(SpanDedup.winnowedFingerprintsOf(
       Seq((8L, "t1 t2 t3")).toDF("doc_id", "text")).count() === 0)
   }
+
+  test("q158 candidate pairs match a driver brute force on sf0.001") {
+    val docs = sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val fps = docs.flatMap { case (id, toks) =>
+      winnowRef(toks).map { case (_, fp) => (id, fp) }
+    }.distinct
+    val df = fps.groupBy(_._2).map { case (fp, xs) => fp -> xs.length }
+    val gated = fps.filter { case (_, fp) => df(fp) <= SpanDedup.MaxFpDF }
+    val want = gated.groupBy(_._2).values
+      .flatMap { xs =>
+        val ids = xs.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
+      }
+      .groupBy(identity).map { case (p, hits) => (p._1, p._2, hits.size.toLong) }
+      .filter(_._3 >= SpanDedup.MinSharedFps).toSet
+    val got = SpanDedup.winnowedOverlapPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture should contain at least one candidate pair")
+  }
+
+  test("q158 hot-fingerprint gate suppresses boilerplate pairs, keeps genuine overlap") {
+    val session = spark
+    import session.implicits._
+    // 120 identical boilerplate docs (every fp from them has df=120 >
+    // MaxFpDF) + 2 docs sharing a distinct genuine run
+    val boiler = (1 to 20).map(i => s"bo$i").mkString(" ")
+    val gen = (1 to 20).map(i => s"ge$i").mkString(" ")
+    val docs = ((1 to 120).map(i => (i.toLong, boiler)) ++ Seq(
+      (201L, gen + " " + (1 to 5).map(i => s"p$i").mkString(" ")),
+      (202L, gen + " " + (1 to 5).map(i => s"q$i").mkString(" ")))).toDF("doc_id", "text")
+    val pairs = SpanDedup.winnowedOverlapPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((201L, 202L)), s"genuine pair missing: $pairs")
+    // no pair among the 120 boilerplate docs survives the gate
+    assert(pairs.forall { case (a, b) => a > 120L && b > 120L }, s"boilerplate leaked: $pairs")
+  }
 }
