@@ -520,18 +520,26 @@ object ScaleProbe {
     }
 
     // r10 winnowing family: fingerprint selection (q157) is a linear
-    // explode + one keyed aggregation, so it should scale ~linearly in
-    // corpus size; pair detection (q158) rides the DF-gated fp equi-join
-    // (marker-rewritten copies are pure noise to it — cross-copy runs
-    // share no 5-gram, like the q76 probe's rationale)
+    // explode + one keyed aggregation; pair detection (q158) rides the
+    // DF-gated fp equi-join. Replication is a PER-TOKEN copy suffix:
+    // each copy's within-corpus overlap structure is preserved exactly
+    // (every 1x doc pair replicates once per copy) and cross-copy
+    // 5-gram overlap is zero — "Nx corpus, Nx signal". The q76-style
+    // marker INSERTION is wrong for the span family: markers between
+    // tokens mean 3 shared real tokens already collide as a 5-gram,
+    // and measured pairs explode ~1500x instead of 10x.
+    val dTok = (1 to copies).map(i =>
+      d1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1x$i")))
+      .reduce(_ unionByName _)
     def winnowCount(docs: DataFrame): Long =
       graft.operators.SpanDedup.winnowedFingerprintsOf(docs).count()
     def winnowPairsCount(docs: DataFrame): Long =
       graft.operators.SpanDedup.winnowedOverlapPairsOf(docs).count()
     time("q157 winnow select 1x (5k docs)")(winnowCount(d1))
-    time(s"q157 winnow select ${copies}x")(winnowCount(dN))
+    time(s"q157 winnow select ${copies}x")(winnowCount(dTok))
     time("q158 winnow pairs 1x (5k docs)")(winnowPairsCount(d1))
-    time(s"q158 winnow pairs ${copies}x")(winnowPairsCount(dCN))
+    time(s"q158 winnow pairs ${copies}x")(winnowPairsCount(dTok))
 
     spark.stop()
   }
