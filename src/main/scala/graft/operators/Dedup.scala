@@ -626,6 +626,56 @@ object Dedup extends QueryModule {
       |                  WHERE cc.doc_id = s.doc_id AND cc.doc_id <> cc.cluster_id)
       |ORDER BY s.doc_id NULLS FIRST""".stripMargin
 
+  /** q159: the deduplicated corpus under the QUALITY-canonical policy —
+    * q85's emitter with q155's selection rule applied: each near-dup
+    * cluster keeps its highest-quality member (doc_id-asc tie-break)
+    * instead of the min-id representative; unclustered survivors pass
+    * through unchanged. Selection runs in exact-survivor space (exact
+    * duplicates share identical text, hence identical quality, so
+    * collapsing them first loses nothing — and keep-first already broke
+    * their tie at min doc_id, matching the canonical tie rule).
+    *
+    * Scale shape = q85's (artifact-scan + anti-join) plus the q155
+    * argmax: the drop set is `cluster members − canonicals`, one
+    * GroupTopK k=1 per cluster over the quality join, then the same
+    * doc_id anti-join. */
+  def canonicalDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureNeardupArtifact(spark, dir)
+    val survivors = spark.read.parquet(s"$base/survivors")
+    val members = spark.read.parquet(s"$base/surv_labels")
+      .select(col("label").as("cluster_id"), col("node").as("doc_id"))
+    val quality = TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val canon = members.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+    val drops = members.select(col("doc_id")).join(canon, Seq("doc_id"), "left_anti")
+    keptCorpus(survivors, drops)
+  }
+
+  private val canonicalDedupCorpusSql =
+    s"""WITH RECURSIVE keep AS (
+      |  SELECT doc_id, text, lang, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS rn
+      |  FROM documents),
+      |sv AS (SELECT doc_id, text, lang, source, n_chars FROM keep WHERE rn = 1),
+      |${gatedShinglesCtes("sv")},
+      |$jaccardPairsCtes,
+      |$clusterCtes,
+      |quality AS (${TextOps.qualityCoreSql}),
+      |ranked AS (
+      |  SELECT c.doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |                       ORDER BY q.quality DESC NULLS LAST, c.doc_id NULLS FIRST) AS crn
+      |  FROM cc c JOIN quality q USING (doc_id)),
+      |drops AS (SELECT doc_id FROM ranked WHERE crn > 1)
+      |SELECT s.doc_id, s.lang, s.source, s.n_chars
+      |FROM sv s
+      |WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.doc_id = s.doc_id)
+      |ORDER BY s.doc_id NULLS FIRST""".stripMargin
+
   // ---- persisted near-dup artifact: build once, admit many ---------------
 
   /** Tables the near-dup artifact persists: `survivors` (exact keep-first
@@ -1682,6 +1732,8 @@ object Dedup extends QueryModule {
     GraftQuery("q78_dedup_purge", dedupPurge, Some(dedupPurgeSql)),
     GraftQuery("q155_canonical_per_cluster", canonicalPerCluster,
       Some(canonicalPerClusterSql)),
+    GraftQuery("q159_canonical_corpus", canonicalDedupCorpus,
+      Some(canonicalDedupCorpusSql)),
     GraftQuery("q79_contamination_fixed", contaminationFixedBench,
       Some(contaminationFixedBenchSql)),
     GraftQuery("q85_fuzzy_dedup_corpus", fuzzyDedupCorpus,

@@ -1443,6 +1443,39 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     got.foreach { case (cid, doc, _, _) => assert(members.contains((cid, doc))) }
   }
 
+  test("q159 canonical corpus: q85's cardinality, per-cluster keeper is the quality argmax") {
+    val session = spark
+    import session.implicits._
+    val docs = sources.Tables.documents(spark, sf0001)
+    val quality = TextOps.qualityScores(spark, sf0001)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q85 = Dedup.fuzzyDedupCorpus(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val q159 = Dedup.canonicalDedupCorpus(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q159.size === q85.size)
+    // survivor-space clusters, recomputed directly
+    val sv = docs.groupBy($"text")
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      .select($"doc_id", $"text")
+    val byCluster = Dedup.neardupClustersOf(sv).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    assert(byCluster.nonEmpty)
+    for ((cid, members) <- byCluster) {
+      val kept = members & q159
+      assert(kept.size === 1, s"cluster $cid keeps ${kept.size} docs")
+      // the keeper is the quality argmax (doc_id asc on ties) and never
+      // worse than q85's min-id representative (= the cluster_id)
+      assert(kept.head === members.minBy(id => (-quality(id), id)))
+      assert(quality(kept.head) >= quality(cid) - 1e-12)
+    }
+    // outside the clusters the two emitters agree exactly
+    val clustered = byCluster.values.flatten.toSet
+    assert((q159 -- clustered) === (q85 -- clustered))
+  }
+
   test("q156 hard negatives: exactly the top-5 different-label neighbors, never own-label") {
     val emb = sources.Tables.embeddings(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
