@@ -606,6 +606,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q159 canonical corpus: artifact scans + GroupTopK argmax, no nested loop") {
+    val plan = executedPlan(Dedup.canonicalDedupCorpus(spark, sf0001))
+    assert(plan.contains("GroupTopKFinal"), plan.take(4000))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+  }
+
   test("q158 winnowed pairs: fp equi-join with the anti-join gate, no nested loop") {
     val plan = executedPlan(SpanDedup.winnowedOverlapPairs(spark, sf0001))
     // pair generation must be an equi-join on the 8-byte fingerprint,
