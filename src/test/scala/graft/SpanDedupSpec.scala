@@ -271,6 +271,34 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
       Seq((8L, "t1 t2 t3")).toDF("doc_id", "text")).count() === 0)
   }
 
+  test("q157 law: operator equals the reference winnow for arbitrary corpora and partitioning") {
+    val session = spark
+    import session.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small alphabet so repeats (equal-hash ties) are frequent; ""
+    // exercises the empty-token fold (double spaces survive split -1)
+    val alphabet = Vector("a", "b", "c", "ab", "", "zz")
+    val genDoc: Gen[String] = for {
+      n <- Gen.choose(0, 24)
+      toks <- Gen.listOfN(n, Gen.oneOf(alphabet))
+    } yield toks.mkString(" ")
+    val genCorpus: Gen[List[(Long, String)]] = for {
+      m <- Gen.choose(1, 5)
+      docs <- Gen.listOfN(m, genDoc)
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val p = Prop.forAllNoShrink(genCorpus, Gen.choose(1, 4)) { (docs, parts) =>
+      val want = docs.flatMap { case (id, t) =>
+        winnowRef(t.split(" ", -1)).map { case (pos, fp) => (id, pos, fp) }
+      }.toSet
+      val got = SpanDedup.winnowedFingerprintsOf(
+          docs.toDF("doc_id", "text").repartition(parts))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q158 candidate pairs match a driver brute force on sf0.001") {
     val docs = sources.Tables.documents(spark, sf0001)
       .select("doc_id", "text").collect()
