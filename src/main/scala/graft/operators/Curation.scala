@@ -681,6 +681,88 @@ object Curation extends QueryModule {
       |GROUP BY st.source
       |ORDER BY st.source NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q160: the curation funnel
+  // ---------------------------------------------------------------------
+
+  /** Minimum q63 quality score a document must reach to enter the
+    * corpus — the funnel's first gate. */
+  val FunnelQualityMin = 0.5
+
+  /** q160: per-stage accounting of the standard corpus-build recipe —
+    * the first dashboard every pipeline team builds: how many documents
+    * and tokens survive each curation stage.
+    *
+    *   0 raw            → the ingested corpus
+    *   1 quality_gate   → q63 score ≥ [[FunnelQualityMin]]
+    *   2 exact_dedup    → keep-first per identical text (q71's rule)
+    *   3 neardup_purge  → near-dup clusters over the exact survivors,
+    *                      min-id representative kept (q78's rule)
+    *
+    * Every stage reuses the exact operator core it names (the shared
+    * quality SQL, the gated-shingle pair pipeline, the label
+    * propagation), so the funnel can never drift from the operators it
+    * accounts for. Scale shape: stages 0-2 are one narrow pass + keyed
+    * aggregates; stage 3 is the q72/q77 DF-gated pair pipeline over the
+    * (already reduced) gated survivors — the funnel costs what its most
+    * expensive member stage costs, nothing is recomputed across stages
+    * (ScopedCache), and each emitted row is a full-corpus aggregate. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = graft.functions.ScopedCache.persist("curation.funnel.quality",
+      TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"), col("n_tokens")))
+    val gatedq = graft.functions.ScopedCache.persist("curation.funnel.gated",
+      docs.select(col("doc_id"), col("text"))
+        .join(quality.filter(col("quality") >= FunnelQualityMin)
+          .select(col("doc_id"), col("n_tokens")), Seq("doc_id")))
+    val sv = graft.functions.ScopedCache.persist("curation.funnel.sv",
+      gatedq.groupBy(col("text"))
+        .agg(min_by(struct(col("doc_id"), col("n_tokens")), col("doc_id")).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.n_tokens").as("n_tokens"),
+          col("text")))
+    val pairs = Dedup.jaccardPairsUnsorted(
+        sv.select(col("doc_id"), col("text")),
+        scope = "curation.funnel.shingles")
+      .select(col("doc_a"), col("doc_b"))
+    val (labels, _) = Dedup.clusterLabels(pairs)
+    val kept3 = sv.join(Dedup.ndDropsOf(labels), Seq("doc_id"), "left_anti")
+    def stage(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    stage(0, "raw", quality)
+      .unionByName(stage(1, "quality_gate", gatedq))
+      .unionByName(stage(2, "exact_dedup", sv))
+      .unionByName(stage(3, "neardup_purge", kept3))
+      .orderBy(col("stage"))
+  }
+
+  private val curationFunnelSql =
+    s"""WITH RECURSIVE quality AS (${TextOps.qualityCoreSql}),
+      |gatedq AS (
+      |  SELECT q.doc_id, q.n_tokens, d.text
+      |  FROM quality q JOIN documents d USING (doc_id)
+      |  WHERE q.quality >= ${Curation.FunnelQualityMin}),
+      |keep AS (
+      |  SELECT doc_id, n_tokens, text,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS krn
+      |  FROM gatedq),
+      |sv AS (SELECT doc_id, n_tokens, text FROM keep WHERE krn = 1),
+      |${Dedup.gatedShinglesCtes("sv")},
+      |${Dedup.jaccardPairsCtes},
+      |${Dedup.clusterCtes},
+      |kept3 AS (
+      |  SELECT s.doc_id, s.n_tokens FROM sv s
+      |  WHERE NOT EXISTS (SELECT 1 FROM cc
+      |                    WHERE cc.doc_id = s.doc_id AND cc.doc_id <> cc.cluster_id))
+      |SELECT * FROM (
+      |  SELECT 0 AS stage, 'raw' AS stage_name,
+      |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM quality
+      |  UNION ALL SELECT 1, 'quality_gate', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM gatedq
+      |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM sv
+      |  UNION ALL SELECT 3, 'neardup_purge', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM kept3) t
+      |ORDER BY stage NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q114_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
@@ -693,5 +775,6 @@ object Curation extends QueryModule {
     GraftQuery("q119_curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
     GraftQuery("q120_epoch_plan", epochPlan, Some(epochPlanSql)),
     GraftQuery("q121_source_drift_kl", sourceDriftKl, Some(sourceDriftKlSql)),
+    GraftQuery("q160_curation_funnel", curationFunnel, Some(curationFunnelSql)),
   )
 }

@@ -156,7 +156,7 @@ object Dedup extends QueryModule {
     * Interpolated into every shingle-based oracle so the Scala and SQL
     * gates cannot drift. Returned WITHOUT the leading `WITH` so callers
     * can prepend `WITH` or `WITH RECURSIVE` as needed. */
-  private def gatedShinglesCtes(docsTable: String): String =
+  private[operators] def gatedShinglesCtes(docsTable: String): String =
     s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM $docsTable),
       |sh0 AS (
       |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
@@ -209,7 +209,7 @@ object Dedup extends QueryModule {
   /** Oracle CTEs from the gated `sh` universe to thresholded Jaccard
     * `pairs` — the SQL mirror of [[ngramJaccardPairsOf]], shared by the
     * q72/q77/q78 oracles so the pair definition cannot drift. */
-  private val jaccardPairsCtes =
+  private[operators] val jaccardPairsCtes =
     s"""sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -412,7 +412,7 @@ object Dedup extends QueryModule {
     * reachability, MIN per node. `reach` is O(cluster_size²) rows — fine
     * at oracle (fixture) scale; the Spark side uses the O(log n)
     * propagation instead. */
-  private val clusterCtes =
+  private[operators] val clusterCtes =
     """edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
       |reach AS (
@@ -516,7 +516,7 @@ object Dedup extends QueryModule {
 
   /** labels → the doc_ids a purge drops (every node that is not its own
     * component minimum). */
-  private def ndDropsOf(labels: DataFrame): DataFrame =
+  private[operators] def ndDropsOf(labels: DataFrame): DataFrame =
     labels.filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
 

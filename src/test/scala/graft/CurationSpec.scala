@@ -269,4 +269,36 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     val frac = z.getAs[Double]("top100_frac")
     assert(frac > 0.0 && frac <= 1.0)
   }
+
+  test("q160 funnel stages match the constituent operators, monotonically") {
+    val session = spark
+    import session.implicits._
+    val rows = Curation.curationFunnel(spark, sf0001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    val byStage = rows.map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // independent recomputation from the operators each stage names
+    val text = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = graft.operators.TextOps.qualityScores(spark, sf0001)
+      .select("doc_id", "quality", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(byStage(0) === ((q.length.toLong, q.map(_._3.toLong).sum)))
+    val gated = q.filter(_._2 >= Curation.FunnelQualityMin)
+    assert(byStage(1) === ((gated.length.toLong, gated.map(_._3.toLong).sum)))
+    val sv = gated.groupBy(d => text(d._1)).values
+      .map(_.minBy(_._1)).toSeq.sortBy(_._1)
+    assert(byStage(2) === ((sv.length.toLong, sv.map(_._3.toLong).sum)))
+    val drops = graft.operators.Dedup.neardupClustersOf(
+        sv.map(d => (d._1, text(d._1))).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter { case (c, d) => c != d }
+      .map(_._2).toSet
+    val kept3 = sv.filterNot(d => drops.contains(d._1))
+    assert(byStage(3) === ((kept3.length.toLong, kept3.map(_._3.toLong).sum)))
+    // the funnel only ever shrinks
+    (0 to 2).foreach { s =>
+      assert(byStage(s)._1 >= byStage(s + 1)._1)
+      assert(byStage(s)._2 >= byStage(s + 1)._2)
+    }
+  }
 }
