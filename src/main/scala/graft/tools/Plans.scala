@@ -362,6 +362,15 @@ object Plans {
           "function, NO join, NO sort before the aggregate; the only " +
           "Sort is the trailing presentation orderBy.",
         graft.operators.SpanDedup.winnowedFingerprints(spark, dir)),
+      section("q160 curation funnel (r10 capstone accounting)",
+        "What to look for: four tiny aggregate rows unioned, each a " +
+          "full-corpus aggregate over an InMemoryTableScan of the " +
+          "previous stage (ScopedCache) — the quality pass, the " +
+          "keep-first aggregate, and the DF-gated pair pipeline each " +
+          "materialize ONCE; no stage rescans the raw documents after " +
+          "stage 1, and the only joins are the gated-shingle equi-joins " +
+          "inside the q72 core.",
+        graft.operators.Curation.curationFunnel(spark, dir)),
       section("q155 quality-aware canonical selection (r10)",
         "What to look for: the artifact-backed cluster table joins the " +
           "quality scores on doc_id (AQE-decided — no forced broadcast; " +
