@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{GraftQuery, QueryModule}
+import graft.functions.PolyHash
 import graft.sources.Tables
 
 /** Corpus-curation operators for LLM training-data pipelines (SURVEY.md
@@ -689,6 +690,34 @@ object Curation extends QueryModule {
     * corpus — the funnel's first gate. */
   val FunnelQualityMin = 0.5
 
+  /** The funnel's stage tables, shared by q160 (counts) and q163
+    * (per-doc provenance) — ONE set of ScopedCache slots, so running
+    * both in a session materializes the quality pass, the gate, and the
+    * keep-first aggregate once. Returns (quality scores for every raw
+    * doc, quality-gated docs with text, exact-dedup survivors,
+    * near-dup cluster labels (node, label) over the survivors). */
+  private def funnelParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(spark, dir)
+    val quality = graft.functions.ScopedCache.persist("curation.funnel.quality",
+      TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"), col("n_tokens")))
+    val gatedq = graft.functions.ScopedCache.persist("curation.funnel.gated",
+      docs.select(col("doc_id"), col("text"))
+        .join(quality.filter(col("quality") >= FunnelQualityMin)
+          .select(col("doc_id"), col("n_tokens")), Seq("doc_id")))
+    val sv = graft.functions.ScopedCache.persist("curation.funnel.sv",
+      gatedq.groupBy(col("text"))
+        .agg(min_by(struct(col("doc_id"), col("n_tokens")), col("doc_id")).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.n_tokens").as("n_tokens"),
+          col("text")))
+    val pairs = Dedup.jaccardPairsUnsorted(
+        sv.select(col("doc_id"), col("text")),
+        scope = "curation.funnel.shingles")
+      .select(col("doc_a"), col("doc_b"))
+    val (labels, _) = Dedup.clusterLabels(pairs)
+    (quality, gatedq, sv, labels)
+  }
+
   /** q160: per-stage accounting of the standard corpus-build recipe —
     * the first dashboard every pipeline team builds: how many documents
     * and tokens survive each curation stage.
@@ -708,23 +737,7 @@ object Curation extends QueryModule {
     * expensive member stage costs, nothing is recomputed across stages
     * (ScopedCache), and each emitted row is a full-corpus aggregate. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val quality = graft.functions.ScopedCache.persist("curation.funnel.quality",
-      TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"), col("n_tokens")))
-    val gatedq = graft.functions.ScopedCache.persist("curation.funnel.gated",
-      docs.select(col("doc_id"), col("text"))
-        .join(quality.filter(col("quality") >= FunnelQualityMin)
-          .select(col("doc_id"), col("n_tokens")), Seq("doc_id")))
-    val sv = graft.functions.ScopedCache.persist("curation.funnel.sv",
-      gatedq.groupBy(col("text"))
-        .agg(min_by(struct(col("doc_id"), col("n_tokens")), col("doc_id")).as("keep"))
-        .select(col("keep.doc_id").as("doc_id"), col("keep.n_tokens").as("n_tokens"),
-          col("text")))
-    val pairs = Dedup.jaccardPairsUnsorted(
-        sv.select(col("doc_id"), col("text")),
-        scope = "curation.funnel.shingles")
-      .select(col("doc_a"), col("doc_b"))
-    val (labels, _) = Dedup.clusterLabels(pairs)
+    val (quality, gatedq, sv, labels) = funnelParts(spark, dir)
     val kept3 = sv.join(Dedup.ndDropsOf(labels), Seq("doc_id"), "left_anti")
     def stage(n: Int, name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
@@ -737,8 +750,12 @@ object Curation extends QueryModule {
       .orderBy(col("stage"))
   }
 
-  private val curationFunnelSql =
-    s"""WITH RECURSIVE quality AS (${TextOps.qualityCoreSql}),
+  /** Oracle CTE chain of the funnel's stage tables (quality → gatedq →
+    * keep/sv → gated shingles → pairs → cc), shared VERBATIM by the q160
+    * and q163 oracles so the stage definitions cannot drift between the
+    * counts and the per-doc provenance. Prepend `WITH RECURSIVE`. */
+  private val funnelCtes =
+    s"""quality AS (${TextOps.qualityCoreSql}),
       |gatedq AS (
       |  SELECT q.doc_id, q.n_tokens, d.text
       |  FROM quality q JOIN documents d USING (doc_id)
@@ -750,7 +767,10 @@ object Curation extends QueryModule {
       |sv AS (SELECT doc_id, n_tokens, text FROM keep WHERE krn = 1),
       |${Dedup.gatedShinglesCtes("sv")},
       |${Dedup.jaccardPairsCtes},
-      |${Dedup.clusterCtes},
+      |${Dedup.clusterCtes}""".stripMargin
+
+  private val curationFunnelSql =
+    s"""WITH RECURSIVE $funnelCtes,
       |kept3 AS (
       |  SELECT s.doc_id, s.n_tokens FROM sv s
       |  WHERE NOT EXISTS (SELECT 1 FROM cc
@@ -762,6 +782,250 @@ object Curation extends QueryModule {
       |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM sv
       |  UNION ALL SELECT 3, 'neardup_purge', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM kept3) t
       |ORDER BY stage NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q163: per-document rejection audit (funnel provenance)
+  // ---------------------------------------------------------------------
+
+  /** q163: the q160 funnel at DOCUMENT granularity — for every raw doc,
+    * the FIRST stage that dropped it and the doc it lost to:
+    *
+    *   - `dropped_quality`   — q63 score under [[FunnelQualityMin]]
+    *   - `dropped_exact_dup` — identical text to an earlier doc;
+    *                           `kept_by` = the keep-first winner
+    *   - `dropped_near_dup`  — purged from a near-dup cluster;
+    *                           `kept_by` = the cluster representative
+    *   - `kept`              — survives the whole funnel
+    *
+    * This is the lineage answer to "why is my document not in the
+    * corpus" — the first thing a data owner asks of a pipeline team,
+    * and the record an audit/appeal workflow needs. `kept_by` names the
+    * winner AT THAT STAGE (an exact-dup's keeper can itself later fall
+    * to the near-dup purge — the audit reports stage-local provenance,
+    * not the transitive survivor).
+    *
+    * Reuses the funnel's ScopedCache'd stage tables; the only additions
+    * are a text-keyed join of the gated docs to the survivor table
+    * (keeper lookup — same key and cost class as the keep-first
+    * aggregate itself) and two doc_id equi-joins, so the audit costs
+    * what the funnel costs plus narrow joins. Per-doc output is a scan-
+    * sized result, fine at any scale (it IS the lineage table a real
+    * pipeline persists next to the corpus). */
+  def rejectionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (quality, gatedq, sv, labels) = funnelParts(spark, dir)
+    val keepers = gatedq.select(col("doc_id"), col("text"))
+      .join(sv.select(col("text"), col("doc_id").as("keeper")), Seq("text"))
+      .select(col("doc_id"), col("keeper"))
+    val clusters = labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    quality.select(col("doc_id"), col("quality"))
+      .join(keepers, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality") < FunnelQualityMin, lit("dropped_quality"))
+          .when(col("keeper") =!= col("doc_id"), lit("dropped_exact_dup"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            lit("dropped_near_dup"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("quality") < FunnelQualityMin, lit(null).cast(LongType))
+          .when(col("keeper") =!= col("doc_id"), col("keeper"))
+          .when(col("cluster_id") =!= col("doc_id"), col("cluster_id"))
+          .otherwise(lit(null).cast(LongType)).as("kept_by"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val rejectionAuditSql =
+    s"""WITH RECURSIVE $funnelCtes,
+      |ek AS (SELECT g.doc_id, s.doc_id AS keeper
+      |       FROM gatedq g JOIN sv s ON g.text = s.text)
+      |SELECT q.doc_id,
+      |  CASE WHEN q.quality < ${Curation.FunnelQualityMin} THEN 'dropped_quality'
+      |       WHEN ek.keeper <> q.doc_id THEN 'dropped_exact_dup'
+      |       WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> q.doc_id
+      |         THEN 'dropped_near_dup'
+      |       ELSE 'kept' END AS status,
+      |  CASE WHEN q.quality < ${Curation.FunnelQualityMin} THEN NULL
+      |       WHEN ek.keeper <> q.doc_id THEN ek.keeper
+      |       WHEN cc.cluster_id <> q.doc_id THEN cc.cluster_id
+      |       ELSE NULL END AS kept_by
+      |FROM quality q
+      |LEFT JOIN ek ON ek.doc_id = q.doc_id
+      |LEFT JOIN cc ON cc.doc_id = q.doc_id
+      |ORDER BY q.doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q161/q162: data selection via importance resampling (DSIR)
+  // ---------------------------------------------------------------------
+
+  /** Hashed-bigram feature space for the DSIR weights: each consecutive
+    * token pair folds through the portable polynomial family and lands
+    * in one of this many buckets. Fixed and small by design — the
+    * bucket-weight table stays broadcastable at ANY corpus size (the
+    * production setting just raises it to 2²⁰; the shape is unchanged). */
+  val DsirBuckets = 512L
+
+  /** Documents kept by the q162 importance-resampled selection. */
+  val DsirSelectK = 100
+
+  // a fourth multiplicative-hash family (offset +59) so the Gumbel grid
+  // is independent of q87's rate key (+0), q126's rank, q148's cap (+41)
+  private val GumbelOffset = 59L
+  private val GumbelModPrime = 1000003L
+  private val GumbelMult = 2654435761L
+  private val GumbelMod = 1048576L // 2^20: (uk + 0.5) / 2^20 is dyadic-exact
+
+  /** Per-doc DSIR core shared by q161/q162: hashed-bigram bucket counts,
+    * smoothed target/raw bucket log-ratios, and the per-doc sum
+    *
+    *   s(doc) = Σ_b n_b(doc) · ln( p̂_target(b) / p̂_raw(b) )
+    *
+    * with Laplace-smoothed p̂(b) = (count(b)+1)/(N+B) on each side (Xie
+    * et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023 — the hashed-n-gram importance estimator).
+    * Returns every doc of `d` with (doc_id, n_feats, s), s as the
+    * DECIMAL(38,12) term sum (q93's order-independence pattern: the
+    * per-bucket double log-ratio is computed ONCE in the B-row weight
+    * table, each doc term casts to decimal before summing, so partial-
+    * aggregation order cannot move the result and the oracle replays it
+    * bit-for-bit). Docs with <2 tokens carry no features and weight 0.
+    *
+    * Scale shape: one narrow token-hash pass + explode, a map-side-
+    * combined (doc, bucket) count, two bucket aggregates of ≤B rows, a
+    * PINNED broadcast of the B-row weight table back onto the counts
+    * (B is a design constant, never corpus-sized), and one doc_id
+    * left join. No self-joins, no windows. */
+  private def dsirPerDoc(d: DataFrame, targetIds: DataFrame): DataFrame = {
+    val th = d.select(col("doc_id"),
+      expr("transform(split(text, ' ', -1), w -> graft_tokhash(w))").as("th"))
+    val ft = th.select(col("doc_id"), explode(expr(
+      s"""CASE WHEN size(th) >= 2 THEN transform(sequence(1, size(th) - 1),
+         |  i -> (element_at(th, i) * ${PolyHash.M1} + element_at(th, i + 1))
+         |       % ${PolyHash.P} % $DsirBuckets)
+         |ELSE cast(array() as array<bigint>) END""".stripMargin)).as("b"))
+    // referenced by the raw counts, the target counts, and the per-doc
+    // weight join; variant-keyed on the input plan like gatedShingles
+    val dc = graft.functions.ScopedCache.persist("curation.dsir.counts",
+      s"${d.queryExecution.analyzed.semanticHash()}",
+      ft.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n")))
+    val cr = dc.groupBy(col("b")).agg(sum(col("n")).as("cn"))
+    val ct = dc.join(targetIds, Seq("doc_id"))
+      .groupBy(col("b")).agg(sum(col("n")).as("tn"))
+    val tot = cr.agg(sum(col("cn")).as("nr"))
+      .crossJoin(ct.agg(coalesce(sum(col("tn")), lit(0L)).as("nt")))
+    val wt = cr.join(ct, Seq("b"), "left")
+      .na.fill(0L, Seq("tn"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        log(((col("tn") + 1).cast(DoubleType) * (col("nr") + lit(DsirBuckets)))
+          / ((col("cn") + 1) * (col("nt") + lit(DsirBuckets)))).as("lr"))
+    val perDoc = dc.join(broadcast(wt), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_feats"),
+        sum((col("n") * col("lr")).cast(DecimalType(38, 12))).as("s"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("s"), lit(0).cast(DecimalType(38, 12))).as("s"))
+  }
+
+  /** q161: per-doc DSIR log importance weight, target = the corpus's own
+    * quality-gated subset (q63 score ≥ [[FunnelQualityMin]], the same
+    * gate the funnel applies) — "how much does this doc look like the
+    * data we actually want". Positive = target-like, negative =
+    * raw-like; the score a selection policy (q162) or a mixture
+    * re-weighter thresholds on. */
+  def dsirLogWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirLogWeightsOf(Tables.documents(spark, dir), dsirTarget(spark, dir))
+
+  /** DataFrame-level core (testable: any corpus, any target id set). */
+  def dsirLogWeightsOf(d: DataFrame, targetIds: DataFrame): DataFrame =
+    dsirPerDoc(d, targetIds)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("s").cast(DoubleType), 6).as("log_w"))
+      .orderBy(col("doc_id"))
+
+  private def dsirTarget(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.ScopedCache.persist("curation.funnel.quality",
+        TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"), col("n_tokens")))
+      .filter(col("quality") >= FunnelQualityMin).select(col("doc_id"))
+
+  /** DuckDB mirror of [[dsirPerDoc]] ending in `dall(doc_id, n_feats,
+    * s)`; expects a `dtgt(doc_id)` CTE (the target set) to be defined. */
+  private def dsirCtes(docsTable: String): String =
+    s"""dtht AS (SELECT doc_id, LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+      |    w -> ${Dedup.polyFoldSql("w", PolyHash.M1)}) AS th
+      |  FROM $docsTable),
+      |dft AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(th) - 1),
+      |    i -> (th[i] * ${PolyHash.M1} + th[i + 1]) % ${PolyHash.P} % $DsirBuckets)) AS b
+      |  FROM dtht WHERE LEN(th) >= 2),
+      |dcnt AS (SELECT doc_id, b, COUNT(*) AS n FROM dft GROUP BY 1, 2),
+      |dcr AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cn FROM dcnt GROUP BY 1),
+      |dct AS (SELECT b, CAST(SUM(n) AS BIGINT) AS tn
+      |        FROM dcnt JOIN dtgt USING (doc_id) GROUP BY 1),
+      |dtot AS (SELECT (SELECT CAST(SUM(cn) AS BIGINT) FROM dcr) AS nr,
+      |                (SELECT CAST(COALESCE(SUM(tn), 0) AS BIGINT) FROM dct) AS nt),
+      |dwt AS (SELECT dcr.b,
+      |          LN((CAST(COALESCE(dct.tn, 0) + 1 AS DOUBLE) * (dtot.nr + $DsirBuckets))
+      |             / ((dcr.cn + 1) * (dtot.nt + $DsirBuckets))) AS lr
+      |        FROM dcr LEFT JOIN dct USING (b) CROSS JOIN dtot),
+      |dw AS (SELECT dcnt.doc_id, CAST(SUM(dcnt.n) AS BIGINT) AS n_feats,
+      |         SUM(CAST(dcnt.n * dwt.lr AS DECIMAL(38, 12))) AS s
+      |       FROM dcnt JOIN dwt USING (b) GROUP BY 1),
+      |dall AS (SELECT d.doc_id, COALESCE(dw.n_feats, 0) AS n_feats,
+      |           COALESCE(dw.s, 0) AS s
+      |         FROM $docsTable d LEFT JOIN dw USING (doc_id))""".stripMargin
+
+  private val dsirLogWeightsSql =
+    s"""WITH quality AS (${TextOps.qualityCoreSql}),
+      |dtgt AS (SELECT doc_id FROM quality
+      |         WHERE quality >= ${Curation.FunnelQualityMin}),
+      |${dsirCtes("documents")}
+      |SELECT doc_id, n_feats, ROUND(CAST(s AS DOUBLE), 6) AS log_w
+      |FROM dall
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** q162: importance RESAMPLING — DSIR's selection step. Sample
+    * [[DsirSelectK]] docs without replacement, proportionally to their
+    * importance weight, via the Gumbel-top-k identity: rank by
+    * log w(doc) + Gumbel(doc) and take the top k. The Gumbel draw is a
+    * deterministic engine-portable grid — u = (h(doc_id)+½)/2²⁰ on a
+    * fourth multiplicative-hash family, g = −ln(−ln u) — so the sampled
+    * corpus is reproducible across engines, runs, and cluster sizes
+    * (the same auditability contract as q87/q126). The global top-k is
+    * a TakeOrderedAndProject: k rows per partition then k at the
+    * driver, never a full sort. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectOf(Tables.documents(spark, dir), dsirTarget(spark, dir))
+
+  /** DataFrame-level core (testable: any corpus, target, and k). */
+  def dsirSelectOf(d: DataFrame, targetIds: DataFrame,
+      k: Int = DsirSelectK): DataFrame = {
+    val uk = pmod(pmod(col("doc_id") + lit(GumbelOffset), lit(GumbelModPrime))
+      * lit(GumbelMult), lit(GumbelMod))
+    val u = (uk.cast(DoubleType) + lit(0.5)) / lit(GumbelMod.toDouble)
+    val g = -log(-log(u))
+    dsirPerDoc(d, targetIds)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("s").cast(DoubleType), 6).as("log_w"),
+        round(col("s").cast(DoubleType) + g, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  private val dsirSelectSql = {
+    val uk = s"(((((doc_id + $GumbelOffset) % $GumbelModPrime) + $GumbelModPrime)" +
+      s" % $GumbelModPrime * $GumbelMult) % $GumbelMod + $GumbelMod) % $GumbelMod"
+    s"""WITH quality AS (${TextOps.qualityCoreSql}),
+      |dtgt AS (SELECT doc_id FROM quality
+      |         WHERE quality >= ${Curation.FunnelQualityMin}),
+      |${dsirCtes("documents")}
+      |SELECT doc_id, n_feats, ROUND(CAST(s AS DOUBLE), 6) AS log_w,
+      |  ROUND(CAST(s AS DOUBLE)
+      |        + -LN(-LN((($uk) + 0.5) / $GumbelMod.0)), 6) AS score
+      |FROM dall
+      |ORDER BY score DESC NULLS LAST, doc_id NULLS FIRST
+      |LIMIT $DsirSelectK""".stripMargin
+  }
 
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
@@ -776,5 +1040,8 @@ object Curation extends QueryModule {
     GraftQuery("q120_epoch_plan", epochPlan, Some(epochPlanSql)),
     GraftQuery("q121_source_drift_kl", sourceDriftKl, Some(sourceDriftKlSql)),
     GraftQuery("q160_curation_funnel", curationFunnel, Some(curationFunnelSql)),
+    GraftQuery("q161_dsir_logweights", dsirLogWeights, Some(dsirLogWeightsSql)),
+    GraftQuery("q162_dsir_select", dsirSelect, Some(dsirSelectSql)),
+    GraftQuery("q163_rejection_audit", rejectionAudit, Some(rejectionAuditSql)),
   )
 }

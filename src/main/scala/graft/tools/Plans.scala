@@ -371,6 +371,29 @@ object Plans {
           "stage 1, and the only joins are the gated-shingle equi-joins " +
           "inside the q72 core.",
         graft.operators.Curation.curationFunnel(spark, dir)),
+      section("q161 DSIR importance weights (r10 data selection)",
+        "What to look for: one narrow token-hash pass + Generate " +
+          "(bigram-bucket explode) into a partial+final (doc_id, b) " +
+          "count aggregate (ScopedCache'd, scanned by all three " +
+          "consumers); the two bucket roll-ups are <=512-row " +
+          "aggregates; the weight table returns via BroadcastHashJoin " +
+          "(PINNED — B is a design constant, never corpus-sized); the " +
+          "only BroadcastNestedLoopJoins are the 1-row scalar-total " +
+          "crossJoins (q93 idiom); NO window function anywhere.",
+        graft.operators.Curation.dsirLogWeights(spark, dir)),
+      section("q162 DSIR resampled selection (r10)",
+        "What to look for: the q161 dataflow ending in " +
+          "TakeOrderedAndProject(limit=100) on (score DESC, doc_id) — " +
+          "k rows per partition then k at the driver, never a global " +
+          "Sort of the corpus.",
+        graft.operators.Curation.dsirSelect(spark, dir)),
+      section("q163 per-doc rejection audit (r10 funnel provenance)",
+        "What to look for: the funnel's cached stage tables " +
+          "(InMemoryTableScans of quality/gated/sv) with ONE added " +
+          "text-keyed keeper join (gated x survivors) and two doc_id " +
+          "LEFT equi-joins onto the label table; CASE projection, " +
+          "presentation sort; no window function, no nested loop.",
+        graft.operators.Curation.rejectionAudit(spark, dir)),
       section("q155 quality-aware canonical selection (r10)",
         "What to look for: the artifact-backed cluster table joins the " +
           "quality scores on doc_id (AQE-decided — no forced broadcast; " +

@@ -541,6 +541,26 @@ object ScaleProbe {
     time("q158 winnow pairs 1x (5k docs)")(winnowPairsCount(d1))
     time(s"q158 winnow pairs ${copies}x")(winnowPairsCount(dTok))
 
+    // r10 DSIR shape: narrow token-hash pass + (doc, bucket) count
+    // aggregate + <=512-row roll-ups + a broadcast weight join — should
+    // track the scan linearly (the weight table is size-constant by
+    // design). Plain doc_id-shifted replication: uniform count scaling
+    // leaves the bucket distributions (and thus the plan's work shape)
+    // unchanged, which is exactly the timing question here.
+    val dIdShift = (1 to copies).map(i =>
+      d1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L)))
+      .reduce(_ unionByName _)
+    def dsirTarget(docs: DataFrame): DataFrame =
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id")
+    def dsirCount(docs: DataFrame): Long =
+      graft.operators.Curation.dsirLogWeightsOf(docs, dsirTarget(docs)).count()
+    def dsirSelCount(docs: DataFrame): Long =
+      graft.operators.Curation.dsirSelectOf(docs, dsirTarget(docs)).count()
+    time("q161 dsir weights 1x (5k docs)")(dsirCount(d1))
+    time(s"q161 dsir weights ${copies}x")(dsirCount(dIdShift))
+    time("q162 dsir select 1x (5k docs)")(dsirSelCount(d1))
+    time(s"q162 dsir select ${copies}x")(dsirSelCount(dIdShift))
+
     spark.stop()
   }
 }

@@ -301,4 +301,147 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       assert(byStage(s)._2 >= byStage(s + 1)._2)
     }
   }
+
+  // ---- q161/q162: DSIR importance weights + resampling -------------------
+
+  /** Driver mirror of the hashed-bigram feature map (131/2^31−1 portable
+    * family, 512 buckets). */
+  private def dsirBuckets(text: String): Seq[Long] = {
+    val th = text.split(" ", -1).map(w =>
+      graft.functions.PolyHash.foldToken(w, graft.functions.PolyHash.M1))
+    if (th.length < 2) Seq.empty
+    else (0 until th.length - 1).map(i => (th(i) * 131L + th(i + 1)) % 2147483647L % 512L)
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Driver mirror of dsirPerDoc: per-doc (n_feats, unrounded decimal
+    * term sum) under the Laplace-smoothed log-ratio weights. */
+  private def dsirRef(corpus: Seq[(Long, String)], target: Set[Long])
+      : Map[Long, (Long, BigDecimal)] = {
+    val perDoc = corpus.map { case (id, t) =>
+      id -> dsirBuckets(t).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val cr = perDoc.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ct = perDoc.filter(kv => target(kv._1)).values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nr = cr.values.sum
+    val nt = ct.values.sum
+    val lr = cr.map { case (b, cn) =>
+      val tn = ct.getOrElse(b, 0L)
+      b -> math.log(((tn + 1).toDouble * (nr + 512L)) / ((cn + 1) * (nt + 512L)))
+    }
+    perDoc.map { case (id, counts) =>
+      val s = counts.toSeq.map { case (b, n) =>
+        BigDecimal.valueOf(n * lr(b)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      id -> ((counts.values.sum, s))
+    }
+  }
+
+  test("q161 weights are identically zero when target = corpus, equal for equal text") {
+    val session = spark
+    import session.implicits._
+    val corpus = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma delta"), // exact twin of 1
+      (3L, "en", "echo foxtrot golf hotel india"),
+      (4L, "en", "one"), // single token: no features
+      (5L, "en", "kilo lima mike november"))
+    val d = docs(corpus: _*)
+    val allIds = corpus.map(_._1).toDF("doc_id")
+    val out = Curation.dsirLogWeightsOf(d, allIds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // p_target == p_raw bucket-for-bucket => every log-ratio is ln(1) = 0
+    assert(out.values.forall(_._2 === 0.0))
+    assert(out(4L) === ((0L, 0.0)))
+    assert(out(1L)._1 === 3L) // 4 tokens -> 3 bigram features
+    assert(out(1L) === out(2L))
+  }
+
+  test("q161 matches the driver reference and orders target-like above raw-like") {
+    val session = spark
+    import session.implicits._
+    val corpus = Seq(
+      (1L, "en", "alpha beta alpha beta alpha beta"),
+      (2L, "en", "alpha beta alpha beta gamma delta"),
+      (3L, "en", "gamma delta gamma delta gamma delta"),
+      (4L, "en", "gamma delta epsilon zeta gamma delta"))
+    val target = Set(1L, 2L)
+    val out = Curation.dsirLogWeightsOf(docs(corpus: _*),
+        target.toSeq.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ref = dsirRef(corpus.map(c => (c._1, c._3)), target)
+    corpus.foreach { case (id, _, _) =>
+      assert(out(id)._1 === ref(id)._1, s"n_feats doc $id")
+      assert(out(id)._2 === r6(ref(id)._2.toDouble), s"log_w doc $id")
+    }
+    // the pure-target doc outscores the pure-raw doc
+    assert(out(1L)._2 > 0.0 && out(3L)._2 < out(1L)._2)
+  }
+
+  /** Driver mirror of the q162 Gumbel grid (offset +59 family, 2^20). */
+  private def gumbelOf(id: Long): Double = {
+    val uk = (((id + 59L) % 1000003L + 1000003L) % 1000003L
+      * 2654435761L % 1048576L + 1048576L) % 1048576L
+    -math.log(-math.log((uk + 0.5) / 1048576.0))
+  }
+
+  test("q162 selection is exactly the driver's Gumbel-top-k, deterministically") {
+    val session = spark
+    import session.implicits._
+    val corpus = (1L to 40L).map(i =>
+      (i, "en", if (i % 2 == 0) "alpha beta gamma delta" else s"tok$i blob$i mix$i"))
+    val target = corpus.collect { case (i, _, _) if i % 2 == 0 => i }.toSet
+    val d = docs(corpus: _*)
+    val tdf = target.toSeq.toDF("doc_id")
+    val out = Curation.dsirSelectOf(d, tdf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 10)
+    val ref = dsirRef(corpus.map(c => (c._1, c._3)), target)
+    val expect = ref.toSeq.map { case (id, (_, s)) =>
+      (id, r6(s.toDouble), r6(s.toDouble + gumbelOf(id)))
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(10)
+    assert(out.toSeq === expect)
+    // deterministic: a second run returns the identical selection
+    val again = Curation.dsirSelectOf(d, tdf, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
+  // ---- q163: per-doc rejection audit -------------------------------------
+
+  test("q163 statuses partition the corpus and reconcile with the q160 funnel") {
+    val audit = Curation.rejectionAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val funnel = Curation.curationFunnel(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // exactly one row per raw doc
+    assert(audit.length.toLong === funnel(0))
+    assert(audit.map(_._1).distinct.length === audit.length)
+    // per-status counts are the funnel's stage deltas
+    val by = audit.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(by.getOrElse("dropped_quality", 0L) === funnel(0) - funnel(1))
+    assert(by.getOrElse("dropped_exact_dup", 0L) === funnel(1) - funnel(2))
+    assert(by.getOrElse("dropped_near_dup", 0L) === funnel(2) - funnel(3))
+    assert(by.getOrElse("kept", 0L) === funnel(3))
+    // kept_by is present exactly for the duplicate drops, and names a doc
+    // that won its own stage: an exact-dup's keeper survives to the
+    // near-dup stage (status kept or dropped_near_dup); a near-dup's
+    // cluster representative survives the whole funnel
+    val status = audit.map(a => a._1 -> a._2).toMap
+    audit.foreach { case (id, st, kb) =>
+      assert(kb.isDefined === (st == "dropped_exact_dup" || st == "dropped_near_dup"), s"doc $id")
+      kb.foreach(k => assert(k != id))
+      if (st == "dropped_exact_dup")
+        assert(Set("kept", "dropped_near_dup")(status(kb.get)), s"doc $id keeper")
+      if (st == "dropped_near_dup")
+        assert(status(kb.get) === "kept", s"doc $id rep")
+    }
+    // at least the kept class is populated on the fixture
+    assert(by("kept") > 0L)
+  }
 }

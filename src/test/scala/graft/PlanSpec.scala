@@ -623,6 +623,32 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q161 DSIR weights: broadcast bucket-weight join, no window, no cartesian") {
+    val plan = fullPlanText(Curation.dsirLogWeights(spark, sf0001))
+    // the B-row weight table must ride a broadcast back onto the counts
+    // (B is a design constant — the join must never shuffle the corpus
+    // side on the bucket key), and the whole pipeline is aggregates +
+    // equi-joins: no window, no true cartesian (the only nested-loop
+    // joins are the 1-row scalar-total broadcasts, the q93 idiom)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q162 DSIR selection: global top-k is TakeOrdered, never a full sort") {
+    val df = Curation.dsirSelect(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q163 rejection audit: equi-joins only, no window, no nested loop") {
+    val plan = executedPlan(Curation.rejectionAudit(spark, sf0001))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+  }
+
   test("q157 winnowing: one keyed aggregation, no window function, no self-join") {
     val plan = executedPlan(SpanDedup.winnowedFingerprints(spark, sf0001))
     // selection is min(struct) with map-side partial aggregation — never
