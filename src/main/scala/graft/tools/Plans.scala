@@ -387,6 +387,14 @@ object Plans {
           "k rows per partition then k at the driver, never a global " +
           "Sort of the corpus.",
         graft.operators.Curation.dsirSelect(spark, dir)),
+      section("q164 payload block-signature near-dup (r10 multimodal)",
+        "What to look for: one narrow pass computes the 16 block hashes " +
+          "per payload (Generate x16, never corpus-squared); band " +
+          "signatures are a keyed fold; the hot-band gate is a LeftAnti " +
+          "join BEFORE the (band, bh) pair equi-join; verification " +
+          "re-joins the cached 16-row block table on both pair sides. " +
+          "No CartesianProduct, no window.",
+        graft.operators.Multimodal.payloadBlockNeardup(spark, dir)),
       section("q163 per-doc rejection audit (r10 funnel provenance)",
         "What to look for: the funnel's cached stage tables " +
           "(InMemoryTableScans of quality/gated/sv) with ONE added " +

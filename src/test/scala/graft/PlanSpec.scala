@@ -642,6 +642,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("q164 payload near-dup: DF-gated band join, equi-joins only, no cartesian") {
+    val plan = executedPlan(Multimodal.payloadBlockNeardup(spark, sf0001))
+    // the hot-band anti-join gate must be in the plan (boilerplate
+    // buckets never reach the pair join), and every join is an equi-join
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+  }
+
   test("q163 rejection audit: equi-joins only, no window, no nested loop") {
     val plan = executedPlan(Curation.rejectionAudit(spark, sf0001))
     assert(!plan.contains("windowspecdefinition"), plan.take(4000))

@@ -363,6 +363,86 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(a.map(_.getInt(0)).toSet.subsetOf(Set(1, 2, 3))) // channels ∈ 1..3
   }
 
+  // ---- q164: payload block-signature near-dup ----------------------------
+
+  private def payloadCorpus(rows: (Long, String)*) = {
+    val session = spark
+    import session.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** 16 blocks × 20 ASCII chars — each char arg fills one signature
+    * block exactly (320 ASCII bytes, block grid at 20-char strides). */
+  private def blockText(blocks: String): String = {
+    require(blocks.length == 16)
+    blocks.map(c => c.toString * 20).mkString
+  }
+
+  private def neardupPairs(rows: (Long, String)*): Seq[(Long, Long, Int)] =
+    Multimodal.payloadBlockNeardupOf(payloadCorpus(rows: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+  test("q164 detects same-length regional corruption; exact copies score 16/16") {
+    val base = blockText("abcdefghijklmnop")
+    // corrupt exactly block 5 (chars 100-119): 15/16 blocks survive
+    val oneBlock = base.substring(0, 100) + "Z" * 20 + base.substring(120)
+    // corrupt blocks 1,2,5,9,13,14 — 10/16 equal (under threshold) AND
+    // every 4-block band touched (no candidate band either)
+    val spread = {
+      val sb = new StringBuilder(base)
+      Seq(1, 2, 5, 9, 13, 14).foreach(b =>
+        sb.replace(b * 20, (b + 1) * 20, "Y" * 20))
+      sb.toString
+    }
+    val longer = base + "tail overflow" // different length: grid misaligns
+    val out = neardupPairs(
+      (1L, base), (2L, base), (3L, oneBlock), (4L, spread), (5L, longer))
+    assert(out === Seq((1L, 2L, 16), (1L, 3L, 15), (2L, 3L, 15)))
+  }
+
+  test("q164 hot-band gate suppresses boilerplate clone groups, keeps genuine pairs") {
+    val boiler = blockText("qqqqqqqqwwwwwwww")
+    val base = blockText("abcdefghijklmnop")
+    val variant = base.substring(0, 100) + "Z" * 20 + base.substring(120)
+    // 100 identical boilerplate payloads (> MaxBandDocs=64 per band
+    // bucket) must NOT fan out 4950 pairs; the isolated genuine pair
+    // must survive the gate
+    val corpus = (1L to 100L).map(i => (i, boiler)) ++
+      Seq((200L, base), (201L, variant))
+    val out = neardupPairs(corpus: _*)
+    assert(out === Seq((200L, 201L, 15)))
+  }
+
+  test("q164 re-encode plant is deterministic, same-length, every-20th-eligible") {
+    val session = spark
+    import session.implicits._
+    val d = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val v1 = Multimodal.reencodedVariants(d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val v2 = Multimodal.reencodedVariants(d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(v1 === v2) // deterministic
+    assert(v1.nonEmpty)
+    val orig = d.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    v1.foreach { case (vid, vtext) =>
+      val oid = vid - 10000000L
+      assert(oid % 20 === 0)
+      val otext = orig(oid)
+      assert(vtext.length === otext.length, s"variant of $oid must keep length")
+      assert(vtext !== otext)
+      // untouched prefix: the patch starts at len/4
+      assert(vtext.take(otext.length / 4) === otext.take(otext.length / 4))
+    }
+    // registered query: every planted variant is detected against its
+    // original with >= NearBlocks agreement
+    val det = Multimodal.payloadBlockNeardup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expected = v1.map { case (vid, _) => (vid - 10000000L, vid) }.toSet
+    assert(det.map(t => (t._1, t._2)).toSet === expected)
+    assert(det.forall(_._3 >= Multimodal.NearBlocks))
+  }
+
   test("q67/q68 conserve the corpus: split and packing partition every doc/token") {
     val session = spark
     import session.implicits._
