@@ -124,6 +124,8 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SpanPolyHashes(Cast(exprs.head, StringType))),
     ("graft_simtoken", classOf[SimTokenPolyHash],
       (exprs: Seq[Expression]) => SimTokenPolyHash(Cast(exprs.head, StringType))),
+    ("graft_cdc_cuts", classOf[CdcCuts],
+      (exprs: Seq[Expression]) => CdcCuts(Cast(exprs.head, StringType))),
     ("graft_nfc", classOf[NormalizeNfc],
       (exprs: Seq[Expression]) => NormalizeNfc(Cast(exprs.head, StringType))),
     ("graft_nfc_lower", classOf[NfcLowerSimple],

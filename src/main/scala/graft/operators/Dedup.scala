@@ -1718,8 +1718,110 @@ object Dedup extends QueryModule {
       |LEFT JOIN nr ON i.doc_id = nr.doc_id
       |ORDER BY i.doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q165: content-defined chunk dedup accounting (storage-side dedup)
+  // ---------------------------------------------------------------------
+
+  /** q165: STORAGE-level dedup accounting via content-defined chunking
+    * (LBFS/rsync lineage) — "how many bytes does chunk-dedup save, per
+    * source": each document splits at rolling-hash boundaries
+    * ([[graft.functions.CdcChunker]] — boundaries re-synchronize after
+    * any edit, so shared runs across documents land in identical
+    * chunks), chunks are identified by content SHA-256, and each source
+    * reports total vs unique chunk counts and bytes plus the dedup
+    * ratio. This is the physical-bytes twin of the document-level dedup
+    * family (q70-q85 ask "which DOCUMENTS are copies"; q165 asks "how
+    * much STORAGE do partial overlaps cost") — the number a 100 TB lake's
+    * capacity planning runs on.
+    *
+    * Scale shape: one narrow pass per doc runs the O(n) rolling chunker
+    * inside whole-stage codegen (native [[graft.functions.CdcCuts]]
+    * expression), the explode emits ~len/64 chunk rows, and everything
+    * after is two map-side-combined keyed aggregates ((source, sha) then
+    * source) — no joins over the corpus, no windows, driver sees only
+    * #sources rows. The oracle replays the rolling hash as a windowed
+    * LIST_REDUCE fold (the seedless polynomial the rolling identity
+    * maintains), so boundaries — and therefore every count — are
+    * bit-identical across engines. */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkDedupOf(Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text")))
+
+  /** DataFrame-level core (testable/probable on any corpus). */
+  def cdcChunkDedupOf(docs: DataFrame): DataFrame = {
+    val d = docs.filter(length(col("text")) >= 1)
+    val chunks = d
+      .select(col("source"), col("doc_id"), col("text"),
+        expr("graft_cdc_cuts(text)").as("cuts"))
+      .select(col("source"), col("doc_id"), explode(expr(
+        """transform(cuts, (e, i) ->
+          |  substring(text,
+          |    CASE WHEN i = 0 THEN 1 ELSE element_at(cuts, i) + 1 END,
+          |    e - CASE WHEN i = 0 THEN 0 ELSE element_at(cuts, i) END))""".stripMargin))
+        .as("chunk"))
+      .select(col("source"), col("doc_id"),
+        sha2(encode(col("chunk"), "UTF-8"), 256).as("sha"),
+        length(encode(col("chunk"), "UTF-8")).cast(LongType).as("cb"))
+    val totals = chunks.groupBy(col("source")).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("total_chunks"),
+      sum(col("cb")).as("total_bytes"))
+    val uniques = chunks
+      .groupBy(col("source"), col("sha"))
+      .agg(max(col("cb")).as("cb")) // same sha => same chunk => same bytes
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("uniq_chunks"), sum(col("cb")).as("uniq_bytes"))
+    totals.join(uniques, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chunks"),
+        col("uniq_chunks"), col("total_bytes"), col("uniq_bytes"),
+        round(col("uniq_bytes").cast(DoubleType) / col("total_bytes"), 6)
+          .as("dedup_ratio"))
+      .orderBy(col("source"))
+  }
+
+  private val cdcChunkDedupSql = {
+    import graft.functions.{CdcChunker, PolyHash}
+    s"""WITH base AS (
+      |  SELECT doc_id, source, text FROM documents WHERE LEN(text) >= 1),
+      |pos AS (
+      |  SELECT doc_id, UNNEST(GENERATE_SERIES(${CdcChunker.Window}, LEN(text))) AS i
+      |  FROM base),
+      |wf AS (
+      |  SELECT p.doc_id, p.i,
+      |    LIST_REDUCE(LIST_TRANSFORM(
+      |      GENERATE_SERIES(p.i - ${CdcChunker.Window - 1}, p.i),
+      |      k -> CAST(UNICODE(SUBSTR(b.text, k, 1)) AS BIGINT)),
+      |      (acc, c) -> (acc * ${PolyHash.M1} + c) % ${PolyHash.P}) AS h
+      |  FROM pos p JOIN base b USING (doc_id)),
+      |cut AS (
+      |  SELECT doc_id, i FROM wf WHERE h % ${CdcChunker.Divisor} = 0
+      |  UNION
+      |  SELECT doc_id, LEN(text) FROM base),
+      |ck AS (
+      |  SELECT doc_id, i AS e,
+      |    COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s
+      |  FROM cut),
+      |chunk AS (
+      |  SELECT b.source, b.doc_id,
+      |    SHA256(SUBSTRING(b.text, s + 1, e - s)) AS sha,
+      |    OCTET_LENGTH(ENCODE(SUBSTRING(b.text, s + 1, e - s))) AS cb
+      |  FROM ck JOIN base b USING (doc_id)),
+      |tot AS (
+      |  SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS total_chunks,
+      |    CAST(SUM(cb) AS BIGINT) AS total_bytes
+      |  FROM chunk GROUP BY 1),
+      |u1 AS (SELECT source, sha, MAX(cb) AS cb FROM chunk GROUP BY 1, 2),
+      |un AS (SELECT source, COUNT(*) AS uniq_chunks, CAST(SUM(cb) AS BIGINT) AS uniq_bytes
+      |       FROM u1 GROUP BY 1)
+      |SELECT source, n_docs, total_chunks, uniq_chunks, total_bytes, uniq_bytes,
+      |  ROUND(CAST(uniq_bytes AS DOUBLE) / total_bytes, 6) AS dedup_ratio
+      |FROM tot JOIN un USING (source)
+      |ORDER BY source NULLS FIRST""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
+    GraftQuery("q165_cdc_chunk_dedup", cdcChunkDedup, Some(cdcChunkDedupSql)),
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
     GraftQuery("q72_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
     GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),

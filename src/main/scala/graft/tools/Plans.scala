@@ -387,6 +387,14 @@ object Plans {
           "k rows per partition then k at the driver, never a global " +
           "Sort of the corpus.",
         graft.operators.Curation.dsirSelect(spark, dir)),
+      section("q165 CDC chunk dedup accounting (r10 storage-side dedup)",
+        "What to look for: graft_cdc_cuts runs inside the scan's " +
+          "projection (native rolling-hash expression, whole-stage " +
+          "codegen, no fallback marker); Generate explodes ~len/64 " +
+          "chunk rows; both roll-ups are partial+final HashAggregates; " +
+          "the only join is the #sources-row totals x uniques merge. " +
+          "No window function, no corpus-sized join.",
+        graft.operators.Dedup.cdcChunkDedup(spark, dir)),
       section("q164 payload block-signature near-dup (r10 multimodal)",
         "What to look for: one narrow pass computes the 16 block hashes " +
           "per payload (Generate x16, never corpus-squared); band " +

@@ -561,6 +561,16 @@ object ScaleProbe {
     time("q162 dsir select 1x (5k docs)")(dsirSelCount(d1))
     time(s"q162 dsir select ${copies}x")(dsirSelCount(dIdShift))
 
+    // r10 CDC chunker shape: O(n) rolling chunker in the scan + two
+    // keyed aggregates — should track the scan linearly. id-shifted
+    // replication keeps each copy's chunks distinct per doc while the
+    // (source, sha) dedup aggregate sees copies-x duplicate chunks —
+    // the worst case for the aggregate, the realistic case at scale.
+    def cdcAgg(docs: DataFrame): Long =
+      graft.operators.Dedup.cdcChunkDedupOf(docs).count()
+    time("q165 cdc chunk dedup 1x (5k docs)")(cdcAgg(d1))
+    time(s"q165 cdc chunk dedup ${copies}x")(cdcAgg(dIdShift))
+
     spark.stop()
   }
 }

@@ -238,4 +238,65 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     // 500 identical bytes deflate to a handful
     assert(fromCodegen(0)._1 < 30L)
   }
+
+  // ---- graft_cdc_cuts: content-defined chunking (q165) -------------------
+
+  /** Independent windowed-fold reference: for each code-point position
+    * i >= W, fold the last W code points from scratch (the definition
+    * the rolling identity in CdcChunker must reproduce). */
+  private def cdcCutsRef(s: String): Seq[Int] = {
+    import graft.functions.{CdcChunker, PolyHash}
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val content = (CdcChunker.Window to n).filter { i =>
+      var h = 0L
+      ((i - CdcChunker.Window) until i).foreach(k => h = (h * PolyHash.M1 + cps(k)) % PolyHash.P)
+      h % CdcChunker.Divisor == 0L
+    }
+    if (n == 0) Seq.empty
+    else if (content.nonEmpty && content.last == n) content else content :+ n
+  }
+
+  private def cutsOf(texts: String*): Map[String, Seq[Int]] = {
+    val session = spark
+    import session.implicits._
+    texts.toDF("text")
+      .selectExpr("text", "graft_cdc_cuts(text) AS cuts")
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toSeq).toMap
+  }
+
+  test("graft_cdc_cuts: rolling hash equals the from-scratch windowed fold") {
+    val rnd = new scala.util.Random(42)
+    val texts = (1 to 30).map(_ =>
+      (1 to (20 + rnd.nextInt(400))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString) ++
+      Seq("short", "x", "", "exactly sixteen!", // boundary-length cases
+        "café " * 40, "😀ab " * 30) // multi-byte + surrogate pairs
+    val got = cutsOf(texts.filter(_.nonEmpty).distinct: _*)
+    got.foreach { case (t, cuts) =>
+      assert(cuts === cdcCutsRef(t), s"cuts mismatch for ${t.take(40)}")
+      // cuts are ascending, 1-based, end exactly at the code-point length
+      assert(cuts.last === t.codePointCount(0, t.length))
+      assert(cuts === cuts.sorted && cuts.distinct === cuts)
+    }
+    // short texts (< window) are a single whole-text chunk
+    assert(got("short") === Seq(5))
+  }
+
+  test("graft_cdc_cuts: boundaries re-synchronize after a prefix edit (the CDC law)") {
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "INSERTED-PREFIX-" + base // shifts every fixed-size grid
+    val cb = cutsOf(base)(base)
+    val ce = cutsOf(edited)(edited)
+    def chunksOf(t: String, cuts: Seq[Int]): Seq[String] =
+      cuts.zip(0 +: cuts.dropRight(1)).map { case (e, s) => t.substring(s, e) }
+    val shared = chunksOf(base, cb).toSet intersect chunksOf(edited, ce).toSet
+    // after the first post-edit boundary the streams align again: the
+    // overwhelming majority of the base's chunks survive verbatim
+    assert(shared.size >= chunksOf(base, cb).size - 3,
+      s"only ${shared.size} of ${chunksOf(base, cb).size} chunks re-synced")
+    // and chunks always tile the document exactly
+    assert(chunksOf(base, cb).mkString === base)
+    assert(chunksOf(edited, ce).mkString === edited)
+  }
 }

@@ -652,6 +652,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("windowspecdefinition"), plan.take(4000))
   }
 
+  test("q165 CDC chunk dedup: narrow chunker pass + keyed aggregates, no corpus join") {
+    val plan = executedPlan(Dedup.cdcChunkDedup(spark, sf0001))
+    // the chunker runs inside the scan projection (native expression, no
+    // codegen fallback marker), chunks roll up via partial aggregates,
+    // and the only join is the #sources-row totals x uniques merge
+    assert(plan.contains("graft_cdc_cuts"), plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      plan.take(4000))
+  }
+
   test("q163 rejection audit: equi-joins only, no window, no nested loop") {
     val plan = executedPlan(Curation.rejectionAudit(spark, sf0001))
     assert(!plan.contains("windowspecdefinition"), plan.take(4000))
