@@ -1747,10 +1747,10 @@ object Dedup extends QueryModule {
     cdcChunkDedupOf(Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), col("text")))
 
-  /** DataFrame-level core (testable/probable on any corpus). */
-  def cdcChunkDedupOf(docs: DataFrame): DataFrame = {
-    val d = docs.filter(length(col("text")) >= 1)
-    val chunks = d
+  /** The chunk table `(source, doc_id, sha, cb)` of a corpus — the
+    * content-addressed view q165 aggregates and q166 diffs. */
+  private def cdcChunksOf(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 1)
       .select(col("source"), col("doc_id"), col("text"),
         expr("graft_cdc_cuts(text)").as("cuts"))
       .select(col("source"), col("doc_id"), explode(expr(
@@ -1762,6 +1762,10 @@ object Dedup extends QueryModule {
       .select(col("source"), col("doc_id"),
         sha2(encode(col("chunk"), "UTF-8"), 256).as("sha"),
         length(encode(col("chunk"), "UTF-8")).cast(LongType).as("cb"))
+
+  /** DataFrame-level core (testable/probable on any corpus). */
+  def cdcChunkDedupOf(docs: DataFrame): DataFrame = {
+    val chunks = cdcChunksOf(docs)
     val totals = chunks.groupBy(col("source")).agg(
       countDistinct(col("doc_id")).as("n_docs"),
       count(lit(1)).as("total_chunks"),
@@ -1779,33 +1783,42 @@ object Dedup extends QueryModule {
       .orderBy(col("source"))
   }
 
-  private val cdcChunkDedupSql = {
+  /** DuckDB replay of [[cdcChunksOf]] over the CTE/table `baseName`
+    * (columns doc_id, source, text; caller filters LEN >= 1), emitting
+    * prefixed CTEs ending in `${p}chunk(source, doc_id, sha, cb)`.
+    * Shared VERBATIM by the q165 and q166 oracles so the chunk
+    * definition cannot drift between the accounting and the diff. */
+  private def cdcChunkCtes(p: String, baseName: String): String = {
     import graft.functions.{CdcChunker, PolyHash}
-    s"""WITH base AS (
-      |  SELECT doc_id, source, text FROM documents WHERE LEN(text) >= 1),
-      |pos AS (
+    s"""${p}pos AS (
       |  SELECT doc_id, UNNEST(GENERATE_SERIES(${CdcChunker.Window}, LEN(text))) AS i
-      |  FROM base),
-      |wf AS (
+      |  FROM $baseName),
+      |${p}wf AS (
       |  SELECT p.doc_id, p.i,
       |    LIST_REDUCE(LIST_TRANSFORM(
       |      GENERATE_SERIES(p.i - ${CdcChunker.Window - 1}, p.i),
       |      k -> CAST(UNICODE(SUBSTR(b.text, k, 1)) AS BIGINT)),
       |      (acc, c) -> (acc * ${PolyHash.M1} + c) % ${PolyHash.P}) AS h
-      |  FROM pos p JOIN base b USING (doc_id)),
-      |cut AS (
-      |  SELECT doc_id, i FROM wf WHERE h % ${CdcChunker.Divisor} = 0
+      |  FROM ${p}pos p JOIN $baseName b USING (doc_id)),
+      |${p}cut AS (
+      |  SELECT doc_id, i FROM ${p}wf WHERE h % ${CdcChunker.Divisor} = 0
       |  UNION
-      |  SELECT doc_id, LEN(text) FROM base),
-      |ck AS (
+      |  SELECT doc_id, LEN(text) FROM $baseName),
+      |${p}ck AS (
       |  SELECT doc_id, i AS e,
       |    COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s
-      |  FROM cut),
-      |chunk AS (
+      |  FROM ${p}cut),
+      |${p}chunk AS (
       |  SELECT b.source, b.doc_id,
       |    SHA256(SUBSTRING(b.text, s + 1, e - s)) AS sha,
       |    OCTET_LENGTH(ENCODE(SUBSTRING(b.text, s + 1, e - s))) AS cb
-      |  FROM ck JOIN base b USING (doc_id)),
+      |  FROM ${p}ck JOIN $baseName b USING (doc_id))""".stripMargin
+  }
+
+  private val cdcChunkDedupSql = {
+    s"""WITH base AS (
+      |  SELECT doc_id, source, text FROM documents WHERE LEN(text) >= 1),
+      |${cdcChunkCtes("", "base")},
       |tot AS (
       |  SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS total_chunks,
       |    CAST(SUM(cb) AS BIGINT) AS total_bytes
@@ -1819,9 +1832,101 @@ object Dedup extends QueryModule {
       |ORDER BY source NULLS FIRST""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q166: snapshot delta-transfer accounting (rsync/CAS shape)
+  // ---------------------------------------------------------------------
+
+  /** q166: how many bytes must MOVE to turn yesterday's snapshot into
+    * today's — the rsync / content-addressed-store question every
+    * incremental ingest and replication job answers at 100 TB. The new
+    * snapshot is the corpus with a deterministic insertion applied to
+    * every 10th document ([[patchedSnapshot]] — an edit, not a rewrite);
+    * because CDC boundaries re-synchronize right after an insertion
+    * (the q165 chunker, ExpressionSpec's re-sync law), only the chunks
+    * overlapping the edit are new — a fixed-size chunker would re-send
+    * every chunk after the edit point. Transfer = UNIQUE new-snapshot
+    * chunks absent from the old chunk store, each counted once (the CAS
+    * model); per source: new-snapshot logical size, transfer cost, and
+    * the reuse ratio.
+    *
+    * Scale shape: two chunker passes (narrow, codegen'd), one
+    * sha-keyed anti-join against the store (at scale the store is a
+    * persisted artifact — q111/q129's pattern; recomputing it here
+    * keeps the oracle self-contained), keyed roll-ups to #sources
+    * rows. */
+  def snapshotDeltaBytes(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("text"))
+    snapshotDeltaBytesOf(old, patchedSnapshot(old))
+  }
+
+  /** Deterministic next-day snapshot: every 10th document (of ≥4 code
+    * points) gains a marker insertion at its quarter mark; both engines
+    * derive the identical text, so the oracle replays the diff. */
+  private[graft] def patchedSnapshot(d: DataFrame): DataFrame =
+    d.withColumn("text",
+      when(col("doc_id") % 10 === 0 && length(col("text")) >= 4,
+        expr("concat(substring(text, 1, length(text) div 4), '<<p', " +
+          "cast(doc_id % 7 as string), '>>', " +
+          "substring(text, length(text) div 4 + 1, length(text)))"))
+        .otherwise(col("text")))
+
+  /** DataFrame-level core: sync `newDocs` against `oldDocs`' chunks. */
+  def snapshotDeltaBytesOf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val store = cdcChunksOf(oldDocs).select(col("sha")).distinct()
+    val nc = cdcChunksOf(newDocs)
+    val totals = nc.groupBy(col("source")).agg(
+      count(lit(1)).as("total_chunks"), sum(col("cb")).as("total_bytes"))
+    val missing = nc
+      .groupBy(col("source"), col("sha")).agg(max(col("cb")).as("cb"))
+      .join(store, Seq("sha"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("xfer_chunks"), sum(col("cb")).as("xfer_bytes"))
+    totals.join(missing, Seq("source"), "left")
+      .na.fill(0L, Seq("xfer_chunks", "xfer_bytes"))
+      .select(col("source"), col("total_chunks"), col("total_bytes"),
+        col("xfer_chunks"), col("xfer_bytes"),
+        round(lit(1.0) - col("xfer_bytes").cast(DoubleType) / col("total_bytes"), 6)
+          .as("reuse_ratio"))
+      .orderBy(col("source"))
+  }
+
+  private val snapshotDeltaBytesSql =
+    s"""WITH oldb AS (
+      |  SELECT doc_id, source, text FROM documents WHERE LEN(text) >= 1),
+      |newb AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 0 AND LEN(text) >= 4 THEN
+      |      SUBSTRING(text, 1, LEN(text) // 4) || '<<p'
+      |        || CAST(doc_id % 7 AS VARCHAR) || '>>'
+      |        || SUBSTRING(text, LEN(text) // 4 + 1, LEN(text))
+      |    ELSE text END AS text
+      |  FROM documents WHERE LEN(text) >= 1),
+      |${cdcChunkCtes("o", "oldb")},
+      |${cdcChunkCtes("n", "newb")},
+      |store AS (SELECT DISTINCT sha FROM ochunk),
+      |tot AS (
+      |  SELECT source, COUNT(*) AS total_chunks,
+      |    CAST(SUM(cb) AS BIGINT) AS total_bytes
+      |  FROM nchunk GROUP BY 1),
+      |m1 AS (SELECT source, sha, MAX(cb) AS cb FROM nchunk GROUP BY 1, 2),
+      |mx AS (
+      |  SELECT source, COUNT(*) AS xfer_chunks, CAST(SUM(cb) AS BIGINT) AS xfer_bytes
+      |  FROM m1 WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.sha = m1.sha)
+      |  GROUP BY 1)
+      |SELECT tot.source, tot.total_chunks, tot.total_bytes,
+      |  COALESCE(mx.xfer_chunks, 0) AS xfer_chunks,
+      |  COALESCE(mx.xfer_bytes, 0) AS xfer_bytes,
+      |  ROUND(1 - CAST(COALESCE(mx.xfer_bytes, 0) AS DOUBLE) / tot.total_bytes, 6)
+      |    AS reuse_ratio
+      |FROM tot LEFT JOIN mx USING (source)
+      |ORDER BY source NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
     GraftQuery("q165_cdc_chunk_dedup", cdcChunkDedup, Some(cdcChunkDedupSql)),
+    GraftQuery("q166_snapshot_delta_bytes", snapshotDeltaBytes,
+      Some(snapshotDeltaBytesSql)),
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
     GraftQuery("q72_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
     GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),

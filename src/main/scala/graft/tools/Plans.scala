@@ -395,6 +395,13 @@ object Plans {
           "the only join is the #sources-row totals x uniques merge. " +
           "No window function, no corpus-sized join.",
         graft.operators.Dedup.cdcChunkDedup(spark, dir)),
+      section("q166 snapshot delta-transfer accounting (r10 rsync/CAS)",
+        "What to look for: two codegen'd chunker passes (old store / " +
+          "new snapshot), the store reduced to DISTINCT sha, the " +
+          "missing-chunk LeftAnti equi-join on sha, then #sources-row " +
+          "roll-ups. No window, no cartesian, no corpus-sized " +
+          "broadcast.",
+        graft.operators.Dedup.snapshotDeltaBytes(spark, dir)),
       section("q164 payload block-signature near-dup (r10 multimodal)",
         "What to look for: one narrow pass computes the 16 block hashes " +
           "per payload (Generate x16, never corpus-squared); band " +

@@ -665,6 +665,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q166 snapshot delta: sha anti-join against the store, no cartesian") {
+    val plan = executedPlan(Dedup.snapshotDeltaBytes(spark, sf0001))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(plan.contains("graft_cdc_cuts"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+  }
+
   test("q163 rejection audit: equi-joins only, no window, no nested loop") {
     val plan = executedPlan(Curation.rejectionAudit(spark, sf0001))
     assert(!plan.contains("windowspecdefinition"), plan.take(4000))

@@ -363,6 +363,52 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(a.map(_.getInt(0)).toSet.subsetOf(Set(1, 2, 3))) // channels ∈ 1..3
   }
 
+  // ---- q166: snapshot delta-transfer accounting --------------------------
+
+  test("q166 transfer pays only for edit-neighborhood and brand-new chunks") {
+    val session = spark
+    import session.implicits._
+    def randText(n: Int, seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val a = randText(4000, 11)
+    val b = randText(3000, 12)
+    val c = randText(2500, 99)
+    val aEdited = a.substring(0, 1700) + "<<INSERTED EDIT>>" + a.substring(1700)
+    val old = Seq(("sA", 1L, a), ("sB", 2L, b)).toDF("source", "doc_id", "text")
+    val nw = Seq(("sA", 1L, aEdited), ("sB", 2L, b), ("sC", 3L, c))
+      .toDF("source", "doc_id", "text")
+    val out = Dedup.snapshotDeltaBytesOf(old, nw).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // unchanged doc: zero transfer, full reuse
+    assert(out("sB")._3 === 0L && out("sB")._5 === 1.0)
+    // edited doc: CDC re-sync means only chunks overlapping the
+    // insertion move — a handful of chunks, a sliver of the bytes (a
+    // fixed-size chunker would re-send everything after position 1700)
+    assert(out("sA")._3 <= 4L, s"sA xfer chunks ${out("sA")._3}")
+    assert(out("sA")._4 < a.length / 4, s"sA xfer bytes ${out("sA")._4}")
+    assert(out("sA")._5 > 0.9)
+    // brand-new doc: exactly its unique chunks move
+    val cUniq = Dedup.cdcChunkDedupOf(
+      Seq(("sC", 3L, c)).toDF("source", "doc_id", "text")).collect().head
+    assert(out("sC")._3 === cUniq.getLong(3)) // uniq_chunks
+    assert(out("sC")._4 === cUniq.getLong(5)) // uniq_bytes
+    assert(out("sC")._5 < 1.0)
+  }
+
+  test("q166 fixture plant: edits are cheap — reuse stays high everywhere") {
+    val out = Dedup.snapshotDeltaBytes(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(4) < r.getLong(2) / 2,
+        s"source ${r.getString(0)} moved ${r.getLong(4)} of ${r.getLong(2)} bytes")
+    }
+    assert(out.exists(_.getLong(4) > 0L)) // the plant did patch someone
+  }
+
   // ---- q164: payload block-signature near-dup ----------------------------
 
   private def payloadCorpus(rows: (Long, String)*) = {
