@@ -1891,6 +1891,17 @@ object Dedup extends QueryModule {
       .orderBy(col("source"))
   }
 
+  /** Batch kernel of the live CAS-ingest twin (StreamingSpec): the
+    * UNIQUE chunks `(sha, cb)` of `batch` (source, doc_id, text) absent
+    * from `store(sha)` — exactly what an incremental ingest must
+    * persist. A foreachBatch sink appends the result to the store, so
+    * the stream and the q166 batch diff share one chunk/admission
+    * definition and cannot drift. */
+  def admitChunks(batch: DataFrame, store: DataFrame): DataFrame =
+    cdcChunksOf(batch)
+      .groupBy(col("sha")).agg(max(col("cb")).as("cb"))
+      .join(store, Seq("sha"), "left_anti")
+
   private val snapshotDeltaBytesSql =
     s"""WITH oldb AS (
       |  SELECT doc_id, source, text FROM documents WHERE LEN(text) >= 1),

@@ -430,6 +430,67 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(results.get(9003L) === ((0L, false)))
   }
 
+  test("streaming chunk admission: each micro-batch persists only chunks the store lacks") {
+    // the live twin of q166's CAS diff: foreachBatch admits arriving
+    // docs through the SAME admitChunks kernel the batch diff uses,
+    // appending only store-missing unique chunks — re-sent content
+    // admits nothing, edits admit only their edit-neighborhood chunks
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = tmp("cas-store")
+    def storeDf(): org.apache.spark.sql.DataFrame = {
+      val f = new java.io.File(storeDir)
+      if (f.exists && f.listFiles != null &&
+          f.listFiles.exists(_.getName.endsWith(".parquet")))
+        spark.read.parquet(storeDir)
+      else Seq.empty[(String, Long)].toDF("sha", "cb")
+    }
+    def randText(n: Int, seed: Int) = {
+      val r = new scala.util.Random(seed)
+      (1 to n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val a = randText(3000, 21)
+    val aEdited = a.substring(0, 1400) + "<<live edit>>" + a.substring(1400)
+    val b = randText(2000, 77)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("live"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        operators.Dedup.admitChunks(batch, storeDf().select("sha"))
+          .write.mode("append").parquet(storeDir); ()
+      }
+      .option("checkpointLocation", tmp("ck-cas"))
+      .start()
+    try {
+      in.addData((1L, a))
+      q.processAllAvailable()
+      val afterA = storeDf().count()
+      val aUniq = operators.Dedup.cdcChunkDedupOf(
+        Seq(("live", 1L, a)).toDF("source", "doc_id", "text"))
+        .collect().head.getLong(3)
+      assert(afterA === aUniq) // first batch admits exactly A's unique chunks
+      // batch 2: A re-sent (admits 0), an edit of A (admits only the
+      // edit neighborhood), and a brand-new doc (admits all its chunks)
+      in.addData((1L, a), (2L, aEdited), (3L, b))
+      q.processAllAvailable()
+      val after2 = storeDf().count()
+      val bUniq = operators.Dedup.cdcChunkDedupOf(
+        Seq(("live", 3L, b)).toDF("source", "doc_id", "text"))
+        .collect().head.getLong(3)
+      val editAdmits = after2 - afterA - bUniq
+      assert(editAdmits >= 1L && editAdmits <= 4L,
+        s"edit admitted $editAdmits chunks")
+      // the store never holds a duplicate chunk
+      assert(storeDf().select("sha").distinct().count() === after2)
+      // batch 3: everything re-sent — nothing admits
+      in.addData((1L, a), (2L, aEdited), (3L, b))
+      q.processAllAvailable()
+      assert(storeDf().count() === after2)
+    } finally q.stop()
+  }
+
   test("streaming index append: arriving vectors encode against the frozen index per micro-batch") {
     // the streaming half of the q135 story: a vector stream lands as one
     // immutable segment pair per micro-batch, encoded against the
