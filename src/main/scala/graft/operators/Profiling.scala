@@ -590,8 +590,104 @@ object Profiling extends QueryModule {
       |FROM c WHERE cum_before < $BudgetTokens
       |ORDER BY source NULLS FIRST, cap_key NULLS FIRST, doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q167: OOV rate vs vocabulary size (the tokenizer-design curve)
+  // ---------------------------------------------------------------------
+
+  /** Candidate vocabulary sizes for the OOV curve. */
+  val OovVocabSizes: Seq[Long] = Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L)
+
+  /** q167: out-of-vocabulary rate as a function of vocabulary size — for
+    * each candidate k, the fraction of corpus TOKENS not covered by the
+    * k most frequent types. The first curve a tokenizer/vocab design
+    * reads: where it flattens is where a bigger word-level vocab stops
+    * paying and subword units take over.
+    *
+    * The scale trick: top-k COVERAGE is tie-invariant — every type in
+    * the frequency class straddling the cut contributes exactly its
+    * class frequency, so WHICH ties enter the top-k cannot change the
+    * covered-token sum. That means the curve needs no vocabulary
+    * ranking at all: collapse the corpus to type counts (map-side
+    * combined), collapse counts to the COUNT-OF-COUNTS table (one row
+    * per distinct frequency — O(√corpus) rows by Zipf, thousands at any
+    * scale), take cumulative sums over that tiny table, and each k
+    * reads its straddling class: covered(k) = cum_tokens(above) +
+    * (k − cum_types(above))·f*. The only window runs over the
+    * count-of-counts table; the corpus sees one narrow explode pass.
+    * A k past the whole vocabulary covers everything (oov = 0). */
+  def oovRateCurve(spark: SparkSession, dir: String): DataFrame =
+    oovRateCurveOf(Tables.documents(spark, dir))
+
+  def oovRateCurveOf(d: DataFrame,
+      vocabSizes: Seq[Long] = OovVocabSizes): DataFrame = {
+    val session = d.sparkSession
+    import session.implicits._
+    val vocab = d.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val cc = vocab.groupBy(col("n")).agg(count(lit(1)).as("types"))
+    val byFreqDesc = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cc
+      .withColumn("cum_types", coalesce(sum(col("types")).over(byFreqDesc), lit(0L)))
+      .withColumn("cum_tokens",
+        coalesce(sum(col("types") * col("n")).over(byFreqDesc), lit(0L)))
+    val tot = cc.agg(
+      sum(col("types") * col("n")).as("total_tokens"),
+      sum(col("types")).as("vocab_total"))
+    val ks = vocabSizes.toDF("vocab_k")
+    // straddling class per k: cum_types < k <= cum_types + types; a k
+    // past the vocabulary matches no row and falls back to full coverage
+    val straddle = ks.join(cum,
+        col("cum_types") < col("vocab_k") &&
+          col("vocab_k") <= col("cum_types") + col("types"), "left")
+      .select(col("vocab_k"),
+        (col("cum_tokens") + (col("vocab_k") - col("cum_types")) * col("n"))
+          .as("covered_raw"))
+    straddle.crossJoin(broadcast(tot))
+      .select(col("vocab_k"),
+        coalesce(col("covered_raw"), col("total_tokens")).as("covered_tokens"),
+        col("total_tokens"),
+        round(lit(1.0) - coalesce(col("covered_raw"), col("total_tokens"))
+          .cast("double") / col("total_tokens"), 6).as("oov_rate"))
+      .orderBy(col("vocab_k"))
+  }
+
+  private val oovRateCurveSql = {
+    // CAST pins vocab_k to BIGINT (DuckDB VALUES would infer INT32 and
+    // the driver's schema compare is type-sensitive; Spark side is Long)
+    val ksValues = OovVocabSizes.map(k => s"(CAST($k AS BIGINT))").mkString(", ")
+    s"""WITH vocab AS (
+      |  SELECT tok, COUNT(*) AS n
+      |  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY 1),
+      |cc AS (SELECT n, COUNT(*) AS types FROM vocab GROUP BY 1),
+      |cum AS (
+      |  SELECT n, types,
+      |    CAST(COALESCE(SUM(types) OVER w, 0) AS BIGINT) AS cum_types,
+      |    CAST(COALESCE(SUM(types * n) OVER w, 0) AS BIGINT) AS cum_tokens
+      |  FROM cc
+      |  WINDOW w AS (ORDER BY n DESC ROWS BETWEEN UNBOUNDED PRECEDING
+      |               AND 1 PRECEDING)),
+      |tot AS (
+      |  SELECT CAST(SUM(types * n) AS BIGINT) AS total_tokens FROM cc),
+      |ks(vocab_k) AS (VALUES $ksValues)
+      |SELECT ks.vocab_k,
+      |  COALESCE(cum.cum_tokens + (ks.vocab_k - cum.cum_types) * cum.n,
+      |           tot.total_tokens) AS covered_tokens,
+      |  tot.total_tokens,
+      |  ROUND(1 - CAST(COALESCE(cum.cum_tokens + (ks.vocab_k - cum.cum_types)
+      |        * cum.n, tot.total_tokens) AS DOUBLE) / tot.total_tokens, 6)
+      |    AS oov_rate
+      |FROM ks
+      |LEFT JOIN cum ON cum.cum_types < ks.vocab_k
+      |  AND ks.vocab_k <= cum.cum_types + cum.types
+      |CROSS JOIN tot
+      |ORDER BY vocab_k NULLS FIRST""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q122_normalize_text", normalizeText, Some(normalizeTextSql)),
+    GraftQuery("q167_oov_rate_curve", oovRateCurve, Some(oovRateCurveSql)),
     GraftQuery("q123_source_datacard", sourceDatacard, Some(sourceDatacardSql)),
     GraftQuery("q124_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     GraftQuery("q125_split_leakage", splitLeakage, Some(splitLeakageSql)),

@@ -395,6 +395,16 @@ object Plans {
           "the only join is the #sources-row totals x uniques merge. " +
           "No window function, no corpus-sized join.",
         graft.operators.Dedup.cdcChunkDedup(spark, dir)),
+      section("q167 OOV-rate curve (r10 tokenizer design)",
+        "What to look for: ONE corpus explode into a partial+final " +
+          "type-count aggregate, collapsed again to the count-of-counts " +
+          "table; the only window (cumulative sums) runs over that " +
+          "table — one row per DISTINCT frequency, O(sqrt corpus) by " +
+          "Zipf — never over the vocabulary or the corpus; the " +
+          "straddling-class lookup is a 6-row broadcast nested loop " +
+          "against the tiny cum table (bounded by design, the q93 " +
+          "scalar idiom at 6 rows).",
+        graft.operators.Profiling.oovRateCurve(spark, dir)),
       section("q166 snapshot delta-transfer accounting (r10 rsync/CAS)",
         "What to look for: two codegen'd chunker passes (old store / " +
           "new snapshot), the store reduced to DISTINCT sha, the " +

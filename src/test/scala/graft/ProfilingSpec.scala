@@ -144,4 +144,47 @@ class ProfilingSpec extends AnyFunSuite with SparkSpec {
     val leak = Profiling.splitLeakage(spark, sf0001).collect().head
     assert(leak.getLong(0) > 0 && leak.getLong(1) >= leak.getLong(0))
   }
+
+  // ---- q167: OOV rate vs vocabulary size ----------------------------------
+
+  test("q167 reads coverage off the count-of-counts table, hand-checked") {
+    // counts: a=10, b=5, c=5, d=e=f=1  (6 types, 23 tokens)
+    val d = docs(
+      (1L, "en", "s", Seq.fill(10)("a").mkString(" ")),
+      (2L, "en", "s", "b b b b b c c c c c"),
+      (3L, "en", "s", "d e f"))
+    val out = Profiling.oovRateCurveOf(d, Seq(1L, 2L, 3L, 4L, 10L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    def r6(x: Double) =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Seq(
+      1L -> ((10L, 23L, r6(1 - 10.0 / 23))),   // top class alone
+      2L -> ((15L, 23L, r6(1 - 15.0 / 23))),   // straddles the f=5 class
+      3L -> ((20L, 23L, r6(1 - 20.0 / 23))),   // f=5 class exhausted
+      4L -> ((21L, 23L, r6(1 - 21.0 / 23))),   // one hapax in
+      10L -> ((23L, 23L, 0.0))))               // k past the vocab: full cover
+  }
+
+  test("q167 equals the brute-force ranked-vocabulary curve on the fixture") {
+    val out = Profiling.oovRateCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute force: rank the actual vocabulary, sum the top-k counts —
+    // coverage must agree for ANY tie order (the tie-invariance the
+    // count-of-counts shortcut rests on); take ties by token ascending
+    val counts = graft.sources.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (tok, n) => (-n, tok) }
+    val total = counts.map(_._2).sum
+    out.foreach { case (k, covered, tot, oov) =>
+      val brute = counts.take(k.toInt).map(_._2).sum
+      assert(tot === total)
+      assert(covered === brute, s"k=$k")
+      assert(oov === BigDecimal.valueOf(1 - brute.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"k=$k")
+    }
+    // the curve is monotone non-increasing in k
+    assert(out.map(_._4).toSeq === out.map(_._4).sorted.reverse.toSeq)
+  }
 }
