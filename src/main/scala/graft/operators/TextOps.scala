@@ -1104,5 +1104,116 @@ object TextOps extends QueryModule {
     GraftQuery("q104_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     GraftQuery("q110_bigram_surprisal_floored", bigramSurprisalFloored,
       Some(bigramSurprisalFlooredSql)),
+    GraftQuery("q168_span_corruption", spanCorruption, Some(spanCorruptionSql)),
   )
+
+  // ---------------------------------------------------------------------
+  // q168: span-corruption pretraining examples (T5-style)
+  // ---------------------------------------------------------------------
+
+  /** Per-token mask rate as a fraction of 2²⁰ (≈15%, T5's default). */
+  val CorruptRate = 157286L // floor(0.15 * 2^20)
+  // a fifth multiplicative-hash family (offset +83), independent of
+  // q87's rate key (+0), q148's cap (+41), and q162's Gumbel grid (+59)
+  private val CorruptOffset = 83L
+  private val CorruptModPrime = 1000003L
+  private val CorruptMult = 2654435761L
+  private val CorruptMod = 1048576L // 2^20
+
+  /** q168: span-corruption EXAMPLE EMISSION (Raffel et al., JMLR 2020 —
+    * the T5 denoising objective): mask ~15% of each document's tokens
+    * on a deterministic per-(doc, position) hash grid, merge adjacent
+    * masked tokens into spans, and emit the (input, target) pair —
+    * input replaces each span with `<extra_id_k>`, target lists each
+    * sentinel followed by the tokens it hides. This is the operator
+    * that turns a curated corpus into actual pretraining examples; the
+    * hash grid makes the corruption reproducible across engines, runs,
+    * and cluster sizes (q87's auditability contract — re-running the
+    * pipeline regenerates bit-identical examples).
+    *
+    * Scale shape: one explode pass, two windows PARTITIONED BY doc_id
+    * (span-start detection and span numbering — state bounded by one
+    * document's tokens, every doc an independent partition), and one
+    * keyed aggregate that assembles both strings via sorted
+    * collect_list. No corpus-global window, no joins at all. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptionOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** DataFrame-level core (testable on any corpus). */
+  def spanCorruptionOf(d: DataFrame): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("idx"),
+        col("col").as("tok"))
+    val key = pmod(
+      pmod(col("doc_id") * lit(131L) + col("idx") + lit(CorruptOffset),
+        lit(CorruptModPrime)) * lit(CorruptMult), lit(CorruptMod))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val sp = toks
+      .withColumn("masked", key < CorruptRate)
+      .withColumn("startf",
+        col("masked") && !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+      .withColumn("span_no",
+        sum(when(col("startf"), 1L).otherwise(0L)).over(w))
+    val sentinel =
+      concat(lit("<extra_id_"), (col("span_no") - 1).cast(StringType), lit(">"))
+    sp.select(col("doc_id"), col("idx"), col("masked"), col("span_no"),
+        when(!col("masked"), col("tok"))
+          .when(col("startf"), sentinel).as("ip"),
+        when(col("masked") && col("startf"),
+            concat(sentinel, lit(" "), col("tok")))
+          .when(col("masked"), col("tok")).as("tp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        max(col("span_no")).as("n_spans"),
+        expr("array_join(transform(filter(array_sort(collect_list(struct(idx, ip))), " +
+          "s -> s.ip IS NOT NULL), s -> s.ip), ' ')").as("input_text"),
+        expr("array_join(transform(filter(array_sort(collect_list(struct(idx, tp))), " +
+          "s -> s.tp IS NOT NULL), s -> s.tp), ' ')").as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val spanCorruptionSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(text, ' ')))) AS idx,
+      |    UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, idx, tok,
+      |    ((((doc_id * 131 + idx + $CorruptOffset) % $CorruptModPrime)
+      |      + $CorruptModPrime) % $CorruptModPrime * $CorruptMult)
+      |      % $CorruptMod < $CorruptRate AS masked
+      |  FROM toks),
+      |st AS (
+      |  SELECT *, masked AND NOT COALESCE(
+      |      LAG(masked) OVER (PARTITION BY doc_id ORDER BY idx), FALSE) AS startf
+      |  FROM m),
+      |sp AS (
+      |  SELECT *, SUM(CASE WHEN startf THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY doc_id ORDER BY idx) AS span_no
+      |  FROM st),
+      |pieces AS (
+      |  SELECT doc_id, idx, masked, span_no,
+      |    CASE WHEN NOT masked THEN tok
+      |         WHEN startf THEN '<extra_id_' || CAST(span_no - 1 AS VARCHAR) || '>'
+      |    END AS ip,
+      |    CASE WHEN masked AND startf
+      |           THEN '<extra_id_' || CAST(span_no - 1 AS VARCHAR) || '> ' || tok
+      |         WHEN masked THEN tok
+      |    END AS tp
+      |  FROM sp)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+      |  CAST(MAX(span_no) AS BIGINT) AS n_spans,
+      |  COALESCE(STRING_AGG(ip, ' ' ORDER BY idx) FILTER (WHERE ip IS NOT NULL),
+      |    '') AS input_text,
+      |  COALESCE(STRING_AGG(tp, ' ' ORDER BY idx) FILTER (WHERE tp IS NOT NULL),
+      |    '') AS target_text
+      |FROM pieces
+      |GROUP BY doc_id
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
 }

@@ -395,6 +395,15 @@ object Plans {
           "the only join is the #sources-row totals x uniques merge. " +
           "No window function, no corpus-sized join.",
         graft.operators.Dedup.cdcChunkDedup(spark, dir)),
+      section("q168 span-corruption examples (r10 T5 denoising)",
+        "What to look for: one Generate (posexplode) pass; the two " +
+          "Window operators are PARTITIONED BY doc_id (span-start lag " +
+          "+ span-number running sum — per-doc state, every document " +
+          "an independent partition, no corpus-global window); one " +
+          "final HashAggregate/ObjectHashAggregate assembles the " +
+          "(input, target) strings via sorted collect_list. No joins " +
+          "anywhere in the plan.",
+        graft.operators.TextOps.spanCorruption(spark, dir)),
       section("q167 OOV-rate curve (r10 tokenizer design)",
         "What to look for: ONE corpus explode into a partial+final " +
           "type-count aggregate, collapsed again to the count-of-counts " +

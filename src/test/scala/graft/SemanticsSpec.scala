@@ -363,6 +363,75 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(a.map(_.getInt(0)).toSet.subsetOf(Set(1, 2, 3))) // channels ∈ 1..3
   }
 
+  // ---- q168: span-corruption pretraining examples -------------------------
+
+  /** Driver mirror of the q168 mask grid (offset +83 family, 2^20). */
+  private def maskedRef(docId: Long, idx: Long): Boolean = {
+    val x = (docId * 131L + idx + 83L) % 1000003L
+    ((x + 1000003L) % 1000003L * 2654435761L) % 1048576L < TextOps.CorruptRate
+  }
+
+  /** Substitute each `<extra_id_k>` in the input with its target span —
+    * the decode side of the denoising objective. */
+  private def reconstruct(input: String, target: String): String = {
+    val sent = "<extra_id_\\d+>".r
+    val spans = sent.split(target).map(_.trim).filter(_.nonEmpty) match {
+      case a if target.startsWith("<extra_id_") => a
+      case a => a // target always starts with a sentinel when non-empty
+    }
+    var k = 0
+    sent.replaceAllIn(input, _ => {
+      val s = if (k < spans.length) spans(k) else ""; k += 1
+      java.util.regex.Matcher.quoteReplacement(s)
+    })
+  }
+
+  test("q168 corruption is grid-deterministic and exactly invertible") {
+    val session = spark
+    import session.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one"),
+      (4L, (1 to 400).map(i => s"tok$i").mkString(" "))) // long doc, many spans
+    val d = corpus.toDF("doc_id", "text")
+    val out = TextOps.spanCorruptionOf(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    corpus.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val (nTok, nMask, nSpan, input, target) = out(id)
+      assert(nTok === toks.length.toLong)
+      // the mask set is exactly the hash grid's
+      val expMask = toks.indices.map(i => maskedRef(id, i + 1L))
+      assert(nMask === expMask.count(identity).toLong, s"doc $id")
+      // spans = maximal masked runs
+      val expSpans = expMask.zip(false +: expMask.dropRight(1))
+        .count { case (m, prev) => m && !prev }
+      assert(nSpan === expSpans.toLong, s"doc $id")
+      // THE law: substituting each sentinel's target span back into the
+      // input reconstructs the original document exactly
+      assert(reconstruct(input, target) === text, s"doc $id")
+      // sentinels are numbered 0..n-1 in both input and target, in order
+      (0 until expSpans).foreach { k =>
+        assert(input.contains(s"<extra_id_$k>") && target.contains(s"<extra_id_$k>"))
+      }
+    }
+    // deterministic: a second run emits the identical examples
+    val again = TextOps.spanCorruptionOf(d).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getString(5)))
+    assert(again.toSeq === out.toSeq.sortBy(_._1).map(t => (t._1, t._2._4, t._2._5)))
+  }
+
+  test("q168 fixture mask rate sits at the 15% design point") {
+    val out = TextOps.spanCorruption(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_masked"),
+        org.apache.spark.sql.functions.sum("n_tokens")).collect().head
+    val rate = out.getLong(0).toDouble / out.getLong(1)
+    assert(rate > 0.13 && rate < 0.17, s"mask rate $rate")
+  }
+
   // ---- q166: snapshot delta-transfer accounting --------------------------
 
   test("q166 transfer pays only for edit-neighborhood and brand-new chunks") {
