@@ -179,12 +179,18 @@ object Curation extends QueryModule {
         (col("w_sum") > 0).as("keep"))
       .orderBy(col("doc_id"))
 
-  private val qualityClassifierSql =
-    s"""WITH tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+  /** q114's CTE chain ending in `s(doc_id, lang, n_tokens, w_sum)` —
+    * shared VERBATIM by the q114 and q169 oracles so the classifier
+    * definition cannot drift between the scores and the lift audit. */
+  private val classifierCtes =
+    s"""tok AS (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
       |             FROM documents),
       |w AS (SELECT doc_id, lang, ${tokenWeightSqlExpr("tok")} AS w FROM tok),
       |s AS (SELECT doc_id, lang, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS w_sum
-      |      FROM w GROUP BY 1, 2)
+      |      FROM w GROUP BY 1, 2)""".stripMargin
+
+  private val qualityClassifierSql =
+    s"""WITH $classifierCtes
       |SELECT doc_id, lang, n_tokens, w_sum,
       |  CAST(w_sum AS DOUBLE) / n_tokens AS score,
       |  w_sum > 0 AS keep
@@ -1027,8 +1033,78 @@ object Curation extends QueryModule {
       |LIMIT $DsirSelectK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q169: classifier lift audit (cheap model vs the richer gate)
+  // ---------------------------------------------------------------------
+
+  /** Equal-width score bins for the q169 lift audit. */
+  val LiftBins = 10
+
+  /** q169: LIFT audit of the q114 hashed-feature classifier against the
+    * q63 quality gate — per equal-width classifier-score bin, how often
+    * does the richer heuristic actually gate the doc in? The check every
+    * pipeline runs before letting a cheap model pre-filter for an
+    * expensive one: a classifier that ranks documents the way the gate
+    * decides shows a monotone-climbing good-rate across bins; a flat
+    * curve means the cheap score carries no signal and the pre-filter
+    * would just subsample.
+    *
+    * Bin edges come from the global score min/max (two scalar aggregates
+    * broadcast back — the q93 idiom); both engines evaluate the
+    * identical (score − lo)/(hi − lo)·10 double expression, so binning
+    * is bit-identical. Counts and the good-rate are exact-integer
+    * arithmetic with one final division. No windows; the corpus is
+    * scanned once for each of the two scores (both narrow explode +
+    * keyed-agg passes), joined on doc_id. */
+  def classifierLift(spark: SparkSession, dir: String): DataFrame = {
+    val cls = qualityClassifierOf(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("score"))
+    val q = graft.functions.ScopedCache.persist("curation.funnel.quality",
+      TextOps.qualityScores(spark, dir)
+        .select(col("doc_id"), col("quality"), col("n_tokens")))
+      .select(col("doc_id"), col("quality"))
+    val ext = cls.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    cls.join(q, Seq("doc_id"))
+      .crossJoin(broadcast(ext))
+      .select(
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit((LiftBins - 1).toLong),
+            floor((col("score") - col("lo")) / (col("hi") - col("lo"))
+              * LiftBins)).cast(LongType)).as("bin"),
+        col("quality"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= FunnelQualityMin, 1L).otherwise(0L))
+          .as("n_good"))
+      .select(col("bin"), col("n_docs"), col("n_good"),
+        round(col("n_good").cast(DoubleType) / col("n_docs"), 6).as("good_rate"))
+      .orderBy(col("bin"))
+  }
+
+  private val classifierLiftSql =
+    s"""WITH $classifierCtes,
+      |cls AS (SELECT doc_id, CAST(w_sum AS DOUBLE) / n_tokens AS score FROM s),
+      |quality AS (${TextOps.qualityCoreSql}),
+      |ext AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM cls),
+      |b AS (
+      |  SELECT CASE WHEN ext.hi = ext.lo THEN CAST(0 AS BIGINT)
+      |           ELSE LEAST(CAST(${LiftBins - 1} AS BIGINT), CAST(FLOOR(
+      |             (cls.score - ext.lo) / (ext.hi - ext.lo) * $LiftBins)
+      |             AS BIGINT)) END AS bin,
+      |         q.quality
+      |  FROM cls JOIN quality q USING (doc_id) CROSS JOIN ext)
+      |SELECT bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN quality >= ${Curation.FunnelQualityMin}
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+      |  ROUND(CAST(SUM(CASE WHEN quality >= ${Curation.FunnelQualityMin}
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS good_rate
+      |FROM b
+      |GROUP BY bin
+      |ORDER BY bin NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
+    GraftQuery("q169_classifier_lift", classifierLift, Some(classifierLiftSql)),
     GraftQuery("q114_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     GraftQuery("q115_random_projection", randomProjection,
       Some(randomProjectionSql)),

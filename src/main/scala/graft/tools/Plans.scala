@@ -395,6 +395,12 @@ object Plans {
           "the only join is the #sources-row totals x uniques merge. " +
           "No window function, no corpus-sized join.",
         graft.operators.Dedup.cdcChunkDedup(spark, dir)),
+      section("q169 classifier lift audit (r10 model-vs-gate)",
+        "What to look for: two narrow explode+agg passes (the q114 " +
+          "classifier score, the q63 quality score) joined on doc_id; " +
+          "the min/max bin edges return as a 1-row broadcast (q93 " +
+          "idiom); one final 10-row aggregate. No window function.",
+        graft.operators.Curation.classifierLift(spark, dir)),
       section("q168 span-corruption examples (r10 T5 denoising)",
         "What to look for: one Generate (posexplode) pass; the two " +
           "Window operators are PARTITIONED BY doc_id (span-start lag " +

@@ -302,6 +302,27 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---- q169: classifier lift audit ----------------------------------------
+
+  test("q169 bins partition the corpus and conserve the gate counts") {
+    val out = Curation.classifierLift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = graft.sources.Tables.documents(spark, sf0001).count()
+    val nGood = graft.operators.TextOps.qualityScores(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("quality")
+        >= Curation.FunnelQualityMin).count()
+    assert(out.map(_._2).sum === nDocs)  // every doc lands in exactly one bin
+    assert(out.map(_._3).sum === nGood)  // gate decisions conserved
+    out.foreach { case (bin, n, good, rate) =>
+      assert(bin >= 0L && bin < Curation.LiftBins)
+      assert(good <= n && rate >= 0.0 && rate <= 1.0)
+    }
+    // the audit is deterministic
+    val again = Curation.classifierLift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   // ---- q161/q162: DSIR importance weights + resampling -------------------
 
   /** Driver mirror of the hashed-bigram feature map (131/2^31−1 portable
