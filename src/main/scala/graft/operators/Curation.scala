@@ -899,30 +899,74 @@ object Curation extends QueryModule {
     * PINNED broadcast of the B-row weight table back onto the counts
     * (B is a design constant, never corpus-sized), and one doc_id
     * left join. No self-joins, no windows. */
-  private def dsirPerDoc(d: DataFrame, targetIds: DataFrame): DataFrame = {
+  /** Hashed-bigram features `(doc_id, b)` of a corpus — shared by the
+    * batch estimator and the streaming gate so featurization cannot
+    * drift between them. */
+  private def dsirFeatures(d: DataFrame): DataFrame = {
     val th = d.select(col("doc_id"),
       expr("transform(split(text, ' ', -1), w -> graft_tokhash(w))").as("th"))
-    val ft = th.select(col("doc_id"), explode(expr(
+    th.select(col("doc_id"), explode(expr(
       s"""CASE WHEN size(th) >= 2 THEN transform(sequence(1, size(th) - 1),
          |  i -> (element_at(th, i) * ${PolyHash.M1} + element_at(th, i + 1))
          |       % ${PolyHash.P} % $DsirBuckets)
          |ELSE cast(array() as array<bigint>) END""".stripMargin)).as("b"))
+  }
+
+  private def dsirPerDoc(d: DataFrame, targetIds: DataFrame): DataFrame = {
     // referenced by the raw counts, the target counts, and the per-doc
     // weight join; variant-keyed on the input plan like gatedShingles
     val dc = graft.functions.ScopedCache.persist("curation.dsir.counts",
       s"${d.queryExecution.analyzed.semanticHash()}",
-      ft.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n")))
+      dsirFeatures(d).groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n")))
+    dsirScoredAgainst(d, dc, dsirWeightsFrom(dc, targetIds))
+  }
+
+  /** The ≤[[DsirBuckets]]-row Laplace-smoothed log-ratio weight table
+    * `(b, lr)` — the MODEL the batch estimator scores with and the
+    * streaming gate broadcasts (one definition, no drift). */
+  private def dsirWeightsFrom(dc: DataFrame, targetIds: DataFrame): DataFrame = {
     val cr = dc.groupBy(col("b")).agg(sum(col("n")).as("cn"))
     val ct = dc.join(targetIds, Seq("doc_id"))
       .groupBy(col("b")).agg(sum(col("n")).as("tn"))
     val tot = cr.agg(sum(col("cn")).as("nr"))
       .crossJoin(ct.agg(coalesce(sum(col("tn")), lit(0L)).as("nt")))
-    val wt = cr.join(ct, Seq("b"), "left")
+    cr.join(ct, Seq("b"), "left")
       .na.fill(0L, Seq("tn"))
       .crossJoin(broadcast(tot))
       .select(col("b"),
         log(((col("tn") + 1).cast(DoubleType) * (col("nr") + lit(DsirBuckets)))
           / ((col("cn") + 1) * (col("nt") + lit(DsirBuckets)))).as("lr"))
+  }
+
+  /** The corpus-trained weight table as a standalone artifact (what a
+    * real pipeline persists once and ships to the ingest stream). */
+  def dsirWeightTable(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val dc = graft.functions.ScopedCache.persist("curation.dsir.counts",
+      s"${d.queryExecution.analyzed.semanticHash()}",
+      dsirFeatures(d).groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n")))
+    dsirWeightsFrom(dc, dsirTarget(spark, dir))
+  }
+
+  /** Batch kernel of the live DSIR gate (StreamingSpec): score arriving
+    * `(doc_id, text)` docs against a FROZEN weight table — the same
+    * featurization ([[dsirFeatures]]) and decimal term-sum as q161, so
+    * a doc scores identically in the stream and in the batch
+    * estimator. Narrow map + broadcast join per micro-batch; no
+    * corpus-side recompute. */
+  def dsirScoreBatch(batch: DataFrame, weights: DataFrame): DataFrame =
+    dsirScoredAgainst(batch,
+        dsirFeatures(batch).groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("n")),
+        weights)
+      .select(col("doc_id"), col("n_feats"),
+        round(col("s").cast(DoubleType), 6).as("log_w"))
+
+  /** Score the `dc(doc_id, b, n)` counts against a fixed `(b, lr)`
+    * weight table (q93's decimal order-independence pattern); every doc
+    * of `d` comes back, featureless ones at weight 0. */
+  private def dsirScoredAgainst(d: DataFrame, dc: DataFrame,
+      wt: DataFrame): DataFrame = {
     val perDoc = dc.join(broadcast(wt), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_feats"),
@@ -1034,6 +1078,46 @@ object Curation extends QueryModule {
   }
 
   // ---------------------------------------------------------------------
+  // q170: source-interleaved training order (anti-clumping)
+  // ---------------------------------------------------------------------
+
+  /** q170: the SOURCE-INTERLEAVED epoch order — a gradient step should
+    * not see a long run of one source, so the data loader wants the
+    * corpus round-robined across sources: doc k of every source comes
+    * before doc k+1 of any source. Emitted as (epoch_rank, source,
+    * doc_id) sorted by (epoch_rank, source): while every source still
+    * has documents left the order cycles through all of them; as small
+    * sources exhaust, the remaining ones keep cycling (the tail
+    * degrades gracefully instead of starving). Within a source, docs
+    * enter in the q126/q87 deterministic-permutation spirit — here by
+    * doc_id, so the order is reproducible and composes with any
+    * upstream shuffle/sample that re-keys doc_id.
+    *
+    * Scale shape: ONE window partitioned by source (rank within source
+    * — state bounded by the largest source, the q148 shape, parallel
+    * across sources), then a presentation sort. No global window, no
+    * joins. */
+  def interleavedOrder(spark: SparkSession, dir: String): DataFrame =
+    interleavedOrderOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def interleavedOrderOf(d: DataFrame): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    d.select(col("source"), col("doc_id"))
+      .withColumn("epoch_rank", row_number().over(bySource).cast(LongType))
+      .select(col("epoch_rank"), col("source"), col("doc_id"))
+      .orderBy(col("epoch_rank"), col("source"))
+  }
+
+  private val interleavedOrderSql =
+    """SELECT CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+      |    AS BIGINT) AS epoch_rank,
+      |  source, doc_id
+      |FROM documents
+      |ORDER BY epoch_rank NULLS FIRST, source NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q169: classifier lift audit (cheap model vs the richer gate)
   // ---------------------------------------------------------------------
 
@@ -1105,6 +1189,7 @@ object Curation extends QueryModule {
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q169_classifier_lift", classifierLift, Some(classifierLiftSql)),
+    GraftQuery("q170_interleaved_order", interleavedOrder, Some(interleavedOrderSql)),
     GraftQuery("q114_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     GraftQuery("q115_random_projection", randomProjection,
       Some(randomProjectionSql)),

@@ -395,6 +395,12 @@ object Plans {
           "the only join is the #sources-row totals x uniques merge. " +
           "No window function, no corpus-sized join.",
         graft.operators.Dedup.cdcChunkDedup(spark, dir)),
+      section("q170 source-interleaved order (r10 anti-clumping)",
+        "What to look for: one Window PARTITIONED BY source (rank " +
+          "within source — parallel across sources, state bounded by " +
+          "the largest one), then the presentation sort. No joins, no " +
+          "global window.",
+        graft.operators.Curation.interleavedOrder(spark, dir)),
       section("q169 classifier lift audit (r10 model-vs-gate)",
         "What to look for: two narrow explode+agg passes (the q114 " +
           "classifier score, the q63 quality score) joined on doc_id; " +

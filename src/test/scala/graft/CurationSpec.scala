@@ -302,6 +302,33 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // ---- q170: source-interleaved training order ----------------------------
+
+  test("q170 round-robins sources and degrades gracefully as they exhaust") {
+    val session = spark
+    import session.implicits._
+    val d = Seq(
+      ("s1", 1L), ("s1", 2L), ("s1", 3L),
+      ("s2", 4L), ("s2", 5L),
+      ("s3", 6L)).toDF("source", "doc_id")
+    val out = Curation.interleavedOrderOf(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "s1", 1L), (1L, "s2", 4L), (1L, "s3", 6L),
+      (2L, "s1", 2L), (2L, "s2", 5L),
+      (3L, "s1", 3L)))
+    // fixture law: while every source still has docs, the k-th cycle
+    // contains each source exactly once
+    val fx = Curation.interleavedOrder(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nSources = fx.map(_._2).distinct.length
+    val minSize = fx.groupBy(_._2).values.map(_.length).min
+    (1 to minSize).foreach { k =>
+      val cycle = fx.filter(_._1 == k.toLong).map(_._2)
+      assert(cycle.length === nSources && cycle.distinct.length === nSources, s"cycle $k")
+    }
+  }
+
   // ---- q169: classifier lift audit ----------------------------------------
 
   test("q169 bins partition the corpus and conserve the gate counts") {

@@ -430,6 +430,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(results.get(9003L) === ((0L, false)))
   }
 
+  test("streaming DSIR gate: arriving docs score identically to the batch estimator") {
+    // the live twin of q161: the corpus-trained weight table is frozen
+    // (the artifact a real pipeline ships to ingest) and each
+    // micro-batch scores through the SAME featurization + decimal
+    // term-sum kernel — so a doc's gate decision cannot depend on
+    // whether it arrived in batch or in the stream
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen: decoupled from the corpus plan (literal rows, no lineage)
+    val weights = operators.Curation.dsirWeightTable(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.toDF("b", "lr")
+    val batchScores = operators.Curation.dsirLogWeights(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val sample = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").orderBy($"doc_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Double)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        operators.Curation.dsirScoreBatch(b, weights).collect().foreach { r =>
+          results.put(r.getLong(0), (r.getLong(1), r.getDouble(2)))
+        }; ()
+      }
+      .option("checkpointLocation", tmp("ck-dsir"))
+      .start()
+    try {
+      in.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      in.addData(sample.drop(3): _*) // second batch: same frozen weights
+      q.processAllAvailable()
+    } finally q.stop()
+    sample.foreach { case (id, _) =>
+      assert(results.get(id) === batchScores(id), s"doc $id stream != batch")
+    }
+  }
+
   test("streaming chunk admission: each micro-batch persists only chunks the store lacks") {
     // the live twin of q166's CAS diff: foreachBatch admits arriving
     // docs through the SAME admitChunks kernel the batch diff uses,
