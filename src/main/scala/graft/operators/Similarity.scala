@@ -968,8 +968,11 @@ object Similarity extends QueryModule {
     ivfPqScan(emb, cellModel, pqModel, cellsAll, codes)
   }
 
-  private def ivfPqSearchSqlFor(probes: Long) =
-    s"""WITH $kmeansModelCtes,
+  /** The full IVF-PQ search CTE chain ending in `rnk` — shared by the
+    * q107/q109 final SELECT and the q171 recall audit so the search the
+    * audit measures IS the search the queries run. */
+  private def ivfPqSearchCtesFor(probes: Long) =
+    s"""$kmeansModelCtes,
       |$pqModelCtesAfterE,
       |${pqSearchCtesFor(probes)},
       |cellsall AS (SELECT vec_id, cluster AS cell FROM afin WHERE rk = 1),
@@ -986,7 +989,11 @@ object Similarity extends QueryModule {
       |       JOIN lut l ON l.query_id = cd.query_id
       |         AND l.block = k.block AND l.cluster = k.cluster
       |       GROUP BY 1, 2),
-      |$adcRankSql""".stripMargin
+      |$adcRankCte""".stripMargin
+
+  private def ivfPqSearchSqlFor(probes: Long) =
+    s"""WITH ${ivfPqSearchCtesFor(probes)}
+      |$adcRankSelect""".stripMargin
 
   private val ivfPqSearchSql = ivfPqSearchSqlFor(PqSearchProbes)
 
@@ -1501,8 +1508,90 @@ object Similarity extends QueryModule {
       |  FROM allb WHERE rk = 1
       |) t ORDER BY model NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q171: ANN recall audit (IVF-PQ vs exact ground truth)
+  // ---------------------------------------------------------------------
+
+  /** Exact (unquantized) squared-distance top-k for the q107 probe set —
+    * the ground truth the index approximates. Distances live in the
+    * SAME deterministic number system as ADC (per-block round-6 +
+    * decimal block sum, [[adcRank]]'s rank/tie semantics verbatim), so
+    * the two rankings are comparable bit-for-bit and the oracle replays
+    * both. Probes broadcast against one column-pruned corpus scan — the
+    * q80 brute shape, affordable because probes are a fixed audit
+    * sample, never the corpus. */
+  private def exactSqTopK(emb: DataFrame): DataFrame = {
+    val e2 = pqSubvectors(emb)
+    val q = e2.filter(col("vec_id") < PqSearchProbes)
+      .select(col("vec_id").as("query_id"), col("block"), col("sv").as("qsv"))
+    adcRank(e2.select(col("vec_id"), col("block"), col("sv").as("cv"))
+      .join(broadcast(q), Seq("block"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), " +
+          "0D, (acc, x) -> acc + x)"), 6).as("pdist")))
+  }
+
+  /** q171: RECALL@k of the IVF-PQ index against exact search — the
+    * acceptance metric every ANN deployment reports before swapping the
+    * brute scan for the index (quantization + cell-probing trade
+    * accuracy for the 100 TB-affordable gated scan; this query measures
+    * exactly what that trade costs on this corpus). Per probe: how many
+    * of the index's top-k are in the exact top-k. The approx side is
+    * the PERSISTED-index search (q107/q109's path); the exact side is
+    * the same ranking kernel over unquantized sub-vectors. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecallFrom(
+      ivfPqSearch(spark, dir).select(col("query_id"), col("neighbor_id")),
+      exactSqTopK(Tables.embeddings(spark, dir))
+        .select(col("query_id"), col("neighbor_id")))
+
+  /** DataFrame-level core over the composed in-plan search (testable on
+    * constructed corpora — e.g. clustered vectors must score high). */
+  def annRecallOf(emb: DataFrame): DataFrame =
+    annRecallFrom(
+      ivfPqSearchOf(emb).select(col("query_id"), col("neighbor_id")),
+      exactSqTopK(emb).select(col("query_id"), col("neighbor_id")))
+
+  private def annRecallFrom(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"), col("k"),
+        round(col("n_hits").cast(DoubleType) / col("k"), 6).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
+  private val annRecallSql =
+    s"""WITH ${ivfPqSearchCtesFor(PqSearchProbes)},
+      |exb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.block,
+      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
+      |            j -> (q.sv[j] - c.sv[j]) * (q.sv[j] - c.sv[j]))), 6) AS pdist
+      |        FROM e2 q JOIN e2 c ON q.block = c.block AND c.vec_id <> q.vec_id
+      |        WHERE q.vec_id < $PqSearchProbes),
+      |exd AS (SELECT query_id, neighbor_id,
+      |          ROUND(CAST(SUM(CAST(pdist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS dist
+      |        FROM exb GROUP BY 1, 2),
+      |exr AS (SELECT query_id, neighbor_id,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY dist, neighbor_id) AS rank
+      |        FROM exd),
+      |ext AS (SELECT query_id, neighbor_id FROM exr WHERE rank <= $PqSearchK),
+      |hits AS (SELECT r.query_id, COUNT(*) AS n_hits
+      |         FROM rnk r JOIN ext USING (query_id, neighbor_id)
+      |         WHERE r.rank <= $PqSearchK GROUP BY 1),
+      |kk AS (SELECT query_id, COUNT(*) AS k FROM ext GROUP BY 1)
+      |SELECT kk.query_id, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+      |  kk.k,
+      |  ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / kk.k, 6) AS recall_at_k
+      |FROM kk LEFT JOIN hits USING (query_id)
+      |ORDER BY query_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    GraftQuery("q171_ann_recall", annRecall, Some(annRecallSql)),
     GraftQuery("q156_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GraftQuery("q82_ann_sign_buckets", annSignBuckets, Some(annSignBucketsSql)),

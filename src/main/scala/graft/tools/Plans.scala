@@ -395,6 +395,14 @@ object Plans {
           "the only join is the #sources-row totals x uniques merge. " +
           "No window function, no corpus-sized join.",
         graft.operators.Dedup.cdcChunkDedup(spark, dir)),
+      section("q171 ANN recall audit (r10 index acceptance)",
+        "What to look for: the q107 persisted-index gated scan on the " +
+          "approx side (artifact scans + broadcast LUT); the exact side " +
+          "is the q80-shaped broadcast-probe brute scan over " +
+          "sub-vectors; a left-semi hits join + two tiny aggregates. " +
+          "The corpus is never self-joined outside the bounded probe " +
+          "broadcasts.",
+        graft.operators.Similarity.annRecall(spark, dir)),
       section("q170 source-interleaved order (r10 anti-clumping)",
         "What to look for: one Window PARTITIONED BY source (rank " +
           "within source — parallel across sources, state bounded by " +

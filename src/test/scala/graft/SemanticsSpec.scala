@@ -1196,6 +1196,41 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(persisted === composed)
   }
 
+  test("q171 recall audit: high on clustered vectors, honest on the fixture") {
+    val session = spark
+    import session.implicits._
+    // the LOSSLESS regime: 4 clusters of identical vectors = exactly
+    // PqK distinct sub-vectors per block and ≤ KmeansK cells, so the
+    // codebooks represent the corpus with zero quantization error and
+    // the index MUST return the exact top-k verbatim (recall 1.0,
+    // including identical tie-breaks on the all-zero intra-cluster
+    // distances) — vs the ~0.26 the audit reports on the fixture's
+    // near-random embeddings, where quantization genuinely loses the
+    // ranking signal. Together: the metric discriminates.
+    val dim = Similarity.KmeansDim
+    val emb = (0L until 120L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(dim)(j => if ((j + c) % 4 == 0) 10.0f else 0.0f)
+      (i, v, s"l$c")
+    }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.annRecallOf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length.toLong === Similarity.PqSearchProbes)
+    out.foreach { case (qid, hits, k, rec) =>
+      assert(k === Similarity.PqSearchK.toLong)
+      assert(rec === 1.0, s"lossless-regime probe $qid recall $rec")
+    }
+    // fixture: the audit stays well-formed (values certified vs the
+    // oracle; the LOW absolute recall is the honest quantization cost
+    // on unstructured vectors)
+    val fx = Similarity.annRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fx.nonEmpty)
+    fx.foreach { case (hits, k, rec) =>
+      assert(hits <= k && rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("q109's batch contains q107's probes bit-equal (batch size can't bend answers)") {
     // the cell gate and LUT are per-probe, so a 3x batch must answer the
     // first PqSearchProbes probes identically to the single-batch q107
