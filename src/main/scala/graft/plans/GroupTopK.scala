@@ -221,7 +221,10 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
 
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
-    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
+    // v > 1 guard: `rn < Int.MinValue` would wrap v-1 to Int.MaxValue and
+    // turn an always-false filter into keep-everything; degenerate
+    // literals fall through to the unrewritten (correct) window plan
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) && v > 1 => Some(v - 1)
     case EqualTo(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) && v == 1 => Some(1)
     case _ => None
   }

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, FileInputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -248,29 +248,73 @@ case class GraftProtoReaderFactory(writer: StructType, reader: StructType)
   }
 }
 
-class GraftProtoWriteBuilder(schema: StructType, path: String) extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftProtoBatchWrite(schema, path)
+class GraftProtoWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    // refuse an incompatible append BEFORE the write job runs — the
+    // commit-time check (the authoritative gate against races) would only
+    // fire after every task has already written its temp shard
+    if (!truncateFirst) GraftProtoBatchWrite.requireAppendCompatible(schema, path)
+    new Write {
+      override def toBatch: BatchWrite = new GraftProtoBatchWrite(schema, path, truncateFirst)
+    }
   }
 }
 
 case class GraftProtoCommit(tmpFile: String, finalName: String) extends WriterCommitMessage
 
-class GraftProtoBatchWrite(schema: StructType, path: String) extends BatchWrite {
+object GraftProtoBatchWrite {
+  /** Append gate: wire field numbers are POSITIONAL per writer schema, so
+    * an append under a reordered/evolved schema would re-number the
+    * contract and silently mis-decode every previously written shard.
+    * Refuse anything but the identical contract (name+type, in order). */
+  def requireAppendCompatible(schema: StructType, path: String): Unit = {
+    val sidecar = Paths.get(path, GraftProtoDataSource.SchemaFile)
+    if (Files.exists(sidecar)) {
+      val existing = GraftProtoDataSource.readSidecar(path)
+      val same = existing.fields.map(f => (f.name, f.dataType))
+        .sameElements(schema.fields.map(f => (f.name, f.dataType)))
+      require(same,
+        s"graft-proto: append schema ${schema.simpleString} does not match the " +
+          s"directory contract ${existing.simpleString}; field numbers are " +
+          "positional, so an evolved append would corrupt existing shards — " +
+          "use mode(\"overwrite\") or a new directory")
+    }
+  }
+}
+
+class GraftProtoBatchWrite(schema: StructType, path: String, truncateFirst: Boolean)
+    extends BatchWrite {
+  // per-write token baked into final shard names: taskIds restart at 0 per
+  // SparkContext, so names unique only per-application would collide when a
+  // SECOND application appends to the same directory
+  private val jobToken: String = UUID.randomUUID().toString.substring(0, 8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftProtoWriterFactory(schema, path)
+    GraftProtoWriterFactory(schema, path, jobToken)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    // publish: rename each task's temp shard, then the sidecar LAST — a
-    // reader never sees a schema without its data files
-    messages.foreach { case GraftProtoCommit(tmp, finalName) =>
-      Files.move(Paths.get(tmp), dir.resolve(finalName),
-        StandardCopyOption.REPLACE_EXISTING)
+    val sidecar = dir.resolve(GraftProtoDataSource.SchemaFile)
+    if (truncateFirst) {
+      // overwrite: retire every existing shard and the contract before
+      // publishing — the new write's schema becomes the directory's contract
+      GraftProtoDataSource.dataFiles(path).foreach(f => Files.deleteIfExists(Paths.get(f)))
+      Files.deleteIfExists(sidecar)
+    } else {
+      GraftProtoBatchWrite.requireAppendCompatible(schema, path)
     }
-    Files.write(dir.resolve(GraftProtoDataSource.SchemaFile),
-      schema.json.getBytes(StandardCharsets.UTF_8))
+    // publish: rename each task's temp shard, then the sidecar LAST — a
+    // reader never sees a schema without its data files. No REPLACE: shard
+    // names carry the job token, so a name collision is a real conflict and
+    // must fail loudly rather than silently replace an earlier shard.
+    messages.foreach { case GraftProtoCommit(tmp, finalName) =>
+      Files.move(Paths.get(tmp), dir.resolve(finalName))
+    }
+    Files.write(sidecar, schema.json.getBytes(StandardCharsets.UTF_8))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -280,7 +324,7 @@ class GraftProtoBatchWrite(schema: StructType, path: String) extends BatchWrite 
     }
 }
 
-case class GraftProtoWriterFactory(schema: StructType, path: String)
+case class GraftProtoWriterFactory(schema: StructType, path: String, jobToken: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -298,7 +342,7 @@ case class GraftProtoWriterFactory(schema: StructType, path: String)
 
       override def commit(): WriterCommitMessage = {
         out.close()
-        GraftProtoCommit(tmp.toString, f"part-$partitionId%05d-$taskId.gpb")
+        GraftProtoCommit(tmp.toString, f"part-$partitionId%05d-$taskId-$jobToken.gpb")
       }
       override def abort(): Unit = { out.close(); Files.deleteIfExists(tmp) }
       override def close(): Unit = ()

@@ -151,6 +151,21 @@ class GroupTopKSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("degenerate rn < Int.MinValue does not rewrite (no v-1 wraparound) and returns 0 rows") {
+    graft.sources.Tables.orders(spark, sf001).createOrReplaceTempView("gtk_orders_deg")
+    // rn < -2147483648 is always false; a naive v-1 limit would wrap to
+    // Int.MaxValue and keep EVERY row via a 2^31-1-per-key GroupTopK
+    val df = spark.sql(
+      s"""SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+        |  FROM gtk_orders_deg) t
+        |WHERE rn < ${Int.MinValue}""".stripMargin)
+    assert(df.count() === 0)
+    assert(!df.queryExecution.executedPlan.toString.contains("GroupTopK"),
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("SQL-registered sessions also plan GroupTopK (ensureRegistered path)") {
     // ensureRegistered appends the strategy via experimental.extraStrategies;
     // calling it twice must not stack duplicates

@@ -102,6 +102,60 @@ class ProtoSourceSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("overwrite truncates: old shards and contract retired, new schema wins") {
+    val dir = tmpDir("gpb-ovr")
+    sampleDf.write.mode("append").format("graft-proto").save(dir)
+    val session = spark
+    import session.implicits._
+    val replacement = Seq((100L, "only")).toDF("id", "tag")
+    replacement.write.mode("overwrite").format("graft-proto").save(dir)
+    val back = spark.read.format("graft-proto").load(dir)
+    assert(back.schema.fieldNames.toSeq === Seq("id", "tag"))
+    assert(back.as[(Long, String)].collect().toSeq === Seq((100L, "only")))
+    // no stale shard from the first write survives the truncating commit
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".gpb")).toSeq
+    assert(files.size === replacement.rdd.getNumPartitions, files)
+  }
+
+  test("append under an evolved/reordered schema is refused (positional contract)") {
+    val dir = tmpDir("gpb-appendguard")
+    sampleDf.write.mode("append").format("graft-proto").save(dir)
+    // same column set, different order → different positional field numbers;
+    // silently accepting it would mis-decode the first write's shards
+    val reordered = sampleDf.select("name", "id", "score", "lang")
+    val err = intercept[Exception] {
+      reordered.write.mode("append").format("graft-proto").save(dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("does not match the directory contract")),
+      err.toString)
+    // the refused write leaves the directory exactly as it was
+    assert(spark.read.format("graft-proto").load(dir).count() === 3)
+    // identical-contract append still works
+    sampleDf.write.mode("append").format("graft-proto").save(dir)
+    assert(spark.read.format("graft-proto").load(dir).count() === 6)
+  }
+
+  test("shard names carry a per-write token — cross-application appends cannot collide") {
+    val dir = tmpDir("gpb-token")
+    sampleDf.repartition(1).write.mode("append").format("graft-proto").save(dir)
+    sampleDf.repartition(1).write.mode("append").format("graft-proto").save(dir)
+    val names = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".gpb")).toSeq.sorted
+    val pat = "part-\\d{5}-\\d+-([0-9a-f]{8})\\.gpb".r
+    val tokens = names.map { n =>
+      val m = pat.findFirstMatchIn(n)
+      assert(m.isDefined, s"shard name $n lacks the job token")
+      m.get.group(1)
+    }
+    // two writes → two distinct tokens, so identical (partitionId, taskId)
+    // pairs from a fresh SparkContext can never overwrite earlier shards
+    assert(tokens.distinct.size === 2, names)
+    assert(spark.read.format("graft-proto").load(dir).count() === 6)
+  }
+
   test("truncated shard fails loudly, not with silent row loss") {
     val dir = tmpDir("gpb-trunc")
     sampleDf.write.mode("append").format("graft-proto").save(dir)
