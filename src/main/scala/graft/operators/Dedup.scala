@@ -62,6 +62,17 @@ object Dedup extends QueryModule {
     docs.select(col("doc_id"), expr("graft_shingles(text)").as("shingles"))
       .filter(size(col("shingles")) >= 1)
 
+  /** 32-byte content identity key. Every grouping/join whose key is "the
+    * document text" shuffles and compares THIS instead of the full body:
+    * at corpus scale a raw-text key pushes corpus-sized bytes through the
+    * exchange purely as comparator input, and one mega-duplicated
+    * boilerplate text becomes a hot key carrying its whole body per copy.
+    * SHA-256 equality is content equality for any real corpus (collision
+    * probability ~n²/2²⁵⁷); text itself is carried only where a result
+    * actually emits it. Oracles are unaffected — the key never appears in
+    * output, and DuckDB replays the same grouping bit-for-bit. */
+  private[graft] def contentKey(c: Column): Column = unhex(sha2(c, 256))
+
   // ---- exact dedup ------------------------------------------------------
 
   /** Exact duplicate groups by content hash (count > 1). */
@@ -88,7 +99,9 @@ object Dedup extends QueryModule {
     val d = Tables.documents(spark, dir)
     // min_by hash-aggregate, not a window: partial aggregation collapses
     // duplicate groups map-side and nothing is ever sorted by full text.
-    d.groupBy(col("text"))
+    // Keyed on the 32-byte content key — text is not in the output, so the
+    // shuffle carries no document bodies at all.
+    d.groupBy(contentKey(col("text")).as("tkey"))
       .agg(min_by(struct(col("doc_id"), col("lang"), col("source")), col("doc_id")).as("keep"))
       .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),
               col("keep.source").as("source"))
@@ -508,10 +521,12 @@ object Dedup extends QueryModule {
     * drop join. */
   private[graft] def exactSurvivors(docs: DataFrame): DataFrame = {
     val carry = docs.columns.filter(_ != "text").map(col)
+    // keyed on the 32-byte content key; text rides as min_by payload only
+    // because the survivor corpus emits it (it feeds the shingle stage)
     graft.functions.ScopedCache.persist("dedup.purge.survivors",
-      docs.groupBy(col("text"))
-        .agg(min_by(struct(carry: _*), col("doc_id")).as("keep"))
-        .select(col("keep.*"), col("text")))
+      docs.groupBy(contentKey(col("text")).as("tkey"))
+        .agg(min_by(struct((carry :+ col("text")): _*), col("doc_id")).as("keep"))
+        .select(col("keep.*")))
   }
 
   /** labels → the doc_ids a purge drops (every node that is not its own
@@ -784,10 +799,13 @@ object Dedup extends QueryModule {
     // representative comes from one text join whose small side AQE can
     // broadcast (no hint: under heavy duplication the member side is
     // genuinely large and an honest shuffle is correct)
-    val nonRep = docs.select(col("doc_id"), col("text"))
+    // both membership joins key on the 32-byte content key with (id, key)
+    // projections — no document body ever enters the exchange
+    val nonRep = docs.select(col("doc_id"), contentKey(col("text")).as("tkey"))
       .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val memberOf = graft.functions.ScopedCache.persist("dedup.rawgate.members",
-      nonRep.join(survivors.select(col("doc_id").as("rep"), col("text")), Seq("text"))
+      nonRep.join(survivors.select(col("doc_id").as("rep"),
+          contentKey(col("text")).as("tkey")), Seq("tkey"))
         .select(col("doc_id"), col("rep")))
     val dupReps = graft.functions.ScopedCache.persist("dedup.rawgate.dups",
       memberOf.groupBy(col("rep"))
@@ -835,8 +853,9 @@ object Dedup extends QueryModule {
     } else {
       // a shingle crosses the gate: re-gate and re-cluster the
       // representative graph under the RAW (group-weighted) frequency
-      val members = docs.select(col("doc_id"), col("text"))
-        .join(survivors.select(col("doc_id").as("rep"), col("text")), Seq("text"))
+      val members = docs.select(col("doc_id"), contentKey(col("text")).as("tkey"))
+        .join(survivors.select(col("doc_id").as("rep"),
+            contentKey(col("text")).as("tkey")), Seq("tkey"))
         .select(col("doc_id"), col("rep"))
       val gsize = graft.functions.ScopedCache.persist("dedup.rawgate.gsize",
         members.groupBy(col("rep")).agg(count(lit(1)).as("gsz")))

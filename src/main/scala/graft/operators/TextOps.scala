@@ -227,9 +227,11 @@ object TextOps extends QueryModule {
         size(array_distinct(col("toks"))).cast(DoubleType) / col("n_tokens"))
       .filter(col("n_tokens") >= 20 && col("diversity") >= 0.3)
     // min_by hash-aggregate for the dedup stage (same rationale as
-    // Dedup.dedupKeepFirst: map-side collapse, no sort keyed by full text)
+    // Dedup.dedupKeepFirst: map-side collapse, no sort keyed by full text,
+    // and the shuffle key is the 32-byte content key — text is not emitted,
+    // so no document body crosses the exchange)
     scored
-      .groupBy(col("text"))
+      .groupBy(Dedup.contentKey(col("text")).as("tkey"))
       .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens"),
         col("diversity")), col("doc_id")).as("keep"))
       .select(col("keep.doc_id").as("doc_id"), col("keep.lang").as("lang"),

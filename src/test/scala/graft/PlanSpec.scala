@@ -681,6 +681,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("no join or exchange anywhere in the funnel/audit is keyed by raw text") {
+    // the r10 verdict's perf-weak item: a text-keyed keeper join pushes
+    // corpus-sized bytes through the exchange as comparator input. Every
+    // content-identity key must be the 32-byte sha2 key instead — assert
+    // structurally over EVERY join's key expressions and every hash
+    // partitioning, including plans inside cached relations.
+    val df = Curation.rejectionAudit(spark, sf0001)
+    df.collect()
+    def textKeyed(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean =
+      keys.exists(k =>
+        k.dataType == org.apache.spark.sql.types.StringType &&
+          k.references.exists(_.name == "text"))
+    val offenders = allNodes(df.queryExecution.executedPlan).flatMap {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if textKeyed(j.leftKeys) || textKeyed(j.rightKeys) => Seq(j.nodeName)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+              if textKeyed(h.expressions) => Seq("ShuffleExchange(text)")
+          case _ => Nil
+        }
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if textKeyed(a.groupingExpressions) => Seq(s"${a.nodeName}(groupBy text)")
+      case _ => Nil
+    }
+    assert(offenders.isEmpty, offenders.mkString(", "))
+  }
+
   test("q157 winnowing: one keyed aggregation, no window function, no self-join") {
     val plan = executedPlan(SpanDedup.winnowedFingerprints(spark, sf0001))
     // selection is min(struct) with map-side partial aggregation — never
