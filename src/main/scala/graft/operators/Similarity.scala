@@ -818,16 +818,17 @@ object Similarity extends QueryModule {
 
   /** ADC sum + top-k over (query_id, vec_id, pdist) rows: per-(probe,
     * vector) distances summed DECIMAL-exact, ranked with id tiebreak. */
-  private def adcRank(scored: DataFrame): DataFrame = {
+  private def adcRank(scored: DataFrame, k: Int = PqSearchK,
+      distName: String = "approx_dist"): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dist"), col("neighbor_id"))
+      .orderBy(col(distName), col("neighbor_id"))
     scored.groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("pdist").cast(DecimalType(38, 6))).cast(DoubleType), 6)
-        .as("approx_dist"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("approx_dist"))
+        .as(distName))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col(distName))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= PqSearchK)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_dist"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col(distName))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -934,7 +935,7 @@ object Similarity extends QueryModule {
     * always come fresh from `emb` — they are the query side. */
   private def ivfPqScan(emb: DataFrame, cellModel: DataFrame,
       pqModel: DataFrame, cellsAll: DataFrame, codes: DataFrame,
-      probes: Long = PqSearchProbes): DataFrame = {
+      probes: Long = PqSearchProbes, k: Int = PqSearchK): DataFrame = {
     val e = kmVectors(emb)
     // probe cells: a tiny window over probes × k candidate rows, same
     // (dist, cluster) ordering as the oracle's afin ranks
@@ -954,18 +955,18 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("vec_id"))
     adcRank(cand.join(codes, Seq("vec_id"))
       .join(broadcast(lut), Seq("query_id", "block", "cluster"))
-      .select(col("query_id"), col("vec_id"), col("pdist")))
+      .select(col("query_id"), col("vec_id"), col("pdist")), k)
   }
 
   /** DataFrame-level core (testable on constructed corpora). */
-  def ivfPqSearchOf(emb: DataFrame): DataFrame = {
+  def ivfPqSearchOf(emb: DataFrame, k: Int = PqSearchK): DataFrame = {
     val cellModel = kmeansModelOf(emb)
     val cellsAll = kmAssign(kmVectors(emb), cellModel, carryVector = false)
       .select(col("vec_id"), col("cluster").as("cell"))
     val pqModel = pqModelOf(emb)
     val codes = pqAssign(pqSubvectors(emb), pqModel, carryVector = false)
       .select(col("vec_id"), col("block"), col("cluster"))
-    ivfPqScan(emb, cellModel, pqModel, cellsAll, codes)
+    ivfPqScan(emb, cellModel, pqModel, cellsAll, codes, k = k)
   }
 
   /** The full IVF-PQ search CTE chain ending in `rnk` — shared by the
@@ -1589,9 +1590,102 @@ object Similarity extends QueryModule {
       |FROM kk LEFT JOIN hits USING (query_id)
       |ORDER BY query_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q172: IVF-PQ search with an exact re-rank (refine) stage
+  // ---------------------------------------------------------------------
+
+  /** Refine fan-out: how many ADC candidates per probe get an exact
+    * re-score. 4×k is the standard refine ratio; the re-rank cost is
+    * probes × [[RerankM]] exact kernels — a fixed per-probe constant,
+    * independent of corpus size (production deployments raise it to ~10k
+    * without changing the shape). */
+  val RerankM: Int = 4 * PqSearchK
+
+  /** Exact re-score of a bounded candidate set: fetch ONLY the candidate
+    * vectors' sub-vectors (an equi-join gate — the corpus is never
+    * exact-scored wholesale), score each with [[exactSqTopK]]'s kernel
+    * (per-block round-6 squared distance + decimal block sum), and keep
+    * the exact top-[[PqSearchK]]. The candidate table is probes×m rows —
+    * broadcast-class at any corpus size. */
+  private def rerankExact(emb: DataFrame, cand: DataFrame): DataFrame = {
+    val e2 = pqSubvectors(emb)
+    val q = e2.filter(col("vec_id") < PqSearchProbes)
+      .select(col("vec_id").as("query_id"), col("block"), col("sv").as("qsv"))
+    val gated = e2.select(col("vec_id"), col("block"), col("sv").as("cv"))
+      .join(broadcast(cand.withColumnRenamed("neighbor_id", "vec_id")), Seq("vec_id"))
+    adcRank(gated
+      .join(broadcast(q), Seq("query_id", "block"))
+      .select(col("query_id"), col("vec_id"),
+        round(expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), " +
+          "0D, (acc, x) -> acc + x)"), 6).as("pdist")),
+      distName = "exact_dist")
+  }
+
+  /** q172: two-stage ANN search — the production answer to q171's honest
+    * recall number. Stage 1 is q107/q109's gated ADC scan, widened to the
+    * top-[[RerankM]] candidates per probe; stage 2 re-scores ONLY those
+    * candidates with exact (unquantized) distances and emits the exact
+    * top-k. Quantization error can reorder the candidate list but no
+    * longer decides the final ranking, so recall@k is ≥ the ADC-only
+    * search's on every query (a provable dominance: any true neighbor the
+    * ADC top-k finds is also in the top-m, and exact scoring ranks true
+    * top-k members above every other candidate — pinned per-query in
+    * SemanticsSpec, with the measured lift over q171). Cost: the ADC scan
+    * plus probes × m exact kernels — the per-probe refine constant every
+    * IVF-PQ deployment pays for exactly this reason. Admits against the
+    * persisted q108 index, like q109. */
+  def ivfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfPqIndex(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val cand = ivfPqScan(emb,
+        spark.read.parquet(s"$base/centroids"),
+        spark.read.parquet(s"$base/pq_codebook"),
+        spark.read.parquet(s"$base/cells"),
+        spark.read.parquet(s"$base/codes"),
+        k = RerankM)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(emb, cand)
+  }
+
+  /** DataFrame-level core over the composed in-plan search (testable on
+    * constructed corpora; used by the SemanticsSpec dominance law). */
+  def ivfPqRerankOf(emb: DataFrame): DataFrame =
+    rerankExact(emb,
+      ivfPqSearchOf(emb, k = RerankM).select(col("query_id"), col("neighbor_id")))
+
+  /** Recall audit of the two-stage search against the same exact ground
+    * truth as [[annRecallOf]] — the pair SemanticsSpec compares to pin
+    * the per-probe dominance law and measure the refine stage's lift. */
+  def annRecallRerankOf(emb: DataFrame): DataFrame =
+    annRecallFrom(
+      ivfPqRerankOf(emb).select(col("query_id"), col("neighbor_id")),
+      exactSqTopK(emb).select(col("query_id"), col("neighbor_id")))
+
+  private val ivfPqRerankSql =
+    s"""WITH ${ivfPqSearchCtesFor(PqSearchProbes)},
+      |candm AS (SELECT query_id, neighbor_id FROM rnk WHERE rank <= $RerankM),
+      |rb AS (SELECT cd.query_id, cd.neighbor_id, q.block,
+      |         ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
+      |           j -> (q.sv[j] - c.sv[j]) * (q.sv[j] - c.sv[j]))), 6) AS pdist
+      |       FROM candm cd
+      |       JOIN e2 q ON q.vec_id = cd.query_id
+      |       JOIN e2 c ON c.vec_id = cd.neighbor_id AND c.block = q.block),
+      |rd AS (SELECT query_id, neighbor_id,
+      |         ROUND(CAST(SUM(CAST(pdist AS DECIMAL(38, 6))) AS DOUBLE), 6)
+      |           AS exact_dist
+      |       FROM rb GROUP BY 1, 2),
+      |rr AS (SELECT query_id, neighbor_id, exact_dist,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY exact_dist, neighbor_id) AS INT) AS rank
+      |       FROM rd)
+      |SELECT query_id, rank, neighbor_id, exact_dist
+      |FROM rr WHERE rank <= $PqSearchK
+      |ORDER BY query_id NULLS FIRST, rank""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q171_ann_recall", annRecall, Some(annRecallSql)),
+    GraftQuery("q172_ann_rerank", ivfPqRerank, Some(ivfPqRerankSql)),
     GraftQuery("q156_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GraftQuery("q82_ann_sign_buckets", annSignBuckets, Some(annSignBucketsSql)),

@@ -327,6 +327,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!q107.contains("CartesianProduct"), q107.take(4000))
   }
 
+  test("q172 rerank: exact kernel only behind the candidate gate, corpus never fully exact-scored") {
+    val df = Similarity.ivfPqRerank(spark, sf0001)
+    df.collect()
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // gate proof by executed metrics: the row count actually fed into the
+    // exact-kernel projection is bounded by probes × m × blocks (candidate
+    // set), never corpus × probes × blocks (q171's full-audit shape) —
+    // structural key-matching can't separate the legitimate block-keyed
+    // probe/model LUT joins from a full scan, but the row bound can
+    def unwrap(n: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = n match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => unwrap(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => unwrap(q.plan)
+      case other => other
+    }
+    val kernelFeeds = nodes.collect {
+      case p: org.apache.spark.sql.execution.ProjectExec
+          if p.projectList.exists(_.toString.contains("zip_with")) => unwrap(p.child)
+    }
+    assert(kernelFeeds.nonEmpty, df.queryExecution.executedPlan.toString.take(4000))
+    val bound = Similarity.PqSearchProbes * Similarity.RerankM * Similarity.PqBlocks
+    kernelFeeds.foreach { feed =>
+      val n = feed.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      assert(n >= 0 && n <= bound,
+        s"exact kernel fed $n rows by ${feed.nodeName} (gated bound $bound)")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("zip_with"), plan.take(4000)) // the exact kernel IS present
+    // same join contract as the q107 test: the only nested-loop is the
+    // intentional model-sized broadcast cross in the cell-probe stage
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("q99 gates: exact is a semi-join, DF gate anti, no cartesian") {
     val plan = executedPlan(Dedup.incrementalDedup(spark, sf0001))
     assert(plan.contains("LeftSemi"), plan.take(4000))

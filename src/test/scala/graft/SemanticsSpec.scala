@@ -1231,6 +1231,39 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q172 rerank dominance: recall@k >= ADC-only on EVERY probe, lossless regime stays 1.0") {
+    val session = spark
+    import session.implicits._
+    // fixture: per-probe dominance (any exact-top-k member the ADC top-k
+    // finds is also in the top-m candidates, and exact re-scoring ranks
+    // true top-k members above every other candidate — so rerank can gain
+    // hits but never lose one), plus the measured lift the refine stage
+    // buys back from q171's honest quantization cost
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    def hitsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adc = hitsOf(Similarity.annRecallOf(emb))
+    val rr = hitsOf(Similarity.annRecallRerankOf(emb))
+    assert(rr.keySet === adc.keySet)
+    adc.foreach { case (q, h) =>
+      assert(rr(q) >= h, s"probe $q: rerank ${rr(q)} hits < adc $h")
+    }
+    val denom = (adc.size * Similarity.PqSearchK).toDouble
+    info(f"fixture recall@${Similarity.PqSearchK}: " +
+      f"adc ${adc.values.sum / denom}%.3f -> rerank ${rr.values.sum / denom}%.3f")
+    // lossless regime (q171's clustered corpus): exact re-scoring of an
+    // already-exact ranking must keep recall at exactly 1.0
+    val dim = Similarity.KmeansDim
+    val clustered = (0L until 120L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.tabulate(dim)(j => if ((j + c) % 4 == 0) 10.0f else 0.0f)
+      (i, v, s"l$c")
+    }.toDF("vec_id", "embedding", "label")
+    Similarity.annRecallRerankOf(clustered).collect().foreach { r =>
+      assert(r.getDouble(3) === 1.0, s"lossless-regime probe ${r.getLong(0)}")
+    }
+  }
+
   test("q109's batch contains q107's probes bit-equal (batch size can't bend answers)") {
     // the cell gate and LUT are per-probe, so a 3x batch must answer the
     // first PqSearchProbes probes identically to the single-batch q107
