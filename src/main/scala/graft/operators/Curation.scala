@@ -866,6 +866,147 @@ object Curation extends QueryModule {
       |ORDER BY q.doc_id NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q173/q174: steady-state funnel — admit against the q129 artifact
+  // ---------------------------------------------------------------------
+
+  /** q173: the curation funnel in its STEADY-STATE form — dedup first,
+    * against the q129 persisted near-dup artifact, then the quality gate.
+    * q160 is the cold-start form (gate → dedup in-plan, paying the pair
+    * pipeline every run); a production pipeline builds the artifact once
+    * (q129) and every subsequent curation pass admits against it: this
+    * query's plan contains NO shingling and no pair self-join — just two
+    * artifact parquet scans, a doc_id semi/anti join pair, and the
+    * quality pass (PlanSpec-guarded). Stage order differs from q160 BY
+    * DESIGN (dedup is corpus-level and precomputed; curation gates on
+    * top), so stage counts are stage-order-local, like q160's are.
+    *
+    * The oracle replays the artifact's definition in SQL (keep-first →
+    * gated pairs → components — the same CTEs as q129's build oracle),
+    * which is valid because the artifact is a deterministic function of
+    * the corpus (the q109/q153 precedent). */
+  def funnelFromArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.ensureNeardupArtifact(spark, dir)
+    steadyFunnelFrom(
+      TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"), col("n_tokens")),
+      spark.read.parquet(s"$base/survivors").select(col("doc_id")),
+      spark.read.parquet(s"$base/surv_labels"))
+  }
+
+  /** Shared stage tail (artifact query + constructed-corpus tests):
+    * quality = (doc_id, quality, n_tokens) for EVERY raw doc;
+    * survivorIds = exact keep-first winners; svLabels = (node, label)
+    * near-dup components over the survivor corpus. */
+  private[graft] def steadyFunnelFrom(quality: DataFrame, survivorIds: DataFrame,
+      svLabels: DataFrame): DataFrame = {
+    val q = graft.functions.ScopedCache.persist("curation.steady.quality", quality)
+    val s1 = graft.functions.ScopedCache.persist("curation.steady.s1",
+      q.join(survivorIds, Seq("doc_id")))
+    val s2 = graft.functions.ScopedCache.persist("curation.steady.s2",
+      s1.join(Dedup.ndDropsOf(svLabels), Seq("doc_id"), "left_anti"))
+    val s3 = s2.filter(col("quality") >= FunnelQualityMin)
+    def stage(n: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    stage(0, "raw", q)
+      .unionByName(stage(1, "exact_dedup", s1))
+      .unionByName(stage(2, "neardup_purge", s2))
+      .unionByName(stage(3, "quality_gate", s3))
+      .orderBy(col("stage"))
+  }
+
+  /** Steady-state CTE chain: survivors + components over the RAW corpus
+    * (no quality pre-gate — the artifact's universe), shared verbatim by
+    * the q173 and q174 oracles. Prepend `WITH RECURSIVE`. */
+  private val steadyCtes =
+    s"""quality AS (${TextOps.qualityCoreSql}),
+      |keep AS (
+      |  SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS krn
+      |  FROM documents),
+      |sv AS (SELECT doc_id, text FROM keep WHERE krn = 1),
+      |${Dedup.gatedShinglesCtes("sv")},
+      |${Dedup.jaccardPairsCtes},
+      |${Dedup.clusterCtes}""".stripMargin
+
+  private val funnelFromArtifactSql =
+    s"""WITH RECURSIVE $steadyCtes,
+      |s1 AS (SELECT q.doc_id, q.n_tokens, q.quality
+      |       FROM quality q JOIN sv USING (doc_id)),
+      |s2 AS (SELECT s1.* FROM s1
+      |       WHERE NOT EXISTS (SELECT 1 FROM cc
+      |                         WHERE cc.doc_id = s1.doc_id AND cc.doc_id <> cc.cluster_id)),
+      |s3 AS (SELECT * FROM s2 WHERE quality >= ${Curation.FunnelQualityMin})
+      |SELECT * FROM (
+      |  SELECT 0 AS stage, 'raw' AS stage_name,
+      |    COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM quality
+      |  UNION ALL SELECT 1, 'exact_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s1
+      |  UNION ALL SELECT 2, 'neardup_purge', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s2
+      |  UNION ALL SELECT 3, 'quality_gate', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM s3) t
+      |ORDER BY stage NULLS FIRST""".stripMargin
+
+  /** q174: the q163 rejection audit in the steady-state (artifact-backed)
+    * ordering — for every raw doc, the first stage that dropped it:
+    * `dropped_exact_dup` (not a keep-first survivor; kept_by = the
+    * artifact's winner for its text), `dropped_near_dup` (purged from a
+    * survivor-corpus cluster; kept_by = the representative),
+    * `dropped_quality` (survived dedup, failed the gate), or `kept`.
+    * The keeper lookup runs on the 32-byte content key: the artifact's
+    * survivors table stores no text, so survivor keys come from one
+    * doc_id equi-join back to the corpus — still no text-keyed shuffle
+    * and, unlike q163, no in-plan pair pipeline. */
+  def rejectionAuditFromArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val base = Dedup.ensureNeardupArtifact(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    steadyAuditFrom(
+      TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality")),
+      docs.select(col("doc_id"), Dedup.contentKey(col("text")).as("tkey")),
+      spark.read.parquet(s"$base/survivors").select(col("doc_id")),
+      spark.read.parquet(s"$base/surv_labels"))
+  }
+
+  /** Shared audit tail: `keys` = (doc_id, tkey) for every raw doc. */
+  private[graft] def steadyAuditFrom(quality: DataFrame, keys: DataFrame,
+      survivorIds: DataFrame, svLabels: DataFrame): DataFrame = {
+    val k = graft.functions.ScopedCache.persist("curation.steady.keys", keys)
+    val svKeys = k.join(survivorIds, Seq("doc_id"))
+      .select(col("tkey"), col("doc_id").as("keeper"))
+    val keepers = k.join(svKeys, Seq("tkey"))
+      .select(col("doc_id"), col("keeper"))
+    val clusters = svLabels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    quality.join(keepers, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("keeper") =!= col("doc_id"), lit("dropped_exact_dup"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            lit("dropped_near_dup"))
+          .when(col("quality") < FunnelQualityMin, lit("dropped_quality"))
+          .otherwise(lit("kept")).as("status"),
+        when(col("keeper") =!= col("doc_id"), col("keeper"))
+          .when(col("cluster_id") =!= col("doc_id"), col("cluster_id"))
+          .otherwise(lit(null).cast(LongType)).as("kept_by"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val rejectionAuditFromArtifactSql =
+    s"""WITH RECURSIVE $steadyCtes,
+      |ek AS (SELECT d.doc_id, s.doc_id AS keeper
+      |       FROM documents d JOIN sv s ON d.text = s.text)
+      |SELECT q.doc_id,
+      |  CASE WHEN ek.keeper <> q.doc_id THEN 'dropped_exact_dup'
+      |       WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> q.doc_id
+      |         THEN 'dropped_near_dup'
+      |       WHEN q.quality < ${Curation.FunnelQualityMin} THEN 'dropped_quality'
+      |       ELSE 'kept' END AS status,
+      |  CASE WHEN ek.keeper <> q.doc_id THEN ek.keeper
+      |       WHEN cc.cluster_id <> q.doc_id THEN cc.cluster_id
+      |       ELSE NULL END AS kept_by
+      |FROM quality q
+      |LEFT JOIN ek ON ek.doc_id = q.doc_id
+      |LEFT JOIN cc ON cc.doc_id = q.doc_id
+      |ORDER BY q.doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q161/q162: data selection via importance resampling (DSIR)
   // ---------------------------------------------------------------------
 
@@ -1211,5 +1352,9 @@ object Curation extends QueryModule {
     GraftQuery("q161_dsir_logweights", dsirLogWeights, Some(dsirLogWeightsSql)),
     GraftQuery("q162_dsir_select", dsirSelect, Some(dsirSelectSql)),
     GraftQuery("q163_rejection_audit", rejectionAudit, Some(rejectionAuditSql)),
+    GraftQuery("q173_funnel_from_artifact", funnelFromArtifact,
+      Some(funnelFromArtifactSql)),
+    GraftQuery("q174_rejection_audit_from_artifact", rejectionAuditFromArtifact,
+      Some(rejectionAuditFromArtifactSql)),
   )
 }

@@ -743,6 +743,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty, offenders.mkString(", "))
   }
 
+  test("q173/q174 steady-state funnel: no shingling, no pair pipeline — artifact admission only") {
+    // the whole point of the steady-state forms: the near-dup front half
+    // lives in the q129 artifact, so these plans must contain NO shingle
+    // explode and no window — including inside cached relations
+    graft.operators.Dedup.ensureNeardupArtifact(spark, sf0001)
+    val p173 = fullPlanText(Curation.funnelFromArtifact(spark, sf0001))
+    val p174 = fullPlanText(Curation.rejectionAuditFromArtifact(spark, sf0001))
+    Seq("q173" -> p173, "q174" -> p174).foreach { case (n, p) =>
+      assert(!p.contains("graft_shingles"), s"$n shingles: ${p.take(3000)}")
+      assert(!p.contains("windowspecdefinition"), s"$n window: ${p.take(3000)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$n: ${p.take(3000)}")
+    }
+  }
+
   test("q157 winnowing: one keyed aggregation, no window function, no self-join") {
     val plan = executedPlan(SpanDedup.winnowedFingerprints(spark, sf0001))
     // selection is min(struct) with map-side partial aggregation — never
