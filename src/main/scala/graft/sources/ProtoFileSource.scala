@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -148,32 +148,48 @@ class GraftProtoTable(writerSchema: StructType, path: String)
 }
 
 class GraftProtoScanBuilder(writer: StructType, reader: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = reader
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   // the pruned schema flows into readerContract, so pruned-away field
   // numbers are skipped at the BYTE level by the wire reader
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftProtoScan(writer, required, path)
+  /** Accepts the evaluable subset (comparisons / null tests / In /
+    * string predicates / and-or-not over top-level primitive columns)
+    * for evaluation during the wire walk, and returns EVERY filter as
+    * residual: Spark re-checks above the scan, so the pushdown is purely
+    * a row-skip optimization and can never bend results — the same
+    * conservative contract as parquet's row-group filters. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(ProtoFilterEval.supports(_, reader))
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new GraftProtoScan(writer, required, path, pushed)
 }
 
-class GraftProtoScan(writer: StructType, reader: StructType, path: String)
+class GraftProtoScan(writer: StructType, reader: StructType, path: String,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = reader
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-proto $path readSchema=${reader.fieldNames.mkString(",")}"
+    s"graft-proto $path readSchema=${reader.fieldNames.mkString(",")} " +
+      s"pushed=[${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] =
     GraftProtoDataSource.dataFiles(path).map(GraftProtoFilePartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftProtoReaderFactory(writer, reader)
+    GraftProtoReaderFactory(writer, reader, filters)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftProtoMicroBatchStream(writer, reader, path)
+    new GraftProtoMicroBatchStream(writer, reader, path, filters)
 }
 
 /** Streaming offset = the SET of shard files already consumed — the same
@@ -190,7 +206,8 @@ case class GraftProtoStreamOffset(files: Set[String]) extends Offset {
       .mkString("[", ",", "]")
 }
 
-class GraftProtoMicroBatchStream(writer: StructType, reader: StructType, path: String)
+class GraftProtoMicroBatchStream(writer: StructType, reader: StructType, path: String,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends MicroBatchStream {
 
   override def initialOffset(): Offset = GraftProtoStreamOffset(Set.empty)
@@ -214,7 +231,7 @@ class GraftProtoMicroBatchStream(writer: StructType, reader: StructType, path: S
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftProtoReaderFactory(writer, reader)
+    GraftProtoReaderFactory(writer, reader, filters)
 
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint log
   override def stop(): Unit = ()
@@ -222,7 +239,8 @@ class GraftProtoMicroBatchStream(writer: StructType, reader: StructType, path: S
 
 case class GraftProtoFilePartition(file: String) extends InputPartition
 
-case class GraftProtoReaderFactory(writer: StructType, reader: StructType)
+case class GraftProtoReaderFactory(writer: StructType, reader: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[GraftProtoFilePartition].file
@@ -232,18 +250,114 @@ case class GraftProtoReaderFactory(writer: StructType, reader: StructType)
         ProtoSerde.rowDecoder(ProtoSerde.protoSchema(writer), reader)
       private val toCatalyst =
         CatalystTypeConverters.createToCatalystConverter(reader)
+      // compiled once per partition; evaluated on the decoded Scala values
+      // BEFORE Catalyst conversion, so a skipped record never materializes
+      // a row object (wire decode is still paid — byte-level predicate
+      // skipping would need per-field evaluation mid-walk, which the
+      // residual-filter contract makes a pure optimization to add later)
+      private val keep = ProtoFilterEval.compile(filters, reader)
       private var current: InternalRow = _
 
       override def next(): Boolean = {
-        val frame = GraftProtoDataSource.readFrame(in)
-        if (frame == null) false
-        else {
-          current = toCatalyst(Row.fromSeq(decode(frame))).asInstanceOf[InternalRow]
-          true
+        var frame = GraftProtoDataSource.readFrame(in)
+        while (frame != null) {
+          val values = decode(frame)
+          if (keep(values)) {
+            current = toCatalyst(Row.fromSeq(values)).asInstanceOf[InternalRow]
+            return true
+          }
+          frame = GraftProtoDataSource.readFrame(in)
         }
+        false
       }
       override def get(): InternalRow = current
       override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** Three-valued evaluator for pushed source filters over one decoded
+  * record. Skip rule: a record is dropped iff some pushed filter
+  * evaluates to definite FALSE — unknown (null comparison, unsupported
+  * shape, type mismatch) keeps the record, and Spark's residual filter
+  * (every pushed filter is also residual) applies exact SQL semantics
+  * above the scan. So the evaluator can only ever skip records the query
+  * would drop anyway — pushdown is row-skip work saving, never a
+  * correctness surface. */
+private[graft] object ProtoFilterEval {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  private val comparable: Set[DataType] =
+    Set(IntegerType, LongType, FloatType, DoubleType, StringType, BooleanType)
+
+  /** Evaluable: all referenced columns are top-level fields of a
+    * comparable primitive type present in the read schema. */
+  def supports(f: Filter, schema: StructType): Boolean =
+    f.references.nonEmpty && f.references.forall { name =>
+      schema.fields.exists(fd => fd.name == name && comparable(fd.dataType))
+    }
+
+  private def cmp(x: Any, v: Any): Option[Int] = (x, v) match {
+    case (null, _) | (_, null) => None
+    case (a: Int, b: Int) => Some(java.lang.Integer.compare(a, b))
+    case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
+    case (a: Float, b: Float) => Some(java.lang.Float.compare(a, b))
+    case (a: Double, b: Double) => Some(java.lang.Double.compare(a, b))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
+    case _ => None // type mismatch: unknown, never skip on it
+  }
+
+  private def str(x: Any): Option[String] =
+    x match { case s: String => Some(s); case _ => None }
+
+  /** None = unknown (SQL null / unsupported), Some(b) = definite. */
+  def eval(f: Filter, value: String => Any): Option[Boolean] = f match {
+    case EqualTo(a, v) => cmp(value(a), v).map(_ == 0)
+    case EqualNullSafe(a, v) =>
+      val x = value(a)
+      if (x == null || v == null) Some(x == null && v == null) else cmp(x, v).map(_ == 0)
+    case GreaterThan(a, v) => cmp(value(a), v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(value(a), v).map(_ >= 0)
+    case LessThan(a, v) => cmp(value(a), v).map(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(value(a), v).map(_ <= 0)
+    case In(a, vs) =>
+      val x = value(a)
+      if (x == null) None
+      else {
+        val results = vs.toSeq.map(v => cmp(x, v))
+        if (results.exists(_.contains(0))) Some(true)
+        else if (results.forall(r => r.isDefined)) Some(false)
+        else None // a null/mismatched list element: not definitively false
+      }
+    case IsNull(a) => Some(value(a) == null)
+    case IsNotNull(a) => Some(value(a) != null)
+    case StringStartsWith(a, v) => str(value(a)).map(_.startsWith(v))
+    case StringEndsWith(a, v) => str(value(a)).map(_.endsWith(v))
+    case StringContains(a, v) => str(value(a)).map(_.contains(v))
+    case And(l, r) => (eval(l, value), eval(r, value)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, value), eval(r, value)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval(c, value).map(!_)
+    case _ => None
+  }
+
+  /** Record predicate over the decoded value sequence (read-schema
+    * order): false iff some filter is definitively false. */
+  def compile(filters: Array[Filter], schema: StructType): Seq[Any] => Boolean = {
+    if (filters.isEmpty) return _ => true
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    values => {
+      val value: String => Any = name => idx.get(name).map(values(_)).orNull
+      !filters.exists(f => eval(f, value).contains(false))
     }
   }
 }

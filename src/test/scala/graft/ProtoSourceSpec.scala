@@ -102,6 +102,51 @@ class ProtoSourceSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("filter pushdown: rows skipped at the scan, results exact, filters visible in the plan") {
+    val dir = tmpDir("gpb-pushdown")
+    sampleDf.write.mode("append").format("graft-proto").save(dir)
+    val df = spark.read.format("graft-proto").load(dir)
+      .filter(col("score") >= 0.0 && col("lang") =!= "de")
+      .select("id", "name")
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "alpha"))) // beta is 'de', gamma has score -2.25
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    // the accepted subset shows in the scan description...
+    assert(scan.toString.contains("pushed=["), scan.toString)
+    assert(scan.toString.contains("GreaterThanOrEqual(score,0.0)"), scan.toString)
+    // ...and the scan itself emits only surviving rows (the skip is real,
+    // not just re-filtered above): 1 of 3 records
+    df.collect()
+    assert(scan.metrics.get("numOutputRows").map(_.value).contains(1L), scan.metrics)
+  }
+
+  test("pushed-filter evaluator: three-valued semantics never skip a row SQL would keep") {
+    import org.apache.spark.sql.sources._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    def keep(fs: Filter*)(values: Any*): Boolean =
+      graft.sources.ProtoFilterEval.compile(fs.toArray, schema)(values.toSeq)
+    assert(!keep(GreaterThan("id", 5L))(3L, "x"))
+    assert(keep(GreaterThan("id", 5L))(7L, "x"))
+    // null comparisons are UNKNOWN -> kept (the residual filter drops them
+    // with exact SQL semantics; the scan must not guess)
+    assert(keep(GreaterThan("id", 5L))(null, "x"))
+    assert(!keep(IsNotNull("id"))(null, "x")) // definite: null fails IsNotNull
+    assert(keep(IsNull("id"))(null, "x"))
+    // type mismatch (evolved reader, defensive): unknown -> kept
+    assert(keep(EqualTo("id", "oops"))(3L, "x"))
+    // three-valued AND/OR/NOT
+    assert(!keep(And(EqualTo("name", "x"), GreaterThan("id", 5L)))(3L, "x"))
+    assert(keep(Or(EqualTo("name", "x"), GreaterThan("id", 5L)))(3L, "x"))
+    assert(keep(Or(GreaterThan("id", 0L), EqualTo("name", "y")))(null, "x")) // unknown OR false -> kept
+    assert(!keep(Not(EqualTo("name", "x")))(3L, "x"))
+    assert(keep(In("id", Array(1L, 3L)))(3L, "x"))
+    assert(!keep(In("id", Array(1L, 2L)))(3L, "x"))
+    assert(keep(In("id", Array(1L, null)))(3L, "x")) // null element: not definitively false
+    assert(keep(StringStartsWith("name", "al"))(1L, "alpha"))
+    assert(!keep(StringStartsWith("name", "be"))(1L, "alpha"))
+  }
+
   test("overwrite truncates: old shards and contract retired, new schema wins") {
     val dir = tmpDir("gpb-ovr")
     sampleDf.write.mode("append").format("graft-proto").save(dir)
