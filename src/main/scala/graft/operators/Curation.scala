@@ -703,10 +703,13 @@ object Curation extends QueryModule {
     * doc, quality-gated docs with text, exact-dedup survivors,
     * near-dup cluster labels (node, label) over the survivors). */
   private def funnelParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    funnelPartsOf(Tables.documents(spark, dir))
+
+  private[graft] def funnelPartsOf(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val docs = Tables.documents(spark, dir)
     val quality = graft.functions.ScopedCache.persist("curation.funnel.quality",
-      TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality"), col("n_tokens")))
+      TextOps.qualityScoresOf(docs).select(col("doc_id"), col("quality"), col("n_tokens")))
     // tkey = 32-byte content key: the keep-first aggregate and the q163
     // keeper join both key on it, so no join/shuffle is keyed by raw text
     val gatedq = graft.functions.ScopedCache.persist("curation.funnel.gated",
@@ -821,8 +824,12 @@ object Curation extends QueryModule {
     * what the funnel costs plus narrow joins. Per-doc output is a scan-
     * sized result, fine at any scale (it IS the lineage table a real
     * pipeline persists next to the corpus). */
-  def rejectionAudit(spark: SparkSession, dir: String): DataFrame = {
-    val (quality, gatedq, sv, labels) = funnelParts(spark, dir)
+  def rejectionAudit(spark: SparkSession, dir: String): DataFrame =
+    rejectionAuditOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (ScaleProbe drives it on replicated corpora). */
+  private[graft] def rejectionAuditOf(docs: DataFrame): DataFrame = {
+    val (quality, gatedq, sv, labels) = funnelPartsOf(docs)
     // keeper lookup keyed on the 32-byte content key with (id, key)
     // projections — the payload is two longs, so no document body crosses
     // this exchange (the r10 verdict's one perf-weak item)
@@ -1288,11 +1295,15 @@ object Curation extends QueryModule {
     * arithmetic with one final division. No windows; the corpus is
     * scanned once for each of the two scores (both narrow explode +
     * keyed-agg passes), joined on doc_id. */
-  def classifierLift(spark: SparkSession, dir: String): DataFrame = {
-    val cls = qualityClassifierOf(Tables.documents(spark, dir))
+  def classifierLift(spark: SparkSession, dir: String): DataFrame =
+    classifierLiftOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (ScaleProbe drives it on replicated corpora). */
+  private[graft] def classifierLiftOf(docs: DataFrame): DataFrame = {
+    val cls = qualityClassifierOf(docs)
       .select(col("doc_id"), col("score"))
     val q = graft.functions.ScopedCache.persist("curation.funnel.quality",
-      TextOps.qualityScores(spark, dir)
+      TextOps.qualityScoresOf(docs)
         .select(col("doc_id"), col("quality"), col("n_tokens")))
       .select(col("doc_id"), col("quality"))
     val ext = cls.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))

@@ -101,8 +101,11 @@ object TextOps extends QueryModule {
   /** Quality scoring: length / lexical-diversity / stopword signals
     * composed into one double score. All components are integer-derived
     * ratios, so the score is bit-exact across engines. */
-  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    qualityScoresOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (probe/test surface over constructed corpora). */
+  def qualityScoresOf(d: DataFrame): DataFrame = {
     val stop = Array("the", "a", "of", "and", "to")
     d.select(col("doc_id"), col("lang"), toks.as("toks"),
         markerCount(stop.toSeq).as("n_stopwords"), col("n_chars"))
