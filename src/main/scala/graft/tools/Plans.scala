@@ -452,10 +452,35 @@ object Plans {
       section("q163 per-doc rejection audit (r10 funnel provenance)",
         "What to look for: the funnel's cached stage tables " +
           "(InMemoryTableScans of quality/gated/sv) with ONE added " +
-          "text-keyed keeper join (gated x survivors) and two doc_id " +
-          "LEFT equi-joins onto the label table; CASE projection, " +
+          "keeper join (gated x survivors) keyed on the 32-byte sha2 " +
+          "content key since r11 — (doc_id, tkey) projections only, no " +
+          "document body through the exchange — and two doc_id LEFT " +
+          "equi-joins onto the label table; CASE projection, " +
           "presentation sort; no window function, no nested loop.",
         graft.operators.Curation.rejectionAudit(spark, dir)),
+      section("q172 ANN exact re-rank (r11 two-stage search)",
+        "What to look for: stage 1 is q107's persisted-index gated scan " +
+          "widened to top-m (artifact scans + broadcast cell gate + " +
+          "LUT); stage 2 fetches ONLY candidate sub-vectors via a " +
+          "broadcast (query_id, vec_id) equi-join and runs the exact " +
+          "zip_with kernel on that bounded set — the corpus is never " +
+          "exact-scored wholesale (the executed-metrics bound is " +
+          "asserted in PlanSpec).",
+        graft.operators.Similarity.ivfPqRerank(spark, dir)),
+      section("q173 steady-state funnel (r11 artifact admission)",
+        "What to look for: NO shingle explode, no pair self-join, no " +
+          "window anywhere — the near-dup front half is two parquet " +
+          "scans of the q129 artifact; the plan is the quality pass + " +
+          "a doc_id semi-join (survivors) + anti-join (purged) + three " +
+          "4-row aggregates.",
+        graft.operators.Curation.funnelFromArtifact(spark, dir)),
+      section("q174 steady-state rejection audit (r11)",
+        "What to look for: q173's artifact admission plus the keeper " +
+          "lookup — survivor content keys come from ONE doc_id " +
+          "equi-join back to the corpus (the artifact stores no text), " +
+          "then the (doc_id, tkey)-projected join; no shingling, no " +
+          "window, no nested loop.",
+        graft.operators.Curation.rejectionAuditFromArtifact(spark, dir)),
       section("q155 quality-aware canonical selection (r10)",
         "What to look for: the artifact-backed cluster table joins the " +
           "quality scores on doc_id (AQE-decided — no forced broadcast; " +
