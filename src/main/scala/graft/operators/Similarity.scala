@@ -786,6 +786,15 @@ object Similarity extends QueryModule {
   val PqSearchProbes = 10L
   val PqSearchK = 5
 
+  /** Refine fan-out of the q172 two-stage search: how many ADC candidates
+    * per probe get an exact re-score. 4×k is the standard refine ratio;
+    * the re-rank cost is probes × RerankM exact kernels — a fixed
+    * per-probe constant, independent of corpus size (production
+    * deployments raise it to ~10k without changing the shape). Declared
+    * with the other search constants: the oracle SQL vals interpolate it
+    * at object init, so it must precede them. */
+  val RerankM: Int = 4 * PqSearchK
+
   /** q106: PQ approximate search (asymmetric distance computation) — the
     * query stage that train (q101) and encode (q105) exist for: for each
     * probe, a per-block lookup table of squared distances to every
@@ -1567,39 +1576,11 @@ object Similarity extends QueryModule {
 
   private val annRecallSql =
     s"""WITH ${ivfPqSearchCtesFor(PqSearchProbes)},
-      |exb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.block,
-      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
-      |            j -> (q.sv[j] - c.sv[j]) * (q.sv[j] - c.sv[j]))), 6) AS pdist
-      |        FROM e2 q JOIN e2 c ON q.block = c.block AND c.vec_id <> q.vec_id
-      |        WHERE q.vec_id < $PqSearchProbes),
-      |exd AS (SELECT query_id, neighbor_id,
-      |          ROUND(CAST(SUM(CAST(pdist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS dist
-      |        FROM exb GROUP BY 1, 2),
-      |exr AS (SELECT query_id, neighbor_id,
-      |          ROW_NUMBER() OVER (PARTITION BY query_id
-      |            ORDER BY dist, neighbor_id) AS rank
-      |        FROM exd),
-      |ext AS (SELECT query_id, neighbor_id FROM exr WHERE rank <= $PqSearchK),
-      |hits AS (SELECT r.query_id, COUNT(*) AS n_hits
-      |         FROM rnk r JOIN ext USING (query_id, neighbor_id)
-      |         WHERE r.rank <= $PqSearchK GROUP BY 1),
-      |kk AS (SELECT query_id, COUNT(*) AS k FROM ext GROUP BY 1)
-      |SELECT kk.query_id, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
-      |  kk.k,
-      |  ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / kk.k, 6) AS recall_at_k
-      |FROM kk LEFT JOIN hits USING (query_id)
-      |ORDER BY query_id NULLS FIRST""".stripMargin
+      |${recallAuditSqlTail("rnk")}""".stripMargin
 
   // ---------------------------------------------------------------------
   // q172: IVF-PQ search with an exact re-rank (refine) stage
   // ---------------------------------------------------------------------
-
-  /** Refine fan-out: how many ADC candidates per probe get an exact
-    * re-score. 4×k is the standard refine ratio; the re-rank cost is
-    * probes × [[RerankM]] exact kernels — a fixed per-probe constant,
-    * independent of corpus size (production deployments raise it to ~10k
-    * without changing the shape). */
-  val RerankM: Int = 4 * PqSearchK
 
   /** Exact re-score of a bounded candidate set: fetch ONLY the candidate
     * vectors' sub-vectors (an equi-join gate — the corpus is never
@@ -1661,6 +1642,64 @@ object Similarity extends QueryModule {
       ivfPqRerankOf(emb).select(col("query_id"), col("neighbor_id")),
       exactSqTopK(emb).select(col("query_id"), col("neighbor_id")))
 
+  /** q175: recall@k of the TWO-STAGE search — q171's acceptance metric
+    * re-run on q172, so the refine stage's lift is an oracle-certified
+    * number in the verified output (q171 row vs q175 row per probe), not
+    * just a test-log observation. Same exact ground truth, same recall
+    * join; the approx side is the persisted-index rerank search. */
+  def annRecallRerank(spark: SparkSession, dir: String): DataFrame =
+    annRecallFrom(
+      ivfPqRerank(spark, dir).select(col("query_id"), col("neighbor_id")),
+      exactSqTopK(Tables.embeddings(spark, dir))
+        .select(col("query_id"), col("neighbor_id")))
+
+  /** The q171 exact-ground-truth + recall-join CTE tail, parameterized by
+    * the approx ranking CTE to audit ([[annRecallSql]] passes `rnk`, the
+    * q175 form passes the rerank `rr`) — shared verbatim so the two
+    * audits measure with the identical instrument. */
+  private def recallAuditSqlTail(approxRanked: String) =
+    s"""exb AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.block,
+      |          ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
+      |            j -> (q.sv[j] - c.sv[j]) * (q.sv[j] - c.sv[j]))), 6) AS pdist
+      |        FROM e2 q JOIN e2 c ON q.block = c.block AND c.vec_id <> q.vec_id
+      |        WHERE q.vec_id < $PqSearchProbes),
+      |exd AS (SELECT query_id, neighbor_id,
+      |          ROUND(CAST(SUM(CAST(pdist AS DECIMAL(38, 6))) AS DOUBLE), 6) AS dist
+      |        FROM exb GROUP BY 1, 2),
+      |exr AS (SELECT query_id, neighbor_id,
+      |          ROW_NUMBER() OVER (PARTITION BY query_id
+      |            ORDER BY dist, neighbor_id) AS rank
+      |        FROM exd),
+      |ext AS (SELECT query_id, neighbor_id FROM exr WHERE rank <= $PqSearchK),
+      |hits AS (SELECT r.query_id, COUNT(*) AS n_hits
+      |         FROM $approxRanked r JOIN ext USING (query_id, neighbor_id)
+      |         WHERE r.rank <= $PqSearchK GROUP BY 1),
+      |kk AS (SELECT query_id, COUNT(*) AS k FROM ext GROUP BY 1)
+      |SELECT kk.query_id, CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+      |  kk.k,
+      |  ROUND(CAST(COALESCE(hits.n_hits, 0) AS DOUBLE) / kk.k, 6) AS recall_at_k
+      |FROM kk LEFT JOIN hits USING (query_id)
+      |ORDER BY query_id NULLS FIRST""".stripMargin
+
+  private val annRecallRerankSql =
+    s"""WITH ${ivfPqSearchCtesFor(PqSearchProbes)},
+      |candm AS (SELECT query_id, neighbor_id FROM rnk WHERE rank <= $RerankM),
+      |rb AS (SELECT cd.query_id, cd.neighbor_id, q.block,
+      |         ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
+      |           j -> (q.sv[j] - c.sv[j]) * (q.sv[j] - c.sv[j]))), 6) AS pdist
+      |       FROM candm cd
+      |       JOIN e2 q ON q.vec_id = cd.query_id
+      |       JOIN e2 c ON c.vec_id = cd.neighbor_id AND c.block = q.block),
+      |rd AS (SELECT query_id, neighbor_id,
+      |         ROUND(CAST(SUM(CAST(pdist AS DECIMAL(38, 6))) AS DOUBLE), 6)
+      |           AS exact_dist
+      |       FROM rb GROUP BY 1, 2),
+      |rr AS (SELECT query_id, neighbor_id, exact_dist,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY exact_dist, neighbor_id) AS INT) AS rank
+      |       FROM rd),
+      |${recallAuditSqlTail("rr")}""".stripMargin
+
   private val ivfPqRerankSql =
     s"""WITH ${ivfPqSearchCtesFor(PqSearchProbes)},
       |candm AS (SELECT query_id, neighbor_id FROM rnk WHERE rank <= $RerankM),
@@ -1686,6 +1725,7 @@ object Similarity extends QueryModule {
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
     GraftQuery("q171_ann_recall", annRecall, Some(annRecallSql)),
     GraftQuery("q172_ann_rerank", ivfPqRerank, Some(ivfPqRerankSql)),
+    GraftQuery("q175_ann_rerank_recall", annRecallRerank, Some(annRecallRerankSql)),
     GraftQuery("q156_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     GraftQuery("q81_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     GraftQuery("q82_ann_sign_buckets", annSignBuckets, Some(annSignBucketsSql)),
