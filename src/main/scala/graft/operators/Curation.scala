@@ -841,12 +841,17 @@ object Curation extends QueryModule {
       .join(keepers, Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("quality") < FunnelQualityMin, lit("dropped_quality"))
+        // null quality (out-of-contract text) fails the gate exactly like
+        // the funnel's `quality >= min` filter does — else the audit would
+        // report 'kept' for a doc the stage counts as dropped
+        when(col("quality").isNull || col("quality") < FunnelQualityMin,
+            lit("dropped_quality"))
           .when(col("keeper") =!= col("doc_id"), lit("dropped_exact_dup"))
           .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
             lit("dropped_near_dup"))
           .otherwise(lit("kept")).as("status"),
-        when(col("quality") < FunnelQualityMin, lit(null).cast(LongType))
+        when(col("quality").isNull || col("quality") < FunnelQualityMin,
+            lit(null).cast(LongType))
           .when(col("keeper") =!= col("doc_id"), col("keeper"))
           .when(col("cluster_id") =!= col("doc_id"), col("cluster_id"))
           .otherwise(lit(null).cast(LongType)).as("kept_by"))
@@ -858,12 +863,14 @@ object Curation extends QueryModule {
       |ek AS (SELECT g.doc_id, s.doc_id AS keeper
       |       FROM gatedq g JOIN sv s ON g.text = s.text)
       |SELECT q.doc_id,
-      |  CASE WHEN q.quality < ${Curation.FunnelQualityMin} THEN 'dropped_quality'
+      |  CASE WHEN q.quality IS NULL OR q.quality < ${Curation.FunnelQualityMin}
+      |         THEN 'dropped_quality'
       |       WHEN ek.keeper <> q.doc_id THEN 'dropped_exact_dup'
       |       WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> q.doc_id
       |         THEN 'dropped_near_dup'
       |       ELSE 'kept' END AS status,
-      |  CASE WHEN q.quality < ${Curation.FunnelQualityMin} THEN NULL
+      |  CASE WHEN q.quality IS NULL OR q.quality < ${Curation.FunnelQualityMin}
+      |         THEN NULL
       |       WHEN ek.keeper <> q.doc_id THEN ek.keeper
       |       WHEN cc.cluster_id <> q.doc_id THEN cc.cluster_id
       |       ELSE NULL END AS kept_by
@@ -967,7 +974,13 @@ object Curation extends QueryModule {
     val docs = Tables.documents(spark, dir)
     steadyAuditFrom(
       TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality")),
-      docs.select(col("doc_id"), Dedup.contentKey(col("text")).as("tkey")),
+      // null-text rows form ONE keep-first group under groupBy(tkey), so
+      // the keeper join must be null-safe too: sentinel the key (sha2
+      // output is always 32 bytes, so empty binary cannot collide) — else
+      // null-text exact-dup losers would silently audit as kept while the
+      // funnel counts them dropped
+      docs.select(col("doc_id"),
+        coalesce(Dedup.contentKey(col("text")), lit(Array.emptyByteArray)).as("tkey")),
       spark.read.parquet(s"$base/survivors").select(col("doc_id")),
       spark.read.parquet(s"$base/surv_labels"))
   }
@@ -987,7 +1000,9 @@ object Curation extends QueryModule {
         when(col("keeper") =!= col("doc_id"), lit("dropped_exact_dup"))
           .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
             lit("dropped_near_dup"))
-          .when(col("quality") < FunnelQualityMin, lit("dropped_quality"))
+          // null quality fails the gate, matching the funnel's s3 filter
+          .when(col("quality").isNull || col("quality") < FunnelQualityMin,
+            lit("dropped_quality"))
           .otherwise(lit("kept")).as("status"),
         when(col("keeper") =!= col("doc_id"), col("keeper"))
           .when(col("cluster_id") =!= col("doc_id"), col("cluster_id"))
@@ -998,12 +1013,13 @@ object Curation extends QueryModule {
   private val rejectionAuditFromArtifactSql =
     s"""WITH RECURSIVE $steadyCtes,
       |ek AS (SELECT d.doc_id, s.doc_id AS keeper
-      |       FROM documents d JOIN sv s ON d.text = s.text)
+      |       FROM documents d JOIN sv s ON d.text IS NOT DISTINCT FROM s.text)
       |SELECT q.doc_id,
       |  CASE WHEN ek.keeper <> q.doc_id THEN 'dropped_exact_dup'
       |       WHEN cc.cluster_id IS NOT NULL AND cc.cluster_id <> q.doc_id
       |         THEN 'dropped_near_dup'
-      |       WHEN q.quality < ${Curation.FunnelQualityMin} THEN 'dropped_quality'
+      |       WHEN q.quality IS NULL OR q.quality < ${Curation.FunnelQualityMin}
+      |         THEN 'dropped_quality'
       |       ELSE 'kept' END AS status,
       |  CASE WHEN ek.keeper <> q.doc_id THEN ek.keeper
       |       WHEN cc.cluster_id <> q.doc_id THEN cc.cluster_id

@@ -1530,16 +1530,26 @@ object Similarity extends QueryModule {
     * both. Probes broadcast against one column-pruned corpus scan — the
     * q80 brute shape, affordable because probes are a fixed audit
     * sample, never the corpus. */
+  /** Per-block exact squared distance between `qsv` (probe) and `cv`
+    * (candidate) sub-vector columns — ONE kernel expression shared by the
+    * q171 ground truth and the q172 refine stage, so the per-probe
+    * dominance law can never be broken by the two drifting apart (an edit
+    * to rounding or fold order hits both or neither). */
+  private def exactBlockDist: Column =
+    round(expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), " +
+      "0D, (acc, x) -> acc + x)"), 6)
+
+  /** The probe side of the exact chains: (query_id, block, qsv). */
+  private def probeSubvectors(e2: DataFrame): DataFrame =
+    e2.filter(col("vec_id") < PqSearchProbes)
+      .select(col("vec_id").as("query_id"), col("block"), col("sv").as("qsv"))
+
   private def exactSqTopK(emb: DataFrame): DataFrame = {
     val e2 = pqSubvectors(emb)
-    val q = e2.filter(col("vec_id") < PqSearchProbes)
-      .select(col("vec_id").as("query_id"), col("block"), col("sv").as("qsv"))
     adcRank(e2.select(col("vec_id"), col("block"), col("sv").as("cv"))
-      .join(broadcast(q), Seq("block"))
+      .join(broadcast(probeSubvectors(e2)), Seq("block"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), " +
-          "0D, (acc, x) -> acc + x)"), 6).as("pdist")))
+      .select(col("query_id"), col("vec_id"), exactBlockDist.as("pdist")))
   }
 
   /** q171: RECALL@k of the IVF-PQ index against exact search — the
@@ -1590,15 +1600,11 @@ object Similarity extends QueryModule {
     * broadcast-class at any corpus size. */
   private def rerankExact(emb: DataFrame, cand: DataFrame): DataFrame = {
     val e2 = pqSubvectors(emb)
-    val q = e2.filter(col("vec_id") < PqSearchProbes)
-      .select(col("vec_id").as("query_id"), col("block"), col("sv").as("qsv"))
     val gated = e2.select(col("vec_id"), col("block"), col("sv").as("cv"))
       .join(broadcast(cand.withColumnRenamed("neighbor_id", "vec_id")), Seq("vec_id"))
     adcRank(gated
-      .join(broadcast(q), Seq("query_id", "block"))
-      .select(col("query_id"), col("vec_id"),
-        round(expr("aggregate(zip_with(qsv, cv, (a, b) -> (a - b) * (a - b)), " +
-          "0D, (acc, x) -> acc + x)"), 6).as("pdist")),
+      .join(broadcast(probeSubvectors(e2)), Seq("query_id", "block"))
+      .select(col("query_id"), col("vec_id"), exactBlockDist.as("pdist")),
       distName = "exact_dist")
   }
 
@@ -1683,7 +1689,15 @@ object Similarity extends QueryModule {
 
   private val annRecallRerankSql =
     s"""WITH ${ivfPqSearchCtesFor(PqSearchProbes)},
-      |candm AS (SELECT query_id, neighbor_id FROM rnk WHERE rank <= $RerankM),
+      |$rerankChainCtes,
+      |${recallAuditSqlTail("rr")}""".stripMargin
+
+  /** The refine-stage CTE block (ADC top-m candidates → exact re-score →
+    * rerank), ending in `rr` — shared VERBATIM by the q172 oracle and the
+    * q175 recall-audit oracle so the search the audit measures IS the
+    * search q172 runs. */
+  private def rerankChainCtes: String =
+    s"""candm AS (SELECT query_id, neighbor_id FROM rnk WHERE rank <= $RerankM),
       |rb AS (SELECT cd.query_id, cd.neighbor_id, q.block,
       |         ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
       |           j -> (q.sv[j] - c.sv[j]) * (q.sv[j] - c.sv[j]))), 6) AS pdist
@@ -1697,26 +1711,11 @@ object Similarity extends QueryModule {
       |rr AS (SELECT query_id, neighbor_id, exact_dist,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
       |           ORDER BY exact_dist, neighbor_id) AS INT) AS rank
-      |       FROM rd),
-      |${recallAuditSqlTail("rr")}""".stripMargin
+      |       FROM rd)""".stripMargin
 
   private val ivfPqRerankSql =
     s"""WITH ${ivfPqSearchCtesFor(PqSearchProbes)},
-      |candm AS (SELECT query_id, neighbor_id FROM rnk WHERE rank <= $RerankM),
-      |rb AS (SELECT cd.query_id, cd.neighbor_id, q.block,
-      |         ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, $PqBlockDim),
-      |           j -> (q.sv[j] - c.sv[j]) * (q.sv[j] - c.sv[j]))), 6) AS pdist
-      |       FROM candm cd
-      |       JOIN e2 q ON q.vec_id = cd.query_id
-      |       JOIN e2 c ON c.vec_id = cd.neighbor_id AND c.block = q.block),
-      |rd AS (SELECT query_id, neighbor_id,
-      |         ROUND(CAST(SUM(CAST(pdist AS DECIMAL(38, 6))) AS DOUBLE), 6)
-      |           AS exact_dist
-      |       FROM rb GROUP BY 1, 2),
-      |rr AS (SELECT query_id, neighbor_id, exact_dist,
-      |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-      |           ORDER BY exact_dist, neighbor_id) AS INT) AS rank
-      |       FROM rd)
+      |$rerankChainCtes
       |SELECT query_id, rank, neighbor_id, exact_dist
       |FROM rr WHERE rank <= $PqSearchK
       |ORDER BY query_id NULLS FIRST, rank""".stripMargin

@@ -302,8 +302,17 @@ private[graft] object ProtoFilterEval {
     case (null, _) | (_, null) => None
     case (a: Int, b: Int) => Some(java.lang.Integer.compare(a, b))
     case (a: Long, b: Long) => Some(java.lang.Long.compare(a, b))
-    case (a: Float, b: Float) => Some(java.lang.Float.compare(a, b))
-    case (a: Double, b: Double) => Some(java.lang.Double.compare(a, b))
+    // floats: java's compare orders -0.0 < 0.0 and totalizes NaN, but
+    // Spark's filter comparisons treat -0.0 == 0.0 and have their own NaN
+    // rules — a divergence here would definitively-false-skip a row the
+    // residual filter can never resurrect. Normalize zeros; punt NaN to
+    // the residual (unknown).
+    case (a: Float, b: Float) =>
+      if (a.isNaN || b.isNaN) None
+      else Some(java.lang.Float.compare(a + 0.0f, b + 0.0f))
+    case (a: Double, b: Double) =>
+      if (a.isNaN || b.isNaN) None
+      else Some(java.lang.Double.compare(a + 0.0d, b + 0.0d))
     case (a: String, b: String) => Some(a.compareTo(b))
     case (a: Boolean, b: Boolean) => Some(java.lang.Boolean.compare(a, b))
     case _ => None // type mismatch: unknown, never skip on it
@@ -414,10 +423,15 @@ class GraftProtoBatchWrite(schema: StructType, path: String, truncateFirst: Bool
     Files.createDirectories(dir)
     val sidecar = dir.resolve(GraftProtoDataSource.SchemaFile)
     if (truncateFirst) {
-      // overwrite: retire every existing shard and the contract before
-      // publishing — the new write's schema becomes the directory's contract
-      GraftProtoDataSource.dataFiles(path).foreach(f => Files.deleteIfExists(Paths.get(f)))
+      // overwrite: retire the CONTRACT first, then the shards — a reader
+      // racing the truncation then fails loudly ("no sidecar") instead of
+      // silently seeing an empty table or decoding new shards under the
+      // old positional contract. The overwrite itself is not atomic for
+      // concurrent readers (plain-filesystem limitation; a production
+      // build would publish into a fresh versioned directory and flip a
+      // pointer) — the publish-order guarantee below covers appends.
       Files.deleteIfExists(sidecar)
+      GraftProtoDataSource.dataFiles(path).foreach(f => Files.deleteIfExists(Paths.get(f)))
     } else {
       GraftProtoBatchWrite.requireAppendCompatible(schema, path)
     }

@@ -630,8 +630,10 @@ object ScaleProbe {
     // paid them once); the timed body is what a steady-state pass costs
     // — quality pass + doc_id semi/anti joins (+ content-key keeper
     // lookup for the audit). Uses dN so survivors stay corpus-sized.
-    if (only.isEmpty || only.exists(p => "q173 steady funnel".startsWith(p) ||
-        "q174 steady audit".startsWith(p))) {
+    val steadyRowNames = Seq(
+      "q173 steady funnel 1x (5k docs)", s"q173 steady funnel ${copies}x",
+      "q174 steady audit 1x (5k docs)", s"q174 steady audit ${copies}x")
+    if (only.isEmpty || steadyRowNames.exists(n => only.exists(n.startsWith))) {
       def steadyTables(docs: DataFrame, tag: String): (String, String) = {
         val sv = graft.operators.Dedup.exactSurvivors(docs)
         val pairs = graft.operators.Dedup.jaccardPairsUnsorted(
@@ -654,8 +656,10 @@ object ScaleProbe {
         graft.operators.Curation.steadyAuditFrom(
           graft.operators.TextOps.qualityScoresOf(docs)
             .select(col("doc_id"), col("quality")),
+          // the production key: 32-byte binary contentKey, not hex — the
+          // probe must time the shipped shuffle width
           docs.select(col("doc_id"),
-            sha2(col("text"), 256).as("tkey")),
+            graft.operators.Dedup.contentKey(col("text")).as("tkey")),
           spark.read.parquet(sv), spark.read.parquet(lb)).count()
       time("q173 steady funnel 1x (5k docs)")(steadyFunnel(d1, sv1, lb1))
       time(s"q173 steady funnel ${copies}x")(steadyFunnel(dN, svN, lbN))

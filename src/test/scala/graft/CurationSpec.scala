@@ -538,6 +538,32 @@ class CurationSpec extends AnyFunSuite with SparkSpec {
       (3, "quality_gate", 3L, 30L)))
   }
 
+  test("q174 null-text and null-quality docs reconcile with the funnel (out-of-contract rows)") {
+    val session = spark
+    import session.implicits._
+    // docs 0/1 share a NULL text: groupBy(tkey) makes them ONE keep-first
+    // group (survivor 0), so the audit's keeper join must be null-safe —
+    // doc 1 is dropped_exact_dup, not silently 'kept'. Doc 2 has null
+    // quality: the gate filter drops it, so the audit must too.
+    val quality = Seq((0L, Some(0.9), 10L), (1L, Some(0.9), 10L),
+      (2L, None, 10L), (3L, Some(0.8), 10L))
+      .toDF("doc_id", "quality", "n_tokens")
+    val keys = Seq((0L, "NULLGRP"), (1L, "NULLGRP"), (2L, "C"), (3L, "D"))
+      .toDF("doc_id", "tkey") // callers sentinel null keys to one group
+    val survivorIds = Seq(0L, 2L, 3L).toDF("doc_id")
+    val svLabels = Seq.empty[(Long, Long)].toDF("node", "label")
+    val audit = Curation.steadyAuditFrom(
+        quality.select($"doc_id", $"quality"), keys, survivorIds, svLabels)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(audit === Seq((0L, "kept"), (1L, "dropped_exact_dup"),
+      (2L, "dropped_quality"), (3L, "kept")))
+    val funnel = Curation.steadyFunnelFrom(quality, survivorIds, svLabels).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // stage deltas == per-status counts, including the null rows
+    assert(funnel(0) - funnel(1) === 1L) // exact dedup drops doc 1
+    assert(funnel(2) - funnel(3) === 1L) // quality gate drops doc 2
+  }
+
   test("q174 reconciles with q173 stage deltas on the fixture (artifact path)") {
     val audit = Curation.rejectionAuditFromArtifact(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1)))

@@ -145,6 +145,18 @@ class ProtoSourceSpec extends AnyFunSuite with SparkSpec {
     assert(keep(In("id", Array(1L, null)))(3L, "x")) // null element: not definitively false
     assert(keep(StringStartsWith("name", "al"))(1L, "alpha"))
     assert(!keep(StringStartsWith("name", "be"))(1L, "alpha"))
+    // float semantics must match Spark's filter, not java's total order:
+    // -0.0 == 0.0 (a compare-based skip would silently lose the row, and
+    // the residual filter can never resurrect it); NaN comparisons are
+    // punted to the residual (unknown -> kept)
+    val dschema = StructType(Seq(StructField("score", DoubleType)))
+    def keepD(fs: Filter*)(values: Any*): Boolean =
+      graft.sources.ProtoFilterEval.compile(fs.toArray, dschema)(values.toSeq)
+    assert(keepD(EqualTo("score", 0.0))(-0.0))
+    assert(keepD(GreaterThanOrEqual("score", 0.0))(-0.0))
+    assert(!keepD(LessThan("score", 0.0))(-0.0))
+    assert(keepD(EqualTo("score", Double.NaN))(Double.NaN)) // unknown, kept
+    assert(keepD(GreaterThan("score", 1.0))(Double.NaN))    // unknown, kept
   }
 
   test("overwrite truncates: old shards and contract retired, new schema wins") {
