@@ -196,9 +196,15 @@ object Dedup extends QueryModule {
     * clustering consumers (q77/q78/q85) feed into explode/groupBy, where
     * a global order on the pair set buys nothing but an exchange. */
   private[graft] def jaccardPairsUnsorted(docs: DataFrame, maxDF: Int = MaxShingleDF,
-      scope: String = SharedShingleScope): DataFrame = {
+      scope: String = SharedShingleScope): DataFrame =
+    jaccardPairsFromGated(gatedShingles(docs, maxDF, scope))
+
+  /** The pair pipeline from an already-gated (doc_id, sh) universe —
+    * split out so callers that manage their own gate (the q176 append,
+    * whose delta side must be gated by the BASE hot list) run the
+    * identical self-join/size/threshold chain. */
+  private[graft] def jaccardPairsFromGated(sh: DataFrame): DataFrame = {
     val t = JaccardThreshold
-    val sh = gatedShingles(docs, maxDF, scope)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -1952,7 +1958,202 @@ object Dedup extends QueryModule {
       |FROM tot LEFT JOIN mx USING (source)
       |ORDER BY source NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q176: near-dup artifact delta append (frozen-base admission)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic base/delta split for the append fixture (the q135
+    * pattern): delta = every doc_id ≡ 0 (mod this), base = the rest. */
+  val NeardupDeltaMod = 5L
+
+  /** q176: admit a DELTA batch against a frozen near-dup index — the
+    * q108→q135 lifecycle split applied to the dedup family (q129 is the
+    * build-once half; this is the batch-append half a production corpus
+    * runs nightly). Every delta doc gets a disposition and the id it
+    * resolves to:
+    *
+    *   - `exact_dup_delta` — loses keep-first WITHIN the batch;
+    *                         attach = the batch keeper (stage-local, like
+    *                         q163: the keeper may itself dedup away next)
+    *   - `exact_dup_base`  — content-identical to a base survivor;
+    *                         attach = that survivor
+    *   - `near_dup_base`   — Jaccard ≥ threshold with ≥1 base survivor;
+    *                         attach = min base CLUSTER label over partners
+    *   - `new`             — attach = its delta-only component min (own
+    *                         id when singleton)
+    *
+    * FROZEN-BASE contract (what every production incremental dedup does):
+    * the shingle DF gate is the BASE hot list (admission must not
+    * re-derive the gate from data it is admitting), base cluster labels
+    * never change (a delta doc bridging two base clusters attaches to the
+    * MIN label without merging them — the periodic full rebuild, q129,
+    * reconciles), and delta-delta components form only among docs not
+    * already attached to base. All deterministic, so the oracle replays
+    * the complete definition.
+    *
+    * Scale shape: everything delta-sized is batch-bounded (keep-first,
+    * delta shingles, the cross join's probe side — AQE broadcasts it when
+    * small, honest shuffle when a backfill batch is not); the base side
+    * recomputes in-plan here so the oracle is self-contained (the q166
+    * precedent) — production reads survivors/labels/hot from the artifact
+    * and pays ONLY the delta-proportional work. */
+  def neardupArtifactAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    neardupAppendOf(
+      docs.filter(pmod(col("doc_id"), lit(NeardupDeltaMod)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(NeardupDeltaMod)) === 0))
+  }
+
+  /** DataFrame-level core (constructed-corpus tests drive the exact-dup
+    * and bridging paths the duplicate-free fixture cannot). */
+  private[graft] def neardupAppendOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    // null-safe content key (q174's sentinel: sha output is never empty)
+    val key = (c: Column) => coalesce(contentKey(c), lit(Array.emptyByteArray))
+    val bsv = graft.functions.ScopedCache.persist("dedup.append.bsv",
+      base.select(col("doc_id"), col("text"), key(col("text")).as("tkey"))
+        .groupBy(col("tkey"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"),
+          col("tkey")))
+    val bshAll = graft.functions.ScopedCache.persist("dedup.append.bshall",
+      shingled(bsv.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(col("shingles")).as("sh")))
+    val hot = bshAll.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDF).select(col("sh"))
+    val bsh = graft.functions.ScopedCache.persist("dedup.append.bsh",
+      bshAll.join(hot, Seq("sh"), "left_anti"))
+    val (bLabels, _) = clusterLabels(
+      jaccardPairsFromGated(bsh).select(col("doc_a"), col("doc_b")))
+
+    val dAll = delta.select(col("doc_id"), key(col("text")).as("tkey"))
+    val dsv = graft.functions.ScopedCache.persist("dedup.append.dsv",
+      delta.select(col("doc_id"), col("text"), key(col("text")).as("tkey"))
+        .groupBy(col("tkey"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("keep"))
+        .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"),
+          col("tkey")))
+    val exDelta = dAll.join(dsv.select(col("tkey"), col("doc_id").as("attach")), Seq("tkey"))
+      .filter(col("doc_id") =!= col("attach"))
+      .select(col("doc_id"), lit("exact_dup_delta").as("status"), col("attach"))
+    val exBase = graft.functions.ScopedCache.persist("dedup.append.exb",
+      dsv.join(bsv.select(col("tkey"), col("doc_id").as("attach")), Seq("tkey"))
+        .select(col("doc_id"), col("attach")))
+    val dnew = graft.functions.ScopedCache.persist("dedup.append.dnew",
+      dsv.join(exBase.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("text")))
+    // delta shingles under the FROZEN base gate
+    val dsh = graft.functions.ScopedCache.persist("dedup.append.dsh",
+      shingled(dnew).select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .join(hot, Seq("sh"), "left_anti"))
+    val dsz = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("dn"))
+    val bsz = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
+    val xinter = dsh.as("a").join(bsh.as("b"), Seq("sh"))
+      .groupBy(col("a.doc_id").as("ddoc"), col("b.doc_id").as("bdoc"))
+      .agg(count(lit(1)).as("n_inter"))
+    val xpairs = xinter
+      .join(dsz.withColumnRenamed("doc_id", "ddoc"), Seq("ddoc"))
+      .join(bsz.withColumnRenamed("doc_id", "bdoc"), Seq("bdoc"))
+      .filter(col("n_inter").cast(DoubleType)
+        / (col("dn") + col("bn") - col("n_inter")) >= JaccardThreshold)
+      .select(col("ddoc"), col("bdoc"))
+    val nearBase = graft.functions.ScopedCache.persist("dedup.append.nb",
+      xpairs.join(bLabels.select(col("node").as("bdoc"), col("label")),
+          Seq("bdoc"), "left")
+        .groupBy(col("ddoc"))
+        .agg(min(coalesce(col("label"), col("bdoc"))).as("attach"))
+        .select(col("ddoc").as("doc_id"), col("attach")))
+    val rem = dnew.select(col("doc_id"))
+      .join(nearBase.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val rsh = dsh.join(rem, Seq("doc_id"), "left_semi")
+    val (dLabels, _) = clusterLabels(
+      jaccardPairsFromGated(rsh).select(col("doc_a"), col("doc_b")))
+    exDelta
+      .unionByName(exBase.select(col("doc_id"),
+        lit("exact_dup_base").as("status"), col("attach")))
+      .unionByName(nearBase.select(col("doc_id"),
+        lit("near_dup_base").as("status"), col("attach")))
+      .unionByName(rem
+        .join(dLabels.select(col("node").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), lit("new").as("status"),
+          coalesce(col("label"), col("doc_id")).as("attach")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val neardupAppendSql = {
+    val m = NeardupDeltaMod
+    s"""WITH RECURSIVE
+      |base AS (SELECT doc_id, text FROM documents
+      |         WHERE ((doc_id % $m) + $m) % $m <> 0),
+      |delta AS (SELECT doc_id, text FROM documents
+      |          WHERE ((doc_id % $m) + $m) % $m = 0),
+      |bkeep AS (SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS krn
+      |  FROM base),
+      |bsv AS (SELECT doc_id, text FROM bkeep WHERE krn = 1),
+      |${gatedShinglesCtes("bsv")},
+      |$jaccardPairsCtes,
+      |$clusterCtes,
+      |dkeep AS (SELECT doc_id, text,
+      |    ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id NULLS FIRST) AS krn
+      |  FROM delta),
+      |dsv AS (SELECT doc_id, text FROM dkeep WHERE krn = 1),
+      |exd AS (SELECT k.doc_id, s.doc_id AS attach
+      |        FROM dkeep k JOIN dsv s ON k.text IS NOT DISTINCT FROM s.text
+      |        WHERE k.krn > 1),
+      |exb AS (SELECT d.doc_id, b.doc_id AS attach
+      |        FROM dsv d JOIN bsv b ON d.text IS NOT DISTINCT FROM b.text),
+      |dnew AS (SELECT * FROM dsv
+      |         WHERE NOT EXISTS (SELECT 1 FROM exb WHERE exb.doc_id = dsv.doc_id)),
+      |dts AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM dnew),
+      |dsh0 AS (
+      |  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+      |    GENERATE_SERIES(1, LEN(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |  FROM dts WHERE LEN(t) >= 3),
+      |dsh AS (SELECT s.doc_id, s.sh FROM dsh0 s
+      |        WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
+      |dsz AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+      |xinter AS (SELECT a.doc_id AS ddoc, b.doc_id AS bdoc, COUNT(*) AS n_inter
+      |           FROM dsh a JOIN sh b ON a.sh = b.sh GROUP BY 1, 2),
+      |xpairs AS (SELECT ddoc, bdoc FROM xinter
+      |           JOIN dsz x ON ddoc = x.doc_id
+      |           JOIN sz y ON bdoc = y.doc_id
+      |           WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter)
+      |             >= $JaccardThreshold),
+      |nb AS (SELECT ddoc AS doc_id, MIN(COALESCE(cc.cluster_id, bdoc)) AS attach
+      |       FROM xpairs LEFT JOIN cc ON cc.doc_id = bdoc GROUP BY 1),
+      |rem AS (SELECT doc_id FROM dnew
+      |        WHERE NOT EXISTS (SELECT 1 FROM nb WHERE nb.doc_id = dnew.doc_id)),
+      |rsh AS (SELECT dsh.* FROM dsh
+      |        WHERE EXISTS (SELECT 1 FROM rem WHERE rem.doc_id = dsh.doc_id)),
+      |rinter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |           FROM rsh a JOIN rsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |rpairs AS (SELECT doc_a, doc_b FROM rinter
+      |           JOIN dsz x ON doc_a = x.doc_id
+      |           JOIN dsz y ON doc_b = y.doc_id
+      |           WHERE CAST(n_inter AS DOUBLE) / (x.n + y.n - n_inter)
+      |             >= $JaccardThreshold),
+      |dedges AS (SELECT doc_a AS u, doc_b AS v FROM rpairs
+      |           UNION ALL SELECT doc_b, doc_a FROM rpairs),
+      |dreach AS (
+      |  SELECT DISTINCT u AS node, u AS lbl FROM dedges
+      |  UNION
+      |  SELECT e.v AS node, r.lbl FROM dreach r JOIN dedges e ON e.u = r.node),
+      |dcc AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM dreach GROUP BY node)
+      |SELECT doc_id, status, attach FROM (
+      |  SELECT doc_id, 'exact_dup_delta' AS status, attach FROM exd
+      |  UNION ALL SELECT doc_id, 'exact_dup_base', attach FROM exb
+      |  UNION ALL SELECT doc_id, 'near_dup_base', attach FROM nb
+      |  UNION ALL SELECT r.doc_id, 'new', COALESCE(dcc.cluster_id, r.doc_id)
+      |            FROM rem r LEFT JOIN dcc ON dcc.doc_id = r.doc_id) t
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q176_neardup_artifact_append", neardupArtifactAppend,
+      Some(neardupAppendSql)),
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
     GraftQuery("q165_cdc_chunk_dedup", cdcChunkDedup, Some(cdcChunkDedupSql)),
     GraftQuery("q166_snapshot_delta_bytes", snapshotDeltaBytes,

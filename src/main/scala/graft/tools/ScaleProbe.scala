@@ -630,6 +630,17 @@ object ScaleProbe {
     // paid them once); the timed body is what a steady-state pass costs
     // — quality pass + doc_id semi/anti joins (+ content-key keeper
     // lookup for the audit). Uses dN so survivors stay corpus-sized.
+    // r11 q176 shape: frozen-base delta admission. dN's marker rewrite
+    // keeps copies mutually distinct, so base and delta BOTH scale 10x
+    // with their internal near-dup structure preserved (the doc_id shift
+    // stride is a multiple of 5, so each copy keeps the same mod-5 split).
+    def appendCount(docs: DataFrame): Long =
+      graft.operators.Dedup.neardupAppendOf(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0).select(col("doc_id"), col("text")),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0).select(col("doc_id"), col("text"))).count()
+    time("q176 artifact append 1x (5k docs)")(appendCount(d1))
+    time(s"q176 artifact append ${copies}x")(appendCount(dN))
+
     val steadyRowNames = Seq(
       "q173 steady funnel 1x (5k docs)", s"q173 steady funnel ${copies}x",
       "q174 steady audit 1x (5k docs)", s"q174 steady audit ${copies}x")

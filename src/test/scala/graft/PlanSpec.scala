@@ -758,6 +758,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q176 append: equi-joins + anti-join gates only, no cartesian/nested loop") {
+    val plan = executedPlan(Dedup.neardupArtifactAppend(spark, sf0001))
+    // the admission gates (delta-vs-base exact, hot-shingle, attached-vs-
+    // remaining) are anti/semi joins; nothing may plan as a nested loop
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+  }
+
   test("q157 winnowing: one keyed aggregation, no window function, no self-join") {
     val plan = executedPlan(SpanDedup.winnowedFingerprints(spark, sf0001))
     // selection is min(struct) with map-side partial aggregation — never

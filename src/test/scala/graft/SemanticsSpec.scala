@@ -738,6 +738,40 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("q176 append dispositions on a constructed corpus (all four paths + frozen labels)") {
+    val session = spark
+    import session.implicits._
+    // fixture is duplicate-free, so the exact paths need construction:
+    // base has an exact-dup pair (10/20 -> survivor 10), a near-dup
+    // cluster {30, 40} labeled 30, and an unrelated doc; the delta batch
+    // exercises every disposition, including stage-local keepers (101
+    // attaches to 100 even though 100 itself resolves to base)
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val base = Seq(
+      (10L, tA), (20L, tA),
+      (30L, "one two three four five six seven eight"),
+      (40L, "one two three four five six seven nine"),
+      (50L, "cat dog bird fish lion tiger bear wolf")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, tA), // content-identical to base survivor 10
+      (101L, tA), // loses keep-first within the batch to 100
+      (102L, "one two three four five six seven ten"), // near both 30 and 40
+      (103L, "sun moon star cloud rain snow wind storm"),
+      (104L, "sun moon star cloud rain snow wind fog"), // near 103 only
+      (105L, "zero uno dos tres cuatro cinco seis siete")
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.neardupAppendOf(base, delta).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq(
+      (100L, "exact_dup_base", 10L),  // attaches to the base SURVIVOR (not 20)
+      (101L, "exact_dup_delta", 100L), // stage-local: the batch keeper
+      (102L, "near_dup_base", 30L),   // min base cluster label over partners
+      (103L, "new", 103L),            // delta-only component min
+      (104L, "new", 103L),
+      (105L, "new", 105L)))           // singleton: own id
+  }
+
   test("derived raw-corpus labels match the direct raw pipeline on duplicate-heavy corpora") {
     val session = spark
     import session.implicits._
