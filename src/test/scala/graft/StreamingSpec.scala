@@ -530,6 +530,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup admission: the survivor store grows between micro-batches") {
+    // the live twin of q176: each micro-batch dispositions through the
+    // SAME neardupAppendOf kernel, and the admitted survivors (everything
+    // not exact-identical to the store) JOIN the store before the next
+    // batch — so content that arrived in batch 1 catches its duplicates
+    // in batch 2, the true incremental-admission property a frozen
+    // per-batch kernel alone cannot show
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tNew = "quark meson lepton boson hadron gluon photon neutrino"
+    val tNear = "quark meson lepton boson hadron gluon photon electron"
+    @volatile var store = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (30L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val results = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          val out = operators.Dedup.neardupAppendOf(store, b).collect()
+          out.foreach(r => results.put(r.getLong(0), (r.getString(1), r.getLong(2))))
+          // admit: batch keep-first winners not exact-identical to the
+          // store become survivors the NEXT batch dedups against
+          val admitted = out.filter(r => r.getString(1) == "new" ||
+            r.getString(1) == "near_dup_base").map(_.getLong(0)).toSet
+          val keep = b.collect().filter(r => admitted(r.getLong(0)))
+            .map(r => (r.getLong(0), r.getString(1))).toSeq
+          if (keep.nonEmpty) store = store.unionByName(keep.toDF("doc_id", "text"))
+        }; ()
+      }
+      .option("checkpointLocation", tmp("ck-dedup-admit"))
+      .start()
+    try {
+      in.addData((200L, tNew))
+      q.processAllAvailable()
+      assert(results.get(200L) === (("new", 200L)))
+      // batch 2: an exact copy of batch 1's admitted doc must now be
+      // caught against the GROWN store, and a near-dup must attach to it
+      in.addData((201L, tNew), (202L, tNear))
+      q.processAllAvailable()
+      assert(results.get(201L) === (("exact_dup_base", 200L)))
+      assert(results.get(202L) === (("near_dup_base", 200L)))
+    } finally q.stop()
+  }
+
   test("streaming index append: arriving vectors encode against the frozen index per micro-batch") {
     // the streaming half of the q135 story: a vector stream lands as one
     // immutable segment pair per micro-batch, encoded against the
