@@ -1997,20 +1997,21 @@ object Dedup extends QueryModule {
     * recomputes in-plan here so the oracle is self-contained (the q166
     * precedent) — production reads survivors/labels/hot from the artifact
     * and pays ONLY the delta-proportional work. */
-  def neardupArtifactAppend(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    neardupAppendOf(
-      docs.filter(pmod(col("doc_id"), lit(NeardupDeltaMod)) =!= 0),
-      docs.filter(pmod(col("doc_id"), lit(NeardupDeltaMod)) === 0))
-  }
+  /** The four tables the append's frozen base index persists. */
+  private val AppendBaseTables = Seq("bsv", "hot", "bsh", "blabels")
 
-  /** DataFrame-level core (constructed-corpus tests drive the exact-dup
-    * and bridging paths the duplicate-free fixture cannot). */
-  private[graft] def neardupAppendOf(base: DataFrame, delta: DataFrame): DataFrame = {
-    // null-safe content key (q174's sentinel: sha output is never empty)
-    val key = (c: Column) => coalesce(contentKey(c), lit(Array.emptyByteArray))
+  /** Null-safe content key (q174's sentinel: sha output is never empty). */
+  private def appendKey(c: Column): Column =
+    coalesce(contentKey(c), lit(Array.emptyByteArray))
+
+  /** The frozen base index of the append: survivors (with content keys),
+    * the hot-shingle gate, the gated shingle universe, and the survivor
+    * cluster labels — exactly what a production near-dup store serves to
+    * its admission jobs. */
+  private def appendBaseParts(base: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val bsv = graft.functions.ScopedCache.persist("dedup.append.bsv",
-      base.select(col("doc_id"), col("text"), key(col("text")).as("tkey"))
+      base.select(col("doc_id"), col("text"), appendKey(col("text")).as("tkey"))
         .groupBy(col("tkey"))
         .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("keep"))
         .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"),
@@ -2024,7 +2025,53 @@ object Dedup extends QueryModule {
       bshAll.join(hot, Seq("sh"), "left_anti"))
     val (bLabels, _) = clusterLabels(
       jaccardPairsFromGated(bsh).select(col("doc_a"), col("doc_b")))
+    (bsv, hot, bsh, bLabels)
+  }
 
+  /** Build-once half: persist the base index for `dir`'s mod-split base
+    * corpus unless a signature-valid one exists (ArtifactStore's rule).
+    * Whichever q176 run executes first in a session pays the build;
+    * every run after admits against parquet — the q108/q109 split. */
+  def ensureNeardupAppendBase(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("neardupappend", dir, AppendBaseTables) { b =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val (bsv, hot, bsh, bLabels) =
+        appendBaseParts(docs.filter(pmod(col("doc_id"), lit(NeardupDeltaMod)) =!= 0))
+      bsv.write.mode("overwrite").parquet(s"$b/bsv")
+      hot.write.mode("overwrite").parquet(s"$b/hot")
+      bsh.write.mode("overwrite").parquet(s"$b/bsh")
+      bLabels.write.mode("overwrite").parquet(s"$b/blabels")
+    }
+
+  def neardupArtifactAppend(spark: SparkSession, dir: String): DataFrame = {
+    // admit against the PERSISTED base index (built on demand, signature-
+    // validated): the registered query pays only the delta-proportional
+    // tail, which is the production admission job. The artifact is a
+    // deterministic corpus function, so the oracle's in-plan replay of
+    // the base stays bit-equal (the q109 precedent); the in-plan form
+    // below remains the test/probe surface.
+    val base = ensureNeardupAppendBase(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    neardupAppendAgainst(
+      spark.read.parquet(s"$base/bsv"),
+      spark.read.parquet(s"$base/hot"),
+      spark.read.parquet(s"$base/bsh"),
+      spark.read.parquet(s"$base/blabels"),
+      docs.filter(pmod(col("doc_id"), lit(NeardupDeltaMod)) === 0))
+  }
+
+  /** DataFrame-level core with the base index computed in-plan
+    * (constructed-corpus tests and the growing-store streaming twin
+    * drive the exact-dup paths the duplicate-free fixture cannot). */
+  private[graft] def neardupAppendOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    val (bsv, hot, bsh, bLabels) = appendBaseParts(base)
+    neardupAppendAgainst(bsv, hot, bsh, bLabels, delta)
+  }
+
+  /** The delta-proportional admission tail against a frozen base index. */
+  private def neardupAppendAgainst(bsv: DataFrame, hot: DataFrame,
+      bsh: DataFrame, bLabels: DataFrame, delta: DataFrame): DataFrame = {
+    val key = (c: Column) => appendKey(c)
     val dAll = delta.select(col("doc_id"), key(col("text")).as("tkey"))
     val dsv = graft.functions.ScopedCache.persist("dedup.append.dsv",
       delta.select(col("doc_id"), col("text"), key(col("text")).as("tkey"))

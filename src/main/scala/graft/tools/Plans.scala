@@ -475,12 +475,14 @@ object Plans {
           "4-row aggregates.",
         graft.operators.Curation.funnelFromArtifact(spark, dir)),
       section("q176 near-dup artifact delta append (r11 frozen-base admission)",
-        "What to look for: the delta side is batch-bounded everywhere — " +
-          "keep-first aggregate, content-key anti/equi joins vs base " +
-          "survivors, shingle explode gated by the BASE hot list " +
-          "(left-anti), the cross shingle equi-join (AQE-decided: " +
-          "broadcast when the batch is small), and the delta-only " +
-          "component resolution. No cartesian, no window.",
+        "What to look for: the base index arrives as four PARQUET SCANS " +
+          "(bsv/hot/bsh/blabels — the persisted q176 base artifact; no " +
+          "base shingling in-plan), and the delta side is batch-bounded " +
+          "everywhere — keep-first aggregate, content-key anti/equi " +
+          "joins vs base survivors, shingle explode gated by the base " +
+          "hot list (left-anti), the cross shingle equi-join " +
+          "(AQE-decided: broadcast when the batch is small), and the " +
+          "delta-only component resolution. No cartesian, no window.",
         graft.operators.Dedup.neardupArtifactAppend(spark, dir)),
       section("q174 steady-state rejection audit (r11)",
         "What to look for: q173's artifact admission plus the keeper " +
