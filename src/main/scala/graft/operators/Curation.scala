@@ -975,12 +975,10 @@ object Curation extends QueryModule {
     steadyAuditFrom(
       TextOps.qualityScores(spark, dir).select(col("doc_id"), col("quality")),
       // null-text rows form ONE keep-first group under groupBy(tkey), so
-      // the keeper join must be null-safe too: sentinel the key (sha2
-      // output is always 32 bytes, so empty binary cannot collide) — else
-      // null-text exact-dup losers would silently audit as kept while the
-      // funnel counts them dropped
-      docs.select(col("doc_id"),
-        coalesce(Dedup.contentKey(col("text")), lit(Array.emptyByteArray)).as("tkey")),
+      // the keeper join must be null-safe too — else null-text exact-dup
+      // losers would silently audit as kept while the funnel counts them
+      // dropped
+      docs.select(col("doc_id"), Dedup.contentKeyNullSafe(col("text")).as("tkey")),
       spark.read.parquet(s"$base/survivors").select(col("doc_id")),
       spark.read.parquet(s"$base/surv_labels"))
   }

@@ -73,6 +73,15 @@ object Dedup extends QueryModule {
     * output, and DuckDB replays the same grouping bit-for-bit. */
   private[graft] def contentKey(c: Column): Column = unhex(sha2(c, 256))
 
+  /** Null-safe [[contentKey]] for JOINS: null text maps to an
+    * empty-binary sentinel (sha output is always 32 bytes, so it cannot
+    * collide), making join semantics match groupBy's null handling — all
+    * null texts are one content-identity group. ONE definition, shared by
+    * q174's keeper lookup, q176's admission, and the probes: the exact
+    * form of this expression decides null-text join semantics. */
+  private[graft] def contentKeyNullSafe(c: Column): Column =
+    coalesce(contentKey(c), lit(Array.emptyByteArray))
+
   // ---- exact dedup ------------------------------------------------------
 
   /** Exact duplicate groups by content hash (count > 1). */
@@ -2000,10 +2009,6 @@ object Dedup extends QueryModule {
   /** The four tables the append's frozen base index persists. */
   private val AppendBaseTables = Seq("bsv", "hot", "bsh", "blabels")
 
-  /** Null-safe content key (q174's sentinel: sha output is never empty). */
-  private def appendKey(c: Column): Column =
-    coalesce(contentKey(c), lit(Array.emptyByteArray))
-
   /** The frozen base index of the append: survivors (with content keys),
     * the hot-shingle gate, the gated shingle universe, and the survivor
     * cluster labels — exactly what a production near-dup store serves to
@@ -2011,7 +2016,7 @@ object Dedup extends QueryModule {
   private def appendBaseParts(base: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val bsv = graft.functions.ScopedCache.persist("dedup.append.bsv",
-      base.select(col("doc_id"), col("text"), appendKey(col("text")).as("tkey"))
+      base.select(col("doc_id"), col("text"), contentKeyNullSafe(col("text")).as("tkey"))
         .groupBy(col("tkey"))
         .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("keep"))
         .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"),
@@ -2037,7 +2042,11 @@ object Dedup extends QueryModule {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       val (bsv, hot, bsh, bLabels) =
         appendBaseParts(docs.filter(pmod(col("doc_id"), lit(NeardupDeltaMod)) =!= 0))
-      bsv.write.mode("overwrite").parquet(s"$b/bsv")
+      // admission reads only (doc_id, tkey) from the survivor table —
+      // persisting the text would roughly double the artifact for bytes
+      // no admission-time consumer touches (text lives on only in the
+      // build-local plan, where bsh derives from it)
+      bsv.select(col("doc_id"), col("tkey")).write.mode("overwrite").parquet(s"$b/bsv")
       hot.write.mode("overwrite").parquet(s"$b/hot")
       bsh.write.mode("overwrite").parquet(s"$b/bsh")
       bLabels.write.mode("overwrite").parquet(s"$b/blabels")
@@ -2071,10 +2080,14 @@ object Dedup extends QueryModule {
   /** The delta-proportional admission tail against a frozen base index. */
   private def neardupAppendAgainst(bsv: DataFrame, hot: DataFrame,
       bsh: DataFrame, bLabels: DataFrame, delta: DataFrame): DataFrame = {
-    val key = (c: Column) => appendKey(c)
-    val dAll = delta.select(col("doc_id"), key(col("text")).as("tkey"))
+    // one keyed projection, cached: both the full roster (dAll) and the
+    // batch keep-first read it, so each delta text is sha-hashed ONCE
+    val dKeyed = graft.functions.ScopedCache.persist("dedup.append.dkeyed",
+      delta.select(col("doc_id"), col("text"),
+        contentKeyNullSafe(col("text")).as("tkey")))
+    val dAll = dKeyed.select(col("doc_id"), col("tkey"))
     val dsv = graft.functions.ScopedCache.persist("dedup.append.dsv",
-      delta.select(col("doc_id"), col("text"), key(col("text")).as("tkey"))
+      dKeyed
         .groupBy(col("tkey"))
         .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("keep"))
         .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"),

@@ -321,42 +321,60 @@ private[graft] object ProtoFilterEval {
   private def str(x: Any): Option[String] =
     x match { case s: String => Some(s); case _ => None }
 
-  /** None = unknown (SQL null / unsupported), Some(b) = definite. */
-  def eval(f: Filter, value: String => Any): Option[Boolean] = f match {
-    case EqualTo(a, v) => cmp(value(a), v).map(_ == 0)
-    case EqualNullSafe(a, v) =>
-      val x = value(a)
-      if (x == null || v == null) Some(x == null && v == null) else cmp(x, v).map(_ == 0)
-    case GreaterThan(a, v) => cmp(value(a), v).map(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(value(a), v).map(_ >= 0)
-    case LessThan(a, v) => cmp(value(a), v).map(_ < 0)
-    case LessThanOrEqual(a, v) => cmp(value(a), v).map(_ <= 0)
-    case In(a, vs) =>
-      val x = value(a)
-      if (x == null) None
-      else {
-        val results = vs.toSeq.map(v => cmp(x, v))
-        if (results.exists(_.contains(0))) Some(true)
-        else if (results.forall(r => r.isDefined)) Some(false)
-        else None // a null/mismatched list element: not definitively false
+  /** Compiles one filter to a closed evaluator over the decoded value
+    * sequence. Column names resolve to positions ONCE here — the per-row
+    * path does array reads only, no name lookups or Option boxing (this
+    * runs per record on the scan's decode path). None = unknown. */
+  private def compileOne(f: Filter, idx: Map[String, Int]): Seq[Any] => Option[Boolean] = {
+    // a column missing from the read schema (defensive; residuals keep
+    // referenced columns in it) reads as null → unknown → never skipped
+    def at(name: String): Seq[Any] => Any = idx.get(name) match {
+      case Some(i) => vs => vs(i)
+      case None => _ => null
+    }
+    f match {
+      case EqualTo(a, v) => val g = at(a); vs => cmp(g(vs), v).map(_ == 0)
+      case EqualNullSafe(a, v) => val g = at(a); vs => {
+        val x = g(vs)
+        if (x == null || v == null) Some(x == null && v == null)
+        else cmp(x, v).map(_ == 0)
       }
-    case IsNull(a) => Some(value(a) == null)
-    case IsNotNull(a) => Some(value(a) != null)
-    case StringStartsWith(a, v) => str(value(a)).map(_.startsWith(v))
-    case StringEndsWith(a, v) => str(value(a)).map(_.endsWith(v))
-    case StringContains(a, v) => str(value(a)).map(_.contains(v))
-    case And(l, r) => (eval(l, value), eval(r, value)) match {
-      case (Some(false), _) | (_, Some(false)) => Some(false)
-      case (Some(true), Some(true)) => Some(true)
-      case _ => None
+      case GreaterThan(a, v) => val g = at(a); vs => cmp(g(vs), v).map(_ > 0)
+      case GreaterThanOrEqual(a, v) => val g = at(a); vs => cmp(g(vs), v).map(_ >= 0)
+      case LessThan(a, v) => val g = at(a); vs => cmp(g(vs), v).map(_ < 0)
+      case LessThanOrEqual(a, v) => val g = at(a); vs => cmp(g(vs), v).map(_ <= 0)
+      case In(a, vs0) => val g = at(a); val vals = vs0.toSeq; vs => {
+        val x = g(vs)
+        if (x == null) None
+        else {
+          val results = vals.map(v => cmp(x, v))
+          if (results.exists(_.contains(0))) Some(true)
+          else if (results.forall(_.isDefined)) Some(false)
+          else None // a null/mismatched list element: not definitively false
+        }
+      }
+      case IsNull(a) => val g = at(a); vs => Some(g(vs) == null)
+      case IsNotNull(a) => val g = at(a); vs => Some(g(vs) != null)
+      case StringStartsWith(a, v) => val g = at(a); vs => str(g(vs)).map(_.startsWith(v))
+      case StringEndsWith(a, v) => val g = at(a); vs => str(g(vs)).map(_.endsWith(v))
+      case StringContains(a, v) => val g = at(a); vs => str(g(vs)).map(_.contains(v))
+      case And(l, r) =>
+        val cl = compileOne(l, idx); val cr = compileOne(r, idx)
+        vs => (cl(vs), cr(vs)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        val cl = compileOne(l, idx); val cr = compileOne(r, idx)
+        vs => (cl(vs), cr(vs)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(c) => val cc = compileOne(c, idx); vs => cc(vs).map(!_)
+      case _ => _ => None
     }
-    case Or(l, r) => (eval(l, value), eval(r, value)) match {
-      case (Some(true), _) | (_, Some(true)) => Some(true)
-      case (Some(false), Some(false)) => Some(false)
-      case _ => None
-    }
-    case Not(c) => eval(c, value).map(!_)
-    case _ => None
   }
 
   /** Record predicate over the decoded value sequence (read-schema
@@ -364,10 +382,8 @@ private[graft] object ProtoFilterEval {
   def compile(filters: Array[Filter], schema: StructType): Seq[Any] => Boolean = {
     if (filters.isEmpty) return _ => true
     val idx = schema.fieldNames.zipWithIndex.toMap
-    values => {
-      val value: String => Any = name => idx.get(name).map(values(_)).orNull
-      !filters.exists(f => eval(f, value).contains(false))
-    }
+    val compiled = filters.map(compileOne(_, idx))
+    values => !compiled.exists(p => p(values).contains(false))
   }
 }
 

@@ -667,10 +667,9 @@ object ScaleProbe {
         graft.operators.Curation.steadyAuditFrom(
           graft.operators.TextOps.qualityScoresOf(docs)
             .select(col("doc_id"), col("quality")),
-          // the production key: 32-byte binary contentKey, not hex — the
-          // probe must time the shipped shuffle width
+          // the production key, identical expression to the shipped plan
           docs.select(col("doc_id"),
-            graft.operators.Dedup.contentKey(col("text")).as("tkey")),
+            graft.operators.Dedup.contentKeyNullSafe(col("text")).as("tkey")),
           spark.read.parquet(sv), spark.read.parquet(lb)).count()
       time("q173 steady funnel 1x (5k docs)")(steadyFunnel(d1, sv1, lb1))
       time(s"q173 steady funnel ${copies}x")(steadyFunnel(dN, svN, lbN))
