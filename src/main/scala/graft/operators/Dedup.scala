@@ -258,6 +258,75 @@ object Dedup extends QueryModule {
       |FROM pairs
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
 
+  // ---- asymmetric containment (doc-inside-doc) ---------------------------
+
+  /** A document whose gated shingles are ≥ this fraction covered by
+    * another document's counts as contained in it. */
+  val ContainmentThreshold = 0.8
+
+  /** q177: asymmetric containment pairs — `contained_doc`'s
+    * discriminative (DF-gated) shingles are ≥ [[ContainmentThreshold]]
+    * covered by `container_doc`'s. This is the detection symmetric
+    * Jaccard (q72) structurally CANNOT make: a short document quoted or
+    * embedded inside a long one has n_inter/|A| ≈ 1 while
+    * n_inter/|A∪B| ≈ |A|/|B| ≈ 0 — quotes, page-in-page boilerplate,
+    * and excerpt-of-article relations all live below any usable Jaccard
+    * threshold. Both directions are tested independently (mutual
+    * containment ⇒ two rows, degenerating to exact-dup territory).
+    *
+    * Scale shape: identical to q72 — the same DF-gated shingle universe
+    * and the same bounded sh-keyed self-join; only the denominator and
+    * threshold differ, so the containment scan inherits q72's probed
+    * growth rows unchanged. The ratio divides two exact ints and both
+    * engines evaluate the identical round-6 expression. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (constructed corpora pin the quote-in-article
+    * asymmetry the fixture may not exhibit). */
+  private[graft] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val sh = gatedShingles(docs.select(col("doc_id"), col("text")),
+      MaxShingleDF, SharedShingleScope)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sized = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+    def direction(contained: Column, container: Column, denom: Column) =
+      sized.select(contained.as("contained_doc"), container.as("container_doc"),
+          col("n_inter"),
+          round(col("n_inter").cast(DoubleType) / denom, 6).as("containment"))
+        .filter(col("containment") >= ContainmentThreshold)
+    direction(col("doc_a"), col("doc_b"), col("n_a"))
+      .unionByName(direction(col("doc_b"), col("doc_a"), col("n_b")))
+      .orderBy(col("contained_doc"), col("container_doc"))
+  }
+
+  private val containmentPairsSql =
+    s"""$gatedShinglesSqlCte,
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sized AS (SELECT doc_a, doc_b, n_inter, x.n AS n_a, y.n AS n_b
+      |          FROM inter
+      |          JOIN sz x ON doc_a = x.doc_id
+      |          JOIN sz y ON doc_b = y.doc_id)
+      |SELECT contained_doc, container_doc, n_inter, containment FROM (
+      |  SELECT doc_a AS contained_doc, doc_b AS container_doc, n_inter,
+      |    ROUND(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
+      |  FROM sized
+      |  UNION ALL
+      |  SELECT doc_b, doc_a, n_inter,
+      |    ROUND(CAST(n_inter AS DOUBLE) / n_b, 6)
+      |  FROM sized) t
+      |WHERE containment >= $ContainmentThreshold
+      |ORDER BY contained_doc NULLS FIRST, container_doc NULLS FIRST""".stripMargin
+
   // ---- near-dup cluster resolution + purge -------------------------------
 
   /** Connected components over an undirected near-dup pair graph: the
@@ -2220,6 +2289,7 @@ object Dedup extends QueryModule {
       Some(snapshotDeltaBytesSql)),
     GraftQuery("q71_dedup_keep_first", dedupKeepFirst, Some(dedupKeepFirstSql)),
     GraftQuery("q72_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
+    GraftQuery("q177_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
     GraftQuery("q154_source_neardup_matrix", sourceNeardupMatrix,
       Some(sourceNeardupMatrixSql)),

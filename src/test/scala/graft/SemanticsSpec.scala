@@ -738,6 +738,30 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("q177 containment catches the quote-in-article case Jaccard cannot") {
+    val session = spark
+    import session.implicits._
+    val article = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val quote = "epsilon zeta eta theta iota" // contiguous substring: 3 shingles, all in the article
+    val docs = Seq(
+      (1L, article), (2L, quote),
+      (3L, "unrelated words entirely disjoint from both documents here"),
+      (10L, "same text twice over and over again padded enough"),
+      (11L, "same text twice over and over again padded enough")
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.containmentPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    // the quote is fully contained in the article; the article is NOT
+    // contained in the quote; exact dups contain each other both ways
+    assert(out === Seq((2L, 1L, 1.0), (10L, 11L, 1.0), (11L, 10L, 1.0)))
+    // the detection Jaccard structurally misses: 3 shared of 18∪3 distinct
+    // shingles ≈ 0.17, far under the q72 threshold
+    val jac = operators.Dedup.ngramJaccardPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
+  }
+
   test("q176 append dispositions on a constructed corpus (all four paths + frozen labels)") {
     val session = spark
     import session.implicits._
