@@ -295,13 +295,20 @@ object Dedup extends QueryModule {
     val sized = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-    def direction(contained: Column, container: Column, denom: Column) =
-      sized.select(contained.as("contained_doc"), container.as("container_doc"),
-          col("n_inter"),
-          round(col("n_inter").cast(DoubleType) / denom, 6).as("containment"))
-        .filter(col("containment") >= ContainmentThreshold)
-    direction(col("doc_a"), col("doc_b"), col("n_a"))
-      .unionByName(direction(col("doc_b"), col("doc_a"), col("n_b")))
+    // both directions from ONE pass over the pair pipeline (a Union of
+    // two projections would re-execute the whole intersection subtree —
+    // only the cached shingle scan gets reused)
+    def dirStruct(contained: Column, container: Column, denom: Column) =
+      struct(contained.as("contained_doc"), container.as("container_doc"),
+        col("n_inter"),
+        round(col("n_inter").cast(DoubleType) / denom, 6).as("containment"))
+    sized.select(explode(array(
+        dirStruct(col("doc_a"), col("doc_b"), col("n_a")),
+        dirStruct(col("doc_b"), col("doc_a"), col("n_b")))).as("r"))
+      .select(col("r.contained_doc").as("contained_doc"),
+        col("r.container_doc").as("container_doc"),
+        col("r.n_inter").as("n_inter"), col("r.containment").as("containment"))
+      .filter(col("containment") >= ContainmentThreshold)
       .orderBy(col("contained_doc"), col("container_doc"))
   }
 
@@ -526,6 +533,66 @@ object Dedup extends QueryModule {
       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM cc
       |ORDER BY cluster_id NULLS FIRST, doc_id NULLS FIRST""".stripMargin
+
+  // ---- duplicate-aware training weights (soft dedup) ---------------------
+
+  /** q178: duplicate-aware sampling weights — the REWEIGHT alternative to
+    * hard removal (q78): every raw document stays in the corpus but
+    * carries weight 1/|dedup group|, so each content identity contributes
+    * one document's worth of gradient regardless of how many times it was
+    * crawled ("soft dedup": train-time downweighting instead of purge,
+    * the knob pipelines reach for when near-dup clusters mix distinct
+    * extractions they don't want to lose outright). The dedup group is
+    * the raw-corpus near-dup cluster (q77's universe — exact copies AND
+    * thresholded-Jaccard neighbors share a group); unclustered docs form
+    * singleton groups with weight 1.
+    *
+    * Scale shape: admits against the persisted near-dup artifact's
+    * raw-label table (one parquet scan; built on demand, signature-
+    * validated — q77's pattern), one doc_id LEFT equi-join against the
+    * corpus projected to (doc_id, source), a group-count aggregate
+    * bounded by the number of groups, and a group-keyed equi-join back.
+    * No text through any exchange, no window over the corpus. The weight
+    * is a single int/int division per row — no double aggregation
+    * anywhere, so the output hashes identically across engines. */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureNeardupArtifact(spark, dir)
+    softDedupWeightsOf(Tables.documents(spark, dir),
+      spark.read.parquet(s"$base/doc_labels"))
+  }
+
+  /** DataFrame-level core (constructed corpora pin the singleton /
+    * exact-copy / near-dup-cluster weight arithmetic). */
+  private[graft] def softDedupWeightsOf(docs: DataFrame,
+      docLabels: DataFrame): DataFrame = {
+    val grp = docs.select(col("doc_id"), col("source"))
+      .join(docLabels.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("label"), col("doc_id")).as("dedup_group"))
+    val cnt = grp.groupBy(col("dedup_group"))
+      .agg(count(lit(1)).as("dup_count"))
+    grp.join(cnt, Seq("dedup_group"))
+      .select(col("doc_id"), col("source"), col("dedup_group"),
+        col("dup_count"),
+        round(lit(1).cast(DoubleType) / col("dup_count"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val softDedupWeightsSql =
+    s"""WITH RECURSIVE ${gatedShinglesCtes("documents")},
+      |$jaccardPairsCtes,
+      |$clusterCtes,
+      |grp AS (SELECT d.doc_id, d.source,
+      |          COALESCE(cc.cluster_id, d.doc_id) AS dedup_group
+      |        FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+      |cnt AS (SELECT dedup_group, COUNT(*) AS dup_count
+      |        FROM grp GROUP BY 1)
+      |SELECT g.doc_id, g.source, g.dedup_group,
+      |  CAST(c.dup_count AS BIGINT) AS dup_count,
+      |  ROUND(CAST(1 AS DOUBLE) / c.dup_count, 6) AS weight
+      |FROM grp g JOIN cnt c ON g.dedup_group = c.dedup_group
+      |ORDER BY g.doc_id NULLS FIRST""".stripMargin
 
   // ---- quality-aware canonical selection ---------------------------------
 
@@ -1064,13 +1131,13 @@ object Dedup extends QueryModule {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairsOf(Tables.documents(spark, dir))
 
-  /** DataFrame-level core (testable on constructed corpora). Band buckets
-    * larger than maxBucket are dropped before the candidate self-join
-    * (the standard LSH hot-bucket guard): a bucket of k docs emits k²
-    * candidate rows, and a degenerate bucket (boilerplate/near-empty docs
-    * hashing alike) would otherwise go quadratic. Near-dups in a dropped
-    * bucket still have 15 other independent bands to collide in. */
-  def minhashLshPairsOf(docs: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
+  /** Shared LSH front half — portable signatures plus the banded,
+    * hot-bucket-gated candidate pair set. Both stages ScopedCache'd:
+    * q73's estimate filter and q179's estimate-error audit re-join the
+    * signature table twice each, and the banding is identical between
+    * them. Returns (signatures, candidate pairs). */
+  private[graft] def lshCandidates(docs: DataFrame,
+      maxBucket: Int = MaxBandBucket): (DataFrame, DataFrame) = {
     // referenced by banding + both signature-compare joins
     val sigs = graft.functions.ScopedCache.persist("q73.signatures", signatures(docs))
     val bandKey = Seq("band", "s0", "s1", "s2", "s3")
@@ -1090,6 +1157,17 @@ object Dedup extends QueryModule {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    (sigs, cand)
+  }
+
+  /** DataFrame-level core (testable on constructed corpora). Band buckets
+    * larger than maxBucket are dropped before the candidate self-join
+    * (the standard LSH hot-bucket guard): a bucket of k docs emits k²
+    * candidate rows, and a degenerate bucket (boilerplate/near-empty docs
+    * hashing alike) would otherwise go quadratic. Near-dups in a dropped
+    * bucket still have 15 other independent bands to collide in. */
+  def minhashLshPairsOf(docs: DataFrame, maxBucket: Int = MaxBandBucket): DataFrame = {
+    val (sigs, cand) = lshCandidates(docs, maxBucket)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -1119,8 +1197,13 @@ object Dedup extends QueryModule {
     s"(${i}, ${graft.functions.MinHash.coeffA(i)}, ${graft.functions.MinHash.coeffB(i)})")
     .mkString(", ")
 
-  private val minhashLshPairsSql =
-    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+  /** Oracle CTEs through the LSH candidate set (portable signatures →
+    * banding → hot-bucket gate → distinct candidate pairs) — shared
+    * VERBATIM between q73's estimate filter and q179's estimate-error
+    * audit, so the two oracles cannot diverge on the candidate
+    * universe. */
+  private[operators] val lshCandidateCtes =
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
       |tht AS (SELECT doc_id,
       |  LIST_TRANSFORM(t, w -> ${polyFoldSql("w", PolyHash.M1)}) AS th,
       |  LEN(t) AS nt FROM toks),
@@ -1139,7 +1222,10 @@ object Dedup extends QueryModule {
       |          (SELECT 1 FROM hot h WHERE h.band = b.band AND h.slots = b.slots)),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |         FROM gated x JOIN gated y
-      |           ON x.band = y.band AND x.slots = y.slots AND x.doc_id < y.doc_id),
+      |           ON x.band = y.band AND x.slots = y.slots AND x.doc_id < y.doc_id)""".stripMargin
+
+  private val minhashLshPairsSql =
+    s"""WITH $lshCandidateCtes,
       |est AS (SELECT c.doc_a, c.doc_b,
       |          CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS DOUBLE) / $NumHashes
       |            AS est_jaccard
@@ -1149,6 +1235,89 @@ object Dedup extends QueryModule {
       |        GROUP BY 1, 2)
       |SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
       |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin
+
+  // ---- MinHash estimate-error audit --------------------------------------
+
+  /** q179: the LSH family's acceptance instrument (the q171/q175 pattern
+    * applied to MinHash): for every banded candidate pair, the 64-slot
+    * signature ESTIMATE next to the EXACT Jaccard over the identical
+    * portable shingle universe, plus the absolute error the q73 threshold
+    * acts on. This is the number that justifies (or indicts) the 0.5
+    * estimate cut: a pair admitted by banding but mis-ranked by the
+    * estimate is visible here as a row with high `abs_err`.
+    *
+    * Scale shape: the exact side is CANDIDATE-BOUNDED — shingle rows join
+    * only through the LSH-gated pair set (one pair×shingles equi-join +
+    * one (doc, base) equi-join), never a corpus shingle self-join; the
+    * signature side reuses q73's ScopedCache'd tables. All outputs divide
+    * exact ints (estimates are dyadic multiples of 1/64), no double
+    * aggregation anywhere. */
+  def minhashEstimateError(spark: SparkSession, dir: String): DataFrame =
+    minhashEstimateErrorOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (constructed corpora pin the exact/estimate
+    * agreement on exact duplicates and the error on partial overlaps). */
+  private[graft] def minhashEstimateErrorOf(docs: DataFrame,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
+    val (sigs, cand) = lshCandidates(docs, maxBucket)
+    val sh = graft.functions.ScopedCache.persist("q179.polyshingles",
+      docs.select(col("doc_id"),
+        explode(expr("graft_shingles_poly(text)")).as("base")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("base")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("base")), Seq("doc_b", "base"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val agree = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+          .cast(LongType).as("n_agree"))
+    agree
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        round(col("n_agree").cast(DoubleType) / NumHashes, 6).as("est_jaccard"),
+        col("ni").as("n_inter"),
+        round(col("ni").cast(DoubleType) / (col("n_a") + col("n_b") - col("ni")), 6)
+          .as("exact_jaccard"),
+        round(abs(col("n_agree").cast(DoubleType) / NumHashes
+          - col("ni").cast(DoubleType) / (col("n_a") + col("n_b") - col("ni"))), 6)
+          .as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val minhashEstimateErrorSql =
+    s"""WITH $lshCandidateCtes,
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shp GROUP BY 1),
+      |ints AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      |         FROM cand c
+      |         JOIN shp a ON a.doc_id = c.doc_a
+      |         JOIN shp b ON b.doc_id = c.doc_b AND b.base = a.base
+      |         GROUP BY 1, 2),
+      |agr AS (SELECT c.doc_a, c.doc_b,
+      |          CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_agree
+      |        FROM cand c
+      |        JOIN sig sa ON sa.doc_id = c.doc_a
+      |        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.ci = sa.ci
+      |        GROUP BY 1, 2)
+      |SELECT g.doc_a, g.doc_b, g.n_agree,
+      |  ROUND(CAST(g.n_agree AS DOUBLE) / $NumHashes, 6) AS est_jaccard,
+      |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      |        / (x.n + y.n - COALESCE(i.n_inter, 0)), 6) AS exact_jaccard,
+      |  ROUND(ABS(CAST(g.n_agree AS DOUBLE) / $NumHashes
+      |        - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+      |          / (x.n + y.n - COALESCE(i.n_inter, 0))), 6) AS abs_err
+      |FROM agr g
+      |LEFT JOIN ints i ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+      |JOIN sz x ON g.doc_a = x.doc_id
+      |JOIN sz y ON g.doc_b = y.doc_id
+      |ORDER BY g.doc_a NULLS FIRST, g.doc_b NULLS FIRST""".stripMargin
 
   /** q154: which SOURCE pairs share near-duplicate documents — the
     * source-level contamination matrix a curator reads before weighting
@@ -2291,12 +2460,15 @@ object Dedup extends QueryModule {
     GraftQuery("q72_ngram_jaccard_pairs", ngramJaccardPairs, Some(ngramJaccardPairsSql)),
     GraftQuery("q177_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
+    GraftQuery("q179_minhash_estimate_error", minhashEstimateError,
+      Some(minhashEstimateErrorSql)),
     GraftQuery("q154_source_neardup_matrix", sourceNeardupMatrix,
       Some(sourceNeardupMatrixSql)),
     GraftQuery("q74_simhash_pairs", simhashPairs, Some(simhashPairsSql)),
     GraftQuery("q75_embedding_neardup", embeddingNearDupPairs, Some(embeddingNearDupPairsSql)),
     GraftQuery("q76_contamination", contamination, Some(contaminationSql)),
     GraftQuery("q77_neardup_clusters", neardupClusters, Some(neardupClustersSql)),
+    GraftQuery("q178_soft_dedup_weights", softDedupWeights, Some(softDedupWeightsSql)),
     GraftQuery("q78_dedup_purge", dedupPurge, Some(dedupPurgeSql)),
     GraftQuery("q155_canonical_per_cluster", canonicalPerCluster,
       Some(canonicalPerClusterSql)),

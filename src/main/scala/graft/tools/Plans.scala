@@ -484,6 +484,24 @@ object Plans {
           "(AQE-decided: broadcast when the batch is small), and the " +
           "delta-only component resolution. No cartesian, no window.",
         graft.operators.Dedup.neardupArtifactAppend(spark, dir)),
+      section("q177 asymmetric containment pairs (r11 doc-inside-doc)",
+        "What to look for: q72's exact geometry — one gated-shingle " +
+          "computation reused for both self-join sides (InMemory cache, " +
+          "exchange reuse), the sh-keyed equi-join bounded by the DF " +
+          "gate, per-doc size table joined by doc_id; the only " +
+          "difference from q72 is the projection after the bounded " +
+          "intersection: both directional ratios come from ONE pass " +
+          "(a 2-element explode, no Union re-executing the pipeline) — " +
+          "no new shuffle shape, no cartesian, no window.",
+        graft.operators.Dedup.containmentPairs(spark, dir)),
+      section("q179 MinHash estimate-error audit (r11 LSH acceptance instrument)",
+        "What to look for: the candidate set comes from q73's banded " +
+          "bucket join (hot-bucket LeftAnti gate, never all-pairs); the " +
+          "EXACT side is candidate-bounded — shingle rows enter only " +
+          "through the pair equi-join and the (doc, base) equi-join, " +
+          "no corpus shingle self-join anywhere; the signature tables " +
+          "are the q73 ScopedCache entries (InMemory scans).",
+        graft.operators.Dedup.minhashEstimateError(spark, dir)),
       section("q174 steady-state rejection audit (r11)",
         "What to look for: q173's artifact admission plus the keeper " +
           "lookup — survivor content keys come from ONE doc_id " +

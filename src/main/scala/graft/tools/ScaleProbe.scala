@@ -677,6 +677,47 @@ object ScaleProbe {
       time(s"q174 steady audit ${copies}x")(steadyAudit(dN, svN, lbN))
     }
 
+    // r11 late shapes. q177 is q72's probed geometry with a different
+    // projection (one-pass dual-direction explode) — the row certifies
+    // the restructure didn't change the growth class. q179's exact side
+    // is CANDIDATE-BOUNDED (pair x shingles equi-joins through the LSH
+    // gate); dN's marker rewrite keeps copies mutually distinct, so the
+    // candidate set scales linearly, never quadratically. q178 times the
+    // steady-state body only — the label table is pre-built untimed (the
+    // q173/q174 convention: production reads the q129 artifact).
+    def containCount(docs: DataFrame): Long =
+      graft.operators.Dedup.containmentPairsOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    time("q177 containment 1x (5k docs)")(containCount(d1))
+    time(s"q177 containment ${copies}x")(containCount(dN))
+    def estErrCount(docs: DataFrame): Long =
+      graft.operators.Dedup.minhashEstimateErrorOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    time("q179 estimate error 1x (5k docs)")(estErrCount(d1))
+    time(s"q179 estimate error ${copies}x")(estErrCount(dN))
+    val softRowNames = Seq(
+      "q178 soft weights 1x (5k docs)", s"q178 soft weights ${copies}x")
+    if (only.isEmpty || softRowNames.exists(n => only.exists(n.startsWith))) {
+      def softTables(docs: DataFrame, tag: String): String = {
+        val sv = graft.operators.Dedup.exactSurvivors(docs)
+        val pairs = graft.operators.Dedup.jaccardPairsUnsorted(
+            sv.select(col("doc_id"), col("text")), scope = "dedup.purge.shingles")
+          .select(col("doc_a"), col("doc_b"))
+        val (labels, _) = graft.operators.Dedup.clusterLabels(pairs)
+        val base = s"/tmp/graft-scaleprobe-soft-$tag"
+        labels.write.mode("overwrite").parquet(base)
+        base
+      }
+      val slb1 = softTables(d1.select(col("doc_id"), col("text")), "1x")
+      val slbN = softTables(dN.select(col("doc_id"), col("text")), s"${copies}x")
+      def softCount(docs: DataFrame, lb: String): Long =
+        graft.operators.Dedup.softDedupWeightsOf(
+          docs.select(col("doc_id"), col("source")),
+          spark.read.parquet(lb)).count()
+      time("q178 soft weights 1x (5k docs)")(softCount(d1, slb1))
+      time(s"q178 soft weights ${copies}x")(softCount(dN, slbN))
+    }
+
     spark.stop()
   }
 }

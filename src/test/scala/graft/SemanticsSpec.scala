@@ -762,6 +762,61 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(!jac.contains((1L, 2L)) && !jac.contains((2L, 1L)))
   }
 
+  test("q178 soft-dedup weights: each content identity contributes exactly one doc") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "s0"), (2L, "s0"), (3L, "s1"), // near-dup cluster labeled 1
+      (4L, "s1"),                         // unclustered singleton
+      (5L, "s2"), (6L, "s2")              // exact-copy pair labeled 5
+    ).toDF("doc_id", "source")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "label")
+    val out = operators.Dedup.softDedupWeightsOf(docs, labels).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(out === Seq(
+      (1L, 1L, 3L, 0.333333), (2L, 1L, 3L, 0.333333), (3L, 1L, 3L, 0.333333),
+      (4L, 4L, 1L, 1.0),
+      (5L, 5L, 2L, 0.5), (6L, 5L, 2L, 0.5)))
+    // the defining law: total weight == number of distinct content
+    // identities (every group sums to 1), so the reweighted corpus has
+    // exactly one document's worth of mass per identity
+    val totalW = out.map(_._4).sum
+    assert(math.abs(totalW - 3.0) < 1e-3)
+  }
+
+  test("q179 estimate error is zero on exact dups and internally consistent") {
+    val session = spark
+    import session.implicits._
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tNear = t.replace("upsilon", "omega") // last token differs
+    val docs = Seq(
+      (1L, t), (2L, t), (3L, tNear),
+      (4L, "unrelated words entirely disjoint from both documents here")
+    ).toDF("doc_id", "text")
+    val rows = operators.Dedup.minhashEstimateErrorOf(docs).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    // the exact-dup pair must surface: identical signatures, identical
+    // shingle sets, zero estimator error
+    val dup = rows.find(r => r._1 == 1L && r._2 == 2L).get
+    assert(dup._3 === 64L && dup._4 === 1.0 && dup._6 === 1.0 && dup._7 === 0.0)
+    // every emitted row satisfies the instrument's own arithmetic:
+    // est = n_agree/64, err = |est - exact|, and banding implies at
+    // least one full band (4 slots) agrees
+    rows.foreach { r =>
+      assert(r._3 >= 4L)
+      assert(math.abs(r._4 - r._3.toDouble / 64) < 1e-6)
+      assert(math.abs(r._7 - math.abs(r._4 - r._6)) < 1e-5)
+    }
+    // the near pair shares 17 of its 18 trigram shingles (only the one
+    // trigram containing the changed tail token differs): exact Jaccard
+    // is 17/19 on any row a band admitted
+    rows.filter(r => r._2 == 3L || r._1 == 3L).filterNot(r => r._1 == 4L || r._2 == 4L)
+      .foreach { r => assert(r._6 === math.rint(17.0 / 19 * 1e6) / 1e6) }
+  }
+
   test("q176 append dispositions on a constructed corpus (all four paths + frozen labels)") {
     val session = spark
     import session.implicits._
