@@ -1391,6 +1391,54 @@ object Similarity extends QueryModule {
       |       GROUP BY 1, 2),
       |$adcRankSql""".stripMargin
 
+  // ---- delta-segment compaction: fold the delta back into one segment -----
+
+  /** Where the compacted index artifact lives (ArtifactStore's
+    * convention, same as the base and delta indexes). */
+  def ivfPqCompactPath(dir: String): String =
+    graft.sources.ArtifactStore.path("ivfpqcompact", dir)
+
+  /** Compaction is a SEGMENT REWRITE, not a recompute: the frozen models
+    * are copied verbatim and `cells`/`codes` become the base ∪ delta row
+    * union — no retrain, no re-encode, no vector arithmetic anywhere.
+    * (The q139 drift signal decides WHEN this is worth running; the
+    * codes were already produced under the base-trained models, so
+    * folding segments together cannot change any assignment.) */
+  private def writeIvfPqCompactIndex(spark: SparkSession, dir: String,
+      b: String): Unit = {
+    val delta = ensureIvfPqDeltaIndex(spark, dir)
+    val rd = (t: String) => spark.read.parquet(s"$delta/$t")
+    rd("centroids").write.mode("overwrite").parquet(s"$b/centroids")
+    rd("pq_codebook").write.mode("overwrite").parquet(s"$b/pq_codebook")
+    rd("cells").unionByName(rd("cells_delta"))
+      .write.mode("overwrite").parquet(s"$b/cells")
+    rd("codes").unionByName(rd("codes_delta"))
+      .write.mode("overwrite").parquet(s"$b/codes")
+  }
+
+  def ensureIvfPqCompactIndex(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("ivfpqcompact", dir, IndexTables)(
+      b => writeIvfPqCompactIndex(spark, dir, b))
+
+  /** q180: search over the COMPACTED index — the verb that closes the
+    * delta-index lifecycle (q108 build → q135 append → q136 merged
+    * search → q139 drift signal → compact). The compacted artifact has
+    * the base index's single-segment layout again, so steady-state
+    * searches return to one column-pruned parquet scan per table
+    * instead of one per segment — the per-segment scan fan-out q136
+    * accepts for freshness is what compaction pays down.
+    *
+    * Correctness contract: the oracle is q136's SQL VERBATIM (two
+    * plans, one oracle — the q153≡q138 precedent): a search over the
+    * compacted index must be indistinguishable from the merged-segment
+    * search it replaces, and SemanticsSpec pins the two bit-equal. */
+  def ivfPqSearchCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfPqCompactIndex(spark, dir)
+    val rd = (t: String) => spark.read.parquet(s"$base/$t")
+    ivfPqScan(Tables.embeddings(spark, dir), rd("centroids"),
+      rd("pq_codebook"), rd("cells"), rd("codes"))
+  }
+
   // ---- cell-proportional diverse sampling ---------------------------------
 
   /** Keep 1 in [[DiverseSampleDenom]] of every cell (and never less than
@@ -1743,6 +1791,10 @@ object Similarity extends QueryModule {
     GraftQuery("q151_rag_retrieve", ragRetrieve, Some(ragRetrieveSql)),
     GraftQuery("q135_ivfpq_index_append", ivfPqIndexAppend, Some(ivfPqIndexAppendSql)),
     GraftQuery("q136_ivfpq_search_merged", ivfPqSearchMerged, Some(ivfPqSearchMergedSql)),
+    // compaction must be invisible to searchers: q180 answers to q136's
+    // oracle verbatim (the artifact rewrite is a pure segment union)
+    GraftQuery("q180_ivfpq_compact_search", ivfPqSearchCompacted,
+      Some(ivfPqSearchMergedSql)),
     GraftQuery("q137_cell_diverse_sample", cellDiverseSample, Some(cellDiverseSampleSql)),
     GraftQuery("q139_index_drift", indexDrift, Some(indexDriftSql)),
   )

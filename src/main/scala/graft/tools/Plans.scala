@@ -509,6 +509,13 @@ object Plans {
           "then the (doc_id, tkey)-projected join; no shingling, no " +
           "window, no nested loop.",
         graft.operators.Curation.rejectionAuditFromArtifact(spark, dir)),
+      section("q180 compacted-index search (r11 segment compaction)",
+        "What to look for: the q109 production search shape restored " +
+          "after compaction — ONE column-pruned parquet scan per index " +
+          "table (cells/codes/centroids/pq_codebook) instead of q136's " +
+          "per-segment scan pair; probe cells and LUT broadcast; ADC " +
+          "partial aggregate map-side; top-k per query bounded.",
+        graft.operators.Similarity.ivfPqSearchCompacted(spark, dir)),
       section("q155 quality-aware canonical selection (r10)",
         "What to look for: the artifact-backed cluster table joins the " +
           "quality scores on doc_id (AQE-decided — no forced broadcast; " +

@@ -817,6 +817,13 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .foreach { r => assert(r._6 === math.rint(17.0 / 19 * 1e6) / 1e6) }
   }
 
+  test("q180 compaction is invisible to searchers (bit-equal to q136 merged search)") {
+    val merged = operators.Similarity.ivfPqSearchMerged(spark, sf001).collect().toSeq
+    val compact = operators.Similarity.ivfPqSearchCompacted(spark, sf001).collect().toSeq
+    assert(merged.nonEmpty)
+    assert(compact === merged)
+  }
+
   test("q176 append dispositions on a constructed corpus (all four paths + frozen labels)") {
     val session = spark
     import session.implicits._
