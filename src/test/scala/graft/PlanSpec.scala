@@ -327,6 +327,35 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!q107.contains("CartesianProduct"), q107.take(4000))
   }
 
+  test("q179 estimate audit: LSH anti-join gate holds, exact side stays equi-joined") {
+    val plan = fullPlanText(Dedup.minhashEstimateError(spark, sf0001))
+    // the hot-bucket gate (q73's) must survive the composition, and the
+    // candidate-bounded exact side must never degrade to a nested loop
+    // or a corpus-level cartesian
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q178 soft weights: narrow artifact joins, no text column, no window") {
+    val plan = fullPlanText(Dedup.softDedupWeights(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+    // the steady body is joins + one group-count aggregate: no window
+    // function, and the document body never enters the plan (the scan
+    // prunes to doc_id/source; weights need only longs)
+    assert(!plan.contains("Window"), plan.take(4000))
+    assert(!plan.contains("text#"), plan.take(4000))
+  }
+
+  test("q180 compacted search keeps q107's production shape (executed section)") {
+    val q180 = executedPlan(Similarity.ivfPqSearchCompacted(spark, sf0001))
+      .split("== Initial Plan ==")(0)
+    assert(q180.contains("BroadcastHashJoin"), q180.take(4000))
+    assert(!q180.contains("SortMergeJoin"), q180.take(4000))
+    assert(!q180.contains("CartesianProduct"), q180.take(4000))
+  }
+
   test("q172 rerank: exact kernel only behind the candidate gate, corpus never fully exact-scored") {
     val df = Similarity.ivfPqRerank(spark, sf0001)
     df.collect()
