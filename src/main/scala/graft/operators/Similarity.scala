@@ -1405,15 +1405,44 @@ object Similarity extends QueryModule {
     * codes were already produced under the base-trained models, so
     * folding segments together cannot change any assignment.) */
   private def writeIvfPqCompactIndex(spark: SparkSession, dir: String,
-      b: String): Unit = {
-    val delta = ensureIvfPqDeltaIndex(spark, dir)
-    val rd = (t: String) => spark.read.parquet(s"$delta/$t")
-    rd("centroids").write.mode("overwrite").parquet(s"$b/centroids")
-    rd("pq_codebook").write.mode("overwrite").parquet(s"$b/pq_codebook")
-    rd("cells").unionByName(rd("cells_delta"))
-      .write.mode("overwrite").parquet(s"$b/cells")
-    rd("codes").unionByName(rd("codes_delta"))
-      .write.mode("overwrite").parquet(s"$b/codes")
+      b: String): Unit =
+    compactSegments(spark, ensureIvfPqDeltaIndex(spark, dir), Seq("delta"), b)
+
+  /** Generalized segment fold: the base segment plus every named
+    * `cells_<suffix>`/`codes_<suffix>` pair in `indexBase` rewritten as
+    * ONE segment in `out`, models copied verbatim. This is the form the
+    * streaming side needs — micro-batch appends ([[appendSegment]])
+    * leave one segment pair per batch, and periodic compaction folds
+    * however many accumulated. */
+  def compactSegments(spark: SparkSession, indexBase: String,
+      suffixes: Seq[String], out: String): Unit = {
+    val rd = (t: String) => spark.read.parquet(s"$indexBase/$t")
+    rd("centroids").write.mode("overwrite").parquet(s"$out/centroids")
+    rd("pq_codebook").write.mode("overwrite").parquet(s"$out/pq_codebook")
+    Seq("cells", "codes").foreach { t =>
+      (rd(t) +: suffixes.map(s => spark.read.parquet(s"$indexBase/${t}_$s")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$t")
+    }
+  }
+
+  /** Search over an explicit multi-segment set (test/ops surface; the
+    * registered q136 is the base+delta special case). */
+  def ivfPqSearchSegments(spark: SparkSession, emb: DataFrame,
+      indexBase: String, suffixes: Seq[String]): DataFrame = {
+    val rd = (t: String) => spark.read.parquet(s"$indexBase/$t")
+    def seg(t: String) =
+      (rd(t) +: suffixes.map(s => spark.read.parquet(s"$indexBase/${t}_$s")))
+        .reduce(_ unionByName _)
+    ivfPqScan(emb, rd("centroids"), rd("pq_codebook"), seg("cells"), seg("codes"))
+  }
+
+  /** Search over a single-segment index laid out in `dir` (the
+    * compacted form; test/ops surface). */
+  def ivfPqSearchIndexDir(spark: SparkSession, emb: DataFrame,
+      dir: String): DataFrame = {
+    val rd = (t: String) => spark.read.parquet(s"$dir/$t")
+    ivfPqScan(emb, rd("centroids"), rd("pq_codebook"), rd("cells"), rd("codes"))
   }
 
   def ensureIvfPqCompactIndex(spark: SparkSession, dir: String): String =

@@ -621,6 +621,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       === spark.read.parquet(s"$base/cells_parity").collect().toSet)
   }
 
+  test("streaming compaction: accumulated micro-batch segments fold into one, searches bit-equal") {
+    // the live twin of q180: micro-batch appends leave one segment pair
+    // per batch (previous test's shape); periodic compaction folds them
+    // into a single-segment index, and a search over the compacted
+    // layout must be indistinguishable from the multi-segment search it
+    // replaces — the same invisibility law q180's oracle pins in batch
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = operators.Similarity.ensureIvfPqDeltaIndex(spark, sf0001)
+    val dim = operators.Similarity.KmeansDim
+    def vec(i: Long): Array[Float] = Array.tabulate(dim)(j => 0.01f * ((i + j) % 13))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        operators.Similarity.appendSegment(b, base, s"c$id"); ()
+      }
+      .option("checkpointLocation", tmp("ck-compact"))
+      .start()
+    try {
+      in.addData((9101L, vec(9101L)), (9102L, vec(9102L)))
+      q.processAllAvailable()
+      in.addData((9103L, vec(9103L)), (9104L, vec(9104L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val segs = Seq("delta", "c0", "c1")
+    val out = tmp("compacted-index")
+    operators.Similarity.compactSegments(spark, base, segs, out)
+    // the compacted layout is single-segment: base-table row counts are
+    // the union of everything that was folded
+    val nCells = segs.map(s => spark.read.parquet(s"$base/cells_$s").count()).sum +
+      spark.read.parquet(s"$base/cells").count()
+    assert(spark.read.parquet(s"$out/cells").count() === nCells)
+    // search invisibility, live: multi-segment vs compacted, row for row
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val before = operators.Similarity
+      .ivfPqSearchSegments(spark, emb, base, segs).collect().toSeq
+    val after = operators.Similarity
+      .ivfPqSearchIndexDir(spark, emb, out).collect().toSeq
+    assert(before.nonEmpty)
+    assert(after === before)
+  }
+
   test("DLQ fan-out splits poison records with origin metadata (S9)") {
     val session = spark
     import session.implicits._
