@@ -1393,11 +1393,6 @@ object Similarity extends QueryModule {
 
   // ---- delta-segment compaction: fold the delta back into one segment -----
 
-  /** Where the compacted index artifact lives (ArtifactStore's
-    * convention, same as the base and delta indexes). */
-  def ivfPqCompactPath(dir: String): String =
-    graft.sources.ArtifactStore.path("ivfpqcompact", dir)
-
   /** Compaction is a SEGMENT REWRITE, not a recompute: the frozen models
     * are copied verbatim and `cells`/`codes` become the base ∪ delta row
     * union — no retrain, no re-encode, no vector arithmetic anywhere.
@@ -1414,14 +1409,22 @@ object Similarity extends QueryModule {
     * streaming side needs — micro-batch appends ([[appendSegment]])
     * leave one segment pair per batch, and periodic compaction folds
     * however many accumulated. */
+  /** The base segment's table `t` unioned with every named
+    * `<t>_<suffix>` segment — the one reading of the multi-segment
+    * layout, shared by fold and search so they cannot diverge. */
+  private def segmentUnion(spark: SparkSession, indexBase: String,
+      suffixes: Seq[String], t: String): DataFrame =
+    (spark.read.parquet(s"$indexBase/$t") +:
+      suffixes.map(s => spark.read.parquet(s"$indexBase/${t}_$s")))
+      .reduce(_ unionByName _)
+
   def compactSegments(spark: SparkSession, indexBase: String,
       suffixes: Seq[String], out: String): Unit = {
     val rd = (t: String) => spark.read.parquet(s"$indexBase/$t")
     rd("centroids").write.mode("overwrite").parquet(s"$out/centroids")
     rd("pq_codebook").write.mode("overwrite").parquet(s"$out/pq_codebook")
     Seq("cells", "codes").foreach { t =>
-      (rd(t) +: suffixes.map(s => spark.read.parquet(s"$indexBase/${t}_$s")))
-        .reduce(_ unionByName _)
+      segmentUnion(spark, indexBase, suffixes, t)
         .write.mode("overwrite").parquet(s"$out/$t")
     }
   }
@@ -1431,10 +1434,9 @@ object Similarity extends QueryModule {
   def ivfPqSearchSegments(spark: SparkSession, emb: DataFrame,
       indexBase: String, suffixes: Seq[String]): DataFrame = {
     val rd = (t: String) => spark.read.parquet(s"$indexBase/$t")
-    def seg(t: String) =
-      (rd(t) +: suffixes.map(s => spark.read.parquet(s"$indexBase/${t}_$s")))
-        .reduce(_ unionByName _)
-    ivfPqScan(emb, rd("centroids"), rd("pq_codebook"), seg("cells"), seg("codes"))
+    ivfPqScan(emb, rd("centroids"), rd("pq_codebook"),
+      segmentUnion(spark, indexBase, suffixes, "cells"),
+      segmentUnion(spark, indexBase, suffixes, "codes"))
   }
 
   /** Search over a single-segment index laid out in `dir` (the
