@@ -622,6 +622,101 @@ object SpanDedup extends QueryModule {
         .distinct())
   }
 
+  // ---------------------------------------------------------------------
+  // q181: winnowed decontamination screen — persisted ~39%-size index
+  // ---------------------------------------------------------------------
+
+  private val WinnowIndexTables = Seq("train_fps")
+
+  /** The train split's distinct winnowed fingerprints, written once —
+    * q152's persisted-screen pattern at winnowing's ~2/(W+1) index
+    * density, with the detection guarantee bounding what the sampling
+    * can miss. */
+  private def writeWinnowIndex(docs: DataFrame, base: String): Unit =
+    winnowedPicksOf(docs.filter(TextOps.splitAssign === "train"))
+      .select(col("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$base/train_fps")
+
+  def ensureWinnowIndex(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("winnowindex", dir, WinnowIndexTables)(
+      b => writeWinnowIndex(Tables.documents(spark, dir), b))
+
+  /** q181: decontamination screen against the PERSISTED winnowed index —
+    * q153's admit-half economics at ~39% of the index bytes: the frozen
+    * train corpus appears only as stored distinct 8-byte fingerprints,
+    * each eval doc pays its own winnow pass, and a flagged doc shares at
+    * least one SELECTED fingerprint with train. Winnowing trades recall
+    * on SHORT overlaps for index size under a hard guarantee: any shared
+    * run of ≥ [[SpanN]] + [[WinnowW]] − 1 tokens still shares a selected
+    * fingerprint in both documents (both sides winnow with the same W),
+    * so verbatim leakage of benchmark-question length cannot slip
+    * through — only sub-8-token fragments can, which q138's full-index
+    * audit prices (q181 flags a SUBSET of q138's contaminated docs; the
+    * SpanDedupSpec law pins both the subset direction and the
+    * guarantee). */
+  def winnowScreen(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureWinnowIndex(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    winnowScreenOf(spark.read.parquet(s"$base/train_fps"),
+      docs.withColumn("split", TextOps.splitAssign)
+        .filter(col("split") =!= "train"))
+  }
+
+  /** DataFrame-level core: screen `evalDocs` (doc_id, text, split)
+    * against a fingerprint set (fp). Constructed corpora drive this
+    * directly — the registered query wires the hash split and the
+    * artifact. Fingerprint-less docs (shorter than one span) come back
+    * clean, counted in n_docs. */
+  private[graft] def winnowScreenOf(trainFps: DataFrame,
+      evalDocs: DataFrame): DataFrame = {
+    val hitTab = trainFps.withColumn("hit", lit(1L))
+    val fps = winnowedPicksOf(evalDocs)
+      .select(col("doc_id"), col("fp")).distinct()
+    val perDoc = fps.join(hitTab, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    evalDocs.select(col("doc_id"), col("split"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("n_hit"), lit(0L)) > 0, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(coalesce(col("n_fps"), lit(0L))).as("n_eval_fps"),
+        sum(coalesce(col("n_hit"), lit(0L))).as("n_hit_fps"))
+      .select(col("split"), col("n_docs"), col("n_flagged"),
+        col("n_eval_fps"), col("n_hit_fps"),
+        (col("n_flagged").cast(DoubleType) / col("n_docs")).as("flag_rate"))
+      .orderBy(col("split"))
+  }
+
+  /** Oracle replays the full definition in-plan (artifact determinism,
+    * the q109/q153 precedent): winnow over all docs, train fingerprints
+    * from the train split, per-doc hit counts, per-split roll-up. */
+  private val winnowScreenSql =
+    s"""WITH ${spanSqlCtes()},
+      |${winnowCtes()},
+      |ed AS (SELECT doc_id, ${TextOps.splitAssignSqlCase} AS split
+      |       FROM documents),
+      |f AS (SELECT DISTINCT doc_id, fp FROM wfp),
+      |fx AS (SELECT f.doc_id, f.fp, ed.split FROM f JOIN ed USING (doc_id)),
+      |tr AS (SELECT DISTINCT fp FROM fx WHERE split = 'train'),
+      |pd AS (SELECT fx.split, fx.doc_id, COUNT(*) AS n_fps,
+      |         SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |       FROM fx LEFT JOIN tr ON fx.fp = tr.fp
+      |       WHERE fx.split <> 'train' GROUP BY 1, 2),
+      |agg AS (SELECT ed.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |          CAST(SUM(CASE WHEN COALESCE(pd.n_hit, 0) > 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_flagged,
+      |          CAST(SUM(COALESCE(pd.n_fps, 0)) AS BIGINT) AS n_eval_fps,
+      |          CAST(SUM(COALESCE(pd.n_hit, 0)) AS BIGINT) AS n_hit_fps
+      |        FROM ed LEFT JOIN pd ON pd.split = ed.split AND pd.doc_id = ed.doc_id
+      |        WHERE ed.split <> 'train' GROUP BY 1)
+      |SELECT split, n_docs, n_flagged, n_eval_fps, n_hit_fps,
+      |  CAST(n_flagged AS DOUBLE) / n_docs AS flag_rate
+      |FROM agg
+      |ORDER BY split NULLS FIRST""".stripMargin
+
   /** A fingerprint present in more documents than this is boilerplate
     * (license blocks, templated headers) and is excluded from pair
     * generation — the q72 MaxShingleDF rationale applied to the winnowed
@@ -710,6 +805,7 @@ object SpanDedup extends QueryModule {
     GraftQuery("q152_span_index_build", spanIndexBuild, Some(spanIndexBuildSql)),
     GraftQuery("q153_decontaminate_indexed", decontaminateIndexed,
       Some(decontaminateSql)),
+    GraftQuery("q181_winnow_screen", winnowScreen, Some(winnowScreenSql)),
     GraftQuery("q157_winnowed_fingerprints", winnowedFingerprints,
       Some(winnowedFingerprintsSql)),
     GraftQuery("q158_winnowed_overlap_pairs", winnowedOverlapPairs,

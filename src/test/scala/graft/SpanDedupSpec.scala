@@ -321,6 +321,38 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(want.nonEmpty, "fixture should contain at least one candidate pair")
   }
 
+  test("q181 winnow screen: guarantee catches a >=8-token leak; flags a subset of the full audit") {
+    val session = spark
+    import session.implicits._
+    // guarantee case: an eval doc embedding an 8-token run from a train
+    // doc MUST be flagged (8 = SpanN + WinnowW - 1, the winnowing
+    // detection bound — both sides winnow with the same W)
+    val trainDocs = Seq((1L, (1 to 20).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tf = SpanDedup.winnowedFingerprintsOf(trainDocs)
+      .select($"fp").distinct()
+    val evalDocs = Seq(
+      (100L, "x1 x2 " + (5 to 12).map(i => s"t$i").mkString(" ") + " x3 x4", "val"),
+      (101L, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10", "val") // disjoint, stays clean
+    ).toDF("doc_id", "text", "split")
+    val out = SpanDedup.winnowScreenOf(tf, evalDocs).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 2L && out(0).getLong(2) === 1L,
+      s"expected 1 of 2 flagged: ${out.toSeq}")
+    // subset law on the fixture: winnowed fingerprints are a subset of
+    // the full positional span set, so the sampled screen can only miss
+    // relative to q138's full-index audit, never add false positives
+    val fullBySplit = SpanDedup.decontaminate(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val winnowBySplit = SpanDedup.winnowScreen(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(winnowBySplit.keySet === fullBySplit.keySet)
+    winnowBySplit.foreach { case (split, flagged) =>
+      assert(flagged <= fullBySplit(split),
+        s"$split: winnow flagged $flagged > full ${fullBySplit(split)}")
+    }
+  }
+
   test("q158 hot-fingerprint gate suppresses boilerplate pairs, keeps genuine overlap") {
     val session = spark
     import session.implicits._
