@@ -568,6 +568,80 @@ object Similarity extends QueryModule {
       |FROM s JOIN cs USING (cluster)
       |ORDER BY s.cluster NULLS FIRST""".stripMargin
 
+  // ---- SemDeDup: k-means-blocked semantic pruning -------------------------
+
+  /** q182 pruning threshold. The fixture embeddings are random (q75's
+    * documented regime: max blocked cosine ≈0.43/0.51 at sf0.001/sf0.01),
+    * so the registered threshold is 0.4 to keep the oracle row set
+    * non-vacuous (19/28 qualifying within-cluster pairs); a production
+    * corpus runs the same plan at ~0.95. */
+  val SemDedupTau = 0.4
+
+  /** q182: SemDeDup-style semantic pruning (Abbas et al. 2023) — the
+    * k-means-blocked alternative to q96's LSH-blocked semantic dedup.
+    * Cluster the corpus with the shared Lloyd trainer ([[kmeansModelOf]],
+    * q100's model bit-for-bit), then compare vectors ONLY within their
+    * cluster: a vector is pruned when a higher-priority cluster-mate
+    * sits within cosine [[SemDedupTau]]. Priority follows the paper's
+    * diversity heuristic — the member FARTHEST from its centroid wins
+    * (keep the outlier, drop the redundant core), with vec_id as the
+    * deterministic tiebreak. This is the "dominated by any
+    * higher-priority neighbor" closure of the paper's greedy ε-ball
+    * sweep: every vector the greedy pass drops is dropped here, and the
+    * rule needs one pair join instead of a sequential scan.
+    *
+    * Scale posture: the pair comparison is an equi-join on the cluster
+    * id — the blocking key is the trained model itself, never an
+    * all-pairs product — and the per-pair kernel is the codegen'd
+    * [[graft.functions.CosineSimilarity]]. Per-cluster pair counts stay
+    * bounded because production scales k with the corpus (the paper
+    * trains ~100k clusters for billions of examples; the fixture's
+    * k=[[KmeansK]] mirrors q100). Assignment is q100's broadcast +
+    * map-side min_by; nothing but the k-row model crosses the driver. */
+  def semdedupPrune(spark: SparkSession, dir: String): DataFrame =
+    semdedupPruneOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def semdedupPruneOf(emb: DataFrame, tau: Double = SemDedupTau,
+      k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val cents = kmeansModelOf(emb, k, iters)
+    // one assignment pass, reused for both join sides and the output:
+    // (vec_id, cluster, v, dist) with dist already rounded to 6 dp
+    val asg = graft.functions.ScopedCache.persist("q182.assigned",
+      s"k$k.i$iters.${emb.queryExecution.analyzed.semanticHash()}",
+      kmAssign(kmVectors(emb), cents, carryVector = true))
+    val dropped = asg.as("x").join(asg.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          (col("y.dist") > col("x.dist") ||
+            (col("y.dist") === col("x.dist") &&
+              col("y.vec_id") < col("x.vec_id"))))
+      .filter(round(cos("x.v", "y.v"), 6) >= tau)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+    asg.join(dropped.withColumn("pruned", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dist").as("centroid_dist"),
+        coalesce(col("pruned"), lit(false)).as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semdedupPruneSql =
+    s"""WITH $kmeansModelCtes,
+      |asg AS (SELECT vec_id, v, cluster, dist FROM afin WHERE rk = 1),
+      |nn AS (SELECT vec_id, v, cluster, dist,
+      |         SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS nrm
+      |       FROM asg),
+      |drp AS (SELECT DISTINCT x.vec_id
+      |        FROM nn x JOIN nn y ON x.cluster = y.cluster
+      |          AND (y.dist > x.dist
+      |               OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+      |        WHERE ROUND(CASE WHEN x.nrm = 0 OR y.nrm = 0 THEN 0.0
+      |                ELSE LIST_DOT_PRODUCT(x.v, y.v) / (x.nrm * y.nrm) END,
+      |              6) >= $SemDedupTau)
+      |SELECT a.vec_id, a.cluster, a.dist AS centroid_dist,
+      |  (d.vec_id IS NOT NULL) AS pruned
+      |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id
+      |ORDER BY a.vec_id NULLS FIRST""".stripMargin
+
   // ---- product-quantization codebook training ----------------------------
 
   /** q101 model shape: [[PqBlocks]] sub-vector blocks of [[PqBlockDim]]
@@ -1811,6 +1885,7 @@ object Similarity extends QueryModule {
     GraftQuery("q84_ann_ivf", annIvf, Some(annIvfSql)),
     GraftQuery("q95_quantize_int8", quantizeInt8, Some(quantizeInt8Sql)),
     GraftQuery("q100_kmeans_train", kmeansTrain, Some(kmeansTrainSql)),
+    GraftQuery("q182_semdedup_prune", semdedupPrune, Some(semdedupPruneSql)),
     GraftQuery("q101_pq_train", pqTrain, Some(pqTrainSql)),
     GraftQuery("q105_pq_encode", pqEncode, Some(pqEncodeSql)),
     GraftQuery("q106_pq_search", pqSearch, Some(pqSearchSql)),

@@ -753,6 +753,95 @@ object TextOps extends QueryModule {
       |WHERE rnk <= 3
       |ORDER BY doc_id NULLS FIRST, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q183: BM25 ranked retrieval
+  // ---------------------------------------------------------------------
+
+  /** BM25 free parameters (Robertson et al., TREC-3 defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** q183 fixed query — terms a curation analyst actually greps a data
+    * corpus for; all three occur broadly in the fixture vocabulary
+    * (df ≈ 380-415 of 500 docs at sf0.01), so idf stays small-positive
+    * and the ranking exercises the tf/length saturation term, not a
+    * degenerate rare-term shortcut. */
+  val Bm25QueryTerms = Seq("join", "query", "window")
+
+  /** q183: BM25 ranked retrieval — the keyword-search complement to
+    * q151's embedding RAG retrieval (hybrid search runs both and fuses).
+    * Standard Okapi BM25: idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1),
+    * tf saturation k1 = [[Bm25K1]], length normalization b = [[Bm25B]]
+    * against the corpus mean document length. Top-20 by score with
+    * doc_id as the deterministic tiebreak; per-term contributions are
+    * rounded to 6 dp and summed as DECIMAL so aggregation order cannot
+    * move a score across the rank boundary.
+    *
+    * Scale posture: the corpus is scanned twice, both passes narrow —
+    * once for (n_docs, avgdl), once tokenizing with the query-term
+    * filter applied INSIDE the explode pass, so only matching (doc,
+    * term) rows survive to the shuffle (|terms| ≤ a handful → the
+    * shuffled table is bounded by docs×terms hits, never tokens). Both
+    * model tables (per-term df, corpus stats) are broadcast; the final
+    * top-20 is TakeOrderedAndProject, never a global sort. At 100 TB a
+    * standing search service would persist the (doc, term, tf) posting
+    * table once (the ArtifactStore pattern) and pay only the
+    * score-and-rank tail per query. */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame =
+    bm25RankOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable terms/corpus). */
+  def bm25RankOf(d: DataFrame, terms: Seq[String] = Bm25QueryTerms,
+      topK: Int = 20): DataFrame = {
+    val base = d.select(col("doc_id"), toks.as("tk"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("tk"))).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (lit(Bm25K1) + 1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(col("contrib").cast(DecimalType(38, 6))).cast(DoubleType), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("n_terms_hit"), col("score"))
+  }
+
+  private val bm25RankSql = {
+    val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+      |            FROM (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,
+      |                    UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |                  FROM documents) x
+      |            WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+      |st AS (SELECT COUNT(*) AS n_docs,
+      |         AVG(LEN(STRING_SPLIT(text, ' '))) AS avgdl FROM documents),
+      |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |         -- CASTs force double arithmetic: DuckDB would otherwise run
+      |         -- (n_docs-df+0.5)/(df+0.5) as a DECIMAL division and tf*2.2
+      |         -- as exact decimal, both off the engine's double grammar
+      |         ROUND(LN((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5) + 1.0) *
+      |           (CAST(tf AS DOUBLE) * ($Bm25K1 + 1)) /
+      |           (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl)), 6) AS contrib
+      |       FROM tf JOIN dfq USING (tok), st)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+      |  ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38, 6))) AS DOUBLE), 6) AS score
+      |FROM sc GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** q97: sliding-window document chunking — cut each document's token
     * stream into [[ChunkTokens]]-token windows advancing [[ChunkStride]]
     * tokens per step (the context-length preparation step between
@@ -1102,6 +1191,7 @@ object TextOps extends QueryModule {
     GraftQuery("q89_redact_pii", redactPii, Some(redactPiiSql)),
     GraftQuery("q93_lm_surprisal", lmSurprisal, Some(lmSurprisalSql)),
     GraftQuery("q94_tfidf_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    GraftQuery("q183_bm25_rank", bm25Rank, Some(bm25RankSql)),
     GraftQuery("q97_chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     GraftQuery("q98_mix_to_uniform", mixToUniform, Some(mixToUniformSql)),
     GraftQuery("q102_bpe_merges", bpeMergeCandidates, Some(bpeMergeCandidatesSql)),

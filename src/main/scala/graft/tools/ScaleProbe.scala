@@ -718,6 +718,28 @@ object ScaleProbe {
       time(s"q178 soft weights ${copies}x")(softCount(dN, slbN))
     }
 
+    // r11 session-3 shapes. q182 SemDeDup: kmeans training is linear per
+    // iteration (broadcast assign + per-(cluster,dim) partials) and the
+    // pair comparison is an equi-join blocked on the cluster id. The
+    // production posture scales k WITH the corpus (the paper trains
+    // ~100k clusters for billions of examples), so the 10x row trains
+    // 10x the clusters and keeps the per-cluster pair count flat — the
+    // honest contrast is sub-quadratic growth, not a flat line (Lloyd
+    // pays k x corpus distance evaluations per iteration). q183 BM25:
+    // two narrow corpus passes; only query-term hits survive to the
+    // shuffle and the top-20 is TakeOrderedAndProject.
+    def semdedupCount(e: DataFrame, k: Int): Long =
+      graft.operators.Similarity.semdedupPruneOf(e, k = k)
+        .filter(col("pruned")).count()
+    time("q182 semdedup 1x (5k, k=8)")(semdedupCount(e1, 8))
+    time(s"q182 semdedup ${copies}x (k=${8 * copies})")(
+      semdedupCount(eN, 8 * copies))
+    def bm25Count(docs: DataFrame): Long =
+      graft.operators.TextOps.bm25RankOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    time("q183 bm25 1x (5k docs)")(bm25Count(d1))
+    time(s"q183 bm25 ${copies}x")(bm25Count(dN))
+
     spark.stop()
   }
 }

@@ -300,6 +300,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), plan.take(4000))
   }
 
+  test("q182 SemDeDup pair comparison is cluster-blocked, never all-pairs") {
+    val plan = executedPlan(Similarity.semdedupPrune(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // the kmeans model broadcasts print as BNLJ *Cross* (the broadcast
+    // scalar/model idiom); an *Inner* BNLJ would mean the cluster
+    // equi-key fell out of the pair join and the dominance inequality
+    // is being evaluated against every pair in the corpus
+    assert(!plan.contains("BroadcastNestedLoopJoin BuildRight, Inner") &&
+      !plan.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), plan.take(4000))
+    // assignment stays q100's broadcast + map-side-partial min_by
+    assert(plan.contains("partial_min_by"), plan.take(4000))
+  }
+
+  test("q183 BM25 joins broadcast the term/corpus stats; top-k never sorts globally") {
+    val plan = executedPlan(TextOps.bm25Rank(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("q102 top-k pairs use TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan(TextOps.bpeMergeCandidates(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))

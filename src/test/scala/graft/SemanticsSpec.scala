@@ -1188,6 +1188,58 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Seq((1000L, 3L, 2.0, 8.0), (1001L, 3L, 10.0, 8.0)))
   }
 
+  test("q182 SemDeDup prunes the redundant core, keeps the centroid-farthest") {
+    val session = spark
+    import session.implicits._
+    // q100's two-blob geometry: blob A along e0 (ids 1000/1200/1300),
+    // blob B along e63 (ids 1001/2010/2011); init takes the two lowest
+    // ids so the blobs become clusters 1000 and 1001 with centroids
+    // 2e0 / 10e63. Within A, 2e0 and 4e0 are colinear (cos 1) and the
+    // zero vector scores cos 0 with everything; within B all three are
+    // colinear. The paper's keep-the-outlier rule with vec_id tiebreak:
+    //  A: 1200 (dist 4) dominates 1000 (dist 0) -> 1000 pruned;
+    //     1300 (zero vec, cos 0) survives despite equal dist 4.
+    //  B: 1001 (dist 4, lowest id) dominates 2010 (dist 0) AND the
+    //     equal-dist 2011 -> both pruned, 1001 kept.
+    def vec(i: Int, x: Float): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) x else 0f)
+    val emb = Seq(
+      (1000L, vec(0, 2f), 0), (1200L, vec(0, 4f), 0), (1300L, vec(0, 0f), 0),
+      (1001L, vec(63, 8f), 1), (2010L, vec(63, 10f), 1), (2011L, vec(63, 12f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.semdedupPruneOf(emb, k = 2, iters = 2)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1000L, 1000L, 0.0, true),
+      (1001L, 1001L, 4.0, false),
+      (1200L, 1000L, 4.0, false),
+      (1300L, 1000L, 4.0, false),
+      (2010L, 1001L, 0.0, true),
+      (2011L, 1001L, 4.0, true)))
+  }
+
+  test("q183 BM25 scores match the closed form and rank by saturated tf") {
+    val session = spark
+    import session.implicits._
+    // N = 3, avgdl = 8/3, df("a") = 2: doc 1 carries double the tf at
+    // double the length — BM25's length normalization discounts but does
+    // not cancel the extra occurrence, so doc 1 outranks doc 0 and the
+    // term-free doc 2 is absent. Expected scores replay the exact
+    // double-arithmetic grammar of the operator (same literal order).
+    val d = Seq((0L, "a b"), (1L, "a a b b"), (2L, "b b"))
+      .toDF("doc_id", "text")
+    val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def score(tf: Int, dl: Int): Double = {
+      val avgdl = 8.0 / 3
+      val c = idf * (tf * (1.2 + 1)) /
+        (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = operators.TextOps.bm25RankOf(d, terms = Seq("a"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1L, score(2, 4)), (0L, 1L, score(1, 2))))
+  }
+
   test("q101 PQ trains identical per-block codebooks on block-repeated blobs") {
     val session = spark
     import session.implicits._
