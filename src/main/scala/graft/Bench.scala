@@ -89,14 +89,22 @@ object Bench {
     // stdout gets a COMPACT line sized to fit the tail window whole:
     // query keys shortened to their qNN id (the full names are the id
     // plus a suffix; bench_out.json carries them), 2-decimal seconds,
-    // passes omitted. Printed last so nothing of ours pushes it out.
+    // passes omitted. At 180+ queries even the short form outgrew the
+    // driver's ~2000-char capture (BENCH_r11 parsed:null), so the map
+    // now carries only the SLOWEST 80 queries — the ones a level read
+    // actually looks at — plus a remainder rollup ("rest_n" queries
+    // summing "rest_sec" seconds); bench_out.json keeps the full map.
+    // Printed last so nothing of ours pushes it out.
     def fmt2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val shortQs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+    val ok = results.toSeq.filter(_._2 >= 0)
+    val slowest = ok.sortBy(-_._2).take(80)
+    val rest = ok.sortBy(-_._2).drop(80)
+    val shortQs = slowest.sortBy(_._1).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt2(v)
     }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"rest_n":${rest.size},"rest_sec":${fmt2(rest.map(_._2).sum)},"errors":$errs,"sf":"$sfDir"}"""
     // stop() first: its stderr chatter must not land after the JSON line
     // in a merged capture. The finally guarantees the line is emitted (and
     // last) even if stop() throws; build.sbt's StdoutOutput + showSuccess

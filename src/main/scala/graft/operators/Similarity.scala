@@ -601,9 +601,25 @@ object Similarity extends QueryModule {
   def semdedupPrune(spark: SparkSession, dir: String): DataFrame =
     semdedupPruneOf(Tables.embeddings(spark, dir))
 
+  /** Mean-cluster-size bound past which [[semdedupPruneOf]] warns that
+    * the caller left k at a fixture-scale default: within-cluster pair
+    * counts grow ~(n/k)², so production scales k with the corpus (the
+    * paper trains ~100k clusters for billions of examples). */
+  val SemDedupMaxMeanCluster = 10000L
+
   /** DataFrame-level core (testable on constructed corpora). */
   def semdedupPruneOf(emb: DataFrame, tau: Double = SemDedupTau,
       k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    // guard the fixture-k default on large inputs (ADVICE r11): the
+    // blocked pair join is quadratic IN THE CLUSTER, so a corpus that
+    // outgrew its k needs a bigger model, not a silent O((n/k)²) join.
+    // Warn rather than fail — the plan is the paper's own blocking
+    // scheme either way, and the count is one metadata-cheap action.
+    val n = emb.count()
+    if (n / math.max(k, 1) > SemDedupMaxMeanCluster)
+      System.err.println(s"[graft] q182 semdedup: n=$n over k=$k gives mean " +
+        s"cluster ${n / k} > $SemDedupMaxMeanCluster; scale k with the corpus " +
+        "(SemDeDup trains ~100k clusters at billions of rows)")
     val cents = kmeansModelOf(emb, k, iters)
     // one assignment pass, reused for both join sides and the output:
     // (vec_id, cluster, v, dist) with dist already rounded to 6 dp
@@ -1272,6 +1288,113 @@ object Similarity extends QueryModule {
       |ORDER BY h.query_id NULLS FIRST, h.rank""".stripMargin
   }
 
+  // ---- hybrid retrieval fusion (dense ⊕ sparse) ---------------------------
+
+  /** RRF smoothing constant — the k=60 of Cormack & Clarke's reciprocal
+    * rank fusion (SIGIR'09), the value virtually every hybrid-search
+    * deployment ships with. */
+  val RrfK = 60
+
+  /** Fused list depth per probe query. */
+  val HybridTopK = 10
+
+  /** q184: hybrid retrieval fusion — the operator a RAG deployment
+    * actually serves once it has BOTH retrieval modalities: reciprocal-
+    * rank fusion of the dense list (q109's persisted IVF-PQ index search,
+    * top-[[PqSearchK]] per probe) and the sparse list (q183's BM25
+    * keyword top-20; fixture doc_id ↔ vec_id alignment, q151's
+    * precedent). rrf(q, d) = Σ over the lists that ranked d of
+    * 1/([[RrfK]] + rank); per probe the fused candidate set is the UNION
+    * of the two lists (full outer join on (query, doc)), re-ranked by
+    * rrf score with doc_id as the deterministic tiebreak, top
+    * [[HybridTopK]] kept. Rank arithmetic only — fusion never touches
+    * raw scores, which is why RRF needs no cross-modality calibration
+    * and why the result replays exactly in an independent engine.
+    *
+    * Scale posture: both inputs keep their certified production shapes
+    * untouched (the dense side is q109's broadcast-gated ADC scan; the
+    * sparse side is q183's term-filtered explode + TakeOrdered); fusion
+    * itself handles only probes × (k + 20) rows — the BM25 list
+    * broadcasts into a probe-keyed cross join, the outer join and the
+    * per-probe GroupTopK window are bounded by list depths, never by the
+    * corpus. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    // the dense list feeds the join AND the probe roster -> one scan
+    val dense = graft.functions.ScopedCache.persist("q184.dense",
+      ivfPqQuery(spark, dir)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("dense_rank")))
+    // global row_number over the top-20 BM25 rows — bounded by the list
+    // depth, not the corpus (the single-partition window is 20 rows)
+    val bm = TextOps.bm25Rank(spark, dir)
+      .select(col("doc_id"), col("score"))
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("bm25_rank"))
+    hybridRrfOf(dense, bm)
+  }
+
+  /** Fusion tail over pre-ranked lists — `dense` = (query_id, doc_id,
+    * dense_rank), `bm` = (doc_id, bm25_rank) — split out so constructed
+    * lists can pin the rank arithmetic and the both-lists dominance law
+    * independent of the fixture's list contents. */
+  private[graft] def hybridRrfOf(dense: DataFrame, bm: DataFrame): DataFrame = {
+    val qs = dense.select(col("query_id")).distinct()
+    val bmq = qs.crossJoin(broadcast(bm))
+    // list union as union + hash aggregate, NOT a full outer join: Spark
+    // cannot broadcast FullOuter (it would sort-merge two already-tiny
+    // lists), while the union groups per (query, doc) in one map-side-
+    // partial hash agg — the same one-shuffle shape at any list depth
+    val fused = dense
+      .select(col("query_id"), col("doc_id"),
+        col("dense_rank"), lit(null).cast(IntegerType).as("bm25_rank"))
+      .unionByName(bmq.select(col("query_id"), col("doc_id"),
+        lit(null).cast(IntegerType).as("dense_rank"), col("bm25_rank")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("dense_rank")).as("dense_rank"),
+        max(col("bm25_rank")).as("bm25_rank"))
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("bm25_rank")), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= HybridTopK)
+      .select(col("query_id"), col("fused_rank"), col("doc_id"),
+        col("dense_rank"), col("bm25_rank"), col("rrf_score"))
+      .orderBy(col("query_id"), col("fused_rank"))
+  }
+
+  private val hybridRrfSql =
+    s"""WITH ${ivfPqSearchCtesFor(PqSearchManyProbes)},
+      |dense AS (SELECT query_id, neighbor_id AS doc_id, rank AS dense_rank
+      |          FROM rnk WHERE rank <= $PqSearchK),
+      |${TextOps.bm25Ctes},
+      |bmtop AS (SELECT doc_id,
+      |            ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38, 6))) AS DOUBLE), 6)
+      |              AS score
+      |          FROM sc GROUP BY doc_id
+      |          ORDER BY score DESC, doc_id LIMIT 20),
+      |bmr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+      |          ORDER BY score DESC, doc_id NULLS FIRST) AS INT) AS bm25_rank
+      |        FROM bmtop),
+      |qs AS (SELECT DISTINCT query_id FROM dense),
+      |bmq AS (SELECT q.query_id, b.doc_id, b.bm25_rank FROM qs q CROSS JOIN bmr b),
+      |fused AS (SELECT COALESCE(d.query_id, b.query_id) AS query_id,
+      |            COALESCE(d.doc_id, b.doc_id) AS doc_id,
+      |            d.dense_rank, b.bm25_rank,
+      |            ROUND(COALESCE(CAST(1 AS DOUBLE) / ($RrfK + d.dense_rank), 0)
+      |              + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + b.bm25_rank), 0), 6)
+      |              AS rrf_score
+      |          FROM dense d FULL OUTER JOIN bmq b
+      |            ON d.query_id = b.query_id AND d.doc_id = b.doc_id),
+      |frk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |          ORDER BY rrf_score DESC, doc_id NULLS FIRST) AS INT) AS fused_rank
+      |        FROM fused)
+      |SELECT query_id, fused_rank, doc_id, dense_rank, bm25_rank, rrf_score
+      |FROM frk WHERE fused_rank <= $HybridTopK
+      |ORDER BY query_id NULLS FIRST, fused_rank""".stripMargin
+
   // ---- delta-segment index maintenance: append without retrain ------------
 
   /** Which vectors arrive AFTER the index was built: vec_id ≡ 0 (mod 5),
@@ -1895,6 +2018,7 @@ object Similarity extends QueryModule {
     // answers to the oracle that replays the training loops in-plan
     GraftQuery("q109_ivfpq_query", ivfPqQuery, Some(ivfPqQuerySql)),
     GraftQuery("q151_rag_retrieve", ragRetrieve, Some(ragRetrieveSql)),
+    GraftQuery("q184_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     GraftQuery("q135_ivfpq_index_append", ivfPqIndexAppend, Some(ivfPqIndexAppendSql)),
     GraftQuery("q136_ivfpq_search_merged", ivfPqSearchMerged, Some(ivfPqSearchMergedSql)),
     // compaction must be invisible to searchers: q180 answers to q136's

@@ -632,7 +632,7 @@ object SpanDedup extends QueryModule {
     * q152's persisted-screen pattern at winnowing's ~2/(W+1) index
     * density, with the detection guarantee bounding what the sampling
     * can miss. */
-  private def writeWinnowIndex(docs: DataFrame, base: String): Unit =
+  private[graft] def writeWinnowIndex(docs: DataFrame, base: String): Unit =
     winnowedPicksOf(docs.filter(TextOps.splitAssign === "train"))
       .select(col("fp")).distinct()
       .write.mode("overwrite").parquet(s"$base/train_fps")

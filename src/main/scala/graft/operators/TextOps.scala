@@ -266,7 +266,7 @@ object TextOps extends QueryModule {
   /** THE split assignment, shared with q125's leakage audit (Profiling) so
     * the audit can never drift from the split it audits: change the cut
     * here and both the summary and the audit follow, plan AND oracle. */
-  private[operators] def splitAssign: Column = {
+  private[graft] def splitAssign: Column = {
     val bucket = pmod(col("doc_id"), lit(10L))
     when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
   }
@@ -802,6 +802,22 @@ object TextOps extends QueryModule {
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    bm25ScoreTail(tf, dfq, stats, topK)
+  }
+
+  /** The scoring tail from a (doc_id, dl, tok, tf) posting set, its
+    * per-term df, and the (n_docs, avgdl) corpus stats — ONE definition
+    * shared by q183 (postings derived in-plan) and q186 (postings read
+    * from the persisted artifact), so the two forms cannot drift by a
+    * rounding grammar. */
+  /** Probe hook: the scoring tail on externally-supplied tables
+    * ([[graft.tools.ScaleProbe]] drives it against pre-built posting
+    * artifacts at multiple scales). */
+  private[graft] def bm25ScoreTailProbe(tf: DataFrame, dfq: DataFrame,
+      stats: DataFrame): DataFrame = bm25ScoreTail(tf, dfq, stats, topK = 20)
+
+  private def bm25ScoreTail(tf: DataFrame, dfq: DataFrame, stats: DataFrame,
+      topK: Int): DataFrame =
     tf.join(broadcast(dfq), Seq("tok"))
       .crossJoin(broadcast(stats))
       .withColumn("contrib", round(
@@ -816,11 +832,64 @@ object TextOps extends QueryModule {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
       .select(col("doc_id"), col("n_terms_hit"), col("score"))
+
+  /** Tables of the persisted BM25 posting artifact: the full
+    * (doc_id, dl, tok, tf) posting table, the per-term document
+    * frequency, and the (n_docs, avgdl) corpus stats. */
+  private val Bm25Tables = Seq("postings", "term_df", "stats")
+
+  /** Build-once half of q186: persist the posting artifact for `dir`
+    * unless a signature-valid one exists (ArtifactStore's rule). The
+    * posting table is the corpus pass every BM25 query otherwise re-pays:
+    * one tokenize + explode + (doc, term) count over ALL terms (the
+    * artifact serves ANY query, not just q183's fixed one). */
+  def ensureBm25Index(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("bm25", dir, Bm25Tables) { b =>
+      val base = Tables.documents(spark, dir).select(col("doc_id"), toks.as("tk"))
+      base.select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$b/postings")
+      spark.read.parquet(s"$b/postings")
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$b/term_df")
+      base.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$b/stats")
+    }
+
+  /** q186: BM25 ranked retrieval against the PERSISTED posting artifact —
+    * the standing-search-service shape q183's own scale note promises:
+    * the corpus-sized tokenize/explode is paid ONCE by the artifact
+    * build; the per-query tail is a term-predicate-pushed posting scan
+    * (the `tok IN (...)` filter reaches the parquet reader), a broadcast
+    * join against the (tiny) term-df rows, the broadcast corpus stats,
+    * and the TakeOrdered top-20 — bit-equal to q183 by the shared
+    * [[bm25ScoreTail]], which is why the oracle is q183's SQL VERBATIM
+    * (the q153≡q138 / q180≡q136 invisibility precedent: a posting index
+    * must be invisible to searchers). */
+  def bm25IndexedRank(spark: SparkSession, dir: String): DataFrame = {
+    val b = ensureBm25Index(spark, dir)
+    val terms = Bm25QueryTerms
+    val tf = spark.read.parquet(s"$b/postings").filter(col("tok").isin(terms: _*))
+    val dfq = spark.read.parquet(s"$b/term_df").filter(col("tok").isin(terms: _*))
+    val stats = spark.read.parquet(s"$b/stats")
+    bm25ScoreTail(tf, dfq, stats, topK = 20)
   }
 
-  private val bm25RankSql = {
-    val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+  /** The BM25 scoring CTE chain (tf → st → dfq → sc, per-(doc, term)
+    * contributions over `documents`) — shared VERBATIM between the q183
+    * oracle and q184's hybrid-fusion oracle so the sparse side of the
+    * fused ranking replays the exact q183 definition. */
+  private[operators] val bm25Ctes = {
+    // the terms are interpolated into SQL string literals: refuse any
+    // term that could escape the literal (quote, backslash, whitespace)
+    // rather than silently diverging the oracle twin (ADVICE r11)
+    val terms = Bm25QueryTerms.map { t =>
+      require(t.matches("[a-z0-9_]+"), s"BM25 term not SQL-literal-safe: '$t'")
+      s"'$t'"
+    }.mkString(", ")
+    s"""tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
       |            FROM (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,
       |                    UNNEST(STRING_SPLIT(text, ' ')) AS tok
       |                  FROM documents) x
@@ -835,12 +904,15 @@ object TextOps extends QueryModule {
       |         ROUND(LN((CAST(n_docs - df AS DOUBLE) + 0.5) / (df + 0.5) + 1.0) *
       |           (CAST(tf AS DOUBLE) * ($Bm25K1 + 1)) /
       |           (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl)), 6) AS contrib
-      |       FROM tf JOIN dfq USING (tok), st)
+      |       FROM tf JOIN dfq USING (tok), st)""".stripMargin
+  }
+
+  private val bm25RankSql =
+    s"""WITH $bm25Ctes
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
       |  ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38, 6))) AS DOUBLE), 6) AS score
       |FROM sc GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-  }
 
   /** q97: sliding-window document chunking — cut each document's token
     * stream into [[ChunkTokens]]-token windows advancing [[ChunkStride]]
@@ -1192,6 +1264,9 @@ object TextOps extends QueryModule {
     GraftQuery("q93_lm_surprisal", lmSurprisal, Some(lmSurprisalSql)),
     GraftQuery("q94_tfidf_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     GraftQuery("q183_bm25_rank", bm25Rank, Some(bm25RankSql)),
+    // the posting artifact must be invisible to searchers: q186 answers
+    // to q183's oracle verbatim (the q180≡q136 precedent)
+    GraftQuery("q186_bm25_indexed_rank", bm25IndexedRank, Some(bm25RankSql)),
     GraftQuery("q97_chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     GraftQuery("q98_mix_to_uniform", mixToUniform, Some(mixToUniformSql)),
     GraftQuery("q102_bpe_merges", bpeMergeCandidates, Some(bpeMergeCandidatesSql)),

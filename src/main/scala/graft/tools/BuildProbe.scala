@@ -105,11 +105,17 @@ object BuildProbe {
         survivors.write.format("noop").mode("overwrite").save()
         survivors.count()
       }
-      stage(s"neardup_stage_pairs_${copies}x") {
+      val shinglesPath = "/tmp/graft_probe_neardup_stage_shingles"
+      var gatedSurv: DataFrame = null
+      stage(s"neardup_stage_shingles_${copies}x") {
         // written then read back, like the real build body
-        graft.operators.Dedup.jaccardPairsUnsorted(
-            survivors.select(col("doc_id"), col("text")),
-            scope = "dedup.purge.shingles")
+        graft.operators.Dedup.writeGatedShinglesProbe(
+          survivors.select(col("doc_id"), col("text")), shinglesPath)
+        gatedSurv = spark.read.parquet(shinglesPath)
+        gatedSurv.count()
+      }
+      stage(s"neardup_stage_pairs_${copies}x") {
+        graft.operators.Dedup.jaccardPairsFromGated(gatedSurv)
           .write.mode("overwrite").parquet(pairsPath)
         spark.read.parquet(pairsPath).count()
       }
@@ -119,7 +125,8 @@ object BuildProbe {
         labels.count()
       }
       stage(s"neardup_stage_rawlabels_${copies}x") {
-        graft.operators.Dedup.rawLabelsViaSurvivors(docs, survivors, labels)
+        graft.operators.Dedup.rawLabelsViaSurvivors(docs, survivors, labels,
+            gatedSurv)
           .count()
       }
     }
@@ -174,6 +181,40 @@ object BuildProbe {
     }
     time(s"span_inline_audit_${copies}x") {
       graft.operators.SpanDedup.decontaminateOf(docsN).count()
+    }
+
+    // r12 BM25 posting lifecycle: the build pays the full tokenize +
+    // explode + (doc, term) count over ALL terms once; the steady pass
+    // is the term-pushed posting scan + broadcast score/rank tail. The
+    // contrast row is inline q183 (corpus re-tokenized per query).
+    val bm25Base = "/tmp/graft_probe_bm25"
+    time(s"bm25_posting_build_${copies}x") {
+      rmrf(bm25Base)
+      val base = docsN.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      base.select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$bm25Base/postings")
+      spark.read.parquet(s"$bm25Base/postings")
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$bm25Base/term_df")
+      base.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$bm25Base/stats")
+      spark.read.parquet(s"$bm25Base/postings").count()
+    }
+    time(s"bm25_steady_rank_${copies}x") {
+      val terms = graft.operators.TextOps.Bm25QueryTerms
+      graft.operators.TextOps.bm25ScoreTailProbe(
+        spark.read.parquet(s"$bm25Base/postings")
+          .filter(col("tok").isin(terms: _*)),
+        spark.read.parquet(s"$bm25Base/term_df")
+          .filter(col("tok").isin(terms: _*)),
+        spark.read.parquet(s"$bm25Base/stats")).count()
+    }
+    time(s"bm25_inline_rank_${copies}x") {
+      graft.operators.TextOps.bm25RankOf(
+        docsN.select(col("doc_id"), col("text"))).count()
     }
 
     spark.stop()

@@ -475,8 +475,9 @@ object Plans {
           "4-row aggregates.",
         graft.operators.Curation.funnelFromArtifact(spark, dir)),
       section("q176 near-dup artifact delta append (r11 frozen-base admission)",
-        "What to look for: the base index arrives as four PARQUET SCANS " +
-          "(bsv/hot/bsh/blabels — the persisted q176 base artifact; no " +
+        "What to look for: the base index arrives as PARQUET SCANS " +
+          "(bsv/hot/bsh/blabels — the persisted q176 base artifact, " +
+          "five tables since r12 incl. the pair graph for q185; no " +
           "base shingling in-plan), and the delta side is batch-bounded " +
           "everywhere — keep-first aggregate, content-key anti/equi " +
           "joins vs base survivors, shingle explode gated by the base " +
@@ -524,7 +525,63 @@ object Plans {
           "row_number<=1-then-drop window) — bounded heaps, not a " +
           "per-cluster sort; the count-window computing cluster_size " +
           "rides the small artifact side.",
-        graft.operators.Dedup.canonicalPerCluster(spark, dir)))
+        graft.operators.Dedup.canonicalPerCluster(spark, dir)),
+      section("q175 two-stage recall audit (r11 certified lift)",
+        "What to look for: q172's rerank chain (ADC scan widened to " +
+          "top-m, exact kernel ONLY over the candidate rows — broadcast " +
+          "gates throughout) feeding the same recall-join tail as q171; " +
+          "the corpus is never exact-scored wholesale.",
+        graft.operators.Similarity.annRecallRerank(spark, dir)),
+      section("q178 soft-dedup weights (r11 duplicate-aware sampling)",
+        "What to look for: ONE parquet scan of the q129 artifact's " +
+          "raw-label table, a doc_id-keyed left join against the " +
+          "(doc_id, source)-projected corpus, a group-count aggregate " +
+          "bounded by #groups, and the group-keyed join back — no text " +
+          "in any exchange, no window, no shingling.",
+        graft.operators.Dedup.softDedupWeights(spark, dir)),
+      section("q181 winnowed decontamination screen (r11 sampled index)",
+        "What to look for: the eval side pays its own winnow pass " +
+          "(bounded ×W explode + min_by selection, map-side combined); " +
+          "the train side is ONE column-pruned scan of the persisted " +
+          "winnow index; the hit test is a fingerprint semi-join.",
+        graft.operators.SpanDedup.winnowScreen(spark, dir)),
+      section("q182 SemDeDup prune (r11 k-means-blocked semantic dedup)",
+        "What to look for: the pair comparison is an equi-join on the " +
+          "trained cluster id (no CartesianProduct, no Inner BNLJ — the " +
+          "model broadcasts print as BNLJ Cross, the scalar/model " +
+          "idiom); assignment keeps q100's broadcast + map-side " +
+          "partial_min_by; the cosine kernel is the native codegen'd " +
+          "expression inside the join filter.",
+        graft.operators.Similarity.semdedupPrune(spark, dir)),
+      section("q183 BM25 ranked retrieval (r11 sparse search)",
+        "What to look for: the term filter applies INSIDE the explode " +
+          "projection so only matching (doc, term) rows reach the " +
+          "shuffle; per-term df and corpus stats broadcast; the top-20 " +
+          "is TakeOrderedAndProject, never a global sort.",
+        graft.operators.TextOps.bm25Rank(spark, dir)),
+      section("q184 hybrid retrieval fusion (r12 RRF)",
+        "What to look for: both certified input shapes survive intact " +
+          "(the dense side's broadcast-gated ADC scan, the sparse " +
+          "side's TakeOrdered top-20); the fusion is a union + ONE " +
+          "map-side-partial hash aggregate over list-bounded rows (not " +
+          "a full-outer sort-merge join), then a per-probe " +
+          "WindowGroupLimit.",
+        graft.operators.Similarity.hybridRrf(spark, dir)),
+      section("q185 near-dup artifact compaction (r12 fold deltas)",
+        "What to look for: every corpus-sized input is a column-pruned " +
+          "parquet scan of the persisted base artifact (bsv/hot/bsh/" +
+          "bpairs); the delta side is batch-bounded; untouched pairs " +
+          "pass through as a scan + two anti-joins against the (tiny) " +
+          "affected set; newly-hot detection and re-keying join against " +
+          "delta-bounded sides; the only iterative stage is the label " +
+          "propagation over the pair graph, never the corpus.",
+        graft.operators.Dedup.neardupCompact(spark, dir)),
+      section("q186 indexed BM25 (r12 posting artifact)",
+        "What to look for: `PushedFilters: [In(tok, ...)]` on the " +
+          "posting scan — the term predicate reaches the parquet " +
+          "reader; df/stats broadcast; TakeOrdered tail; bit-equal to " +
+          "q183 through the shared scoring tail.",
+        graft.operators.TextOps.bm25IndexedRank(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

@@ -320,6 +320,44 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("q185 compaction fold: artifact scans + delta-bounded equi-joins, no cartesian") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val baseArt = Dedup.ensureNeardupAppendBase(spark, sf0001)
+    val delta = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(Dedup.NeardupDeltaMod)) === 0)
+    val (_, _, _, pairs) = Dedup.compactedParts(
+      spark.read.parquet(s"$baseArt/bsv"), spark.read.parquet(s"$baseArt/hot"),
+      spark.read.parquet(s"$baseArt/bsh"), spark.read.parquet(s"$baseArt/bpairs"),
+      delta)
+    val plan = executedPlan(pairs)
+    // every join in the fold is equi/semi/anti on content keys, shingles,
+    // or doc ids — a cartesian or nested loop would mean the delta bound
+    // fell out of a join
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
+  }
+
+  test("q186 indexed BM25: term filter pushed to the posting scan, stats broadcast") {
+    val plan = executedPlan(TextOps.bm25IndexedRank(spark, sf0001))
+    // the IN (terms) predicate must reach the parquet reader — a posting
+    // scan that reads every term defeats the artifact's purpose
+    assert(plan.contains("PushedFilters: [In(tok"), plan.take(4000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q184 hybrid RRF keeps both sides' gated shapes; fusion is list-bounded") {
+    val plan = executedPlan(Similarity.hybridRrf(spark, sf0001))
+    // dense side: q109's broadcast-gated ADC scan survives the fusion
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    // sparse side: q183's top-20 stays TakeOrdered, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
   test("q102 top-k pairs use TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan(TextOps.bpeMergeCandidates(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))

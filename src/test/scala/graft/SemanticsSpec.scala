@@ -858,6 +858,112 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (105L, "new", 105L)))           // singleton: own id
   }
 
+  test("q185 compaction equals a fresh union build: switches, crossings, merges") {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // base: exact pair (10,20) on tA; near-dup cluster A {30,40}; cluster
+    // B {60,70} (share 3 shingles with A — below threshold, so A and B
+    // stay SEPARATE until bridged); loner 50; 94 filler docs + the
+    // (295,296) pair + doc 297 all hold the shingle (s1 s2 s3) at base
+    // df 97 — under the cap, so it carries base pair evidence
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val a1 = "one two three four five six seven eight"
+    val base = (Seq(
+      (10L, tA), (20L, tA),
+      (30L, a1),
+      (40L, "one two three four five six seven nine"),
+      (60L, "three four five six seven eleven twelve thirteen"),
+      (70L, "three four five six seven eleven twelve fourteen"),
+      (50L, "cat dog bird fish lion tiger bear wolf"),
+      (295L, "s1 s2 s3 t1 t2"),
+      (296L, "s1 s2 s3 t1 t3"),
+      (297L, "s0 s1 s2 s3 u1 u2 u3 u4 u5"),
+      (298L, "u1 u2 u3 u4 u5")
+    ) ++ (200L to 293L).map(i => (i, s"s1 s2 s3 f$i x$i y$i")))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (7L, a1),  // rep SWITCH: 7 < 30 takes over cluster A's representative
+      (5L, tA),  // rep switch of a pair-less identity (bsv/bsh re-key only)
+      (102L, "one two three four five six seven eleven"), // BRIDGES A and B
+      (110L, "sun moon star cloud rain snow wind storm"), // delta-delta pair
+      (111L, "sun moon star cloud rain snow wind fog"),
+      (120L, "cat dog bird fish lion tiger bear hawk")    // pairs with base 50
+    ).union((400L to 403L).map(i => (i, s"s1 s2 s3 d$i"))) // push (s1 s2 s3)
+      .toDF("doc_id", "text")                              // to df 101 > cap
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Int) =
+      df.collect().map(r => (0 until cols).map(r.get(_) match {
+        case b: Array[Byte] => b.map("%02x".format(_)).mkString
+        case v => String.valueOf(v)
+      }).mkString("|")).toSet
+    // fresh build over the union corpus — the ground truth the fold must
+    // be indistinguishable from (collected FIRST: shared cache scopes).
+    // localCheckpoint at the artifact boundary mirrors production (the
+    // fold reads PARQUET tables, not live lineages) and keeps the
+    // composed plan trees printable
+    val (fbsvT, fhotT, fbshT, fbpairsT, fblabelsT) =
+      operators.Dedup.appendBaseParts(base.unionByName(delta))
+    val fbsv = fbsvT.select(col("doc_id"), col("tkey"))
+      .join(fbshT.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh")),
+        Seq("doc_id"), "left").na.fill(0L, Seq("nsh"))
+      .localCheckpoint()
+    val (fhot, fbsh, fbpairs, fblabels) = (fhotT.localCheckpoint(),
+      fbshT.localCheckpoint(), fbpairsT.localCheckpoint(),
+      fblabelsT.localCheckpoint())
+    val (freshBsv, freshHot, freshBsh, freshPairs, freshLabels) =
+      (rows(fbsv, 3), rows(fhot, 1), rows(fbsh, 3), rows(fbpairs, 4),
+        rows(fblabels, 2))
+    // the artifact-shaped base parts, then the fold
+    val (bsv0T, hot0T, bsh0T, bpairs0T, _) = operators.Dedup.appendBaseParts(base)
+    val bsv0 = bsv0T.select(col("doc_id"), col("tkey"))
+      .join(bsh0T.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh")),
+        Seq("doc_id"), "left").na.fill(0L, Seq("nsh"))
+      .localCheckpoint()
+    val (hot0, bsh0, bpairs0) =
+      (hot0T.localCheckpoint(), bsh0T.localCheckpoint(), bpairs0T.localCheckpoint())
+    val (cbsvT, chotT, cbshT, cpairsT) =
+      operators.Dedup.compactedParts(bsv0, hot0, bsh0, bpairs0, delta)
+    val (cbsv, chot, cbsh, cpairs) = (cbsvT.localCheckpoint(),
+      chotT.localCheckpoint(), cbshT.localCheckpoint(),
+      cpairsT.localCheckpoint())
+    // labels propagate over the materialized pair table, exactly like
+    // the write path (which reads its just-written parquet back)
+    val clabels = operators.Dedup.clusterLabels(
+      cpairs.select(col("doc_a"), col("doc_b")))._1.localCheckpoint()
+    val cPairsSet = rows(cpairs, 4)
+    // every compacted table bit-equals its fresh-union twin
+    assert(rows(chot, 1) === freshHot)
+    assert(rows(cbsh, 3) === freshBsh)
+    assert(rows(cbsv, 3) === freshBsv)
+    assert(cPairsSet === freshPairs)
+    assert(rows(clabels, 2) === freshLabels)
+    // spot checks that the three reconciliations actually fired:
+    val labelMap = clabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // merge + switch: bridged A∪B component labeled by the SWITCHED rep 7
+    assert(Seq(40L, 60L, 70L, 102L).forall(labelMap(_) === 7L))
+    // gate crossing: the (295,296) pair lived on the crossed shingle and
+    // must vanish; (297,298) clears the threshold only WITHOUT it
+    val pairKeys = cpairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairKeys.contains((295L, 296L)))
+    assert(pairKeys.contains((297L, 298L)))
+    // delta-delta and delta-base pairs formed under the union gate
+    assert(pairKeys.contains((110L, 111L)) && pairKeys.contains((50L, 120L)))
+    // admission equivalence: a later batch admitted against the COMPACTED
+    // index decides exactly as against the fresh union build
+    val batch = Seq(
+      (500L, a1),                                          // exact vs switched rep
+      (501L, "one two three four five six seven eleven"),  // near the merged cluster
+      (502L, "totally unrelated words go here now")
+    ).toDF("doc_id", "text")
+    val viaFresh = operators.Dedup.neardupAppendAgainst(
+        fbsv, fhot, fbsh, fblabels, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaCompact = operators.Dedup.neardupAppendAgainst(
+        cbsv, chot, cbsh, clabels, batch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(viaFresh.nonEmpty && viaCompact === viaFresh)
+  }
+
   test("derived raw-corpus labels match the direct raw pipeline on duplicate-heavy corpora") {
     val session = spark
     import session.implicits._
@@ -1216,6 +1322,42 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (1300L, 1000L, 4.0, false),
       (2010L, 1001L, 0.0, true),
       (2011L, 1001L, 4.0, true)))
+  }
+
+  test("q186 indexed BM25 is bit-equal to q183's in-plan form (invisibility law)") {
+    val a = operators.TextOps.bm25Rank(spark, sf0001).collect().toSeq
+    val b = operators.TextOps.bm25IndexedRank(spark, sf0001).collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("q184 RRF fusion: exact rank arithmetic; both-lists docs dominate singles") {
+    val session = spark
+    import session.implicits._
+    // doc 100 sits in BOTH lists for query 0 at the WORST ranks in play
+    // (dense 3, bm25 2): 1/63 + 1/62 must still beat the best possible
+    // single-list score 1/61 — the dominance the fusion exists to encode
+    val dense = Seq((0L, 200L, 1), (0L, 201L, 2), (0L, 100L, 3), (1L, 300L, 1))
+      .toDF("query_id", "doc_id", "dense_rank")
+    val bm = Seq((400L, 1), (100L, 2), (401L, 3)).toDF("doc_id", "bm25_rank")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def s(dr: Option[Int], br: Option[Int]) = r6(
+      dr.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        br.map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    val got = operators.Similarity.hybridRrfOf(dense, bm)
+      .as[(Long, Int, Long, Option[Int], Option[Int], Double)].collect().toSeq
+    assert(got === Seq(
+      // query 0: the both-lists doc leads; equal-score singles break by doc_id
+      (0L, 1, 100L, Some(3), Some(2), s(Some(3), Some(2))),
+      (0L, 2, 200L, Some(1), None, s(Some(1), None)),
+      (0L, 3, 400L, None, Some(1), s(None, Some(1))),
+      (0L, 4, 201L, Some(2), None, s(Some(2), None)),
+      (0L, 5, 401L, None, Some(3), s(None, Some(3))),
+      // query 1: the shared BM25 list re-enters per query
+      (1L, 1, 300L, Some(1), None, s(Some(1), None)),
+      (1L, 2, 400L, None, Some(1), s(None, Some(1))),
+      (1L, 3, 100L, None, Some(2), s(None, Some(2))),
+      (1L, 4, 401L, None, Some(3), s(None, Some(3)))))
   }
 
   test("q183 BM25 scores match the closed form and rank by saturated tf") {
