@@ -568,14 +568,26 @@ object Plans {
           "WindowGroupLimit.",
         graft.operators.Similarity.hybridRrf(spark, dir)),
       section("q185 near-dup artifact compaction (r12 fold deltas)",
-        "What to look for: every corpus-sized input is a column-pruned " +
-          "parquet scan of the persisted base artifact (bsv/hot/bsh/" +
-          "bpairs); the delta side is batch-bounded; untouched pairs " +
-          "pass through as a scan + two anti-joins against the (tiny) " +
+        "What to look for (this is the FOLD's pair derivation — the " +
+          "registered query's own plan is just the compacted table read " +
+          "back): every corpus-sized input is a column-pruned parquet " +
+          "scan of the persisted base artifact (bsv/hot/bsh/bpairs); " +
+          "the delta side is batch-bounded; untouched pairs pass " +
+          "through as a scan + two anti-joins against the (tiny) " +
           "affected set; newly-hot detection and re-keying join against " +
-          "delta-bounded sides; the only iterative stage is the label " +
-          "propagation over the pair graph, never the corpus.",
-        graft.operators.Dedup.neardupCompact(spark, dir)),
+          "delta-bounded sides; no cartesian, no nested loop.", {
+          val baseArt = graft.operators.Dedup.ensureNeardupAppendBase(spark, dir)
+          import org.apache.spark.sql.functions.{col, lit, pmod}
+          graft.operators.Dedup.compactedParts(
+            spark.read.parquet(s"$baseArt/bsv"),
+            spark.read.parquet(s"$baseArt/hot"),
+            spark.read.parquet(s"$baseArt/bsh"),
+            spark.read.parquet(s"$baseArt/bpairs"),
+            graft.sources.Tables.documents(spark, dir)
+              .select(col("doc_id"), col("text"))
+              .filter(pmod(col("doc_id"),
+                lit(graft.operators.Dedup.NeardupDeltaMod)) === 0))._4
+        }),
       section("q186 indexed BM25 (r12 posting artifact)",
         "What to look for: `PushedFilters: [In(tok, ...)]` on the " +
           "posting scan — the term predicate reaches the parquet " +

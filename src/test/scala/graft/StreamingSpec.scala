@@ -578,6 +578,83 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming compaction: per-batch folds compose to the fresh full build") {
+    // the live twin of q185: each micro-batch FOLDS into the near-dup
+    // artifact (writeCompactedNeardup against the previous generation),
+    // so the stored index is always exactly what a from-scratch build
+    // over everything seen so far would produce. Two batches make the
+    // folds ITERATE — generation 2 consumes generation 1's updated
+    // df/nsh bookkeeping, the part a single-fold test cannot touch.
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      (30L, "one two three four five six seven eight"),
+      (40L, "one two three four five six seven nine"),
+      (50L, "cat dog bird fish lion tiger bear wolf")
+    ).toDF("doc_id", "text")
+    def writeGen(dir: String, bsv: org.apache.spark.sql.DataFrame,
+        hot: org.apache.spark.sql.DataFrame, bsh: org.apache.spark.sql.DataFrame,
+        bpairs: org.apache.spark.sql.DataFrame): Unit = {
+      bsv.write.mode("overwrite").parquet(s"$dir/bsv")
+      hot.write.mode("overwrite").parquet(s"$dir/hot")
+      bsh.write.mode("overwrite").parquet(s"$dir/bsh")
+      bpairs.write.mode("overwrite").parquet(s"$dir/bpairs")
+    }
+    val gen0 = tmp("compact-gen0")
+    val (bsv0, hot0, bsh0, bpairs0, _) = operators.Dedup.appendBaseParts(base)
+    writeGen(gen0,
+      bsv0.select(col("doc_id"), col("tkey"))
+        .join(bsh0.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh")),
+          Seq("doc_id"), "left").na.fill(0L, Seq("nsh")),
+      hot0, bsh0, bpairs0)
+    @volatile var cur = gen0
+    @volatile var gen = 0
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          gen += 1
+          val next = tmp(s"compact-gen$gen")
+          operators.Dedup.writeCompactedNeardup(
+            spark.read.parquet(s"$cur/bsv"), spark.read.parquet(s"$cur/hot"),
+            spark.read.parquet(s"$cur/bsh"), spark.read.parquet(s"$cur/bpairs"),
+            b.select(col("doc_id"), col("text")), next)
+          cur = next
+        }; ()
+      }
+      .option("checkpointLocation", tmp("ck-compact"))
+      .start()
+    try {
+      // batch 1 extends the {30,40} cluster
+      in.addData((102L, "one two three four five six seven ten"))
+      q.processAllAvailable()
+      // batch 2: a rep switch (7 < 30 takes over the cluster's identity)
+      // plus an unrelated newcomer — folded against GENERATION 1
+      in.addData((7L, "one two three four five six seven eight"),
+        (110L, "sun moon star cloud rain snow wind storm"))
+      q.processAllAvailable()
+      def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val folded = pairSet(spark.read.parquet(s"$cur/bpairs"))
+      val all = base.unionByName(Seq(
+        (102L, "one two three four five six seven ten"),
+        (7L, "one two three four five six seven eight"),
+        (110L, "sun moon star cloud rain snow wind storm")).toDF("doc_id", "text"))
+      val (_, _, _, freshPairs, freshLabels) = operators.Dedup.appendBaseParts(all)
+      assert(folded === pairSet(freshPairs))
+      // labels over the folded pairs carry the switched representative
+      val lbl = operators.Dedup.clusterLabels(
+          spark.read.parquet(s"$cur/bpairs").select(col("doc_a"), col("doc_b")))._1
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lbl === freshLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      // 30 is no longer a survivor (it lost keep-first to the switched
+      // rep 7); the cluster's label rows live in survivor space
+      assert(Seq(7L, 40L, 102L).forall(d => lbl.contains((d, 7L))))
+    } finally q.stop()
+  }
+
   test("streaming index append: arriving vectors encode against the frozen index per micro-batch") {
     // the streaming half of the q135 story: a vector stream lands as one
     // immutable segment pair per micro-batch, encoded against the
