@@ -17,9 +17,18 @@ object Plans {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.GraftSession.get("graft-plans")
 
-    def section(title: String, note: String, df: DataFrame): String = {
+    def section(title: String, note: String, df: DataFrame,
+        maxLines: Int = 0): String = {
       df.collect() // finalize AQE so the printed plan is the executed one
-      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val full = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val plan =
+        if (maxLines > 0 && full.linesIterator.size > maxLines) {
+          val n = full.linesIterator.size
+          full.linesIterator.take(maxLines).mkString("\n") +
+            s"\n… (truncated: $n lines total — the blowup is the " +
+            "formatted PRINT re-expanding shared cached subtrees per " +
+            "reference; the executed DAG materializes each once)\n"
+        } else full
       s"## $title\n\n$note\n\n```\n$plan```\n"
     }
 
@@ -587,7 +596,7 @@ object Plans {
               .select(col("doc_id"), col("text"))
               .filter(pmod(col("doc_id"),
                 lit(graft.operators.Dedup.NeardupDeltaMod)) === 0))._4
-        }),
+        }, maxLines = 400),
       section("q186 indexed BM25 (r12 posting artifact)",
         "What to look for: `PushedFilters: [In(tok, ...)]` on the " +
           "posting scan — the term predicate reaches the parquet " +
