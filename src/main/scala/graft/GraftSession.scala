@@ -31,6 +31,16 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bounded driver bookkeeping: a 500+-action bench/verify session
+      // otherwise accumulates thousands of retained SQL executions /
+      // jobs / stages / tasks in the AppStatus stores (the UI is off,
+      // but its listeners are not) — measured r12: the same query reads
+      // 2.3 s standalone and 15.8 s as query ~150 of a 182-query sweep,
+      // with the gap tracking old-gen growth, not ambient load
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
