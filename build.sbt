@@ -37,5 +37,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was the JVM-default-shaped 8g): the box has 128 GiB and
+  // a 500-action bench/verify session over 32 local executor threads
+  // lives noticeably better with old-gen headroom — BASELINE.md r12
+  // flagged the heap as the next level lever after bounded UI retention
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -881,7 +881,10 @@ object TextOps extends QueryModule {
     * contributions over `documents`) — shared VERBATIM between the q183
     * oracle and q184's hybrid-fusion oracle so the sparse side of the
     * fused ranking replays the exact q183 definition. */
-  private[operators] val bm25Ctes = {
+  // lazy: the literal-safety require below must surface at the point of
+  // use with its own message, not as an ExceptionInInitializerError that
+  // takes down every TextOps query during object init (ADVICE r12)
+  private[operators] lazy val bm25Ctes = {
     // the terms are interpolated into SQL string literals: refuse any
     // term that could escape the literal (quote, backslash, whitespace)
     // rather than silently diverging the oracle twin (ADVICE r11)
