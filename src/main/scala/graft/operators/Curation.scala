@@ -634,6 +634,140 @@ object Curation extends QueryModule {
       |ORDER BY source NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q188: deterministic domain-mixture sampling
+  // ---------------------------------------------------------------------
+
+  /** Target sample size as a fraction of the corpus. */
+  val MixtureBudget = 0.5
+
+  /** Fibonacci multiplier (⌊2⁶⁴/φ⌋ truncated to 32 bits, Knuth §6.4) for
+    * the engine-portable uniform hash below. */
+  val MixMult = 2654435761L
+
+  /** Per-doc uniform draw in [0, 1e6) — `(doc_id · [[MixMult]]) mod 1e6`,
+    * exact int64 arithmetic any engine replays bit-for-bit (the oracle
+    * twin of a production xxhash64 draw; same plan shape, swap the
+    * expression). Multiplicative hashing disperses sequential ids well
+    * and the mod-1e6 bucket is compared against an INTEGER ppm
+    * threshold, so the Bernoulli test never touches a float. */
+  private def mixDraw(id: Column): Column = pmod(id * lit(MixMult), lit(1000000L))
+
+  /** q188: materialized domain-mixture sample — the per-doc draw that
+    * EXECUTES a √-temperature mixture plan (q120 computes the plan; this
+    * emits the actual training subset). Per-source rate = min(1,
+    * budget·N·w_s/n_s) with w_s = √n_s / Σ√n_t — small sources are
+    * upweighted toward uniform, big sources capped, the multilingual-
+    * training resampling rule. The rate quantizes to integer PPM and each
+    * doc keeps iff its [[mixDraw]] < ppm: sampling is deterministic
+    * (reproducible training sets, stable A/Bs) and engine-exact.
+    *
+    * Scale posture: the rate table is one row per source — a broadcast
+    * join onto a narrow (doc_id, source) scan; the draw is per-row
+    * integer arithmetic inside codegen; no shuffle beyond the 20-row
+    * aggregate. The √-weight normalizer sums as DECIMAL (order-
+    * independent) exactly like q120. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def mixtureSampleOf(d: DataFrame): DataFrame = {
+    val docs = d.select(col("doc_id"), col("source"))
+    val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("n_total"),
+      sum(sqrt(col("n").cast(DoubleType)).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("sw"))
+    val rate = least(lit(1.0),
+      lit(MixtureBudget) * col("n_total") * (sqrt(col("n").cast(DoubleType)) / col("sw"))
+        / col("n"))
+    val rates = per.crossJoin(broadcast(tot))
+      .select(col("source"), round(rate * 1e6).cast(LongType).as("rate_ppm"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(mixDraw(col("doc_id")) < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("rate_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mixtureSampleSql =
+    s"""WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+      |          CAST(SUM(CAST(SQRT(CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
+      |            AS DOUBLE) AS sw
+      |        FROM per),
+      |rates AS (SELECT source,
+      |            CAST(ROUND(LEAST(CAST(1.0 AS DOUBLE),
+      |              $MixtureBudget * n_total * (SQRT(CAST(n AS DOUBLE)) / sw) / n)
+      |              * 1e6) AS BIGINT) AS rate_ppm
+      |          FROM per, tot)
+      |SELECT d.doc_id, d.source, r.rate_ppm
+      |FROM documents d JOIN rates r USING (source)
+      |WHERE (d.doc_id * $MixMult) % 1000000 < r.rate_ppm
+      |ORDER BY d.doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q189: token-budget shard packing
+  // ---------------------------------------------------------------------
+
+  /** Tokens per training shard — fixture-scaled so even the sf0.01
+    * correctness gate exercises shard boundaries (production uses
+    * whatever its file-size target dictates; the plan is budget-
+    * independent). */
+  val ShardTokenBudget = 4000L
+
+  /** q189: pack the corpus into contiguous fixed-token-budget training
+    * shards — the step that turns a curated document set into the
+    * equal-sized files a distributed trainer actually reads. Docs are
+    * packed in (source, doc_id) order; a doc lands in the shard its
+    * FIRST token falls in (start-offset assignment), so shard spans are
+    * contiguous and every shard except the last carries ≥ budget −
+    * (maxdoc − 1) tokens. All arithmetic is exact integer division —
+    * nothing to round.
+    *
+    * Scale posture: the global running sum is TWO-LEVEL, never a
+    * single-partition window over the corpus — a per-source cumulative
+    * sum (window partitioned by source; at 100 TB the same plan
+    * partitions by file/split id) plus a per-source token-total offset
+    * computed on the |sources|-row aggregate and broadcast back. The
+    * one tiny window over the aggregate is bounded by the source count,
+    * not the corpus. */
+  def shardPack(spark: SparkSession, dir: String): DataFrame =
+    shardPackOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def shardPackOf(d: DataFrame, budget: Long = ShardTokenBudget): DataFrame = {
+    val t = d.select(col("doc_id"), col("source"),
+      size(toks).cast(LongType).as("n_tokens"))
+    // within-source running total (ends AT each doc, inclusive)
+    val sw = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-source offsets: a window over the |sources|-row aggregate
+    val ow = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = t.groupBy(col("source")).agg(sum(col("n_tokens")).as("stot"))
+      .select(col("source"),
+        coalesce(sum(col("stot")).over(ow), lit(0L)).as("off"))
+    t.withColumn("cum", sum(col("n_tokens")).over(sw))
+      .join(broadcast(offs), Seq("source"))
+      // start offset of this doc's first token, then exact int division
+      // (SQL `div`, not `/`: Spark's `/` on longs is DOUBLE division)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"(off + cum - n_tokens) div ${budget}L").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val shardPackSql =
+    s"""WITH t AS (SELECT doc_id, source,
+      |        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      |      FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |        SUM(n_tokens) OVER (ORDER BY source, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST((cum - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard_id
+      |FROM c
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q121: per-source distribution drift (KL divergence)
   // ---------------------------------------------------------------------
 
@@ -1372,6 +1506,8 @@ object Curation extends QueryModule {
     GraftQuery("q118_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     GraftQuery("q119_curriculum_order", curriculumOrder, Some(curriculumOrderSql)),
     GraftQuery("q120_epoch_plan", epochPlan, Some(epochPlanSql)),
+    GraftQuery("q188_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
+    GraftQuery("q189_shard_pack", shardPack, Some(shardPackSql)),
     GraftQuery("q121_source_drift_kl", sourceDriftKl, Some(sourceDriftKlSql)),
     GraftQuery("q160_curation_funnel", curationFunnel, Some(curationFunnelSql)),
     GraftQuery("q161_dsir_logweights", dsirLogWeights, Some(dsirLogWeightsSql)),

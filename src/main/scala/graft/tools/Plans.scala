@@ -602,7 +602,30 @@ object Plans {
           "posting scan — the term predicate reaches the parquet " +
           "reader; df/stats broadcast; TakeOrdered tail; bit-equal to " +
           "q183 through the shared scoring tail.",
-        graft.operators.TextOps.bm25IndexedRank(spark, dir)))
+        graft.operators.TextOps.bm25IndexedRank(spark, dir)),
+      section("q187 weighted-score hybrid fusion (r13)",
+        "What to look for: q184's fusion shape with per-list min-max " +
+          "windows added — the dense window partitions by query_id " +
+          "(k rows per partition), the sparse min/max is a 2-double " +
+          "aggregate broadcast back over the 20-row list; both " +
+          "certified input shapes survive; no full-outer sort-merge, " +
+          "no cartesian.",
+        graft.operators.Similarity.hybridWeighted(spark, dir)),
+      section("q188 domain-mixture sampling (r13)",
+        "What to look for: ONE narrow (doc_id, source) corpus scan; the " +
+          "per-source rate table (a 20-row aggregate) broadcasts back " +
+          "as a BroadcastHashJoin; the Bernoulli draw is per-row " +
+          "integer arithmetic inside whole-stage codegen — no window, " +
+          "no shuffle join anywhere.",
+        graft.operators.Curation.mixtureSample(spark, dir)),
+      section("q189 token-budget shard packing (r13)",
+        "What to look for: the corpus-side running sum is a Window " +
+          "PARTITIONED by source (never a single-partition global " +
+          "window over the doc table); the only unkeyed window runs " +
+          "over the |sources|-row aggregate (above a HashAggregate), " +
+          "whose offsets broadcast back; shard id is exact integer " +
+          "`div` in the final project.",
+        graft.operators.Curation.shardPack(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

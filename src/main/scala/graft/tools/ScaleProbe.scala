@@ -842,6 +842,20 @@ object ScaleProbe {
       time("q186 indexed bm25 1x (5k docs)")(idxRank(p1))
       time(s"q186 indexed bm25 ${copies}x")(idxRank(pN))
     }
+    // r13 shapes. q188: one narrow scan + a broadcast 20-row rate table —
+    // the probe certifies the draw stays map-bounded as the corpus grows.
+    // q189: the two-level running sum — per-source windows scale with the
+    // corpus, the unkeyed offsets window stays |sources|-sized.
+    def mixtureCount(docs: DataFrame): Long =
+      graft.operators.Curation.mixtureSampleOf(
+        docs.select(col("doc_id"), col("source"), col("text"))).count()
+    time("q188 mixture sample 1x (5k docs)")(mixtureCount(d1))
+    time(s"q188 mixture sample ${copies}x")(mixtureCount(dN))
+    def shardCount(docs: DataFrame): Long =
+      graft.operators.Curation.shardPackOf(
+        docs.select(col("doc_id"), col("source"), col("text"))).count()
+    time("q189 shard pack 1x (5k docs)")(shardCount(d1))
+    time(s"q189 shard pack ${copies}x")(shardCount(dN))
 
     spark.stop()
   }

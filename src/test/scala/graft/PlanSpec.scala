@@ -358,6 +358,48 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(4000))
   }
 
+  test("q187 weighted fusion keeps q184's shapes; min-max windows are list-bounded") {
+    val plan = executedPlan(Similarity.hybridWeighted(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
+  test("q188 mixture sample: rate table broadcasts, draw is codegen'd map work") {
+    val plan = executedPlan(Curation.mixtureSample(spark, sf0001))
+    // the per-source rates join the corpus as a broadcast; the Bernoulli
+    // draw is per-row integer arithmetic — no shuffle join, no window
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(!plan.contains("Window"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q189 shard packing: corpus windows partition by source, offsets broadcast") {
+    val df = Curation.shardPack(spark, sf0001)
+    val plan = executedPlan(df)
+    // the corpus-side running sum must be keyed by source — a global
+    // (empty-partition) window over the doc table is the 100 TB killer.
+    // Any window WITHOUT a partition key must sit above an aggregate
+    // (the |sources|-row offset table), never directly over the corpus.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = allNodes(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, plan.take(4000))
+    val keyed = wins.filter(_.partitionSpec.nonEmpty)
+    assert(keyed.nonEmpty &&
+      keyed.forall(_.partitionSpec.exists(_.references.exists(_.name == "source"))),
+      plan.take(4000))
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(allNodes(w.child).exists(_.nodeName.contains("HashAggregate")),
+        w.toString.take(3000))
+    }
+    // the per-source offset table joins back as a broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
+
   test("q102 top-k pairs use TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan(TextOps.bpeMergeCandidates(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))

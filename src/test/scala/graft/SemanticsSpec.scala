@@ -865,8 +865,8 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     // base: exact pair (10,20) on tA; near-dup cluster A {30,40}; cluster
     // B {60,70} (share 3 shingles with A — below threshold, so A and B
     // stay SEPARATE until bridged); loner 50; 94 filler docs + the
-    // (295,296) pair + doc 297 all hold the shingle (s1 s2 s3) at base
-    // df 97 — under the cap, so it carries base pair evidence
+    // (295,296) pair + docs 297/299 all hold the shingle (s1 s2 s3) at
+    // base df 98 — under the cap, so it carries base pair evidence
     val tA = "alpha beta gamma delta epsilon zeta eta theta"
     val a1 = "one two three four five six seven eight"
     val base = (Seq(
@@ -879,7 +879,11 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (295L, "s1 s2 s3 t1 t2"),
       (296L, "s1 s2 s3 t1 t3"),
       (297L, "s0 s1 s2 s3 u1 u2 u3 u4 u5"),
-      (298L, "u1 u2 u3 u4 u5")
+      (298L, "u1 u2 u3 u4 u5"),
+      // 299's ONLY shingle is the crossing one: after the fold its entire
+      // gated set is gone (no szProbe row), so its compacted nsh must be
+      // 0, not the stale base-gate count (ADVICE r12)
+      (299L, "s1 s2 s3")
     ) ++ (200L to 293L).map(i => (i, s"s1 s2 s3 f$i x$i y$i")))
       .toDF("doc_id", "text")
     val delta = Seq(
@@ -1358,6 +1362,83 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       (1L, 2, 400L, None, Some(1), s(None, Some(1))),
       (1L, 3, 100L, None, Some(2), s(None, Some(2))),
       (1L, 4, 401L, None, Some(3), s(None, Some(3)))))
+  }
+
+  test("q187 weighted fusion: per-list min-max, min=max→1, missing side 0") {
+    val session = spark
+    import session.implicits._
+    // q0's dense list spans [2,8] (norms 1, 2/3, 0); q1's is single-
+    // valued (the min=max convention must yield 1.0, not NaN); doc 100
+    // sits in both lists; 200/400 tie at 0.5 and break by doc_id
+    val dense = Seq((0L, 200L, 2.0), (0L, 201L, 4.0), (0L, 100L, 8.0),
+      (1L, 300L, 3.0)).toDF("query_id", "doc_id", "approx_dist")
+    val bm = Seq((400L, 10.0), (100L, 5.0), (401L, 0.0)).toDF("doc_id", "score")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = operators.Similarity.hybridWeightedOf(dense, bm)
+      .as[(Long, Int, Long, Option[Double], Option[Double], Double)]
+      .collect().toSeq
+    assert(got === Seq(
+      (0L, 1, 200L, Some(1.0), None, 0.5),
+      (0L, 2, 400L, None, Some(1.0), 0.5),
+      (0L, 3, 201L, Some(r6(4.0 / 6)), None, r6(0.5 * (4.0 / 6))),
+      (0L, 4, 100L, Some(0.0), Some(0.5), 0.25),
+      (0L, 5, 401L, None, Some(0.0), 0.0),
+      (1L, 1, 300L, Some(1.0), None, 0.5),
+      (1L, 2, 400L, None, Some(1.0), 0.5),
+      (1L, 3, 100L, None, Some(0.5), 0.25),
+      (1L, 4, 401L, None, Some(0.0), 0.0)))
+  }
+
+  test("q188 mixture sample: √-temperature rates, small source kept whole, exact draws") {
+    val session = spark
+    import session.implicits._
+    // 64 "big" + 4 "small" docs: √ weights 8/10 and 2/10 over N=68 at
+    // budget 0.5 → rate(big) = 0.5·68·0.8/64 = 0.425, rate(small) =
+    // 0.5·68·0.2/4 = 1.7 capped at 1.0 — the small source survives WHOLE
+    // while the big one downsamples, the whole point of the operator
+    val docs = ((1L to 64L).map(i => (i, "big")) ++
+      (65L to 68L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val got = operators.Curation.mixtureSampleOf(docs)
+      .as[(Long, String, Long)].collect().toSeq
+    val ppm = got.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(ppm === Map("big" -> 425000L, "small" -> 1000000L))
+    // every draw replays the integer hash exactly; small is kept whole
+    def draw(id: Long) =
+      ((id * operators.Curation.MixMult) % 1000000L + 1000000L) % 1000000L
+    val expect = ((1L to 64L).filter(draw(_) < 425000L).map((_, "big", 425000L)) ++
+      (65L to 68L).map((_, "small", 1000000L))).sortBy(_._1)
+    assert(got === expect)
+    // deterministic: a second run is bit-identical
+    assert(operators.Curation.mixtureSampleOf(docs)
+      .as[(Long, String, Long)].collect().toSeq === got)
+  }
+
+  test("q189 shard packing equals the global cumsum definition; spans are contiguous") {
+    val session = spark
+    import session.implicits._
+    // doc_ids deliberately interleaved across sources so (source, doc_id)
+    // packing order ≠ doc_id order; token counts sized to split shards
+    // mid-source and land one doc exactly ON a boundary (id 3: start 10)
+    val docs = Seq(
+      (2L, "a", 4), (4L, "a", 6), (6L, "a", 3),   // a: starts 0, 4, 10
+      (1L, "b", 5), (3L, "b", 8), (5L, "b", 2)    // b: starts 13, 18, 26
+    ).map { case (id, s, n) => (id, s, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+    val got = operators.Curation.shardPackOf(docs, budget = 10L)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // brute-force twin: one global cumsum over (source, doc_id) order
+    val packed = Seq((2L, "a", 4L), (4L, "a", 6L), (6L, "a", 3L),
+      (1L, "b", 5L), (3L, "b", 8L), (5L, "b", 2L))
+    val starts = packed.scanLeft(0L)(_ + _._3).init
+    val expect = packed.zip(starts)
+      .map { case ((id, s, n), st) => (id, s, n, st / 10L) }
+      .sortBy(_._1)
+    assert(got === expect)
+    // the boundary doc (start 10) opens shard 1; ids monotone per shard
+    assert(got.find(_._1 == 6L).get._4 === 1L)
+    val inOrder = got.sortBy(r => (r._2, r._1)).map(_._4)
+    assert(inOrder === inOrder.sorted, "shard ids must be monotone in packing order")
   }
 
   test("q183 BM25 scores match the closed form and rank by saturated tf") {
