@@ -877,6 +877,83 @@ object TextOps extends QueryModule {
     bm25ScoreTail(tf, dfq, stats, topK = 20)
   }
 
+  /** Which documents arrive AFTER the base posting index was built:
+    * doc_id ≡ 0 (mod 5) — the q135/q176 split convention (a fixed
+    * modulus keeps the split engine-portable for the oracle). */
+  val Bm25DeltaMod = 5L
+
+  /** Build-once half of q190: the posting artifact over the mod-split
+    * BASE corpus. Unlike q186's full-corpus artifact, the stats table
+    * stores EXACT integers (n_docs, sum_dl) instead of a pre-divided
+    * avgdl, so an append can recombine corpus statistics by integer
+    * addition and pay exactly ONE double division — bit-identical to an
+    * independent engine's AVG over the union corpus (token sums stay
+    * below 2⁵³, so the arithmetic is exact at any realistic scale). */
+  def ensureBm25Base(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("bm25base", dir, Bm25Tables) { b =>
+      val base = Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(Bm25DeltaMod)) =!= 0)
+        .select(col("doc_id"), toks.as("tk"))
+      base.select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("tok"))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(s"$b/postings")
+      spark.read.parquet(s"$b/postings")
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$b/term_df")
+      base.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast(LongType)).as("sum_dl"))
+        .write.mode("overwrite").parquet(s"$b/stats")
+    }
+
+  /** q190: BM25 over base index ∪ delta batch — the append half of the
+    * posting-artifact lifecycle (q186 built it; this is what a standing
+    * search service does when documents KEEP ARRIVING: serve fresh
+    * results without rebuilding the corpus-sized posting table). The
+    * base side is q186's term-pushed posting scan; the delta batch pays
+    * its own tokenize (batch-bounded, term-filtered inside the explode);
+    * per-term df merges by integer addition; corpus stats recombine from
+    * the base's exact (n_docs, sum_dl) plus the delta's — one double
+    * division at the end, so the merged avgdl is bit-equal to a fresh
+    * full-corpus computation and the oracle is q183's SQL VERBATIM on
+    * the whole corpus (the q153≡q138 / q180≡q136 / q186≡q183
+    * invisibility law, now for APPENDS: fresh documents must be
+    * scoreable, and scored identically to a full rebuild).
+    *
+    * Scale posture: nothing corpus-sized moves — the base appears only
+    * as the pushed-predicate posting scan and two broadcast-sized stat
+    * tables; everything else is ∝ the delta batch. Disjointness of the
+    * mod split means the posting union never needs a merge-dedup. */
+  def bm25AppendedRank(spark: SparkSession, dir: String): DataFrame = {
+    val b = ensureBm25Base(spark, dir)
+    val terms = Bm25QueryTerms
+    val delta = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(Bm25DeltaMod)) === 0)
+      .select(col("doc_id"), toks.as("tk"))
+    val dtf = delta
+      .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = spark.read.parquet(s"$b/postings")
+      .filter(col("tok").isin(terms: _*))
+      .unionByName(dtf)
+    val dfq = spark.read.parquet(s"$b/term_df")
+      .filter(col("tok").isin(terms: _*))
+      .unionByName(dtf.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val dstat = delta.agg(count(lit(1)).as("dn"),
+      sum(size(col("tk")).cast(LongType)).as("dsum"))
+    val stats = spark.read.parquet(s"$b/stats")
+      .select(col("n_docs").as("bn"), col("sum_dl").as("bsum"))
+      .crossJoin(broadcast(dstat))
+      .select((col("bn") + col("dn")).as("n_docs"),
+        ((col("bsum") + coalesce(col("dsum"), lit(0L))).cast(DoubleType)
+          / (col("bn") + col("dn"))).as("avgdl"))
+    bm25ScoreTail(tf, dfq, stats, topK = 20)
+  }
+
   /** The BM25 scoring CTE chain (tf → st → dfq → sc, per-(doc, term)
     * contributions over `documents`) — shared VERBATIM between the q183
     * oracle and q184's hybrid-fusion oracle so the sparse side of the
@@ -1270,6 +1347,9 @@ object TextOps extends QueryModule {
     // the posting artifact must be invisible to searchers: q186 answers
     // to q183's oracle verbatim (the q180≡q136 precedent)
     GraftQuery("q186_bm25_indexed_rank", bm25IndexedRank, Some(bm25RankSql)),
+    // the append, like the index, must be invisible: q190 answers to
+    // q183's full-corpus definition with the base read from the artifact
+    GraftQuery("q190_bm25_posting_append", bm25AppendedRank, Some(bm25RankSql)),
     GraftQuery("q97_chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     GraftQuery("q98_mix_to_uniform", mixToUniform, Some(mixToUniformSql)),
     GraftQuery("q102_bpe_merges", bpeMergeCandidates, Some(bpeMergeCandidatesSql)),

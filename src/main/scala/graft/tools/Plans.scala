@@ -603,6 +603,13 @@ object Plans {
           "reader; df/stats broadcast; TakeOrdered tail; bit-equal to " +
           "q183 through the shared scoring tail.",
         graft.operators.TextOps.bm25IndexedRank(spark, dir)),
+      section("q190 BM25 posting delta append (r13)",
+        "What to look for: the base side keeps q186's " +
+          "`PushedFilters: [In(tok, ...)]` posting scan through the " +
+          "union; the delta side is a batch-bounded tokenize with the " +
+          "term filter inside the explode; df merge and exact-stats " +
+          "recombination are broadcast-sized; TakeOrdered tail.",
+        graft.operators.TextOps.bm25AppendedRank(spark, dir)),
       section("q187 weighted-score hybrid fusion (r13)",
         "What to look for: q184's fusion shape with per-list min-max " +
           "windows added — the dense window partitions by query_id " +

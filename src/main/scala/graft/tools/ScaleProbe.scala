@@ -841,6 +841,28 @@ object ScaleProbe {
       }
       time("q186 indexed bm25 1x (5k docs)")(idxRank(p1))
       time(s"q186 indexed bm25 ${copies}x")(idxRank(pN))
+      // q190 shape: append rank against the pre-built artifact with a
+      // FIXED 1x delta — the claim is cost ∝ delta + pushed base scan,
+      // so a 10x base under the same delta must grow sublinearly.
+      def appendRank(b: String, delta: DataFrame): Long = {
+        val terms = graft.operators.TextOps.Bm25QueryTerms
+        val dtk = delta.select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val dtf = dtk.select(col("doc_id"), size(col("tk")).as("dl"),
+            explode(col("tk")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy(col("doc_id"), col("dl"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        graft.operators.TextOps.bm25ScoreTailProbe(
+          spark.read.parquet(s"$b/postings").filter(col("tok").isin(terms: _*))
+            .unionByName(dtf),
+          spark.read.parquet(s"$b/term_df").filter(col("tok").isin(terms: _*))
+            .unionByName(dtf.groupBy(col("tok")).agg(count(lit(1)).as("df")))
+            .groupBy(col("tok")).agg(sum(col("df")).as("df")),
+          spark.read.parquet(s"$b/stats")).count()
+      }
+      val deltaDocs = d1.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      time("q190 appended bm25 1x base, 1x delta")(appendRank(p1, deltaDocs))
+      time(s"q190 appended bm25 ${copies}x base, 1x delta")(appendRank(pN, deltaDocs))
     }
     // r13 shapes. q188: one narrow scan + a broadcast 20-row rate table —
     // the probe certifies the draw stays map-bounded as the corpus grows.

@@ -348,6 +348,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("q190 appended BM25: base stays a term-pushed scan, delta batch-bounded") {
+    val plan = executedPlan(TextOps.bm25AppendedRank(spark, sf0001))
+    // the base posting scan keeps q186's pushed predicate; the delta
+    // side pays only its own tokenize; stats/df merge broadcast-sized
+    assert(plan.contains("PushedFilters: [In(tok"), plan.take(4000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("q184 hybrid RRF keeps both sides' gated shapes; fusion is list-bounded") {
     val plan = executedPlan(Similarity.hybridRrf(spark, sf0001))
     // dense side: q109's broadcast-gated ADC scan survives the fusion

@@ -1334,6 +1334,18 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(a.nonEmpty && a === b)
   }
 
+  test("q190 appended BM25 is bit-equal to q183 on the union corpus; delta docs scoreable") {
+    val a = operators.TextOps.bm25Rank(spark, sf0001).collect().toSeq
+    val b = operators.TextOps.bm25AppendedRank(spark, sf0001).collect().toSeq
+    // invisibility for APPENDS: base-artifact + delta batch must rank
+    // exactly like a fresh full-corpus computation — merged df by
+    // integer addition, merged avgdl from exact (n_docs, sum_dl)
+    assert(a.nonEmpty && a === b)
+    // freshness: at least one mod-5 delta doc actually competes in the
+    // fixture's top-20 (otherwise the append path went untested)
+    assert(b.exists(r => r.getLong(0) % operators.TextOps.Bm25DeltaMod == 0))
+  }
+
   test("q184 RRF fusion: exact rank arithmetic; both-lists docs dominate singles") {
     val session = spark
     import session.implicits._
