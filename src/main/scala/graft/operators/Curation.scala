@@ -669,23 +669,35 @@ object Curation extends QueryModule {
   def mixtureSample(spark: SparkSession, dir: String): DataFrame =
     mixtureSampleOf(Tables.documents(spark, dir))
 
-  /** DataFrame-level core (testable on constructed corpora). */
-  def mixtureSampleOf(d: DataFrame): DataFrame = {
-    val docs = d.select(col("doc_id"), col("source"))
-    val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+  /** Frozen half of q188: the per-source PPM rate table — the artifact
+    * a real pipeline trains on the corpus census and ships to ingest. */
+  def mixtureRateTable(d: DataFrame): DataFrame = {
+    val per = d.select(col("source")).groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
     val tot = per.agg(sum(col("n")).as("n_total"),
       sum(sqrt(col("n").cast(DoubleType)).cast(DecimalType(38, 12)))
         .cast(DoubleType).as("sw"))
     val rate = least(lit(1.0),
       lit(MixtureBudget) * col("n_total") * (sqrt(col("n").cast(DoubleType)) / col("sw"))
         / col("n"))
-    val rates = per.crossJoin(broadcast(tot))
+    per.crossJoin(broadcast(tot))
       .select(col("source"), round(rate * 1e6).cast(LongType).as("rate_ppm"))
-    docs.join(broadcast(rates), Seq("source"))
+  }
+
+  /** Gate a (doc_id, source) batch through a FROZEN rate table — ONE
+    * kernel shared by the batch sampler and the streaming ingest twin,
+    * so a doc's keep decision cannot depend on whether it arrived in
+    * batch or in the stream. */
+  def mixtureGate(batch: DataFrame, rates: DataFrame): DataFrame =
+    batch.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), Seq("source"))
       .filter(mixDraw(col("doc_id")) < col("rate_ppm"))
       .select(col("doc_id"), col("source"), col("rate_ppm"))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def mixtureSampleOf(d: DataFrame): DataFrame =
+    mixtureGate(d.select(col("doc_id"), col("source")), mixtureRateTable(d))
       .orderBy(col("doc_id"))
-  }
 
   private val mixtureSampleSql =
     s"""WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),

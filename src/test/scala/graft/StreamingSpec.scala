@@ -469,6 +469,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming mixture gate: arriving docs sample identically to the batch draw") {
+    // the live twin of q188: the corpus-census rate table is frozen (the
+    // artifact a real pipeline ships to ingest) and each micro-batch
+    // gates through the SAME integer-PPM draw kernel — so a doc's keep
+    // decision cannot depend on whether it arrived in batch or stream
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen: decoupled from the corpus plan (literal rows, no lineage)
+    val rates = operators.Curation.mixtureRateTable(
+        graft.sources.Tables.documents(spark, sf0001))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("source", "rate_ppm")
+    val batchKept = operators.Curation.mixtureSample(spark, sf0001)
+      .collect().map(r => r.getLong(0)).toSet
+    val sample = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").orderBy($"doc_id").limit(10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val kept = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "source")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add(r.getLong(0)))
+        operators.Curation.mixtureGate(b, rates).collect()
+          .foreach(r => kept.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", tmp("ck-mixture"))
+      .start()
+    try {
+      in.addData(sample.take(5): _*)
+      q.processAllAvailable()
+      in.addData(sample.drop(5): _*) // second batch: same frozen rates
+      q.processAllAvailable()
+    } finally q.stop()
+    sample.foreach { case (id, _) =>
+      assert(seen.contains(id))
+      assert(kept.contains(id) === batchKept.contains(id),
+        s"doc $id stream gate != batch draw")
+    }
+    // the gate actually discriminates on this sample (both outcomes occur)
+    assert(sample.exists(s => kept.contains(s._1)) &&
+      sample.exists(s => !kept.contains(s._1)))
+  }
+
   test("streaming chunk admission: each micro-batch persists only chunks the store lacks") {
     // the live twin of q166's CAS diff: foreachBatch admits arriving
     // docs through the SAME admitChunks kernel the batch diff uses,
