@@ -1333,9 +1333,13 @@ object Similarity extends QueryModule {
       ivfPqQuery(spark, dir)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("dense_rank")))
-    // global row_number over the top-20 BM25 rows — bounded by the list
-    // depth, not the corpus (the single-partition window is 20 rows)
-    val bm = TextOps.bm25Rank(spark, dir)
+    // sparse side SERVED from the q186 posting artifact (r13) — a RAG
+    // deployment never inline-scans the corpus at query time, and the
+    // artifact is invisibility-certified bit-equal to q183's in-plan
+    // form (SemanticsSpec), so the oracle's inline CTE chain replays
+    // identical values. Global row_number over the top-20 BM25 rows —
+    // bounded by the list depth (the single-partition window is 20 rows)
+    val bm = TextOps.bm25IndexedRank(spark, dir)
       .select(col("doc_id"), col("score"))
       .withColumn("bm25_rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
@@ -1433,7 +1437,10 @@ object Similarity extends QueryModule {
       ivfPqQuery(spark, dir)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("approx_dist")))
-    val bm = TextOps.bm25Rank(spark, dir).select(col("doc_id"), col("score"))
+    // sparse side served from the q186 posting artifact (bit-equal to
+    // the oracle's inline chain — the q184 note applies verbatim)
+    val bm = TextOps.bm25IndexedRank(spark, dir)
+      .select(col("doc_id"), col("score"))
     hybridWeightedOf(dense, bm)
   }
 
