@@ -649,8 +649,15 @@ object Curation extends QueryModule {
     * twin of a production xxhash64 draw; same plan shape, swap the
     * expression). Multiplicative hashing disperses sequential ids well
     * and the mod-1e6 bucket is compared against an INTEGER ppm
-    * threshold, so the Bernoulli test never touches a float. */
-  private def mixDraw(id: Column): Column = pmod(id * lit(MixMult), lit(1000000L))
+    * threshold, so the Bernoulli test never touches a float.
+    *
+    * Both factors reduce mod 1e6 BEFORE the multiply — (a·b) mod m =
+    * ((a mod m)·(b mod m)) mod m, and the reduced product is < 1e12, so
+    * the draw never overflows int64 for ANY doc_id (the naive product
+    * wraps past doc_id ≈ 3.5e9, where a wrapped-negative Spark result
+    * and a strict engine's overflow error would silently diverge). */
+  private def mixDraw(id: Column): Column =
+    pmod(pmod(id, lit(1000000L)) * lit(MixMult % 1000000L), lit(1000000L))
 
   /** q188: materialized domain-mixture sample — the per-doc draw that
     * EXECUTES a √-temperature mixture plan (q120 computes the plan; this
@@ -712,7 +719,7 @@ object Curation extends QueryModule {
       |          FROM per, tot)
       |SELECT d.doc_id, d.source, r.rate_ppm
       |FROM documents d JOIN rates r USING (source)
-      |WHERE (d.doc_id * $MixMult) % 1000000 < r.rate_ppm
+      |WHERE ((d.doc_id % 1000000) * ${MixMult % 1000000L}) % 1000000 < r.rate_ppm
       |ORDER BY d.doc_id NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -758,7 +765,12 @@ object Curation extends QueryModule {
       .select(col("source"),
         coalesce(sum(col("stot")).over(ow), lit(0L)).as("off"))
     t.withColumn("cum", sum(col("n_tokens")).over(sw))
-      .join(broadcast(offs), Seq("source"))
+      // null-safe (<=>) so a NULL source neither drops its docs (an
+      // inner equi-join never matches NULL=NULL) nor diverges from the
+      // oracle's join-free global cumsum, which keeps every row
+      .join(broadcast(offs.withColumnRenamed("source", "osrc")),
+        col("source") <=> col("osrc"))
+      .drop("osrc")
       // start offset of this doc's first token, then exact int division
       // (SQL `div`, not `/`: Spark's `/` on longs is DOUBLE division)
       .select(col("doc_id"), col("source"), col("n_tokens"),
@@ -771,7 +783,7 @@ object Curation extends QueryModule {
       |        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
       |      FROM documents),
       |c AS (SELECT doc_id, source, n_tokens,
-      |        SUM(n_tokens) OVER (ORDER BY source, doc_id
+      |        SUM(n_tokens) OVER (ORDER BY source NULLS FIRST, doc_id
       |          ROWS UNBOUNDED PRECEDING) AS cum
       |      FROM t)
       |SELECT doc_id, source, n_tokens,

@@ -924,12 +924,18 @@ object Dedup extends QueryModule {
     }(scala.concurrent.ExecutionContext.global)
     // if the main-thread write fails, STILL await the sibling before
     // propagating: an escaping exception triggers ArtifactStore's staging
-    // cleanup, which must not race a write still in flight (ADVICE r12)
-    val shinglesTry = scala.util.Try(writeGatedShinglesProbe(
-      survivors.select(col("doc_id"), col("text")), s"$base/surv_shingles"))
-    val survTry = scala.util.Try(scala.concurrent.Await.result(
-      fSurv, scala.concurrent.duration.Duration.Inf))
-    shinglesTry.get; survTry.get
+    // cleanup, which must not race a write still in flight (ADVICE r12).
+    // Explicit catch Throwable — Try's NonFatal would let an
+    // InterruptedException escape before the sibling is awaited.
+    val shinglesFailure =
+      try { writeGatedShinglesProbe(
+        survivors.select(col("doc_id"), col("text")), s"$base/surv_shingles"); None }
+      catch { case t: Throwable => Some(t) }
+    val survFailure =
+      try { scala.concurrent.Await.result(
+        fSurv, scala.concurrent.duration.Duration.Inf); None }
+      catch { case t: Throwable => Some(t) }
+    (shinglesFailure orElse survFailure).foreach(t => throw t)
     val gatedSurv = spark.read.parquet(s"$base/surv_shingles")
     jaccardPairsFromGated(gatedSurv.select(col("doc_id"), col("sh")))
       .write.mode("overwrite").parquet(s"$base/surv_pairs")
@@ -2762,9 +2768,15 @@ object Dedup extends QueryModule {
         .write.mode("overwrite").parquet(s"$out/blabels")))
     // await EVERY write before propagating any failure: an exception
     // escaping mid-await hands ArtifactStore a staging dir with sibling
-    // Spark jobs still writing into it (ADVICE r12)
-    val results = writes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    results.foreach(_.get)
+    // Spark jobs still writing into it (ADVICE r12). Explicit catch
+    // Throwable, not Try — Try's NonFatal would let an
+    // InterruptedException (harness cancellation) escape mid-await,
+    // reopening the same race.
+    val failures = writes.flatMap { f =>
+      try { Await.result(f, Duration.Inf); None }
+      catch { case t: Throwable => Some(t) }
+    }
+    failures.headOption.foreach(t => throw t)
   }
 
   // oracle: the fresh q129 build's SQL VERBATIM over the union corpus —

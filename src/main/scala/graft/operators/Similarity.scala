@@ -610,7 +610,11 @@ object Similarity extends QueryModule {
   /** Inputs whose fixture-k guard already ran this JVM — the guard's
     * count() is a real Spark job, so it runs once per (input, k), not
     * on every invocation (a timed bench pass and every oracle run would
-    * otherwise each pay it — ADVICE r12). */
+    * otherwise each pay it — ADVICE r12). Best-effort by design: the
+    * key is the analyzed plan's semanticHash, so data REGENERATED at
+    * the same path within one long-lived JVM reuses the old verdict —
+    * acceptable for an advisory stderr warning (the pruning itself is
+    * unaffected), not a mechanism to gate correctness on. */
   private val semdedupGuarded =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

@@ -958,10 +958,14 @@ object TextOps extends QueryModule {
     * contributions over `documents`) — shared VERBATIM between the q183
     * oracle and q184's hybrid-fusion oracle so the sparse side of the
     * fused ranking replays the exact q183 definition. */
-  // lazy: the literal-safety require below must surface at the point of
-  // use with its own message, not as an ExceptionInInitializerError that
-  // takes down every TextOps query during object init (ADVICE r12)
-  private[operators] lazy val bm25Ctes = {
+  // lazy (as is bm25RankSql below): the literal-safety require must not
+  // run during TextOps object init, where it would surface as an opaque
+  // ExceptionInInitializerError taking down every TextOps query (ADVICE
+  // r12). Laziness only DEFERS the failure to the first SQL consumer
+  // (Similarity's fusion oracles force it on their own object init);
+  // the guaranteed clear-message gate is SemanticsSpec's dedicated
+  // term-validation test, which forces this val directly.
+  private[graft] lazy val bm25Ctes = {
     // the terms are interpolated into SQL string literals: refuse any
     // term that could escape the literal (quote, backslash, whitespace)
     // rather than silently diverging the oracle twin (ADVICE r11)
@@ -987,7 +991,7 @@ object TextOps extends QueryModule {
       |       FROM tf JOIN dfq USING (tok), st)""".stripMargin
   }
 
-  private val bm25RankSql =
+  private lazy val bm25RankSql =
     s"""WITH $bm25Ctes
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
       |  ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38, 6))) AS DOUBLE), 6) AS score

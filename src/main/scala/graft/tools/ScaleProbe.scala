@@ -813,7 +813,9 @@ object ScaleProbe {
     // q186 steady tail: posting artifact pre-built untimed; timed = the
     // term-pushed posting scan + broadcast score/rank tail.
     val bmIdxRowNames = Seq(
-      "q186 indexed bm25 1x (5k docs)", s"q186 indexed bm25 ${copies}x")
+      "q186 indexed bm25 1x (5k docs)", s"q186 indexed bm25 ${copies}x",
+      "q190 appended bm25 1x base, 1x delta",
+      s"q190 appended bm25 ${copies}x base, 1x delta")
     if (only.isEmpty || bmIdxRowNames.exists(n => only.exists(n.startsWith))) {
       def postingIndex(docs: DataFrame, tag: String): String = {
         val out = s"/tmp/graft-scaleprobe-bm25-$tag"
@@ -841,9 +843,16 @@ object ScaleProbe {
       }
       time("q186 indexed bm25 1x (5k docs)")(idxRank(p1))
       time(s"q186 indexed bm25 ${copies}x")(idxRank(pN))
-      // q190 shape: append rank against the pre-built artifact with a
-      // FIXED 1x delta — the claim is cost ∝ delta + pushed base scan,
-      // so a 10x base under the same delta must grow sublinearly.
+      // q190 shape: append rank against a pre-built BASE-SPLIT artifact
+      // (mod-5 docs excluded, exactly like the registered query's base —
+      // a full-corpus artifact would double-count the delta's postings)
+      // with a FIXED 1x delta — the claim is cost ∝ delta + pushed base
+      // scan, so a 10x base under the same delta must grow sublinearly.
+      // Stats stay the base split's (timing-neutral: one broadcast row).
+      val b190a = postingIndex(
+        d1.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "base1x")
+      val b190b = postingIndex(
+        dN.filter(pmod(col("doc_id"), lit(5L)) =!= 0), s"base${copies}x")
       def appendRank(b: String, delta: DataFrame): Long = {
         val terms = graft.operators.TextOps.Bm25QueryTerms
         val dtk = delta.select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -861,8 +870,8 @@ object ScaleProbe {
           spark.read.parquet(s"$b/stats")).count()
       }
       val deltaDocs = d1.filter(pmod(col("doc_id"), lit(5L)) === 0)
-      time("q190 appended bm25 1x base, 1x delta")(appendRank(p1, deltaDocs))
-      time(s"q190 appended bm25 ${copies}x base, 1x delta")(appendRank(pN, deltaDocs))
+      time("q190 appended bm25 1x base, 1x delta")(appendRank(b190a, deltaDocs))
+      time(s"q190 appended bm25 ${copies}x base, 1x delta")(appendRank(b190b, deltaDocs))
     }
     // r13 shapes. q188: one narrow scan + a broadcast 20-row rate table —
     // the probe certifies the draw stays map-bounded as the corpus grows.

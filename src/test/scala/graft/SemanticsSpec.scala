@@ -1334,6 +1334,18 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(a.nonEmpty && a === b)
   }
 
+  test("BM25 query terms are SQL-literal-safe and the oracle CTEs build") {
+    // the dedicated gate for the bm25Ctes require (ADVICE r12): every
+    // term must be interpolation-safe, and forcing the lazy val HERE
+    // guarantees an invalid term fails CI with the require's own
+    // message instead of an ExceptionInInitializerError at whichever
+    // object first touches the SQL chain
+    operators.TextOps.Bm25QueryTerms.foreach { t =>
+      assert(t.matches("[a-z0-9_]+"), s"BM25 term not SQL-literal-safe: '$t'")
+    }
+    assert(operators.TextOps.bm25Ctes.contains("tf AS"))
+  }
+
   test("q190 appended BM25 is bit-equal to q183 on the union corpus; delta docs scoreable") {
     val a = operators.TextOps.bm25Rank(spark, sf0001).collect().toSeq
     val b = operators.TextOps.bm25AppendedRank(spark, sf0001).collect().toSeq
@@ -1416,8 +1428,9 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val ppm = got.groupBy(_._2).view.mapValues(_.head._3).toMap
     assert(ppm === Map("big" -> 425000L, "small" -> 1000000L))
     // every draw replays the integer hash exactly; small is kept whole
+    // (the reduced-factor form — overflow-safe for any id, same value)
     def draw(id: Long) =
-      ((id * operators.Curation.MixMult) % 1000000L + 1000000L) % 1000000L
+      ((id % 1000000L) * (operators.Curation.MixMult % 1000000L)) % 1000000L
     val expect = ((1L to 64L).filter(draw(_) < 425000L).map((_, "big", 425000L)) ++
       (65L to 68L).map((_, "small", 1000000L))).sortBy(_._1)
     assert(got === expect)
@@ -1430,25 +1443,30 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val session = spark
     import session.implicits._
     // doc_ids deliberately interleaved across sources so (source, doc_id)
-    // packing order ≠ doc_id order; token counts sized to split shards
-    // mid-source and land one doc exactly ON a boundary (id 3: start 10)
+    // packing order ≠ doc_id order; a NULL source packs FIRST (Spark's
+    // nulls-first order, mirrored by the oracle's NULLS FIRST) and must
+    // not be dropped by the offset join; token counts sized to split
+    // shards mid-source and land one doc exactly ON a boundary (id 6:
+    // start 20)
     val docs = Seq(
-      (2L, "a", 4), (4L, "a", 6), (6L, "a", 3),   // a: starts 0, 4, 10
-      (1L, "b", 5), (3L, "b", 8), (5L, "b", 2)    // b: starts 13, 18, 26
+      (7L, null: String, 10),                     // null source: start 0
+      (2L, "a", 4), (4L, "a", 6), (6L, "a", 3),   // a: starts 10, 14, 20
+      (1L, "b", 5), (3L, "b", 8), (5L, "b", 2)    // b: starts 23, 28, 36
     ).map { case (id, s, n) => (id, s, Seq.fill(n)("w").mkString(" ")) }
       .toDF("doc_id", "source", "text")
     val got = operators.Curation.shardPackOf(docs, budget = 10L)
-      .as[(Long, String, Long, Long)].collect().toSeq
+      .as[(Long, Option[String], Long, Long)].collect().toSeq
     // brute-force twin: one global cumsum over (source, doc_id) order
-    val packed = Seq((2L, "a", 4L), (4L, "a", 6L), (6L, "a", 3L),
-      (1L, "b", 5L), (3L, "b", 8L), (5L, "b", 2L))
+    val packed = Seq((7L, None: Option[String], 10L),
+      (2L, Option("a"), 4L), (4L, Option("a"), 6L), (6L, Option("a"), 3L),
+      (1L, Option("b"), 5L), (3L, Option("b"), 8L), (5L, Option("b"), 2L))
     val starts = packed.scanLeft(0L)(_ + _._3).init
     val expect = packed.zip(starts)
       .map { case ((id, s, n), st) => (id, s, n, st / 10L) }
       .sortBy(_._1)
     assert(got === expect)
-    // the boundary doc (start 10) opens shard 1; ids monotone per shard
-    assert(got.find(_._1 == 6L).get._4 === 1L)
+    // the boundary doc (start 20) opens shard 2; ids monotone per shard
+    assert(got.find(_._1 == 6L).get._4 === 2L)
     val inOrder = got.sortBy(r => (r._2, r._1)).map(_._4)
     assert(inOrder === inOrder.sorted, "shard ids must be monotone in packing order")
   }
