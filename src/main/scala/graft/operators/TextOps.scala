@@ -927,25 +927,39 @@ object TextOps extends QueryModule {
     * mod split means the posting union never needs a merge-dedup. */
   def bm25AppendedRank(spark: SparkSession, dir: String): DataFrame = {
     val b = ensureBm25Base(spark, dir)
+    bm25AppendedRankAgainst(
+      spark.read.parquet(s"$b/postings"),
+      spark.read.parquet(s"$b/term_df"),
+      spark.read.parquet(s"$b/stats"),
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(Bm25DeltaMod)) === 0)
+        .select(col("doc_id"), col("text")))
+  }
+
+  /** The append-rank kernel against a frozen base index — `basePostings`
+    * = (doc_id, dl, tok, tf), `baseTermDf` = (tok, df), `baseStats` =
+    * exact (n_docs, sum_dl), `delta` = (doc_id, text) of docs the index
+    * has not seen. private[graft]: the streaming live twin drives it
+    * with the arrived-doc set GROWING between micro-batches. */
+  private[graft] def bm25AppendedRankAgainst(basePostings: DataFrame,
+      baseTermDf: DataFrame, baseStats: DataFrame, delta: DataFrame): DataFrame = {
     val terms = Bm25QueryTerms
-    val delta = Tables.documents(spark, dir)
-      .filter(pmod(col("doc_id"), lit(Bm25DeltaMod)) === 0)
-      .select(col("doc_id"), toks.as("tk"))
-    val dtf = delta
+    val dtk = delta.select(col("doc_id"), toks.as("tk"))
+    val dtf = dtk
       .select(col("doc_id"), size(col("tk")).as("dl"), explode(col("tk")).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val tf = spark.read.parquet(s"$b/postings")
+    val tf = basePostings
       .filter(col("tok").isin(terms: _*))
       .unionByName(dtf)
-    val dfq = spark.read.parquet(s"$b/term_df")
+    val dfq = baseTermDf
       .filter(col("tok").isin(terms: _*))
       .unionByName(dtf.groupBy(col("tok")).agg(count(lit(1)).as("df")))
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-    val dstat = delta.agg(count(lit(1)).as("dn"),
+    val dstat = dtk.agg(count(lit(1)).as("dn"),
       sum(size(col("tk")).cast(LongType)).as("dsum"))
-    val stats = spark.read.parquet(s"$b/stats")
+    val stats = baseStats
       .select(col("n_docs").as("bn"), col("sum_dl").as("bsum"))
       .crossJoin(broadcast(dstat))
       .select((col("bn") + col("dn")).as("n_docs"),

@@ -515,6 +515,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       sample.exists(s => !kept.contains(s._1)))
   }
 
+  test("streaming BM25 append: arriving docs rank fresh against the frozen base index") {
+    // the live twin of q190: the base posting index is frozen; documents
+    // keep arriving in micro-batches and the arrived set GROWS between
+    // them — after every batch, the appended rank over base + everything
+    // arrived so far must equal a fresh full recompute over the union
+    // corpus (the invisibility law, live)
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.{col, count, explode, lit, pmod, size, split, sum}
+    implicit val sqlCtx = spark.sqlContext
+    val baseDocs = graft.sources.Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(operators.TextOps.Bm25DeltaMod)) =!= 0)
+      .select(col("doc_id"), col("text"))
+    val btk = baseDocs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // frozen base tables (artifact stand-ins: materialized, no live lineage)
+    val postings = btk.select(col("doc_id"), size(col("tk")).as("dl"),
+        explode(col("tk")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf")).localCheckpoint()
+    val termDf = postings.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df")).localCheckpoint()
+    val stats = btk.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk")).cast("long")).as("sum_dl")).localCheckpoint()
+    val deltaDocs = graft.sources.Tables.documents(spark, sf0001)
+      .filter(pmod(col("doc_id"), lit(operators.TextOps.Bm25DeltaMod)) === 0)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val arrived = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => arrived += ((r.getLong(0), r.getString(1)))); ()
+      }
+      .option("checkpointLocation", tmp("ck-bm25append"))
+      .start()
+    def assertFresh(): Unit = {
+      val arrivedDf = arrived.toSeq.toDF("doc_id", "text")
+      val got = operators.TextOps.bm25AppendedRankAgainst(
+        postings, termDf, stats, arrivedDf).collect().toSeq
+      val want = operators.TextOps.bm25RankOf(
+        baseDocs.unionByName(arrivedDf)).collect().toSeq
+      assert(got === want)
+    }
+    try {
+      in.addData(deltaDocs.take(40): _*)
+      q.processAllAvailable()
+      assertFresh()                       // partial delta: 40 arrived
+      in.addData(deltaDocs.drop(40): _*)  // the store grew between batches
+      q.processAllAvailable()
+      assertFresh()                       // full delta: every doc arrived
+    } finally q.stop()
+    // the second state strictly extends the first (growth actually happened)
+    assert(arrived.size === deltaDocs.length && deltaDocs.length > 40)
+  }
+
   test("streaming chunk admission: each micro-batch persists only chunks the store lacks") {
     // the live twin of q166's CAS diff: foreachBatch admits arriving
     // docs through the SAME admitChunks kernel the batch diff uses,
