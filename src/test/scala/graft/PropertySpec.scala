@@ -388,4 +388,34 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       got == expect
     })
   }
+
+  test("q189 two-level shard packing equals the single global cumsum on random corpora") {
+    val session = spark
+    import session.implicits._
+    // the operator's whole claim is that the distributed two-level form
+    // (per-source windows + broadcast offsets) IS the sequential
+    // definition — check it against brute force for arbitrary corpora,
+    // budgets, and duplicate-free interleaved ids
+    val genDoc = for {
+      src <- Gen.oneOf("a", "b", "c", "d")
+      n <- Gen.choose(1, 12)
+    } yield (src, n)
+    val genCorpus = Gen.listOfN(25, genDoc)
+    val genBudget = Gen.choose(3L, 30L)
+    checkProp(Prop.forAllNoShrink(genCorpus, genBudget) { (corpus, budget) =>
+      val docs = corpus.zipWithIndex.map { case ((s, n), i) =>
+        // ids descending so doc_id order ≠ packing order
+        ((1000 - i).toLong, s, Seq.fill(n)("w").mkString(" "))
+      }
+      val got = operators.Curation
+        .shardPackOf(docs.toDF("doc_id", "source", "text"), budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val packed = docs.map { case (id, s, t) =>
+        (id, s, t.split(" ", -1).length.toLong) }.sortBy(d => (d._2, d._1))
+      val starts = packed.scanLeft(0L)(_ + _._3).init
+      val expect = packed.zip(starts)
+        .map { case ((id, _, _), st) => id -> st / budget }.toMap
+      got == expect
+    })
+  }
 }
