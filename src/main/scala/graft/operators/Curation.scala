@@ -778,6 +778,50 @@ object Curation extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** q191: the shard MANIFEST — per-shard document count, token sum, and
+    * contributing-source count, the accounting table a distributed
+    * trainer's data loader actually reads (and the balance audit for
+    * q189: every shard except the last must carry ≈ the budget).
+    *
+    * Scale posture: one aggregation over q189's packing output. The
+    * source-distinct count is TWO-LEVEL — groupBy (shard, source) then
+    * roll up — never a COUNT(DISTINCT) beside non-distinct aggregates,
+    * which would plan an Expand that doubles the corpus-sized input
+    * before the shuffle (the q134 discipline). Both levels map-side
+    * combine. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def shardManifestOf(d: DataFrame, budget: Long = ShardTokenBudget): DataFrame =
+    shardPackOf(d, budget)
+      .groupBy(col("shard_id"), col("source"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+      .groupBy(col("shard_id"))
+      .agg(sum(col("nd")).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        count(lit(1)).as("n_sources"))
+      .orderBy(col("shard_id"))
+
+  private val shardManifestSql =
+    s"""WITH t AS (SELECT doc_id, source,
+      |        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      |      FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |        SUM(n_tokens) OVER (ORDER BY source NULLS FIRST, doc_id
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM t),
+      |p AS (SELECT source, n_tokens,
+      |        CAST((cum - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard_id
+      |      FROM c),
+      |s AS (SELECT shard_id, source, COUNT(*) AS nd,
+      |        CAST(SUM(n_tokens) AS BIGINT) AS nt
+      |      FROM p GROUP BY 1, 2)
+      |SELECT shard_id, CAST(SUM(nd) AS BIGINT) AS n_docs,
+      |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sources
+      |FROM s GROUP BY 1
+      |ORDER BY shard_id NULLS FIRST""".stripMargin
+
   private val shardPackSql =
     s"""WITH t AS (SELECT doc_id, source,
       |        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
@@ -1532,6 +1576,7 @@ object Curation extends QueryModule {
     GraftQuery("q120_epoch_plan", epochPlan, Some(epochPlanSql)),
     GraftQuery("q188_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     GraftQuery("q189_shard_pack", shardPack, Some(shardPackSql)),
+    GraftQuery("q191_shard_manifest", shardManifest, Some(shardManifestSql)),
     GraftQuery("q121_source_drift_kl", sourceDriftKl, Some(sourceDriftKlSql)),
     GraftQuery("q160_curation_funnel", curationFunnel, Some(curationFunnelSql)),
     GraftQuery("q161_dsir_logweights", dsirLogWeights, Some(dsirLogWeightsSql)),

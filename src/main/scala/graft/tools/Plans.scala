@@ -625,6 +625,13 @@ object Plans {
           "integer arithmetic inside whole-stage codegen — no window, " +
           "no shuffle join anywhere.",
         graft.operators.Curation.mixtureSample(spark, dir)),
+      section("q191 shard manifest (r13)",
+        "What to look for: q189's packing shape feeding TWO stacked " +
+          "HashAggregates (the (shard, source) level then the shard " +
+          "roll-up), both with partial/final map-side combine and NO " +
+          "Expand — a COUNT(DISTINCT) beside the sums would double the " +
+          "corpus-sized input before the shuffle.",
+        graft.operators.Curation.shardManifest(spark, dir)),
       section("q189 token-budget shard packing (r13)",
         "What to look for: the corpus-side running sum is a Window " +
           "PARTITIONED by source (never a single-partition global " +

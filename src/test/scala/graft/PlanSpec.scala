@@ -410,6 +410,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(4000))
   }
 
+  test("q191 shard manifest: two-level source-distinct, no Expand") {
+    val plan = executedPlan(Curation.shardManifest(spark, sf0001))
+    // the source-distinct count must be the two-level groupBy roll-up —
+    // a COUNT(DISTINCT) beside the sums would plan an Expand that
+    // doubles the corpus-sized input before the shuffle
+    assert(!plan.contains("Expand"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+  }
+
   test("q102 top-k pairs use TakeOrderedAndProject, not a global sort") {
     val plan = executedPlan(TextOps.bpeMergeCandidates(spark, sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))

@@ -1469,6 +1469,21 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.find(_._1 == 6L).get._4 === 2L)
     val inOrder = got.sortBy(r => (r._2, r._1)).map(_._4)
     assert(inOrder === inOrder.sorted, "shard ids must be monotone in packing order")
+    // q191 manifest: exact roll-up of the packing (null source = a
+    // source group), conservation, contiguity, and the non-final-shard
+    // fill law sum >= budget - (maxdoc - 1), which holds whenever no
+    // doc exceeds the budget
+    val manifest = operators.Curation.shardManifestOf(docs, budget = 10L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(manifest === Seq((0L, 1L, 10L, 1L), (1L, 2L, 10L, 1L),
+      (2L, 3L, 16L, 2L), (3L, 1L, 2L, 1L)))
+    assert(manifest.map(_._3).sum === packed.map(_._3).sum)
+    assert(manifest.map(_._2).sum === packed.size)
+    assert(manifest.map(_._1) === (0L until manifest.size).toSeq)
+    val maxDoc = packed.map(_._3).max
+    manifest.init.foreach { case (_, _, nt, _) =>
+      assert(nt >= 10L - (maxDoc - 1), s"under-filled non-final shard: $nt")
+    }
   }
 
   test("q183 BM25 scores match the closed form and rank by saturated tf") {
