@@ -640,8 +640,9 @@ object Curation extends QueryModule {
   /** Target sample size as a fraction of the corpus. */
   val MixtureBudget = 0.5
 
-  /** Fibonacci multiplier (⌊2⁶⁴/φ⌋ truncated to 32 bits, Knuth §6.4) for
-    * the engine-portable uniform hash below. */
+  /** Fibonacci multiplier (Knuth's 32-bit multiplicative-hash prime near
+    * ⌊2³²/φ⌋ = 2654435769, Knuth §6.4) for the engine-portable uniform
+    * hash below. */
   val MixMult = 2654435761L
 
   /** Per-doc uniform draw in [0, 1e6) — `(doc_id · [[MixMult]]) mod 1e6`,
@@ -655,7 +656,11 @@ object Curation extends QueryModule {
     * ((a mod m)·(b mod m)) mod m, and the reduced product is < 1e12, so
     * the draw never overflows int64 for ANY doc_id (the naive product
     * wraps past doc_id ≈ 3.5e9, where a wrapped-negative Spark result
-    * and a strict engine's overflow error would silently diverge). */
+    * and a strict engine's overflow error would silently diverge).
+    * Spark's pmod is always non-negative while SQL `%` is
+    * sign-preserving, so the oracle twin adds +1e6 before its outer mod
+    * — pmod-equivalent, keeping the engines aligned for negative
+    * doc_ids too (ADVICE r13). */
   private def mixDraw(id: Column): Column =
     pmod(pmod(id, lit(1000000L)) * lit(MixMult % 1000000L), lit(1000000L))
 
@@ -694,10 +699,16 @@ object Curation extends QueryModule {
   /** Gate a (doc_id, source) batch through a FROZEN rate table — ONE
     * kernel shared by the batch sampler and the streaming ingest twin,
     * so a doc's keep decision cannot depend on whether it arrived in
-    * batch or in the stream. */
+    * batch or in the stream. Null-safe on source (`<=>`, like q189's
+    * shard packing): [[mixtureRateTable]]'s census groups NULL sources
+    * into their own row with their own rate, so an inner equi-join
+    * (which never matches NULL = NULL) would silently drop those docs
+    * while still counting them in n_total and sw — inflating every
+    * other source's effective rate past the stated budget (ADVICE r13). */
   def mixtureGate(batch: DataFrame, rates: DataFrame): DataFrame =
     batch.select(col("doc_id"), col("source"))
-      .join(broadcast(rates), Seq("source"))
+      .join(broadcast(rates.withColumnRenamed("source", "rsrc")),
+        col("source") <=> col("rsrc"))
       .filter(mixDraw(col("doc_id")) < col("rate_ppm"))
       .select(col("doc_id"), col("source"), col("rate_ppm"))
 
@@ -718,8 +729,10 @@ object Curation extends QueryModule {
       |              * 1e6) AS BIGINT) AS rate_ppm
       |          FROM per, tot)
       |SELECT d.doc_id, d.source, r.rate_ppm
-      |FROM documents d JOIN rates r USING (source)
-      |WHERE ((d.doc_id % 1000000) * ${MixMult % 1000000L}) % 1000000 < r.rate_ppm
+      |FROM documents d
+      |JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+      |WHERE (((d.doc_id % 1000000 + 1000000) % 1000000)
+      |       * ${MixMult % 1000000L}) % 1000000 < r.rate_ppm
       |ORDER BY d.doc_id NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -935,7 +935,13 @@ object Dedup extends QueryModule {
       try { scala.concurrent.Await.result(
         fSurv, scala.concurrent.duration.Duration.Inf); None }
       catch { case t: Throwable => Some(t) }
-    (shinglesFailure orElse survFailure).foreach(t => throw t)
+    // when BOTH writes fail, surface the second failure as suppressed on
+    // the first instead of discarding its diagnostics (ADVICE r13)
+    (shinglesFailure orElse survFailure).foreach { t =>
+      (shinglesFailure.toSeq ++ survFailure.toSeq).filter(_ ne t)
+        .foreach(t.addSuppressed)
+      throw t
+    }
     val gatedSurv = spark.read.parquet(s"$base/surv_shingles")
     jaccardPairsFromGated(gatedSurv.select(col("doc_id"), col("sh")))
       .write.mode("overwrite").parquet(s"$base/surv_pairs")
@@ -2776,7 +2782,12 @@ object Dedup extends QueryModule {
       try { Await.result(f, Duration.Inf); None }
       catch { case t: Throwable => Some(t) }
     }
-    failures.headOption.foreach(t => throw t)
+    // surface sibling failures as suppressed instead of discarding their
+    // diagnostics (ADVICE r13)
+    failures.headOption.foreach { t =>
+      failures.drop(1).foreach(t.addSuppressed)
+      throw t
+    }
   }
 
   // oracle: the fresh q129 build's SQL VERBATIM over the union corpus —
@@ -2784,12 +2795,103 @@ object Dedup extends QueryModule {
   // rebuild's definition is exactly the invisibility law
   private val neardupCompactSql = neardupPairsBuildSql
 
+  // ---------------------------------------------------------------------
+  // q192: leakage-safe train/val/test split assignment
+  // ---------------------------------------------------------------------
+
+  /** Split thresholds in PPM of the deterministic draw: [0, 800000) →
+    * train, [800000, 900000) → val, the rest → test (80/10/10). */
+  val SplitTrainPpm = 800000L
+  val SplitValPpm = 900000L
+
+  /** Draw multiplier: xxHash32's published PRIME2 (2246822519) —
+    * DELIBERATELY a different multiplier from q188's Knuth prime. The
+    * split draw and the mixture draw hash the same id space; with a
+    * shared multiplier every singleton doc q188 samples (draw <
+    * rate_ppm) would also land in train (draw < 800000), correlating
+    * the training-mixture membership with the split assignment — the
+    * quiet statistical bug a holdout is supposed to rule out. */
+  val SplitMult = 2246822519L
+
+  /** Same reduced-factor integer Bernoulli draw as q188's ([[Curation]]
+    * scaladoc has the overflow analysis): both factors reduce mod 1e6
+    * before the multiply, so the draw is exact int64 for ANY key and
+    * replays bit-for-bit in any engine. */
+  private def splitDraw(key: Column): Column =
+    pmod(pmod(key, lit(1000000L)) * lit(SplitMult % 1000000L), lit(1000000L))
+
+  /** q192: leakage-safe split assignment — every document gets a
+    * train/val/test tag drawn from its NEAR-DUP GROUP key (its q77/q129
+    * cluster label when clustered, its own doc_id when not), so all
+    * members of a duplicate cluster co-travel into the same split by
+    * construction. Splitting i.i.d. by doc instead leaks: a val doc's
+    * near-duplicate sits in train and the eval score measures
+    * memorization, the exact failure q125's audit detects after the
+    * fact. This operator makes the audit pass by design — cluster-aware
+    * assignment is how real pipelines cut holdouts from deduplicated
+    * crawls (the decontamination literature's split hygiene applied at
+    * corpus-construction time).
+    *
+    * Admits against the persisted near-dup artifact (q129's raw-corpus
+    * label table, built on demand, signature-validated — the q77
+    * pattern). The one corpus-sized operation is a doc_id equi-join
+    * against the label table (a subset of the corpus; co-partitionable,
+    * and at 100 TB both sides bucket by doc_id); the draw is integer
+    * arithmetic inside codegen; no window, no driver state. Downstream
+    * writers partition the output by `split` and stream each side to
+    * its sink. */
+  def clusterSplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureNeardupArtifact(spark, dir)
+    clusterSplitAssignOf(Tables.documents(spark, dir),
+      spark.read.parquet(s"$base/doc_labels"))
+  }
+
+  /** DataFrame-level core (testable on constructed corpora): `labels`
+    * is any (node, label) cluster table; docs absent from it are
+    * singletons and draw on their own id. */
+  private[graft] def clusterSplitAssignOf(docs: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val draw = splitDraw(col("group_key"))
+    docs.select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("group_key"))
+      .select(col("doc_id"), col("group_key"),
+        when(draw < SplitTrainPpm, "train")
+          .when(draw < SplitValPpm, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q77's label CTEs verbatim (recursive reachability over the
+    * gated pair set — the independent recomputation of the artifact's
+    * doc_labels), LEFT-joined so singletons keep their own id, then the
+    * sign-corrected draw arithmetic (q188's oracle convention). */
+  private val clusterSplitAssignSql =
+    s"""WITH RECURSIVE ${gatedShinglesCtes("documents")},
+      |$jaccardPairsCtes,
+      |$clusterCtes,
+      |g AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS group_key
+      |      FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+      |s AS (SELECT doc_id, group_key,
+      |        (((group_key % 1000000 + 1000000) % 1000000)
+      |         * ${SplitMult % 1000000L}) % 1000000 AS draw
+      |      FROM g)
+      |SELECT doc_id, group_key,
+      |  CASE WHEN draw < $SplitTrainPpm THEN 'train'
+      |       WHEN draw < $SplitValPpm THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM s
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q176_neardup_artifact_append", neardupArtifactAppend,
       Some(neardupAppendSql)),
     // compaction answers to the FRESH BUILD's oracle on the union corpus
     // (documents = base ∪ delta): the fold must be invisible
     GraftQuery("q185_neardup_compact", neardupCompact, Some(neardupCompactSql)),
+    GraftQuery("q192_cluster_split_assign", clusterSplitAssign,
+      Some(clusterSplitAssignSql)),
     GraftQuery("q70_exact_dup_groups", exactDupGroups, Some(exactDupGroupsSql)),
     GraftQuery("q165_cdc_chunk_dedup", cdcChunkDedup, Some(cdcChunkDedupSql)),
     GraftQuery("q166_snapshot_delta_bytes", snapshotDeltaBytes,

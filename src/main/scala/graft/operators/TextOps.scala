@@ -968,6 +968,136 @@ object TextOps extends QueryModule {
     bm25ScoreTail(tf, dfq, stats, topK = 20)
   }
 
+  // ---------------------------------------------------------------------
+  // q194: per-doc TF-IDF keywords served from the posting artifact
+  // ---------------------------------------------------------------------
+
+  /** q194: q94's per-doc TF-IDF top-3 keywords, served from the
+    * PERSISTED posting artifact instead of an in-plan tokenize — the
+    * keyword-extraction member of the invisibility-law family
+    * (q186≡q183, q153≡q138, q180≡q136): it answers q94's oracle
+    * VERBATIM, because an index must be invisible to consumers. The
+    * artifact enables two plan upgrades over q94's direct form. (1) The
+    * corpus-sized tokenize/explode/(doc,term) count is the build's,
+    * paid once per fixture; this query starts from a column-pruned
+    * (doc_id, tok, tf) parquet scan. (2) The per-doc top-3 runs through
+    * the GroupTopK whole-operator (partial per-group heaps BEFORE the
+    * exchange — q143/q147's exec pair) instead of a full window sort,
+    * so at most 3 rows per doc cross the shuffle; the rank column is
+    * re-derived afterwards by a window over those ≤3-row groups,
+    * bounded by k, never by document length.
+    *
+    * Scale posture: posting scan + one vocab-keyed equi-join for idf
+    * (no broadcast hint — the vocab is fixture-tiny here but ~1e7 rows
+    * at 100 TB, AQE decides) + map-combined GroupTopK. */
+  def tfidfFromArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val b = ensureBm25Index(spark, dir)
+    val postings = spark.read.parquet(s"$b/postings")
+      .select(col("doc_id"), col("tok"), col("tf").as("cnt"))
+    val idf = spark.read.parquet(s"$b/term_df")
+      .crossJoin(broadcast(
+        spark.read.parquet(s"$b/stats").select(col("n_docs"))))
+      .select(col("tok"),
+        log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
+    val scored = postings.join(idf, Seq("tok"))
+      .select(col("doc_id"), col("tok"),
+        round(col("cnt") * col("idf"), 6).as("tfidf"))
+    val top = graft.plans.GroupTopK.topKPerKey(scored, Seq("doc_id"),
+      Seq(graft.plans.GroupTopK.Key("tfidf", desc = true),
+        graft.plans.GroupTopK.Key("tok")), 3)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q195: PMI collocations (skip-window co-occurrence)
+  // ---------------------------------------------------------------------
+
+  /** Forward co-occurrence window: pairs at token distances 1..W — the
+    * word2vec/GloVe preprocessing statistic. */
+  val PmiWindow = 2
+  /** Pair-count floor: PMI of rare pairs is dominated by noise (Church &
+    * Hanks' original caveat), and the floor keeps the ranked tail
+    * stable. */
+  val PmiMinCount = 5L
+  val PmiTopPairs = 100
+
+  /** q195: top collocations by pointwise mutual information — for each
+    * ordered token pair co-occurring within [[PmiWindow]] forward
+    * positions, PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with pair probability
+    * over the total co-occurrence count and unigram probabilities over
+    * the total token count; pairs below [[PmiMinCount]] dropped; top
+    * [[PmiTopPairs]] emitted. This is the corpus-statistics pass an
+    * embedding-training pipeline runs to build co-occurrence tables and
+    * a curation pipeline runs to spot boilerplate collocations; distinct
+    * from q103's bigram surprisal (conditional −ln p(w2|w1), adjacent
+    * only) — PMI is symmetric-normalized and skip-windowed.
+    *
+    * Scale posture: pair generation is slice+zip_with on the token
+    * array — per-row, codegen'd, NO window and NO per-doc shuffle (a
+    * lead(k) formulation would shuffle the exploded corpus by doc_id);
+    * the only shuffles are the (w1,w2) and unigram aggregates and two
+    * vocab-keyed joins (AQE decides broadcast; at 100 TB a vocab is
+    * ~1e7 rows). The pair explode feeds straight into a partial-agg
+    * groupBy, so the unaggregated pair stream never materializes. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocationsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def pmiCollocationsOf(d: DataFrame): DataFrame = {
+    def pairsAt(k: Int): Column = {
+      val len = greatest(size(col("t")) - k, lit(0))
+      zip_with(slice(col("t"), lit(1), len), slice(col("t"), lit(k + 1), len),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    val pr = d.select(toks.as("t"))
+      .select(explode(flatten(array((1 to PmiWindow).map(pairsAt): _*))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pc0 = pr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val uni = d.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val tt = uni.agg(sum(col("n")).as("tt"))
+    val tp = pc0.agg(sum(col("n_pair")).as("tp"))
+    pc0.filter(col("n_pair") >= PmiMinCount)
+      .join(uni.select(col("tok").as("w1"), col("n").as("n1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tp))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(col("n_pair").cast(DoubleType) * col("tt") * col("tt")
+          / (col("tp").cast(DoubleType) * col("n1") * col("n2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(PmiTopPairs)
+  }
+
+  /** Oracle: the identical statistic with pair generation via lateral
+    * GENERATE_SERIES indexing (GENERATE_SERIES(1, n) is EMPTY for n < 1
+    * in DuckDB, so short docs contribute nothing — matching the
+    * zero-length slice on the Spark side). */
+  private val pmiCollocationsSql =
+    s"""WITH tarr AS (SELECT STRING_SPLIT(text, ' ') AS t FROM documents),
+      |pr AS (SELECT t[u.i] AS w1, t[u.i + k.k] AS w2
+      |       FROM tarr,
+      |            UNNEST(GENERATE_SERIES(1, $PmiWindow)) AS k(k),
+      |            UNNEST(GENERATE_SERIES(1, LEN(t) - k.k)) AS u(i)),
+      |pc0 AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pr GROUP BY 1, 2),
+      |uni AS (SELECT tok, COUNT(*) AS n
+      |        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |              FROM documents) x GROUP BY 1),
+      |tot AS (SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM uni) AS tt,
+      |               (SELECT CAST(SUM(n_pair) AS BIGINT) FROM pc0) AS tp)
+      |SELECT p.w1, p.w2, p.n_pair,
+      |  ROUND(LN(CAST(p.n_pair AS DOUBLE) * tt * tt
+      |    / (CAST(tp AS DOUBLE) * u1.n * u2.n)), 6) AS pmi
+      |FROM pc0 p
+      |JOIN uni u1 ON p.w1 = u1.tok
+      |JOIN uni u2 ON p.w2 = u2.tok, tot
+      |WHERE p.n_pair >= $PmiMinCount
+      |ORDER BY pmi DESC, w1 NULLS FIRST, w2 NULLS FIRST
+      |LIMIT $PmiTopPairs""".stripMargin
+
   /** The BM25 scoring CTE chain (tf → st → dfq → sc, per-(doc, term)
     * contributions over `documents`) — shared VERBATIM between the q183
     * oracle and q184's hybrid-fusion oracle so the sparse side of the
@@ -1361,6 +1491,12 @@ object TextOps extends QueryModule {
     GraftQuery("q89_redact_pii", redactPii, Some(redactPiiSql)),
     GraftQuery("q93_lm_surprisal", lmSurprisal, Some(lmSurprisalSql)),
     GraftQuery("q94_tfidf_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    // the posting artifact must be invisible to keyword extraction too:
+    // q194 answers to q94's oracle verbatim (the q186≡q183 precedent)
+    GraftQuery("q194_tfidf_from_artifact", tfidfFromArtifact,
+      Some(tfidfTopTermsSql)),
+    GraftQuery("q195_pmi_collocations", pmiCollocations,
+      Some(pmiCollocationsSql)),
     GraftQuery("q183_bm25_rank", bm25Rank, Some(bm25RankSql)),
     // the posting artifact must be invisible to searchers: q186 answers
     // to q183's oracle verbatim (the q180≡q136 precedent)

@@ -833,7 +833,11 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$out/stats")
         out
       }
-      val p1 = postingIndex(d1, "1x"); val pN = postingIndex(dN, s"${copies}x")
+      // lazy: time()'s body is by-name and skipped rows never force it,
+      // so a targeted `--only q189 ...` run doesn't pay artifact builds
+      // whose timed rows it skips (ADVICE r13)
+      lazy val p1 = postingIndex(d1, "1x")
+      lazy val pN = postingIndex(dN, s"${copies}x")
       def idxRank(b: String): Long = {
         val terms = graft.operators.TextOps.Bm25QueryTerms
         graft.operators.TextOps.bm25ScoreTailProbe(
@@ -849,9 +853,10 @@ object ScaleProbe {
       // with a FIXED 1x delta — the claim is cost ∝ delta + pushed base
       // scan, so a 10x base under the same delta must grow sublinearly.
       // Stats stay the base split's (timing-neutral: one broadcast row).
-      val b190a = postingIndex(
+      // lazy for the same reason as p1/pN: only forced by a selected row
+      lazy val b190a = postingIndex(
         d1.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "base1x")
-      val b190b = postingIndex(
+      lazy val b190b = postingIndex(
         dN.filter(pmod(col("doc_id"), lit(5L)) =!= 0), s"base${copies}x")
       def appendRank(b: String, delta: DataFrame): Long = {
         val terms = graft.operators.TextOps.Bm25QueryTerms

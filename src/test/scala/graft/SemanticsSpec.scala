@@ -1439,6 +1439,43 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .as[(Long, String, Long)].collect().toSeq === got)
   }
 
+  test("q188 mixture gate: NULL sources sample at their own rate; negative ids draw like the oracle") {
+    val session = spark
+    import session.implicits._
+    // a NULL source is a real census row (groupBy keeps the null group)
+    // and must be gated by ITS OWN rate, not silently dropped by an
+    // inner equi-join that never matches NULL = NULL — dropping it while
+    // counting it in n_total/sw inflates every other source's effective
+    // rate past the budget (ADVICE r13). Negative ids exercise the
+    // pmod/sign-preserving-% seam between Spark and the SQL oracle.
+    val docs = ((1L to 16L).map(i => (i, "big")) ++
+      Seq((-3L, null: String), (-2L, null: String),
+          (-1L, null: String), (0L, null: String)))
+      .toDF("doc_id", "source")
+    val got = operators.Curation.mixtureSampleOf(docs)
+      .as[(Long, Option[String], Long)].collect().toSeq
+    // √ weights 4/6 and 2/6 over N=20 at budget 0.5:
+    // rate(big) = 0.5·20·(4/6)/16 = 5/12; rate(null) = 0.5·20·(2/6)/4 = 5/6
+    val ppm = got.groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(ppm === Map(Some("big") -> 416667L, None -> 833333L))
+    def oracleDraw(id: Long) = // the SQL twin's exact expression
+      (((id % 1000000L + 1000000L) % 1000000L)
+        * (operators.Curation.MixMult % 1000000L)) % 1000000L
+    // NULL-source docs are gated by THEIR OWN rate — including the
+    // negative ids, whose draw must replay the oracle's sign-corrected
+    // arithmetic exactly
+    val expectNull = Seq(-3L, -2L, -1L, 0L).filter(oracleDraw(_) < 833333L)
+    assert(got.filter(_._2.isEmpty).map(_._1).sorted === expectNull)
+    assert(expectNull.nonEmpty) // the case the join bug silently emptied
+    val expectBig = (1L to 16L).filter(oracleDraw(_) < 416667L)
+    assert(got.filter(_._2.contains("big")).map(_._1).sorted === expectBig)
+    // the oracle's +1e6-then-% form IS pmod for any sign
+    for (id <- Seq(-2000001L, -1000001L, -1L, -999999L, 0L, 1L, 999999L))
+      assert(oracleDraw(id) >= 0L && oracleDraw(id) ===
+        ((id % 1000000L + 1000000L) % 1000000L
+          * (operators.Curation.MixMult % 1000000L)) % 1000000L)
+  }
+
   test("q189 shard packing equals the global cumsum definition; spans are contiguous") {
     val session = spark
     import session.implicits._
