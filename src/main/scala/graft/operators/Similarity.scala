@@ -1011,7 +1011,10 @@ object Similarity extends QueryModule {
     * contribution of every (dim, code) cell — dims × 256 rows, broadcast
     * — so a vector's approximate distance is [[KmeansDim]] table lookups.
     * Faiss's SQ8 is this exact scheme; pipelines pick it over PQ when
-    * they want zero training and per-dim error bounds. Determinism: LUT
+    * they want zero training and per-dim error bounds. (q95 is the
+    * OTHER int8 family member: per-VECTOR max-abs symmetric codes with
+    * an RMSE audit and no search tail; this is the per-DIMENSION
+    * corpus-stat quantizer in its index/search role.) Determinism: LUT
     * entries rounded to 6 dp, per-vector sums DECIMAL-exact, rank ties
     * on neighbor id ([[adcRank]] — the q106 tail verbatim); constant
     * dimensions (hi = lo) map to code 0 on both sides.

@@ -797,6 +797,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q192 split assignment: no corpus window, label join is equi, no nested loop") {
+    val plan = executedPlan(Dedup.clusterSplitAssign(spark, sf0001))
+    // the draw is per-row codegen arithmetic; the ONLY corpus-sized op
+    // allowed is the doc_id equi-join against the label table
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+  }
+
+  test("q193 SQ8 search: scalar LUT broadcasts, no cartesian; probe window only") {
+    val plan = executedPlan(Similarity.sq8Search(spark, sf0001))
+    // the (dim, code) LUT join against the corpus codes must broadcast
+    // (the corpus never shuffles for the scan); the one window is the
+    // per-probe rank over ≤corpus rows per probe — q106's shape
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q194 artifact TF-IDF: GroupTopK prunes before the exchange; posting scan feeds it") {
+    val plan = executedPlan(TextOps.tfidfFromArtifact(spark, sf0001))
+    assert(plan.contains("GroupTopKFinal"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
+  test("q195 PMI: pair generation is codegen'd map work — no window, no cartesian") {
+    val plan = executedPlan(TextOps.pmiCollocations(spark, sf0001))
+    // slice/zip_with pair explode feeds a partial agg: a lead(k)
+    // formulation would show a per-doc windowspecdefinition here
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("q158 winnowed pairs: fp equi-join with the anti-join gate, no nested loop") {
     val plan = executedPlan(SpanDedup.winnowedOverlapPairs(spark, sf0001))
     // pair generation must be an equi-join on the 8-byte fingerprint,

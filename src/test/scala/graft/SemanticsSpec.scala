@@ -1476,6 +1476,87 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
           * (operators.Curation.MixMult % 1000000L)) % 1000000L)
   }
 
+  test("q192 split assignment: cluster members co-travel, singletons draw on their own id") {
+    val session = spark
+    import session.implicits._
+    val docs = (1L to 200L).toDF("doc_id")
+    // two clusters (min-label convention: label = min member id) + 195
+    // singletons; every cluster member must land in its LABEL's split
+    val labels = Seq((5L, 5L), (6L, 5L), (7L, 5L), (100L, 100L), (150L, 100L))
+      .toDF("node", "label")
+    val got = operators.Dedup.clusterSplitAssignOf(docs, labels)
+      .as[(Long, Long, String)].collect().toSeq
+    def draw(k: Long) =
+      ((k % 1000000L) * (operators.Dedup.SplitMult % 1000000L)) % 1000000L
+    def split(k: Long) =
+      if (draw(k) < operators.Dedup.SplitTrainPpm) "train"
+      else if (draw(k) < operators.Dedup.SplitValPpm) "val"
+      else "test"
+    def gk(i: Long) =
+      if (i >= 5 && i <= 7) 5L else if (i == 100 || i == 150) 100L else i
+    assert(got === (1L to 200L).map(i => (i, gk(i), split(gk(i)))))
+    // the leakage law q125 audits, here by construction: every group has
+    // exactly one split; all three splits are populated at n=200
+    assert(got.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+    assert(got.map(_._3).distinct.toSet === Set("train", "val", "test"))
+    // decorrelation: the split draw is NOT q188's mixture draw
+    assert(operators.Dedup.SplitMult % 1000000L !==
+      operators.Curation.MixMult % 1000000L)
+  }
+
+  test("q193 SQ8 search: on grid-exact vectors the quantized search IS exact search") {
+    val session = spark
+    import session.implicits._
+    // integer coordinates 0..255 with both extremes planted per dim →
+    // lo=0, hi=255, step=1: codes equal the coordinates exactly and the
+    // ADC distance is the TRUE squared L2 distance — so the SQ8 top-5
+    // must equal a brute-force exact search replicated here
+    val dim = 64
+    def vec(i: Int): Array[Double] =
+      if (i == 28) Array.fill(dim)(0.0)
+      else if (i == 29) Array.fill(dim)(255.0)
+      else Array.tabulate(dim)(d => ((i * 37 + d * 11) % 256).toDouble)
+    val emb = (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val got = operators.Similarity.sq8SearchOf(emb)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val expect = (0 until operators.Similarity.PqSearchProbes.toInt).flatMap { q =>
+      val ds = (0 until 30).filter(_ != q).map { v =>
+        val d = vec(q).zip(vec(v)).map { case (a, b) => (a - b) * (a - b) }.sum
+        (v.toLong, d)
+      }.sortBy { case (id, d) => (d, id) }.take(operators.Similarity.PqSearchK)
+      ds.zipWithIndex.map { case ((id, d), r) => (q.toLong, r + 1, id, d) }
+    }
+    assert(got === expect)
+  }
+
+  test("q194 artifact TF-IDF equals q94's in-plan form bit-for-bit (invisibility law)") {
+    val a = TextOps.tfidfFromArtifact(spark, sf0001).collect().toSeq
+    val b = TextOps.tfidfTopTerms(spark, sf0001).collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("q195 PMI: hand-checkable collocations, count floor, skip-window pairs") {
+    val session = spark
+    import session.implicits._
+    // 10 × "x y x y x y" + one 1-token doc (no pairs; exercises the
+    // zero-length slice guard). Pair counts: (x,y)=30, (y,x)=20,
+    // (x,x)=20, (y,y)=20 → tp=90; unigrams x=30, y=30, z=1 → tt=61.
+    val docs = (Seq.fill(10)("x y x y x y") :+ "z").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = operators.TextOps.pmiCollocationsOf(docs)
+      .as[(String, String, Long, Double)].collect().toSeq
+    def pmi(c: Long, n1: Long, n2: Long) =
+      BigDecimal(math.log(c.toDouble * 61 * 61 / (90.0 * n1 * n2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (x,y) is the only positive-PMI pair; the three ln(8/9-ish) ties
+    // order by (w1, w2); z never reaches the count floor
+    assert(got === Seq(
+      ("x", "y", 30L, pmi(30, 30, 30)),
+      ("x", "x", 20L, pmi(20, 30, 30)),
+      ("y", "x", 20L, pmi(20, 30, 30)),
+      ("y", "y", 20L, pmi(20, 30, 30))))
+  }
+
   test("q189 shard packing equals the global cumsum definition; spans are contiguous") {
     val session = spark
     import session.implicits._
