@@ -992,11 +992,20 @@ object TextOps extends QueryModule {
     * at 100 TB, AQE decides) + map-combined GroupTopK. */
   def tfidfFromArtifact(spark: SparkSession, dir: String): DataFrame = {
     val b = ensureBm25Index(spark, dir)
-    val postings = spark.read.parquet(s"$b/postings")
+    tfidfTailProbe(spark.read.parquet(s"$b/postings"),
+      spark.read.parquet(s"$b/term_df"),
+      spark.read.parquet(s"$b/stats"))
+  }
+
+  /** The keyword tail on externally-supplied posting tables
+    * ([[graft.tools.ScaleProbe]] drives it against pre-built artifacts
+    * at multiple scales, like [[bm25ScoreTailProbe]]). */
+  private[graft] def tfidfTailProbe(rawPostings: DataFrame,
+      termDf: DataFrame, stats: DataFrame): DataFrame = {
+    val postings = rawPostings
       .select(col("doc_id"), col("tok"), col("tf").as("cnt"))
-    val idf = spark.read.parquet(s"$b/term_df")
-      .crossJoin(broadcast(
-        spark.read.parquet(s"$b/stats").select(col("n_docs"))))
+    val idf = termDf
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
       .select(col("tok"),
         log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
     val scored = postings.join(idf, Seq("tok"))

@@ -639,7 +639,35 @@ object Plans {
           "over the |sources|-row aggregate (above a HashAggregate), " +
           "whose offsets broadcast back; shard id is exact integer " +
           "`div` in the final project.",
-        graft.operators.Curation.shardPack(spark, dir)))
+        graft.operators.Curation.shardPack(spark, dir)),
+      section("q192 leakage-safe split assignment (r14)",
+        "What to look for: ONE corpus-sized doc_id equi-join against " +
+          "the artifact's label table (AQE picks broadcast at fixture " +
+          "scale; co-partitionable at 100 TB); the group-key draw and " +
+          "split CASE are per-row integer arithmetic inside whole-stage " +
+          "codegen — NO window anywhere.",
+        graft.operators.Dedup.clusterSplitAssign(spark, dir)),
+      section("q193 SQ8 scalar-quantized search (r14)",
+        "What to look for: the (dim, code) scalar LUT joins the codes " +
+          "scan as a BroadcastHashJoin (the corpus never shuffles for " +
+          "the scan); per-(probe, vector) ADC sums collapse in a " +
+          "partial HashAggregate map-side; the only window is the " +
+          "per-probe rank — q106's shape on a scalar codebook.",
+        graft.operators.Similarity.sq8Search(spark, dir)),
+      section("q194 TF-IDF keywords from the posting artifact (r14)",
+        "What to look for: a column-pruned (doc_id, tok, tf) posting " +
+          "scan (no term predicate — keyword extraction reads ALL " +
+          "terms); the vocab idf join left AQE-decided; GroupTopKPartial " +
+          "heaps BEFORE the exchange so ≤3 rows per doc shuffle; the " +
+          "rank window runs over ≤3-row groups.",
+        graft.operators.TextOps.tfidfFromArtifact(spark, dir)),
+      section("q195 PMI collocations (r14)",
+        "What to look for: pair generation is slice/zip_with/flatten " +
+          "inside the scan's project (codegen'd, windowless) feeding a " +
+          "partial HashAggregate directly; unigram + pair-total " +
+          "aggregates broadcast back; two vocab equi-joins; " +
+          "TakeOrdered(100) tail.",
+        graft.operators.TextOps.pmiCollocations(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

@@ -815,7 +815,8 @@ object ScaleProbe {
     val bmIdxRowNames = Seq(
       "q186 indexed bm25 1x (5k docs)", s"q186 indexed bm25 ${copies}x",
       "q190 appended bm25 1x base, 1x delta",
-      s"q190 appended bm25 ${copies}x base, 1x delta")
+      s"q190 appended bm25 ${copies}x base, 1x delta",
+      "q194 tfidf keywords 1x (5k docs)", s"q194 tfidf keywords ${copies}x")
     if (only.isEmpty || bmIdxRowNames.exists(n => only.exists(n.startsWith))) {
       def postingIndex(docs: DataFrame, tag: String): String = {
         val out = s"/tmp/graft-scaleprobe-bm25-$tag"
@@ -877,6 +878,17 @@ object ScaleProbe {
       val deltaDocs = d1.filter(pmod(col("doc_id"), lit(5L)) === 0)
       time("q190 appended bm25 1x base, 1x delta")(appendRank(b190a, deltaDocs))
       time(s"q190 appended bm25 ${copies}x base, 1x delta")(appendRank(b190b, deltaDocs))
+      // q194 shape: the keyword tail over the SAME pre-built posting
+      // artifacts — posting scan + vocab idf join + GroupTopK; unlike
+      // q186 there is no term predicate, so this row certifies the
+      // full-posting-scan path (the worst case) stays linear.
+      def tfidfCount(b: String): Long =
+        graft.operators.TextOps.tfidfTailProbe(
+          spark.read.parquet(s"$b/postings"),
+          spark.read.parquet(s"$b/term_df"),
+          spark.read.parquet(s"$b/stats")).count()
+      time("q194 tfidf keywords 1x (5k docs)")(tfidfCount(p1))
+      time(s"q194 tfidf keywords ${copies}x")(tfidfCount(pN))
     }
     // r13 shapes. q188: one narrow scan + a broadcast 20-row rate table —
     // the probe certifies the draw stays map-bounded as the corpus grows.
@@ -892,6 +904,37 @@ object ScaleProbe {
         docs.select(col("doc_id"), col("source"), col("text"))).count()
     time("q189 shard pack 1x (5k docs)")(shardCount(d1))
     time(s"q189 shard pack ${copies}x")(shardCount(dN))
+
+    // r14 shapes. q192: the split's only corpus-sized op is a doc_id
+    // equi-join against the label table + a per-row integer draw.
+    // Synthetic labels hold the clustered fraction constant (20%, pairs
+    // of adjacent even/odd ids) as the corpus grows, so the row
+    // measures join+draw scaling, not artifact-build cost.
+    def splitCount(docs: DataFrame): Long = {
+      val labels = docs.select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(10L)) < 2)
+        .select(col("doc_id").as("node"),
+          (col("doc_id") - pmod(col("doc_id"), lit(2L))).as("label"))
+      graft.operators.Dedup.clusterSplitAssignOf(
+        docs.select(col("doc_id")), labels).count()
+    }
+    time("q192 split assign 1x (5k docs)")(splitCount(d1))
+    time(s"q192 split assign ${copies}x")(splitCount(dN))
+    // q193: the SQ8 ADC scan — fixed probe set (copy-1 ids), broadcast
+    // scalar LUT, codes scan ∝ corpus: the join output is probes × dims
+    // × corpus rows collapsing map-side, so the row must scale linearly.
+    def sq8Count(e: DataFrame): Long =
+      graft.operators.Similarity.sq8SearchOf(e).count()
+    time("q193 sq8 search 1x (5k vecs)")(sq8Count(e1))
+    time(s"q193 sq8 search ${copies}x")(sq8Count(eN))
+    // q195: PMI pair generation is per-row map work; the aggregates and
+    // vocab joins grow with distinct pairs/terms (the dN marker rewrite
+    // grows the vocab by one term per copy, so the pair space scales
+    // realistically rather than collapsing onto the 1x keys).
+    def pmiCount(docs: DataFrame): Long =
+      graft.operators.TextOps.pmiCollocationsOf(docs).count()
+    time("q195 pmi collocations 1x (5k docs)")(pmiCount(d1))
+    time(s"q195 pmi collocations ${copies}x")(pmiCount(dN))
 
     spark.stop()
   }

@@ -515,6 +515,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       sample.exists(s => !kept.contains(s._1)))
   }
 
+  test("streaming split gate: arriving docs land in the batch assignment's split") {
+    // the live twin of q192: the near-dup label table is frozen (the
+    // artifact a pipeline ships to its ingest tier) and every arriving
+    // doc draws on its GROUP key through the same kernel — so a doc's
+    // train/val/test placement cannot depend on whether it was assigned
+    // in the nightly batch or at arrival time, and near-dups of training
+    // docs can never leak into a holdout via the streaming path
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = operators.Dedup.ensureNeardupArtifact(spark, sf0001)
+    // frozen: decoupled from the corpus plan (literal rows, no lineage)
+    val labels = spark.read.parquet(s"$base/doc_labels")
+      .select($"node", $"label").as[(Long, Long)].collect().toSeq
+      .toDF("node", "label")
+    val batchSplit = operators.Dedup.clusterSplitAssign(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // 5 singletons + up to 5 clustered docs, so both draw paths stream
+    val clustered = labels.orderBy($"node").limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val singles = batchSplit.keys.toSeq.sorted
+      .filterNot(clustered.contains).take(5)
+    val sample = (singles ++ clustered).distinct
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("doc_id")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        operators.Dedup.clusterSplitAssignOf(b, labels).collect()
+          .foreach(r => got.put(r.getLong(0), r.getString(2))); ()
+      }
+      .option("checkpointLocation", tmp("ck-splitgate"))
+      .start()
+    try {
+      in.addData(sample.take(5): _*)
+      q.processAllAvailable()
+      in.addData(sample.drop(5): _*) // second batch: same frozen labels
+      q.processAllAvailable()
+    } finally q.stop()
+    sample.foreach { id =>
+      assert(got.get(id) === batchSplit(id), s"doc $id stream split != batch")
+    }
+    assert(clustered.nonEmpty, "fixture has no clustered docs to exercise")
+  }
+
   test("streaming BM25 append: arriving docs rank fresh against the frozen base index") {
     // the live twin of q190: the base posting index is frozen; documents
     // keep arriving in micro-batches and the arrived set GROWS between
