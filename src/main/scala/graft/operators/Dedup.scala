@@ -2441,7 +2441,17 @@ object Dedup extends QueryModule {
       shingled(dnew).select(col("doc_id"), explode(col("shingles")).as("sh"))
         .join(hot, Seq("sh"), "left_anti"))
     val dsz = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("dn"))
-    val bsz = bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
+    // per-survivor gated-shingle counts: the artifact's bsv carries them
+    // (`nsh` — persisted by the build for exactly this reuse, and kept
+    // exact by the q185 fold), so the admission skips a corpus-sized
+    // re-aggregation of bsh per pass; the in-plan bsv (tests/probes) has
+    // no nsh column and falls back to counting. An nsh=0 survivor (whole
+    // gated set crossed the DF cap) has no bsh rows, so it reaches no
+    // xinter row under either form — the paths are row-identical.
+    val bsz =
+      if (bsv.columns.contains("nsh"))
+        bsv.select(col("doc_id"), col("nsh").as("bn"))
+      else bsh.groupBy(col("doc_id")).agg(count(lit(1)).as("bn"))
     val xinter = dsh.as("a").join(bsh.as("b"), Seq("sh"))
       .groupBy(col("a.doc_id").as("ddoc"), col("b.doc_id").as("bdoc"))
       .agg(count(lit(1)).as("n_inter"))

@@ -1053,11 +1053,12 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("vec_id"), col("pdist")))
   }
 
-  /** Oracle: per-dim stats, affine codes, the scalar LUT via
-    * GENERATE_SERIES(0, 255), then the shared ADC-rank tail. Every
-    * arithmetic expression is textually parallel to the plan's. */
-  private val sq8SearchSql =
-    s"""WITH e AS ($embAllSqlDef),
+  /** Oracle CTE chain through `ad` — per-dim stats, affine codes, the
+    * scalar LUT via GENERATE_SERIES(0, 255). Every arithmetic expression
+    * is textually parallel to the plan's. Shared by q193 (+ the ADC-rank
+    * tail) and q196's recall audit. */
+  private val sq8SearchCtes =
+    s"""e AS ($embAllSqlDef),
       |dims AS (SELECT vec_id, u.i - 1 AS dim, v[u.i] AS x
       |         FROM e, UNNEST(GENERATE_SERIES(1, LEN(v))) AS u(i)),
       |stats AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM dims GROUP BY 1),
@@ -1080,7 +1081,10 @@ object Similarity extends QueryModule {
       |       FROM codes k
       |       JOIN lut l ON k.dim = l.dim AND k.code = l.code
       |       WHERE k.vec_id <> l.query_id
-      |       GROUP BY 1, 2),
+      |       GROUP BY 1, 2)""".stripMargin
+
+  private val sq8SearchSql =
+    s"""WITH $sq8SearchCtes,
       |$adcRankSql""".stripMargin
 
   // ---- IVF-PQ composed search ---------------------------------------------
@@ -2102,6 +2106,30 @@ object Similarity extends QueryModule {
     s"""WITH ${ivfPqSearchCtesFor(PqSearchProbes)},
       |${recallAuditSqlTail("rnk")}""".stripMargin
 
+  /** q196: RECALL@k of the SQ8 index (q193) against exact search — the
+    * q171 acceptance instrument applied to the scalar quantizer, so the
+    * PQ-vs-SQ8 trade is measured, not assumed: PQ compresses harder
+    * (8 bytes/vector vs 64) but distorts more; SQ8's per-dim error is
+    * bounded by step/2, so on corpora whose per-dim ranges are tight
+    * (normalized embeddings — this fixture) its recall runs at/near 1.0
+    * while PQ's (q171) pays the coarse-codebook price. Same exact-side
+    * kernel and roll-up as q171/q175 ([[exactSqTopK]], [[annRecallFrom]])
+    * — one audit grammar across the index family. */
+  def sq8Recall(spark: SparkSession, dir: String): DataFrame =
+    sq8RecallOf(Tables.embeddings(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  private[graft] def sq8RecallOf(emb: DataFrame): DataFrame =
+    annRecallFrom(
+      sq8SearchOf(emb).select(col("query_id"), col("neighbor_id")),
+      exactSqTopK(emb).select(col("query_id"), col("neighbor_id")))
+
+  private val sq8RecallSql =
+    s"""WITH $sq8SearchCtes,
+      |$adcRankCte,
+      |e2 AS (${subvectorsSqlOver("e")}),
+      |${recallAuditSqlTail("rnk")}""".stripMargin
+
   // ---------------------------------------------------------------------
   // q172: IVF-PQ search with an exact re-rank (refine) stage
   // ---------------------------------------------------------------------
@@ -2251,6 +2279,7 @@ object Similarity extends QueryModule {
     GraftQuery("q105_pq_encode", pqEncode, Some(pqEncodeSql)),
     GraftQuery("q106_pq_search", pqSearch, Some(pqSearchSql)),
     GraftQuery("q193_sq8_search", sq8Search, Some(sq8SearchSql)),
+    GraftQuery("q196_sq8_recall", sq8Recall, Some(sq8RecallSql)),
     GraftQuery("q107_ivfpq_search", ivfPqSearch, Some(ivfPqSearchSql)),
     GraftQuery("q108_ivfpq_index_build", ivfPqIndexBuild, Some(ivfPqIndexBuildSql)),
     // the persisted index is deterministic, so the persisted-form search

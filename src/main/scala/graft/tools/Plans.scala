@@ -667,7 +667,14 @@ object Plans {
           "partial HashAggregate directly; unigram + pair-total " +
           "aggregates broadcast back; two vocab equi-joins; " +
           "TakeOrdered(100) tail.",
-        graft.operators.TextOps.pmiCollocations(spark, dir)))
+        graft.operators.TextOps.pmiCollocations(spark, dir)),
+      section("q196 SQ8 recall audit (r14)",
+        "What to look for: q193's broadcast-LUT scan on one side, the " +
+          "brute-force exact kernel (probe-broadcast block join + " +
+          "decimal sums) on the other, joined per (query, neighbor) " +
+          "with a left-semi + two tiny per-probe aggregates — the " +
+          "q171 audit grammar.",
+        graft.operators.Similarity.sq8Recall(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

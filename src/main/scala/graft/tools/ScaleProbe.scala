@@ -935,6 +935,14 @@ object ScaleProbe {
       graft.operators.TextOps.pmiCollocationsOf(docs).count()
     time("q195 pmi collocations 1x (5k docs)")(pmiCount(d1))
     time(s"q195 pmi collocations ${copies}x")(pmiCount(dN))
+    // q196: the SQ8 audit pairs q193's gated scan with the brute-force
+    // exact side — the exact kernel is O(probes × corpus) by definition
+    // (that is what makes it the acceptance baseline, q171's shape), so
+    // the row certifies the audit stays ∝ corpus, not worse.
+    def sq8RecallCount(e: DataFrame): Long =
+      graft.operators.Similarity.sq8RecallOf(e).count()
+    time("q196 sq8 recall 1x (5k vecs)")(sq8RecallCount(e1))
+    time(s"q196 sq8 recall ${copies}x")(sq8RecallCount(eN))
 
     spark.stop()
   }

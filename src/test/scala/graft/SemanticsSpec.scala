@@ -1529,6 +1529,24 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === expect)
   }
 
+  test("q196 SQ8 recall: exactly 1.0 on grid-exact vectors (quantization is lossless there)") {
+    val session = spark
+    import session.implicits._
+    // the q193 corpus: integer coordinates with per-dim extremes planted
+    // → SQ8 reconstruction is exact → its top-5 IS the exact top-5 and
+    // every probe's recall@5 must be exactly 1.0 (k=5 present for all)
+    val dim = 64
+    def vec(i: Int): Array[Double] =
+      if (i == 28) Array.fill(dim)(0.0)
+      else if (i == 29) Array.fill(dim)(255.0)
+      else Array.tabulate(dim)(d => ((i * 37 + d * 11) % 256).toDouble)
+    val emb = (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val got = operators.Similarity.sq8RecallOf(emb)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === (0 until operators.Similarity.PqSearchProbes.toInt)
+      .map(q => (q.toLong, 5L, 5L, 1.0)))
+  }
+
   test("q194 artifact TF-IDF equals q94's in-plan form bit-for-bit (invisibility law)") {
     val a = TextOps.tfidfFromArtifact(spark, sf0001).collect().toSeq
     val b = TextOps.tfidfTopTerms(spark, sf0001).collect().toSeq
