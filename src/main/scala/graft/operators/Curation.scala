@@ -835,6 +835,81 @@ object Curation extends QueryModule {
       |FROM s GROUP BY 1
       |ORDER BY shard_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q197: end-to-end training export (mixture ∩ split → shards)
+  // ---------------------------------------------------------------------
+
+  /** q197: the composed training-set export a user of this library
+    * actually runs — three individually-certified operators chained as
+    * one dataflow: the census-calibrated √-temperature mixture gate
+    * (q188) picks the training MIX, the leakage-safe cluster-aware
+    * split (q192) keeps near-duplicates of holdout docs out of train,
+    * and the survivors pack into fixed-token-budget contiguous shards
+    * (q189's arithmetic over the SELECTED subset). Output = the
+    * (doc_id, source, n_tokens, shard_id) table a trainer's loader
+    * reads. The point of the query is the COMPOSITION: every stage
+    * replays in an independent engine, so the end-to-end export is
+    * bit-reproducible — the property that makes training runs and
+    * ablations comparable.
+    *
+    * Scale posture: each stage keeps its own certified shape — the
+    * mixture gate is a broadcast rate join + codegen draw, the split is
+    * a doc_id equi-join against the persisted label artifact + codegen
+    * draw, and the selection funnels through two doc_id LEFT-SEMI joins
+    * before the pack's per-source windows, so the corpus crosses the
+    * pipeline once and nothing widens. */
+  def trainingExport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sampled = mixtureGate(docs.select(col("doc_id"), col("source")),
+      mixtureRateTable(docs)).select(col("doc_id"))
+    val train = Dedup.clusterSplitAssign(spark, dir)
+      .filter(col("split") === "train").select(col("doc_id"))
+    shardPackOf(docs.select(col("doc_id"), col("source"), col("text"))
+      .join(sampled, Seq("doc_id"), "left_semi")
+      .join(train, Seq("doc_id"), "left_semi"))
+  }
+
+  /** Oracle: the three stages' own oracle fragments composed in one
+    * WITH — q192's recursive label/split chain, q188's census/rates/
+    * draw, q189's global cumsum over the selected rows. */
+  private val trainingExportSql =
+    s"""WITH RECURSIVE ${Dedup.gatedShinglesCtes("documents")},
+      |${Dedup.jaccardPairsCtes},
+      |${Dedup.clusterCtes},
+      |gk AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS group_key
+      |       FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+      |tr AS (SELECT doc_id FROM gk
+      |       WHERE (((group_key % 1000000 + 1000000) % 1000000)
+      |              * ${Dedup.SplitMult % 1000000L}) % 1000000
+      |             < ${Dedup.SplitTrainPpm}),
+      |per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+      |          CAST(SUM(CAST(SQRT(CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
+      |            AS DOUBLE) AS sw
+      |        FROM per),
+      |rates AS (SELECT source,
+      |            CAST(ROUND(LEAST(CAST(1.0 AS DOUBLE),
+      |              $MixtureBudget * n_total * (SQRT(CAST(n AS DOUBLE)) / sw) / n)
+      |              * 1e6) AS BIGINT) AS rate_ppm
+      |          FROM per, tot),
+      |sel AS (SELECT d.doc_id, d.source, d.text
+      |        FROM documents d
+      |        JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+      |        JOIN tr ON d.doc_id = tr.doc_id
+      |        WHERE (((d.doc_id % 1000000 + 1000000) % 1000000)
+      |               * ${MixMult % 1000000L}) % 1000000 < r.rate_ppm),
+      |st AS (SELECT doc_id, source,
+      |         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      |       FROM sel),
+      |sc AS (SELECT doc_id, source, n_tokens,
+      |         SUM(n_tokens) OVER (ORDER BY source NULLS FIRST, doc_id
+      |           ROWS UNBOUNDED PRECEDING) AS cum
+      |       FROM st)
+      |SELECT doc_id, source, n_tokens,
+      |  CAST((cum - n_tokens) // $ShardTokenBudget AS BIGINT) AS shard_id
+      |FROM sc
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
   private val shardPackSql =
     s"""WITH t AS (SELECT doc_id, source,
       |        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
@@ -1589,6 +1664,7 @@ object Curation extends QueryModule {
     GraftQuery("q120_epoch_plan", epochPlan, Some(epochPlanSql)),
     GraftQuery("q188_mixture_sample", mixtureSample, Some(mixtureSampleSql)),
     GraftQuery("q189_shard_pack", shardPack, Some(shardPackSql)),
+    GraftQuery("q197_training_export", trainingExport, Some(trainingExportSql)),
     GraftQuery("q191_shard_manifest", shardManifest, Some(shardManifestSql)),
     GraftQuery("q121_source_drift_kl", sourceDriftKl, Some(sourceDriftKlSql)),
     GraftQuery("q160_curation_funnel", curationFunnel, Some(curationFunnelSql)),

@@ -668,6 +668,14 @@ object Plans {
           "aggregates broadcast back; two vocab equi-joins; " +
           "TakeOrdered(100) tail.",
         graft.operators.TextOps.pmiCollocations(spark, dir)),
+      section("q197 end-to-end training export (r14)",
+        "What to look for: one corpus pass funneled through two doc_id " +
+          "LEFT-SEMI joins (the mixture gate's broadcast rate join + " +
+          "codegen draw, the split's label-artifact join + codegen " +
+          "draw), then q189's pack — per-source windows with the one " +
+          "unkeyed window over the |sources|-row aggregate; every stage " +
+          "keeps its own certified shape.",
+        graft.operators.Curation.trainingExport(spark, dir)),
       section("q196 SQ8 recall audit (r14)",
         "What to look for: q193's broadcast-LUT scan on one side, the " +
           "brute-force exact kernel (probe-broadcast block join + " +

@@ -829,6 +829,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
   }
 
+  test("q197 training export: semi-join funnel, source-keyed pack windows, no cartesian") {
+    val plan = executedPlan(Curation.trainingExport(spark, sf0001))
+    assert(plan.contains("LeftSemi"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("q158 winnowed pairs: fp equi-join with the anti-join gate, no nested loop") {
     val plan = executedPlan(SpanDedup.winnowedOverlapPairs(spark, sf0001))
     // pair generation must be an equi-join on the 8-byte fingerprint,

@@ -1529,6 +1529,22 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(got === expect)
   }
 
+  test("q197 training export = mixture sample ∩ train split, packed contiguously") {
+    val exp = operators.Curation.trainingExport(spark, sf0001).collect()
+    val ids = exp.map(_.getLong(0)).toSet
+    val sample = operators.Curation.mixtureSample(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val train = operators.Dedup.clusterSplitAssign(spark, sf0001)
+      .collect().filter(_.getString(2) == "train").map(_.getLong(0)).toSet
+    // the export is EXACTLY the composition of its certified stages
+    assert(ids === (sample intersect train))
+    assert(ids.nonEmpty && ids.size < sample.size) // both gates actually cut
+    // packing covers shards 0..max with no gaps (no fixture doc exceeds
+    // the budget, so the cumsum cannot skip a shard interval)
+    val shards = exp.map(_.getLong(3)).distinct.sorted.toSeq
+    assert(shards === (0L to shards.max))
+  }
+
   test("q196 SQ8 recall: exactly 1.0 on grid-exact vectors (quantization is lossless there)") {
     val session = spark
     import session.implicits._
