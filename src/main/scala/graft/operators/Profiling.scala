@@ -51,12 +51,23 @@ object Profiling extends QueryModule {
   def normalizeText(spark: SparkSession, dir: String): DataFrame =
     normalizeTextOf(Tables.documents(spark, dir))
 
+  /** The canonical-form kernel shared by q122 and q200: NFC + lowercase
+    * (one native codegen expression), trim, inner-whitespace collapse.
+    * Oracle mirror: `REGEXP_REPLACE(TRIM(LOWER(NFC_NORMALIZE(text))),
+    * ' +', ' ', 'g')` — interpolated into both oracles so the canonical
+    * form cannot drift between the report and the dedup. */
+  private def normExpr =
+    regexp_replace(trim(expr("graft_nfc_lower(text)")), " +", " ")
+
+  private val normExprSql =
+    "REGEXP_REPLACE(TRIM(LOWER(NFC_NORMALIZE(text))), ' +', ' ', 'g')"
+
   /** DataFrame-level core (testable on constructed corpora). */
   def normalizeTextOf(d: DataFrame): DataFrame = {
     // self-heal registration (randomProjectionOf's pattern): the core must
     // work on driver-owned sessions not built via GraftSession
     graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
-    val norm = regexp_replace(trim(expr("graft_nfc_lower(text)")), " +", " ")
+    val norm = normExpr
     d.select(col("doc_id"), col("lang"), norm.as("norm_text"), col("text"))
       .select(col("doc_id"), col("lang"), col("norm_text"),
         // LongType: DuckDB's LENGTH is BIGINT and the driver compares schemas
@@ -67,15 +78,80 @@ object Profiling extends QueryModule {
   }
 
   private val normalizeTextSql =
-    """WITH n AS (
+    s"""WITH n AS (
       |  SELECT doc_id, lang, text,
-      |    REGEXP_REPLACE(TRIM(LOWER(NFC_NORMALIZE(text))), ' +', ' ', 'g')
+      |    $normExprSql
       |      AS norm_text
       |  FROM documents)
       |SELECT doc_id, lang, norm_text,
       |  LENGTH(norm_text) AS n_chars_norm,
       |  CASE WHEN norm_text <> text THEN 1 ELSE 0 END AS changed
       |FROM n ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q200: normalization-aware exact dedup accounting
+  // ---------------------------------------------------------------------
+
+  /** q200: exact dedup on the CANONICAL form — group documents by the
+    * q122 normalized text (NFC + casefold + whitespace collapse), keep
+    * the minimum doc_id per group, and account the purge per source.
+    * This is CCNet's normalize-then-hash dedup step (Wenzek et al.,
+    * LREC 2020): raw exact dedup (q70/q71) misses "É " vs "é" vs
+    * "e+combining acute" copies; running the same keep-first rule on the
+    * canonical form catches them. The fixture corpus is duplicate-free
+    * (all n_purged = 0, like q70's empty output); ProfilingSpec's
+    * constructed corpora exercise the collapse, including variants that
+    * differ ONLY by normalization.
+    *
+    * Scale shape: shuffles key on sha2(canonical) — 32 bytes, never the
+    * full text (the q163 precedent) — into a (key, source) aggregate,
+    * then a key-level min to pick the global keeper, then a #source-row
+    * roll-up. Two corpus-keyed exchanges, no window over the corpus, no
+    * Expand (distinct-group counts fall out of the (key, source)
+    * pre-aggregate's own cardinality instead of a COUNT(DISTINCT)). The
+    * oracle groups by the canonical TEXT itself — equality of the two
+    * partitions is the standard collision-free sha2 assumption.
+    *
+    * `n_norm_groups` counts groups INTERSECTING the source; `n_kept`
+    * counts groups whose GLOBAL keeper lives in the source — the two
+    * differ exactly when a duplicate group spans sources. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedupOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def normalizedDedupOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    val keyed = d.select(col("doc_id"), col("source"),
+      sha2(normExpr, 256).as("k"))
+    val byKeySrc = keyed.groupBy(col("k"), col("source"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("min_src"))
+    val keeper = byKeySrc.groupBy(col("k"))
+      .agg(min(col("min_src")).as("keeper"))
+    byKeySrc.join(keeper, Seq("k"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_norm_groups"),
+        sum(when(col("min_src") === col("keeper"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("n_purged", col("n_docs") - col("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val normalizedDedupSql =
+    s"""WITH n AS (SELECT doc_id, source, $normExprSql AS nt FROM documents),
+      |bk AS (SELECT nt, source, COUNT(*) AS c, MIN(doc_id) AS min_src
+      |       FROM n GROUP BY 1, 2),
+      |g AS (SELECT nt, MIN(min_src) AS keeper FROM bk GROUP BY 1)
+      |SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_norm_groups,
+      |  CAST(SUM(CASE WHEN min_src = keeper THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(c) - SUM(CASE WHEN min_src = keeper THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purged
+      |FROM bk JOIN g USING (nt)
+      |GROUP BY source
+      |ORDER BY source NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
   // q123: per-source data card
@@ -697,5 +773,6 @@ object Profiling extends QueryModule {
     GraftQuery("q130_vocab_overlap_sketch", vocabOverlapSketch,
       Some(vocabOverlapSketchSql)),
     GraftQuery("q148_token_budget_cap", tokenBudgetCap, Some(tokenBudgetCapSql)),
+    GraftQuery("q200_normalized_dedup", normalizedDedup, Some(normalizedDedupSql)),
   )
 }

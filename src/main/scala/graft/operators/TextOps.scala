@@ -1521,6 +1521,10 @@ object TextOps extends QueryModule {
     GraftQuery("q110_bigram_surprisal_floored", bigramSurprisalFloored,
       Some(bigramSurprisalFlooredSql)),
     GraftQuery("q168_span_corruption", spanCorruption, Some(spanCorruptionSql)),
+    GraftQuery("q198_hashed_doc_vectors", hashedDocVectors,
+      Some(hashedDocVectorsSql)),
+    GraftQuery("q199_source_similarity", sourceSimilarity,
+      Some(sourceSimilaritySql)),
   )
 
   // ---------------------------------------------------------------------
@@ -1632,4 +1636,181 @@ object TextOps extends QueryModule {
       |FROM pieces
       |GROUP BY doc_id
       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q198: hashed TF-IDF doc vectors (feature hashing)
+  // ---------------------------------------------------------------------
+
+  /** Feature-hashing width for q198/q199: 32 signed buckets. */
+  val HashedVecDims = 32
+
+  /** q198: dense document vectors via the hashing trick (Weinberger et
+    * al., "Feature Hashing for Large Scale Multitask Learning", ICML
+    * 2009) — each token's TF-IDF weight lands in bucket `tokhash % D`
+    * with its sign drawn from the hash's next bit, and the per-doc
+    * bucket sums are L2-normalized. This bridges raw text into the
+    * vector operators (q80-q84/q96/q182 run on the synthetic
+    * `embeddings` table; this derives vectors from `documents` itself)
+    * with NO model artifact: the featurizer is a hash function, so it is
+    * stateless, embarrassingly parallel, and bit-reproducible on any
+    * engine — the DuckDB oracle replays the hash character by character
+    * via the shared [[Dedup.polyFoldSql]] fragment.
+    *
+    * Scale shape: the q94 TF-IDF front (two keyed aggregates over the
+    * token universe), then one (doc_id, dim)-keyed sum — output ≤ N·D
+    * rows, no corpus-global state, no windows. The long (doc_id, dim, w)
+    * form IS the scale form: 100 TB of text streams through the same
+    * keyed aggregates without ever materializing a wide row per doc.
+    *
+    * Determinism: each bucket term is DECIMAL(38,12)-cast BEFORE summing
+    * (q93's exact-sum discipline — aggregation order cannot move the
+    * result), as is each squared component under the norm; the final
+    * divide + ROUND(...,6) then run on identical doubles in both
+    * engines. `pmod` here equals `%`: graft_tokhash is already in
+    * [0, P), never negative (the q188 ADVICE precedent, documented). */
+  def hashedDocVectors(spark: SparkSession, dir: String): DataFrame =
+    hashedDocVectorsOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def hashedDocVectorsOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    val D = HashedVecDims
+    val tokCnt = d.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    // broadcast scalar idiom: the 1-row corpus size under every vocab row
+    val idf = tokCnt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
+    val comp = tokCnt.join(idf, Seq("tok"))
+      .withColumn("th", expr("graft_tokhash(tok)"))
+      .select(col("doc_id"),
+        pmod(col("th"), lit(D.toLong)).cast(IntegerType).as("dim"),
+        (when(pmod(expr(s"th div $D"), lit(2L)) === 0L, lit(1)).otherwise(lit(-1))
+          * col("cnt") * col("idf")).cast(DecimalType(38, 12)).as("term"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("term")).as("w"))
+    val wd = col("w").cast(DoubleType)
+    val nrm = comp
+      .select(col("doc_id"), (wd * wd).cast(DecimalType(38, 12)).as("w2"))
+      .groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w2")).cast(DoubleType)).as("nrm"))
+    // nrm > 0 guards the divide; a doc with no tokens emits no rows at
+    // all (no groupBy domain), and a doc whose terms all cancel exactly
+    // is excluded in BOTH engines by the same predicate
+    comp.join(nrm, Seq("doc_id"))
+      .filter(col("nrm") > 0)
+      .select(col("doc_id"), col("dim"), round(wd / col("nrm"), 6).as("w"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  /** Oracle CTEs ending in `vec` = (doc_id, dim, w) unit vectors over
+    * `documents` — shared VERBATIM by the q198 and q199 oracles so the
+    * featurizer definition cannot drift between them. */
+  private[operators] val hashedDocVectorsCtes: String = {
+    val D = HashedVecDims
+    s"""tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+      |        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      |              FROM documents) x GROUP BY 1, 2),
+      |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |idf AS (SELECT tok, LN(CAST(n_docs AS DOUBLE) / COUNT(*)) AS idf
+      |        FROM tc, nn GROUP BY tok, n_docs),
+      |th AS (SELECT doc_id, cnt, idf,
+      |         ${Dedup.polyFoldSql("tok", graft.functions.PolyHash.M1)} AS th
+      |       FROM tc JOIN idf USING (tok)),
+      |comp AS (SELECT doc_id, CAST(th % $D AS INT) AS dim,
+      |    SUM(CAST((CASE WHEN (th // $D) % 2 = 0 THEN 1 ELSE -1 END)
+      |        * cnt * idf AS DECIMAL(38,12))) AS w
+      |  FROM th GROUP BY 1, 2),
+      |nrm AS (SELECT doc_id,
+      |    SQRT(CAST(SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
+      |      AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      |  FROM comp GROUP BY 1),
+      |vec AS (SELECT c.doc_id, c.dim,
+      |    ROUND(CAST(c.w AS DOUBLE) / nrm, 6) AS w
+      |  FROM comp c JOIN nrm USING (doc_id) WHERE nrm > 0)""".stripMargin
+  }
+
+  private val hashedDocVectorsSql =
+    s"""WITH $hashedDocVectorsCtes
+      |SELECT doc_id, dim, w FROM vec
+      |ORDER BY doc_id NULLS FIRST, dim""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q199: source semantic-similarity matrix
+  // ---------------------------------------------------------------------
+
+  /** q199: the source×source semantic-similarity matrix — cosine between
+    * per-source centroid DIRECTIONS of the q198 unit vectors. What a
+    * mixture designer (q98/q104/q188) reads next to the q123 datacard:
+    * two sources whose centroids nearly coincide are interchangeable
+    * supply; a low-similarity source adds coverage the others lack.
+    * Centroids are plain SUMS of member unit vectors — cosine is
+    * scale-invariant, so dividing by the member count would cancel and
+    * the sum needs no second doc-count aggregate.
+    *
+    * Scale shape: q198's keyed aggregates, one (source, dim) sum
+    * (≤ #sources × D rows — model-sized), then a dim-keyed self-join
+    * over that tiny table: O(#sources² · D) pair terms, never
+    * corpus-sized. NULL-source docs contribute a centroid row but the
+    * strict `source_a < source_b` inequality excludes them from the
+    * matrix in BOTH engines (NULL comparisons are NULL); sources whose
+    * vectors share no bucket get no row — their cosine is exactly 0. */
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame =
+    sourceSimilarityOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source")))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def sourceSimilarityOf(d: DataFrame): DataFrame = {
+    val vec = hashedDocVectorsOf(d.select(col("doc_id"), col("text")))
+    // unit components re-enter exact summation as DECIMAL(38,12): the
+    // rounded doubles are ≤ 6 decimal digits, so the cast is exact and
+    // the per-(source, dim) sum is aggregation-order-independent
+    val cen = vec.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("w").cast(DecimalType(38, 12))).as("sw"))
+      .select(col("source"), col("dim"), col("sw").cast(DoubleType).as("swd"))
+    val nrm = cen
+      .select(col("source"),
+        (col("swd") * col("swd")).cast(DecimalType(38, 12)).as("s2"))
+      .groupBy(col("source")).agg(sqrt(sum(col("s2")).cast(DoubleType)).as("nrm"))
+    val dots = cen.as("a").join(cen.as("b"), Seq("dim"))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        (col("a.swd") * col("b.swd")).cast(DecimalType(38, 12)).as("p"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("p")).as("dot"))
+    dots
+      .join(nrm.select(col("source").as("source_a"), col("nrm").as("nrm_a")),
+        Seq("source_a"))
+      .join(nrm.select(col("source").as("source_b"), col("nrm").as("nrm_b")),
+        Seq("source_b"))
+      .filter(col("nrm_a") > 0 && col("nrm_b") > 0)
+      .select(col("source_a"), col("source_b"),
+        round(col("dot").cast(DoubleType) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("cos_sim"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val sourceSimilaritySql =
+    s"""WITH $hashedDocVectorsCtes,
+      |cen AS (SELECT d.source, v.dim, SUM(CAST(v.w AS DECIMAL(38,12))) AS sw
+      |        FROM vec v JOIN documents d USING (doc_id)
+      |        GROUP BY 1, 2),
+      |cend AS (SELECT source, dim, CAST(sw AS DOUBLE) AS swd FROM cen),
+      |snrm AS (SELECT source,
+      |    SQRT(CAST(SUM(CAST(swd * swd AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+      |  FROM cend GROUP BY 1),
+      |dots AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    SUM(CAST(a.swd * b.swd AS DECIMAL(38,12))) AS dot
+      |  FROM cend a JOIN cend b ON a.dim = b.dim AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b,
+      |  ROUND(CAST(dot AS DOUBLE) / (x.nrm * y.nrm), 6) AS cos_sim
+      |FROM dots
+      |JOIN snrm x ON source_a = x.source
+      |JOIN snrm y ON source_b = y.source
+      |WHERE x.nrm > 0 AND y.nrm > 0
+      |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST""".stripMargin
 }

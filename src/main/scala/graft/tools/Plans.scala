@@ -682,7 +682,27 @@ object Plans {
           "decimal sums) on the other, joined per (query, neighbor) " +
           "with a left-semi + two tiny per-probe aggregates — the " +
           "q171 audit grammar.",
-        graft.operators.Similarity.sq8Recall(spark, dir)))
+        graft.operators.Similarity.sq8Recall(spark, dir)),
+      section("q198 hashed TF-IDF doc vectors (r14)",
+        "What to look for: explode → two keyed HashAggregates (the q94 " +
+          "TF-IDF front) with the 1-row n_docs scalar broadcast; the " +
+          "bucket/sign arithmetic is per-row codegen; the (doc_id, dim) " +
+          "sum and the norm aggregate are both map-side partial — NO " +
+          "window, no self-join, output ≤ N×32 rows.",
+        graft.operators.TextOps.hashedDocVectors(spark, dir)),
+      section("q199 source semantic-similarity matrix (r14)",
+        "What to look for: q198's featurizer feeding ONE (source, dim) " +
+          "aggregate (model-sized: #sources×32 rows), then the dim-keyed " +
+          "equi-self-join over that tiny table — the corpus never joins " +
+          "itself; at fixture scale AQE broadcasts the centroid side.",
+        graft.operators.TextOps.sourceSimilarity(spark, dir)),
+      section("q200 normalization-aware exact dedup (r14)",
+        "What to look for: the NFC+casefold kernel inside the scan's " +
+          "project, every exchange keyed by the 32-byte sha2 of the " +
+          "canonical form (never raw text — the q163 convention); two " +
+          "stacked keyed aggregates, a key-level min join, a #source-row " +
+          "roll-up; no window, no Expand, no COUNT(DISTINCT).",
+        graft.operators.Profiling.normalizedDedup(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

@@ -943,6 +943,29 @@ object ScaleProbe {
       graft.operators.Similarity.sq8RecallOf(e).count()
     time("q196 sq8 recall 1x (5k vecs)")(sq8RecallCount(e1))
     time(s"q196 sq8 recall ${copies}x")(sq8RecallCount(eN))
+    // q198: featurizer = explode + keyed aggregates, output ∝ docs×32 —
+    // must scale linearly (the dN marker rewrite grows the vocab, so the
+    // idf table grows realistically too, not just the doc count)
+    def hashedVecCount(docs: DataFrame): Long =
+      graft.operators.TextOps.hashedDocVectorsOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    time("q198 hashed vectors 1x (5k docs)")(hashedVecCount(d1))
+    time(s"q198 hashed vectors ${copies}x")(hashedVecCount(dN))
+    // q199: the matrix tail is #sources²×32 — constant as docs grow
+    // (same 20 sources per copy), so the row isolates the corpus-sized
+    // featurize + (source, dim) aggregate front
+    def srcSimCount(docs: DataFrame): Long =
+      graft.operators.TextOps.sourceSimilarityOf(
+        docs.select(col("doc_id"), col("text"), col("source"))).count()
+    time("q199 source similarity 1x (5k docs)")(srcSimCount(d1))
+    time(s"q199 source similarity ${copies}x")(srcSimCount(dN))
+    // q200: two sha-keyed aggregates + a key-min join; distinct canonical
+    // keys grow with the corpus (the marker rewrite keeps copies unequal)
+    def normDedupCount(docs: DataFrame): Long =
+      graft.operators.Profiling.normalizedDedupOf(
+        docs.select(col("doc_id"), col("source"), col("text"))).count()
+    time("q200 normalized dedup 1x (5k docs)")(normDedupCount(d1))
+    time(s"q200 normalized dedup ${copies}x")(normDedupCount(dN))
 
     spark.stop()
   }

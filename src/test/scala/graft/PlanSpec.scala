@@ -967,4 +967,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("partial_min") || plan.contains("partial_finalmerge")
       || plan.contains("HashAggregate"), plan.take(4000))
   }
+
+  test("q198 hashed vectors: keyed aggregates only — no window, no cartesian") {
+    val plan = executedPlan(TextOps.hashedDocVectors(spark, sf0001))
+    // the featurizer is explode → keyed aggregates → equi-joins; the only
+    // nested-loop join allowed is the 1-row n_docs scalar broadcast (the
+    // q93 idiom), and nothing may introduce a window or true cartesian
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+  }
+
+  test("q199 source similarity: dim-keyed self-join over the model-sized centroid table") {
+    val plan = executedPlan(TextOps.sourceSimilarity(spark, sf0001))
+    // the source×source matrix must come from an EQUI-join on dim over
+    // the #sources×D centroid table — never a cartesian over sources
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+  }
+
+  test("q200 normalized dedup: sha-keyed aggregates, no window, no Expand, no raw-text key") {
+    val df = Profiling.normalizedDedup(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    // the scaladoc's no-COUNT(DISTINCT) claim: no Expand node
+    assert(!plan.contains("Expand"), plan.take(4000))
+    // every exchange partitions on the 32-byte sha2 key or the source
+    // roll-up key — never on the raw normalized text itself
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    exchanges.foreach(p => assert(!p.contains("norm_text") && !p.contains("text#"),
+      s"raw-text-keyed exchange: $p"))
+  }
 }

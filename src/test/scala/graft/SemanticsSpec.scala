@@ -2358,4 +2358,90 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       assert(r.getDouble(4) <= bruteBest(r.getLong(0)) + 1e-9)
     }
   }
+
+  test("q198 hashed vectors: unit norm, stable dims, identical texts → identical vectors") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"), // exact copy of doc 1
+      (3L, "delta epsilon zeta eta theta"),
+      (4L, ""), // empty text: split('', ' ') = [""], one token
+      (5L, "alpha")) // idf(alpha) spans 4 docs
+      .toDF("doc_id", "text")
+    val vec = operators.TextOps.hashedDocVectorsOf(docs)
+      .as[(Long, Int, Double)].collect().toSeq
+    // dims in range, weights in [-1, 1]
+    vec.foreach { case (_, dim, w) =>
+      assert(dim >= 0 && dim < operators.TextOps.HashedVecDims)
+      assert(w >= -1.0 - 1e-9 && w <= 1.0 + 1e-9)
+    }
+    // unit norm per doc (rounding at 6dp over ≤32 dims ⇒ ≤ ~1e-4 drift)
+    vec.groupBy(_._1).foreach { case (doc, rows) =>
+      val ss = rows.map(t => t._3 * t._3).sum
+      assert(math.abs(ss - 1.0) < 1e-3, s"doc $doc norm² = $ss")
+    }
+    // identical texts featurize identically — the hash has no doc state
+    val v1 = vec.filter(_._1 == 1L).map(t => (t._2, t._3)).sortBy(_._1)
+    val v2 = vec.filter(_._1 == 2L).map(t => (t._2, t._3)).sortBy(_._1)
+    assert(v1 === v2 && v1.nonEmpty)
+    // disjoint-token docs share no bucket ONLY up to hash collisions, so
+    // assert the weaker direction that must hold: doc 3's bucket set is
+    // derived from its own 5 tokens — at most 5 non-zero buckets
+    assert(vec.count(_._1 == 3L) <= 5)
+  }
+
+  test("q199 source similarity: identical sources at cos 1, all pairs in [-1,1], a<b") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "sA"),
+      (2L, "delta epsilon", "sA"),
+      (3L, "alpha beta gamma", "sB"), // sB = exact content copy of sA
+      (4L, "delta epsilon", "sB"),
+      (5L, "omega psi chi phi", "sC"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.TextOps.sourceSimilarityOf(docs)
+      .as[(String, String, Double)].collect().toSeq
+    val m = got.map(t => (t._1, t._2) -> t._3).toMap
+    // content-identical sources have identical centroids: cosine exactly 1
+    assert(m(("sA", "sB")) === 1.0)
+    got.foreach { case (a, b, c) =>
+      assert(a < b, s"pair ($a,$b) violates a<b")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // fixture: full strictly-upper-triangular matrix over the 20 sources
+    val fix = operators.TextOps.sourceSimilarity(spark, sf001).collect()
+    assert(fix.length === 190)
+    fix.foreach(r => assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("q200 normalized dedup: catches case/space/NFC variants, attributes the keeper") {
+    val session = spark
+    import session.implicits._
+    // "Héllo  World" (precomposed é, double space), "héllo world",
+    // "hello world": the first two share one canonical form, the third
+    // differs; doc 10 is a cross-source copy whose keeper lives in sX
+    val docs = Seq(
+      (1L, "Héllo  World", "sX"),
+      (2L, "héllo world", "sX"),
+      (3L, "hello world", "sX"),
+      (10L, "héllo world", "sY"), // decomposed é: NFC-equal to docs 1/2
+      (11L, "unrelated text", "sY"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.Profiling.normalizedDedupOf(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got("sX") === ((3L, 2L, 2L, 1L))) // docs, groups, kept, purged
+    assert(got("sY") === ((2L, 2L, 1L, 1L))) // doc 10's keeper is doc 1 in sX
+    // conservation on the fixture: Σ n_docs = corpus, kept + purged = docs,
+    // and canonical dedup can only purge MORE than raw exact dedup
+    val fix = operators.Profiling.normalizedDedup(spark, sf001).collect()
+    val total = sources.Tables.documents(spark, sf001).count()
+    assert(fix.map(_.getLong(1)).sum === total)
+    fix.foreach(r => assert(r.getLong(2) <= r.getLong(1) &&
+      r.getLong(3) + r.getLong(4) === r.getLong(1)))
+    val rawSurvivors = Dedup.dedupKeepFirst(spark, sf001).count()
+    assert(fix.map(_.getLong(3)).sum <= rawSurvivors)
+  }
 }
