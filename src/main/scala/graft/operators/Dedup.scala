@@ -943,11 +943,29 @@ object Dedup extends QueryModule {
       throw t
     }
     val gatedSurv = spark.read.parquet(s"$base/surv_shingles")
-    jaccardPairsFromGated(gatedSurv.select(col("doc_id"), col("sh")))
-      .write.mode("overwrite").parquet(s"$base/surv_pairs")
-    val (sl, _) = clusterLabels(spark.read.parquet(s"$base/surv_pairs")
-      .select(col("doc_a"), col("doc_b")))
-    sl.write.mode("overwrite").parquet(s"$base/surv_labels")
+    // overlap the label stage's duplicate-gate prefix (corpus sha2 scan,
+    // member map, candidate gate rows — inputs: corpus + survivor cache +
+    // the just-written shingle table, NOTHING from pairs/labels) with the
+    // pair self-join: its jobs fill scheduler slots the join leaves idle,
+    // and rawLabelsViaSurvivors then reuses the warm ScopedCache blocks.
+    // Failures are swallowed inside (the label stage recomputes), so the
+    // await below cannot throw — but it MUST happen before any exception
+    // propagates: an escaping failure triggers ArtifactStore's staging
+    // cleanup, which must not race in-flight prefetch jobs (ADVICE r12).
+    val fGate = scala.concurrent.Future {
+      prefetchRawGate(docs, survivors, gatedSurv)
+    }(scala.concurrent.ExecutionContext.global)
+    val mainFailure =
+      try {
+        jaccardPairsFromGated(gatedSurv.select(col("doc_id"), col("sh")))
+          .write.mode("overwrite").parquet(s"$base/surv_pairs")
+        val (sl, _) = clusterLabels(spark.read.parquet(s"$base/surv_pairs")
+          .select(col("doc_a"), col("doc_b")))
+        sl.write.mode("overwrite").parquet(s"$base/surv_labels")
+        None
+      } catch { case t: Throwable => Some(t) }
+    scala.concurrent.Await.result(fGate, scala.concurrent.duration.Duration.Inf)
+    mainFailure.foreach(throw _)
     rawLabelsViaSurvivors(docs, survivors,
         spark.read.parquet(s"$base/surv_labels"), gatedSurv)
       .write.mode("overwrite").parquet(s"$base/doc_labels")
@@ -1008,44 +1026,80 @@ object Dedup extends QueryModule {
       g.join(g.groupBy(col("sh")).agg(count(lit(1)).as("df")), Seq("sh")))
   }
 
+  /** True iff the corpus has ≥1 exact-duplicate group — read off the
+    * cached survivor aggregate (exactSurvivors carries gsz from the SAME
+    * groupBy that picked the representative), so the check never scans
+    * the raw corpus. */
+  private def hasDupGroups(survivors: DataFrame): Boolean =
+    survivors.filter(col("gsz") >= 2).limit(1).count() > 0
+
+  /** The duplicate-gate prefix of [[rawLabelsViaSurvivors]]: the member
+    * map (non-representative → its group's rep) and the gated shingle
+    * rows of duplicated reps. Both are ScopedCache'd, for two reasons:
+    * `cand` is referenced twice within the fast path itself (gate-
+    * crossing probe + clique-size count — previously two scans of the
+    * shingle table), and the artifact BUILD prefetches both concurrently
+    * with the pair self-join (they depend only on the corpus, the
+    * survivor cache, and the written shingle table — never on pairs or
+    * labels), so by the time the label stage runs, the blocks are warm.
+    *
+    * memberOf: members of duplicate groups WITHOUT re-shuffling the
+    * corpus by text — non-representatives fall out of an id anti-join
+    * against the cached survivors (duplication-proportional output), and
+    * their representative comes from one content-key join whose small
+    * side AQE can broadcast (no hint: under heavy duplication the member
+    * side is genuinely large and an honest shuffle is correct). The raw
+    * side hashes its text ONCE here; the survivor side reuses the tkey
+    * exactSurvivors already carries — no second sha2 scan of the
+    * survivor corpus, and no document body in any exchange.
+    *
+    * cand: gated shingle rows of duplicated reps only (tiny:
+    * duplication-proportional); a shingle not present here has
+    * df_raw == df_surv, and a shingle the survivor gate already removed
+    * has df_raw >= df_surv > MaxShingleDF — gated in both universes. */
+  private def rawGatePrefix(docs: DataFrame, survivors: DataFrame,
+      gatedSurv: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val dupReps = survivors.filter(col("gsz") >= 2)
+      .select(col("doc_id").as("rep"), col("tkey"), col("gsz"))
+    val nonRep = docs.select(col("doc_id"), contentKey(col("text")).as("tkey"))
+      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val memberOf = graft.functions.ScopedCache.persist("dedup.rawgate.members",
+      nonRep.join(dupReps.select(col("rep"), col("tkey")), Seq("tkey"))
+        .select(col("doc_id"), col("rep")))
+    val cand = graft.functions.ScopedCache.persist("dedup.rawgate.cand",
+      gatedSurv.join(dupReps.select(col("rep").as("doc_id"), col("gsz")),
+        Seq("doc_id")))
+    (dupReps, memberOf, cand)
+  }
+
+  /** Build-side overlap hook: materialize the [[rawGatePrefix]] caches
+    * while the pair self-join runs (the build calls this on a Future —
+    * the prefix shares no input with the pair/label stages, so its jobs
+    * interleave with theirs instead of extending the critical path).
+    * Purely an optimization: any failure is swallowed — the label stage
+    * recomputes the identical plans and surfaces real errors itself. */
+  private[operators] def prefetchRawGate(docs: DataFrame, survivors: DataFrame,
+      gatedSurv: DataFrame): Unit =
+    try {
+      if (hasDupGroups(survivors)) {
+        val (_, memberOf, cand) = rawGatePrefix(docs, survivors, gatedSurv)
+        memberOf.count()
+        cand.count()
+        ()
+      }
+    } catch { case _: Throwable => () }
+
   /** 4-arg form taking the already-materialized gated survivor-shingle
     * universe with per-row survivor df (the artifact build passes its
     * just-written `surv_shingles` parquet read, so the gate probe scans
     * disk instead of re-deriving the explode). */
   private[graft] def rawLabelsViaSurvivors(docs: DataFrame, survivors: DataFrame,
       survLabels: DataFrame, gatedSurv: DataFrame): DataFrame = {
-    // duplicate groups come straight off the cached survivor aggregate:
-    // exactSurvivors carries each group's size (gsz) from the SAME
-    // groupBy that picked the representative, so both the no-duplicates
-    // short-circuit and the gate probe below touch only the cached
-    // survivor table — no raw-corpus scan, no membership join, until a
-    // duplicate group's members actually need label rows
-    val dupReps = survivors.filter(col("gsz") >= 2)
-      .select(col("doc_id").as("rep"), col("tkey"), col("gsz"))
     // no exact duplicates at all -> the raw corpus IS the survivor
     // corpus: identical gate, identical pairs, identical labels
-    if (dupReps.limit(1).count() == 0)
+    if (!hasDupGroups(survivors))
       return survLabels.select(col("node"), col("label"))
-    // members of duplicate groups, WITHOUT re-shuffling the corpus by
-    // text: non-representatives fall out of an id anti-join against the
-    // cached survivors (duplication-proportional output), and their
-    // representative comes from one content-key join whose small side
-    // AQE can broadcast (no hint: under heavy duplication the member
-    // side is genuinely large and an honest shuffle is correct).
-    // The raw side hashes its text ONCE here; the survivor side reuses
-    // the tkey exactSurvivors already carries — no second sha2 scan of
-    // the survivor corpus, and no document body in any exchange
-    val nonRep = docs.select(col("doc_id"), contentKey(col("text")).as("tkey"))
-      .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val memberOf = graft.functions.ScopedCache.persist("dedup.rawgate.members",
-      nonRep.join(dupReps.select(col("rep"), col("tkey")), Seq("tkey"))
-        .select(col("doc_id"), col("rep")))
-    // gated shingle rows of duplicated reps only (tiny: duplication-
-    // proportional); a shingle not present here has df_raw == df_surv,
-    // and a shingle the survivor gate already removed has
-    // df_raw >= df_surv > MaxShingleDF — gated in both universes
-    val cand = gatedSurv
-      .join(dupReps.select(col("rep").as("doc_id"), col("gsz")), Seq("doc_id"))
+    val (dupReps, memberOf, cand) = rawGatePrefix(docs, survivors, gatedSurv)
     // df rides on every candidate row (all rows of one sh share it), so
     // the crossing probe is ONE pass over the duplication-proportional
     // candidate set — no second scan or re-aggregation of the universe

@@ -78,6 +78,15 @@ object BuildProbe {
       graft.operators.Dedup.writeNeardupArtifactOf(docsN, base)
       spark.read.parquet(s"$base/doc_labels").count()
     }
+    // same build again, caches cleared but JIT/codegen warm — the cost a
+    // bench pass (median of 3, passes 2-3) actually measures; the delta
+    // vs the row above is JVM warmup, not dataflow
+    time(s"neardup_build_${copies}x_warm") {
+      val base = "/tmp/graft_probe_neardup"
+      rmrf(base)
+      graft.operators.Dedup.writeNeardupArtifactOf(docsN, base)
+      spark.read.parquet(s"$base/doc_labels").count()
+    }
 
     // exact-dup-heavy variant: N verbatim copies (every doc becomes a
     // group of N exact duplicates) — exercises the weighted-gate path
