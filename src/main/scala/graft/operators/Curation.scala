@@ -1649,7 +1649,225 @@ object Curation extends QueryModule {
       |GROUP BY bin
       |ORDER BY bin NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q202: in-engine quality-classifier training (logistic regression)
+  // ---------------------------------------------------------------------
+
+  /** Gradient steps / learning rate for q202. lr = 1 is safely inside
+    * the guaranteed-monotone regime: logistic loss is L-smooth with
+    * L ≤ max‖x‖²/4 = (unit vector + bias = 2)/4 = 0.5, so any lr ≤ 1/L
+    * = 2 strictly decreases the mean log-loss every step — the
+    * SemanticsSpec law (final loss < ln 2, the all-zero-weights loss)
+    * holds by construction, not by luck. */
+  val LrSteps = 5
+  val LrBiasDim: Int = TextOps.HashedVecDims
+
+  /** q202: TRAIN the quality classifier inside the engine — batch
+    * logistic regression on q198's hashed unit vectors (plus a bias
+    * dim), labels = the corpus's own q63 gate (quality ≥
+    * [[FunnelQualityMin]], the q161 target convention). This closes the
+    * loop q114's scaladoc promises ("a trained model would replace the
+    * LCG with a learned weight table"): the output IS that weight table,
+    * derived end-to-end in the engine and bit-reproducible in DuckDB —
+    * the fasttext-style linear quality filter pipelines actually train,
+    * minus nothing but the tokenizer choice.
+    *
+    * Dataflow per step (the production LR-GD shape on DENSE rows): the
+    * dot product and the residual y − σ(z) are per-ROW arithmetic over
+    * the cached (doc_id, xs[33], y) table — no join, no per-doc
+    * shuffle — and the only exchange is the 33-row gradient aggregate,
+    * whose output is the MODEL, the only thing that ever reaches the
+    * driver. 5 unrolled steps; z and the weights round to 6dp each step
+    * (q100's per-step kernel/model rounding, so cross-engine float
+    * drift cannot compound — both engines fold the same 33 doubles in
+    * index order), and the doc-order gradient sum is DECIMAL(38,12)-
+    * cast per term (the 1-ulp engine difference in EXP(-z) enters each
+    * term at ~1e-16 and dies at the cast's 1e-12).
+    *
+    * At 100 TB: each step is one scan of the dense feature table + one
+    * 33-row shuffle — embarrassingly scalable, no window, no driver
+    * state beyond the 33-double model. */
+  def lrQualityTrain(spark: SparkSession, dir: String): DataFrame =
+    lrQualityTrainOf(Tables.documents(spark, dir))
+
+  /** The cached training table: one DENSE row per doc — (doc_id,
+    * xs[33], y), the 32 unit-vector slots scattered by position plus the
+    * bias slot at index 32, labeled by the q63 gate. Dense rows are what
+    * make each training step join-free: the dot product is a per-ROW
+    * ordered fold (the q100 distance-kernel pattern), never a per-doc
+    * aggregate over long-form rows. */
+  private def lrFeats(d: DataFrame): DataFrame = {
+    val lab = TextOps.qualityScoresOf(d).select(col("doc_id"),
+      when(col("quality") >= FunnelQualityMin, lit(1.0)).otherwise(lit(0.0)).as("y"))
+    graft.functions.ScopedCache.persist("q202.feats",
+      lrDense(d).join(lab, Seq("doc_id")))
+  }
+
+  /** One step's gradient table against the model `w`: (dim, g) with
+    * g = Σ_docs xs[dim]·(y − σ(w·xs)), the doc sum decimal-exact. The
+    * model rides in as a 33-literal array; the dot product is an
+    * ORDERED per-row fold rounded to 6dp (both engines sum the same 33
+    * doubles in index order — the q100 kernel discipline), so the step
+    * is join-free and shuffle-free until the 33-row gradient aggregate.
+    * Shared by the training loop and the plan probe (the registered
+    * query returns the literal model, so the step dataflow is guarded
+    * through this hook). */
+  private[graft] def lrGradOf(feats: DataFrame, w: Array[Double]): DataFrame = {
+    val wArr = array(w.toSeq.map(lit): _*)
+    val z = round(aggregate(zip_with(col("xs"), wArr, (x, v) => x * v),
+      lit(0.0), (a, b) => a + b), 6)
+    feats
+      .select(col("xs"),
+        (col("y") - lit(1.0) / (lit(1.0) + exp(-z))).as("err"))
+      .select(col("err"), posexplode(col("xs")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(sum((col("x") * col("err")).cast(DecimalType(38, 12))).as("g"))
+  }
+
+  /** Plan probe: one step's full dataflow on the fixture corpus. */
+  private[graft] def lrStepProbe(spark: SparkSession, dir: String): DataFrame =
+    lrGradOf(lrFeats(Tables.documents(spark, dir)),
+      Array.fill(LrBiasDim + 1)(0.0))
+
+  /** The dense feature rows WITHOUT labels — shared by training (which
+    * joins the q63 gate on) and scoring (which must not need labels). */
+  private def lrDense(d: DataFrame): DataFrame = {
+    val D = TextOps.HashedVecDims
+    TextOps.hashedDocVectorsOf(d.select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("w")))).as("m"))
+      .select(col("doc_id"),
+        expr(s"concat(transform(sequence(0, ${D - 1}), " +
+          "j -> coalesce(element_at(m, j), 0D)), array(1D))").as("xs"))
+  }
+
+  /** q203 model artifact: the q202 weight table persisted once per
+    * fixture (ArtifactStore's ensure rule — build-once/score-many, the
+    * q108/q109 split applied to the classifier). */
+  def ensureLrModel(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("lrmodel", dir, Seq("weights")) { b =>
+      lrQualityTrainOf(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(s"$b/weights")
+    }
+
+  /** q203: score every document with the TRAINED classifier — the apply
+    * half of q202 (train once, score the corpus; at 100 TB the scorer is
+    * what actually runs, nightly, over everything). The model rides in
+    * as 33 literals, so scoring is a PURE MAP: scan → dense features →
+    * per-row ordered fold → sigmoid — no join, no shuffle after the
+    * feature aggregation, trivially parallel at any scale. The oracle
+    * replays the ENTIRE train+score chain from the raw corpus, so a
+    * green row certifies the persisted model too (the q109/q153
+    * admission precedent). `keep` decides at z ≥ 0 ⇔ σ(z) ≥ 0.5 —
+    * decided on z, exactly as both engines computed it, so the 6dp
+    * rounding of the REPORTED score cannot flip a boundary decision. */
+  def lrQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureLrModel(spark, dir)
+    val w = spark.read.parquet(s"$base/weights")
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    lrScoreOf(Tables.documents(spark, dir), w)
+  }
+
+  /** DataFrame-level scoring core against an explicit model. */
+  def lrScoreOf(d: DataFrame, w: Array[Double]): DataFrame = {
+    val wArr = array(w.toSeq.map(lit): _*)
+    val z = round(aggregate(zip_with(col("xs"), wArr, (x, v) => x * v),
+      lit(0.0), (a, b) => a + b), 6)
+    lrDense(d)
+      .select(col("doc_id"), z.as("z"))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
+        when(col("z") >= 0, lit(1)).otherwise(lit(0)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lrQualityScoreSql = {
+    val D = TextOps.HashedVecDims
+    // the full training chain SHARED VERBATIM (lrTrainCtes — one model
+    // definition across q202/q203), then one scoring SELECT
+    s"""WITH $lrTrainCtes,
+      |sc AS (SELECT f.doc_id, ROUND(LIST_SUM(LIST_TRANSFORM(
+      |    GENERATE_SERIES(1, ${D + 1}), j -> f.xs[j] * w.w[j])), 6) AS z
+      |  FROM f CROSS JOIN w$LrSteps w)
+      |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score,
+      |  CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
+      |FROM sc
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def lrQualityTrainOf(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    val feats = lrFeats(d)
+    val nDocs = feats.count()
+    val w = Array.fill(LrBiasDim + 1)(0.0)
+    for (_ <- 1 to LrSteps) {
+      lrGradOf(feats, w).collect().foreach { r =>
+        val dim = r.getInt(0)
+        val g = r.getDecimal(1).doubleValue()
+        w(dim) = new java.math.BigDecimal(w(dim) + g / nDocs)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+    val session = spark
+    import session.implicits._
+    w.toSeq.zipWithIndex.map { case (wt, i) => (i, wt) }
+      .toDF("dim", "weight").orderBy(col("dim"))
+  }
+
+  /** The full training chain as CTEs ending in the final model
+    * `w$LrSteps` — shared VERBATIM by q202 (which projects the weight
+    * table) and q203 (which appends one scoring SELECT), so the two
+    * queries cannot train different models. */
+  // lazy: lrQualityScoreSql sits ABOVE this definition in the file and
+  // reads it during object init — a plain val would interpolate null
+  private lazy val lrTrainCtes: String = {
+    val D = TextOps.HashedVecDims
+    val steps = (1 to LrSteps).map { i =>
+      s"""e$i AS (SELECT f.doc_id, f.xs, f.y - 1.0 / (1.0 + EXP(-ROUND(
+        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, ${D + 1}),
+        |      j -> f.xs[j] * w.w[j])), 6))) AS err
+        |  FROM f CROSS JOIN w${i - 1} w),
+        |g$i AS (SELECT j - 1 AS dim,
+        |    CAST(SUM(CAST(e.xs[j] * e.err AS DECIMAL(38,12))) AS DOUBLE) AS g
+        |  FROM e$i e, UNNEST(GENERATE_SERIES(1, ${D + 1})) t(j) GROUP BY j),
+        |w$i AS (SELECT (SELECT LIST(ROUND(w.w[j + 1] + COALESCE(g.g, 0.0) / n.n, 6)
+        |                            ORDER BY j)
+        |  FROM UNNEST(GENERATE_SERIES(0, $D)) t(j)
+        |  LEFT JOIN g$i g ON g.dim = j
+        |  CROSS JOIN w${i - 1} w CROSS JOIN n) AS w)""".stripMargin
+    }.mkString(",\n")
+    s"""${TextOps.hashedDocVectorsCtes},
+      |q AS (${TextOps.qualityCoreSql}),
+      |lab AS (SELECT doc_id,
+      |    CASE WHEN quality >= $FunnelQualityMin THEN 1.0 ELSE 0.0 END AS y
+      |  FROM q),
+      |bias AS (SELECT DISTINCT doc_id FROM vec),
+      |grid AS (SELECT b.doc_id, j
+      |         FROM bias b, UNNEST(GENERATE_SERIES(0, ${D - 1})) t(j)),
+      |cell AS (SELECT g.doc_id, g.j, COALESCE(v.w, 0.0) AS x
+      |         FROM grid g LEFT JOIN vec v
+      |           ON v.doc_id = g.doc_id AND v.dim = g.j),
+      |fx AS (SELECT doc_id, LIST(x ORDER BY j) || [CAST(1.0 AS DOUBLE)] AS xs
+      |       FROM cell GROUP BY doc_id),
+      |f AS (SELECT fx.doc_id, fx.xs, l.y FROM fx JOIN lab l USING (doc_id)),
+      |n AS (SELECT COUNT(*) AS n FROM bias),
+      |w0 AS (SELECT LIST_TRANSFORM(GENERATE_SERIES(0, $D),
+      |       x -> CAST(0.0 AS DOUBLE)) AS w),
+      |$steps""".stripMargin
+  }
+
+  private val lrQualityTrainSql = {
+    val D = TextOps.HashedVecDims
+    s"""WITH $lrTrainCtes
+      |SELECT CAST(j AS INT) AS dim, w.w[j + 1] AS weight
+      |FROM w$LrSteps w, UNNEST(GENERATE_SERIES(0, $D)) t(j)
+      |ORDER BY j""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q202_lr_quality_train", lrQualityTrain, Some(lrQualityTrainSql)),
+    GraftQuery("q203_lr_quality_score", lrQualityScore, Some(lrQualityScoreSql)),
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q169_classifier_lift", classifierLift, Some(classifierLiftSql)),
     GraftQuery("q170_interleaved_order", interleavedOrder, Some(interleavedOrderSql)),

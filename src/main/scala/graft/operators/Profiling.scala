@@ -154,6 +154,85 @@ object Profiling extends QueryModule {
       |ORDER BY source NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q201: dedup-method comparison card
+  // ---------------------------------------------------------------------
+
+  /** q201: the dedup-method comparison card — for each dedup tier a
+    * curator can buy (exact bytes, normalized exact, thresholded-Jaccard
+    * near-dup), the duplicate-group count, the documents they cover, and
+    * the removable surplus (members − keepers), side by side on the SAME
+    * corpus. This is the report read before choosing a tier: each row
+    * prices the next tier's incremental catch, composed from the
+    * already-certified chains (q70's raw groups, q200's canonical
+    * groups, q77's raw-corpus clusters via the persisted artifact).
+    *
+    * Methods are ordered tiers but NOT strict subsets: normalized ⊇
+    * exact always (canonical equality is coarser than byte equality —
+    * the SemanticsSpec law), while near_jaccard covers exact-dup groups
+    * only when the group shares ≥1 DF-gated shingle (a group whose
+    * every shingle is boilerplate-gated appears in no cluster — q129's
+    * documented domain).
+    *
+    * Scale shape: two sha2-keyed aggregates over the corpus (32-byte
+    * keys, the q163/q200 convention), one label-keyed aggregate over the
+    * artifact's label table, each collapsing to ONE row map-side — the
+    * union is 3 rows. No window, no join of the corpus to anything. */
+  def dedupMethodCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.operators.Dedup.ensureNeardupArtifact(spark, dir)
+    dedupMethodCardOf(Tables.documents(spark, dir),
+      spark.read.parquet(s"$base/doc_labels"))
+  }
+
+  /** DataFrame-level core (testable on constructed corpora): `rawLabels`
+    * = the (node, label) raw-corpus near-dup label table (the artifact's
+    * `doc_labels`, or a freshly derived one in tests). */
+  def dedupMethodCardOf(d: DataFrame, rawLabels: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    def card(groups: DataFrame, method: String): DataFrame =
+      groups.filter(col("c") >= 2).agg(
+        count(lit(1)).as("n_dup_groups"),
+        coalesce(sum(col("c")), lit(0L)).as("n_docs_in_groups"),
+        coalesce(sum(col("c") - 1), lit(0L)).as("n_removable"))
+        .select(lit(method).as("method"), col("n_dup_groups"),
+          col("n_docs_in_groups"), col("n_removable"))
+    val exact = d.groupBy(sha2(col("text"), 256).as("k"))
+      .agg(count(lit(1)).as("c"))
+    val norm = d.groupBy(sha2(normExpr, 256).as("k"))
+      .agg(count(lit(1)).as("c"))
+    val near = rawLabels.groupBy(col("label")).agg(count(lit(1)).as("c"))
+    card(exact, "exact")
+      .unionByName(card(norm, "normalized"))
+      .unionByName(card(near, "near_jaccard"))
+      .orderBy(col("method"))
+  }
+
+  private val dedupMethodCardSql =
+    s"""WITH RECURSIVE ${graft.operators.Dedup.gatedShinglesCtes("documents")},
+      |${graft.operators.Dedup.jaccardPairsCtes},
+      |${graft.operators.Dedup.clusterCtes},
+      |ex AS (SELECT text AS k, COUNT(*) AS c FROM documents
+      |       GROUP BY text HAVING COUNT(*) >= 2),
+      |nx AS (SELECT nt AS k, COUNT(*) AS c
+      |       FROM (SELECT $normExprSql AS nt FROM documents) x
+      |       GROUP BY nt HAVING COUNT(*) >= 2),
+      |nr AS (SELECT cluster_id, COUNT(*) AS c FROM cc
+      |       GROUP BY cluster_id HAVING COUNT(*) >= 2)
+      |SELECT 'exact' AS method,
+      |  COUNT(*) AS n_dup_groups,
+      |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs_in_groups,
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_removable
+      |FROM ex
+      |UNION ALL
+      |SELECT 'normalized', COUNT(*),
+      |  CAST(COALESCE(SUM(c), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM nx
+      |UNION ALL
+      |SELECT 'near_jaccard', COUNT(*),
+      |  CAST(COALESCE(SUM(c), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM nr
+      |ORDER BY method""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q123: per-source data card
   // ---------------------------------------------------------------------
 
@@ -774,5 +853,6 @@ object Profiling extends QueryModule {
       Some(vocabOverlapSketchSql)),
     GraftQuery("q148_token_budget_cap", tokenBudgetCap, Some(tokenBudgetCapSql)),
     GraftQuery("q200_normalized_dedup", normalizedDedup, Some(normalizedDedupSql)),
+    GraftQuery("q201_dedup_method_card", dedupMethodCard, Some(dedupMethodCardSql)),
   )
 }

@@ -1671,18 +1671,50 @@ object TextOps extends QueryModule {
   def hashedDocVectors(spark: SparkSession, dir: String): DataFrame =
     hashedDocVectorsOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
-  /** DataFrame-level core (testable on constructed corpora). */
-  def hashedDocVectorsOf(d: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
-    val D = HashedVecDims
-    val tokCnt = d.select(col("doc_id"), explode(toks).as("tok"))
+  /** Distinct (doc_id, tok, cnt) counts — the shared front of both
+    * featurizer halves. */
+  private def tokCntOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** DataFrame-level core (testable on constructed corpora). The ONE
+    * tokCnt subtree feeds both the idf aggregate and the bucket sums —
+    * the same two-reference shape q94 runs. */
+  def hashedDocVectorsOf(d: DataFrame): DataFrame = {
+    val tc = tokCntOf(d)
+    vectorsFromCounts(tc, idfFromCounts(tc, d))
+  }
+
+  /** The corpus-trained half of q198: the (tok, idf) table — the only
+    * corpus-global state the featurizer has. A real pipeline freezes
+    * this (like q161's weight table and q188's rate table) and ships it
+    * to ingest; StreamingSpec's live twin scores arriving docs through
+    * [[hashedVectorsBatch]] against it. */
+  def hashedIdfOf(d: DataFrame): DataFrame =
+    idfFromCounts(tokCntOf(d), d)
+
+  private def idfFromCounts(tokCnt: DataFrame, d: DataFrame): DataFrame = {
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
     // broadcast scalar idiom: the 1-row corpus size under every vocab row
-    val idf = tokCnt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tokCnt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("tok"),
         log(col("n_docs").cast(DoubleType) / col("df")).as("idf"))
+  }
+
+  /** The per-doc half: featurize `d` against a FROZEN idf table. Every
+    * term is doc-local (tf, bucket, sign, the L2 norm), so a doc's
+    * vector depends only on its own tokens + the table — the property
+    * that makes stream and batch featurization bit-identical (the
+    * StreamingSpec law). Tokens absent from the table contribute
+    * nothing (inner join): a frozen vocabulary scores unseen tokens as
+    * zero-weight, the standard convention. */
+  def hashedVectorsBatch(d: DataFrame, idf: DataFrame): DataFrame =
+    vectorsFromCounts(tokCntOf(d), idf)
+
+  private def vectorsFromCounts(tokCnt: DataFrame, idf: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(tokCnt.sparkSession)
+    val D = HashedVecDims
     val comp = tokCnt.join(idf, Seq("tok"))
       .withColumn("th", expr("graft_tokhash(tok)"))
       .select(col("doc_id"),

@@ -702,7 +702,28 @@ object Plans {
           "canonical form (never raw text — the q163 convention); two " +
           "stacked keyed aggregates, a key-level min join, a #source-row " +
           "roll-up; no window, no Expand, no COUNT(DISTINCT).",
-        graft.operators.Profiling.normalizedDedup(spark, dir)))
+        graft.operators.Profiling.normalizedDedup(spark, dir)),
+      section("q201 dedup-method comparison card (r14)",
+        "What to look for: three independent one-row aggregates — two " +
+          "sha2-keyed corpus group-bys (exact bytes, canonical form) and " +
+          "one label-keyed group-by over the ARTIFACT's doc_labels scan " +
+          "(the near tier never re-derives the pair pipeline: no shingle " +
+          "explode, no SMJ anywhere) — unioned into 3 rows.",
+        graft.operators.Profiling.dedupMethodCard(spark, dir)),
+      section("q202 LR training step (r14; the registered query returns the model)",
+        "What to look for: a JOIN-FREE step — the model rides in as a " +
+          "33-literal array folded per row (zip_with + ordered " +
+          "aggregate, the q100 kernel discipline), the sigmoid residual " +
+          "sits in the same projection, and the only exchange is the " +
+          "33-row dim-keyed gradient aggregate after the posexplode.",
+        graft.operators.Curation.lrStepProbe(spark, dir)),
+      section("q203 classifier scoring from the model artifact (r14)",
+        "What to look for: the q198 featurizer front (its certified idf/" +
+          "norm joins) and then NOTHING but per-row arithmetic — the " +
+          "trained model arrives as a 33-literal zip_with fold, no model " +
+          "join, no label derivation, no window; scoring at 100 TB is a " +
+          "pure map over the corpus.",
+        graft.operators.Curation.lrQualityScore(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

@@ -966,6 +966,40 @@ object ScaleProbe {
         docs.select(col("doc_id"), col("source"), col("text"))).count()
     time("q200 normalized dedup 1x (5k docs)")(normDedupCount(d1))
     time(s"q200 normalized dedup ${copies}x")(normDedupCount(dN))
+    // q201: two sha-keyed corpus aggregates + a label-table aggregate —
+    // synthetic labels (20% clustered, like the q192 row) keep the
+    // cluster fraction constant so the row measures aggregate scaling
+    def methodCardCount(docs: DataFrame): Long = {
+      val labels = docs.select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(10L)) < 2)
+        .select(col("doc_id").as("node"),
+          (col("doc_id") - pmod(col("doc_id"), lit(2L))).as("label"))
+      graft.operators.Profiling.dedupMethodCardOf(
+        docs.select(col("doc_id"), col("text")), labels).count()
+    }
+    time("q201 method card 1x (5k docs)")(methodCardCount(d1))
+    time(s"q201 method card ${copies}x")(methodCardCount(dN))
+    // q202: five unrolled LR-GD steps — each is two shuffles over the
+    // (docs × 33)-row feature table; the model (33 doubles) is the only
+    // driver state, so the row must scale ∝ corpus
+    def lrTrainCount(docs: DataFrame): Long =
+      graft.operators.Curation.lrQualityTrainOf(
+        docs.select(col("doc_id"), col("lang"), col("source"),
+          col("text"), col("n_chars"))).count()
+    time("q202 lr train 1x (5k docs)")(lrTrainCount(d1))
+    time(s"q202 lr train ${copies}x")(lrTrainCount(dN))
+    // q203: scoring = the featurizer front + a pure per-row fold; the
+    // model is trained ONCE on d1 and applied to both sizes (the real
+    // deployment shape: frozen model, growing corpus)
+    locally {
+      val model = graft.operators.Curation.lrQualityTrainOf(d1)
+        .orderBy(col("dim")).collect().map(_.getDouble(1))
+      def scoreCount(docs: DataFrame): Long =
+        graft.operators.Curation.lrScoreOf(
+          docs.select(col("doc_id"), col("text")), model).count()
+      time("q203 lr score 1x (5k docs)")(scoreCount(d1))
+      time(s"q203 lr score ${copies}x")(scoreCount(dN))
+    }
 
     spark.stop()
   }

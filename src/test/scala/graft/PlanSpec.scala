@@ -1003,4 +1003,54 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     exchanges.foreach(p => assert(!p.contains("norm_text") && !p.contains("text#"),
       s"raw-text-keyed exchange: $p"))
   }
+
+  test("q201 method card: three one-row aggregates, artifact label scan, no window") {
+    val df = Profiling.dedupMethodCard(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    // the near tier reads the persisted label table, never re-derives
+    // the pair pipeline: no shingle explode / join machinery in-plan
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    exchanges.foreach(p => assert(!p.contains("text#"),
+      s"raw-text-keyed exchange: $p"))
+  }
+
+  test("q202 LR step: join-free dense kernel, only the 33-row gradient aggregate shuffles") {
+    val df = Curation.lrStepProbe(spark, sf0001)
+    val plan = executedPlan(df)
+    // the model enters as a 33-literal array folded per ROW (zip_with +
+    // ordered aggregate — the q100 kernel discipline); the step has NO
+    // join of any kind and no window: scan → project → posexplode →
+    // 33-key aggregate. The cached feature BUILD below the
+    // TableCacheQueryStage boundary legitimately joins labels once —
+    // assert join-freedom on the step portion above it.
+    val step = plan.split("TableCacheQueryStage")(0)
+    assert(!step.contains("Join"), step.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(plan.contains("zip_with") || plan.contains("aggregate"), plan.take(4000))
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+  }
+
+  test("q203 scoring: model folds in as literals — no window, no cartesian, no label pass") {
+    // force the artifact so the scorer's own plan is what's measured
+    Curation.ensureLrModel(spark, sf0001)
+    val df = Curation.lrQualityScore(spark, sf0001)
+    val plan = executedPlan(df)
+    // the q198 featurizer front keeps its certified joins (idf/norm);
+    // the MODEL adds none — it rides in as a 33-literal zip_with fold —
+    // and the scorer never re-derives labels (no quality/stopword pass).
+    // The physical text truncates deep expressions, so the fold is
+    // asserted on the optimized logical plan.
+    assert(!plan.contains("CartesianProduct") && !plan.contains("windowspecdefinition"),
+      plan.take(4000))
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("zip_with"), logical.take(4000))
+    assert(!logical.contains("n_stopwords"), logical.take(4000))
+  }
 }

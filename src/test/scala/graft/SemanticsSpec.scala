@@ -2444,4 +2444,102 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val rawSurvivors = Dedup.dedupKeepFirst(spark, sf001).count()
     assert(fix.map(_.getLong(3)).sum <= rawSurvivors)
   }
+
+  test("q201 method card: each tier's catch hand-computed; normalized dominates exact") {
+    val session = spark
+    import session.implicits._
+    // docs 1/2: exact dups; doc 3: canonical-equal to 1/2 (case + double
+    // space) but NOT near-dup of them (its empty token shifts shingles:
+    // 1 shared shingle / 6 union = 0.17 < 0.5); doc 4: near-dup of 1
+    // (3-shingle overlap 2/4 = 0.5 ≥ threshold) but canonically distinct
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "Alpha  Beta gamma delta epsilon"),
+      (4L, "alpha beta gamma delta zeta"),
+      (5L, "unrelated text entirely here now"))
+      .toDF("doc_id", "text")
+    val labels = Dedup.rawLabelsOf(docs)
+    val got = operators.Profiling.dedupMethodCardOf(docs, labels)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got("exact") === ((1L, 2L, 1L)))        // {1,2}
+    assert(got("normalized") === ((1L, 3L, 2L)))   // {1,2,3}
+    assert(got("near_jaccard") === ((1L, 3L, 2L))) // {1,2,4}
+    // fixture: normalized dominates exact componentwise (canonical
+    // equality is coarser than byte equality), and the near row agrees
+    // with q77's cluster table
+    val fix = operators.Profiling.dedupMethodCard(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val (e, n) = (fix("exact"), fix("normalized"))
+    assert(n._1 >= e._1 && n._2 >= e._2 && n._3 >= e._3)
+    val clusters = Dedup.neardupClusters(spark, sf001).collect()
+    val nGroups = clusters.map(_.getLong(0)).distinct.length.toLong
+    assert(fix("near_jaccard") ===
+      ((nGroups, clusters.length.toLong, clusters.length - nGroups)))
+  }
+
+  test("q202 LR training strictly reduces the log-loss below the zero-model's ln 2") {
+    val session = spark
+    import session.implicits._
+    val docs = sources.Tables.documents(spark, sf001)
+    val weights = operators.Curation.lrQualityTrain(spark, sf001)
+      .as[(Int, Double)].collect().toMap
+    assert(weights.size === operators.TextOps.HashedVecDims + 1)
+    // recompute the training loss driver-side from the same features
+    val vecs = operators.TextOps.hashedDocVectorsOf(docs.select($"doc_id", $"text"))
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    val labels = operators.TextOps.qualityScoresOf(docs)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+      .map { case (id, q) =>
+        id -> (if (q >= operators.Curation.FunnelQualityMin) 1.0 else 0.0) }
+      .toMap
+    val losses = vecs.map { case (id, rows) =>
+      val z = rows.map(r => r._3 * weights(r._2)).sum +
+        weights(operators.TextOps.HashedVecDims) // bias
+      val p = 1.0 / (1.0 + math.exp(-z))
+      val y = labels(id)
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }
+    val meanLoss = losses.sum / losses.size
+    // lr = 1 < 1/L (L ≤ ‖x‖²/4 = 0.5): every step strictly decreases the
+    // mean log-loss, so 5 steps must land strictly under ln 2 = loss(0)
+    assert(meanLoss < math.log(2.0) - 1e-4, s"mean log-loss $meanLoss")
+    // the learned model must actually separate better than chance on its
+    // own training set: majority-class accuracy is the floor
+    val acc = vecs.count { case (id, rows) =>
+      val z = rows.map(r => r._3 * weights(r._2)).sum +
+        weights(operators.TextOps.HashedVecDims)
+      (if (z >= 0) 1.0 else 0.0) == labels(id)
+    }.toDouble / vecs.size
+    val base = math.max(labels.values.sum, labels.size - labels.values.sum) /
+      labels.size.toDouble
+    assert(acc >= base - 1e-9, s"train accuracy $acc under majority rate $base")
+  }
+
+  test("q203 scoring: artifact model invisible, score ↔ keep consistent, σ bounds") {
+    val session = spark
+    import session.implicits._
+    // the persisted model must be invisible: scoring through the
+    // artifact equals scoring with a freshly trained model
+    val fresh = operators.Curation.lrQualityTrain(spark, sf001)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val viaArtifact = operators.Curation.lrQualityScore(spark, sf001)
+      .as[(Long, Double, Int)].collect().toSeq
+    val direct = operators.Curation.lrScoreOf(
+      sources.Tables.documents(spark, sf001), fresh)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(viaArtifact === direct)
+    viaArtifact.foreach { case (_, score, keep) =>
+      assert(score > 0.0 && score < 1.0)
+      // keep decides on z >= 0 <=> sigma(z) >= 0.5; the reported score is
+      // rounded at 6dp so allow the boundary epsilon
+      assert(if (keep == 1) score >= 0.5 - 1e-6 else score <= 0.5 + 1e-6)
+    }
+    // the scorer covers every doc that has features
+    val nVec = operators.TextOps.hashedDocVectorsOf(
+      sources.Tables.documents(spark, sf001).select($"doc_id", $"text"))
+      .select($"doc_id").distinct().count()
+    assert(viaArtifact.size.toLong === nVec)
+  }
 }

@@ -560,6 +560,49 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(clustered.nonEmpty, "fixture has no clustered docs to exercise")
   }
 
+  test("streaming featurizer: arriving docs vectorize identically to the batch (q198)") {
+    // the live twin of q198: the corpus-trained idf table is frozen (the
+    // only corpus-global state the featurizer has) and each micro-batch
+    // vectorizes through the SAME hash/sign/decimal-sum/normalize kernel
+    // — every term is doc-local, so a doc's vector cannot depend on
+    // whether it was featurized in the nightly batch or at arrival time
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    // frozen: decoupled from the corpus plan (literal rows, no lineage)
+    val idf = operators.TextOps.hashedIdfOf(corpus)
+      .as[(String, Double)].collect().toSeq.toDF("tok", "idf")
+    val batchVecs = operators.TextOps.hashedDocVectorsOf(corpus)
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).map { case (d, rs) =>
+        d -> rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+    val sample = corpus.orderBy($"doc_id").limit(6)
+      .as[(Long, String)].collect().toSeq
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Int, Double)]]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        operators.TextOps.hashedVectorsBatch(b, idf).collect()
+          .groupBy(_.getLong(0)).foreach { case (d, rs) =>
+            got.put(d, rs.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq)
+          }; ()
+      }
+      .option("checkpointLocation", tmp("ck-featurize"))
+      .start()
+    try {
+      in.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      in.addData(sample.drop(3): _*) // second batch: same frozen idf
+      q.processAllAvailable()
+    } finally q.stop()
+    sample.foreach { case (id, _) =>
+      assert(got.get(id) === batchVecs(id), s"doc $id stream vector != batch")
+    }
+  }
+
   test("streaming BM25 append: arriving docs rank fresh against the frozen base index") {
     // the live twin of q190: the base posting index is frozen; documents
     // keep arriving in micro-batches and the arrived set GROWS between
