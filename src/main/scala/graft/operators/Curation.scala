@@ -1729,17 +1729,21 @@ object Curation extends QueryModule {
     lrGradOf(lrFeats(Tables.documents(spark, dir)),
       Array.fill(LrBiasDim + 1)(0.0))
 
-  /** The dense feature rows WITHOUT labels — shared by training (which
-    * joins the q63 gate on) and scoring (which must not need labels). */
-  private def lrDense(d: DataFrame): DataFrame = {
+  /** Scatter long-form (doc_id, dim, w) vectors into one dense xs[33]
+    * row per doc (bias slot last) — the Spark twin of [[lrDenseCtes]]. */
+  private def denseFromVec(vec: DataFrame): DataFrame = {
     val D = TextOps.HashedVecDims
-    TextOps.hashedDocVectorsOf(d.select(col("doc_id"), col("text")))
-      .groupBy(col("doc_id"))
+    vec.groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("dim"), col("w")))).as("m"))
       .select(col("doc_id"),
         expr(s"concat(transform(sequence(0, ${D - 1}), " +
           "j -> coalesce(element_at(m, j), 0D)), array(1D))").as("xs"))
   }
+
+  /** The dense feature rows WITHOUT labels — shared by training (which
+    * joins the q63 gate on) and scoring (which must not need labels). */
+  private def lrDense(d: DataFrame): DataFrame =
+    denseFromVec(TextOps.hashedDocVectorsOf(d.select(col("doc_id"), col("text"))))
 
   /** q203 model artifact: the q202 weight table persisted once per
     * fixture (ArtifactStore's ensure rule — build-once/score-many, the
@@ -1781,18 +1785,107 @@ object Curation extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val lrQualityScoreSql = {
-    val D = TextOps.HashedVecDims
+  private lazy val lrQualityScoreSql =
     // the full training chain SHARED VERBATIM (lrTrainCtes — one model
     // definition across q202/q203), then one scoring SELECT
     s"""WITH $lrTrainCtes,
-      |sc AS (SELECT f.doc_id, ROUND(LIST_SUM(LIST_TRANSFORM(
-      |    GENERATE_SERIES(1, ${D + 1}), j -> f.xs[j] * w.w[j])), 6) AS z
+      |sc AS (SELECT f.doc_id, ${lrFoldSql("f.xs", "w.w")} AS z
       |  FROM f CROSS JOIN w$LrSteps w)
       |SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score,
       |  CASE WHEN z >= 0 THEN 1 ELSE 0 END AS keep
       |FROM sc
       |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  /** q204: HELD-OUT evaluation of the trained classifier — the eval
+    * discipline a real pipeline requires before trusting a filter: fit
+    * the featurizer idf AND the model on the q67 TRAIN split only
+    * (bucket = pmod(doc_id, 10) < 8 — the split definition shared with
+    * q67/q125, so the eval can never leak what the split holds out),
+    * score the VAL split (bucket 8) with both frozen, and report the
+    * confusion table against the val split's own q63 labels. Quality is
+    * per-doc intrinsic, so val labels need no corpus state; the
+    * FEATURIZER does carry corpus state (idf), and applying the
+    * train-fit idf to val docs — unseen tokens contributing zero, the
+    * frozen-vocabulary convention — is exactly the deployment
+    * semantics q198's streaming twin certifies. A val doc with NO
+    * trained-vocabulary token has no vector and is reported in
+    * n_val − n_scored rather than silently dropped.
+    *
+    * This is the q171/q175/q179/q196 audit-instrument pattern applied
+    * to the classifier family: q202 trains, q203 serves, q204 MEASURES.
+    * The oracle replays the entire fit-on-train/score-val chain from
+    * the raw corpus via the SAME prefixed CTE builders q202/q203 use
+    * (one featurizer, one kernel, one trainer — three queries). */
+  def classifierEval(spark: SparkSession, dir: String): DataFrame =
+    classifierEvalOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def classifierEvalOf(d: DataFrame): DataFrame = {
+    val bucket = pmod(col("doc_id"), lit(10L))
+    val train = d.filter(bucket < 8)
+    val valDocs = d.filter(bucket === 8)
+    val w = lrQualityTrainOf(train)
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val idf = TextOps.hashedIdfOf(train.select(col("doc_id"), col("text")))
+    val dense = denseFromVec(TextOps.hashedVectorsBatch(
+      valDocs.select(col("doc_id"), col("text")), idf))
+    val wArr = array(w.toSeq.map(lit): _*)
+    val z = round(aggregate(zip_with(col("xs"), wArr, (x, v) => x * v),
+      lit(0.0), (a, b) => a + b), 6)
+    val lab = TextOps.qualityScoresOf(valDocs).select(col("doc_id"),
+      when(col("quality") >= FunnelQualityMin, lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val conf = dense
+      .select(col("doc_id"), when(z >= 0, lit(1)).otherwise(lit(0)).as("keep"))
+      .join(lab, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        coalesce(sum(when(col("keep") === 1 && col("y") === 1.0, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("keep") === 1 && col("y") === 0.0, 1L)
+          .otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("keep") === 0 && col("y") === 1.0, 1L)
+          .otherwise(0L)), lit(0L)).as("fn"),
+        coalesce(sum(when(col("keep") === 0 && col("y") === 0.0, 1L)
+          .otherwise(0L)), lit(0L)).as("tn"))
+    conf.crossJoin(broadcast(valDocs.agg(count(lit(1)).as("n_val"))))
+      .select(col("n_val"), col("n_scored"), col("tp"), col("fp"),
+        col("fn"), col("tn"),
+        when(col("n_scored") > 0,
+          round((col("tp") + col("tn")).cast(DoubleType) / col("n_scored"), 6))
+          .as("accuracy"))
+  }
+
+  private lazy val classifierEvalSql = {
+    val splitExpr = "((doc_id % 10) + 10) % 10"
+    s"""WITH tr AS (SELECT * FROM documents WHERE $splitExpr < 8),
+      |vl AS (SELECT * FROM documents WHERE $splitExpr = 8),
+      |${lrTrainCtesOver("t", "tr")},
+      |${TextOps.hashedIdfCtes("v", "vl")},
+      |${TextOps.hashedVecTailCtes("v", "vtc", "tidf")},
+      |${lrDenseCtes("s", "vvec")},
+      |vq AS (${TextOps.qualityCoreSqlOver("vl")}),
+      |vlab AS (SELECT doc_id,
+      |    CASE WHEN quality >= $FunnelQualityMin THEN 1.0 ELSE 0.0 END AS y
+      |  FROM vq),
+      |sc AS (SELECT f.doc_id, ${lrFoldSql("f.xs", "w.w")} AS z
+      |  FROM sfx f CROSS JOIN tw$LrSteps w),
+      |pr AS (SELECT s.doc_id, CASE WHEN s.z >= 0 THEN 1 ELSE 0 END AS keep, l.y
+      |       FROM sc s JOIN vlab l USING (doc_id)),
+      |nv AS (SELECT COUNT(*) AS n_val FROM vl),
+      |cf AS (SELECT COUNT(*) AS n_scored,
+      |  CAST(COALESCE(SUM(CASE WHEN keep = 1 AND y = 1.0 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS tp,
+      |  CAST(COALESCE(SUM(CASE WHEN keep = 1 AND y = 0.0 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS fp,
+      |  CAST(COALESCE(SUM(CASE WHEN keep = 0 AND y = 1.0 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS fn,
+      |  CAST(COALESCE(SUM(CASE WHEN keep = 0 AND y = 0.0 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS tn
+      |  FROM pr)
+      |SELECT nv.n_val, cf.n_scored, cf.tp, cf.fp, cf.fn, cf.tn,
+      |  CASE WHEN cf.n_scored > 0
+      |    THEN ROUND(CAST(cf.tp + cf.tn AS DOUBLE) / cf.n_scored, 6) END
+      |    AS accuracy
+      |FROM cf CROSS JOIN nv""".stripMargin
   }
 
   /** DataFrame-level core (testable on constructed corpora). */
@@ -1819,43 +1912,69 @@ object Curation extends QueryModule {
     * `w$LrSteps` — shared VERBATIM by q202 (which projects the weight
     * table) and q203 (which appends one scoring SELECT), so the two
     * queries cannot train different models. */
-  // lazy: lrQualityScoreSql sits ABOVE this definition in the file and
-  // reads it during object init — a plain val would interpolate null
-  private lazy val lrTrainCtes: String = {
+  /** Oracle CTEs `${p}bias`/`${p}grid`/`${p}cell`/`${p}fx` — scatter the
+    * long-form vectors in `vecCte` into one dense xs[33] row per doc
+    * (bias slot last). Shared by the train chain and q204's val side. */
+  private def lrDenseCtes(p: String, vecCte: String): String = {
+    val D = TextOps.HashedVecDims
+    s"""${p}bias AS MATERIALIZED (SELECT DISTINCT doc_id FROM $vecCte),
+      |${p}grid AS MATERIALIZED (SELECT b.doc_id, j
+      |         FROM ${p}bias b, UNNEST(GENERATE_SERIES(0, ${D - 1})) t(j)),
+      |${p}cell AS MATERIALIZED (SELECT g.doc_id, g.j, COALESCE(v.w, 0.0) AS x
+      |         FROM ${p}grid g LEFT JOIN $vecCte v
+      |           ON v.doc_id = g.doc_id AND v.dim = g.j),
+      |${p}fx AS MATERIALIZED (SELECT doc_id, LIST(x ORDER BY j) || [CAST(1.0 AS DOUBLE)] AS xs
+      |       FROM ${p}cell GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The scoring fold: ROUND 6dp of the ordered 33-slot dot product of
+    * `$xs` against the model list `$w` — ONE string for the train steps,
+    * the q203 scorer, and q204's val scorer, so the kernel cannot
+    * drift. */
+  private def lrFoldSql(xs: String, w: String): String = {
+    val D = TextOps.HashedVecDims
+    s"ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, ${D + 1}), " +
+      s"j -> $xs[j] * $w[j])), 6)"
+  }
+
+  /** The full training chain over `docsTable`, every CTE name prefixed
+    * with `p`, ending in the final model `${p}w$LrSteps` — shared
+    * VERBATIM by q202 (projects the weight table), q203 (appends one
+    * scoring SELECT), and q204 (fits on the TRAIN split: p = "t"),
+    * so no two queries can train different models from the same data. */
+  private def lrTrainCtesOver(p: String, docsTable: String): String = {
     val D = TextOps.HashedVecDims
     val steps = (1 to LrSteps).map { i =>
-      s"""e$i AS (SELECT f.doc_id, f.xs, f.y - 1.0 / (1.0 + EXP(-ROUND(
-        |    LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, ${D + 1}),
-        |      j -> f.xs[j] * w.w[j])), 6))) AS err
-        |  FROM f CROSS JOIN w${i - 1} w),
-        |g$i AS (SELECT j - 1 AS dim,
+      s"""${p}e$i AS MATERIALIZED (SELECT f.doc_id, f.xs, f.y - 1.0 / (1.0 + EXP(
+        |    -${lrFoldSql("f.xs", "w.w")})) AS err
+        |  FROM ${p}f f CROSS JOIN ${p}w${i - 1} w),
+        |${p}g$i AS MATERIALIZED (SELECT j - 1 AS dim,
         |    CAST(SUM(CAST(e.xs[j] * e.err AS DECIMAL(38,12))) AS DOUBLE) AS g
-        |  FROM e$i e, UNNEST(GENERATE_SERIES(1, ${D + 1})) t(j) GROUP BY j),
-        |w$i AS (SELECT (SELECT LIST(ROUND(w.w[j + 1] + COALESCE(g.g, 0.0) / n.n, 6)
+        |  FROM ${p}e$i e, UNNEST(GENERATE_SERIES(1, ${D + 1})) t(j) GROUP BY j),
+        |${p}w$i AS MATERIALIZED (SELECT (SELECT LIST(ROUND(w.w[j + 1] + COALESCE(g.g, 0.0) / n.n, 6)
         |                            ORDER BY j)
         |  FROM UNNEST(GENERATE_SERIES(0, $D)) t(j)
-        |  LEFT JOIN g$i g ON g.dim = j
-        |  CROSS JOIN w${i - 1} w CROSS JOIN n) AS w)""".stripMargin
+        |  LEFT JOIN ${p}g$i g ON g.dim = j
+        |  CROSS JOIN ${p}w${i - 1} w CROSS JOIN ${p}n n) AS w)""".stripMargin
     }.mkString(",\n")
-    s"""${TextOps.hashedDocVectorsCtes},
-      |q AS (${TextOps.qualityCoreSql}),
-      |lab AS (SELECT doc_id,
+    s"""${TextOps.hashedIdfCtes(p, docsTable)},
+      |${TextOps.hashedVecTailCtes(p, s"${p}tc", s"${p}idf")},
+      |${p}q AS MATERIALIZED (${TextOps.qualityCoreSqlOver(docsTable)}),
+      |${p}lab AS MATERIALIZED (SELECT doc_id,
       |    CASE WHEN quality >= $FunnelQualityMin THEN 1.0 ELSE 0.0 END AS y
-      |  FROM q),
-      |bias AS (SELECT DISTINCT doc_id FROM vec),
-      |grid AS (SELECT b.doc_id, j
-      |         FROM bias b, UNNEST(GENERATE_SERIES(0, ${D - 1})) t(j)),
-      |cell AS (SELECT g.doc_id, g.j, COALESCE(v.w, 0.0) AS x
-      |         FROM grid g LEFT JOIN vec v
-      |           ON v.doc_id = g.doc_id AND v.dim = g.j),
-      |fx AS (SELECT doc_id, LIST(x ORDER BY j) || [CAST(1.0 AS DOUBLE)] AS xs
-      |       FROM cell GROUP BY doc_id),
-      |f AS (SELECT fx.doc_id, fx.xs, l.y FROM fx JOIN lab l USING (doc_id)),
-      |n AS (SELECT COUNT(*) AS n FROM bias),
-      |w0 AS (SELECT LIST_TRANSFORM(GENERATE_SERIES(0, $D),
+      |  FROM ${p}q),
+      |${lrDenseCtes(p, s"${p}vec")},
+      |${p}f AS MATERIALIZED (SELECT fx.doc_id, fx.xs, l.y
+      |          FROM ${p}fx fx JOIN ${p}lab l USING (doc_id)),
+      |${p}n AS MATERIALIZED (SELECT COUNT(*) AS n FROM ${p}bias),
+      |${p}w0 AS MATERIALIZED (SELECT LIST_TRANSFORM(GENERATE_SERIES(0, $D),
       |       x -> CAST(0.0 AS DOUBLE)) AS w),
       |$steps""".stripMargin
   }
+
+  // lazy: lrQualityScoreSql sits ABOVE this definition in the file and
+  // reads it during object init — a plain val would interpolate null
+  private lazy val lrTrainCtes: String = lrTrainCtesOver("", "documents")
 
   private val lrQualityTrainSql = {
     val D = TextOps.HashedVecDims
@@ -1868,6 +1987,7 @@ object Curation extends QueryModule {
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q202_lr_quality_train", lrQualityTrain, Some(lrQualityTrainSql)),
     GraftQuery("q203_lr_quality_score", lrQualityScore, Some(lrQualityScoreSql)),
+    GraftQuery("q204_classifier_eval", classifierEval, Some(classifierEvalSql)),
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q169_classifier_lift", classifierLift, Some(classifierLiftSql)),
     GraftQuery("q170_interleaved_order", interleavedOrder, Some(interleavedOrderSql)),

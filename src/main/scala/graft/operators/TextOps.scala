@@ -127,11 +127,12 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  /** The q63 quality computation WITHOUT the presentation sort — shared
-    * with the q155 canonical-selection oracle so the score the canonical
-    * pick maximizes cannot drift from the score q63 certifies. */
-  private[operators] val qualityCoreSql =
-    """SELECT doc_id, lang, n_tokens, n_distinct, n_stopwords,
+  /** The q63 quality computation WITHOUT the presentation sort, over an
+    * arbitrary docs table — quality is per-doc intrinsic (no corpus
+    * state), so subsetting commutes with scoring; q204 runs it over the
+    * val split alone. */
+  private[operators] def qualityCoreSqlOver(docsTable: String): String =
+    s"""SELECT doc_id, lang, n_tokens, n_distinct, n_stopwords,
       |  diversity, stopword_ratio, avg_token_len,
       |  diversity * 0.5
       |    + CASE WHEN stopword_ratio > 0.02 THEN 0.25 ELSE 0.0 END
@@ -147,7 +148,12 @@ object TextOps extends QueryModule {
       |      CAST(LEN(LIST_DISTINCT(toks)) AS INT) AS n_distinct,
       |      CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','a','of','and','to'))) AS INT) AS n_stopwords
       |    FROM (SELECT doc_id, lang, n_chars, STRING_SPLIT(text, ' ') AS toks
-      |          FROM documents) a) b) c""".stripMargin
+      |          FROM $docsTable) a) b) c""".stripMargin
+
+  /** The q63 quality computation WITHOUT the presentation sort — shared
+    * with the q155 canonical-selection oracle so the score the canonical
+    * pick maximizes cannot drift from the score q63 certifies. */
+  private[operators] val qualityCoreSql = qualityCoreSqlOver("documents")
 
   private val qualityScoresSql =
     s"""$qualityCoreSql
@@ -1737,32 +1743,48 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"), col("dim"))
   }
 
-  /** Oracle CTEs ending in `vec` = (doc_id, dim, w) unit vectors over
-    * `documents` — shared VERBATIM by the q198 and q199 oracles so the
-    * featurizer definition cannot drift between them. */
-  private[operators] val hashedDocVectorsCtes: String = {
-    val D = HashedVecDims
-    s"""tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+  /** Oracle CTEs `${p}tc`/`${p}nn`/`${p}idf` — distinct token counts and
+    * the idf table over `docsTable`. Split from the vector tail so q204
+    * can fit the idf on the TRAIN split and apply it to the val split. */
+  private[operators] def hashedIdfCtes(p: String, docsTable: String): String =
+    s"""${p}tc AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS cnt
       |        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
-      |              FROM documents) x GROUP BY 1, 2),
-      |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
-      |idf AS (SELECT tok, LN(CAST(n_docs AS DOUBLE) / COUNT(*)) AS idf
-      |        FROM tc, nn GROUP BY tok, n_docs),
-      |th AS (SELECT doc_id, cnt, idf,
+      |              FROM $docsTable) x GROUP BY 1, 2),
+      |${p}nn AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM $docsTable),
+      |${p}idf AS MATERIALIZED (SELECT tok, LN(CAST(n_docs AS DOUBLE) / COUNT(*)) AS idf
+      |        FROM ${p}tc, ${p}nn GROUP BY tok, n_docs)""".stripMargin
+
+  /** Oracle CTEs `${p}th`/`${p}comp`/`${p}nrm`/`${p}vec` — the vector
+    * tail: featurize the token counts in `tokCntCte` against the idf
+    * table in `idfCte` (inner join: tokens absent from the table
+    * contribute nothing — the frozen-vocabulary convention the
+    * [[hashedVectorsBatch]] Spark core and the streaming twin follow). */
+  private[operators] def hashedVecTailCtes(p: String, tokCntCte: String,
+      idfCte: String): String = {
+    val D = HashedVecDims
+    s"""${p}th AS MATERIALIZED (SELECT doc_id, cnt, idf,
       |         ${Dedup.polyFoldSql("tok", graft.functions.PolyHash.M1)} AS th
-      |       FROM tc JOIN idf USING (tok)),
-      |comp AS (SELECT doc_id, CAST(th % $D AS INT) AS dim,
+      |       FROM $tokCntCte JOIN $idfCte USING (tok)),
+      |${p}comp AS MATERIALIZED (SELECT doc_id, CAST(th % $D AS INT) AS dim,
       |    SUM(CAST((CASE WHEN (th // $D) % 2 = 0 THEN 1 ELSE -1 END)
       |        * cnt * idf AS DECIMAL(38,12))) AS w
-      |  FROM th GROUP BY 1, 2),
-      |nrm AS (SELECT doc_id,
+      |  FROM ${p}th GROUP BY 1, 2),
+      |${p}nrm AS MATERIALIZED (SELECT doc_id,
       |    SQRT(CAST(SUM(CAST(CAST(w AS DOUBLE) * CAST(w AS DOUBLE)
       |      AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-      |  FROM comp GROUP BY 1),
-      |vec AS (SELECT c.doc_id, c.dim,
+      |  FROM ${p}comp GROUP BY 1),
+      |${p}vec AS MATERIALIZED (SELECT c.doc_id, c.dim,
       |    ROUND(CAST(c.w AS DOUBLE) / nrm, 6) AS w
-      |  FROM comp c JOIN nrm USING (doc_id) WHERE nrm > 0)""".stripMargin
+      |  FROM ${p}comp c JOIN ${p}nrm USING (doc_id) WHERE nrm > 0)""".stripMargin
   }
+
+  /** Oracle CTEs ending in `vec` = (doc_id, dim, w) unit vectors over
+    * `documents` — shared VERBATIM by the q198/q199/q202/q203 oracles so
+    * the featurizer definition cannot drift between them; composed from
+    * the two halves above so q204's split-fit variant cannot drift
+    * either. */
+  private[operators] val hashedDocVectorsCtes: String =
+    hashedIdfCtes("", "documents") + ",\n" + hashedVecTailCtes("", "tc", "idf")
 
   private val hashedDocVectorsSql =
     s"""WITH $hashedDocVectorsCtes

@@ -723,7 +723,15 @@ object Plans {
           "trained model arrives as a 33-literal zip_with fold, no model " +
           "join, no label derivation, no window; scoring at 100 TB is a " +
           "pure map over the corpus.",
-        graft.operators.Curation.lrQualityScore(spark, dir)))
+        graft.operators.Curation.lrQualityScore(spark, dir)),
+      section("q204 held-out classifier eval (r14)",
+        "What to look for: two split-filtered scans (train fits the idf " +
+          "+ the model, val is featurized against the FROZEN train idf " +
+          "— the batch-featurize inner join drops unseen tokens), the " +
+          "val fold as a 33-literal zip_with, and a ONE-ROW confusion " +
+          "aggregate; bucket-9 (test) rows are pruned at the scan by " +
+          "the split predicate.",
+        graft.operators.Curation.classifierEval(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

@@ -2542,4 +2542,28 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id").distinct().count()
     assert(viaArtifact.size.toLong === nVec)
   }
+
+  test("q204 eval: confusion identities hold and the test split cannot influence it") {
+    val session = spark
+    import session.implicits._
+    val d = sources.Tables.documents(spark, sf001)
+    val row = operators.Curation.classifierEvalOf(d).collect()(0)
+    val (nVal, nScored) = (row.getLong(0), row.getLong(1))
+    val (tp, fp, fn, tn) = (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(nVal === d.filter(org.apache.spark.sql.functions.pmod($"doc_id",
+      org.apache.spark.sql.functions.lit(10L)) === 8).count())
+    assert(tp + fp + fn + tn === nScored && nScored <= nVal)
+    assert(math.abs(row.getDouble(6) - (tp + tn).toDouble / nScored) < 1e-9)
+    // split discipline: the eval fits on train and scores val — mutating
+    // every TEST-split (bucket 9) document must change NOTHING
+    val mutated = d.withColumn("text",
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.pmod($"doc_id",
+          org.apache.spark.sql.functions.lit(10L)) === 9,
+        org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit(" leaked canary tokens")))
+        .otherwise($"text"))
+    val row2 = operators.Curation.classifierEvalOf(mutated).collect()(0)
+    assert(row2 === row)
+  }
 }
