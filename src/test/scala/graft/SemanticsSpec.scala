@@ -2566,4 +2566,42 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val row2 = operators.Curation.classifierEvalOf(mutated).collect()(0)
     assert(row2 === row)
   }
+
+  test("q202 on a separable constructed corpus: the trained model separates it") {
+    val session = spark
+    import session.implicits._
+    // class signal CONCENTRATED in shared buckets: positives put most of
+    // their unit mass on class-shared tokens (the per-doc unique pair is
+    // a small fraction of the norm), negatives likewise on "badword" —
+    // so 5 gradient steps at lr 1 buy a clean margin, and the check is
+    // deterministic (fixed texts, fixed hash)
+    val posShared = "the a of and to good1 good2 good3 good4 good5 " +
+      "good6 good7 good8 good9 good10 good1 good2 good3 good4 good5 " +
+      "good6 good7 good8 good9 good10 good1 good2 good3"
+    val pos = (1L to 12L).map { i =>
+      (i, s"$posShared u$i v$i", "en", "s", 300L)
+    }
+    val neg = (101L to 112L).map { i =>
+      (i, s"badword badword badword badword badword badword extra$i",
+        "en", "s", 20L)
+    }
+    val docs = (pos ++ neg)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = operators.Curation.lrQualityTrainOf(docs)
+      .as[(Int, Double)].collect().toMap
+    // recompute z per doc driver-side and check full separation
+    val vecs = operators.TextOps.hashedDocVectorsOf(docs.select($"doc_id", $"text"))
+      .as[(Long, Int, Double)].collect().groupBy(_._1)
+    def z(id: Long) = vecs(id).map(r => r._3 * w(r._2)).sum +
+      w(operators.TextOps.HashedVecDims)
+    // labels: every pos doc passes the q63 gate, every neg doc fails it
+    val gate = operators.TextOps.qualityScoresOf(docs)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    pos.foreach(p => assert(gate(p._1) >= 0.5, s"pos ${p._1} not labeled 1"))
+    neg.foreach(n => assert(gate(n._1) < 0.5, s"neg ${n._1} not labeled 0"))
+    val worstPos = pos.map(p => z(p._1)).min
+    val bestNeg = neg.map(n => z(n._1)).max
+    assert(worstPos > bestNeg,
+      s"no margin: worst pos z $worstPos <= best neg z $bestNeg")
+  }
 }
