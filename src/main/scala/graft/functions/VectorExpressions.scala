@@ -126,6 +126,9 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SimTokenPolyHash(Cast(exprs.head, StringType))),
     ("graft_cdc_cuts", classOf[CdcCuts],
       (exprs: Seq[Expression]) => CdcCuts(Cast(exprs.head, StringType))),
+    ("graft_bpe_merge", classOf[BpeApplyMerge],
+      (exprs: Seq[Expression]) => BpeApplyMerge(exprs(0),
+        Cast(exprs(1), StringType), Cast(exprs(2), StringType))),
     ("graft_nfc", classOf[NormalizeNfc],
       (exprs: Seq[Expression]) => NormalizeNfc(Cast(exprs.head, StringType))),
     ("graft_nfc_lower", classOf[NfcLowerSimple],

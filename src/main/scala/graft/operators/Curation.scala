@@ -1773,11 +1773,28 @@ object Curation extends QueryModule {
   }
 
   /** DataFrame-level scoring core against an explicit model. */
-  def lrScoreOf(d: DataFrame, w: Array[Double]): DataFrame = {
+  def lrScoreOf(d: DataFrame, w: Array[Double]): DataFrame =
+    lrScoreFromDense(lrDense(d), w)
+
+  /** Streaming-twin scoring entry: score a micro-batch with BOTH trained
+    * artifacts frozen — the weight table AND the train-corpus idf the
+    * featurizer needs (batch scoring fits the idf on its own corpus; at
+    * ingest the corpus-fit idf ships as literal rows, the q198
+    * convention, so an arriving doc featurizes and scores exactly as
+    * the nightly batch would score it — the StreamingSpec bit-identity
+    * law). */
+  def lrScoreBatch(b: DataFrame, w: Array[Double], idf: DataFrame): DataFrame =
+    lrScoreFromDense(denseFromVec(TextOps.hashedVectorsBatch(
+      b.select(col("doc_id"), col("text")), idf)), w)
+
+  /** The one scoring kernel (z-fold, 6dp round, sigmoid, keep-at-z≥0)
+    * shared by the batch scorer and the streaming twin so the two can
+    * never drift. */
+  private def lrScoreFromDense(dense: DataFrame, w: Array[Double]): DataFrame = {
     val wArr = array(w.toSeq.map(lit): _*)
     val z = round(aggregate(zip_with(col("xs"), wArr, (x, v) => x * v),
       lit(0.0), (a, b) => a + b), 6)
-    lrDense(d)
+    dense
       .select(col("doc_id"), z.as("z"))
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
@@ -1859,7 +1876,7 @@ object Curation extends QueryModule {
     s"""WITH tr AS (SELECT * FROM documents WHERE $splitExpr < 8),
       |vl AS (SELECT * FROM documents WHERE $splitExpr = 8),
       |${lrTrainCtesOver("t", "tr")},
-      |${TextOps.hashedIdfCtes("v", "vl")},
+      |${TextOps.hashedTokCntCte("v", "vl")},
       |${TextOps.hashedVecTailCtes("v", "vtc", "tidf")},
       |${lrDenseCtes("s", "vvec")},
       |vq AS (${TextOps.qualityCoreSqlOver("vl")}),
@@ -1887,6 +1904,107 @@ object Curation extends QueryModule {
       |    AS accuracy
       |FROM cf CROSS JOIN nv""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q206: classifier operating-point sweep (precision/recall per decile)
+  // ---------------------------------------------------------------------
+
+  /** q206: the operating-point sweep q204's single-point confusion table
+    * leaves open — which threshold to DEPLOY. For each decile threshold
+    * t = 0.0 … 0.9, the confusion counts and precision/recall/F1 of
+    * "keep iff σ(z) ≥ t" over the full corpus's served scores (q203's
+    * persisted model — the ensure rule) against the q63 gate labels.
+    * The population is the scored population (docs with ≥1 trained-
+    * vocabulary token — q204's n_scored convention).
+    *
+    * Scale shape: ONE corpus pass (the q203 pure-map scorer + the
+    * per-doc-intrinsic label kernel, sharing the scan), collapsing
+    * map-side into a ≤22-row (decile-bucket × label) histogram; the ten
+    * thresholds then read CUMULATIVE sums off that histogram via a tiny
+    * non-equi broadcast join — the corpus is never re-scanned per
+    * threshold and never inflated tenfold. Deciles bucket on the
+    * DECIMAL-cast 6dp score (floor(score × 10) in exact decimal
+    * arithmetic — binary-double × 10 would misbucket 0.3), so both
+    * engines assign boundary scores identically. F1 folds to the
+    * single-division 2·tp / (2·tp + fp + fn) — integer-exact operands,
+    * one IEEE division, cross-engine deterministic. */
+  def lrThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureLrModel(spark, dir)
+    val w = spark.read.parquet(s"$base/weights")
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    lrThresholdSweepOf(Tables.documents(spark, dir), w)
+  }
+
+  /** DataFrame-level core against an explicit model (testable on
+    * constructed corpora; shares [[lrScoreOf]]'s kernel verbatim so the
+    * sweep prices exactly the scores q203 serves). */
+  def lrThresholdSweepOf(d: DataFrame, w: Array[Double]): DataFrame = {
+    val spark = d.sparkSession
+    val lab = TextOps.qualityScoresOf(d).select(col("doc_id"),
+      when(col("quality") >= FunnelQualityMin, lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val scored = lrScoreOf(d, w).select(col("doc_id"), col("score"))
+      .join(lab, Seq("doc_id"))
+    val hist = scored
+      .select(floor(col("score").cast(DecimalType(7, 6)) * 10)
+          .cast(IntegerType).as("b"), col("y"))
+      .groupBy(col("b"), col("y")).agg(count(lit(1)).as("c"))
+    val tot = hist.agg(
+      coalesce(sum(when(col("y") === 1.0, col("c"))), lit(0L)).as("pos"),
+      coalesce(sum(when(col("y") === 0.0, col("c"))), lit(0L)).as("neg"))
+    val th = spark.range(0, 10).select(col("id").cast(IntegerType).as("k"))
+    val ag = th.join(hist, col("b") >= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(when(col("y") === 1.0, col("c"))), lit(0L)).as("tp"),
+        coalesce(sum(when(col("y") === 0.0, col("c"))), lit(0L)).as("fp"))
+    ag.crossJoin(broadcast(tot))
+      .select((col("k").cast(DoubleType) / 10).as("thr"),
+        col("tp"), col("fp"),
+        (col("pos") - col("tp")).as("fn"),
+        (col("neg") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast(DoubleType) / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("pos") > 0,
+          round(col("tp").cast(DoubleType) / col("pos"), 6)).as("recall"),
+        when(lit(2) * col("tp") + col("fp") + (col("pos") - col("tp")) > 0,
+          round((lit(2) * col("tp")).cast(DoubleType) /
+            (lit(2) * col("tp") + col("fp") + (col("pos") - col("tp"))), 6))
+          .as("f1"))
+      .orderBy(col("thr"))
+  }
+
+  private lazy val lrThresholdSweepSql =
+    // the full training chain SHARED VERBATIM (lrTrainCtes, which also
+    // carries the label CTE `lab`), one scoring pass, then the decile
+    // histogram + cumulative threshold join
+    s"""WITH $lrTrainCtes,
+      |sc AS (SELECT f.doc_id, ${lrFoldSql("f.xs", "w.w")} AS z, f.y
+      |  FROM f CROSS JOIN w$LrSteps w),
+      |sp AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score, y
+      |       FROM sc),
+      |h AS (SELECT CAST(FLOOR(CAST(score AS DECIMAL(7,6)) * 10) AS INT) AS b,
+      |        y, COUNT(*) AS c
+      |      FROM sp GROUP BY 1, 2),
+      |tt AS (SELECT
+      |    CAST(COALESCE(SUM(CASE WHEN y = 1.0 THEN c END), 0) AS BIGINT) AS pos,
+      |    CAST(COALESCE(SUM(CASE WHEN y = 0.0 THEN c END), 0) AS BIGINT) AS neg
+      |  FROM h),
+      |dk AS (SELECT UNNEST(GENERATE_SERIES(0, 9)) AS k),
+      |ag AS (SELECT dk.k,
+      |    CAST(COALESCE(SUM(CASE WHEN h.y = 1.0 THEN h.c END), 0) AS BIGINT) AS tp,
+      |    CAST(COALESCE(SUM(CASE WHEN h.y = 0.0 THEN h.c END), 0) AS BIGINT) AS fp
+      |  FROM dk LEFT JOIN h ON h.b >= dk.k GROUP BY dk.k)
+      |SELECT CAST(k AS DOUBLE) / 10 AS thr, ag.tp, ag.fp,
+      |  tt.pos - ag.tp AS fn, tt.neg - ag.fp AS tn,
+      |  CASE WHEN ag.tp + ag.fp > 0
+      |    THEN ROUND(CAST(ag.tp AS DOUBLE) / (ag.tp + ag.fp), 6) END AS "precision",
+      |  CASE WHEN tt.pos > 0
+      |    THEN ROUND(CAST(ag.tp AS DOUBLE) / tt.pos, 6) END AS recall,
+      |  CASE WHEN 2 * ag.tp + ag.fp + (tt.pos - ag.tp) > 0
+      |    THEN ROUND(CAST(2 * ag.tp AS DOUBLE)
+      |      / (2 * ag.tp + ag.fp + (tt.pos - ag.tp)), 6) END AS f1
+      |FROM ag CROSS JOIN tt
+      |ORDER BY thr""".stripMargin
 
   /** DataFrame-level core (testable on constructed corpora). */
   def lrQualityTrainOf(d: DataFrame): DataFrame = {
@@ -1988,6 +2106,7 @@ object Curation extends QueryModule {
     GraftQuery("q202_lr_quality_train", lrQualityTrain, Some(lrQualityTrainSql)),
     GraftQuery("q203_lr_quality_score", lrQualityScore, Some(lrQualityScoreSql)),
     GraftQuery("q204_classifier_eval", classifierEval, Some(classifierEvalSql)),
+    GraftQuery("q206_threshold_sweep", lrThresholdSweep, Some(lrThresholdSweepSql)),
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q169_classifier_lift", classifierLift, Some(classifierLiftSql)),
     GraftQuery("q170_interleaved_order", interleavedOrder, Some(interleavedOrderSql)),

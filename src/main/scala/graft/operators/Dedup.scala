@@ -948,12 +948,21 @@ object Dedup extends QueryModule {
     // the just-written shingle table, NOTHING from pairs/labels) with the
     // pair self-join: its jobs fill scheduler slots the join leaves idle,
     // and rawLabelsViaSurvivors then reuses the warm ScopedCache blocks.
-    // Failures are swallowed inside (the label stage recomputes), so the
-    // await below cannot throw — but it MUST happen before any exception
-    // propagates: an escaping failure triggers ArtifactStore's staging
-    // cleanup, which must not race in-flight prefetch jobs (ADVICE r12).
+    // Non-fatal failures are swallowed inside (the label stage
+    // recomputes); fatal errors (OOM, interrupt) propagate out of the
+    // Future and surface at the await (ADVICE r14). The await MUST
+    // happen before any exception propagates: an escaping failure
+    // triggers ArtifactStore's staging cleanup, which must not race
+    // in-flight prefetch jobs (ADVICE r12). The prefetch runs under its
+    // own job group so a stalled prefetch job can be cancelled rather
+    // than hanging the build forever (the timeout path below).
+    val prefetchGroup = "dedup.rawgate.prefetch"
     val fGate = scala.concurrent.Future {
-      prefetchRawGate(docs, survivors, gatedSurv)
+      val sc = docs.sparkSession.sparkContext
+      sc.setJobGroup(prefetchGroup,
+        "near-dup build: duplicate-gate prefix prefetch", interruptOnCancel = true)
+      try prefetchRawGate(docs, survivors, gatedSurv)
+      finally sc.clearJobGroup()
     }(scala.concurrent.ExecutionContext.global)
     val mainFailure =
       try {
@@ -964,7 +973,22 @@ object Dedup extends QueryModule {
         sl.write.mode("overwrite").parquet(s"$base/surv_labels")
         None
       } catch { case t: Throwable => Some(t) }
-    scala.concurrent.Await.result(fGate, scala.concurrent.duration.Duration.Inf)
+    // The prefetch is a documented best-effort optimization: wait a
+    // generous bound (far above any healthy prefix build), and on
+    // timeout cancel its job group and give the cancellation a short
+    // grace to settle — the ordering guarantee vs staging cleanup holds
+    // on every path, and a stuck prefetch stage can no longer hang the
+    // whole artifact build (ADVICE r14). Fatal errors from the Future
+    // rethrow here.
+    try scala.concurrent.Await.result(fGate,
+      scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        docs.sparkSession.sparkContext.cancelJobGroup(prefetchGroup)
+        try scala.concurrent.Await.result(fGate,
+          scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.SECONDS))
+        catch { case _: java.util.concurrent.TimeoutException => () }
+    }
     mainFailure.foreach(throw _)
     rawLabelsViaSurvivors(docs, survivors,
         spark.read.parquet(s"$base/surv_labels"), gatedSurv)
@@ -1076,8 +1100,10 @@ object Dedup extends QueryModule {
     * while the pair self-join runs (the build calls this on a Future —
     * the prefix shares no input with the pair/label stages, so its jobs
     * interleave with theirs instead of extending the critical path).
-    * Purely an optimization: any failure is swallowed — the label stage
-    * recomputes the identical plans and surfaces real errors itself. */
+    * Purely an optimization: non-fatal failures are swallowed — the
+    * label stage recomputes the identical plans and surfaces real
+    * errors itself. Fatal errors (OutOfMemoryError, interrupts)
+    * propagate so a dying JVM is never masked (ADVICE r14). */
   private[operators] def prefetchRawGate(docs: DataFrame, survivors: DataFrame,
       gatedSurv: DataFrame): Unit =
     try {
@@ -1087,7 +1113,7 @@ object Dedup extends QueryModule {
         cand.count()
         ()
       }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** 4-arg form taking the already-materialized gated survivor-shingle
     * universe with per-row survivor df (the artifact build passes its

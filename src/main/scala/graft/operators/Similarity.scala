@@ -2262,8 +2262,72 @@ object Similarity extends QueryModule {
       |FROM rr WHERE rank <= $PqSearchK
       |ORDER BY query_id NULLS FIRST, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q208: ANN index method-comparison card
+  // ---------------------------------------------------------------------
+
+  /** q208: the index-method comparison card — the q201 dedup-card grammar
+    * applied to the ANN family. For each index tier a deployment can buy
+    * (PQ ADC search, PQ + exact rerank, SQ8), the mean and worst
+    * per-probe recall@k against the SAME exact ground truth, next to the
+    * tier's storage price in index bytes per vector (PQ: one code byte
+    * per block = [[PqBlocks]]; SQ8: one byte per dimension = blocks ×
+    * [[PqBlockDim]]; the rerank tier stores the same [[PqBlocks]]-byte
+    * codes and additionally READS the raw vectors of probes × m
+    * candidates at query time — the serving-cost asterisk the scaladoc
+    * carries, not a storage column). This is the report read before
+    * choosing a tier: recall lift per byte, measured on this corpus.
+    *
+    * Invisibility law: each row is an AGGREGATE of the corresponding
+    * already-certified audit (q171/q175/q196 — same searches, same
+    * ground-truth kernel, composed verbatim); the SemanticsSpec law pins
+    * each card row to the mean/min of its audit's rows. Mean recall
+    * sums the 6dp per-probe recalls as DECIMAL(38,12) (order-free), one
+    * IEEE division, round 6.
+    *
+    * Scale shape: three audit pipelines (each already scale-certified:
+    * cell-gated scans, broadcast LUTs, probes-sized frames) each
+    * collapsing to ONE row map-side; the union is 3 rows. */
+  def annMethodCard(spark: SparkSession, dir: String): DataFrame = {
+    def card(audit: DataFrame, method: String, bytes: Int): DataFrame =
+      audit.agg(
+        count(lit(1)).as("n_probes"),
+        round(sum(col("recall_at_k").cast(DecimalType(38, 12)))
+          .cast(DoubleType) / count(lit(1)), 6).as("mean_recall"),
+        min(col("recall_at_k")).as("min_recall"))
+        .select(lit(method).as("method"), col("n_probes"),
+          col("mean_recall"), col("min_recall"),
+          lit(bytes).as("bytes_per_vec"))
+    card(annRecall(spark, dir), "pq", PqBlocks)
+      .unionByName(card(annRecallRerank(spark, dir), "pq_rerank", PqBlocks))
+      .unionByName(card(sq8Recall(spark, dir), "sq8", PqBlocks * PqBlockDim))
+      .orderBy(col("method"))
+  }
+
+  /** Each leg embeds the corresponding audit's full oracle VERBATIM as a
+    * subquery (DuckDB allows WITH inside a derived table), so the card
+    * can only agree with the audits by computing the same thing. */
+  private lazy val annMethodCardSql = {
+    def leg(method: String, auditSql: String, bytes: Int) =
+      s"""SELECT '$method' AS method, COUNT(*) AS n_probes,
+        |  ROUND(CAST(SUM(CAST(recall_at_k AS DECIMAL(38,12))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_recall,
+        |  MIN(recall_at_k) AS min_recall,
+        |  CAST($bytes AS INT) AS bytes_per_vec
+        |FROM (
+        |$auditSql
+        |) ${method}_audit""".stripMargin
+    s"""${leg("pq", annRecallSql, PqBlocks)}
+      |UNION ALL
+      |${leg("pq_rerank", annRecallRerankSql, PqBlocks)}
+      |UNION ALL
+      |${leg("sq8", sq8RecallSql, PqBlocks * PqBlockDim)}
+      |ORDER BY method""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q80_cosine_topk", cosineTopK, Some(cosineTopKSql)),
+    GraftQuery("q208_ann_method_card", annMethodCard, Some(annMethodCardSql)),
     GraftQuery("q171_ann_recall", annRecall, Some(annRecallSql)),
     GraftQuery("q172_ann_rerank", ivfPqRerank, Some(ivfPqRerankSql)),
     GraftQuery("q175_ann_rerank_recall", annRecallRerank, Some(annRecallRerankSql)),

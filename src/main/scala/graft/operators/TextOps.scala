@@ -1302,6 +1302,230 @@ object TextOps extends QueryModule {
       |  right_tok NULLS FIRST
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q205/q209: iterative BPE tokenizer training (merge table + vocab)
+  // ---------------------------------------------------------------------
+
+  /** Unrolled merge rounds for q205/q209. Fixed and interpolated into
+    * the oracle (one CTE block per round — the q202 unrolled-iteration
+    * discipline); 6 rounds is enough to exercise every regime the
+    * trainer has (argmax re-selection, merged symbols re-entering later
+    * pairs, vocabulary growth then shrink) while keeping the per-round
+    * corpus passes bounded. */
+  val BpeMergeRounds = 6
+
+  /** Adjacent-pair counts over an explicit (doc_id, t) sequence table —
+    * q102's pair explode re-aimed at mid-training sequences (round 1 on
+    * the raw split IS q102's count table). Map-side-combining keyed
+    * aggregate; no window anywhere in the recount. */
+  private def bpePairCounts(seq: DataFrame): DataFrame =
+    seq.filter(size(col("t")) >= 2)
+      .withColumn("p", explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))")))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("pair_cnt"))
+
+  /** The iterative BPE trainer (Sennrich et al., ACL 2016, over graft's
+    * whitespace-token stream): for each of `rounds` rounds, count
+    * adjacent pairs, take the argmax (count desc, then pair text — a
+    * full total order, so the learned table is deterministic), apply it
+    * greedily left-to-right with [[graft.functions.BpeMerge]], and
+    * recount. Returns the ordered merge rows
+    * (round, l, r, merged, pair_cnt, vocab_size-after) plus the final
+    * sequence table; stops early only when no adjacent pair exists at
+    * all (every doc below 2 tokens).
+    *
+    * Dataflow per round — the q202 training-loop contract: one pair
+    * explode into a map-side-combined vocabulary-sized aggregate, a
+    * TakeOrderedAndProject argmax of which ONE ROW reaches the driver
+    * (the model — the only driver state, 3 strings + 2 longs per
+    * round), one pure-map merge application (the codegen'd
+    * `graft_bpe_merge` kernel — no explode, no shuffle, no window), and
+    * one distinct-token count. `localCheckpoint` truncates lineage each
+    * round (the q77/q100 iterative-state pattern) so round R's plan
+    * never re-derives rounds 1..R−1; superseded checkpoints release
+    * their blocks eagerly. At 100 TB each round is two corpus scans
+    * (recount + re-apply) — embarrassingly scalable; a production run
+    * would also write each round's sequences to the artifact store, and
+    * the serving path ([[bpeEncode]]) replays the R merges as R chained
+    * per-row maps in ONE scan with no shuffle at all. */
+  private[graft] def bpeTrainState(d: DataFrame, rounds: Int = BpeMergeRounds)
+      : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
+    val spark = d.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val session = spark
+    import session.implicits._
+    var seq = d.select(col("doc_id"), toks.as("t")).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val top = bpePairCounts(seq)
+        .orderBy(col("pair_cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        val cnt = top(0).getLong(2)
+        // the learned pair rides back in as a broadcast 1-row literal
+        // (not a string-interpolated expression: token text needs no
+        // escaping this way), coalesce unused here because the row is
+        // known non-empty
+        val next = seq.crossJoin(broadcast(Seq((l, r)).toDF("l", "r")))
+          .select(col("doc_id"), expr("graft_bpe_merge(t, l, r)").as("t"))
+          .localCheckpoint()
+        graft.functions.ScopedCache.releaseCheckpoint(seq)
+        val vocab = next.select(explode(col("t")).as("tok")).distinct().count()
+        out += ((k, l, r, l + " " + r, cnt, vocab))
+        seq = next
+        k += 1
+      }
+    }
+    (out.toSeq, seq)
+  }
+
+  /** Serving-side tokenizer: replay a trained merge table (in round
+    * order) over a corpus — R chained per-row `graft_bpe_merge` maps,
+    * ONE scan, no shuffle. The SemanticsSpec re-tokenization law pins
+    * this path bit-equal to the trainer's final state, so a model
+    * trained once can tokenize any future shard identically (the
+    * q161/q188/q198 frozen-model convention applied to the tokenizer). */
+  def bpeEncode(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = d.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val session = spark
+    import session.implicits._
+    merges.foldLeft(d.select(col("doc_id"), toks.as("t"))) { case (s, (l, r)) =>
+      s.crossJoin(broadcast(Seq((l, r)).toDF("l", "r")))
+        .select(col("doc_id"), expr("graft_bpe_merge(t, l, r)").as("t"))
+    }
+  }
+
+  /** PlanSpec hook: one round's pair-recount dataflow over the raw
+    * split (the registered query returns the collected merge table, so
+    * the per-round plan is guarded through this). */
+  private[graft] def bpeStepProbe(spark: SparkSession, dir: String): DataFrame =
+    bpePairCounts(Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("t")))
+
+  /** q205: iterative BPE tokenizer TRAINING — the merge table q102's
+    * single-round candidate list stops short of: [[BpeMergeRounds]]
+    * unrolled rounds of select-argmax / apply / recount, emitting one
+    * row per learned merge (its pair count at selection time and the
+    * vocabulary size after applying it). This is the tokenizer-training
+    * stage of an LLM data pipeline made an engine operator: the output
+    * IS the model a tokenizer ships (replayed by [[bpeEncode]]), and
+    * the argmax counts are monotone non-increasing across rounds (a new
+    * pair's count is bounded by the merged symbol's occurrence count,
+    * itself bounded by the selected pair's; the one theoretical escape —
+    * two merge trees yielding the SAME surface string, pooling their
+    * counts — needs a colliding span like «a b»+«c» vs «a»+«b c» and
+    * does not occur on whitespace corpora without repeated-span nesting.
+    * The SemanticsSpec law pins monotonicity on the fixture). */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def bpeTrainOf(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    val session = spark
+    import session.implicits._
+    val (rows, fin) = bpeTrainState(d)
+    // the merge table never reads the final sequences — release them
+    graft.functions.ScopedCache.releaseCheckpoint(fin)
+    rows.toDF("round", "left_tok", "right_tok", "merged_tok",
+        "pair_cnt", "vocab_size")
+      .orderBy(col("round"))
+  }
+
+  /** q209: the RESULTING vocabulary — every distinct symbol of the
+    * final (round-[[BpeMergeRounds]]) sequences with its corpus count:
+    * merged multi-word symbols and untouched single tokens side by
+    * side, ranked by count. Together with q205 this is the complete
+    * tokenizer artifact (merge table + vocab); vocabulary-sized output,
+    * never corpus-sized. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    bpeVocabOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def bpeVocabOf(d: DataFrame): DataFrame = {
+    val (_, fin) = bpeTrainState(d)
+    fin.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  /** The oracle's position-table base: (doc_id, pos, tok), pos dense
+    * 1-based (DuckDB's parallel UNNESTs zip positionally). */
+  private val bpeBaseCte =
+    """s0 AS MATERIALIZED (SELECT doc_id,
+      |    UNNEST(GENERATE_SERIES(1, LEN(t))) AS pos, UNNEST(t) AS tok
+      |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents) b)""".stripMargin
+
+  /** One unrolled training round for the oracle, s{k-1} → s{k}. The
+    * relational replay of [[graft.functions.BpeMerge]]'s greedy
+    * left-to-right scan: mark matching positions, group CONSECUTIVE
+    * matches into islands (runs longer than one position require
+    * l = r), keep the even offsets within each island (exactly the
+    * occurrences greedy scanning takes), then merge at kept starts and
+    * drop the consumed right halves. Every CTE is MATERIALIZED — step k
+    * references step k−1 several times, the q202 exponential-re-eval
+    * fix. All windows are PARTITIONED BY doc_id (bounded state). */
+  private def bpeRoundCtes(k: Int): String =
+    s"""pc$k AS MATERIALIZED (SELECT l, r, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, tok AS l,
+      |          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS r
+      |        FROM s${k - 1}) x
+      |  WHERE r IS NOT NULL GROUP BY 1, 2),
+      |top$k AS MATERIALIZED (SELECT l, r, cnt FROM pc$k
+      |  ORDER BY cnt DESC NULLS LAST, l NULLS FIRST, r NULLS FIRST LIMIT 1),
+      |m$k AS MATERIALIZED (SELECT s.doc_id, s.pos, s.tok,
+      |    COALESCE(s.tok = t.l AND LEAD(s.tok) OVER
+      |      (PARTITION BY s.doc_id ORDER BY s.pos) = t.r, FALSE) AS m
+      |  FROM s${k - 1} s LEFT JOIN top$k t ON TRUE),
+      |i$k AS MATERIALIZED (SELECT doc_id, pos, tok, m,
+      |    SUM(CASE WHEN m THEN 0 ELSE 1 END) OVER
+      |      (PARTITION BY doc_id ORDER BY pos) AS isl
+      |  FROM m$k),
+      |g$k AS MATERIALIZED (SELECT doc_id, pos, tok,
+      |    CASE WHEN m THEN ROW_NUMBER() OVER
+      |        (PARTITION BY doc_id, isl, m ORDER BY pos) % 2 = 1
+      |      ELSE FALSE END AS strt
+      |  FROM i$k),
+      |s$k AS MATERIALIZED (SELECT doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+      |    CASE WHEN strt THEN tok || ' ' || nxt ELSE tok END AS tok
+      |  FROM (SELECT doc_id, pos, tok, strt,
+      |          LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+      |          LAG(strt) OVER (PARTITION BY doc_id ORDER BY pos) AS pstrt
+      |        FROM g$k) z
+      |  WHERE NOT COALESCE(pstrt, FALSE)),
+      |v$k AS MATERIALIZED (SELECT COUNT(DISTINCT tok) AS vocab_size FROM s$k)""".stripMargin
+
+  private lazy val bpeAllRoundCtes: String =
+    (1 to BpeMergeRounds).map(bpeRoundCtes).mkString(",\n")
+
+  private lazy val bpeTrainSql = {
+    val sel = (1 to BpeMergeRounds).map { k =>
+      s"""SELECT $k AS round, t.l AS left_tok, t.r AS right_tok,
+        |  t.l || ' ' || t.r AS merged_tok, t.cnt AS pair_cnt, v.vocab_size
+        |FROM top$k t CROSS JOIN v$k v""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeBaseCte,
+      |$bpeAllRoundCtes
+      |$sel
+      |ORDER BY round""".stripMargin
+  }
+
+  private lazy val bpeVocabSql =
+    s"""WITH $bpeBaseCte,
+      |$bpeAllRoundCtes
+      |SELECT tok, COUNT(*) AS cnt FROM s$BpeMergeRounds
+      |GROUP BY tok
+      |ORDER BY cnt DESC NULLS LAST, tok NULLS FIRST""".stripMargin
+
   /** q103: bigram-LM surprisal — q93's quality filter upgraded to a
     * first-order model: per-doc average of −ln p(w_{i+1} | w_i) under the
     * corpus's own bigram conditional (pair count / left-token count).
@@ -1447,6 +1671,111 @@ object TextOps extends QueryModule {
       |GROUP BY bc.doc_id
       |ORDER BY bc.doc_id NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q207: smoothed bigram-LM surprisal (absolute discount + continuation)
+  // ---------------------------------------------------------------------
+
+  /** The absolute-discount constant (Kneser-Ney's canonical D — Chen &
+    * Goodman 1998 report 0.75 near-optimal across corpora). Interpolated
+    * into plan and oracle so the smoothing cannot drift. */
+  val KnDiscount = 0.75
+
+  /** q207: bigram surprisal under INTERPOLATED ABSOLUTE DISCOUNTING with
+    * Kneser-Ney continuation weights — the smoothing the raw conditional
+    * of q103 (and q110's floored variant) lacks: an unsmoothed bigram LM
+    * over-penalizes rare-but-fine transitions, exactly the failure mode
+    * CCNet-style quality filtering (Wenzek et al., LREC 2020) smooths
+    * its LM for. Per attested pair,
+    *
+    *   p(r|l) = max(c(l,r) − D, 0)/c(l·) + λ(l)·p_cont(r)
+    *   λ(l)   = D·N1+(l·)/c(l·)         (the discounted mass, re-spent)
+    *   p_cont(r) = N1+(·r)/N_types      (how many contexts attest r)
+    *
+    * which sums to exactly 1 over the full vocabulary (the SemanticsSpec
+    * proper-distribution law): the discount D withheld from each of the
+    * N1+(l·) attested continuations is exactly the λ(l) mass the
+    * continuation distribution redistributes. Scoring, population, term
+    * casts and rounding are q103's verbatim (per-term DECIMAL(38,12),
+    * round 6; docs under 2 tokens excluded) — one knob changed, so the
+    * q103 → q207 delta in any doc's score is attributable to smoothing
+    * alone. Every float step is written in the same order in both
+    * engines; the 1-ulp LN difference dies at the decimal term cast.
+    *
+    * Scale shape: q103's exactly — the pair/left/continuation tables are
+    * all pair-vocabulary-sized keyed aggregates (map-side combined), the
+    * N_types total is the broadcast-scalar idiom, and the per-doc score
+    * is one keyed aggregate. The continuation/type statistics add two
+    * aggregates over the ALREADY-collapsed pair table, not corpus
+    * passes. */
+  def smoothedBigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    smoothedBigramSurprisalOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def smoothedBigramSurprisalOf(d: DataFrame): DataFrame = {
+    val probs = knProbsOf(d)
+    val bg = adjacentPairs(d, carryDocId = true)
+      .groupBy(col("doc_id"), col("l"), col("r"))
+      .agg(count(lit(1)).as("cnt"))
+    val term = (col("cnt").cast(DoubleType) * log(col("p")))
+      .cast(DecimalType(38, 12))
+    bg.join(probs, Seq("l", "r"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"), sum(term).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("avg_smoothed_surprisal_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The smoothed conditional table (l, r, p) over attested pairs — the
+    * SemanticsSpec proper-distribution law recomputes total mass from
+    * this hook. Kept term-for-term parallel to the oracle's `pr` CTE. */
+  private[graft] def knProbsOf(d: DataFrame): DataFrame = {
+    val bg = adjacentPairs(d, carryDocId = true)
+      .groupBy(col("doc_id"), col("l"), col("r"))
+      .agg(count(lit(1)).as("cnt"))
+    val pair = bg.groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_cnt"))
+    val left = pair.groupBy(col("l")).agg(sum(col("pair_cnt")).as("left_cnt"),
+      count(lit(1)).as("n1_left"))
+    val cont = pair.groupBy(col("r")).agg(count(lit(1)).as("n1_right"))
+    val tot = pair.agg(count(lit(1)).as("n_types"))
+    // broadcast scalar idiom: the 1-row type count under every pair row
+    pair.join(left, Seq("l")).join(cont, Seq("r"))
+      .crossJoin(broadcast(tot))
+      .select(col("l"), col("r"),
+        (greatest(col("pair_cnt").cast(DoubleType) - lit(KnDiscount), lit(0.0))
+            / col("left_cnt")
+          + (lit(KnDiscount) * col("n1_left") / col("left_cnt"))
+            * (col("n1_right").cast(DoubleType) / col("n_types"))).as("p"))
+  }
+
+  private val smoothedBigramSurprisalSql =
+    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+      |bg0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+      |          i -> {'l': t[i], 'r': t[i+1]})) AS p
+      |        FROM toks WHERE LEN(t) >= 2),
+      |bc AS (SELECT doc_id, p.l AS l, p.r AS r, COUNT(*) AS cnt
+      |       FROM bg0 GROUP BY 1, 2, 3),
+      |pair AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+      |         FROM bc GROUP BY 1, 2),
+      |lft AS (SELECT l, CAST(SUM(pair_cnt) AS BIGINT) AS left_cnt,
+      |          COUNT(*) AS n1_left
+      |        FROM pair GROUP BY 1),
+      |cont AS (SELECT r, COUNT(*) AS n1_right FROM pair GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_types FROM pair),
+      |pr AS (SELECT pair.l, pair.r,
+      |         GREATEST(CAST(pair_cnt AS DOUBLE) - CAST($KnDiscount AS DOUBLE), 0.0)
+      |             / left_cnt
+      |           + (CAST($KnDiscount AS DOUBLE) * n1_left / left_cnt)
+      |             * (CAST(n1_right AS DOUBLE) / n_types) AS p
+      |       FROM pair JOIN lft USING (l) JOIN cont USING (r) CROSS JOIN tot)
+      |SELECT bc.doc_id, CAST(SUM(bc.cnt) AS BIGINT) AS n_bigrams,
+      |  ROUND(-CAST(SUM(CAST(bc.cnt * LN(pr.p) AS DECIMAL(38,12))) AS DOUBLE)
+      |        / SUM(bc.cnt), 6) AS avg_smoothed_surprisal_nats
+      |FROM bc JOIN pr ON bc.l = pr.l AND bc.r = pr.r
+      |GROUP BY bc.doc_id
+      |ORDER BY bc.doc_id NULLS FIRST""".stripMargin
+
   /** q104: temperature-scaled mixture rebalancing (T = 2) — the standard
     * softening between q87's fixed rates and q98's full flattening: the
     * keep rate for language l is √(min_cnt / cnt_l), so over-represented
@@ -1522,10 +1851,14 @@ object TextOps extends QueryModule {
     GraftQuery("q97_chunk_documents", chunkDocuments, Some(chunkDocumentsSql)),
     GraftQuery("q98_mix_to_uniform", mixToUniform, Some(mixToUniformSql)),
     GraftQuery("q102_bpe_merges", bpeMergeCandidates, Some(bpeMergeCandidatesSql)),
+    GraftQuery("q205_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    GraftQuery("q209_bpe_vocab", bpeVocab, Some(bpeVocabSql)),
     GraftQuery("q103_bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),
     GraftQuery("q104_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     GraftQuery("q110_bigram_surprisal_floored", bigramSurprisalFloored,
       Some(bigramSurprisalFlooredSql)),
+    GraftQuery("q207_bigram_surprisal_smoothed", smoothedBigramSurprisal,
+      Some(smoothedBigramSurprisalSql)),
     GraftQuery("q168_span_corruption", spanCorruption, Some(spanCorruptionSql)),
     GraftQuery("q198_hashed_doc_vectors", hashedDocVectors,
       Some(hashedDocVectorsSql)),
@@ -1743,13 +2076,25 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"), col("dim"))
   }
 
-  /** Oracle CTEs `${p}tc`/`${p}nn`/`${p}idf` — distinct token counts and
-    * the idf table over `docsTable`. Split from the vector tail so q204
-    * can fit the idf on the TRAIN split and apply it to the val split. */
-  private[operators] def hashedIdfCtes(p: String, docsTable: String): String =
+  /** Oracle CTE `${p}tc` alone — per-doc distinct token counts over
+    * `docsTable`, WITHOUT the idf fit. The apply-side half for oracles
+    * that featurize one split against a model fit on ANOTHER (q204's
+    * val side): emitting only what the query references keeps the
+    * oracle text an exact statement of the frozen-idf contract — no
+    * unused val-fit idf CTEs that read as if they participate
+    * (ADVICE r14). */
+  private[operators] def hashedTokCntCte(p: String, docsTable: String): String =
     s"""${p}tc AS MATERIALIZED (SELECT doc_id, tok, COUNT(*) AS cnt
       |        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
-      |              FROM $docsTable) x GROUP BY 1, 2),
+      |              FROM $docsTable) x GROUP BY 1, 2)""".stripMargin
+
+  /** Oracle CTEs `${p}tc`/`${p}nn`/`${p}idf` — distinct token counts and
+    * the idf table over `docsTable`. Split from the vector tail so q204
+    * can fit the idf on the TRAIN split and apply it to the val split;
+    * composed from [[hashedTokCntCte]] so the token-count definition
+    * cannot drift between the fit and apply halves. */
+  private[operators] def hashedIdfCtes(p: String, docsTable: String): String =
+    s"""${hashedTokCntCte(p, docsTable)},
       |${p}nn AS MATERIALIZED (SELECT COUNT(*) AS n_docs FROM $docsTable),
       |${p}idf AS MATERIALIZED (SELECT tok, LN(CAST(n_docs AS DOUBLE) / COUNT(*)) AS idf
       |        FROM ${p}tc, ${p}nn GROUP BY tok, n_docs)""".stripMargin
@@ -1821,10 +2166,16 @@ object TextOps extends QueryModule {
     // unit components re-enter exact summation as DECIMAL(38,12): the
     // rounded doubles are ≤ 6 decimal digits, so the cast is exact and
     // the per-(source, dim) sum is aggregation-order-independent
-    val cen = vec.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .groupBy(col("source"), col("dim"))
-      .agg(sum(col("w").cast(DecimalType(38, 12))).as("sw"))
-      .select(col("source"), col("dim"), col("sw").cast(DoubleType).as("swd"))
+    // the centroid table (≤ #sources × D rows — model-sized) fronts the
+    // corpus-sized featurizer and is referenced three times below (both
+    // sides of the dim-keyed self-join + the norm branch): ScopedCache
+    // it so the featurizer runs once even when exchange reuse doesn't
+    // cover a branch (ADVICE r14; repo doubly-referenced-subtree rule)
+    val cen = graft.functions.ScopedCache.persist("textops.srcsim.cen",
+      vec.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"), col("dim"))
+        .agg(sum(col("w").cast(DecimalType(38, 12))).as("sw"))
+        .select(col("source"), col("dim"), col("sw").cast(DoubleType).as("swd")))
     val nrm = cen
       .select(col("source"),
         (col("swd") * col("swd")).cast(DecimalType(38, 12)).as("s2"))

@@ -731,7 +731,39 @@ object Plans {
           "val fold as a 33-literal zip_with, and a ONE-ROW confusion " +
           "aggregate; bucket-9 (test) rows are pruned at the scan by " +
           "the split predicate.",
-        graft.operators.Curation.classifierEval(spark, dir)))
+        graft.operators.Curation.classifierEval(spark, dir)),
+      section("q205 BPE pair recount (r15; one round's dataflow — the " +
+          "registered query returns the collected merge table)",
+        "What to look for: Generate (the adjacent-pair explode) feeding " +
+          "a partial HashAggregate that collapses the pair stream " +
+          "map-side to the pair vocabulary, one exchange, the final " +
+          "aggregate — NO window, NO join; the merge APPLY step is a " +
+          "pure per-row graft_bpe_merge call under a broadcast 1-row " +
+          "literal (see the serving guard in PlanSpec).",
+        graft.operators.TextOps.bpeStepProbe(spark, dir)),
+      section("q206 classifier threshold sweep (r15)",
+        "What to look for: q203's scorer front (featurizer joins + the " +
+          "33-literal fold) joined once to the label kernel, collapsing " +
+          "into a <=22-row decile histogram; the ten thresholds then " +
+          "read cumulative sums via a broadcast non-equi join over " +
+          "POST-AGGREGATE rows — the corpus is never inflated tenfold " +
+          "and never re-scanned per threshold.",
+        graft.operators.Curation.lrThresholdSweep(spark, dir)),
+      section("q207 smoothed bigram surprisal (r15)",
+        "What to look for: q103's certified shape with two EXTRA " +
+          "aggregates over the already-collapsed pair table (the " +
+          "continuation and left-context statistics — pair-vocabulary " +
+          "sized, never corpus passes), the 1-row type total as the " +
+          "broadcast-scalar idiom, then the per-doc keyed roll-up; no " +
+          "window, no Expand.",
+        graft.operators.TextOps.smoothedBigramSurprisal(spark, dir)),
+      section("q208 ANN method card (r15)",
+        "What to look for: the three certified audit pipelines " +
+          "(q171 ADC scan, q175 rerank chain, q196 SQ8 scan — cell-" +
+          "gated scans and broadcast LUTs, the corpus never exact-" +
+          "scored wholesale) each collapsing to a ONE-ROW aggregate " +
+          "map-side, unioned into 3 rows.",
+        graft.operators.Similarity.annMethodCard(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

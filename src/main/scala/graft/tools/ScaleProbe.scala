@@ -1000,6 +1000,46 @@ object ScaleProbe {
       time("q203 lr score 1x (5k docs)")(scoreCount(d1))
       time(s"q203 lr score ${copies}x")(scoreCount(dN))
     }
+    // q204: the eval instrument refits idf + model on the 80% train
+    // bucket and scores the 10% val bucket — the whole pipeline scales
+    // ∝ corpus like q202+q203, with the confusion table the only output
+    def evalCount(docs: DataFrame): Long =
+      graft.operators.Curation.classifierEvalOf(docs).count()
+    time("q204 classifier eval 1x (5k docs)")(evalCount(d1))
+    time(s"q204 classifier eval ${copies}x")(evalCount(dN))
+    // q206: the sweep adds ONE label pass and a <=22-row histogram on
+    // top of q203's scorer — threshold count never touches the corpus
+    locally {
+      val model = graft.operators.Curation.lrQualityTrainOf(d1)
+        .orderBy(col("dim")).collect().map(_.getDouble(1))
+      def sweepCount(docs: DataFrame): Long =
+        graft.operators.Curation.lrThresholdSweepOf(docs, model).count()
+      time("q206 threshold sweep 1x (5k docs)")(sweepCount(d1))
+      time(s"q206 threshold sweep ${copies}x")(sweepCount(dN))
+    }
+    // q205: one BPE round = pair recount (map-side-combined, pair-vocab
+    // sized) + a pure-map merge apply; rounds multiply the constant,
+    // not the exponent. Probe one full recount + apply at both sizes.
+    def bpeRoundCount(docs: DataFrame): Long = {
+      val (rows, fin) = graft.operators.TextOps.bpeTrainState(
+        docs.select(col("doc_id"), col("text")), rounds = 1)
+      val n = fin.count()
+      graft.functions.ScopedCache.releaseCheckpoint(fin)
+      n + rows.size
+    }
+    time("q205 bpe round 1x (5k docs)")(bpeRoundCount(d1))
+    time(s"q205 bpe round ${copies}x")(bpeRoundCount(dN))
+    // q207: q103's shape plus two aggregates over the ALREADY-collapsed
+    // pair table — the continuation stats are pair-vocab-sized, so the
+    // scaling is q103's (the honest sublinear-join caveat q110 fixes)
+    def smoothedCount(docs: DataFrame): Long =
+      graft.operators.TextOps.smoothedBigramSurprisalOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    time("q207 smoothed surprisal 1x (5k docs)")(smoothedCount(d1))
+    time(s"q207 smoothed surprisal ${copies}x")(smoothedCount(dN))
+    // q208 composes the q171/q175/q196 audits verbatim (each probed
+    // above / in their own rows) and adds a 3-row union — no new scaling
+    // surface of its own.
 
     spark.stop()
   }

@@ -299,4 +299,62 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(chunksOf(base, cb).mkString === base)
     assert(chunksOf(edited, ce).mkString === edited)
   }
+
+  // ---- graft_bpe_merge: one BPE merge, greedy left-to-right (q205) ------
+
+  private def bpeOf(pairs: (String, String)*): Map[String, Seq[String]] = {
+    val session = spark
+    import session.implicits._
+    // drive every fixture through ONE merge (a, a) plus one (a, b) case
+    // selected by the l/r columns riding in per row
+    pairs.zipWithIndex.map { case ((text, lr), i) =>
+      val Array(l, r) = lr.split("/")
+      val got = Seq((text, l, r)).toDF("text", "l", "r")
+        .selectExpr("coalesce(graft_bpe_merge(split(text, ' '), l, r), split(text, ' ')) AS t")
+        .as[Seq[String]].collect()(0)
+      s"$text|$lr" -> got
+    }.toMap
+  }
+
+  test("graft_bpe_merge: greedy left-to-right non-overlapping, hand-computed") {
+    val got = bpeOf(
+      ("a a a", "a/a"),        // odd run: merge first pair, keep the tail
+      ("a a a a", "a/a"),      // even run: two non-overlapping merges
+      ("b a a b", "a/a"),      // interior match
+      ("a b a b", "a/b"),      // adjacent non-overlapping matches (l != r)
+      ("b a b", "b/a"),        // merged symbol does not re-match as l
+      ("x y", "a/b"),          // no occurrence: untouched
+      ("a", "a/a"))            // single token: untouched
+    assert(got("a a a|a/a") === Seq("a a", "a"))
+    assert(got("a a a a|a/a") === Seq("a a", "a a"))
+    assert(got("b a a b|a/a") === Seq("b", "a a", "b"))
+    assert(got("a b a b|a/b") === Seq("a b", "a b"))
+    assert(got("b a b|b/a") === Seq("b a", "b"))
+    assert(got("x y|a/b") === Seq("x", "y"))
+    assert(got("a|a/a") === Seq("a"))
+  }
+
+  test("graft_bpe_merge: null pair passes the sequence through via coalesce") {
+    val session = spark
+    import session.implicits._
+    val got = Seq(("a a b", Option.empty[String], Option.empty[String]))
+      .toDF("text", "l", "r")
+      .selectExpr("coalesce(graft_bpe_merge(split(text, ' '), l, r), split(text, ' ')) AS t")
+      .as[Seq[String]].collect()(0)
+    assert(got === Seq("a", "a", "b"))
+  }
+
+  test("graft_bpe_merge: codegen and interpreted paths agree") {
+    val session = spark
+    import session.implicits._
+    val df = sources.Tables.documents(spark, sf0001).limit(80)
+      .selectExpr("graft_bpe_merge(split(text, ' '), 'row', 'batch') AS t")
+    val fromCodegen = df.as[Seq[String]].collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.as[Seq[String]].collect()
+      assert(fromCodegen.toSeq === interpreted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
 }

@@ -1053,4 +1053,60 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(logical.contains("zip_with"), logical.take(4000))
     assert(!logical.contains("n_stopwords"), logical.take(4000))
   }
+
+  test("q206 sweep: one corpus pass into a tiny histogram — no window, no tenfold inflate") {
+    Curation.ensureLrModel(spark, sf0001)
+    val df = Curation.lrThresholdSweep(spark, sf0001)
+    val plan = executedPlan(df)
+    // the ten thresholds join the <=22-row histogram (a broadcast
+    // non-equi join over post-aggregate rows), never the corpus; no
+    // window, no Expand, no cartesian anywhere
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("CartesianProduct"),
+      plan.take(4000))
+    assert(!plan.contains("Expand"), plan.take(4000))
+    // the scorer front keeps q203's shape: the corpus aggregates before
+    // any threshold logic sees it
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+  }
+
+  test("q207 smoothed surprisal: q103's aggregate shape — no window, no expand") {
+    val plan = executedPlan(TextOps.smoothedBigramSurprisal(spark, sf0001))
+    // continuation/type statistics aggregate the already-collapsed pair
+    // table; the 1-row type total broadcasts (the scalar idiom); the
+    // corpus is never self-joined or windowed
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("CartesianProduct"),
+      plan.take(4000))
+    assert(!plan.contains("Expand"), plan.take(4000))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(4000))
+  }
+
+  test("q205 BPE pair recount: map-side-combined aggregate, no window, no join") {
+    val plan = executedPlan(TextOps.bpeStepProbe(spark, sf0001))
+    // the recount is explode → partial HashAggregate → exchange → final:
+    // the pair stream collapses to the pair vocabulary map-side, and
+    // nothing in the round uses a window or joins the corpus
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(4000))
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("Window"),
+      plan.take(4000))
+    assert(!plan.contains("Join"), plan.take(4000))
+  }
+
+  test("q205 serving tokenizer: replaying merges is a pure map — no shuffle, no window") {
+    val d = sources.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val df = TextOps.bpeEncode(d, Seq(("row", "batch"), ("scan", "column")))
+    val plan = executedPlan(df)
+    // each learned pair rides in as a broadcast 1-row literal (the
+    // broadcast-scalar idiom); the merge kernel itself is a codegen'd
+    // per-row call — the whole chain has no data exchange at all
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      plan.take(4000))
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("SortMergeJoin"),
+      plan.take(4000))
+    assert(plan.contains("graft_bpe_merge") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(4000))
+  }
 }

@@ -2604,4 +2604,193 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(worstPos > bestNeg,
       s"no margin: worst pos z $worstPos <= best neg z $bestNeg")
   }
+
+  test("q205 BPE training: merge counts monotone, vocab trajectory consistent with q209") {
+    val session = spark
+    import session.implicits._
+    val rows = operators.TextOps.bpeTrain(spark, sf001)
+      .as[(Int, String, String, String, Long, Long)].collect().toSeq
+    assert(rows.size === operators.TextOps.BpeMergeRounds)
+    assert(rows.map(_._1) === (1 to rows.size))
+    // argmax counts cannot increase: any pair a later round can select
+    // either existed at selection time (not the max then) or involves a
+    // merged symbol whose occurrences are bounded by the selected count
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._5 <= a._5, s"round ${b._1} count ${b._5} > round ${a._1} ${a._5}")
+    case _ => }
+    // the merged symbol IS the space-joined span
+    rows.foreach(r => assert(r._4 === r._2 + " " + r._3))
+    // q209's vocabulary is the final round's: distinct symbol count equals
+    // the last merge row's vocab_size, and its counts sum to the final
+    // token mass
+    val vocab = operators.TextOps.bpeVocab(spark, sf001)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab.size.toLong === rows.last._6)
+    // every learned merged symbol that survived to the end is in-vocab as
+    // a space-containing symbol; single-token symbols carry no space only
+    // if the corpus's tokens don't (whitespace split guarantees it)
+    assert(vocab.map(_._2).sum > 0)
+  }
+
+  test("q205 re-tokenization law: replaying the merge table reproduces training's final state") {
+    val session = spark
+    import session.implicits._
+    val d = sources.Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val (rows, fin) = operators.TextOps.bpeTrainState(d)
+    val finalSeqs = fin.as[(Long, Seq[String])].collect().toMap
+    // the serving tokenizer (R chained per-row maps, one scan) must land
+    // bit-identically where the trainer's iterative state landed
+    val replayed = operators.TextOps
+      .bpeEncode(d, rows.map(r => (r._2, r._3)))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(replayed === finalSeqs)
+    // detokenization law: merged symbols are space-joined spans, so
+    // re-joining any round's tokens on single spaces reproduces the text
+    val texts = d.as[(Long, String)].collect().toMap
+    finalSeqs.foreach { case (id, t) =>
+      assert(t.mkString(" ") === texts(id), s"doc $id detok mismatch")
+    }
+    graft.functions.ScopedCache.releaseCheckpoint(fin)
+  }
+
+  test("q206 threshold sweep: rows reproduce exactly from the served scores and labels") {
+    val session = spark
+    import session.implicits._
+    val d = sources.Tables.documents(spark, sf001)
+    val sweep = operators.Curation.lrThresholdSweep(spark, sf001).collect()
+    assert(sweep.length === 10)
+    // driver-side reference: re-derive every row from q203's served
+    // scores joined to the q63 gate labels
+    val scores = operators.Curation.lrQualityScore(spark, sf001)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    val labels = operators.TextOps.qualityScoresOf(d)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+      .filter { case (id, _) => scores.contains(id) }
+      .map { case (id, q) =>
+        id -> (q >= operators.Curation.FunnelQualityMin) }.toMap
+    val pos = labels.count(_._2).toLong
+    val neg = labels.size - pos
+    sweep.foreach { row =>
+      val thr = row.getDouble(0)
+      val kept = scores.filter { case (_, s) =>
+        // the sweep buckets on the exact 6dp decimal of the score
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP) >=
+          BigDecimal(thr).setScale(6)
+      }.keySet
+      val tp = kept.count(labels(_)).toLong
+      val fp = kept.size - tp
+      assert(row.getLong(1) === tp, s"thr $thr tp")
+      assert(row.getLong(2) === fp, s"thr $thr fp")
+      assert(row.getLong(3) === pos - tp && row.getLong(4) === neg - fp)
+      if (tp + fp > 0)
+        assert(math.abs(row.getDouble(5) - tp.toDouble / (tp + fp)) < 1e-6)
+      assert(math.abs(row.getDouble(6) - tp.toDouble / pos) < 1e-6)
+    }
+    // keep-count monotonicity: raising the threshold never admits a doc
+    val kepts = sweep.map(r => r.getLong(1) + r.getLong(2))
+    kepts.sliding(2).foreach { case Array(a, b) => assert(b <= a) case _ => }
+  }
+
+  test("q207 smoothing: the conditional is a proper distribution over the vocabulary") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "a cat and a dog")).toDF("doc_id", "text")
+    // driver-side reference statistics
+    val bigrams = docs.as[(Long, String)].collect().flatMap { case (_, t) =>
+      val w = t.split(" "); w.init.zip(w.tail) }
+    val pairCnt = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val leftCnt = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1Left = pairCnt.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1Right = pairCnt.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = pairCnt.size.toLong
+    val D = operators.TextOps.KnDiscount
+    val got = operators.TextOps.knProbsOf(docs)
+      .as[(String, String, Double)].collect()
+      .map { case (l, r, p) => (l, r) -> p }.toMap
+    assert(got.keySet === pairCnt.keySet)
+    // each attested pair matches the absolute-discount formula
+    got.foreach { case ((l, r), p) =>
+      val exp = math.max(pairCnt((l, r)) - D, 0.0) / leftCnt(l) +
+        (D * n1Left(l) / leftCnt(l)) * (n1Right(r).toDouble / nTypes)
+      assert(math.abs(p - exp) < 1e-12, s"($l,$r): $p vs $exp")
+    }
+    // proper distribution: summing over the FULL vocabulary (attested
+    // pairs take the discounted+interpolated mass, unseen pairs take
+    // lambda * p_cont alone) gives exactly 1 for every context
+    val vocab = n1Right.keySet
+    leftCnt.keys.foreach { l =>
+      val lam = D * n1Left(l) / leftCnt(l)
+      val total = vocab.toSeq.map { r =>
+        val cont = lam * (n1Right(r).toDouble / nTypes)
+        if (pairCnt.contains((l, r)))
+          math.max(pairCnt((l, r)) - D, 0.0) / leftCnt(l) + cont
+        else cont
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-12, s"context $l sums to $total")
+    }
+    // and the per-doc roll-up scores every >=2-token doc, same as q103
+    val rows = operators.TextOps.smoothedBigramSurprisalOf(docs).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getDouble(2) > 0))
+  }
+
+  test("q207 vs q103 on the fixture: same population, smoothing only reweights") {
+    val smoothed = operators.TextOps.smoothedBigramSurprisal(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val raw = operators.TextOps.bigramSurprisal(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(smoothed.keySet === raw.keySet)
+    // smoothing must actually do something (scores differ somewhere) but
+    // stay in the same order of magnitude
+    assert(smoothed.exists { case (id, v) => math.abs(v - raw(id)) > 1e-9 })
+    smoothed.foreach { case (id, v) =>
+      assert(v > 0 && v < raw(id) + 2.0, s"doc $id smoothed $v vs raw ${raw(id)}")
+    }
+  }
+
+  test("q208 method card: each row is exactly the aggregate of its certified audit") {
+    val session = spark
+    import session.implicits._
+    val card = operators.Similarity.annMethodCard(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
+    def ref(audit: org.apache.spark.sql.DataFrame): (Long, Double, Double) = {
+      val rs = audit.select($"recall_at_k").as[Double].collect()
+      val mean = (rs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum / rs.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (rs.length.toLong, mean, rs.min)
+    }
+    val pq = ref(operators.Similarity.annRecall(spark, sf001))
+    val rr = ref(operators.Similarity.annRecallRerank(spark, sf001))
+    val sq = ref(operators.Similarity.sq8Recall(spark, sf001))
+    assert(card("pq") === ((pq._1, pq._2, pq._3, operators.Similarity.PqBlocks)))
+    assert(card("pq_rerank") === ((rr._1, rr._2, rr._3, operators.Similarity.PqBlocks)))
+    assert(card("sq8") === ((sq._1, sq._2, sq._3,
+      operators.Similarity.PqBlocks * operators.Similarity.PqBlockDim)))
+    // the tier story must hold on this corpus: rerank lifts PQ, and SQ8's
+    // 8x bytes buy at least rerank-level recall
+    assert(card("pq_rerank")._2 >= card("pq")._2)
+    assert(card("sq8")._2 >= card("pq_rerank")._2)
+  }
+
+  test("q205 on a constructed corpus: learns the planted collocation first, greedily") {
+    val session = spark
+    import session.implicits._
+    // "new york" dominates; overlapping run "go go go" exercises greedy
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "go go go new york"),
+      (3L, "in new york we go")).toDF("doc_id", "text")
+    val (rows, fin) = operators.TextOps.bpeTrainState(docs, rounds = 1)
+    assert(rows.head._2 === "new" && rows.head._3 === "york")
+    assert(rows.head._5 === 5L) // 3 + 1 + 1 occurrences of (new, york)
+    val seqs = fin.as[(Long, Seq[String])].collect().toMap
+    assert(seqs(1L) === Seq("new york", "new york", "new york"))
+    assert(seqs(2L) === Seq("go", "go", "go", "new york"))
+    assert(seqs(3L) === Seq("in", "new york", "we", "go"))
+    graft.functions.ScopedCache.releaseCheckpoint(fin)
+  }
 }

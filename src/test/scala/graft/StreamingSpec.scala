@@ -603,6 +603,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming classifier: arriving docs score identically to the batch (q203)") {
+    // the live twin of q203, completing the frozen-model convention for
+    // the classifier family (q161 weights / q188 rates / q192 labels /
+    // q198 idf): the TRAINED artifacts — the 33-weight lrmodel AND the
+    // train-corpus idf the featurizer needs — freeze as literal rows,
+    // ship to ingest, and every arriving doc's (score, keep) must be
+    // bit-identical to the nightly batch scorer's, because scoring is a
+    // pure per-doc map once the model is frozen (z-fold + sigmoid over
+    // doc-local features)
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val full = graft.sources.Tables.documents(spark, sf0001)
+    val corpus = full.select($"doc_id", $"text")
+    val w = operators.Curation.lrQualityTrainOf(full)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val idf = operators.TextOps.hashedIdfOf(corpus)
+      .as[(String, Double)].collect().toSeq.toDF("tok", "idf")
+    val batchScores = operators.Curation.lrScoreOf(corpus, w)
+      .as[(Long, Double, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val sample = corpus.orderBy($"doc_id").limit(6)
+      .as[(Long, String)].collect().toSeq
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Double, Int)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        operators.Curation.lrScoreBatch(b, w, idf).collect()
+          .foreach { r => got.put(r.getLong(0), (r.getDouble(1), r.getInt(2))) }
+        ()
+      }
+      .option("checkpointLocation", tmp("ck-lrscore"))
+      .start()
+    try {
+      in.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      in.addData(sample.drop(3): _*) // second batch: same frozen model
+      q.processAllAvailable()
+    } finally q.stop()
+    sample.foreach { case (id, _) =>
+      assert(got.get(id) === batchScores(id), s"doc $id stream score != batch")
+    }
+  }
+
   test("streaming BM25 append: arriving docs rank fresh against the frozen base index") {
     // the live twin of q190: the base posting index is frozen; documents
     // keep arriving in micro-batches and the arrived set GROWS between
