@@ -1392,16 +1392,66 @@ object TextOps extends QueryModule {
     * this path bit-equal to the trainer's final state, so a model
     * trained once can tokenize any future shard identically (the
     * q161/q188/q198 frozen-model convention applied to the tokenizer). */
-  def bpeEncode(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val spark = d.sparkSession
+  def bpeEncode(d: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeFold(d.select(col("doc_id"), toks.as("t")), merges)
+
+  /** The R-merge replay over an explicit sequence table, preserving any
+    * carried columns — each learned pair rides in as a broadcast 1-row
+    * literal and the kernel is a per-row codegen'd call, so the whole
+    * fold is a single shuffle-free scan however many merges ship. */
+  private def bpeFold(seq: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = seq.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val session = spark
     import session.implicits._
-    merges.foldLeft(d.select(col("doc_id"), toks.as("t"))) { case (s, (l, r)) =>
+    merges.foldLeft(seq) { case (s, (l, r)) =>
+      val carried = s.columns.filter(_ != "t").map(col)
       s.crossJoin(broadcast(Seq((l, r)).toDF("l", "r")))
-        .select(col("doc_id"), expr("graft_bpe_merge(t, l, r)").as("t"))
+        .select(carried :+ expr("graft_bpe_merge(t, l, r)").as("t"): _*)
     }
   }
+
+  /** q210 model artifact: the q205 merge table persisted once per
+    * fixture (ArtifactStore's ensure rule — train-once/encode-many, the
+    * q202/q203 lifecycle applied to the tokenizer). */
+  def ensureBpeMerges(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("bpemerges", dir, Seq("merges")) { b =>
+      bpeTrainOf(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(s"$b/merges")
+    }
+
+  /** q210: tokenize the corpus with the PERSISTED merge table and report
+    * the per-doc compression card — raw token count, BPE symbol count,
+    * merges applied, and the symbols-per-token ratio. This is the apply
+    * half of q205 (at 100 TB the ENCODER is what runs over every new
+    * shard): the merge table collects to the driver (model-sized — R
+    * rows), replays as R chained per-row maps in ONE scan with no
+    * shuffle before the presentation sort, and the per-doc stats are
+    * per-row arithmetic (`size(t)`), not aggregates. The oracle replays
+    * the ENTIRE train+encode chain from the raw corpus (the q203
+    * admission precedent: a green row certifies the persisted merge
+    * table), and the re-tokenization law makes served-encode ≡
+    * training's final state bit-for-bit. */
+  def bpeEncodeStats(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureBpeMerges(spark, dir)
+    val merges = spark.read.parquet(s"$base/merges").orderBy(col("round"))
+      .select(col("left_tok"), col("right_tok")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeEncodeStatsOf(Tables.documents(spark, dir), merges)
+  }
+
+  /** DataFrame-level core against an explicit merge table (testable on
+    * constructed corpora; shares [[bpeFold]] with [[bpeEncode]] so the
+    * stats price exactly the serving tokenizer's output). */
+  def bpeEncodeStatsOf(d: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    bpeFold(d.select(col("doc_id"), toks.as("t"))
+        .withColumn("n_raw", size(col("t")).cast(LongType)), merges)
+      .select(col("doc_id"), col("n_raw"),
+        size(col("t")).cast(LongType).as("n_bpe"))
+      .select(col("doc_id"), col("n_raw"), col("n_bpe"),
+        (col("n_raw") - col("n_bpe")).as("n_merged"),
+        round(col("n_bpe").cast(DoubleType) / col("n_raw"), 6).as("ratio"))
+      .orderBy(col("doc_id"))
 
   /** PlanSpec hook: one round's pair-recount dataflow over the raw
     * split (the registered query returns the collected merge table, so
@@ -1525,6 +1575,19 @@ object TextOps extends QueryModule {
       |SELECT tok, COUNT(*) AS cnt FROM s$BpeMergeRounds
       |GROUP BY tok
       |ORDER BY cnt DESC NULLS LAST, tok NULLS FIRST""".stripMargin
+
+  // served encode ≡ training's final state (the re-tokenization law), so
+  // the oracle reads the raw and final position tables of the SAME chain
+  private lazy val bpeEncodeStatsSql =
+    s"""WITH $bpeBaseCte,
+      |$bpeAllRoundCtes,
+      |rawc AS (SELECT doc_id, COUNT(*) AS n_raw FROM s0 GROUP BY 1),
+      |encc AS (SELECT doc_id, COUNT(*) AS n_bpe FROM s$BpeMergeRounds GROUP BY 1)
+      |SELECT doc_id, rawc.n_raw, encc.n_bpe,
+      |  rawc.n_raw - encc.n_bpe AS n_merged,
+      |  ROUND(CAST(encc.n_bpe AS DOUBLE) / rawc.n_raw, 6) AS ratio
+      |FROM rawc JOIN encc USING (doc_id)
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** q103: bigram-LM surprisal — q93's quality filter upgraded to a
     * first-order model: per-doc average of −ln p(w_{i+1} | w_i) under the
@@ -1853,6 +1916,9 @@ object TextOps extends QueryModule {
     GraftQuery("q102_bpe_merges", bpeMergeCandidates, Some(bpeMergeCandidatesSql)),
     GraftQuery("q205_bpe_train", bpeTrain, Some(bpeTrainSql)),
     GraftQuery("q209_bpe_vocab", bpeVocab, Some(bpeVocabSql)),
+    // the persisted merge table must be invisible: q210's served encode
+    // answers to the oracle that replays the full train+encode chain
+    GraftQuery("q210_bpe_encode_stats", bpeEncodeStats, Some(bpeEncodeStatsSql)),
     GraftQuery("q103_bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),
     GraftQuery("q104_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     GraftQuery("q110_bigram_surprisal_floored", bigramSurprisalFloored,

@@ -757,6 +757,13 @@ object Plans {
           "broadcast-scalar idiom, then the per-doc keyed roll-up; no " +
           "window, no Expand.",
         graft.operators.TextOps.smoothedBigramSurprisal(spark, dir)),
+      section("q210 BPE serving encode from the merge artifact (r15)",
+        "What to look for: ONE scan — the parquet read, six broadcast " +
+          "1-row literal joins carrying the persisted merges, the " +
+          "per-row graft_bpe_merge kernel and size() arithmetic in the " +
+          "projections, then the presentation range sort; NO aggregate, " +
+          "NO window, NO hash exchange anywhere.",
+        graft.operators.TextOps.bpeEncodeStats(spark, dir)),
       section("q208 ANN method card (r15)",
         "What to look for: the three certified audit pipelines " +
           "(q171 ADC scan, q175 rerank chain, q196 SQ8 scan — cell-" +

@@ -1029,6 +1029,20 @@ object ScaleProbe {
     }
     time("q205 bpe round 1x (5k docs)")(bpeRoundCount(d1))
     time(s"q205 bpe round ${copies}x")(bpeRoundCount(dN))
+    // q210: serving encode under a FROZEN merge table (trained on d1 —
+    // the real deployment shape) is a pure shuffle-free map chain; the
+    // row must scale ~linearly with the corpus
+    locally {
+      val (mrows, mfin) = graft.operators.TextOps.bpeTrainState(
+        d1.select(col("doc_id"), col("text")))
+      graft.functions.ScopedCache.releaseCheckpoint(mfin)
+      val merges = mrows.map(r => (r._2, r._3))
+      def encodeCount(docs: DataFrame): Long =
+        graft.operators.TextOps.bpeEncodeStatsOf(
+          docs.select(col("doc_id"), col("text")), merges).count()
+      time("q210 bpe encode 1x (5k docs)")(encodeCount(d1))
+      time(s"q210 bpe encode ${copies}x")(encodeCount(dN))
+    }
     // q207: q103's shape plus two aggregates over the ALREADY-collapsed
     // pair table — the continuation stats are pair-vocab-sized, so the
     // scaling is q103's (the honest sublinear-join caveat q110 fixes)

@@ -1081,6 +1081,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q210 served encode: shuffle-free scan before the presentation sort") {
+    TextOps.ensureBpeMerges(spark, sf0001)
+    val plan = executedPlan(TextOps.bpeEncodeStats(spark, sf0001))
+    // the merge table rides in as broadcast 1-row literals; the stats
+    // are per-row arithmetic — no aggregate, no window, no equi-join
+    // shuffle anywhere; the only exchanges are the broadcasts and the
+    // output's range sort
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("SortMergeJoin"),
+      plan.take(4000))
+    assert(!plan.contains("HashAggregate"), plan.take(4000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(4000))
+    assert(plan.contains("graft_bpe_merge"), plan.take(4000))
+  }
+
   test("q205 BPE pair recount: map-side-combined aggregate, no window, no join") {
     val plan = executedPlan(TextOps.bpeStepProbe(spark, sf0001))
     // the recount is explode → partial HashAggregate → exchange → final:

@@ -268,6 +268,42 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("q205 merge kernel laws: detok preserved, no (l,r) survives, equals greedy reference") {
+    // collision-rich sequences over a 3-token alphabet exercise every
+    // overlap regime (runs of l=r, adjacent non-overlapping matches)
+    val genSeq = Gen.listOfN(12, Gen.oneOf("a", "b", "c"))
+      .flatMap(t => Gen.choose(0, 11).map(n => t.take(1 + n)))
+    val genPair = for {
+      l <- Gen.oneOf("a", "b", "c"); r <- Gen.oneOf("a", "b", "c")
+    } yield (l, r)
+    def greedyRef(t: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < t.size) {
+        if (i + 1 < t.size && t(i) == l && t(i + 1) == r) {
+          out += (l + " " + r); i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.toList
+    }
+    val session = spark
+    import session.implicits._
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(8, genSeq), genPair) { (seqs, lr) =>
+      val (l, r) = lr
+      val docs = seqs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = operators.TextOps.bpeEncode(docs, Seq((l, r)))
+        .as[(Long, Seq[String])].collect().toMap
+      seqs.zipWithIndex.forall { case (t, i) =>
+        val g = got(i.toLong).toList
+        g == greedyRef(t, l, r) &&
+          g.mkString(" ") == t.mkString(" ") &&
+          !g.iterator.sliding(2).withPartial(false)
+            .exists(w => w.head == l && w(1) == r)
+      }
+    })
+  }
+
   test("q124 growth curve conserves totals: final cums = corpus totals") {
     checkProp(Prop.forAllNoShrink(genCorpus) { docs =>
       docs.isEmpty || {

@@ -2776,6 +2776,32 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(card("sq8")._2 >= card("pq_rerank")._2)
   }
 
+  test("q210 encode stats: artifact invisible, identities hold, prices the serving encode") {
+    val session = spark
+    import session.implicits._
+    val d = sources.Tables.documents(spark, sf001).select($"doc_id", $"text")
+    val served = operators.TextOps.bpeEncodeStats(spark, sf001)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // the persisted merge table must be invisible: serving through the
+    // artifact equals encoding with a freshly trained table
+    val (rows, fin) = operators.TextOps.bpeTrainState(d)
+    graft.functions.ScopedCache.releaseCheckpoint(fin)
+    val direct = operators.TextOps
+      .bpeEncodeStatsOf(d, rows.map(r => (r._2, r._3)))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(served === direct)
+    assert(served.size === d.count())
+    served.foreach { case (id, nRaw, nBpe, nMerged, ratio) =>
+      assert(nRaw >= nBpe && nBpe >= 1, s"doc $id counts")
+      assert(nMerged === nRaw - nBpe)
+      assert(math.abs(ratio -
+        BigDecimal(nBpe.toDouble / nRaw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // the trained merges must actually compress something on the fixture
+    assert(served.map(_._4).sum > 0, "no merge ever applied")
+  }
+
   test("q205 on a constructed corpus: learns the planted collocation first, greedily") {
     val session = spark
     import session.implicits._

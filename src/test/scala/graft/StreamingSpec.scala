@@ -647,6 +647,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming tokenizer: arriving docs encode identically to the batch (q210)") {
+    // the live twin of q205/q210: the trained merge table freezes (R
+    // rows of driver state) and ships to ingest; tokenizing is a pure
+    // per-doc map under frozen merges, so an arriving doc's symbol
+    // sequence must be bit-identical to the nightly batch encoder's
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val (rows, fin) = operators.TextOps.bpeTrainState(corpus)
+    graft.functions.ScopedCache.releaseCheckpoint(fin)
+    val merges = rows.map(r => (r._2, r._3))
+    val batchSeqs = operators.TextOps.bpeEncode(corpus, merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val sample = corpus.orderBy($"doc_id").limit(6)
+      .as[(Long, String)].collect().toSeq
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, Seq[String]]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        operators.TextOps.bpeEncode(b, merges).collect()
+          .foreach { r => got.put(r.getLong(0), r.getSeq[String](1).toSeq) }
+        ()
+      }
+      .option("checkpointLocation", tmp("ck-bpe"))
+      .start()
+    try {
+      in.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      in.addData(sample.drop(3): _*) // second batch: same frozen merges
+      q.processAllAvailable()
+    } finally q.stop()
+    sample.foreach { case (id, _) =>
+      assert(got.get(id) === batchSeqs(id), s"doc $id stream encode != batch")
+    }
+  }
+
   test("streaming BM25 append: arriving docs rank fresh against the frozen base index") {
     // the live twin of q190: the base posting index is frozen; documents
     // keep arriving in micro-batches and the arrived set GROWS between
