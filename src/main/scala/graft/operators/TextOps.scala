@@ -1495,17 +1495,34 @@ object TextOps extends QueryModule {
     * merged multi-word symbols and untouched single tokens side by
     * side, ranked by count. Together with q205 this is the complete
     * tokenizer artifact (merge table + vocab); vocabulary-sized output,
-    * never corpus-sized. */
-  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
-    bpeVocabOf(Tables.documents(spark, dir))
+    * never corpus-sized.
+    *
+    * SERVED from the persisted merge table (ensure — the q203/q210
+    * rule): replaying the frozen merges over the corpus IS the training
+    * final state (the re-tokenization law), so the vocab derives from
+    * one shuffle-free encode scan + one keyed count instead of
+    * re-running the six-round trainer; the oracle still replays the
+    * ENTIRE train chain, so a green row certifies the artifact (the
+    * q203 admission precedent). */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureBpeMerges(spark, dir)
+    val merges = spark.read.parquet(s"$base/merges").orderBy(col("round"))
+      .select(col("left_tok"), col("right_tok")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    vocabFromSeq(bpeEncode(Tables.documents(spark, dir), merges))
+  }
 
-  /** DataFrame-level core (testable on constructed corpora). */
+  /** DataFrame-level core (testable on constructed corpora): trains
+    * in-plan and counts the final state directly. */
   def bpeVocabOf(d: DataFrame): DataFrame = {
     val (_, fin) = bpeTrainState(d)
-    fin.select(explode(col("t")).as("tok"))
+    vocabFromSeq(fin)
+  }
+
+  private def vocabFromSeq(seq: DataFrame): DataFrame =
+    seq.select(explode(col("t")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
-  }
 
   /** The oracle's position-table base: (doc_id, pos, tok), pos dense
     * 1-based (DuckDB's parallel UNNESTs zip positionally). */

@@ -2622,9 +2622,14 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(r._4 === r._2 + " " + r._3))
     // q209's vocabulary is the final round's: distinct symbol count equals
     // the last merge row's vocab_size, and its counts sum to the final
-    // token mass
+    // token mass; the artifact-SERVED form must be invisible (identical
+    // to counting the freshly trained final state in-plan)
     val vocab = operators.TextOps.bpeVocab(spark, sf001)
       .as[(String, Long)].collect().toSeq
+    val direct = operators.TextOps.bpeVocabOf(
+      sources.Tables.documents(spark, sf001).select($"doc_id", $"text"))
+      .as[(String, Long)].collect().toSeq
+    assert(vocab === direct)
     assert(vocab.size.toLong === rows.last._6)
     // every learned merged symbol that survived to the end is in-vocab as
     // a space-containing symbol; single-token symbols carry no space only
