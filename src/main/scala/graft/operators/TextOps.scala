@@ -1829,8 +1829,12 @@ object TextOps extends QueryModule {
             * (col("n1_right").cast(DoubleType) / col("n_types"))).as("p"))
   }
 
-  private val smoothedBigramSurprisalSql =
-    s"""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+  /** The q207 chain as CTEs ending in `sbs` = (doc_id, n_bigrams,
+    * avg_smoothed_surprisal_nats) — shared VERBATIM by the q207 and
+    * q211 oracles so the perplexity buckets can only bucket exactly the
+    * scores q207 certifies. */
+  private val smoothedSurprisalCtes =
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
       |bg0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
       |          i -> {'l': t[i], 'r': t[i+1]})) AS p
       |        FROM toks WHERE LEN(t) >= 2),
@@ -1848,13 +1852,103 @@ object TextOps extends QueryModule {
       |             / left_cnt
       |           + (CAST($KnDiscount AS DOUBLE) * n1_left / left_cnt)
       |             * (CAST(n1_right AS DOUBLE) / n_types) AS p
-      |       FROM pair JOIN lft USING (l) JOIN cont USING (r) CROSS JOIN tot)
-      |SELECT bc.doc_id, CAST(SUM(bc.cnt) AS BIGINT) AS n_bigrams,
+      |       FROM pair JOIN lft USING (l) JOIN cont USING (r) CROSS JOIN tot),
+      |sbs AS (SELECT bc.doc_id, CAST(SUM(bc.cnt) AS BIGINT) AS n_bigrams,
       |  ROUND(-CAST(SUM(CAST(bc.cnt * LN(pr.p) AS DECIMAL(38,12))) AS DOUBLE)
       |        / SUM(bc.cnt), 6) AS avg_smoothed_surprisal_nats
       |FROM bc JOIN pr ON bc.l = pr.l AND bc.r = pr.r
-      |GROUP BY bc.doc_id
-      |ORDER BY bc.doc_id NULLS FIRST""".stripMargin
+      |GROUP BY bc.doc_id)""".stripMargin
+
+  private val smoothedBigramSurprisalSql =
+    s"""WITH $smoothedSurprisalCtes
+      |SELECT doc_id, n_bigrams, avg_smoothed_surprisal_nats FROM sbs
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q211: CCNet-style perplexity buckets (head / middle / tail tertiles)
+  // ---------------------------------------------------------------------
+
+  /** Milli-nat grid for the q211 tertile cuts — interpolated into plan
+    * and oracle. The grid bounds the tertile machinery's state by a
+    * DESIGN constant (surprisal lives in single-digit nats; even a
+    * pathological corpus stays under ~10⁵ grid rows), the q167
+    * count-of-counts trick applied to a score distribution. */
+  val PplGridPerNat = 1000L
+
+  /** q211: perplexity-tertile bucketing — the CCNet stage (Wenzek et
+    * al., LREC 2020) that follows LM scoring: split the corpus into
+    * `head` / `middle` / `tail` thirds by language-model score (lowest
+    * surprisal = head, the most target-like text; CCNet trains on head
+    * +middle and drops or down-weights tail). Scores are q207's smoothed
+    * surprisal VERBATIM (shared core), so the buckets partition exactly
+    * the population q207 certifies (docs with ≥2 tokens).
+    *
+    * Tertiles without a corpus-wide sort: scores land on a fixed
+    * milli-nat GRID (floor(surprisal × [[PplGridPerNat]]) in exact
+    * decimal arithmetic — binary-double ×1000 would misbucket), the
+    * grid histogram cumulates through a window over ≤ grid-constant
+    * rows (the q167 count-of-counts idiom — never the corpus, never a
+    * single-task corpus window), and the two cuts are the smallest grid
+    * values whose running count reaches ⌈n/3⌉ and ⌈2n/3⌉ (integer-exact
+    * 3·cum ≥ n tests). Same-bucket ties stay together by construction —
+    * the deterministic, engine-portable analog of percentile cuts, and
+    * the reason the assignment replays bit-for-bit in DuckDB.
+    *
+    * Scale shape: ONE corpus pass (q207's aggregates) → grid-sized
+    * histogram (map-side combined) → bounded window → two broadcast cut
+    * scalars → a per-row CASE over the scored table. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBucketsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def perplexityBucketsOf(d: DataFrame): DataFrame = {
+    // the scored table fronts q207's whole aggregate chain and is
+    // referenced twice (grid histogram + final assignment) — ScopedCache
+    // it so the corpus scores once (the doubly-referenced-subtree rule;
+    // the 10× probe measured 17.0 → 11.7 s and scaling 5.7× → 3.3×, for
+    // ~0.5 s of materialization at 1× — the documented trade)
+    val scored = graft.functions.ScopedCache.persist("q211.scored",
+      smoothedBigramSurprisalOf(d)
+        .select(col("doc_id"), col("avg_smoothed_surprisal_nats").as("surprisal")))
+    val g = floor(col("surprisal").cast(DecimalType(10, 6)) * PplGridPerNat)
+      .cast(LongType)
+    val hist = scored.select(g.as("g")).groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val nTot = hist.agg(sum(col("cnt")).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cuts = cum.crossJoin(broadcast(nTot)).agg(
+      min(when(col("cum") * 3 >= col("n"), col("g"))).as("g1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("g"))).as("g2"))
+    scored.withColumn("g", g)
+      .crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("surprisal"),
+        when(col("g") <= col("g1"), lit("head"))
+          .when(col("g") <= col("g2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val perplexityBucketsSql =
+    s"""WITH $smoothedSurprisalCtes,
+      |gg AS (SELECT doc_id, avg_smoothed_surprisal_nats AS surprisal,
+      |         CAST(FLOOR(CAST(avg_smoothed_surprisal_nats AS DECIMAL(10,6))
+      |           * $PplGridPerNat) AS BIGINT) AS g
+      |       FROM sbs),
+      |gh AS (SELECT g, COUNT(*) AS cnt FROM gg GROUP BY 1),
+      |gc AS (SELECT g, SUM(cnt) OVER (ORDER BY g ROWS UNBOUNDED PRECEDING) AS cum
+      |       FROM gh),
+      |gn AS (SELECT COUNT(*) AS n FROM gg),
+      |cts AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN g END) AS g1,
+      |               MIN(CASE WHEN cum * 3 >= 2 * n THEN g END) AS g2
+      |        FROM gc CROSS JOIN gn)
+      |SELECT gg.doc_id, gg.surprisal,
+      |  CASE WHEN gg.g <= c.g1 THEN 'head'
+      |       WHEN gg.g <= c.g2 THEN 'middle'
+      |       ELSE 'tail' END AS ppl_bucket
+      |FROM gg CROSS JOIN cts c
+      |ORDER BY gg.doc_id NULLS FIRST""".stripMargin
 
   /** q104: temperature-scaled mixture rebalancing (T = 2) — the standard
     * softening between q87's fixed rates and q98's full flattening: the
@@ -1942,6 +2036,8 @@ object TextOps extends QueryModule {
       Some(bigramSurprisalFlooredSql)),
     GraftQuery("q207_bigram_surprisal_smoothed", smoothedBigramSurprisal,
       Some(smoothedBigramSurprisalSql)),
+    GraftQuery("q211_perplexity_buckets", perplexityBuckets,
+      Some(perplexityBucketsSql)),
     GraftQuery("q168_span_corruption", spanCorruption, Some(spanCorruptionSql)),
     GraftQuery("q198_hashed_doc_vectors", hashedDocVectors,
       Some(hashedDocVectorsSql)),

@@ -757,6 +757,14 @@ object Plans {
           "broadcast-scalar idiom, then the per-doc keyed roll-up; no " +
           "window, no Expand.",
         graft.operators.TextOps.smoothedBigramSurprisal(spark, dir)),
+      section("q211 CCNet perplexity buckets (r15)",
+        "What to look for: q207's scoring aggregates feeding a grid-" +
+          "keyed histogram (map-side combined), ONE window over that " +
+          "bounded grid table (the q167 count-of-counts idiom — never " +
+          "the corpus), the two cuts as a broadcast scalar, and a " +
+          "per-row CASE over the scored table; no corpus sort, no " +
+          "corpus window.",
+        graft.operators.TextOps.perplexityBuckets(spark, dir)),
       section("q210 BPE serving encode from the merge artifact (r15)",
         "What to look for: ONE scan — the parquet read, six broadcast " +
           "1-row literal joins carrying the persisted merges, the " +

@@ -1051,6 +1051,14 @@ object ScaleProbe {
         docs.select(col("doc_id"), col("text"))).count()
     time("q207 smoothed surprisal 1x (5k docs)")(smoothedCount(d1))
     time(s"q207 smoothed surprisal ${copies}x")(smoothedCount(dN))
+    // q211: q207's scoring pass + a grid histogram whose window state is
+    // bounded by the milli-nat DESIGN constant — the tertile tail must
+    // add ~nothing over q207 at any size
+    def bucketsCount(docs: DataFrame): Long =
+      graft.operators.TextOps.perplexityBucketsOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    time("q211 ppl buckets 1x (5k docs)")(bucketsCount(d1))
+    time(s"q211 ppl buckets ${copies}x")(bucketsCount(dN))
     // q208 composes the q171/q175/q196 audits verbatim (each probed
     // above / in their own rows) and adds a 3-row union — no new scaling
     // surface of its own.

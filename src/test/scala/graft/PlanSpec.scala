@@ -1095,6 +1095,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("graft_bpe_merge"), plan.take(4000))
   }
 
+  test("q211 tertiles: the only window runs over the bounded grid, never the corpus") {
+    val df = TextOps.perplexityBuckets(spark, sf0001)
+    val plan = executedPlan(df)
+    // exactly ONE window (the grid cumulative — q167's count-of-counts
+    // idiom); the corpus itself is never globally sorted or windowed,
+    // and the cuts ride in as a broadcast scalar
+    assert("windowspecdefinition".r.findAllIn(plan).size >= 1, plan.take(4000))
+    val windowNodes = allNodes(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(windowNodes.size === 1, s"${windowNodes.size} window nodes")
+    // the window's input is the grid histogram (an aggregate), bounded
+    // by the milli-nat design constant — assert it sits above an
+    // aggregate, not above a scan
+    assert(allNodes(windowNodes.head).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      windowNodes.head.toString.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
+
   test("q205 BPE pair recount: map-side-combined aggregate, no window, no join") {
     val plan = executedPlan(TextOps.bpeStepProbe(spark, sf0001))
     // the recount is explode → partial HashAggregate → exchange → final:

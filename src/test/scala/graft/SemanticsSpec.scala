@@ -2807,6 +2807,47 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(served.map(_._4).sum > 0, "no merge ever applied")
   }
 
+  test("q211 perplexity buckets: exact grid-tertile recompute, ordered partition of q207") {
+    val session = spark
+    import session.implicits._
+    val got = operators.TextOps.perplexityBuckets(spark, sf001)
+      .as[(Long, Double, String)].collect().toSeq
+    val scores = operators.TextOps.smoothedBigramSurprisal(spark, sf001)
+      .select($"doc_id", $"avg_smoothed_surprisal_nats")
+      .as[(Long, Double)].collect().toMap
+    // same population as q207, and a partition of it
+    assert(got.map(_._1).toSet === scores.keySet)
+    assert(got.forall { case (id, s, _) => s == scores(id) })
+    // driver-side grid-tertile reference
+    def grid(s: Double): Long =
+      (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+        operators.TextOps.PplGridPerNat).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    val gs = scores.values.map(grid).toSeq.sorted
+    val n = gs.size
+    def cutAt(mult: Int): Long = {
+      var cum = 0
+      gs.distinct.sorted.find { g =>
+        cum = gs.count(_ <= g); 3 * cum >= mult * n }.get
+    }
+    val (g1, g2) = (cutAt(1), cutAt(2))
+    got.foreach { case (id, s, b) =>
+      val expect =
+        if (grid(s) <= g1) "head" else if (grid(s) <= g2) "middle" else "tail"
+      assert(b === expect, s"doc $id score $s")
+    }
+    // orientation + ordering: every head score <= every middle <= every
+    // tail (CCNet's head = most target-like text)
+    def mx(b: String) = got.filter(_._3 == b).map(_._2)
+    assert(mx("head").nonEmpty && mx("middle").nonEmpty && mx("tail").nonEmpty)
+    assert(mx("head").max <= mx("middle").min)
+    assert(mx("middle").max <= mx("tail").min)
+    // tertile law: head reaches a third, and removing its boundary grid
+    // bucket drops it under a third (the cut is the SMALLEST such grid)
+    val headN = mx("head").size
+    assert(3 * headN >= n)
+    assert(3 * (headN - gs.count(_ == g1)) < n)
+  }
+
   test("q205 on a constructed corpus: learns the planted collocation first, greedily") {
     val session = spark
     import session.implicits._
