@@ -1524,6 +1524,51 @@ object TextOps extends QueryModule {
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
 
+  /** q212: sequence packing in TOKENIZER symbols — the budget training
+    * actually packs against: q68 lays docs into [[PackBudget]]-token
+    * chunks by WHITESPACE count, but a trained model consumes BPE
+    * symbols, so the real chunk boundary is the symbol count q210
+    * serves. Composition of two certified pieces, both VERBATIM: the
+    * artifact-served encode ([[bpeFold]] under the persisted merge
+    * table — one shuffle-free scan) feeding [[packSequencesOf]] (the
+    * q68 greedy packer, unchanged). Inherits q68's per-source window
+    * shape and therefore q68's documented 100 TB caveat — the sharded
+    * q69 form composes identically when one source outgrows a task.
+    * The oracle replays train chain + counts + q68's packing CTEs, so
+    * a green row certifies the whole composition. */
+  def packBpeSequences(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureBpeMerges(spark, dir)
+    val merges = spark.read.parquet(s"$base/merges").orderBy(col("round"))
+      .select(col("left_tok"), col("right_tok")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    packBpeSequencesOf(Tables.documents(spark, dir), merges)
+  }
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def packBpeSequencesOf(d: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    packSequencesOf(
+      bpeFold(d.select(col("doc_id"), col("source"), toks.as("t")), merges)
+        .select(col("doc_id"), col("source"),
+          size(col("t")).cast(LongType).as("n_tokens")),
+      budget = PackBudget)
+
+  private lazy val packBpeSequencesSql =
+    s"""WITH $bpeBaseCte,
+      |$bpeAllRoundCtes,
+      |d2 AS (SELECT s.doc_id, doc.source, COUNT(*) AS n_tokens
+      |       FROM s$BpeMergeRounds s JOIN documents doc USING (doc_id)
+      |       GROUP BY 1, 2),
+      |c2 AS (SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d2)
+      |SELECT source, CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS chunk_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c2
+      |GROUP BY 1, 2
+      |ORDER BY source NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
+
   /** The oracle's position-table base: (doc_id, pos, tok), pos dense
     * 1-based (DuckDB's parallel UNNESTs zip positionally). */
   private val bpeBaseCte =
@@ -2030,6 +2075,8 @@ object TextOps extends QueryModule {
     // the persisted merge table must be invisible: q210's served encode
     // answers to the oracle that replays the full train+encode chain
     GraftQuery("q210_bpe_encode_stats", bpeEncodeStats, Some(bpeEncodeStatsSql)),
+    GraftQuery("q212_pack_bpe_sequences", packBpeSequences,
+      Some(packBpeSequencesSql)),
     GraftQuery("q103_bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),
     GraftQuery("q104_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     GraftQuery("q110_bigram_surprisal_floored", bigramSurprisalFloored,

@@ -2848,6 +2848,33 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(3 * (headN - gs.count(_ == g1)) < n)
   }
 
+  test("q212 BPE packing: identical to packing q210's symbol counts; totals conserved") {
+    val session = spark
+    import session.implicits._
+    val packed = operators.TextOps.packBpeSequences(spark, sf001)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // composition identity: q212 IS q68's packer over q210's symbol
+    // counts — recompute through the two certified pieces independently
+    val stats = operators.TextOps.bpeEncodeStats(spark, sf001)
+      .select($"doc_id", $"n_bpe").as[(Long, Long)].collect().toMap
+    val src = sources.Tables.documents(spark, sf001)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val ref = operators.TextOps.packSequencesOf(
+      stats.toSeq.map { case (id, n) => (id, src(id), n) }
+        .toDF("doc_id", "source", "n_tokens"),
+      budget = operators.TextOps.PackBudget)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(packed === ref)
+    // conservation: every symbol lands in exactly one chunk, every doc
+    // in exactly one row's count
+    assert(packed.map(_._4).sum === stats.values.sum)
+    assert(packed.map(_._3).sum === stats.size.toLong)
+    // symbol budget vs whitespace budget: BPE packing must need no MORE
+    // chunks than q68's (merges only shrink counts)
+    val wsChunks = operators.TextOps.packSequences(spark, sf001).count()
+    assert(packed.size.toLong <= wsChunks)
+  }
+
   test("q205 on a constructed corpus: learns the planted collocation first, greedily") {
     val session = spark
     import session.implicits._
