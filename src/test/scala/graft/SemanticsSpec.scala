@@ -2875,6 +2875,39 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(packed.size.toLong <= wsChunks)
   }
 
+  test("q205 exhaustion path: a pairless corpus trains zero merges and encodes unchanged") {
+    val session = spark
+    import session.implicits._
+    // every doc below 2 tokens: no adjacent pair exists in any round
+    val docs = Seq((1L, "solo"), (2L, "alone"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val (rows, fin) = operators.TextOps.bpeTrainState(docs)
+    assert(rows.isEmpty)
+    val seqs = fin.as[(Long, Seq[String])].collect().toMap
+    assert(seqs === Map(1L -> Seq("solo"), 2L -> Seq("alone"), 3L -> Seq("x")))
+    graft.functions.ScopedCache.releaseCheckpoint(fin)
+    // the downstream consumers degrade gracefully under an empty table:
+    // encoding with zero merges is the identity, stats show zero merged
+    val stats = operators.TextOps.bpeEncodeStatsOf(docs, Seq.empty)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(stats.forall { case (_, nRaw, nBpe, nMerged, ratio) =>
+      nRaw == nBpe && nMerged == 0L && ratio == 1.0 })
+  }
+
+  test("q205 merge kernel handles multi-byte tokens (UTF8 byte-equality)") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq((1L, "héllo wörld héllo wörld"), (2L, "日本 語 日本 語"))
+      .toDF("doc_id", "text")
+    val enc1 = operators.TextOps.bpeEncode(docs, Seq(("héllo", "wörld")))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(enc1(1L) === Seq("héllo wörld", "héllo wörld"))
+    assert(enc1(2L) === Seq("日本", "語", "日本", "語"))
+    val enc2 = operators.TextOps.bpeEncode(docs, Seq(("日本", "語")))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(enc2(2L) === Seq("日本 語", "日本 語"))
+  }
+
   test("q205 on a constructed corpus: learns the planted collocation first, greedily") {
     val session = spark
     import session.implicits._
