@@ -1944,10 +1944,14 @@ object Curation extends QueryModule {
       when(col("quality") >= FunnelQualityMin, lit(1.0)).otherwise(lit(0.0)).as("y"))
     val scored = lrScoreOf(d, w).select(col("doc_id"), col("score"))
       .join(lab, Seq("doc_id"))
-    val hist = scored
+    // <=22 rows, but it FRONTS the corpus-sized scorer+label pass and is
+    // referenced twice below (totals + the threshold join): ScopedCache
+    // it so the corpus scores once even when exchange reuse doesn't
+    // unify the two branches (the doubly-referenced-subtree rule)
+    val hist = graft.functions.ScopedCache.persist("q206.hist", scored
       .select(floor(col("score").cast(DecimalType(7, 6)) * 10)
           .cast(IntegerType).as("b"), col("y"))
-      .groupBy(col("b"), col("y")).agg(count(lit(1)).as("c"))
+      .groupBy(col("b"), col("y")).agg(count(lit(1)).as("c")))
     val tot = hist.agg(
       coalesce(sum(when(col("y") === 1.0, col("c"))), lit(0L)).as("pos"),
       coalesce(sum(when(col("y") === 0.0, col("c"))), lit(0L)).as("neg"))

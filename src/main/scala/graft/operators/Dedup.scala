@@ -956,7 +956,10 @@ object Dedup extends QueryModule {
     // in-flight prefetch jobs (ADVICE r12). The prefetch runs under its
     // own job group so a stalled prefetch job can be cancelled rather
     // than hanging the build forever (the timeout path below).
-    val prefetchGroup = "dedup.rawgate.prefetch"
+    // unique per build: a timed-out build must never cancel a CONCURRENT
+    // build's healthy prefetch on the same SparkContext
+    val prefetchGroup =
+      s"dedup.rawgate.prefetch-${java.util.UUID.randomUUID()}"
     val fGate = scala.concurrent.Future {
       val sc = docs.sparkSession.sparkContext
       sc.setJobGroup(prefetchGroup,
@@ -974,20 +977,38 @@ object Dedup extends QueryModule {
         None
       } catch { case t: Throwable => Some(t) }
     // The prefetch is a documented best-effort optimization: wait a
-    // generous bound (far above any healthy prefix build), and on
-    // timeout cancel its job group and give the cancellation a short
-    // grace to settle — the ordering guarantee vs staging cleanup holds
-    // on every path, and a stuck prefetch stage can no longer hang the
-    // whole artifact build (ADVICE r14). Fatal errors from the Future
-    // rethrow here.
-    try scala.concurrent.Await.result(fGate,
-      scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
-    catch {
-      case _: java.util.concurrent.TimeoutException =>
-        docs.sparkSession.sparkContext.cancelJobGroup(prefetchGroup)
-        try scala.concurrent.Await.result(fGate,
-          scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.SECONDS))
-        catch { case _: java.util.concurrent.TimeoutException => () }
+    // generous bound (far above any healthy prefix build), cancelling
+    // its job group on timeout so a stuck prefetch stage can no longer
+    // hang a SUCCESSFUL build forever (ADVICE r14). The ordering
+    // guarantee vs ArtifactStore's staging cleanup (ADVICE r12) only
+    // matters on the FAILURE path — cleanup runs only when an exception
+    // escapes — so there the post-cancel wait is unbounded: cancelled
+    // interruptible tasks terminate, and a silent cleanup/prefetch race
+    // is worse than a visible hang. On the success path a swallowed
+    // grace timeout is harmless (nothing deletes the inputs). A fatal
+    // error from the Future rethrows here WITH the main-stage failure
+    // attached as suppressed (the r13 addSuppressed discipline).
+    try {
+      try scala.concurrent.Await.result(fGate,
+        scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          docs.sparkSession.sparkContext.cancelJobGroup(prefetchGroup)
+          if (mainFailure.isDefined)
+            scala.concurrent.Await.result(fGate,
+              scala.concurrent.duration.Duration.Inf)
+          else
+            try scala.concurrent.Await.result(fGate,
+              scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.SECONDS))
+            catch { case _: java.util.concurrent.TimeoutException => () }
+      }
+    } catch {
+      // anything escaping the awaits is a real prefetch-side error (the
+      // inner handler already consumed every timeout): surface it, with
+      // the main-stage failure attached rather than discarded
+      case t: Throwable =>
+        mainFailure.filter(_ ne t).foreach(t.addSuppressed)
+        throw t
     }
     mainFailure.foreach(throw _)
     rawLabelsViaSurvivors(docs, survivors,

@@ -1255,14 +1255,20 @@ object TextOps extends QueryModule {
     * pair construction cannot drift. size >= 2 guard: Spark's
     * sequence(1, 0) is the DESCENDING [1, 0], not empty (DuckDB's
     * GENERATE_SERIES(1, 0) IS empty — q86's divergence trap). */
+  /** The ONE adjacent-pair construction over a token array column `t`,
+    * shared by q102/q103/q110/q207's raw-split pairs AND q205's
+    * mid-training recount — a single definition so the pair stream
+    * cannot drift between the candidate counters and the trainer. */
+  private val adjacentPairExpr =
+    "transform(sequence(1, size(t) - 1), " +
+      "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"
+
   private def adjacentPairs(d: DataFrame, carryDocId: Boolean): DataFrame = {
     val base =
       if (carryDocId) d.select(col("doc_id"), toks.as("t"))
       else d.select(toks.as("t"))
     val exploded = base.filter(size(col("t")) >= 2)
-      .withColumn("p", explode(expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))")))
+      .withColumn("p", explode(expr(adjacentPairExpr)))
     val cols = (if (carryDocId) Seq(col("doc_id")) else Nil) ++
       Seq(col("p.l").as("l"), col("p.r").as("r"))
     exploded.select(cols: _*)
@@ -1320,9 +1326,7 @@ object TextOps extends QueryModule {
     * aggregate; no window anywhere in the recount. */
   private def bpePairCounts(seq: DataFrame): DataFrame =
     seq.filter(size(col("t")) >= 2)
-      .withColumn("p", explode(expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))")))
+      .withColumn("p", explode(expr(adjacentPairExpr)))
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(count(lit(1)).as("pair_cnt"))
 
@@ -1420,6 +1424,16 @@ object TextOps extends QueryModule {
         .write.mode("overwrite").parquet(s"$b/merges")
     }
 
+  /** The ONE artifact-load path (ensure + round-ordered collect) shared
+    * by every serving query (q209/q210/q212) — a layout or ordering
+    * change lands in one place or nowhere. Model-sized: R rows. */
+  private def loadBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val base = ensureBpeMerges(spark, dir)
+    spark.read.parquet(s"$base/merges").orderBy(col("round"))
+      .select(col("left_tok"), col("right_tok")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
   /** q210: tokenize the corpus with the PERSISTED merge table and report
     * the per-doc compression card — raw token count, BPE symbol count,
     * merges applied, and the symbols-per-token ratio. This is the apply
@@ -1432,13 +1446,8 @@ object TextOps extends QueryModule {
     * admission precedent: a green row certifies the persisted merge
     * table), and the re-tokenization law makes served-encode ≡
     * training's final state bit-for-bit. */
-  def bpeEncodeStats(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureBpeMerges(spark, dir)
-    val merges = spark.read.parquet(s"$base/merges").orderBy(col("round"))
-      .select(col("left_tok"), col("right_tok")).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
-    bpeEncodeStatsOf(Tables.documents(spark, dir), merges)
-  }
+  def bpeEncodeStats(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeStatsOf(Tables.documents(spark, dir), loadBpeMerges(spark, dir))
 
   /** DataFrame-level core against an explicit merge table (testable on
     * constructed corpora; shares [[bpeFold]] with [[bpeEncode]] so the
@@ -1504,13 +1513,9 @@ object TextOps extends QueryModule {
     * re-running the six-round trainer; the oracle still replays the
     * ENTIRE train chain, so a green row certifies the artifact (the
     * q203 admission precedent). */
-  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureBpeMerges(spark, dir)
-    val merges = spark.read.parquet(s"$base/merges").orderBy(col("round"))
-      .select(col("left_tok"), col("right_tok")).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
-    vocabFromSeq(bpeEncode(Tables.documents(spark, dir), merges))
-  }
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    vocabFromSeq(bpeEncode(Tables.documents(spark, dir),
+      loadBpeMerges(spark, dir)))
 
   /** DataFrame-level core (testable on constructed corpora): trains
     * in-plan and counts the final state directly. */
@@ -1536,13 +1541,8 @@ object TextOps extends QueryModule {
     * q69 form composes identically when one source outgrows a task.
     * The oracle replays train chain + counts + q68's packing CTEs, so
     * a green row certifies the whole composition. */
-  def packBpeSequences(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureBpeMerges(spark, dir)
-    val merges = spark.read.parquet(s"$base/merges").orderBy(col("round"))
-      .select(col("left_tok"), col("right_tok")).collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
-    packBpeSequencesOf(Tables.documents(spark, dir), merges)
-  }
+  def packBpeSequences(spark: SparkSession, dir: String): DataFrame =
+    packBpeSequencesOf(Tables.documents(spark, dir), loadBpeMerges(spark, dir))
 
   /** DataFrame-level core (testable on constructed corpora). */
   def packBpeSequencesOf(d: DataFrame, merges: Seq[(String, String)]): DataFrame =
