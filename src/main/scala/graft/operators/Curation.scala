@@ -2010,6 +2010,82 @@ object Curation extends QueryModule {
       |FROM ag CROSS JOIN tt
       |ORDER BY thr""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q213: classifier calibration card (reliability diagram)
+  // ---------------------------------------------------------------------
+
+  /** q213: the CALIBRATION card — per score-decile bin, the mean served
+    * score next to the empirical positive rate. q206 answers "where do I
+    * threshold?"; this answers the OTHER deployment question: "can I use
+    * the score as a probability?" — the question any score-weighted use
+    * (sampling ∝ score, the q188-style mixing move; expected-quality
+    * accounting) rides on. A well-calibrated bin has mean_score ≈
+    * frac_pos; `calib_gap` prints the signed miss per bin.
+    *
+    * Same population and binning as q206 (the served q203 scores,
+    * decimal-exact decile buckets, scored docs only), so the two cards
+    * read side by side. Scale shape: ONE corpus pass collapsing
+    * map-side into ≤10 bins; mean scores sum the 6dp-rounded doubles as
+    * DECIMAL(38,12) (exact, order-free), one IEEE division each, round
+    * 6; frac_pos and the gap are arithmetic over exact counts and the
+    * two already-rounded 6dp values — cross-engine deterministic. */
+  def lrCalibrationCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureLrModel(spark, dir)
+    val w = spark.read.parquet(s"$base/weights")
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    lrCalibrationCardOf(Tables.documents(spark, dir), w)
+  }
+
+  /** DataFrame-level core against an explicit model (shares
+    * [[lrScoreOf]]'s kernel and q206's bucketing verbatim). */
+  def lrCalibrationCardOf(d: DataFrame, w: Array[Double]): DataFrame = {
+    val lab = TextOps.qualityScoresOf(d).select(col("doc_id"),
+      when(col("quality") >= FunnelQualityMin, lit(1.0)).otherwise(lit(0.0)).as("y"))
+    lrScoreOf(d, w).select(col("doc_id"), col("score"))
+      .join(lab, Seq("doc_id"))
+      .select(floor(col("score").cast(DecimalType(7, 6)) * 10)
+          .cast(IntegerType).as("bin"), col("score"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("y") === 1.0, 1L).otherwise(0L)), lit(0L))
+          .as("n_pos"),
+        round(sum(col("score").cast(DecimalType(38, 12))).cast(DoubleType)
+          / count(lit(1)), 6).as("mean_score"))
+      .select(col("bin"), (col("bin").cast(DoubleType) / 10).as("bin_lo"),
+        col("n_docs"), col("n_pos"), col("mean_score"),
+        round(col("n_pos").cast(DoubleType) / col("n_docs"), 6).as("frac_pos"),
+        round(col("mean_score")
+          - col("n_pos").cast(DoubleType) / col("n_docs"), 6).as("calib_gap"))
+      .orderBy(col("bin"))
+  }
+
+  private lazy val lrCalibrationCardSql =
+    // the train chain + one scoring pass SHARED VERBATIM with q203/q206,
+    // then the per-bin reliability aggregate
+    s"""WITH $lrTrainCtes,
+      |sc AS (SELECT f.doc_id, ${lrFoldSql("f.xs", "w.w")} AS z, f.y
+      |  FROM f CROSS JOIN w$LrSteps w),
+      |sp AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score, y
+      |       FROM sc),
+      |cb AS (SELECT CAST(FLOOR(CAST(score AS DECIMAL(7,6)) * 10) AS INT) AS bin,
+      |         score, y
+      |       FROM sp)
+      |SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+      |  COUNT(*) AS n_docs,
+      |  CAST(COALESCE(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_pos,
+      |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_score,
+      |  ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS frac_pos,
+      |  ROUND(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6)
+      |    - CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*), 6) AS calib_gap
+      |FROM cb
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+
   /** DataFrame-level core (testable on constructed corpora). */
   def lrQualityTrainOf(d: DataFrame): DataFrame = {
     val spark = d.sparkSession
@@ -2111,6 +2187,8 @@ object Curation extends QueryModule {
     GraftQuery("q203_lr_quality_score", lrQualityScore, Some(lrQualityScoreSql)),
     GraftQuery("q204_classifier_eval", classifierEval, Some(classifierEvalSql)),
     GraftQuery("q206_threshold_sweep", lrThresholdSweep, Some(lrThresholdSweepSql)),
+    GraftQuery("q213_calibration_card", lrCalibrationCard,
+      Some(lrCalibrationCardSql)),
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q169_classifier_lift", classifierLift, Some(classifierLiftSql)),
     GraftQuery("q170_interleaved_order", interleavedOrder, Some(interleavedOrderSql)),

@@ -757,6 +757,13 @@ object Plans {
           "broadcast-scalar idiom, then the per-doc keyed roll-up; no " +
           "window, no Expand.",
         graft.operators.TextOps.smoothedBigramSurprisal(spark, dir)),
+      section("q213 classifier calibration card (r15)",
+        "What to look for: q203's scorer front (featurizer joins + the " +
+          "33-literal fold) joined once to the label kernel, then ONE " +
+          "map-side-combined aggregate into <=10 decile bins — the " +
+          "DECIMAL-exact mean-score sums ride the same aggregate; no " +
+          "window, no second corpus pass.",
+        graft.operators.Curation.lrCalibrationCard(spark, dir)),
       section("q211 CCNet perplexity buckets (r15)",
         "What to look for: q207's scoring aggregates feeding a grid-" +
           "keyed histogram (map-side combined), ONE window over that " +

@@ -2875,6 +2875,44 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(packed.size.toLong <= wsChunks)
   }
 
+  test("q213 calibration card: bins reproduce exactly from served scores and labels") {
+    val session = spark
+    import session.implicits._
+    val card = operators.Curation.lrCalibrationCard(spark, sf001).collect()
+    val scores = operators.Curation.lrQualityScore(spark, sf001)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    val labels = operators.TextOps.qualityScoresOf(
+      sources.Tables.documents(spark, sf001))
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+      .filter { case (id, _) => scores.contains(id) }
+      .map { case (id, q) => id -> (q >= operators.Curation.FunnelQualityMin) }
+      .toMap
+    def bin(s: Double): Int =
+      (BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP) * 10)
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toInt
+    val byBin = scores.groupBy { case (_, s) => bin(s) }
+    assert(card.map(_.getInt(0)).toSet === byBin.keySet)
+    // the bins partition the scored population
+    assert(card.map(_.getLong(2)).sum === scores.size.toLong)
+    card.foreach { r =>
+      val members = byBin(r.getInt(0))
+      assert(r.getLong(2) === members.size.toLong)
+      assert(r.getLong(3) === members.keys.count(labels).toLong)
+      val mean = (members.values
+        .map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        / members.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === mean, s"bin ${r.getInt(0)} mean")
+      assert(math.abs(r.getDouble(5) -
+        members.keys.count(labels).toDouble / members.size) < 1e-6)
+      // the gap is the signed calibration miss of the bin
+      assert(math.abs(r.getDouble(6) -
+        (mean - members.keys.count(labels).toDouble / members.size)) < 1e-6)
+      // scores in a decile bin stay inside it (binning consistency)
+      assert(r.getDouble(4) >= r.getDouble(1) - 1e-9 &&
+        r.getDouble(4) <= r.getDouble(1) + 0.1 + 1e-9)
+    }
+  }
+
   test("q205 exhaustion path: a pairless corpus trains zero merges and encodes unchanged") {
     val session = spark
     import session.implicits._
