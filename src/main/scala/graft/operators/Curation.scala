@@ -1754,6 +1754,16 @@ object Curation extends QueryModule {
         .write.mode("overwrite").parquet(s"$b/weights")
     }
 
+  /** The ONE artifact-load path for the trained weights (ensure +
+    * dim-ordered collect) shared by every serving query (q203/q206/
+    * q213) — a layout or ordering change lands in one place or
+    * nowhere. Model-sized: 33 rows. */
+  private def loadLrWeights(spark: SparkSession, dir: String): Array[Double] = {
+    val base = ensureLrModel(spark, dir)
+    spark.read.parquet(s"$base/weights")
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+  }
+
   /** q203: score every document with the TRAINED classifier — the apply
     * half of q202 (train once, score the corpus; at 100 TB the scorer is
     * what actually runs, nightly, over everything). The model rides in
@@ -1765,12 +1775,8 @@ object Curation extends QueryModule {
     * admission precedent). `keep` decides at z ≥ 0 ⇔ σ(z) ≥ 0.5 —
     * decided on z, exactly as both engines computed it, so the 6dp
     * rounding of the REPORTED score cannot flip a boundary decision. */
-  def lrQualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureLrModel(spark, dir)
-    val w = spark.read.parquet(s"$base/weights")
-      .orderBy(col("dim")).collect().map(_.getDouble(1))
-    lrScoreOf(Tables.documents(spark, dir), w)
-  }
+  def lrQualityScore(spark: SparkSession, dir: String): DataFrame =
+    lrScoreOf(Tables.documents(spark, dir), loadLrWeights(spark, dir))
 
   /** DataFrame-level scoring core against an explicit model. */
   def lrScoreOf(d: DataFrame, w: Array[Double]): DataFrame =
@@ -1928,12 +1934,8 @@ object Curation extends QueryModule {
     * engines assign boundary scores identically. F1 folds to the
     * single-division 2·tp / (2·tp + fp + fn) — integer-exact operands,
     * one IEEE division, cross-engine deterministic. */
-  def lrThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureLrModel(spark, dir)
-    val w = spark.read.parquet(s"$base/weights")
-      .orderBy(col("dim")).collect().map(_.getDouble(1))
-    lrThresholdSweepOf(Tables.documents(spark, dir), w)
-  }
+  def lrThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    lrThresholdSweepOf(Tables.documents(spark, dir), loadLrWeights(spark, dir))
 
   /** DataFrame-level core against an explicit model (testable on
     * constructed corpora; shares [[lrScoreOf]]'s kernel verbatim so the
@@ -2029,12 +2031,8 @@ object Curation extends QueryModule {
     * DECIMAL(38,12) (exact, order-free), one IEEE division each, round
     * 6; frac_pos and the gap are arithmetic over exact counts and the
     * two already-rounded 6dp values — cross-engine deterministic. */
-  def lrCalibrationCard(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureLrModel(spark, dir)
-    val w = spark.read.parquet(s"$base/weights")
-      .orderBy(col("dim")).collect().map(_.getDouble(1))
-    lrCalibrationCardOf(Tables.documents(spark, dir), w)
-  }
+  def lrCalibrationCard(spark: SparkSession, dir: String): DataFrame =
+    lrCalibrationCardOf(Tables.documents(spark, dir), loadLrWeights(spark, dir))
 
   /** DataFrame-level core against an explicit model (shares
     * [[lrScoreOf]]'s kernel and q206's bucketing verbatim). */
@@ -2053,9 +2051,11 @@ object Curation extends QueryModule {
           / count(lit(1)), 6).as("mean_score"))
       .select(col("bin"), (col("bin").cast(DoubleType) / 10).as("bin_lo"),
         col("n_docs"), col("n_pos"), col("mean_score"),
-        round(col("n_pos").cast(DoubleType) / col("n_docs"), 6).as("frac_pos"),
-        round(col("mean_score")
-          - col("n_pos").cast(DoubleType) / col("n_docs"), 6).as("calib_gap"))
+        round(col("n_pos").cast(DoubleType) / col("n_docs"), 6).as("frac_pos"))
+      // the gap is derived from the two PRINTED 6dp columns, so the card
+      // is self-consistent: calib_gap == mean_score - frac_pos exactly
+      // as a reader recomputes it off the card
+      .withColumn("calib_gap", round(col("mean_score") - col("frac_pos"), 6))
       .orderBy(col("bin"))
   }
 
@@ -2080,8 +2080,8 @@ object Curation extends QueryModule {
       |    / COUNT(*), 6) AS frac_pos,
       |  ROUND(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
       |      / COUNT(*), 6)
-      |    - CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |      / COUNT(*), 6) AS calib_gap
+      |    - ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*), 6), 6) AS calib_gap
       |FROM cb
       |GROUP BY bin
       |ORDER BY bin""".stripMargin

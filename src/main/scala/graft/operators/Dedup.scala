@@ -979,35 +979,51 @@ object Dedup extends QueryModule {
     // The prefetch is a documented best-effort optimization: wait a
     // generous bound (far above any healthy prefix build), cancelling
     // its job group on timeout so a stuck prefetch stage can no longer
-    // hang a SUCCESSFUL build forever (ADVICE r14). The ordering
-    // guarantee vs ArtifactStore's staging cleanup (ADVICE r12) only
-    // matters on the FAILURE path — cleanup runs only when an exception
-    // escapes — so there the post-cancel wait is unbounded: cancelled
-    // interruptible tasks terminate, and a silent cleanup/prefetch race
-    // is worse than a visible hang. On the success path a swallowed
-    // grace timeout is harmless (nothing deletes the inputs). A fatal
-    // error from the Future rethrows here WITH the main-stage failure
-    // attached as suppressed (the r13 addSuppressed discipline).
+    // hang the build forever (ADVICE r14). Returning/throwing while
+    // prefetch tasks are still in flight is what must stay rare and
+    // LOUD: on the failure path an escaping exception triggers
+    // ArtifactStore's staging cleanup (ADVICE r12), and even the
+    // success path hands the staging dir to a publish rename — so after
+    // cancellation both paths wait a second bounded grace (cancelled
+    // interruptible tasks terminate well inside it), and only if the
+    // prefetch is STILL unresponsive do they diverge: the failure path
+    // refuses to race the cleanup and surfaces an explicit error (with
+    // the main-stage failure suppressed — never discarded), while the
+    // success path warns and proceeds (on POSIX a reader racing the
+    // rename just fails its open, and prefetch failures are swallowed
+    // by design). A fatal error from the Future rethrows here WITH the
+    // main-stage failure attached as suppressed (the r13 discipline).
     try {
       try scala.concurrent.Await.result(fGate,
         scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
       catch {
         case _: java.util.concurrent.TimeoutException =>
           docs.sparkSession.sparkContext.cancelJobGroup(prefetchGroup)
-          if (mainFailure.isDefined)
-            scala.concurrent.Await.result(fGate,
-              scala.concurrent.duration.Duration.Inf)
-          else
-            try scala.concurrent.Await.result(fGate,
-              scala.concurrent.duration.Duration(30, java.util.concurrent.TimeUnit.SECONDS))
-            catch { case _: java.util.concurrent.TimeoutException => () }
+          try scala.concurrent.Await.result(fGate,
+            scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              if (mainFailure.isDefined) {
+                val e = new IllegalStateException(
+                  "near-dup build: prefetch unresponsive 10 min after job-group " +
+                    "cancellation; refusing to run staging cleanup concurrently " +
+                    "with in-flight prefetch tasks")
+                mainFailure.foreach(e.addSuppressed)
+                throw e
+              } else
+                System.err.println(
+                  "[dedup] WARN: prefetch unresponsive after cancellation; " +
+                    "proceeding to publish (reader-vs-rename is benign on POSIX)")
+          }
       }
     } catch {
-      // anything escaping the awaits is a real prefetch-side error (the
-      // inner handler already consumed every timeout): surface it, with
+      // anything else escaping the awaits is a real prefetch-side error
+      // (the handler above consumed every timeout): surface it, with
       // the main-stage failure attached rather than discarded
       case t: Throwable =>
-        mainFailure.filter(_ ne t).foreach(t.addSuppressed)
+        mainFailure
+          .filter(m => (m ne t) && !t.getSuppressed.exists(_ eq m))
+          .foreach(t.addSuppressed)
         throw t
     }
     mainFailure.foreach(throw _)

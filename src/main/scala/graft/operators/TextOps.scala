@@ -1250,11 +1250,6 @@ object TextOps extends QueryModule {
       |WHERE k.sample_key < t.thr
       |ORDER BY k.doc_id NULLS FIRST""".stripMargin
 
-  /** Adjacent-token pairs per row, exploded to struct(l, r) — shared by
-    * q102 (corpus pair counts) and q103 (bigram conditionals) so the
-    * pair construction cannot drift. size >= 2 guard: Spark's
-    * sequence(1, 0) is the DESCENDING [1, 0], not empty (DuckDB's
-    * GENERATE_SERIES(1, 0) IS empty — q86's divergence trap). */
   /** The ONE adjacent-pair construction over a token array column `t`,
     * shared by q102/q103/q110/q207's raw-split pairs AND q205's
     * mid-training recount — a single definition so the pair stream
@@ -1263,6 +1258,10 @@ object TextOps extends QueryModule {
     "transform(sequence(1, size(t) - 1), " +
       "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))"
 
+  /** Adjacent-token pairs per row, exploded to struct(l, r). Every
+    * caller MUST keep the size >= 2 guard below: Spark's sequence(1, 0)
+    * is the DESCENDING [1, 0], not empty (DuckDB's GENERATE_SERIES(1, 0)
+    * IS empty — q86's divergence trap). */
   private def adjacentPairs(d: DataFrame, carryDocId: Boolean): DataFrame = {
     val base =
       if (carryDocId) d.select(col("doc_id"), toks.as("t"))

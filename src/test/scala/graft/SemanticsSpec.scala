@@ -2898,15 +2898,21 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       val members = byBin(r.getInt(0))
       assert(r.getLong(2) === members.size.toLong)
       assert(r.getLong(3) === members.keys.count(labels).toLong)
-      val mean = (members.values
+      // same arithmetic path as the card: exact decimal sum, ONE IEEE
+      // double division, then round — not a decimal quotient (which can
+      // round differently within one ulp of a 5e-7 boundary)
+      val mean = BigDecimal(members.values
         .map(BigDecimal(_).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
-        / members.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .toDouble / members.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getDouble(4) === mean, s"bin ${r.getInt(0)} mean")
-      assert(math.abs(r.getDouble(5) -
-        members.keys.count(labels).toDouble / members.size) < 1e-6)
-      // the gap is the signed calibration miss of the bin
-      assert(math.abs(r.getDouble(6) -
-        (mean - members.keys.count(labels).toDouble / members.size)) < 1e-6)
+      val frac = BigDecimal(members.keys.count(labels).toDouble / members.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) === frac, s"bin ${r.getInt(0)} frac")
+      // the gap is derived from the two PRINTED columns (self-consistency)
+      assert(r.getDouble(6) === BigDecimal(mean - frac)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"bin ${r.getInt(0)} gap")
       // scores in a decile bin stay inside it (binning consistency)
       assert(r.getDouble(4) >= r.getDouble(1) - 1e-9 &&
         r.getDouble(4) <= r.getDouble(1) + 0.1 + 1e-9)
