@@ -1793,20 +1793,25 @@ object Curation extends QueryModule {
     lrScoreFromDense(denseFromVec(TextOps.hashedVectorsBatch(
       b.select(col("doc_id"), col("text")), idf)), w)
 
-  /** The one scoring kernel (z-fold, 6dp round, sigmoid, keep-at-z≥0)
-    * shared by the batch scorer and the streaming twin so the two can
-    * never drift. */
-  private def lrScoreFromDense(dense: DataFrame, w: Array[Double]): DataFrame = {
+  /** The margin half of the scoring kernel: the 6dp-rounded ordered
+    * 33-slot fold z = w·xs per doc — exposed separately because q215's
+    * Platt recalibration fits ON the margin, not the sigmoid'd score. */
+  private def lrZFromDense(dense: DataFrame, w: Array[Double]): DataFrame = {
     val wArr = array(w.toSeq.map(lit): _*)
     val z = round(aggregate(zip_with(col("xs"), wArr, (x, v) => x * v),
       lit(0.0), (a, b) => a + b), 6)
-    dense
-      .select(col("doc_id"), z.as("z"))
+    dense.select(col("doc_id"), z.as("z"))
+  }
+
+  /** The one scoring kernel (z-fold, 6dp round, sigmoid, keep-at-z≥0)
+    * shared by the batch scorer and the streaming twin so the two can
+    * never drift. */
+  private def lrScoreFromDense(dense: DataFrame, w: Array[Double]): DataFrame =
+    lrZFromDense(dense, w)
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
         when(col("z") >= 0, lit(1)).otherwise(lit(0)).as("keep"))
       .orderBy(col("doc_id"))
-  }
 
   private lazy val lrQualityScoreSql =
     // the full training chain SHARED VERBATIM (lrTrainCtes — one model
@@ -2039,8 +2044,16 @@ object Curation extends QueryModule {
   def lrCalibrationCardOf(d: DataFrame, w: Array[Double]): DataFrame = {
     val lab = TextOps.qualityScoresOf(d).select(col("doc_id"),
       when(col("quality") >= FunnelQualityMin, lit(1.0)).otherwise(lit(0.0)).as("y"))
-    lrScoreOf(d, w).select(col("doc_id"), col("score"))
-      .join(lab, Seq("doc_id"))
+    reliabilityCardFrom(lrScoreOf(d, w).select(col("doc_id"), col("score"))
+      .join(lab, Seq("doc_id")).select(col("score"), col("y")))
+  }
+
+  /** The reliability-diagram aggregate over (score, y) rows — ONE kernel
+    * shared by q213 (raw served scores) and q215 (Platt-recalibrated
+    * scores), so the before/after cards bin and round identically and a
+    * reader can compare them line by line. */
+  private def reliabilityCardFrom(scored: DataFrame): DataFrame =
+    scored
       .select(floor(col("score").cast(DecimalType(7, 6)) * 10)
           .cast(IntegerType).as("bin"), col("score"), col("y"))
       .groupBy(col("bin"))
@@ -2057,7 +2070,6 @@ object Curation extends QueryModule {
       // as a reader recomputes it off the card
       .withColumn("calib_gap", round(col("mean_score") - col("frac_pos"), 6))
       .orderBy(col("bin"))
-  }
 
   private lazy val lrCalibrationCardSql =
     // the train chain + one scoring pass SHARED VERBATIM with q203/q206,
@@ -2085,6 +2097,154 @@ object Curation extends QueryModule {
       |FROM cb
       |GROUP BY bin
       |ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q215: Platt-scaling recalibration
+  // ---------------------------------------------------------------------
+
+  /** Platt GD steps — enough to flatten the fixture's global bias while
+    * keeping the unrolled oracle chain cheap (each step is one pass over
+    * a 2-column table; the model is 2 doubles). */
+  val PlattSteps = 12
+
+  /** Fit Platt scaling (Platt, "Probabilistic Outputs for Support Vector
+    * Machines", 1999): the 2-parameter logistic σ(a·z + b) over the
+    * classifier's served margins z against the q63 labels, by gradient
+    * ascent on the log-likelihood — the q202 training-loop discipline
+    * applied to a 2-parameter model. Per step: ONE map-side-combined
+    * 1-row aggregate (Σ z·err, Σ err — each term decimal-exact before
+    * summing) reaches the driver; the model (a, b) is the only driver
+    * state, re-rounded to 6dp each step and folded back into the next
+    * step's kernel as literals, so the oracle's unrolled CTE replay
+    * cannot drift (the q100/q202 iterative-model convention). Init
+    * (a, b) = (1, 0) — the identity transform, so step 0 IS the raw
+    * calibration and training strictly refines it. Plain labels, not
+    * Platt's (N₊+1)/(N₊+2) target smoothing: the q63 gate is a
+    * deterministic rule, not a noisy annotator, so the smoothing prior
+    * has nothing to regularize against and would shift every target by
+    * a corpus-dependent constant the card reader can't see. */
+  private[graft] def plattFit(zy: DataFrame): (Double, Double) = {
+    val cached = graft.functions.ScopedCache.persist("q215.zy", zy)
+    val n = cached.count()
+    var a = 1.0
+    var b = 0.0
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    for (_ <- 1 to PlattSteps) {
+      val lin = round(lit(a) * col("z") + lit(b), 6)
+      val g = cached
+        .select(col("z"),
+          (col("y") - lit(1.0) / (lit(1.0) + exp(-lin))).as("err"))
+        .agg(sum((col("z") * col("err")).cast(DecimalType(38, 12))).as("ga"),
+          sum(col("err").cast(DecimalType(38, 12))).as("gb"))
+        .collect()(0)
+      a = r6(a + g.getDecimal(0).doubleValue() / n)
+      b = r6(b + g.getDecimal(1).doubleValue() / n)
+    }
+    (a, b)
+  }
+
+  /** The recalibrated-score kernel over a margin column `z`: 6dp round
+    * of the linear map, sigmoid, 6dp round of the report — the same
+    * rounding discipline as [[lrScoreFromDense]], so the recalibrated
+    * score is exactly what an independent engine recomputes. */
+  private def plattScoreExpr(a: Double, b: Double) =
+    round(lit(1.0) / (lit(1.0) + exp(-round(lit(a) * col("z") + lit(b), 6))), 6)
+
+  /** The (margin, label) table every Platt piece reads: the artifact
+    * model's 6dp fold per doc joined once to the q63 gate. */
+  private def lrMarginLabels(d: DataFrame, w: Array[Double]): DataFrame = {
+    val lab = TextOps.qualityScoresOf(d).select(col("doc_id"),
+      when(col("quality") >= FunnelQualityMin, lit(1.0)).otherwise(lit(0.0)).as("y"))
+    lrZFromDense(lrDense(d), w).join(lab, Seq("doc_id"))
+  }
+
+  /** Per-doc recalibrated scores against an explicit model — the serving
+    * shape (a pure map over the q203 margin) exposed for the
+    * SemanticsSpec rank-preservation and score laws. */
+  private[graft] def plattScoresOf(d: DataFrame, w: Array[Double],
+      a: Double, b: Double): DataFrame =
+    lrZFromDense(lrDense(d), w)
+      .select(col("doc_id"), col("z"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score_raw"),
+        plattScoreExpr(a, b).as("score_cal"))
+      .orderBy(col("doc_id"))
+
+  /** q215: Platt-scaling recalibration — CLOSES THE LOOP q213 opened.
+    * q213 measures that the served score is not a trustworthy
+    * probability (the fixture's bin 0.7 runs +0.225 over-confident);
+    * this operator FIXES it the standard way: fit σ(a·z + b) on the
+    * served margins against the q63 labels ([[plattFit]]), re-score,
+    * and emit the SAME reliability card over the recalibrated scores —
+    * the before (q213) and after (q215) cards share one aggregate
+    * kernel ([[reliabilityCardFrom]]), so the gap shrink is read
+    * bin-for-bin. Any score-weighted consumer (sampling ∝ score,
+    * expected-quality accounting) should ride the recalibrated score;
+    * rank consumers (q206's thresholds) are untouched because a > 0
+    * makes the transform strictly monotone in z (SemanticsSpec law).
+    *
+    * Scale shape: the corpus-sized work is q213's exactly — the scorer
+    * front (pure map) joined once to the label kernel — materialized
+    * ONCE into a ScopedCache'd 2-column (z, y) table; each of the
+    * [[PlattSteps]] GD steps is then one map-side-combined 1-row
+    * aggregate over that cached table (at 100 TB: fit on a sample or a
+    * cached projection — the steps never re-run the featurizer), and
+    * the final card is one ≤10-bin aggregate over the same cache. The
+    * oracle replays train chain + margins + every unrolled GD step +
+    * the card from the raw corpus, so a green row certifies the fitted
+    * (a, b) too (the q109/q203 admission precedent). */
+  def plattRecalibration(spark: SparkSession, dir: String): DataFrame =
+    plattRecalibrationOf(Tables.documents(spark, dir),
+      loadLrWeights(spark, dir))
+
+  /** DataFrame-level core against an explicit model. */
+  def plattRecalibrationOf(d: DataFrame, w: Array[Double]): DataFrame = {
+    val zy = graft.functions.ScopedCache.persist("q215.zy",
+      lrMarginLabels(d, w).select(col("z"), col("y")))
+    val (a, b) = plattFit(zy)
+    reliabilityCardFrom(zy.select(plattScoreExpr(a, b).as("score"), col("y")))
+  }
+
+  private lazy val plattRecalibrationSql = {
+    val steps = (1 to PlattSteps).map { i =>
+      s"""pe$i AS MATERIALIZED (SELECT s.z, s.y,
+        |    s.y - 1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))) AS err
+        |  FROM sz s CROSS JOIN pw${i - 1} p),
+        |pg$i AS MATERIALIZED (SELECT
+        |    CAST(SUM(CAST(z * err AS DECIMAL(38,12))) AS DOUBLE) AS ga,
+        |    CAST(SUM(CAST(err AS DECIMAL(38,12))) AS DOUBLE) AS gb
+        |  FROM pe$i),
+        |pw$i AS MATERIALIZED (SELECT ROUND(p.a + g.ga / n.n, 6) AS a,
+        |    ROUND(p.b + g.gb / n.n, 6) AS b
+        |  FROM pw${i - 1} p CROSS JOIN pg$i g CROSS JOIN pn n)""".stripMargin
+    }.mkString(",\n")
+    val cal = s"ROUND(1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))), 6)"
+    s"""WITH $lrTrainCtes,
+      |sz AS MATERIALIZED (SELECT f.doc_id, ${lrFoldSql("f.xs", "w.w")} AS z,
+      |    f.y
+      |  FROM f CROSS JOIN w$LrSteps w),
+      |pn AS (SELECT COUNT(*) AS n FROM sz),
+      |pw0 AS (SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),
+      |$steps,
+      |cb AS (SELECT CAST(FLOOR(CAST($cal AS DECIMAL(7,6)) * 10) AS INT)
+      |         AS bin, $cal AS score, s.y
+      |       FROM sz s CROSS JOIN pw$PlattSteps p)
+      |SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+      |  COUNT(*) AS n_docs,
+      |  CAST(COALESCE(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_pos,
+      |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_score,
+      |  ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS frac_pos,
+      |  ROUND(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6)
+      |    - ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*), 6), 6) AS calib_gap
+      |FROM cb
+      |GROUP BY bin
+      |ORDER BY bin""".stripMargin
+  }
 
   /** DataFrame-level core (testable on constructed corpora). */
   def lrQualityTrainOf(d: DataFrame): DataFrame = {
@@ -2189,6 +2349,8 @@ object Curation extends QueryModule {
     GraftQuery("q206_threshold_sweep", lrThresholdSweep, Some(lrThresholdSweepSql)),
     GraftQuery("q213_calibration_card", lrCalibrationCard,
       Some(lrCalibrationCardSql)),
+    GraftQuery("q215_platt_recalibration", plattRecalibration,
+      Some(plattRecalibrationSql)),
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q169_classifier_lift", classifierLift, Some(classifierLiftSql)),
     GraftQuery("q170_interleaved_order", interleavedOrder, Some(interleavedOrderSql)),

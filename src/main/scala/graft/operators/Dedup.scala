@@ -999,13 +999,17 @@ object Dedup extends QueryModule {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           docs.sparkSession.sparkContext.cancelJobGroup(prefetchGroup)
+          // post-cancel grace is SHORT by design (ADVICE r15): cancelled
+          // interruptible tasks terminate in seconds, and the generous
+          // bound belongs on the pre-cancel wait above — a wedged
+          // prefetch must not double the worst-case stall to 20 min.
           try scala.concurrent.Await.result(fGate,
-            scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+            scala.concurrent.duration.Duration(45, java.util.concurrent.TimeUnit.SECONDS))
           catch {
             case _: java.util.concurrent.TimeoutException =>
               if (mainFailure.isDefined) {
                 val e = new IllegalStateException(
-                  "near-dup build: prefetch unresponsive 10 min after job-group " +
+                  "near-dup build: prefetch unresponsive 45 s after job-group " +
                     "cancellation; refusing to run staging cleanup concurrently " +
                     "with in-flight prefetch tasks")
                 mainFailure.foreach(e.addSuppressed)

@@ -51,16 +51,21 @@ object Profiling extends QueryModule {
   def normalizeText(spark: SparkSession, dir: String): DataFrame =
     normalizeTextOf(Tables.documents(spark, dir))
 
-  /** The canonical-form kernel shared by q122 and q200: NFC + lowercase
-    * (one native codegen expression), trim, inner-whitespace collapse.
-    * Oracle mirror: `REGEXP_REPLACE(TRIM(LOWER(NFC_NORMALIZE(text))),
-    * ' +', ' ', 'g')` — interpolated into both oracles so the canonical
-    * form cannot drift between the report and the dedup. */
-  private def normExpr =
-    regexp_replace(trim(expr("graft_nfc_lower(text)")), " +", " ")
+  /** The canonical-form kernel shared by q122, q200, and q214: NFC +
+    * lowercase (one native codegen expression), trim, inner-whitespace
+    * collapse — parameterized on the input column so the document form
+    * (q122/q200) and the paragraph form (q214) are ONE kernel that
+    * cannot drift. Oracle mirror below, interpolated into all three
+    * oracles for the same reason. */
+  private[graft] def normColExpr(c: String) =
+    regexp_replace(trim(expr(s"graft_nfc_lower($c)")), " +", " ")
 
-  private val normExprSql =
-    "REGEXP_REPLACE(TRIM(LOWER(NFC_NORMALIZE(text))), ' +', ' ', 'g')"
+  private def normExpr = normColExpr("text")
+
+  private[graft] def normColSql(c: String): String =
+    s"REGEXP_REPLACE(TRIM(LOWER(NFC_NORMALIZE($c))), ' +', ' ', 'g')"
+
+  private val normExprSql = normColSql("text")
 
   /** DataFrame-level core (testable on constructed corpora). */
   def normalizeTextOf(d: DataFrame): DataFrame = {
@@ -152,6 +157,126 @@ object Profiling extends QueryModule {
       |FROM bk JOIN g USING (nt)
       |GROUP BY source
       |ORDER BY source NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q214: paragraph-level exact dedup (CCNet stage 1)
+  // ---------------------------------------------------------------------
+
+  /** q214: paragraph-level exact dedup — CCNet's FIRST pipeline stage
+    * (Wenzek et al., LREC 2020): split each document on newline
+    * boundaries, canonicalize every paragraph with the q122 kernel
+    * (shared [[normColExpr]] — the canonical form cannot drift between
+    * the document and paragraph dedups), hash-group corpus-wide, keep
+    * only the FIRST occurrence of each paragraph (global (doc_id, pos)
+    * order), and rebuild every document order-preserving from its kept
+    * paragraphs (q133's rebuild idiom). This is the production dedup
+    * stage document-level dedup (q70/q200) and 5-gram span coverage
+    * (q132/q133) both miss: the boilerplate header/footer/nav paragraph
+    * stamped across thousands of pages drops everywhere but its first
+    * sighting while each page's unique body survives intact.
+    *
+    * Unit contract: paragraphs are `\n`-split segments; a paragraph
+    * whose CANONICAL form is empty (blank line, whitespace-only) is
+    * document structure, not content — excluded from hashing and from
+    * the rebuild, counted in `n_empty`. Kept paragraphs rebuild with
+    * their ORIGINAL bytes (the hash sees the canonical form; the corpus
+    * keeps its own text — CCNet's contract). A document whose every
+    * paragraph drops survives as `clean_text = ''` (q133's rule) so
+    * downstream length filters see it. The fixture corpus is
+    * single-paragraph and duplicate-free (q70/q200 precedent — every
+    * row keeps its one paragraph); SemanticsSpec's constructed corpora
+    * exercise the collapse, the footer law, and the rebuild order.
+    *
+    * Scale shape: one posexplode (corpus token mass ≈ input size), a
+    * narrow canonicalize+sha2 map, then every exchange keys on the
+    * 32-byte sha2(canonical) or on doc_id — never raw paragraph text
+    * (the q163/q200 convention). The keeper is a groupBy-min of a
+    * (doc_id, pos) struct (no corpus-wide window, no Expand), joined
+    * back on the hash key; the rebuild is the q133 per-document
+    * collect_list sort (per-group memory = one document). At 100 TB the
+    * paragraph table shards like the corpus, the keeper aggregate is
+    * map-side combined on the hash key, and nothing materializes
+    * centrally. The oracle groups by the canonical text itself —
+    * equality of the two partitions is the standard collision-free sha2
+    * assumption (q200's note). */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def paragraphDedupOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    val paras = d
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
+      .withColumn("np", normColExpr("para"))
+    val content = paras.filter(col("np") =!= "")
+      .select(col("doc_id"), col("pos"), col("para"),
+        sha2(col("np"), 256).as("k"))
+    // global first occurrence: lexicographic min of (doc_id, pos) — a
+    // full total order, so the survivor set is deterministic
+    val keeper = content.groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val kept = content.join(keeper, Seq("k"))
+      .filter(col("doc_id") === col("first").getField("doc_id") &&
+        col("pos") === col("first").getField("pos"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")),
+          "\n").as("clean_text"))
+    val perDoc = paras.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("np") === "", 1L).otherwise(0L)).as("n_empty"))
+    // left joins from the corpus so a NULL-text document still surfaces
+    // (split(NULL) explodes to zero rows)
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_empty"), lit(0L)).as("n_empty"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_paras"), lit(0L)) - coalesce(col("n_empty"), lit(0L))
+          - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val paragraphDedupSql: String = {
+    val npSql = normColSql("ps[u.i]")
+    s"""WITH p0 AS (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS ps
+      |            FROM documents),
+      |p AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ps[u.i] AS para,
+      |        $npSql AS np
+      |      FROM p0, UNNEST(GENERATE_SERIES(1, LEN(ps))) AS u(i)),
+      |c AS (SELECT doc_id, pos, para, np FROM p WHERE np <> ''),
+      |k1 AS (SELECT np, MIN(doc_id) AS kd FROM c GROUP BY 1),
+      |k2 AS (SELECT c.np, c.doc_id AS kd, MIN(c.pos) AS kpos
+      |       FROM c JOIN k1 ON c.np = k1.np AND c.doc_id = k1.kd
+      |       GROUP BY 1, 2),
+      |kept AS (SELECT c.doc_id, c.pos, c.para
+      |         FROM c JOIN k2 ON c.np = k2.np AND c.doc_id = k2.kd
+      |           AND c.pos = k2.kpos),
+      |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |          STRING_AGG(para, CHR(10) ORDER BY pos) AS clean_text
+      |        FROM kept GROUP BY 1),
+      |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+      |         CAST(SUM(CASE WHEN np = '' THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_empty
+      |       FROM p GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(pd.n_paras, 0) AS n_paras,
+      |  COALESCE(pd.n_empty, 0) AS n_empty,
+      |  COALESCE(reb.n_kept, 0) AS n_kept,
+      |  COALESCE(pd.n_paras, 0) - COALESCE(pd.n_empty, 0)
+      |    - COALESCE(reb.n_kept, 0) AS n_dropped,
+      |  COALESCE(reb.clean_text, '') AS clean_text
+      |FROM documents d
+      |LEFT JOIN pd ON pd.doc_id = d.doc_id
+      |LEFT JOIN reb ON reb.doc_id = d.doc_id
+      |ORDER BY d.doc_id NULLS FIRST""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q201: dedup-method comparison card
@@ -854,5 +979,6 @@ object Profiling extends QueryModule {
     GraftQuery("q148_token_budget_cap", tokenBudgetCap, Some(tokenBudgetCapSql)),
     GraftQuery("q200_normalized_dedup", normalizedDedup, Some(normalizedDedupSql)),
     GraftQuery("q201_dedup_method_card", dedupMethodCard, Some(dedupMethodCardSql)),
+    GraftQuery("q214_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
   )
 }

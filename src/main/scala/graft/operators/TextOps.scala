@@ -1364,27 +1364,37 @@ object TextOps extends QueryModule {
       .empty[(Int, String, String, String, Long, Long)]
     var k = 1
     var exhausted = false
-    while (k <= rounds && !exhausted) {
-      val top = bpePairCounts(seq)
-        .orderBy(col("pair_cnt").desc, col("l"), col("r")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val l = top(0).getString(0)
-        val r = top(0).getString(1)
-        val cnt = top(0).getLong(2)
-        // the learned pair rides back in as a broadcast 1-row literal
-        // (not a string-interpolated expression: token text needs no
-        // escaping this way), coalesce unused here because the row is
-        // known non-empty
-        val next = seq.crossJoin(broadcast(Seq((l, r)).toDF("l", "r")))
-          .select(col("doc_id"), expr("graft_bpe_merge(t, l, r)").as("t"))
-          .localCheckpoint()
-        graft.functions.ScopedCache.releaseCheckpoint(seq)
-        val vocab = next.select(explode(col("t")).as("tok")).distinct().count()
-        out += ((k, l, r, l + " " + r, cnt, vocab))
-        seq = next
-        k += 1
+    // the live corpus-sized checkpoint is ALWAYS `seq` (reassigned the
+    // moment its predecessor is released), so the failure path below can
+    // release exactly one handle: if any round's collect()/count()
+    // throws, the current sequence generation is freed eagerly instead
+    // of waiting on ContextCleaner GC (ADVICE r15).
+    try {
+      while (k <= rounds && !exhausted) {
+        val top = bpePairCounts(seq)
+          .orderBy(col("pair_cnt").desc, col("l"), col("r")).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val l = top(0).getString(0)
+          val r = top(0).getString(1)
+          val cnt = top(0).getLong(2)
+          // the learned pair rides back in as a broadcast 1-row literal
+          // (not a string-interpolated expression: token text needs no
+          // escaping this way), coalesce unused here because the row is
+          // known non-empty
+          val next = seq.crossJoin(broadcast(Seq((l, r)).toDF("l", "r")))
+            .select(col("doc_id"), expr("graft_bpe_merge(t, l, r)").as("t"))
+            .localCheckpoint()
+          graft.functions.ScopedCache.releaseCheckpoint(seq)
+          seq = next
+          val vocab = seq.select(explode(col("t")).as("tok")).distinct().count()
+          out += ((k, l, r, l + " " + r, cnt, vocab))
+          k += 1
+        }
       }
+    } catch { case t: Throwable =>
+      graft.functions.ScopedCache.releaseCheckpoint(seq)
+      throw t
     }
     (out.toSeq, seq)
   }
@@ -1517,10 +1527,20 @@ object TextOps extends QueryModule {
       loadBpeMerges(spark, dir)))
 
   /** DataFrame-level core (testable on constructed corpora): trains
-    * in-plan and counts the final state directly. */
+    * in-plan and counts the final state directly. The vocab is
+    * vocabulary-sized, so it is materialized EAGERLY here and the
+    * trainer's corpus-sized final checkpoint released before returning
+    * (ADVICE r15 — the "terminal model is not released" exemption is
+    * for k-row models, not corpus-sized sequence tables). */
   def bpeVocabOf(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    val session = spark
+    import session.implicits._
     val (_, fin) = bpeTrainState(d)
-    vocabFromSeq(fin)
+    val collected = vocabFromSeq(fin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.ScopedCache.releaseCheckpoint(fin)
+    collected.toDF("tok", "cnt").orderBy(col("cnt").desc, col("tok"))
   }
 
   private def vocabFromSeq(seq: DataFrame): DataFrame =
@@ -1954,7 +1974,12 @@ object TextOps extends QueryModule {
     val scored = graft.functions.ScopedCache.persist("q211.scored",
       smoothedBigramSurprisalOf(d)
         .select(col("doc_id"), col("avg_smoothed_surprisal_nats").as("surprisal")))
-    val g = floor(col("surprisal").cast(DecimalType(10, 6)) * PplGridPerNat)
+    // DECIMAL(12,6), not (10,6): on a score above 9999.999999 Spark's
+    // non-ANSI cast would yield NULL (silently bucketed as tail) while
+    // DuckDB's CAST throws — (12,6) keeps both engines loud and exact
+    // far outside the single-digit-nat regime surprisal lives in
+    // (ADVICE r15)
+    val g = floor(col("surprisal").cast(DecimalType(12, 6)) * PplGridPerNat)
       .cast(LongType)
     val hist = scored.select(g.as("g")).groupBy(col("g"))
       .agg(count(lit(1)).as("cnt"))
@@ -1977,7 +2002,7 @@ object TextOps extends QueryModule {
   private val perplexityBucketsSql =
     s"""WITH $smoothedSurprisalCtes,
       |gg AS (SELECT doc_id, avg_smoothed_surprisal_nats AS surprisal,
-      |         CAST(FLOOR(CAST(avg_smoothed_surprisal_nats AS DECIMAL(10,6))
+      |         CAST(FLOOR(CAST(avg_smoothed_surprisal_nats AS DECIMAL(12,6))
       |           * $PplGridPerNat) AS BIGINT) AS g
       |       FROM sbs),
       |gh AS (SELECT g, COUNT(*) AS cnt FROM gg GROUP BY 1),

@@ -785,7 +785,24 @@ object Plans {
           "gated scans and broadcast LUTs, the corpus never exact-" +
           "scored wholesale) each collapsing to a ONE-ROW aggregate " +
           "map-side, unioned into 3 rows.",
-        graft.operators.Similarity.annMethodCard(spark, dir)))
+        graft.operators.Similarity.annMethodCard(spark, dir)),
+      section("q215 Platt-scaling recalibration card (r16)",
+        "What to look for: the fitted (a, b) riding in as literals over " +
+          "the ScopedCache'd 2-column (z, y) margin table (the 12 GD " +
+          "steps each collapsed to a 1-row aggregate BEFORE this plan " +
+          "— driver-held 2-double model, the q202 contract); the card " +
+          "itself is one map-side-combined <=10-bin aggregate over the " +
+          "cache; no window, no Expand, no corpus re-featurize.",
+        graft.operators.Curation.plattRecalibration(spark, dir)),
+      section("q214 paragraph-level exact dedup, CCNet stage 1 (r16)",
+        "What to look for: the paragraph posexplode with the q122 " +
+          "canonical kernel + sha2 in the same projection; every " +
+          "exchange keyed by the 32-byte hash or doc_id (never " +
+          "paragraph text — the q163/q200 convention); the keeper as a " +
+          "map-side-combined groupBy-min of a (doc_id,pos) struct (no " +
+          "window, no Expand), the join-back on the hash key, and the " +
+          "q133 per-document collect_list rebuild.",
+        graft.operators.Profiling.paragraphDedup(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

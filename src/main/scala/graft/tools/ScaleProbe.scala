@@ -1016,6 +1016,14 @@ object ScaleProbe {
         graft.operators.Curation.lrThresholdSweepOf(docs, model).count()
       time("q206 threshold sweep 1x (5k docs)")(sweepCount(d1))
       time(s"q206 threshold sweep ${copies}x")(sweepCount(dN))
+      // q215: q213's scored-population pass materializes ONCE into the
+      // cached (z, y) table; the 12 Platt GD steps then aggregate over
+      // that 2-column cache and the card is a <=10-bin rollup — the
+      // per-step cost scales with the cache, not the featurizer
+      def plattCount(docs: DataFrame): Long =
+        graft.operators.Curation.plattRecalibrationOf(docs, model).count()
+      time("q215 platt recalibration 1x (5k docs)")(plattCount(d1))
+      time(s"q215 platt recalibration ${copies}x")(plattCount(dN))
     }
     // q205: one BPE round = pair recount (map-side-combined, pair-vocab
     // sized) + a pure-map merge apply; rounds multiply the constant,
@@ -1062,6 +1070,20 @@ object ScaleProbe {
     // q208 composes the q171/q175/q196 audits verbatim (each probed
     // above / in their own rows) and adds a 3-row union — no new scaling
     // surface of its own.
+
+    // q214: paragraph explode + sha-keyed keeper aggregate + doc rebuild.
+    // Every doc gets a unique body paragraph (marker-rewritten per copy)
+    // plus ONE corpus-wide boilerplate footer — the real CCNet shape and
+    // the natural hot key: the footer keeper map-side-combines, and the
+    // join-back's skewed key is AQE skew-join territory; the row must
+    // stay ~linear regardless
+    def paraDedupCount(docs: DataFrame): Long =
+      graft.operators.Profiling.paragraphDedupOf(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit("\nCopyright Footer Paragraph"))
+            .as("text"))).count()
+    time("q214 para dedup 1x (5k docs)")(paraDedupCount(d1))
+    time(s"q214 para dedup ${copies}x")(paraDedupCount(dN))
 
     spark.stop()
   }

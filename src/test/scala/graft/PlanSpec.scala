@@ -1004,6 +1004,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"raw-text-keyed exchange: $p"))
   }
 
+  test("q214 paragraph dedup: sha-keyed exchanges, no window, no Expand, no raw-paragraph key") {
+    val df = Profiling.paragraphDedup(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    // keeper is a groupBy-min, not a COUNT(DISTINCT): no Expand node
+    assert(!plan.contains("Expand"), plan.take(4000))
+    // every exchange keys on the 32-byte sha2(canonical) or doc_id —
+    // never the paragraph/doc text itself (the q163/q200 convention)
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    exchanges.foreach(p => assert(
+      !p.contains("para#") && !p.contains("np#") && !p.contains("text#"),
+      s"raw-text-keyed exchange: $p"))
+  }
+
   test("q201 method card: three one-row aggregates, artifact label scan, no window") {
     val df = Profiling.dedupMethodCard(spark, sf0001)
     val plan = executedPlan(df)
@@ -1052,6 +1071,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val logical = df.queryExecution.optimizedPlan.toString
     assert(logical.contains("zip_with"), logical.take(4000))
     assert(!logical.contains("n_stopwords"), logical.take(4000))
+  }
+
+  test("q215 recalibration card: fit reads the cached (z,y) table; card is one tiny aggregate") {
+    Curation.ensureLrModel(spark, sf0001)
+    val df = Curation.plattRecalibration(spark, sf0001)
+    val plan = executedPlan(df)
+    // the fitted (a, b) fold in as literals over the ScopedCache'd
+    // 2-column margin table — the card's own plan has no window, no
+    // Expand, no cartesian, and aggregates straight into <=10 bins
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("CartesianProduct"),
+      plan.take(4000))
+    assert(!plan.contains("Expand"), plan.take(4000))
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+    // the (z, y) table is served from the cache, not re-derived: the
+    // featurizer's idf join never appears above the cache boundary
+    assert(plan.contains("TableCacheQueryStage") || plan.contains("InMemoryTableScan"),
+      plan.take(4000))
   }
 
   test("q206 sweep: one corpus pass into a tiny histogram — no window, no tenfold inflate") {
