@@ -1471,6 +1471,75 @@ object TextOps extends QueryModule {
         round(col("n_bpe").cast(DoubleType) / col("n_raw"), 6).as("ratio"))
       .orderBy(col("doc_id"))
 
+  /** q216: per-LANGUAGE tokenizer fertility card — the number tokenizer
+    * evaluations actually publish (symbols per raw token BY LANGUAGE,
+    * e.g. the fertility tables of multilingual-tokenizer papers): a
+    * tokenizer trained on a mixed corpus compresses its dominant
+    * language best, and per-language fertility is how that bias is
+    * measured and priced before training. Rolls q210's per-doc
+    * compression card up by `lang`: doc count, raw-token and BPE-symbol
+    * mass, fertility = Σsymbols/Σtokens (the aggregate ratio, NOT the
+    * mean of per-doc ratios — short docs must not dominate), symbols
+    * per doc, and each language's share of the total symbol budget (what
+    * the language costs of the training token budget).
+    *
+    * Invisibility contract (SemanticsSpec law): this card is EXACTLY an
+    * aggregate of q210's served rows joined to `lang` — same
+    * [[bpeFold]] under the same persisted merge table, so the rollup
+    * can never disagree with the per-doc card it summarizes.
+    *
+    * Scale shape: the served encode's ONE shuffle-free scan (R chained
+    * per-row merge maps), then one map-side-combined ≤|langs|-row
+    * aggregate and a broadcast 1-row total — nothing corpus-sized
+    * shuffles; at 100 TB this is q210's cost plus ε. The oracle replays
+    * the ENTIRE train+encode chain (the q203/q210 admission precedent:
+    * a green row certifies the persisted merge table). */
+  def bpeFertilityCard(spark: SparkSession, dir: String): DataFrame =
+    bpeFertilityCardOf(Tables.documents(spark, dir), loadBpeMerges(spark, dir))
+
+  /** DataFrame-level core against an explicit merge table (shares
+    * [[bpeFold]] with q210 so the rollup prices exactly the serving
+    * tokenizer's output). */
+  def bpeFertilityCardOf(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val perDoc = bpeFold(d.select(col("doc_id"), col("lang"), toks.as("t"))
+        .withColumn("n_raw", size(col("t")).cast(LongType)), merges)
+      .select(col("lang"), col("n_raw"), size(col("t")).cast(LongType).as("n_bpe"))
+    val byLang = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_raw")).as("n_raw"),
+        sum(col("n_bpe")).as("n_bpe"))
+    val tot = byLang.agg(sum(col("n_bpe")).as("tot_bpe"))
+    byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_raw"), col("n_bpe"),
+        round(col("n_bpe").cast(DoubleType) / col("n_raw"), 6).as("fertility"),
+        round(col("n_bpe").cast(DoubleType) / col("n_docs"), 6)
+          .as("symbols_per_doc"),
+        round(col("n_bpe").cast(DoubleType) / col("tot_bpe"), 6)
+          .as("symbol_share"))
+      .orderBy(col("lang"))
+  }
+
+  private lazy val bpeFertilityCardSql =
+    s"""WITH $bpeBaseCte,
+      |$bpeAllRoundCtes,
+      |rawc AS (SELECT doc_id, COUNT(*) AS n_raw FROM s0 GROUP BY 1),
+      |encc AS (SELECT doc_id, COUNT(*) AS n_bpe FROM s$BpeMergeRounds GROUP BY 1),
+      |pl AS (SELECT d.lang, rawc.n_raw, encc.n_bpe
+      |       FROM documents d
+      |       JOIN rawc ON rawc.doc_id = d.doc_id
+      |       JOIN encc ON encc.doc_id = d.doc_id),
+      |bl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(n_raw) AS BIGINT) AS n_raw,
+      |         CAST(SUM(n_bpe) AS BIGINT) AS n_bpe
+      |       FROM pl GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n_bpe) AS BIGINT) AS tot_bpe FROM bl)
+      |SELECT lang, n_docs, n_raw, n_bpe,
+      |  ROUND(CAST(n_bpe AS DOUBLE) / n_raw, 6) AS fertility,
+      |  ROUND(CAST(n_bpe AS DOUBLE) / n_docs, 6) AS symbols_per_doc,
+      |  ROUND(CAST(n_bpe AS DOUBLE) / tot_bpe, 6) AS symbol_share
+      |FROM bl CROSS JOIN tt
+      |ORDER BY lang NULLS FIRST""".stripMargin
+
   /** PlanSpec hook: one round's pair-recount dataflow over the raw
     * split (the registered query returns the collected merge table, so
     * the per-round plan is guarded through this). */
@@ -2099,6 +2168,8 @@ object TextOps extends QueryModule {
     // the persisted merge table must be invisible: q210's served encode
     // answers to the oracle that replays the full train+encode chain
     GraftQuery("q210_bpe_encode_stats", bpeEncodeStats, Some(bpeEncodeStatsSql)),
+    GraftQuery("q216_bpe_fertility_card", bpeFertilityCard,
+      Some(bpeFertilityCardSql)),
     GraftQuery("q212_pack_bpe_sequences", packBpeSequences,
       Some(packBpeSequencesSql)),
     GraftQuery("q103_bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),

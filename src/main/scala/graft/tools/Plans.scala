@@ -786,6 +786,13 @@ object Plans {
           "scored wholesale) each collapsing to a ONE-ROW aggregate " +
           "map-side, unioned into 3 rows.",
         graft.operators.Similarity.annMethodCard(spark, dir)),
+      section("q216 per-language tokenizer fertility card (r16)",
+        "What to look for: q210's served encode unchanged (the six " +
+          "broadcast merge literals, per-row graft_bpe_merge kernel, no " +
+          "hash exchange in the scan) feeding ONE map-side-combined " +
+          "lang-keyed rollup, with the 1-row symbol total riding back " +
+          "via the broadcast-one-row idiom; no window, no corpus join.",
+        graft.operators.TextOps.bpeFertilityCard(spark, dir)),
       section("q215 Platt-scaling recalibration card (r16)",
         "What to look for: the fitted (a, b) riding in as literals over " +
           "the ScopedCache'd 2-column (z, y) margin table (the 12 GD " +

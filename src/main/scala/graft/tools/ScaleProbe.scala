@@ -1050,6 +1050,13 @@ object ScaleProbe {
           docs.select(col("doc_id"), col("text")), merges).count()
       time("q210 bpe encode 1x (5k docs)")(encodeCount(d1))
       time(s"q210 bpe encode ${copies}x")(encodeCount(dN))
+      // q216: q210's frozen-model encode plus one <=|langs|-row rollup
+      // and a broadcast 1-row total — must track q210's scaling
+      def fertilityCount(docs: DataFrame): Long =
+        graft.operators.TextOps.bpeFertilityCardOf(
+          docs.select(col("doc_id"), col("lang"), col("text")), merges).count()
+      time("q216 fertility card 1x (5k docs)")(fertilityCount(d1))
+      time(s"q216 fertility card ${copies}x")(fertilityCount(dN))
     }
     // q207: q103's shape plus two aggregates over the ALREADY-collapsed
     // pair table — the continuation stats are pair-vocab-sized, so the

@@ -1131,6 +1131,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("graft_bpe_merge"), plan.take(4000))
   }
 
+  test("q216 fertility card: q210's shuffle-free encode into one lang-keyed rollup") {
+    TextOps.ensureBpeMerges(spark, sf0001)
+    val df = TextOps.bpeFertilityCard(spark, sf0001)
+    val plan = executedPlan(df)
+    // the encode scan keeps q210's shape (per-row merge kernel, no
+    // window, no equi-join shuffle); the only aggregates are the
+    // <=|langs|-row rollup and its 1-row total — the total rides back
+    // as the broadcast-one-row-literal idiom (a BNLJ over POST-AGGREGATE
+    // rows is the idiom's physical form; what must not exist is a
+    // cartesian or a BNLJ over corpus rows, which the merge-kernel scan
+    // sitting BELOW the first aggregate rules out)
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("SortMergeJoin"),
+      plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(plan.contains("graft_bpe_merge"), plan.take(4000))
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+    // every BNLJ broadcasts either a merge-pair LITERAL (LocalTableScan)
+    // or the post-aggregate 1-row total — i.e. the build side's TOP node
+    // below the broadcast is a literal or an aggregate, never raw corpus
+    // rows (the total's subtree legitimately re-derives from the corpus;
+    // what matters is the aggregate caps it at one row before broadcast)
+    val bnlj = allNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.nonEmpty)
+    bnlj.foreach { j =>
+      val build = if (j.buildSide.toString.contains("Right")) j.right else j.left
+      val top = allNodes(build).find(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.LocalTableScanExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+        // a reused broadcast is the literal's exchange shared across the
+        // merge chain — bounded by construction
+        n.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      assert(top.exists(n =>
+        !n.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]),
+        s"BNLJ build side is neither a literal nor post-aggregate:\n$j")
+    }
+  }
+
   test("q211 tertiles: the only window runs over the bounded grid, never the corpus") {
     val df = TextOps.perplexityBuckets(spark, sf0001)
     val plan = executedPlan(df)

@@ -2977,6 +2977,35 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     graft.functions.ScopedCache.releaseCheckpoint(fin)
   }
 
+  test("q216 fertility card: invisible aggregate of q210's served rows; shares sum to 1") {
+    val session = spark
+    import session.implicits._
+    // the invisibility contract: the per-language card is EXACTLY a
+    // rollup of q210's per-doc rows joined to lang — recompute it
+    // driver-side from the served card and compare every column
+    val perDoc = operators.TextOps.bpeEncodeStats(spark, sf001)
+      .select($"doc_id", $"n_raw", $"n_bpe").as[(Long, Long, Long)].collect()
+    val langOf = sources.Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val grouped = perDoc.groupBy(t => langOf(t._1)).map { case (lang, rows) =>
+      (lang, rows.size.toLong, rows.map(_._2).sum, rows.map(_._3).sum)
+    }.toSeq
+    val totBpe = grouped.map(_._4).sum
+    val expect = grouped.map { case (lang, nd, nr, nb) =>
+      (lang, nd, nr, nb, r6(nb.toDouble / nr), r6(nb.toDouble / nd),
+        r6(nb.toDouble / totBpe))
+    }.sortBy(_._1)
+    val got = operators.TextOps.bpeFertilityCard(spark, sf001)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got === expect)
+    // the symbol budget is fully attributed (6dp rounding slack)
+    assert(math.abs(got.map(_._7).sum - 1.0) < 1e-4)
+    // fertility can only shrink token mass: n_bpe <= n_raw per language
+    got.foreach(r => assert(r._4 <= r._3, r.toString))
+  }
+
   test("q215 Platt recalibration: fixture gap shrinks, population partitioned, fit reproducible") {
     val session = spark
     import session.implicits._
