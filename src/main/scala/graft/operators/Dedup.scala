@@ -1515,6 +1515,177 @@ object Dedup extends QueryModule {
       |JOIN sz y ON g.doc_b = y.doc_id
       |ORDER BY g.doc_a NULLS FIRST, g.doc_b NULLS FIRST""".stripMargin
 
+  // ---- LSH band-geometry method card -------------------------------------
+
+  /** The candidate (bands, rows) splits of the 64 MinHash slots the card
+    * prices against each other — the shipped 16×4 in the middle, its
+    * high-recall (32×2) and high-precision (8×8) neighbors beside it. */
+  private[graft] val LshGeometries = Seq((32, 2), (16, 4), (8, 8))
+
+  /** Banded candidate pairs under an ARBITRARY (bands, rowsPerBand)
+    * split — the generalization of [[lshCandidates]]' hardcoded 16×4
+    * banding (same hot-bucket gate, same distinct-pair contract; the
+    * band key is the raw slot slice, an array of ≤8 longs, never an
+    * engine hash of it, so the oracle replays the bucketing exactly).
+    * The SemanticsSpec law pins the (16, 4) instance candidate-for-
+    * candidate to the shipped [[lshCandidates]] path. */
+  private[graft] def bandedCandidates(sigs: DataFrame, bands: Int, rpb: Int,
+      maxBucket: Int): DataFrame = {
+    val banded = sigs
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${bands - 1}), j -> struct(
+           |  j AS band, slice(sig, j * $rpb + 1, $rpb) AS slots))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.slots").as("slots"))
+    val hot = banded.groupBy(col("band"), col("slots"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket).select(col("band"), col("slots"))
+    val gated = banded.join(hot, Seq("band", "slots"), "left_anti")
+    gated.as("x").join(gated.as("y"), Seq("band", "slots"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** q217: the LSH band-geometry method card — the q201/q208 method-card
+    * grammar applied to the near-dup family's one free design choice:
+    * how to split the 64 MinHash slots into (bands × rows). For each
+    * split the card reads the S-curve THEORY next to the fixture's
+    * MEASURED behavior:
+    *
+    *   - `p_detect_at_t`: the textbook banding S-curve (Leskovec/
+    *     Rajaraman/Ullman, Mining of Massive Datasets §3.4) evaluated at
+    *     the shipped q73 threshold — P[some band collides] =
+    *     1 − (1 − t^r)^b at t = 0.5, i.e. the chance a true
+    *     threshold-Jaccard pair becomes a candidate at all;
+    *   - `s_half`: the curve's midpoint (1 − 0.5^(1/b))^(1/r) — the
+    *     Jaccard at which detection crosses 50 %, the number that shows
+    *     where each geometry "aims";
+    *   - `n_cand`: the measured hot-gated candidate count on the fixture
+    *     (what the pair join actually pays);
+    *   - `n_est_dup`: candidates the shipped estimate threshold admits;
+    *   - `mean_abs_err`: q179's estimate-vs-exact audit averaged over
+    *     that geometry's candidate set (terms decimal-cast before the
+    *     sum — the q93 discipline).
+    *
+    * The (16, 4) row MUST reproduce q179: same candidate universe, so
+    * n_cand = q179's row count and mean_abs_err = the mean of q179's
+    * per-pair errors (SemanticsSpec law). This is what makes the shipped
+    * geometry a measured choice instead of a constant: 32×2 aims low
+    * (s_half ≈ 0.15 — catches more, pays more candidates), 8×8 aims high
+    * (s_half ≈ 0.77 — starves the 0.5 threshold), 16×4 sits on it
+    * (s_half ≈ 0.5, p_detect ≈ 0.64 at the cut).
+    *
+    * Scale shape: ONE signature pass (ScopedCache'd, shared with
+    * q73/q179) feeds all three bandings; each banding is the standard
+    * bucket-join with the hot gate (never all-pairs), each exact-side
+    * join is CANDIDATE-BOUNDED (q179's shape), and every geometry
+    * collapses map-side into ONE row — the card is 3 rows however big
+    * the corpus. At 100 TB this is 3× the q179 audit, run once per
+    * geometry decision, not per ingest. */
+  def lshGeometryCard(spark: SparkSession, dir: String): DataFrame =
+    lshGeometryCardOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  private[graft] def lshGeometryCardOf(docs: DataFrame,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
+    val sigs = graft.functions.ScopedCache.persist("q73.signatures",
+      signatures(docs))
+    val sh = graft.functions.ScopedCache.persist("q179.polyshingles",
+      docs.select(col("doc_id"),
+        explode(expr("graft_shingles_poly(text)")).as("base")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    LshGeometries.map { case (b, r) =>
+      val cand = bandedCandidates(sigs, b, r, maxBucket)
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("base")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("base")),
+          Seq("doc_b", "base"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      val perPair = cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+            .cast(LongType).as("n_agree"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+        .select(
+          (col("n_agree").cast(DoubleType) / NumHashes).as("est"),
+          abs(col("n_agree").cast(DoubleType) / NumHashes
+            - col("ni").cast(DoubleType) / (col("n_a") + col("n_b") - col("ni")))
+            .as("ae"))
+      perPair.agg(
+        count(lit(1)).as("n_cand"),
+        coalesce(sum(when(col("est") >= 0.5, 1L).otherwise(0L)), lit(0L))
+          .as("n_est_dup"),
+        when(count(lit(1)) > 0,
+          round(sum(col("ae").cast(DecimalType(38, 12))).cast(DoubleType)
+            / count(lit(1)), 6)).as("mean_abs_err"))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          round(lit(1.0) - pow(lit(1.0) - pow(lit(0.5), lit(r)), lit(b)), 6)
+            .as("p_detect_at_t"),
+          round(pow(lit(1.0) - pow(lit(0.5), lit(1.0) / b), lit(1.0) / r), 6)
+            .as("s_half"),
+          col("n_cand"), col("n_est_dup"), col("mean_abs_err"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("bands").desc)
+  }
+
+  private val lshGeometryCardSql = {
+    val geoms = LshGeometries.zipWithIndex.map { case ((b, r), gi) =>
+      val p = s"g$gi"
+      (s"""${p}bnd AS (SELECT doc_id, ci // $r AS band, LIST(s ORDER BY ci) AS slots
+        |        FROM sig GROUP BY 1, 2),
+        |${p}hot AS (SELECT band, slots FROM ${p}bnd
+        |        GROUP BY 1, 2 HAVING COUNT(*) > $MaxBandBucket),
+        |${p}gtd AS (SELECT b.* FROM ${p}bnd b WHERE NOT EXISTS
+        |        (SELECT 1 FROM ${p}hot h
+        |         WHERE h.band = b.band AND h.slots = b.slots)),
+        |${p}cnd AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |        FROM ${p}gtd x JOIN ${p}gtd y
+        |          ON x.band = y.band AND x.slots = y.slots
+        |         AND x.doc_id < y.doc_id),
+        |${p}int AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        |        FROM ${p}cnd c
+        |        JOIN shp a ON a.doc_id = c.doc_a
+        |        JOIN shp b ON b.doc_id = c.doc_b AND b.base = a.base
+        |        GROUP BY 1, 2),
+        |${p}agr AS (SELECT c.doc_a, c.doc_b,
+        |          CAST(SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_agree
+        |        FROM ${p}cnd c
+        |        JOIN sig sa ON sa.doc_id = c.doc_a
+        |        JOIN sig sb ON sb.doc_id = c.doc_b AND sb.ci = sa.ci
+        |        GROUP BY 1, 2),
+        |${p}pp AS (SELECT CAST(g.n_agree AS DOUBLE) / $NumHashes AS est,
+        |          ABS(CAST(g.n_agree AS DOUBLE) / $NumHashes
+        |            - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        |              / (x.n + y.n - COALESCE(i.n_inter, 0))) AS ae
+        |        FROM ${p}agr g
+        |        LEFT JOIN ${p}int i ON g.doc_a = i.doc_a AND g.doc_b = i.doc_b
+        |        JOIN sz x ON g.doc_a = x.doc_id
+        |        JOIN sz y ON g.doc_b = y.doc_id)""".stripMargin,
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+          |  ROUND(1.0 - POWER(1.0 - POWER(0.5, $r), $b), 6) AS p_detect_at_t,
+          |  ROUND(POWER(1.0 - POWER(0.5, 1.0 / $b), 1.0 / $r), 6) AS s_half,
+          |  COUNT(*) AS n_cand,
+          |  CAST(COALESCE(SUM(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END), 0)
+          |    AS BIGINT) AS n_est_dup,
+          |  CASE WHEN COUNT(*) > 0 THEN
+          |    ROUND(CAST(SUM(CAST(ae AS DECIMAL(38,12))) AS DOUBLE)
+          |      / COUNT(*), 6) END AS mean_abs_err
+          |FROM ${p}pp""".stripMargin)
+    }
+    s"""WITH $lshCandidateCtes,
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shp GROUP BY 1),
+      |${geoms.map(_._1).mkString(",\n")}
+      |${geoms.map(_._2).mkString("\nUNION ALL\n")}
+      |ORDER BY bands DESC""".stripMargin
+  }
+
   /** q154: which SOURCE pairs share near-duplicate documents — the
     * source-level contamination matrix a curator reads before weighting
     * feeds (mirrored crawls, syndication, vendor overlap show up as hot
@@ -3033,6 +3204,8 @@ object Dedup extends QueryModule {
     GraftQuery("q73_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
     GraftQuery("q179_minhash_estimate_error", minhashEstimateError,
       Some(minhashEstimateErrorSql)),
+    GraftQuery("q217_lsh_geometry_card", lshGeometryCard,
+      Some(lshGeometryCardSql)),
     GraftQuery("q154_source_neardup_matrix", sourceNeardupMatrix,
       Some(sourceNeardupMatrixSql)),
     GraftQuery("q74_simhash_pairs", simhashPairs, Some(simhashPairsSql)),

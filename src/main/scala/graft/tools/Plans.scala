@@ -786,6 +786,14 @@ object Plans {
           "scored wholesale) each collapsing to a ONE-ROW aggregate " +
           "map-side, unioned into 3 rows.",
         graft.operators.Similarity.annMethodCard(spark, dir)),
+      section("q217 LSH band-geometry method card (r16)",
+        "What to look for: ONE signature pass (the ScopedCache shared " +
+          "with q73/q179) feeding three bucket-joins — each banding " +
+          "behind its own LeftAnti hot gate, never an ungated " +
+          "all-pairs join; the exact-jaccard side joins only through " +
+          "each geometry's candidate set (q179's candidate-bounded " +
+          "shape), and every geometry collapses map-side into one row.",
+        graft.operators.Dedup.lshGeometryCard(spark, dir)),
       section("q216 per-language tokenizer fertility card (r16)",
         "What to look for: q210's served encode unchanged (the six " +
           "broadcast merge literals, per-row graft_bpe_merge kernel, no " +

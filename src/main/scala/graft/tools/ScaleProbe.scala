@@ -695,6 +695,14 @@ object ScaleProbe {
         docs.select(col("doc_id"), col("text"))).count()
     time("q179 estimate error 1x (5k docs)")(estErrCount(d1))
     time(s"q179 estimate error ${copies}x")(estErrCount(dN))
+    // q217: three bandings over the ONE ScopedCache'd signature pass,
+    // each candidate-bounded like q179 — the card must scale like 3x
+    // q179's audit, never like an all-pairs join
+    def geomCardCount(docs: DataFrame): Long =
+      graft.operators.Dedup.lshGeometryCardOf(
+        docs.select(col("doc_id"), col("text"))).count()
+    time("q217 geometry card 1x (5k docs)")(geomCardCount(d1))
+    time(s"q217 geometry card ${copies}x")(geomCardCount(dN))
     val softRowNames = Seq(
       "q178 soft weights 1x (5k docs)", s"q178 soft weights ${copies}x")
     if (only.isEmpty || softRowNames.exists(n => only.exists(n.startsWith))) {

@@ -1023,6 +1023,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"raw-text-keyed exchange: $p"))
   }
 
+  test("q217 geometry card: bucketed bandings with hot gates, candidate-bounded exact joins") {
+    val df = Dedup.lshGeometryCard(spark, sf0001)
+    val plan = executedPlan(df)
+    // three bucket-joins (one per geometry), each behind its LeftAnti
+    // hot gate — never an ungated all-pairs join; no window, no
+    // cartesian; the exact-jaccard side joins only through the candidate
+    // sets (equi-joins all the way down)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(plan.contains("LeftAnti"), plan.take(4000))
+    // the card collapses map-side: partial aggregates exist and the
+    // result is 3 rows
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      plan.take(4000))
+  }
+
   test("q201 method card: three one-row aggregates, artifact label scan, no window") {
     val df = Profiling.dedupMethodCard(spark, sf0001)
     val plan = executedPlan(df)

@@ -2977,6 +2977,60 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     graft.functions.ScopedCache.releaseCheckpoint(fin)
   }
 
+  test("q217 geometry card: the shipped 16x4 row reproduces q179; theory columns recompute") {
+    val session = spark
+    import session.implicits._
+    val card = Dedup.lshGeometryCard(spark, sf001)
+      .as[(Int, Int, Double, Double, Long, Long, Option[Double])]
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    // the 16x4 row must reproduce q179's audit: same candidate universe
+    val q179 = Dedup.minhashEstimateError(spark, sf001)
+      .select($"abs_err").as[Double].collect()
+    val (_, _, _, _, nCand, nEstDup, meanErr) = card((16, 4))
+    assert(nCand === q179.length.toLong)
+    // q179 rounds per-pair at 6dp, the card decimal-sums the raw terms:
+    // the means agree within the per-term rounding slack
+    assert(math.abs(meanErr.get - q179.sum / q179.length) < 1e-6)
+    // ...and the est-dup count is exactly the q73 pair table
+    assert(nEstDup === Dedup.minhashLshPairs(spark, sf001).count())
+    // theory columns are the textbook S-curve, recomputed exactly
+    card.foreach { case ((b, r), row) =>
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(row._3 === r6(1.0 - math.pow(1.0 - math.pow(0.5, r), b)), s"$b x $r")
+      assert(row._4 === r6(math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)), s"$b x $r")
+    }
+    // refinement nesting (2 | 4 | 8, same gate cap): finer rows can only
+    // aim higher and catch fewer — s_half increases, p_detect and the
+    // fixture candidate count do not increase
+    val ordered = Seq((32, 2), (16, 4), (8, 8)).map(card)
+    ordered.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(hi._3 > lo._3 && hi._4 < lo._4)
+      assert(hi._5 >= lo._5, s"candidates grew under refinement: $hi vs $lo")
+    case _ => }
+  }
+
+  test("q217 generalized banding at (16,4) = the shipped candidate set; dups caught everywhere") {
+    val session = spark
+    import session.implicits._
+    val docs = corpusWithDups
+    val (sigs, shipped) = Dedup.lshCandidates(docs)
+    val general = Dedup.bandedCandidates(sigs, 16, 4,
+      Dedup.MaxBandBucket)
+    val a = shipped.as[(Long, Long)].collect().toSet
+    val b = general.as[(Long, Long)].collect().toSet
+    assert(a === b)
+    // exact duplicates (identical signatures) are candidates under EVERY
+    // geometry, and the estimate admits them all
+    val card = Dedup.lshGeometryCardOf(docs)
+      .as[(Int, Int, Double, Double, Long, Long, Option[Double])].collect()
+    val planted = docs.count() / 2
+    card.foreach { row =>
+      assert(row._6 >= planted, s"geometry ${row._1}x${row._2} missed planted dups")
+      assert(row._5 >= row._6)
+    }
+  }
+
   test("q216 fertility card: invisible aggregate of q210's served rows; shares sum to 1") {
     val session = spark
     import session.implicits._
