@@ -1540,6 +1540,70 @@ object TextOps extends QueryModule {
       |FROM bl CROSS JOIN tt
       |ORDER BY lang NULLS FIRST""".stripMargin
 
+  /** The merge depths the q218 sweep prices (0 = raw whitespace tokens,
+    * then even prefixes of the trained [[BpeMergeRounds]]-merge table). */
+  private[graft] val BpeDepths = Seq(0, 2, 4, 6)
+
+  /** q218: BPE vocabulary-size sweep — q124's Heaps-law curve analog for
+    * the TOKENIZER: how vocabulary size and fertility move with merge
+    * depth. One training run's persisted merge table already contains
+    * every round's prefix (rows are round-ordered), so depth R is served
+    * by replaying just the FIRST R merges — no retraining, one artifact
+    * read. For each depth: total symbol mass, distinct-symbol vocabulary
+    * size, and fertility (symbols per raw token) — the curve a tokenizer
+    * designer reads to pick R: symbol mass (≈ training cost) falls with
+    * depth while the vocabulary (≈ embedding-table cost) grows.
+    *
+    * The vocab trajectory is pinned to the trainer's own accounting: at
+    * each trained depth, `vocab_size` equals q205's `vocab_size` column
+    * for that round (the re-tokenization law applied per prefix —
+    * SemanticsSpec).
+    *
+    * Scale shape: the ScopedCache'd token table feeds one shuffle-free
+    * encode scan per depth (R chained per-row maps), each collapsing
+    * into a symbol-keyed aggregate (vocabulary-sized) and then one row;
+    * the raw total rides back as a broadcast 1-row literal for the
+    * fertility division. |depths| rows however big the corpus. */
+  def bpeDepthSweep(spark: SparkSession, dir: String): DataFrame =
+    bpeDepthSweepOf(Tables.documents(spark, dir), loadBpeMerges(spark, dir))
+
+  /** DataFrame-level core against an explicit merge table. */
+  def bpeDepthSweepOf(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val seq = graft.functions.ScopedCache.persist("q218.seq",
+      d.select(col("doc_id"), toks.as("t")))
+    def oneDepth(depth: Int): DataFrame =
+      bpeFold(seq, merges.take(depth))
+        .select(explode(col("t")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_symbols"), count(lit(1)).as("vocab_size"))
+        .select(lit(depth).as("merge_depth"), col("n_symbols"),
+          col("vocab_size"))
+    val rawTot = oneDepth(0).select(col("n_symbols").as("n_raw"))
+    BpeDepths.map(oneDepth).reduce(_ unionByName _)
+      .crossJoin(broadcast(rawTot))
+      .select(col("merge_depth"), col("n_symbols"), col("vocab_size"),
+        round(col("n_symbols").cast(DoubleType) / col("n_raw"), 6)
+          .as("fertility"))
+      .orderBy(col("merge_depth"))
+  }
+
+  private lazy val bpeDepthSweepSql = {
+    val rows = BpeDepths.map { k =>
+      s"""SELECT $k AS merge_depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n_symbols,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab_size
+        |FROM s$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeBaseCte,
+      |$bpeAllRoundCtes,
+      |sw AS ($rows),
+      |rawt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_raw FROM s0)
+      |SELECT merge_depth, n_symbols, vocab_size,
+      |  ROUND(CAST(n_symbols AS DOUBLE) / n_raw, 6) AS fertility
+      |FROM sw CROSS JOIN rawt
+      |ORDER BY merge_depth""".stripMargin
+  }
+
   /** PlanSpec hook: one round's pair-recount dataflow over the raw
     * split (the registered query returns the collected merge table, so
     * the per-round plan is guarded through this). */
@@ -2170,6 +2234,7 @@ object TextOps extends QueryModule {
     GraftQuery("q210_bpe_encode_stats", bpeEncodeStats, Some(bpeEncodeStatsSql)),
     GraftQuery("q216_bpe_fertility_card", bpeFertilityCard,
       Some(bpeFertilityCardSql)),
+    GraftQuery("q218_bpe_depth_sweep", bpeDepthSweep, Some(bpeDepthSweepSql)),
     GraftQuery("q212_pack_bpe_sequences", packBpeSequences,
       Some(packBpeSequencesSql)),
     GraftQuery("q103_bigram_surprisal", bigramSurprisal, Some(bigramSurprisalSql)),

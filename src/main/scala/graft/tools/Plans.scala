@@ -786,6 +786,14 @@ object Plans {
           "scored wholesale) each collapsing to a ONE-ROW aggregate " +
           "map-side, unioned into 3 rows.",
         graft.operators.Similarity.annMethodCard(spark, dir)),
+      section("q218 BPE vocabulary-size depth sweep (r16)",
+        "What to look for: the ScopedCache'd token table feeding one " +
+          "shuffle-free merge-replay chain per depth (0/2/4/6 broadcast " +
+          "literal joins), each collapsing into a vocabulary-sized " +
+          "keyed aggregate then ONE row; the raw total rides back as a " +
+          "broadcast 1-row literal for the fertility division; no " +
+          "window, no Expand, no corpus join.",
+        graft.operators.TextOps.bpeDepthSweep(spark, dir)),
       section("q217 LSH band-geometry method card (r16)",
         "What to look for: ONE signature pass (the ScopedCache shared " +
           "with q73/q179) feeding three bucket-joins — each banding " +

@@ -1065,6 +1065,14 @@ object ScaleProbe {
           docs.select(col("doc_id"), col("lang"), col("text")), merges).count()
       time("q216 fertility card 1x (5k docs)")(fertilityCount(d1))
       time(s"q216 fertility card ${copies}x")(fertilityCount(dN))
+      // q218: |depths| frozen-model encode scans over the cached token
+      // table, each into a vocabulary-sized aggregate — scales like a
+      // few q210 passes, never worse
+      def depthSweepCount(docs: DataFrame): Long =
+        graft.operators.TextOps.bpeDepthSweepOf(
+          docs.select(col("doc_id"), col("text")), merges).count()
+      time("q218 depth sweep 1x (5k docs)")(depthSweepCount(d1))
+      time(s"q218 depth sweep ${copies}x")(depthSweepCount(dN))
     }
     // q207: q103's shape plus two aggregates over the ALREADY-collapsed
     // pair table — the continuation stats are pair-vocab-sized, so the

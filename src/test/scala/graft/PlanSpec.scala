@@ -1188,6 +1188,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q218 depth sweep: cached token table, shuffle-free encodes into tiny aggregates") {
+    TextOps.ensureBpeMerges(spark, sf0001)
+    val df = TextOps.bpeDepthSweep(spark, sf0001)
+    val plan = executedPlan(df)
+    // one encode chain per depth over the ScopedCache'd token table,
+    // each collapsing into a vocabulary-sized keyed aggregate then one
+    // row; no window, no SMJ, no Expand (two-level distinct)
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("SortMergeJoin"),
+      plan.take(4000))
+    assert(!plan.contains("Expand") && !plan.contains("CartesianProduct"),
+      plan.take(4000))
+    assert(plan.contains("TableCacheQueryStage") || plan.contains("InMemoryTableScan"),
+      plan.take(4000))
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+  }
+
   test("q211 tertiles: the only window runs over the bounded grid, never the corpus") {
     val df = TextOps.perplexityBuckets(spark, sf0001)
     val plan = executedPlan(df)

@@ -2977,6 +2977,35 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     graft.functions.ScopedCache.releaseCheckpoint(fin)
   }
 
+  test("q218 depth sweep: vocab trajectory pins to q205's per-round accounting") {
+    val session = spark
+    import session.implicits._
+    val sweep = operators.TextOps.bpeDepthSweep(spark, sf001)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(sweep.map(_._1) === operators.TextOps.BpeDepths)
+    val byDepth = sweep.map(t => t._1 -> t).toMap
+    // depth 0 is the raw stream: fertility exactly 1, vocab = distinct
+    // whitespace tokens
+    assert(byDepth(0)._4 === 1.0)
+    val rawVocab = sources.Tables.documents(spark, sf001)
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .select($"tok").distinct().count()
+    assert(byDepth(0)._3 === rawVocab)
+    // each trained depth's vocab equals the TRAINER's own vocab_size row
+    // (the re-tokenization law applied per merge prefix)
+    val train = operators.TextOps.bpeTrain(spark, sf001)
+      .select($"round", $"vocab_size").as[(Int, Long)].collect().toMap
+    Seq(2, 4, 6).foreach(r => assert(byDepth(r)._3 === train(r), s"depth $r"))
+    // symbol mass strictly falls with depth (every selected merge
+    // applies at least once) and fertility tracks it exactly
+    sweep.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 < a._2, s"no compression from depth ${a._1} to ${b._1}")
+    case _ => }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    sweep.foreach(t => assert(t._4 === r6(t._2.toDouble / byDepth(0)._2)))
+  }
+
   test("q217 geometry card: the shipped 16x4 row reproduces q179; theory columns recompute") {
     val session = spark
     import session.implicits._
