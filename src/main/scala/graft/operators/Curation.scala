@@ -2170,6 +2170,22 @@ object Curation extends QueryModule {
         plattScoreExpr(a, b).as("score_cal"))
       .orderBy(col("doc_id"))
 
+  /** Streaming-twin recalibrated scoring: a micro-batch scored with ALL
+    * trained artifacts frozen — the 33 weights, the train-corpus idf the
+    * featurizer needs, AND the fitted Platt (a, b). Recalibrated scoring
+    * is a pure per-doc map once the three freeze (z-fold → literal
+    * linear map → sigmoid), so an arriving doc's (score_raw, score_cal)
+    * is bit-identical to the nightly batch scorer's (the StreamingSpec
+    * law — q203's twin extended by the recalibration layer). */
+  def plattScoreBatch(b: DataFrame, w: Array[Double], idf: DataFrame,
+      a: Double, pb: Double): DataFrame =
+    lrZFromDense(denseFromVec(TextOps.hashedVectorsBatch(
+      b.select(col("doc_id"), col("text")), idf)), w)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score_raw"),
+        plattScoreExpr(a, pb).as("score_cal"))
+      .orderBy(col("doc_id"))
+
   /** q215: Platt-scaling recalibration — CLOSES THE LOOP q213 opened.
     * q213 measures that the served score is not a trustworthy
     * probability (the fixture's bin 0.7 runs +0.225 over-confident);

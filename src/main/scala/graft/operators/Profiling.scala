@@ -205,20 +205,35 @@ object Profiling extends QueryModule {
   /** DataFrame-level core (testable on constructed corpora). */
   def paragraphDedupOf(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
-    val paras = d
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
-      .withColumn("np", normColExpr("para"))
+    val paras = paragraphRows(d)
     val content = paras.filter(col("np") =!= "")
       .select(col("doc_id"), col("pos"), col("para"),
         sha2(col("np"), 256).as("k"))
-    // global first occurrence: lexicographic min of (doc_id, pos) — a
-    // full total order, so the survivor set is deterministic
+    paragraphCard(d, paras, keepFirst(content))
+  }
+
+  /** The paragraph explode + canonical form — (doc_id, pos, para, np). */
+  private def paragraphRows(d: DataFrame) = d
+    .select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
+    .withColumn("np", normColExpr("para"))
+
+  /** Global first occurrence per canonical hash: lexicographic min of
+    * (doc_id, pos) — a full total order, so the survivor set is
+    * deterministic. */
+  private def keepFirst(content: DataFrame): DataFrame = {
     val keeper = content.groupBy(col("k"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    val kept = content.join(keeper, Seq("k"))
+    content.join(keeper, Seq("k"))
       .filter(col("doc_id") === col("first").getField("doc_id") &&
         col("pos") === col("first").getField("pos"))
+  }
+
+  /** The per-doc accounting + order-preserving rebuild shared by the
+    * batch operator (q214) and the ingest kernel
+    * ([[paragraphDedupAgainst]]) so the two cannot drift. */
+  private def paragraphCard(d: DataFrame, paras: DataFrame,
+      kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(
@@ -241,6 +256,28 @@ object Profiling extends QueryModule {
           - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q214's INGEST shape — the steady-state kernel a streaming pipeline
+    * runs per micro-batch: strip from the batch every paragraph whose
+    * canonical hash is already in the persisted store (`seenKeys`, one
+    * 32-byte `k` per kept paragraph — at 100 TB a hash-keyed LEFT ANTI
+    * join against a parquet index, the q176 admission pattern), apply
+    * the SAME batch-local keep-first rule to the remainder, and return
+    * the q214-shaped card plus the batch's newly kept keys for the
+    * caller to fold into the store. The StreamingSpec law pins the fold
+    * to the batch operator: incrementally processed batches against a
+    * growing store ≡ one-shot [[paragraphDedupOf]] over everything,
+    * restricted to the batch docs. */
+  private[graft] def paragraphDedupAgainst(b: DataFrame, seenKeys: DataFrame)
+      : (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.ensureRegistered(b.sparkSession)
+    val paras = paragraphRows(b)
+    val content = paras.filter(col("np") =!= "")
+      .select(col("doc_id"), col("pos"), col("para"),
+        sha2(col("np"), 256).as("k"))
+    val kept = keepFirst(content.join(seenKeys, Seq("k"), "left_anti"))
+    (paragraphCard(b, paras, kept), kept.select(col("k")))
   }
 
   private val paragraphDedupSql: String = {

@@ -647,6 +647,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming recalibrated scoring: arriving docs match the batch bit-for-bit (q215)") {
+    // q203's twin extended by the recalibration layer: the fitted Platt
+    // (a, b) — 2 doubles of driver state — freezes alongside the weights
+    // and the train-corpus idf; recalibrated scoring is a pure per-doc
+    // map under the frozen triple, so stream ≡ batch exactly
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val full = graft.sources.Tables.documents(spark, sf0001)
+    val corpus = full.select($"doc_id", $"text")
+    val w = operators.Curation.lrQualityTrainOf(full)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    val idf = operators.TextOps.hashedIdfOf(corpus)
+      .as[(String, Double)].collect().toSeq.toDF("tok", "idf")
+    val lab = operators.TextOps.qualityScoresOf(full).select($"doc_id",
+      org.apache.spark.sql.functions.when($"quality" >= 0.5, 1.0)
+        .otherwise(0.0).as("y"))
+    val zy = operators.Curation.plattScoresOf(full, w, 1.0, 0.0)
+      .select($"doc_id", $"z").join(lab, Seq("doc_id")).select($"z", $"y")
+    val (a, b) = operators.Curation.plattFit(zy)
+    val batch = operators.Curation.plattScoresOf(full, w, a, b)
+      .select($"doc_id", $"score_raw", $"score_cal")
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val sample = corpus.orderBy($"doc_id").limit(6)
+      .as[(Long, String)].collect().toSeq
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Double, Double)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (bdf: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        operators.Curation.plattScoreBatch(bdf, w, idf, a, b).collect()
+          .foreach { r => got.put(r.getLong(0), (r.getDouble(1), r.getDouble(2))) }
+        ()
+      }
+      .option("checkpointLocation", tmp("ck-plattscore"))
+      .start()
+    try {
+      in.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      in.addData(sample.drop(3): _*) // second batch: same frozen triple
+      q.processAllAvailable()
+    } finally q.stop()
+    sample.foreach { case (id, _) =>
+      assert(got.get(id) === batch(id), s"doc $id stream recalibration != batch")
+    }
+  }
+
   test("streaming tokenizer: arriving docs encode identically to the batch (q210)") {
     // the live twin of q205/q210: the trained merge table freezes (R
     // rows of driver state) and ships to ingest; tokenizing is a pure
@@ -849,6 +896,73 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(results.get(201L) === (("exact_dup_base", 200L)))
       assert(results.get(202L) === (("near_dup_base", 200L)))
     } finally q.stop()
+  }
+
+  test("streaming paragraph dedup: growing hash store; folds compose to the one-shot batch (q214)") {
+    // q214's ingest twin (the q176 growing-store grammar): each
+    // micro-batch strips paragraphs already in the canonical-hash store
+    // via paragraphDedupAgainst, then folds its newly kept keys back in
+    // — so a paragraph admitted in batch 1 catches its copies in batch
+    // 2, and the whole fold must equal the one-shot q214 batch operator
+    // over everything seen, restricted to the batch docs
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seed = Seq(
+      (10L, "seed article body\nCopyright Footer Nav")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (100L, "first unique body\nCopyright Footer Nav"),
+      (101L, "shared body paragraph\nCopyright Footer Nav"),
+      (102L, "shared body paragraph\nsecond unique body"))
+    val b2 = Seq(
+      (200L, "shared body paragraph\nthird unique body"),
+      (201L, "first unique body"))
+    // the store starts as the seed's OWN kept keys (the seed deduped
+    // alone — its distinct canonical hashes)
+    @volatile var seen = operators.Profiling
+      .paragraphDedupAgainst(seed, Seq.empty[String].toDF("k"))._2
+      .as[String].collect().toSeq.toDF("k")
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, String)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          val (card, newKeys) = operators.Profiling.paragraphDedupAgainst(b, seen)
+          card.collect().foreach(r =>
+            got.put(r.getLong(0), (r.getLong(3), r.getLong(4), r.getString(5))))
+          seen = seen.unionByName(
+            newKeys.as[String](org.apache.spark.sql.Encoders.STRING)
+              .collect().toSeq.toDF("k"))
+        }; ()
+      }
+      .option("checkpointLocation", tmp("ck-para-dedup"))
+      .start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      // footer caught against the seed store; intra-batch shared body
+      // kept once (keep-first: doc 101)
+      assert(got.get(100L) === ((1L, 1L, "first unique body")))
+      assert(got.get(101L) === ((1L, 1L, "shared body paragraph")))
+      assert(got.get(102L) === ((1L, 1L, "second unique body")))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      // batch 2 catches batch 1's admitted paragraphs from the GROWN store
+      assert(got.get(200L) === ((1L, 1L, "third unique body")))
+      assert(got.get(201L) === ((0L, 1L, "")))
+    } finally q.stop()
+    // fold ≡ one-shot: the batch operator over seed ∪ b1 ∪ b2 must agree
+    // on every batch doc (seed ids < b1 ids < b2 ids, so keep-first
+    // order matches arrival order)
+    val oneShot = operators.Profiling.paragraphDedupOf(
+      seed.unionByName((b1 ++ b2).toDF("doc_id", "text")))
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .filter(_._1 >= 100L)
+      .map(t => t._1 -> ((t._4, t._5, t._6))).toMap
+    (b1 ++ b2).map(_._1).foreach { id =>
+      assert(got.get(id) === oneShot(id), s"doc $id fold != one-shot")
+    }
   }
 
   test("streaming compaction: per-batch folds compose to the fresh full build") {
