@@ -700,7 +700,9 @@ object ScaleProbe {
     // q179's audit, never like an all-pairs join
     def geomCardCount(docs: DataFrame): Long =
       graft.operators.Dedup.lshGeometryCardOf(
-        docs.select(col("doc_id"), col("text"))).count()
+        docs.select(col("doc_id"), col("text")))
+        .agg(sum(col("n_cand") + col("n_est_dup")).cast("long"))
+        .collect()(0).getLong(0)
     time("q217 geometry card 1x (5k docs)")(geomCardCount(d1))
     time(s"q217 geometry card ${copies}x")(geomCardCount(dN))
     val softRowNames = Seq(
@@ -1060,9 +1062,13 @@ object ScaleProbe {
       time(s"q210 bpe encode ${copies}x")(encodeCount(dN))
       // q216: q210's frozen-model encode plus one <=|langs|-row rollup
       // and a broadcast 1-row total — must track q210's scaling
+      // anchored on the mass columns (not count()) so column pruning
+      // cannot strip the merge kernel out of the rollup branch
       def fertilityCount(docs: DataFrame): Long =
         graft.operators.TextOps.bpeFertilityCardOf(
-          docs.select(col("doc_id"), col("lang"), col("text")), merges).count()
+          docs.select(col("doc_id"), col("lang"), col("text")), merges)
+          .agg(sum(col("n_bpe") + col("n_raw")).cast("long"))
+          .collect()(0).getLong(0)
       time("q216 fertility card 1x (5k docs)")(fertilityCount(d1))
       time(s"q216 fertility card ${copies}x")(fertilityCount(dN))
       // q218: |depths| frozen-model encode scans over the cached token
@@ -1070,7 +1076,9 @@ object ScaleProbe {
       // few q210 passes, never worse
       def depthSweepCount(docs: DataFrame): Long =
         graft.operators.TextOps.bpeDepthSweepOf(
-          docs.select(col("doc_id"), col("text")), merges).count()
+          docs.select(col("doc_id"), col("text")), merges)
+          .agg(sum(col("n_symbols") + col("vocab_size")).cast("long"))
+          .collect()(0).getLong(0)
       time("q218 depth sweep 1x (5k docs)")(depthSweepCount(d1))
       time(s"q218 depth sweep ${copies}x")(depthSweepCount(dN))
     }
@@ -1100,11 +1108,16 @@ object ScaleProbe {
     // the natural hot key: the footer keeper map-side-combines, and the
     // join-back's skewed key is AQE skew-join territory; the row must
     // stay ~linear regardless
+    // sum(length(clean_text)): a bare count() would let Catalyst
+    // ELIMINATE the unique-key left joins and the rebuild entirely
+    // (measured 0.14 s — a pruned scan, not the operator); anchoring the
+    // action on the rebuilt text charges the full dataflow
     def paraDedupCount(docs: DataFrame): Long =
       graft.operators.Profiling.paragraphDedupOf(
         docs.select(col("doc_id"),
           concat(col("text"), lit("\nCopyright Footer Paragraph"))
-            .as("text"))).count()
+            .as("text")))
+        .agg(sum(length(col("clean_text"))).cast("long")).collect()(0).getLong(0)
     time("q214 para dedup 1x (5k docs)")(paraDedupCount(d1))
     time(s"q214 para dedup ${copies}x")(paraDedupCount(dN))
 
