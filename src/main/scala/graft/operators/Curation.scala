@@ -2126,6 +2126,10 @@ object Curation extends QueryModule {
   private[graft] def plattFit(zy: DataFrame): (Double, Double) = {
     val cached = graft.functions.ScopedCache.persist("q215.zy", zy)
     val n = cached.count()
+    // empty margin table: nothing to fit — return the identity transform
+    // (the init state) instead of NPE-ing on the NULL gradient decimals;
+    // the card over zero rows is then empty in BOTH engines
+    if (n == 0) return (1.0, 0.0)
     var a = 1.0
     var b = 0.0
     def r6(x: Double) = new java.math.BigDecimal(x)

@@ -1531,12 +1531,17 @@ object Dedup extends QueryModule {
     * candidate to the shipped [[lshCandidates]] path. */
   private[graft] def bandedCandidates(sigs: DataFrame, bands: Int, rpb: Int,
       maxBucket: Int): DataFrame = {
-    val banded = sigs
+    // referenced by the hot-list aggregate AND both self-join sides —
+    // ScopedCache it per geometry (the q73.banded rule) so the corpus ×
+    // bands explode materializes once per card run, not once per branch
+    // (A/B at sf0.1: cached 6.16 s vs uncached 6.61 s targeted)
+    val banded = graft.functions.ScopedCache.persist(
+      s"q217.banded.${bands}x$rpb", sigs
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${bands - 1}), j -> struct(
            |  j AS band, slice(sig, j * $rpb + 1, $rpb) AS slots))""".stripMargin))
         .as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.slots").as("slots"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.slots").as("slots")))
     val hot = banded.groupBy(col("band"), col("slots"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucket).select(col("band"), col("slots"))
@@ -1617,16 +1622,20 @@ object Dedup extends QueryModule {
           abs(col("n_agree").cast(DoubleType) / NumHashes
             - col("ni").cast(DoubleType) / (col("n_a") + col("n_b") - col("ni")))
             .as("ae"))
+      // the threshold is Dedup.JaccardThreshold INTERPOLATED (not a 0.5
+      // literal) so retuning the shipped cut re-prices this card too —
+      // the shared-constant convention. (The 0.5 inside s_half is the
+      // 50% detection probability, not the threshold.)
       perPair.agg(
         count(lit(1)).as("n_cand"),
-        coalesce(sum(when(col("est") >= 0.5, 1L).otherwise(0L)), lit(0L))
-          .as("n_est_dup"),
+        coalesce(sum(when(col("est") >= JaccardThreshold, 1L).otherwise(0L)),
+          lit(0L)).as("n_est_dup"),
         when(count(lit(1)) > 0,
           round(sum(col("ae").cast(DecimalType(38, 12))).cast(DoubleType)
             / count(lit(1)), 6)).as("mean_abs_err"))
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          round(lit(1.0) - pow(lit(1.0) - pow(lit(0.5), lit(r)), lit(b)), 6)
-            .as("p_detect_at_t"),
+          round(lit(1.0) - pow(lit(1.0) - pow(lit(JaccardThreshold), lit(r)),
+            lit(b)), 6).as("p_detect_at_t"),
           round(pow(lit(1.0) - pow(lit(0.5), lit(1.0) / b), lit(1.0) / r), 6)
             .as("s_half"),
           col("n_cand"), col("n_est_dup"), col("mean_abs_err"))
@@ -1669,10 +1678,11 @@ object Dedup extends QueryModule {
         |        JOIN sz x ON g.doc_a = x.doc_id
         |        JOIN sz y ON g.doc_b = y.doc_id)""".stripMargin,
         s"""SELECT $b AS bands, $r AS rows_per_band,
-          |  ROUND(1.0 - POWER(1.0 - POWER(0.5, $r), $b), 6) AS p_detect_at_t,
+          |  ROUND(1.0 - POWER(1.0 - POWER($JaccardThreshold, $r), $b), 6)
+          |    AS p_detect_at_t,
           |  ROUND(POWER(1.0 - POWER(0.5, 1.0 / $b), 1.0 / $r), 6) AS s_half,
           |  COUNT(*) AS n_cand,
-          |  CAST(COALESCE(SUM(CASE WHEN est >= 0.5 THEN 1 ELSE 0 END), 0)
+          |  CAST(COALESCE(SUM(CASE WHEN est >= $JaccardThreshold THEN 1 ELSE 0 END), 0)
           |    AS BIGINT) AS n_est_dup,
           |  CASE WHEN COUNT(*) > 0 THEN
           |    ROUND(CAST(SUM(CAST(ae AS DECIMAL(38,12))) AS DOUBLE)

@@ -206,10 +206,7 @@ object Profiling extends QueryModule {
   def paragraphDedupOf(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
     val paras = paragraphRows(d)
-    val content = paras.filter(col("np") =!= "")
-      .select(col("doc_id"), col("pos"), col("para"),
-        sha2(col("np"), 256).as("k"))
-    paragraphCard(d, paras, keepFirst(content))
+    paragraphCard(d, paras, keepFirst(paragraphContent(paras)))
   }
 
   /** The paragraph explode + canonical form — (doc_id, pos, para, np). */
@@ -217,6 +214,20 @@ object Profiling extends QueryModule {
     .select(col("doc_id"),
       posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
     .withColumn("np", normColExpr("para"))
+
+  /** The dedup-eligible rows + their 32-byte canonical key — ONE
+    * definition shared by the batch operator and the ingest kernel so
+    * the hash identity cannot drift between them. NULL-doc_id rows are
+    * excluded: a paragraph that cannot be attributed to a document
+    * cannot serve as (or contend for) a keeper — in Spark a null inside
+    * the keeper's min(struct) would otherwise poison its group's
+    * join-back (every comparison evaluates NULL and the whole group
+    * silently drops) while DuckDB's MIN skips nulls, a latent
+    * cross-engine divergence; the oracle filters identically. */
+  private def paragraphContent(paras: DataFrame): DataFrame =
+    paras.filter(col("np") =!= "" && col("doc_id").isNotNull)
+      .select(col("doc_id"), col("pos"), col("para"),
+        sha2(col("np"), 256).as("k"))
 
   /** Global first occurrence per canonical hash: lexicographic min of
     * (doc_id, pos) — a full total order, so the survivor set is
@@ -273,10 +284,8 @@ object Profiling extends QueryModule {
       : (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.ensureRegistered(b.sparkSession)
     val paras = paragraphRows(b)
-    val content = paras.filter(col("np") =!= "")
-      .select(col("doc_id"), col("pos"), col("para"),
-        sha2(col("np"), 256).as("k"))
-    val kept = keepFirst(content.join(seenKeys, Seq("k"), "left_anti"))
+    val kept = keepFirst(
+      paragraphContent(paras).join(seenKeys, Seq("k"), "left_anti"))
     (paragraphCard(b, paras, kept), kept.select(col("k")))
   }
 
@@ -287,7 +296,8 @@ object Profiling extends QueryModule {
       |p AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ps[u.i] AS para,
       |        $npSql AS np
       |      FROM p0, UNNEST(GENERATE_SERIES(1, LEN(ps))) AS u(i)),
-      |c AS (SELECT doc_id, pos, para, np FROM p WHERE np <> ''),
+      |c AS (SELECT doc_id, pos, para, np FROM p
+      |      WHERE np <> '' AND doc_id IS NOT NULL),
       |k1 AS (SELECT np, MIN(doc_id) AS kd FROM c GROUP BY 1),
       |k2 AS (SELECT c.np, c.doc_id AS kd, MIN(c.pos) AS kpos
       |       FROM c JOIN k1 ON c.np = k1.np AND c.doc_id = k1.kd

@@ -1462,7 +1462,12 @@ object TextOps extends QueryModule {
     * constructed corpora; shares [[bpeFold]] with [[bpeEncode]] so the
     * stats price exactly the serving tokenizer's output). */
   def bpeEncodeStatsOf(d: DataFrame, merges: Seq[(String, String)]): DataFrame =
-    bpeFold(d.select(col("doc_id"), toks.as("t"))
+    // NULL-text docs have no token stream to price: excluded here exactly
+    // as the oracle's inner rawc/encc joins exclude them (they produce
+    // zero s0 rows) — without the filter Spark would retain the row with
+    // NULL masses and the two engines would count different populations
+    bpeFold(d.filter(col("text").isNotNull)
+        .select(col("doc_id"), toks.as("t"))
         .withColumn("n_raw", size(col("t")).cast(LongType)), merges)
       .select(col("doc_id"), col("n_raw"),
         size(col("t")).cast(LongType).as("n_bpe"))
@@ -1501,7 +1506,11 @@ object TextOps extends QueryModule {
     * [[bpeFold]] with q210 so the rollup prices exactly the serving
     * tokenizer's output). */
   def bpeFertilityCardOf(d: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val perDoc = bpeFold(d.select(col("doc_id"), col("lang"), toks.as("t"))
+    // NULL-text docs excluded — q210's population rule (the oracle's
+    // inner joins drop them; counting them in n_docs would skew
+    // symbols_per_doc against the replay)
+    val perDoc = bpeFold(d.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"), toks.as("t"))
         .withColumn("n_raw", size(col("t")).cast(LongType)), merges)
       .select(col("lang"), col("n_raw"), size(col("t")).cast(LongType).as("n_bpe"))
     val byLang = perDoc.groupBy(col("lang"))
@@ -1578,8 +1587,13 @@ object TextOps extends QueryModule {
         .agg(sum(col("cnt")).as("n_symbols"), count(lit(1)).as("vocab_size"))
         .select(lit(depth).as("merge_depth"), col("n_symbols"),
           col("vocab_size"))
-    val rawTot = oneDepth(0).select(col("n_symbols").as("n_raw"))
-    BpeDepths.map(oneDepth).reduce(_ unionByName _)
+    // the depth-0 aggregate serves twice (the sweep's first row and the
+    // fertility denominator); the two references are sameResult, so
+    // exchange reuse computes it once — bound to one val to keep that
+    // visible
+    val depth0 = oneDepth(0)
+    val rawTot = depth0.select(col("n_symbols").as("n_raw"))
+    (depth0 +: BpeDepths.filter(_ != 0).map(oneDepth)).reduce(_ unionByName _)
       .crossJoin(broadcast(rawTot))
       .select(col("merge_depth"), col("n_symbols"), col("vocab_size"),
         round(col("n_symbols").cast(DoubleType) / col("n_raw"), 6)
@@ -1670,9 +1684,12 @@ object TextOps extends QueryModule {
     val session = spark
     import session.implicits._
     val (_, fin) = bpeTrainState(d)
-    val collected = vocabFromSeq(fin).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    graft.functions.ScopedCache.releaseCheckpoint(fin)
+    // finally: the corpus-sized checkpoint must release even when the
+    // collect itself fails (the same failure path the trainer's loop
+    // guards — r16 review)
+    val collected =
+      try vocabFromSeq(fin).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      finally graft.functions.ScopedCache.releaseCheckpoint(fin)
     collected.toDF("tok", "cnt").orderBy(col("cnt").desc, col("tok"))
   }
 
