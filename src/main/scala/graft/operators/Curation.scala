@@ -2266,6 +2266,75 @@ object Curation extends QueryModule {
       |ORDER BY bin""".stripMargin
   }
 
+  /** q219 model artifact: the fitted Platt (a, b) persisted once per
+    * fixture (ArtifactStore's ensure rule — fit-once/serve-many, the
+    * lrmodel lifecycle applied to the recalibrator; building it also
+    * ensures the lrmodel the margins need). */
+  def ensurePlattModel(spark: SparkSession, dir: String): String =
+    graft.sources.ArtifactStore.ensure("plattmodel", dir, Seq("params")) { base =>
+      val w = loadLrWeights(spark, dir)
+      val zy = lrMarginLabels(Tables.documents(spark, dir), w)
+        .select(col("z"), col("y"))
+      val (a, b) = plattFit(zy)
+      val session = spark
+      import session.implicits._
+      Seq((a, b)).toDF("a", "b")
+        .write.mode("overwrite").parquet(s"$base/params")
+    }
+
+  /** The ONE artifact-load path for the Platt parameters (ensure + 1-row
+    * collect) — model-sized: 2 doubles. */
+  private def loadPlattParams(spark: SparkSession, dir: String): (Double, Double) = {
+    val base = ensurePlattModel(spark, dir)
+    val r = spark.read.parquet(s"$base/params").collect()(0)
+    (r.getAs[Double]("a"), r.getAs[Double]("b"))
+  }
+
+  /** q219: per-doc recalibrated scores SERVED from the persisted Platt
+    * artifact — the apply half of q215, the q108/q109 build/serve split
+    * applied to the recalibrator: q215 is the instrument (it fits NOW by
+    * contract and emits the before/after card), q219 is what a
+    * score-weighted consumer actually reads nightly — (doc_id, margin,
+    * raw score, recalibrated score), a PURE MAP over the q203 margin
+    * once the (weights, a, b) triple is frozen. The oracle replays the
+    * ENTIRE train + margin + 12-step Platt chain from the raw corpus,
+    * so a green row certifies the persisted (a, b) too (the q109/q203
+    * admission precedent); the SemanticsSpec invisibility law pins
+    * served ≡ freshly fit, and the q215 card is exactly the reliability
+    * aggregate of these rows. */
+  def plattScoresServed(spark: SparkSession, dir: String): DataFrame = {
+    val w = loadLrWeights(spark, dir)
+    val (a, b) = loadPlattParams(spark, dir)
+    plattScoresOf(Tables.documents(spark, dir), w, a, b)
+  }
+
+  private lazy val plattScoresServedSql = {
+    val steps = (1 to PlattSteps).map { i =>
+      s"""pe$i AS MATERIALIZED (SELECT s.z, s.y,
+        |    s.y - 1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))) AS err
+        |  FROM sz s CROSS JOIN pw${i - 1} p),
+        |pg$i AS MATERIALIZED (SELECT
+        |    CAST(SUM(CAST(z * err AS DECIMAL(38,12))) AS DOUBLE) AS ga,
+        |    CAST(SUM(CAST(err AS DECIMAL(38,12))) AS DOUBLE) AS gb
+        |  FROM pe$i),
+        |pw$i AS MATERIALIZED (SELECT ROUND(p.a + g.ga / n.n, 6) AS a,
+        |    ROUND(p.b + g.gb / n.n, 6) AS b
+        |  FROM pw${i - 1} p CROSS JOIN pg$i g CROSS JOIN pn n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $lrTrainCtes,
+      |sz AS MATERIALIZED (SELECT f.doc_id, ${lrFoldSql("f.xs", "w.w")} AS z,
+      |    f.y
+      |  FROM f CROSS JOIN w$LrSteps w),
+      |pn AS (SELECT COUNT(*) AS n FROM sz),
+      |pw0 AS (SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),
+      |$steps
+      |SELECT s.doc_id, s.z,
+      |  ROUND(1.0 / (1.0 + EXP(-s.z)), 6) AS score_raw,
+      |  ROUND(1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))), 6) AS score_cal
+      |FROM sz s CROSS JOIN pw$PlattSteps p
+      |ORDER BY s.doc_id NULLS FIRST""".stripMargin
+  }
+
   /** DataFrame-level core (testable on constructed corpora). */
   def lrQualityTrainOf(d: DataFrame): DataFrame = {
     val spark = d.sparkSession
@@ -2371,6 +2440,8 @@ object Curation extends QueryModule {
       Some(lrCalibrationCardSql)),
     GraftQuery("q215_platt_recalibration", plattRecalibration,
       Some(plattRecalibrationSql)),
+    GraftQuery("q219_platt_scores_served", plattScoresServed,
+      Some(plattScoresServedSql)),
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q169_classifier_lift", classifierLift, Some(classifierLiftSql)),
     GraftQuery("q170_interleaved_order", interleavedOrder, Some(interleavedOrderSql)),

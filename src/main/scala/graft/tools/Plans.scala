@@ -809,6 +809,13 @@ object Plans {
           "lang-keyed rollup, with the 1-row symbol total riding back " +
           "via the broadcast-one-row idiom; no window, no corpus join.",
         graft.operators.TextOps.bpeFertilityCard(spark, dir)),
+      section("q219 artifact-served recalibrated scores (r16)",
+        "What to look for: q203's serving shape extended one literal " +
+          "deeper — the featurizer front, the 33-literal zip_with fold, " +
+          "then the frozen (a, b) linear map + sigmoid in the same " +
+          "projection; NO label pass, NO iterative aggregates (the fit " +
+          "happened at artifact build), no window.",
+        graft.operators.Curation.plattScoresServed(spark, dir)),
       section("q215 Platt-scaling recalibration card (r16)",
         "What to look for: the fitted (a, b) riding in as literals over " +
           "the ScopedCache'd 2-column (z, y) margin table (the 12 GD " +

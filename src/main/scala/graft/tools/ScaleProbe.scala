@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.Exact._
 import graft.sources.Tables
@@ -1034,6 +1035,26 @@ object ScaleProbe {
         graft.operators.Curation.plattRecalibrationOf(docs, model).count()
       time("q215 platt recalibration 1x (5k docs)")(plattCount(d1))
       time(s"q215 platt recalibration ${copies}x")(plattCount(dN))
+      // q219: serving under a FROZEN (w, a, b) triple fit on d1 (the
+      // deployment shape) — a pure map over the margin, must scale like
+      // q203's scorer; anchored on the score sum so pruning can't
+      // hollow the fold
+      locally {
+        val lab = graft.operators.TextOps.qualityScoresOf(d1)
+          .select(col("doc_id"),
+            when(col("quality") >= 0.5, 1.0).otherwise(0.0).as("y"))
+        val zy = graft.operators.Curation.plattScoresOf(d1, model, 1.0, 0.0)
+          .select(col("doc_id"), col("z")).join(lab, Seq("doc_id"))
+          .select(col("z"), col("y"))
+        val (pa, pb) = graft.operators.Curation.plattFit(zy)
+        def servedCount(docs: DataFrame): Long =
+          graft.operators.Curation.plattScoresOf(docs, model, pa, pb)
+            .agg(sum((col("score_raw") + col("score_cal"))
+              .cast(DecimalType(38, 12))).cast("long"))
+            .collect()(0).getLong(0)
+        time("q219 platt served 1x (5k docs)")(servedCount(d1))
+        time(s"q219 platt served ${copies}x")(servedCount(dN))
+      }
     }
     // q205: one BPE round = pair recount (map-side-combined, pair-vocab
     // sized) + a pure-map merge apply; rounds multiply the constant,

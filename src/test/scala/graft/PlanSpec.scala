@@ -1107,6 +1107,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q219 served recalibration: pure map over the margin — no label pass, no window") {
+    Curation.ensurePlattModel(spark, sf0001)
+    val df = Curation.plattScoresServed(spark, sf0001)
+    val plan = executedPlan(df)
+    // the frozen (w, a, b) ride in as literals; serving never re-derives
+    // labels (no quality/stopword pass) and never fits (no iterative
+    // aggregates) — the q203 serving guard extended to the recalibrator
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("CartesianProduct"),
+      plan.take(4000))
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("zip_with"), logical.take(4000))
+    assert(!logical.contains("n_stopwords"), logical.take(4000))
+  }
+
   test("q206 sweep: one corpus pass into a tiny histogram — no window, no tenfold inflate") {
     Curation.ensureLrModel(spark, sf0001)
     val df = Curation.lrThresholdSweep(spark, sf0001)

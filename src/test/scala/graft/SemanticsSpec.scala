@@ -3066,6 +3066,51 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q219 served recalibration: artifact invisible vs fresh fit; q215's card is its aggregate") {
+    val session = spark
+    import session.implicits._
+    val d = sources.Tables.documents(spark, sf001)
+    val base = operators.Curation.ensureLrModel(spark, sf001)
+    val w = spark.read.parquet(s"$base/weights")
+      .orderBy($"dim").collect().map(_.getDouble(1))
+    // invisibility: the served rows equal scoring under a FRESHLY fit
+    // (a, b) — the artifact cannot drift from the fit it froze
+    val lab = operators.TextOps.qualityScoresOf(d).select($"doc_id",
+      org.apache.spark.sql.functions.when($"quality" >= 0.5, 1.0)
+        .otherwise(0.0).as("y"))
+    val zy = operators.Curation.plattScoresOf(d, w, 1.0, 0.0)
+      .select($"doc_id", $"z").join(lab, Seq("doc_id")).select($"z", $"y")
+    val (a, b) = operators.Curation.plattFit(zy)
+    val fresh = operators.Curation.plattScoresOf(d, w, a, b)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    val served = operators.Curation.plattScoresServed(spark, sf001)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(served === fresh)
+    // the q215 card is EXACTLY the reliability aggregate of these rows
+    // (recomputed driver-side with the same 6dp/decimal discipline)
+    val ys = lab.as[(Long, Double)].collect().toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = served.map(t => (t._1, t._4)).groupBy { case (_, sc) =>
+      (BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP) * 10)
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toInt
+    }.map { case (bin, rows) =>
+      val n = rows.size.toLong
+      val nPos = rows.count(r => ys(r._1) == 1.0).toLong
+      val mean = r6((rows.map(r => BigDecimal(r._2)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        / n).toDouble)
+      val frac = r6(nPos.toDouble / n)
+      (bin, (n, nPos, mean, frac, r6(mean - frac)))
+    }
+    val card = operators.Curation.plattRecalibration(spark, sf001)
+      .select($"bin", $"n_docs", $"n_pos", $"mean_score", $"frac_pos",
+        $"calib_gap")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(card === expect)
+  }
+
   test("q216 fertility card: invisible aggregate of q210's served rows; shares sum to 1") {
     val session = spark
     import session.implicits._
