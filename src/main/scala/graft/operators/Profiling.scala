@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.{GraftQuery, QueryModule}
 import graft.sources.Tables
@@ -289,9 +289,14 @@ object Profiling extends QueryModule {
     (paragraphCard(b, paras, kept), kept.select(col("k")))
   }
 
-  private val paragraphDedupSql: String = {
+  /** Oracle CTE chain through the per-doc paragraph card (`pcard` —
+    * doc_id, n_paras, n_empty, n_kept, n_dropped, clean_text) — shared
+    * VERBATIM by q214 (which orders and projects it) and q220 (which
+    * rolls it up per source), so the two oracles cannot diverge on the
+    * dedup itself. */
+  private val paragraphCardCtes: String = {
     val npSql = normColSql("ps[u.i]")
-    s"""WITH p0 AS (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS ps
+    s"""p0 AS (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS ps
       |            FROM documents),
       |p AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ps[u.i] AS para,
       |        $npSql AS np
@@ -311,19 +316,78 @@ object Profiling extends QueryModule {
       |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
       |         CAST(SUM(CASE WHEN np = '' THEN 1 ELSE 0 END) AS BIGINT)
       |           AS n_empty
-      |       FROM p GROUP BY 1)
-      |SELECT d.doc_id,
-      |  COALESCE(pd.n_paras, 0) AS n_paras,
-      |  COALESCE(pd.n_empty, 0) AS n_empty,
-      |  COALESCE(reb.n_kept, 0) AS n_kept,
-      |  COALESCE(pd.n_paras, 0) - COALESCE(pd.n_empty, 0)
-      |    - COALESCE(reb.n_kept, 0) AS n_dropped,
-      |  COALESCE(reb.clean_text, '') AS clean_text
-      |FROM documents d
-      |LEFT JOIN pd ON pd.doc_id = d.doc_id
-      |LEFT JOIN reb ON reb.doc_id = d.doc_id
-      |ORDER BY d.doc_id NULLS FIRST""".stripMargin
+      |       FROM p GROUP BY 1),
+      |pcard AS (SELECT d.doc_id,
+      |    COALESCE(pd.n_paras, 0) AS n_paras,
+      |    COALESCE(pd.n_empty, 0) AS n_empty,
+      |    COALESCE(reb.n_kept, 0) AS n_kept,
+      |    COALESCE(pd.n_paras, 0) - COALESCE(pd.n_empty, 0)
+      |      - COALESCE(reb.n_kept, 0) AS n_dropped,
+      |    COALESCE(reb.clean_text, '') AS clean_text
+      |  FROM documents d
+      |  LEFT JOIN pd ON pd.doc_id = d.doc_id
+      |  LEFT JOIN reb ON reb.doc_id = d.doc_id)""".stripMargin
   }
+
+  private val paragraphDedupSql: String =
+    s"""WITH $paragraphCardCtes
+      |SELECT doc_id, n_paras, n_empty, n_kept, n_dropped, clean_text
+      |FROM pcard
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q220: per-source paragraph-dedup profile
+  // ---------------------------------------------------------------------
+
+  /** q220: WHICH ingest feeds carry the boilerplate — the q134 per-source
+    * profile grammar applied to paragraph dedup (the number CCNet-style
+    * pipelines report per snapshot/feed): q214's per-doc card rolled up
+    * by `source` into doc count, paragraph/empty/kept/dropped mass, and
+    * the drop ratio over content paragraphs. A templated source
+    * (headers, footers, nav stamped across its pages) shows a hot
+    * drop_ratio; a clean feed reads ~0. The fixture is single-paragraph
+    * duplicate-free (all ratios 0 — q70/q200/q214 precedent);
+    * SemanticsSpec's constructed corpus shows a boilerplate-stamped
+    * source separating from a clean one, and the invisibility law pins
+    * the rollup to q214's rows.
+    *
+    * Scale shape: q214's chain verbatim plus one doc_id equi-join to the
+    * (doc_id, source) projection and a #source-row aggregate — the
+    * rollup adds ε over the dedup it summarizes. */
+  def paragraphDedupBySource(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupBySourceOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def paragraphDedupBySourceOf(d: DataFrame): DataFrame = {
+    val card = paragraphDedupOf(d)
+    card.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_paras")).as("n_paras"),
+        sum(col("n_empty")).as("n_empty"),
+        sum(col("n_kept")).as("n_kept"),
+        sum(col("n_dropped")).as("n_dropped"))
+      .withColumn("drop_ratio",
+        when(col("n_kept") + col("n_dropped") > 0,
+          round(col("n_dropped").cast(DoubleType)
+            / (col("n_kept") + col("n_dropped")), 6)))
+      .orderBy(col("source"))
+  }
+
+  private val paragraphDedupBySourceSql: String =
+    s"""WITH $paragraphCardCtes
+      |SELECT d.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(pc.n_paras) AS BIGINT) AS n_paras,
+      |  CAST(SUM(pc.n_empty) AS BIGINT) AS n_empty,
+      |  CAST(SUM(pc.n_kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(pc.n_dropped) AS BIGINT) AS n_dropped,
+      |  CASE WHEN SUM(pc.n_kept) + SUM(pc.n_dropped) > 0 THEN
+      |    ROUND(CAST(SUM(pc.n_dropped) AS DOUBLE)
+      |      / (SUM(pc.n_kept) + SUM(pc.n_dropped)), 6) END AS drop_ratio
+      |FROM pcard pc JOIN documents d ON d.doc_id = pc.doc_id
+      |GROUP BY d.source
+      |ORDER BY d.source NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
   // q201: dedup-method comparison card
@@ -1027,5 +1091,7 @@ object Profiling extends QueryModule {
     GraftQuery("q200_normalized_dedup", normalizedDedup, Some(normalizedDedupSql)),
     GraftQuery("q201_dedup_method_card", dedupMethodCard, Some(dedupMethodCardSql)),
     GraftQuery("q214_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
+    GraftQuery("q220_paragraph_dedup_by_source", paragraphDedupBySource,
+      Some(paragraphDedupBySourceSql)),
   )
 }

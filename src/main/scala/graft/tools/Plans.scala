@@ -824,6 +824,12 @@ object Plans {
           "itself is one map-side-combined <=10-bin aggregate over the " +
           "cache; no window, no Expand, no corpus re-featurize.",
         graft.operators.Curation.plattRecalibration(spark, dir)),
+      section("q220 per-source paragraph-dedup profile (r16)",
+        "What to look for: q214's chain verbatim (sha2-keyed keeper, " +
+          "per-doc rebuild) feeding ONE doc_id equi-join to the " +
+          "(doc_id, source) projection and a #source-row rollup; no " +
+          "window, no Expand, no raw-text exchange.",
+        graft.operators.Profiling.paragraphDedupBySource(spark, dir)),
       section("q214 paragraph-level exact dedup, CCNet stage 1 (r16)",
         "What to look for: the paragraph posexplode with the q122 " +
           "canonical kernel + sha2 in the same projection; every " +

@@ -1141,6 +1141,17 @@ object ScaleProbe {
         .agg(sum(length(col("clean_text"))).cast("long")).collect()(0).getLong(0)
     time("q214 para dedup 1x (5k docs)")(paraDedupCount(d1))
     time(s"q214 para dedup ${copies}x")(paraDedupCount(dN))
+    // q220: q214's chain + one doc_id join + a #source-row rollup —
+    // must track q214 (anchored on the mass columns)
+    def paraBySourceCount(docs: DataFrame): Long =
+      graft.operators.Profiling.paragraphDedupBySourceOf(
+        docs.select(col("doc_id"), col("source"),
+          concat(col("text"), lit("\nCopyright Footer Paragraph"))
+            .as("text")))
+        .agg(sum(col("n_kept") + col("n_dropped")).cast("long"))
+        .collect()(0).getLong(0)
+    time("q220 para profile 1x (5k docs)")(paraBySourceCount(d1))
+    time(s"q220 para profile ${copies}x")(paraBySourceCount(dN))
 
     spark.stop()
   }

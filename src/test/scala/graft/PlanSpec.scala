@@ -1040,6 +1040,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q220 per-source profile: q214's sha-keyed chain plus one doc_id join and a source rollup") {
+    val df = Profiling.paragraphDedupBySource(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("Expand"),
+      plan.take(4000))
+    // exchanges key on the 32-byte hash, doc_id, or the source rollup —
+    // never raw text
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    exchanges.foreach(p => assert(
+      !p.contains("para#") && !p.contains("np#") && !p.contains("text#"),
+      s"raw-text-keyed exchange: $p"))
+  }
+
   test("q201 method card: three one-row aggregates, artifact label scan, no window") {
     val df = Profiling.dedupMethodCard(spark, sf0001)
     val plan = executedPlan(df)

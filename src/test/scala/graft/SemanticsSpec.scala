@@ -3300,6 +3300,38 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(again.map(t => t._1 -> t._6).toMap === out.map(t => t._1 -> t._6).toMap)
   }
 
+  test("q220 per-source profile: boilerplate source separates; invisible rollup of q214") {
+    val session = spark
+    import session.implicits._
+    // source sB stamps the same footer on every page; sA is clean — the
+    // profile must price sB's boilerplate (footer kept once, dropped
+    // thereafter) and read ~0 for sA
+    val docs = (
+      (0L until 10L).map(i => (i, s"clean article $i", "sA")) ++
+      (10L until 20L).map(i => (i, s"page body $i\nNav Footer Copyright", "sB")))
+      .toDF("doc_id", "text", "source")
+    val got = operators.Profiling.paragraphDedupBySourceOf(docs)
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(got("sA") === (("sA", 10L, 10L, 0L, 10L, 0L, Some(0.0))))
+    // sB: 20 content paragraphs (10 bodies + 10 footers), footer kept
+    // once -> 11 kept, 9 dropped, ratio 9/20
+    assert(got("sB") === (("sB", 10L, 20L, 0L, 11L, 9L, Some(0.45))))
+    // invisibility: the rollup is exactly q214's per-doc card aggregated
+    // by source (recomputed driver-side)
+    val perDoc = operators.Profiling.paragraphDedupOf(docs)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    val srcOf = docs.select($"doc_id", $"source").as[(Long, String)].collect().toMap
+    val expect = perDoc.groupBy(t => srcOf(t._1)).map { case (s, rows) =>
+      val (np, ne, nk, nd) = (rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).sum, rows.map(_._5).sum)
+      s -> ((s, rows.size.toLong, np, ne, nk, nd,
+        if (nk + nd > 0) Some(BigDecimal(nd.toDouble / (nk + nd))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) else None))
+    }
+    assert(got === expect)
+  }
+
   test("q214 on the fixture: single-paragraph corpus degenerates to normalized doc dedup") {
     // the sf fixture has no newlines and no normalized duplicates (q200:
     // all n_purged = 0), so every doc keeps its one paragraph — and the
