@@ -2078,24 +2078,8 @@ object Curation extends QueryModule {
       |sc AS (SELECT f.doc_id, ${lrFoldSql("f.xs", "w.w")} AS z, f.y
       |  FROM f CROSS JOIN w$LrSteps w),
       |sp AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score, y
-      |       FROM sc),
-      |cb AS (SELECT CAST(FLOOR(CAST(score AS DECIMAL(7,6)) * 10) AS INT) AS bin,
-      |         score, y
-      |       FROM sp)
-      |SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
-      |  COUNT(*) AS n_docs,
-      |  CAST(COALESCE(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
-      |    AS n_pos,
-      |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
-      |    / COUNT(*), 6) AS mean_score,
-      |  ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / COUNT(*), 6) AS frac_pos,
-      |  ROUND(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
-      |      / COUNT(*), 6)
-      |    - ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |      / COUNT(*), 6), 6) AS calib_gap
-      |FROM cb
-      |GROUP BY bin
+      |       FROM sc)
+      |${reliabilityCardSqlOver("sp")}
       |ORDER BY bin""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -2225,8 +2209,13 @@ object Curation extends QueryModule {
     reliabilityCardFrom(zy.select(plattScoreExpr(a, b).as("score"), col("y")))
   }
 
-  private lazy val plattRecalibrationSql = {
-    val steps = (1 to PlattSteps).map { i =>
+  /** The unrolled Platt GD step chain pe$i/pg$i/pw$i (over the `sz`
+    * margin table, `pn` count, and `pw0` init) — ONE builder shared by
+    * q215's fit replay and q219's served-score replay (and q224's
+    * method card), so an edit to the step kernel cannot desync the
+    * certified fit chain from its consumers (ADVICE r16). */
+  private def plattStepCtes(steps: Int): String =
+    (1 to steps).map { i =>
       s"""pe$i AS MATERIALIZED (SELECT s.z, s.y,
         |    s.y - 1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))) AS err
         |  FROM sz s CROSS JOIN pw${i - 1} p),
@@ -2238,31 +2227,25 @@ object Curation extends QueryModule {
         |    ROUND(p.b + g.gb / n.n, 6) AS b
         |  FROM pw${i - 1} p CROSS JOIN pg$i g CROSS JOIN pn n)""".stripMargin
     }.mkString(",\n")
-    val cal = s"ROUND(1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))), 6)"
-    s"""WITH $lrTrainCtes,
+
+  /** Train chain + margin table + the full unrolled Platt chain, ending
+    * with the fitted model in `pw$PlattSteps` — the shared prefix of the
+    * q215 / q219 / q224 oracles. */
+  private lazy val plattChainCtes: String =
+    s"""$lrTrainCtes,
       |sz AS MATERIALIZED (SELECT f.doc_id, ${lrFoldSql("f.xs", "w.w")} AS z,
       |    f.y
       |  FROM f CROSS JOIN w$LrSteps w),
       |pn AS (SELECT COUNT(*) AS n FROM sz),
       |pw0 AS (SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),
-      |$steps,
-      |cb AS (SELECT CAST(FLOOR(CAST($cal AS DECIMAL(7,6)) * 10) AS INT)
-      |         AS bin, $cal AS score, s.y
-      |       FROM sz s CROSS JOIN pw$PlattSteps p)
-      |SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
-      |  COUNT(*) AS n_docs,
-      |  CAST(COALESCE(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
-      |    AS n_pos,
-      |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
-      |    / COUNT(*), 6) AS mean_score,
-      |  ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / COUNT(*), 6) AS frac_pos,
-      |  ROUND(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
-      |      / COUNT(*), 6)
-      |    - ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |      / COUNT(*), 6), 6) AS calib_gap
-      |FROM cb
-      |GROUP BY bin
+      |${plattStepCtes(PlattSteps)}""".stripMargin
+
+  private lazy val plattRecalibrationSql = {
+    val cal = s"ROUND(1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))), 6)"
+    s"""WITH $plattChainCtes,
+      |cb0 AS (SELECT $cal AS score, s.y
+      |        FROM sz s CROSS JOIN pw$PlattSteps p)
+      |${reliabilityCardSqlOver("cb0")}
       |ORDER BY bin""".stripMargin
   }
 
@@ -2309,30 +2292,154 @@ object Curation extends QueryModule {
   }
 
   private lazy val plattScoresServedSql = {
-    val steps = (1 to PlattSteps).map { i =>
-      s"""pe$i AS MATERIALIZED (SELECT s.z, s.y,
-        |    s.y - 1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))) AS err
-        |  FROM sz s CROSS JOIN pw${i - 1} p),
-        |pg$i AS MATERIALIZED (SELECT
-        |    CAST(SUM(CAST(z * err AS DECIMAL(38,12))) AS DOUBLE) AS ga,
-        |    CAST(SUM(CAST(err AS DECIMAL(38,12))) AS DOUBLE) AS gb
-        |  FROM pe$i),
-        |pw$i AS MATERIALIZED (SELECT ROUND(p.a + g.ga / n.n, 6) AS a,
-        |    ROUND(p.b + g.gb / n.n, 6) AS b
-        |  FROM pw${i - 1} p CROSS JOIN pg$i g CROSS JOIN pn n)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $lrTrainCtes,
-      |sz AS MATERIALIZED (SELECT f.doc_id, ${lrFoldSql("f.xs", "w.w")} AS z,
-      |    f.y
-      |  FROM f CROSS JOIN w$LrSteps w),
-      |pn AS (SELECT COUNT(*) AS n FROM sz),
-      |pw0 AS (SELECT CAST(1.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b),
-      |$steps
+    s"""WITH $plattChainCtes
       |SELECT s.doc_id, s.z,
       |  ROUND(1.0 / (1.0 + EXP(-s.z)), 6) AS score_raw,
       |  ROUND(1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))), 6) AS score_cal
       |FROM sz s CROSS JOIN pw$PlattSteps p
       |ORDER BY s.doc_id NULLS FIRST""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q224: binned isotonic recalibration + calibration-method card
+  // ---------------------------------------------------------------------
+
+  /** Binned isotonic regression over a (score, y) population: decile-bin
+    * the raw scores (q213's binning), then fit the least-squares
+    * MONOTONE probability per bin via the closed-form minimax solution
+    * of isotonic regression (Barlow et al. 1972; Zadrozny & Elkan KDD'02
+    * is the calibration application):
+    *
+    *   iso_i = max_{j≤i} min_{k≥i} (Σ_{j..k} n_pos / Σ_{j..k} n_docs)
+    *
+    * — exactly what pool-adjacent-violators converges to, but expressed
+    * as bounded joins over the ≤11-bin card instead of an iterative
+    * pooling loop, so BOTH engines compute it in one breath and the
+    * oracle needs no unrolled fixpoint. Every interval average is a
+    * single division of exact integers (bit-identical cross-engine),
+    * and min/max over identical doubles are exact — the only rounding
+    * is the final 6dp print. */
+  private[graft] def isotonicCardFrom(scored: DataFrame): DataFrame = {
+    val b = scored
+      .select(floor(col("score").cast(DecimalType(7, 6)) * 10)
+        .cast(IntegerType).as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("y") === 1.0, 1L).otherwise(0L)), lit(0L))
+          .as("n_pos"))
+    // the three non-equi joins below run over the ≤11-row bin card —
+    // model-sized by the decile-grid DESIGN constant, never the corpus
+    val m = b.select(col("bin").as("mb"), col("n_docs").as("mn"),
+      col("n_pos").as("mp"))
+    val intervals = b.select(col("bin").as("jb"))
+      .join(b.select(col("bin").as("kb")), col("jb") <= col("kb"))
+      .join(m, col("mb") >= col("jb") && col("mb") <= col("kb"))
+      .groupBy(col("jb"), col("kb"))
+      .agg((sum(col("mp")).cast(DoubleType) / sum(col("mn"))).as("av"))
+    val iso = b.select(col("bin"))
+      .join(intervals, col("jb") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy(col("bin"), col("jb")).agg(min(col("av")).as("mn_av"))
+      .groupBy(col("bin")).agg(max(col("mn_av")).as("iso"))
+    b.join(iso, Seq("bin"))
+      .select(col("bin"), (col("bin").cast(DoubleType) / 10).as("bin_lo"),
+        col("n_docs"), col("n_pos"),
+        round(col("iso"), 6).as("mean_score"),
+        round(col("n_pos").cast(DoubleType) / col("n_docs"), 6).as("frac_pos"))
+      .withColumn("calib_gap", round(col("mean_score") - col("frac_pos"), 6))
+  }
+
+  /** q224: the calibration-method card — the q217 method-card treatment
+    * for the recalibration family: the q213-grammar reliability card for
+    * all three calibrators a curator can buy, side by side on the SAME
+    * scored population:
+    *
+    *   - `raw`      — the served sigmoid scores as-is (≡ q213's card);
+    *   - `platt`    — σ(a·z + b) after the q215 fit (≡ q215's card);
+    *   - `isotonic` — the binned-isotonic fit ([[isotonicCardFrom]]):
+    *     `mean_score` is the monotone fitted probability for the bin.
+    *
+    * Platt assumes the miscalibration is sigmoid-shaped; isotonic only
+    * assumes monotonicity — this card is how the choice becomes
+    * MEASURED (per-bin gaps read line by line; SemanticsSpec pins the
+    * isotonic rows monotone and its weighted gap ≤ raw's, and the raw/
+    * platt rows invisible vs q213/q215). Scale shape: the corpus work
+    * is exactly q215's — the ScopedCache'd 2-column (z, y) table — and
+    * everything after the ≤11-bin aggregates is model-sized arithmetic;
+    * the isotonic fit adds three joins over an 11-row card. */
+  def calibrationMethodCard(spark: SparkSession, dir: String): DataFrame =
+    calibrationMethodCardOf(Tables.documents(spark, dir),
+      loadLrWeights(spark, dir))
+
+  /** DataFrame-level core against an explicit model. */
+  def calibrationMethodCardOf(d: DataFrame, w: Array[Double]): DataFrame = {
+    val zy = graft.functions.ScopedCache.persist("q215.zy",
+      lrMarginLabels(d, w).select(col("z"), col("y")))
+    val rawScored = zy.select(
+      round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"), col("y"))
+    val (a, b) = plattFit(zy)
+    val platt = reliabilityCardFrom(
+      zy.select(plattScoreExpr(a, b).as("score"), col("y")))
+    reliabilityCardFrom(rawScored).withColumn("method", lit("raw"))
+      .unionByName(platt.withColumn("method", lit("platt")))
+      .unionByName(isotonicCardFrom(rawScored).withColumn("method", lit("isotonic")))
+      .select(col("method"), col("bin"), col("bin_lo"), col("n_docs"),
+        col("n_pos"), col("mean_score"), col("frac_pos"), col("calib_gap"))
+      .orderBy(col("method"), col("bin"))
+  }
+
+  /** The q213-grammar reliability-card SELECT over a (score, y) CTE —
+    * ONE builder shared by the q213 / q215 / q224 oracles (the card
+    * aggregate's SQL twin of [[reliabilityCardFrom]]). */
+  private def reliabilityCardSqlOver(src: String): String =
+    s"""SELECT bin, CAST(bin AS DOUBLE) / 10 AS bin_lo,
+      |  COUNT(*) AS n_docs,
+      |  CAST(COALESCE(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |    AS n_pos,
+      |  ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_score,
+      |  ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS frac_pos,
+      |  ROUND(ROUND(CAST(SUM(CAST(score AS DECIMAL(38,12))) AS DOUBLE)
+      |      / COUNT(*), 6)
+      |    - ROUND(CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*), 6), 6) AS calib_gap
+      |FROM (SELECT CAST(FLOOR(CAST(score AS DECIMAL(7,6)) * 10) AS INT)
+      |        AS bin, score, y FROM $src) cbx
+      |GROUP BY bin""".stripMargin
+
+  private lazy val calibrationMethodCardSql = {
+    val cal = "ROUND(1.0 / (1.0 + EXP(-ROUND(p.a * s.z + p.b, 6))), 6)"
+    s"""WITH $plattChainCtes,
+      |rawsc AS (SELECT ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score, y FROM sz),
+      |calsc AS (SELECT $cal AS score, s.y
+      |          FROM sz s CROSS JOIN pw$PlattSteps p),
+      |rawcd AS (${reliabilityCardSqlOver("rawsc")}),
+      |calcd AS (${reliabilityCardSqlOver("calsc")}),
+      |ib AS (SELECT CAST(FLOOR(CAST(score AS DECIMAL(7,6)) * 10) AS INT)
+      |         AS bin, COUNT(*) AS n_docs,
+      |         CAST(COALESCE(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 0)
+      |           AS BIGINT) AS n_pos
+      |       FROM rawsc GROUP BY 1),
+      |iv AS (SELECT j.bin AS jb, k.bin AS kb,
+      |         CAST(SUM(m.n_pos) AS DOUBLE) / SUM(m.n_docs) AS av
+      |       FROM ib j JOIN ib k ON j.bin <= k.bin
+      |       JOIN ib m ON m.bin BETWEEN j.bin AND k.bin
+      |       GROUP BY 1, 2),
+      |mnv AS (SELECT i.bin, v.jb, MIN(v.av) AS mn
+      |        FROM ib i JOIN iv v ON v.jb <= i.bin AND v.kb >= i.bin
+      |        GROUP BY 1, 2),
+      |iso AS (SELECT bin, MAX(mn) AS iso FROM mnv GROUP BY 1),
+      |isocd AS (SELECT b.bin, CAST(b.bin AS DOUBLE) / 10 AS bin_lo,
+      |    b.n_docs, b.n_pos,
+      |    ROUND(i.iso, 6) AS mean_score,
+      |    ROUND(CAST(b.n_pos AS DOUBLE) / b.n_docs, 6) AS frac_pos,
+      |    ROUND(ROUND(i.iso, 6)
+      |      - ROUND(CAST(b.n_pos AS DOUBLE) / b.n_docs, 6), 6) AS calib_gap
+      |  FROM ib b JOIN iso i USING (bin))
+      |SELECT 'raw' AS method, * FROM rawcd
+      |UNION ALL SELECT 'platt', * FROM calcd
+      |UNION ALL SELECT 'isotonic', * FROM isocd
+      |ORDER BY method, bin""".stripMargin
   }
 
   /** DataFrame-level core (testable on constructed corpora). */
@@ -2431,7 +2538,290 @@ object Curation extends QueryModule {
       |ORDER BY j""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q222: seeded deterministic epoch shuffle (Feistel + cycle walking)
+  // ---------------------------------------------------------------------
+
+  /** Epochs emitted by q222 (each epoch seeds its own permutation). */
+  val EpochShuffleEpochs = 2
+
+  /** Cycle-walk unroll bound. The walk re-applies the Feistel permutation
+    * while the value lands in the padding [N, 2^m); with 2^m < 2N each
+    * application escapes with probability > 1/2, so the chance ANY of n
+    * chunks needs more than k steps is < n·2^-k — at 48 steps that is
+    * < 4·10^-5 even for 10^10 chunks (100 TB territory), and the final
+    * gate FAILS LOUDLY (raise_error) rather than emitting a non-position,
+    * so an exceedance can never silently corrupt an epoch. */
+  private[graft] val ShuffleWalkSteps = 48
+
+  // a fourth multiplicative-hash family for the round function (offsets
+  // 1009·epoch + 7919·round), same engine-portable arithmetic as q87/
+  // q126/q148: all operands non-negative, products < 2^52 — no pmod
+  // needed and no BIGINT overflow on either engine
+  private val ShufP = 1000003L
+  private val ShufMult = 2654435761L
+  private val ShufMod = 1048573L
+
+  /** One unbalanced-Feistel round over [0, 2^m), emitted as a dialect-
+    * parameterized SQL expression so the Spark plan and the DuckDB
+    * oracle share ONE arithmetic definition: split x into hb = m/2 low
+    * bits (R) and m−hb high bits (L), then x' = R·pl + (L ⊕ f_r(R))
+    * with f_r a multiplicative hash of (R, epoch, round) masked to the
+    * L width. Each round is a bijection on [0, 2^m) (R recovers from
+    * the high bits, L from the XOR), so the 4-round composition is a
+    * keyed permutation (Luby–Rackoff; Black & Rogaway CT-RSA'02 is the
+    * cycle-walking construction). */
+  private def feistelRoundExpr(x: String, ph: String, pl: String, r: Int,
+      divOp: String, xor: (String, String) => String): String = {
+    val rr = s"($x % $ph)"
+    val ll = s"($x $divOp $ph)"
+    val f = s"(((($rr + epoch * 1009 + ${r.toLong * 7919}) % $ShufP)" +
+      s" * $ShufMult % $ShufMod) % $pl)"
+    s"($rr * $pl + ${xor(ll, f)})"
+  }
+
+  /** The four-round Feistel application + walk step as the (v1, v2, v3,
+    * c) lateral-alias column list — shared shape across dialects. */
+  private def walkStepExprs(ph: String, pl: String, nExpr: String,
+      divOp: String, xor: (String, String) => String): Seq[String] = Seq(
+    s"${feistelRoundExpr("c", ph, pl, 1, divOp, xor)} AS v1",
+    s"${feistelRoundExpr("v1", ph, pl, 2, divOp, xor)} AS v2",
+    s"${feistelRoundExpr("v2", ph, pl, 3, divOp, xor)} AS v3",
+    s"CASE WHEN c < $nExpr THEN c ELSE " +
+      s"${feistelRoundExpr("v3", ph, pl, 4, divOp, xor)} END AS c")
+
+  /** q222: the seeded deterministic epoch shuffle — the data-loader
+    * operator the training-order family (q68 pack → q119/q170 order →
+    * q189 shard) was missing: for each epoch seed, a BIJECTIVE
+    * permutation pos = F_seed(idx) of the packed-chunk index [0, N),
+    * bit-identical on any engine, any cluster size, any run — so a
+    * loader replays "epoch 3's order" exactly, and different epochs
+    * decorrelate (Luby–Rackoff Feistel over the next power of two,
+    * cycle-walked back into [0, N); Black & Rogaway CT-RSA'02).
+    *
+    * The permutation itself is a PURE NARROW MAP — ~4·walk integer ops
+    * per row, no shuffle, no state; rand() cannot do this (not a
+    * permutation, not replayable) and a sort over hash(idx) pays a
+    * corpus sort per epoch. The dense index costs one per-source rank
+    * (the q68/q69 window posture — parallel across sources, bounded by
+    * the largest source) plus a #sources-row offset cumulative, and the
+    * presentation sort orders the emitted epochs.
+    *
+    * Determinism: all arithmetic is non-negative BIGINT mod/div/xor
+    * (documented at [[feistelRoundExpr]]); the oracle replays the walk
+    * with the SAME shared round builder, so a green row certifies the
+    * permutation arithmetic end to end. The 1-row chunk count (and the
+    * derived power-of-two masks) is the only driver state — model-sized,
+    * the q205-argmax class of collect. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffleOf(TextOps.packSequences(spark, dir)
+      .select(col("source"), col("chunk_id"), col("chunk_tokens")))
+
+  /** DataFrame-level core over an explicit (source, chunk_id,
+    * chunk_tokens) chunk table (testable on constructed chunk sets —
+    * the permutation/decorrelation laws sweep N across power-of-two
+    * boundaries). */
+  def epochShuffleOf(chunks: DataFrame,
+      epochs: Int = EpochShuffleEpochs): DataFrame = {
+    val spark = chunks.sparkSession
+    // dense global index without a global sort: per-source dense rank
+    // (q68's chunk_id can gap when a doc overflows the budget) + a
+    // #sources-row offset cumulative broadcast back
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("chunk_id"))
+    val ranked = chunks.select(col("source"), col("chunk_id"), col("chunk_tokens"))
+      .withColumn("rk", row_number().over(bySrc).cast(LongType) - 1)
+    val offsets = chunks.groupBy(col("source")).agg(count(lit(1)).as("nc"))
+      .withColumn("off", coalesce(sum(col("nc")).over(
+        Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("off"))
+    // the domain size: ONE model-sized collect (the only driver state)
+    val n = chunks.count()
+    val m =
+      if (n <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    require(m <= 40, s"epoch shuffle supports up to 2^40 chunks, got $n")
+    val ph = (1L << (m / 2)).toString
+    val pl = (1L << (m - m / 2)).toString
+    val steps = walkStepExprs(ph, pl, s"${n}L", "div",
+      (a, b) => s"($a ^ $b)")
+    val carry = Seq("epoch", "source", "chunk_id", "chunk_tokens")
+    var df = ranked.join(broadcast(offsets), Seq("source"))
+      .crossJoin(broadcast(
+        spark.range(epochs).select(col("id").as("epoch"))))
+      .withColumn("c", col("off") + col("rk"))
+    for (_ <- 1 to ShuffleWalkSteps)
+      df = df.selectExpr(carry ++ steps: _*)
+    df.select(col("epoch"),
+        when(col("c") < n, col("c")).otherwise(raise_error(lit(
+          s"epoch shuffle: cycle walk exceeded $ShuffleWalkSteps steps")))
+          .as("pos"),
+        col("source"), col("chunk_id"), col("chunk_tokens"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
+  private lazy val epochShuffleSql = {
+    val steps = walkStepExprs("ph", "pl", "n", "//",
+      (a, b) => s"xor($a, $b)")
+    val walk = (1 to ShuffleWalkSteps).map { i =>
+      s"""s$i AS (SELECT epoch, source, chunk_id, chunk_tokens, n, ph, pl,
+        |  ${steps.mkString(",\n  ")}
+        |FROM s${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pack AS (${TextOps.packSequencesSql}),
+      |pk AS (SELECT source, chunk_id, chunk_tokens,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY chunk_id) - 1 AS BIGINT) AS rk
+      |       FROM pack),
+      |oc AS (SELECT source, COUNT(*) AS nc FROM pack GROUP BY 1),
+      |ofs AS (SELECT source, CAST(COALESCE(SUM(nc) OVER (
+      |          ORDER BY source NULLS FIRST
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS off
+      |        FROM oc),
+      |nn AS (SELECT COUNT(*) AS n FROM pack),
+      |mm AS (SELECT CASE WHEN n <= 1 THEN 0 ELSE (
+      |          SELECT MIN(k) FROM UNNEST(GENERATE_SERIES(1, 40)) t(k)
+      |          WHERE (CAST(1 AS BIGINT) << k) >= n) END AS m
+      |       FROM nn),
+      |pp AS (SELECT CAST(1 AS BIGINT) << (m // 2) AS ph,
+      |         CAST(1 AS BIGINT) << (m - m // 2) AS pl
+      |       FROM mm),
+      |ep AS (SELECT CAST(UNNEST(GENERATE_SERIES(0, ${EpochShuffleEpochs - 1}))
+      |         AS BIGINT) AS epoch),
+      |s0 AS (SELECT e.epoch, p.source, p.chunk_id, p.chunk_tokens,
+      |         CAST(o.off + p.rk AS BIGINT) AS c, nn.n, pp.ph, pp.pl
+      |       FROM pk p JOIN ofs o USING (source)
+      |       CROSS JOIN nn CROSS JOIN pp CROSS JOIN ep e),
+      |$walk
+      |SELECT epoch,
+      |  CASE WHEN c < n THEN c
+      |       ELSE CAST(ERROR('epoch shuffle: cycle walk exceeded') AS BIGINT)
+      |  END AS pos,
+      |  source, chunk_id, chunk_tokens
+      |FROM s$ShuffleWalkSteps
+      |ORDER BY epoch, pos""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q223: DoReMi-style domain reweighting (multiplicative weights)
+  // ---------------------------------------------------------------------
+
+  /** Multiplicative-weight rounds / step size / uniform-smoothing mass
+    * for q223 — interpolated into plan and oracle. Ten rounds of η = 1
+    * move a 0.3-nat excess by e³ ≈ 20× before normalization (plenty on
+    * the fixture's spread); the 1 % smoothing is Xie et al.'s uniform
+    * mixing, keeping every domain's weight strictly positive. */
+  val DoremiRounds = 10
+  val DoremiEta = 1.0
+  val DoremiSmoothing = 0.01
+
+  /** q223: DoReMi-style domain reweighting (Xie et al., NeurIPS 2023 —
+    * the DSIR citation family): mixture weights from iterated
+    * multiplicative-weight updates over per-source EXCESS proxy loss.
+    * The proxy loss is q103's bigram surprisal (shared chain — the
+    * certified instrument), token-weighted per source; per round t:
+    *
+    *   ref_t   = Σ_s α_s·L_s          (the current mixture's loss)
+    *   α'_s    = α_s · exp(η · max(L_s − ref_t, 0))
+    *   α_(t+1) = (1−c) · α'/Σα'  +  c/S      (uniform smoothing)
+    *
+    * — sources losing worse than the mixture average gain weight, the
+    * classic hard-domain up-weighting, with every quantity re-rounded
+    * to 6 dp per stage (the q100/q202/q215 iterative-model discipline)
+    * so the oracle's unrolled replay is bit-exact. This is the
+    * INSTRUMENT form of DoReMi: the per-domain losses are the static
+    * q103 scores (no proxy-model retraining between rounds), and the
+    * reference loss is the mixture average — the Algorithm-1 update
+    * grammar a q119/q189 sampler consumes as its mixture-weight table.
+    *
+    * Scale shape: ONE corpus pass (q103's aggregates) into a
+    * #sources-row loss table (ScopedCache'd — the output join re-reads
+    * it); the iteration is driver-held over the collected S rows (the
+    * q202 driver-holds-the-model contract; the collect is model-sized
+    * by |sources|), and the final table is S rows. Docs with <2 tokens
+    * have no bigrams and sit outside the proxy population (q103's
+    * rule). */
+  def doremiWeights(spark: SparkSession, dir: String): DataFrame =
+    doremiWeightsOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora; `rounds`
+    * exposed so the monotone-gain law can replay the trajectory). */
+  def doremiWeightsOf(d: DataFrame, rounds: Int = DoremiRounds): DataFrame = {
+    val spark = d.sparkSession
+    val loss = graft.functions.ScopedCache.persist("q223.loss",
+      TextOps.bigramSurprisalOf(d)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          round(sum((col("n_bigrams") * col("avg_bigram_surprisal_nats"))
+            .cast(DecimalType(38, 12))).cast(DoubleType)
+            / sum(col("n_bigrams")), 6).as("proxy_loss")))
+    // model-sized collect: one (source, loss) row per domain
+    val rows = loss.select(col("source"), col("proxy_loss")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val s = rows.size
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def d12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var w: Map[String, Double] =
+      rows.map { case (src, _) => src -> r6(1.0 / s) }.toMap
+    for (_ <- 1 to rounds if s > 0) {
+      val ref = r6(rows.map { case (src, l) => d12(w(src) * l) }.sum.toDouble)
+      val u = rows.map { case (src, l) =>
+        src -> r6(w(src) * math.exp(DoremiEta * math.max(l - ref, 0.0)))
+      }
+      val z = r6(u.map(x => d12(x._2)).sum.toDouble)
+      w = u.map { case (src, uv) =>
+        src -> r6((1.0 - DoremiSmoothing) * (uv / z) + DoremiSmoothing / s)
+      }.toMap
+    }
+    val session = spark
+    import session.implicits._
+    val wDf = rows.map { case (src, _) => (src, w(src)) }.toDF("source", "weight")
+    loss.join(broadcast(wDf), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"),
+        col("proxy_loss"), col("weight"))
+      .orderBy(col("source"))
+  }
+
+  private lazy val doremiWeightsSql = {
+    val c = DoremiSmoothing
+    val steps = (1 to DoremiRounds).map { t =>
+      s"""dr$t AS MATERIALIZED (SELECT ROUND(CAST(SUM(CAST(a.w * l.proxy_loss
+        |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS ref
+        |  FROM da${t - 1} a JOIN dl l USING (source)),
+        |du$t AS MATERIALIZED (SELECT a.source,
+        |    ROUND(a.w * EXP($DoremiEta * GREATEST(l.proxy_loss - r.ref, 0.0)), 6)
+        |      AS u
+        |  FROM da${t - 1} a JOIN dl l USING (source) CROSS JOIN dr$t r),
+        |dz$t AS MATERIALIZED (SELECT ROUND(CAST(SUM(CAST(u AS DECIMAL(38,12)))
+        |      AS DOUBLE), 6) AS z
+        |  FROM du$t),
+        |da$t AS MATERIALIZED (SELECT u.source,
+        |    ROUND((1.0 - $c) * (u.u / z.z) + $c / sn.s, 6) AS w
+        |  FROM du$t u CROSS JOIN dz$t z CROSS JOIN sn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${TextOps.bigramSurprisalCtes},
+      |dl AS MATERIALIZED (SELECT d.source, COUNT(*) AS n_docs,
+      |    CAST(SUM(b.n_bigrams) AS BIGINT) AS n_bigrams,
+      |    ROUND(CAST(SUM(CAST(b.n_bigrams * b.avg_bigram_surprisal_nats
+      |      AS DECIMAL(38,12))) AS DOUBLE) / SUM(b.n_bigrams), 6) AS proxy_loss
+      |  FROM bsv b JOIN documents d USING (doc_id)
+      |  GROUP BY 1),
+      |sn AS (SELECT COUNT(*) AS s FROM dl),
+      |da0 AS (SELECT source, ROUND(1.0 / s, 6) AS w FROM dl CROSS JOIN sn),
+      |$steps
+      |SELECT l.source, l.n_docs, l.n_bigrams, l.proxy_loss, a.w AS weight
+      |FROM dl l JOIN da$DoremiRounds a USING (source)
+      |ORDER BY l.source NULLS FIRST""".stripMargin
+  }
+
   override def queries: Seq[GraftQuery] = Seq(
+    GraftQuery("q222_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
+    GraftQuery("q223_doremi_weights", doremiWeights, Some(doremiWeightsSql)),
     GraftQuery("q202_lr_quality_train", lrQualityTrain, Some(lrQualityTrainSql)),
     GraftQuery("q203_lr_quality_score", lrQualityScore, Some(lrQualityScoreSql)),
     GraftQuery("q204_classifier_eval", classifierEval, Some(classifierEvalSql)),
@@ -2442,6 +2832,8 @@ object Curation extends QueryModule {
       Some(plattRecalibrationSql)),
     GraftQuery("q219_platt_scores_served", plattScoresServed,
       Some(plattScoresServedSql)),
+    GraftQuery("q224_calibration_method_card", calibrationMethodCard,
+      Some(calibrationMethodCardSql)),
     GraftQuery("q113_collapse_repeats", collapseRepeats, Some(collapseRepeatsSql)),
     GraftQuery("q169_classifier_lift", classifierLift, Some(classifierLiftSql)),
     GraftQuery("q170_interleaved_order", interleavedOrder, Some(interleavedOrderSql)),

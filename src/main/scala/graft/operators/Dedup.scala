@@ -1534,9 +1534,12 @@ object Dedup extends QueryModule {
     // referenced by the hot-list aggregate AND both self-join sides —
     // ScopedCache it per geometry (the q73.banded rule) so the corpus ×
     // bands explode materializes once per card run, not once per branch
-    // (A/B at sf0.1: cached 6.16 s vs uncached 6.61 s targeted)
+    // (A/B at sf0.1: cached 6.16 s vs uncached 6.61 s targeted).
+    // ONE family with the geometry as VARIANT (ADVICE r16): the family's
+    // MaxVariantsPerFamily LRU now bounds all geometries together
+    // instead of each corpus-sized explode holding its own family slot.
     val banded = graft.functions.ScopedCache.persist(
-      s"q217.banded.${bands}x$rpb", sigs
+      "q217.banded", s"${bands}x$rpb", sigs
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, ${bands - 1}), j -> struct(
            |  j AS band, slice(sig, j * $rpb + 1, $rpb) AS slots))""".stripMargin))

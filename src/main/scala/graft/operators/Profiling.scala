@@ -175,7 +175,8 @@ object Profiling extends QueryModule {
     * stamped across thousands of pages drops everywhere but its first
     * sighting while each page's unique body survives intact.
     *
-    * Unit contract: paragraphs are `\n`-split segments; a paragraph
+    * Unit contract: paragraphs are `\r?\n`-split segments (LF and CRLF
+    * corpora paragraph identically — see [[paragraphRows]]); a paragraph
     * whose CANONICAL form is empty (blank line, whitespace-only) is
     * document structure, not content — excluded from hashing and from
     * the rebuild, counted in `n_empty`. Kept paragraphs rebuild with
@@ -209,10 +210,17 @@ object Profiling extends QueryModule {
     paragraphCard(d, paras, keepFirst(paragraphContent(paras)))
   }
 
-  /** The paragraph explode + canonical form — (doc_id, pos, para, np). */
+  /** The paragraph explode + canonical form — (doc_id, pos, para, np).
+    * The boundary is `\r?\n` (ADVICE r16): a CRLF corpus paragraphs
+    * identically to its LF twin — the `\r` is boundary byte, never part
+    * of the paragraph, so "a\r\nb" and "a\nb" carry the same canonical
+    * forms and dedup against each other (SemanticsSpec law). A lone
+    * mid-text `\r` is NOT a boundary (old-Mac line endings are extinct
+    * in web corpora; treating stray `\r` as content keeps the unit
+    * contract simple). Oracle mirror: regexp_split_to_array. */
   private def paragraphRows(d: DataFrame) = d
     .select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
+      posexplode(split(col("text"), "\r?\n")).as(Seq("pos", "para")))
     .withColumn("np", normColExpr("para"))
 
   /** The dedup-eligible rows + their 32-byte canonical key — ONE
@@ -244,6 +252,13 @@ object Profiling extends QueryModule {
     * batch operator (q214) and the ingest kernel
     * ([[paragraphDedupAgainst]]) so the two cannot drift. */
   private def paragraphCard(d: DataFrame, paras: DataFrame,
+      kept: DataFrame): DataFrame =
+    paragraphCardRows(d, paras, kept).orderBy(col("doc_id"))
+
+  /** [[paragraphCard]] without the presentation sort — q220's rollup and
+    * q221's composition consume the card mid-plan, where a global sort
+    * is wasted work at scale. */
+  private def paragraphCardRows(d: DataFrame, paras: DataFrame,
       kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -266,7 +281,6 @@ object Profiling extends QueryModule {
         (coalesce(col("n_paras"), lit(0L)) - coalesce(col("n_empty"), lit(0L))
           - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   /** q214's INGEST shape — the steady-state kernel a streaming pipeline
@@ -296,7 +310,7 @@ object Profiling extends QueryModule {
     * dedup itself. */
   private val paragraphCardCtes: String = {
     val npSql = normColSql("ps[u.i]")
-    s"""p0 AS (SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS ps
+    s"""p0 AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\\r?\\n') AS ps
       |            FROM documents),
       |p AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, ps[u.i] AS para,
       |        $npSql AS np
@@ -359,7 +373,11 @@ object Profiling extends QueryModule {
 
   /** DataFrame-level core (testable on constructed corpora). */
   def paragraphDedupBySourceOf(d: DataFrame): DataFrame = {
-    val card = paragraphDedupOf(d)
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    val paras = paragraphRows(d)
+    // the UNORDERED card: the rollup aggregates it, so q214's
+    // presentation sort would be a wasted corpus sort mid-plan
+    val card = paragraphCardRows(d, paras, keepFirst(paragraphContent(paras)))
     card.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -388,6 +406,166 @@ object Profiling extends QueryModule {
       |FROM pcard pc JOIN documents d ON d.doc_id = pc.doc_id
       |GROUP BY d.source
       |ORDER BY d.source NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q221/q225: CCNet end-to-end corpus emitter + per-stage funnel
+  // ---------------------------------------------------------------------
+
+  /** The per-doc CCNet stage table shared by q221 (which emits the kept
+    * corpus) and q225 (which rolls the accounting up per source) — ONE
+    * core, so the emitted corpus and its funnel cannot drift. Pipeline
+    * (Wenzek et al., LREC 2020, Fig. 1), each stage the CERTIFIED
+    * standalone instrument applied to the previous stage's survivors:
+    *
+    *   1 paragraph dedup  → q214's kernel; a doc whose every paragraph
+    *     drops (`clean_text = ''`, incl. NULL-text docs) exits here
+    *   2 langid gate      → q64's marker kernel over `clean_text`; docs
+    *     whose content-based guess contradicts the filed `lang` label
+    *     (or whose label is NULL) exit — CCNet's "fastText must confirm
+    *     the shard's language" gate
+    *   3 LM tertile cut   → q211's smoothed-surprisal tertiles computed
+    *     over the SURVIVING corpus; CCNet trains on head+middle, so
+    *     `tail` exits, as do docs too short to score (<2 tokens — no
+    *     bigram, the q207 population rule)
+    *
+    * Invisibility laws (SemanticsSpec): stage 1's `clean_text` ≡ q214's;
+    * stage 2's guesses ≡ [[TextOps.langIdOf]] over the deduped docs;
+    * stage 3's buckets ≡ [[TextOps.perplexityBucketsOf]] over the
+    * stage-2 survivors; and the stage labels conserve (every doc gets
+    * exactly one). NULL-doc_id docs are unattributable and excluded by
+    * the doc_id equi-join on BOTH engines (q214's exclusion rule).
+    *
+    * Scale shape: q214's chain (sha2/doc_id-keyed exchanges) + a narrow
+    * langid map + q211's chain over the survivors (grid histogram, never
+    * a corpus window) + one doc_id-keyed left join of the bucket column
+    * back onto the stage table. The stage-1+2 table is ScopedCache'd —
+    * it feeds BOTH the surprisal chain and the final assembly, and
+    * without the pin the paragraph dedup would run twice. */
+  private[graft] def ccnetStagesOf(d: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
+    val paras = paragraphRows(d)
+    val card = paragraphCardRows(d, paras, keepFirst(paragraphContent(paras)))
+    val st1 = graft.functions.ScopedCache.persist("q221.stage12",
+      d.select(col("doc_id"), col("source"), col("lang"))
+        .join(card.select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+        .select(Seq(col("doc_id"), col("source"), col("lang"),
+          col("clean_text")) ++ TextOps.langScoreCols(col("clean_text")): _*)
+        .withColumn("guess", TextOps.langGuessFromScores)
+        .drop("score_en", "score_de", "score_es"))
+    val s2 = st1.filter(col("clean_text") =!= "" &&
+      col("lang").isNotNull && col("guess") === col("lang"))
+    val buckets = TextOps.perplexityBucketsOf(
+      s2.select(col("doc_id"), col("clean_text").as("text")),
+      cacheVariant = "q221")
+    st1.join(buckets.select(col("doc_id"), col("surprisal"),
+        col("ppl_bucket")), Seq("doc_id"), "left")
+      .withColumn("stage",
+        when(col("clean_text") === "", "drop_empty")
+          .when(col("lang").isNull || col("guess") =!= col("lang"),
+            "drop_langid")
+          .when(col("ppl_bucket").isNull, "drop_unscored")
+          .when(col("ppl_bucket") === "tail", "drop_tail")
+          .otherwise("kept"))
+  }
+
+  /** q221: the CCNet end-to-end corpus emitter — the ACTION query a
+    * pipeline user trains on, composing the three certified instruments
+    * (q214 paragraph dedup → q64 langid gate → q211 perplexity tertiles,
+    * head+middle kept) into the emitted corpus. Every stage kernel is
+    * shared VERBATIM with its standalone query (see [[ccnetStagesOf]]),
+    * so a green hash here certifies the composition, and the per-stage
+    * drops are read from q225's funnel over the same stage table. */
+  def ccnetCorpus(spark: SparkSession, dir: String): DataFrame =
+    ccnetCorpusOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def ccnetCorpusOf(d: DataFrame): DataFrame =
+    ccnetStagesOf(d).filter(col("stage") === "kept")
+      .select(col("doc_id"), col("source"), col("lang"), col("surprisal"),
+        col("ppl_bucket"), col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** q225: the CCNet funnel — q221's per-stage accounting rolled up per
+    * source (the q160 curation-funnel grammar over the CCNet stages):
+    * input docs, exits per stage, survivors, and the kept ratio. The
+    * conservation law is structural: the five stage columns partition
+    * `n_in` because every doc carries exactly one stage label. */
+  def ccnetFunnel(spark: SparkSession, dir: String): DataFrame =
+    ccnetFunnelOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def ccnetFunnelOf(d: DataFrame): DataFrame = {
+    def stageCount(s: String) =
+      sum(when(col("stage") === s, 1L).otherwise(0L))
+    ccnetStagesOf(d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_in"),
+        stageCount("drop_empty").as("drop_empty"),
+        stageCount("drop_langid").as("drop_langid"),
+        stageCount("drop_unscored").as("drop_unscored"),
+        stageCount("drop_tail").as("drop_tail"),
+        stageCount("kept").as("n_kept"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast(DoubleType) / col("n_in"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle CTE chain ending in the per-doc `cstage` table — shared
+    * VERBATIM by the q221 and q225 oracles (the q214/q220 pairing), and
+    * composed from the SAME fragments the standalone oracles interpolate
+    * ([[paragraphCardCtes]], [[TextOps.langScoreSqlCols]]/
+    * [[TextOps.langGuessCaseSql]], [[TextOps.smoothedSurprisalCtesOver]],
+    * [[TextOps.pplTertileCtes]]) so no stage can drift from its
+    * certified instrument. */
+  private lazy val ccnetStageCtes: String =
+    s"""$paragraphCardCtes,
+      |cbase AS (SELECT d.doc_id, d.source, d.lang, pc.clean_text
+      |          FROM pcard pc JOIN documents d ON d.doc_id = pc.doc_id),
+      |csc AS (SELECT doc_id, source, lang, clean_text,
+      |    ${TextOps.langScoreSqlCols("clean_text")}
+      |  FROM cbase),
+      |cst1 AS (SELECT doc_id, source, lang, clean_text,
+      |    ${TextOps.langGuessCaseSql} AS guess
+      |  FROM csc),
+      |cs2 AS (SELECT doc_id, clean_text AS text FROM cst1
+      |        WHERE clean_text <> '' AND lang IS NOT NULL AND guess = lang),
+      |${TextOps.smoothedSurprisalCtesOver("cs2")},
+      |${TextOps.pplTertileCtes},
+      |cstage AS (SELECT t.doc_id, t.source, t.lang, t.clean_text, t.guess,
+      |    gg.surprisal,
+      |    CASE WHEN gg.doc_id IS NULL THEN NULL
+      |         WHEN gg.g <= c2.g1 THEN 'head'
+      |         WHEN gg.g <= c2.g2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+      |    CASE WHEN t.clean_text = '' THEN 'drop_empty'
+      |         WHEN t.lang IS NULL OR t.guess <> t.lang THEN 'drop_langid'
+      |         WHEN gg.doc_id IS NULL THEN 'drop_unscored'
+      |         WHEN gg.g > c2.g2 THEN 'drop_tail'
+      |         ELSE 'kept' END AS stage
+      |  FROM cst1 t
+      |  LEFT JOIN gg ON gg.doc_id = t.doc_id
+      |  CROSS JOIN cts c2)""".stripMargin
+
+  private lazy val ccnetCorpusSql =
+    s"""WITH $ccnetStageCtes
+      |SELECT doc_id, source, lang, surprisal, ppl_bucket, clean_text
+      |FROM cstage WHERE stage = 'kept'
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
+
+  private lazy val ccnetFunnelSql = {
+    def stageCount(s: String) =
+      s"CAST(SUM(CASE WHEN stage = '$s' THEN 1 ELSE 0 END) AS BIGINT)"
+    s"""WITH $ccnetStageCtes
+      |SELECT source, COUNT(*) AS n_in,
+      |  ${stageCount("drop_empty")} AS drop_empty,
+      |  ${stageCount("drop_langid")} AS drop_langid,
+      |  ${stageCount("drop_unscored")} AS drop_unscored,
+      |  ${stageCount("drop_tail")} AS drop_tail,
+      |  ${stageCount("kept")} AS n_kept,
+      |  ROUND(CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS kept_ratio
+      |FROM cstage
+      |GROUP BY source
+      |ORDER BY source NULLS FIRST""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // q201: dedup-method comparison card
@@ -421,24 +599,53 @@ object Profiling extends QueryModule {
 
   /** DataFrame-level core (testable on constructed corpora): `rawLabels`
     * = the (node, label) raw-corpus near-dup label table (the artifact's
-    * `doc_labels`, or a freshly derived one in tests). */
+    * `doc_labels`, or a freshly derived one in tests).
+    *
+    * r17 extension (per the r16 verdict): every tier also prices its
+    * `n_removable_bytes` — the raw UTF-8 bytes of the non-keeper
+    * members (group byte mass minus the keeper's, keeper = min doc_id /
+    * min (doc_id, pos) — the tiers' own keep-first rules) — so document-
+    * and paragraph-granularity tiers compare in ONE unit; and the
+    * `paragraph` tier (q214's granularity) joins the card: its group
+    * unit is the canonical PARAGRAPH, so `n_docs_in_groups`/`n_removable`
+    * count paragraph instances there (documented asymmetry — the bytes
+    * column is what compares across tiers). */
   def dedupMethodCardOf(d: DataFrame, rawLabels: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
     def card(groups: DataFrame, method: String): DataFrame =
       groups.filter(col("c") >= 2).agg(
         count(lit(1)).as("n_dup_groups"),
         coalesce(sum(col("c")), lit(0L)).as("n_docs_in_groups"),
-        coalesce(sum(col("c") - 1), lit(0L)).as("n_removable"))
+        coalesce(sum(col("c") - 1), lit(0L)).as("n_removable"),
+        coalesce(sum(col("tot_bytes") - col("keep_bytes")), lit(0L))
+          .as("n_removable_bytes"))
         .select(lit(method).as("method"), col("n_dup_groups"),
-          col("n_docs_in_groups"), col("n_removable"))
+          col("n_docs_in_groups"), col("n_removable"),
+          col("n_removable_bytes"))
+    val dlen = octet_length(col("text")).cast(LongType)
     val exact = d.groupBy(sha2(col("text"), 256).as("k"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), sum(dlen).as("tot_bytes"),
+        min_by(dlen, col("doc_id")).as("keep_bytes"))
     val norm = d.groupBy(sha2(normExpr, 256).as("k"))
-      .agg(count(lit(1)).as("c"))
-    val near = rawLabels.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), sum(dlen).as("tot_bytes"),
+        min_by(dlen, col("doc_id")).as("keep_bytes"))
+    val near = rawLabels
+      .join(d.select(col("doc_id").as("node"), dlen.as("len")), Seq("node"))
+      .groupBy(col("label")).agg(count(lit(1)).as("c"),
+        sum(col("len")).as("tot_bytes"),
+        min_by(col("len"), col("node")).as("keep_bytes"))
+    // the paragraph tier rides q214's OWN content/keeper definitions
+    // (paragraphContent / the (doc_id, pos) struct-min) so the card's
+    // paragraph row cannot drift from the dedup it prices
+    val plen = octet_length(col("para")).cast(LongType)
+    val para = paragraphContent(paragraphRows(d))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"),
+        sum(plen).as("tot_bytes"),
+        min_by(plen, struct(col("doc_id"), col("pos"))).as("keep_bytes"))
     card(exact, "exact")
       .unionByName(card(norm, "normalized"))
       .unionByName(card(near, "near_jaccard"))
+      .unionByName(card(para, "paragraph"))
       .orderBy(col("method"))
   }
 
@@ -446,26 +653,53 @@ object Profiling extends QueryModule {
     s"""WITH RECURSIVE ${graft.operators.Dedup.gatedShinglesCtes("documents")},
       |${graft.operators.Dedup.jaccardPairsCtes},
       |${graft.operators.Dedup.clusterCtes},
-      |ex AS (SELECT text AS k, COUNT(*) AS c FROM documents
+      |$paragraphCardCtes,
+      |ex AS (SELECT text AS k, COUNT(*) AS c,
+      |         CAST(SUM(STRLEN(text)) AS BIGINT) AS tot_bytes,
+      |         CAST(ARG_MIN(STRLEN(text), doc_id) AS BIGINT) AS keep_bytes
+      |       FROM documents
       |       GROUP BY text HAVING COUNT(*) >= 2),
-      |nx AS (SELECT nt AS k, COUNT(*) AS c
-      |       FROM (SELECT $normExprSql AS nt FROM documents) x
+      |nx AS (SELECT nt AS k, COUNT(*) AS c,
+      |         CAST(SUM(len) AS BIGINT) AS tot_bytes,
+      |         CAST(ARG_MIN(len, doc_id) AS BIGINT) AS keep_bytes
+      |       FROM (SELECT doc_id, STRLEN(text) AS len, $normExprSql AS nt
+      |             FROM documents) x
       |       GROUP BY nt HAVING COUNT(*) >= 2),
-      |nr AS (SELECT cluster_id, COUNT(*) AS c FROM cc
-      |       GROUP BY cluster_id HAVING COUNT(*) >= 2)
+      |nr AS (SELECT cluster_id, COUNT(*) AS c,
+      |         CAST(SUM(STRLEN(d.text)) AS BIGINT) AS tot_bytes,
+      |         CAST(ARG_MIN(STRLEN(d.text), cc.doc_id) AS BIGINT) AS keep_bytes
+      |       FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+      |       GROUP BY cluster_id HAVING COUNT(*) >= 2),
+      |pgk AS (SELECT c.np, CAST(STRLEN(c.para) AS BIGINT) AS keep_bytes
+      |        FROM c JOIN k2 ON c.np = k2.np AND c.doc_id = k2.kd
+      |          AND c.pos = k2.kpos),
+      |pg AS (SELECT g.np, g.c, g.tot_bytes, kk.keep_bytes
+      |       FROM (SELECT np, COUNT(*) AS c,
+      |               CAST(SUM(STRLEN(para)) AS BIGINT) AS tot_bytes
+      |             FROM c GROUP BY np HAVING COUNT(*) >= 2) g
+      |       JOIN pgk kk ON g.np = kk.np)
       |SELECT 'exact' AS method,
       |  COUNT(*) AS n_dup_groups,
       |  CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_docs_in_groups,
-      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_removable
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_removable,
+      |  CAST(COALESCE(SUM(tot_bytes - keep_bytes), 0) AS BIGINT)
+      |    AS n_removable_bytes
       |FROM ex
       |UNION ALL
       |SELECT 'normalized', COUNT(*),
       |  CAST(COALESCE(SUM(c), 0) AS BIGINT),
-      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM nx
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(tot_bytes - keep_bytes), 0) AS BIGINT) FROM nx
       |UNION ALL
       |SELECT 'near_jaccard', COUNT(*),
       |  CAST(COALESCE(SUM(c), 0) AS BIGINT),
-      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM nr
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(tot_bytes - keep_bytes), 0) AS BIGINT) FROM nr
+      |UNION ALL
+      |SELECT 'paragraph', COUNT(*),
+      |  CAST(COALESCE(SUM(c), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT),
+      |  CAST(COALESCE(SUM(tot_bytes - keep_bytes), 0) AS BIGINT) FROM pg
       |ORDER BY method""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1093,5 +1327,7 @@ object Profiling extends QueryModule {
     GraftQuery("q214_paragraph_dedup", paragraphDedup, Some(paragraphDedupSql)),
     GraftQuery("q220_paragraph_dedup_by_source", paragraphDedupBySource,
       Some(paragraphDedupBySourceSql)),
+    GraftQuery("q221_ccnet_corpus", ccnetCorpus, Some(ccnetCorpusSql)),
+    GraftQuery("q225_ccnet_funnel", ccnetFunnel, Some(ccnetFunnelSql)),
   )
 }

@@ -30,12 +30,17 @@ object TextOps extends QueryModule {
     * higher-order function AND re-inlines the split per score column,
     * while this stays inside whole-stage codegen and never materializes
     * the token array. The hot per-row kernel of q63/q64 at corpus scale. */
-  private def markerCount(words: Seq[String]): Column = {
+  private def markerCount(words: Seq[String]): Column =
+    markerCountIn(col("text"), words)
+
+  /** [[markerCount]] over an arbitrary text column — q221 runs the q64
+    * kernel on the paragraph-deduped `clean_text`, not the raw text. */
+  private[operators] def markerCountIn(c: Column, words: Seq[String]): Column = {
     val alts = words.map(java.util.regex.Pattern.quote).mkString("|")
     // \z (true end-of-input), not $: without MULTILINE, $ also matches
     // before a final line terminator, which would count a marker followed
     // by a trailing '\n' that the split-token form would not
-    regexp_count(col("text"), lit("(?<=^| )(" + alts + ")(?= |\\z)"))
+    regexp_count(c, lit("(?<=^| )(" + alts + ")(?= |\\z)"))
   }
 
   /** Word count — the canonical pipeline (flink/README.md:69-77):
@@ -159,43 +164,63 @@ object TextOps extends QueryModule {
     s"""$qualityCoreSql
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** THE per-language marker sets — q64's kernel, shared with q221's
+    * langid gate so the composed pipeline cannot score against a
+    * different model than the standalone instrument. */
+  private[operators] val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "small"),
+    "de" -> Seq("merge", "window", "batch"),
+    "es" -> Seq("data", "vector", "part"))
+
+  /** The q64 argmax over already-computed score columns (deterministic
+    * tie-break: en > de > es — the marker-list order). */
+  private[operators] def langGuessFromScores: Column =
+    when(col("score_en") >= col("score_de") && col("score_en") >= col("score_es"), "en")
+      .when(col("score_de") >= col("score_es"), "de")
+      .otherwise("es")
+
+  /** Score columns for [[LangMarkers]] over an arbitrary text column. */
+  private[operators] def langScoreCols(c: Column): Seq[Column] =
+    LangMarkers.map { case (lang, ws) => markerCountIn(c, ws).as(s"score_$lang") }
+
+  /** Oracle twins: token-membership scores (exactly equivalent to the
+    * regex kernel — see [[markerCountIn]]) and the argmax CASE, over an
+    * arbitrary text expression. */
+  private[operators] def langScoreSqlCols(textExpr: String): String =
+    LangMarkers.map { case (lang, ws) =>
+      val set = ws.map(w => s"'$w'").mkString(",")
+      s"CAST(LEN(LIST_FILTER(STRING_SPLIT($textExpr, ' '), t -> t IN ($set))) AS INT) AS score_$lang"
+    }.mkString(",\n    ")
+
+  private[operators] val langGuessCaseSql =
+    """CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+      |       WHEN score_de >= score_es THEN 'de'
+      |       ELSE 'es' END""".stripMargin
+
   /** Heuristic language ID (n-gram/marker-token overlap): score each doc
     * against per-language marker sets, argmax with deterministic
     * tie-break. Marker lists are illustrative (the fixture text is a
     * synthetic shared vocabulary); the *operator shape* — k scores + argmax
     * per row, no shuffle — is the production one. */
-  def langIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val markers = Seq(
-      "en" -> Seq("the", "a", "fast", "small"),
-      "de" -> Seq("merge", "window", "batch"),
-      "es" -> Seq("data", "vector", "part"))
-    val scored = markers.foldLeft(
-      d.select(col("doc_id"), col("lang").as("labeled_lang"), col("text"))) {
-      case (df, (lang, ws)) =>
-        df.withColumn(s"score_$lang", markerCount(ws))
-    }
-    scored
-      .withColumn("guess",
-        when(col("score_en") >= col("score_de") && col("score_en") >= col("score_es"), "en")
-          .when(col("score_de") >= col("score_es"), "de")
-          .otherwise("es"))
-      .select(col("doc_id"), col("labeled_lang"), col("score_en"), col("score_de"),
-              col("score_es"), col("guess"))
+  def langIdHeuristic(spark: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable, and the q221 invisibility-law
+    * surface: the composed gate's guesses ≡ this over the deduped
+    * corpus). Expects (doc_id, lang, text). */
+  def langIdOf(d: DataFrame): DataFrame =
+    d.select(Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        langScoreCols(col("text")): _*)
+      .withColumn("guess", langGuessFromScores)
       .orderBy(col("doc_id"))
-  }
 
   private val langIdHeuristicSql =
-    """SELECT doc_id, labeled_lang, score_en, score_de, score_es,
-      |  CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
-      |       WHEN score_de >= score_es THEN 'de'
-      |       ELSE 'es' END AS guess
+    s"""SELECT doc_id, labeled_lang, score_en, score_de, score_es,
+      |  $langGuessCaseSql AS guess
       |FROM (
       |  SELECT doc_id, lang AS labeled_lang,
-      |    CAST(LEN(LIST_FILTER(toks, t -> t IN ('the','a','fast','small'))) AS INT) AS score_en,
-      |    CAST(LEN(LIST_FILTER(toks, t -> t IN ('merge','window','batch'))) AS INT) AS score_de,
-      |    CAST(LEN(LIST_FILTER(toks, t -> t IN ('data','vector','part'))) AS INT) AS score_es
-      |  FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents) a) b
+      |    ${langScoreSqlCols("text")}
+      |  FROM documents) b
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** Content fingerprinting: full-text SHA-256 plus a coarse structural
@@ -1863,8 +1888,12 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val bigramSurprisalSql =
-    """WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+  /** The q103 chain as CTEs ending in `bsv` = (doc_id, n_bigrams,
+    * avg_bigram_surprisal_nats) — shared VERBATIM by the q103 and q223
+    * oracles so the DoReMi proxy loss can only aggregate exactly the
+    * scores q103 certifies. */
+  private[operators] val bigramSurprisalCtes =
+    """toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
       |bg0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
       |          i -> {'l': t[i], 'r': t[i+1]})) AS p
       |        FROM toks WHERE LEN(t) >= 2),
@@ -1875,13 +1904,17 @@ object TextOps extends QueryModule {
       |lft AS (SELECT l, CAST(SUM(pair_cnt) AS BIGINT) AS left_cnt
       |        FROM pair GROUP BY 1),
       |pr AS (SELECT pair.l, pair.r, CAST(pair_cnt AS DOUBLE) / left_cnt AS p
-      |       FROM pair JOIN lft USING (l))
-      |SELECT bc.doc_id, CAST(SUM(bc.cnt) AS BIGINT) AS n_bigrams,
+      |       FROM pair JOIN lft USING (l)),
+      |bsv AS (SELECT bc.doc_id, CAST(SUM(bc.cnt) AS BIGINT) AS n_bigrams,
       |  ROUND(-CAST(SUM(CAST(bc.cnt * LN(pr.p) AS DECIMAL(38,12))) AS DOUBLE)
       |        / SUM(bc.cnt), 6) AS avg_bigram_surprisal_nats
       |FROM bc JOIN pr ON bc.l = pr.l AND bc.r = pr.r
-      |GROUP BY bc.doc_id
-      |ORDER BY bc.doc_id NULLS FIRST""".stripMargin
+      |GROUP BY bc.doc_id)""".stripMargin
+
+  private val bigramSurprisalSql =
+    s"""WITH $bigramSurprisalCtes
+      |SELECT doc_id, n_bigrams, avg_bigram_surprisal_nats FROM bsv
+      |ORDER BY doc_id NULLS FIRST""".stripMargin
 
   /** q110 pair-count floor — interpolated into plan and oracle so the
     * pruning rule cannot drift. 2 is the smallest floor that prunes (it
@@ -2046,9 +2079,10 @@ object TextOps extends QueryModule {
   /** The q207 chain as CTEs ending in `sbs` = (doc_id, n_bigrams,
     * avg_smoothed_surprisal_nats) — shared VERBATIM by the q207 and
     * q211 oracles so the perplexity buckets can only bucket exactly the
-    * scores q207 certifies. */
-  private val smoothedSurprisalCtes =
-    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    * scores q207 certifies; parameterized on the docs table so q221 can
+    * run the SAME chain over the dedup+langid survivors. */
+  private[operators] def smoothedSurprisalCtesOver(docsTable: String): String =
+    s"""toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM $docsTable),
       |bg0 AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
       |          i -> {'l': t[i], 'r': t[i+1]})) AS p
       |        FROM toks WHERE LEN(t) >= 2),
@@ -2072,6 +2106,8 @@ object TextOps extends QueryModule {
       |        / SUM(bc.cnt), 6) AS avg_smoothed_surprisal_nats
       |FROM bc JOIN pr ON bc.l = pr.l AND bc.r = pr.r
       |GROUP BY bc.doc_id)""".stripMargin
+
+  private val smoothedSurprisalCtes = smoothedSurprisalCtesOver("documents")
 
   private val smoothedBigramSurprisalSql =
     s"""WITH $smoothedSurprisalCtes
@@ -2114,14 +2150,17 @@ object TextOps extends QueryModule {
   def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
     perplexityBucketsOf(Tables.documents(spark, dir))
 
-  /** DataFrame-level core (testable on constructed corpora). */
-  def perplexityBucketsOf(d: DataFrame): DataFrame = {
+  /** DataFrame-level core (testable on constructed corpora). The cache
+    * VARIANT keeps q221's composed run (a different corpus — the dedup+
+    * langid survivors) from thrashing q211's own generation in a sweep
+    * that alternates the two. */
+  def perplexityBucketsOf(d: DataFrame, cacheVariant: String = ""): DataFrame = {
     // the scored table fronts q207's whole aggregate chain and is
     // referenced twice (grid histogram + final assignment) — ScopedCache
     // it so the corpus scores once (the doubly-referenced-subtree rule;
     // the 10× probe measured 17.0 → 11.7 s and scaling 5.7× → 3.3×, for
     // ~0.5 s of materialization at 1× — the documented trade)
-    val scored = graft.functions.ScopedCache.persist("q211.scored",
+    val scored = graft.functions.ScopedCache.persist("q211.scored", cacheVariant,
       smoothedBigramSurprisalOf(d)
         .select(col("doc_id"), col("avg_smoothed_surprisal_nats").as("surprisal")))
     // DECIMAL(12,6), not (10,6): on a score above 9999.999999 Spark's
@@ -2149,9 +2188,12 @@ object TextOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val perplexityBucketsSql =
-    s"""WITH $smoothedSurprisalCtes,
-      |gg AS (SELECT doc_id, avg_smoothed_surprisal_nats AS surprisal,
+  /** The q211 tertile machinery as CTEs reading `sbs` — grid scores
+    * (`gg`), grid histogram + cumulative, and the two cuts (`cts`) —
+    * shared VERBATIM by the q211 and q221 oracles so the composed
+    * pipeline's buckets cannot drift from the standalone instrument. */
+  private[operators] val pplTertileCtes =
+    s"""gg AS (SELECT doc_id, avg_smoothed_surprisal_nats AS surprisal,
       |         CAST(FLOOR(CAST(avg_smoothed_surprisal_nats AS DECIMAL(12,6))
       |           * $PplGridPerNat) AS BIGINT) AS g
       |       FROM sbs),
@@ -2161,7 +2203,11 @@ object TextOps extends QueryModule {
       |gn AS (SELECT COUNT(*) AS n FROM gg),
       |cts AS (SELECT MIN(CASE WHEN cum * 3 >= n THEN g END) AS g1,
       |               MIN(CASE WHEN cum * 3 >= 2 * n THEN g END) AS g2
-      |        FROM gc CROSS JOIN gn)
+      |        FROM gc CROSS JOIN gn)""".stripMargin
+
+  private val perplexityBucketsSql =
+    s"""WITH $smoothedSurprisalCtes,
+      |$pplTertileCtes
       |SELECT gg.doc_id, gg.surprisal,
       |  CASE WHEN gg.g <= c.g1 THEN 'head'
       |       WHEN gg.g <= c.g2 THEN 'middle'

@@ -838,7 +838,29 @@ object Plans {
           "map-side-combined groupBy-min of a (doc_id,pos) struct (no " +
           "window, no Expand), the join-back on the hash key, and the " +
           "q133 per-document collect_list rebuild.",
-        graft.operators.Profiling.paragraphDedup(spark, dir)))
+        graft.operators.Profiling.paragraphDedup(spark, dir)),
+      section("q221 CCNet end-to-end corpus emitter (r17)",
+        "What to look for: q214's sha2-keyed dedup chain feeding the " +
+          "ScopedCache'd stage-1+2 table (paragraph card + narrow " +
+          "langid regex map — no exchange of its own), q211's chain " +
+          "over the survivors (grid histogram window over the bounded " +
+          "milli-nat grid, cuts via the broadcast-one-row idiom), and " +
+          "ONE doc_id-keyed left join of the bucket column back onto " +
+          "the stage table; no corpus window, no raw-text exchange.",
+        graft.operators.Profiling.ccnetCorpus(spark, dir)),
+      section("q225 CCNet per-source funnel (r17)",
+        "What to look for: the q221 stage chain verbatim (ScopedCache " +
+          "reuse when both run in one session) collapsing into a " +
+          "#source-row conditional-sum rollup; no Expand, no window " +
+          "beyond q211's bounded grid.",
+        graft.operators.Profiling.ccnetFunnel(spark, dir)),
+      section("q224 calibration-method card (r17)",
+        "What to look for: q215's shape (cached 2-column (z, y) margin " +
+          "table, fitted (a, b) as literals) feeding THREE card " +
+          "branches; the isotonic minimax runs entirely above the " +
+          "<=11-bin aggregates (tiny non-equi joins of aggregated " +
+          "cards, never the corpus); no window, no Expand.",
+        graft.operators.Curation.calibrationMethodCard(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

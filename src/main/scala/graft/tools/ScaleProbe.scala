@@ -1035,6 +1035,17 @@ object ScaleProbe {
         graft.operators.Curation.plattRecalibrationOf(docs, model).count()
       time("q215 platt recalibration 1x (5k docs)")(plattCount(d1))
       time(s"q215 platt recalibration ${copies}x")(plattCount(dN))
+      // q224: the method card's corpus work is q215's — one cached (z,y)
+      // pass + the fit; the isotonic stage adds three joins over <=11-bin
+      // aggregates (model-sized). Must track q215. Anchored on the card's
+      // mean_score mass so no branch can be pruned.
+      def methodCardCount(docs: DataFrame): Long =
+        graft.operators.Curation.calibrationMethodCardOf(docs, model)
+          .agg(sum((col("mean_score") + col("n_docs"))
+            .cast(DecimalType(38, 12))).cast("long"))
+          .collect()(0).getLong(0)
+      time("q224 calib method card 1x (5k docs)")(methodCardCount(d1))
+      time(s"q224 calib method card ${copies}x")(methodCardCount(dN))
       // q219: serving under a FROZEN (w, a, b) triple fit on d1 (the
       // deployment shape) — a pure map over the margin, must scale like
       // q203's scorer; anchored on the score sum so pruning can't
@@ -1042,7 +1053,8 @@ object ScaleProbe {
       locally {
         val lab = graft.operators.TextOps.qualityScoresOf(d1)
           .select(col("doc_id"),
-            when(col("quality") >= 0.5, 1.0).otherwise(0.0).as("y"))
+            when(col("quality") >= graft.operators.Curation.FunnelQualityMin,
+              1.0).otherwise(0.0).as("y"))
         val zy = graft.operators.Curation.plattScoresOf(d1, model, 1.0, 0.0)
           .select(col("doc_id"), col("z")).join(lab, Seq("doc_id"))
           .select(col("z"), col("y"))
@@ -1152,6 +1164,26 @@ object ScaleProbe {
         .collect()(0).getLong(0)
     time("q220 para profile 1x (5k docs)")(paraBySourceCount(d1))
     time(s"q220 para profile ${copies}x")(paraBySourceCount(dN))
+    // q221/q225: the CCNet composition — q214's dedup + a narrow langid
+    // map + q211's chain over the survivors. Must track ~(q214 + q211);
+    // the footer injection keeps the dedup stage honest. Anchored on the
+    // kept-corpus mass (q221) and the funnel counts (q225) so no stage
+    // can be pruned out from under the probe.
+    def ccnetDocs(docs: DataFrame) =
+      docs.select(col("doc_id"), col("source"), col("lang"),
+        concat(col("text"), lit("\nCopyright Footer Paragraph")).as("text"))
+    def ccnetCount(docs: DataFrame): Long =
+      graft.operators.Profiling.ccnetCorpusOf(ccnetDocs(docs))
+        .agg(sum(length(col("clean_text"))).cast("long"))
+        .collect()(0).getLong(0)
+    time("q221 ccnet corpus 1x (5k docs)")(ccnetCount(d1))
+    time(s"q221 ccnet corpus ${copies}x")(ccnetCount(dN))
+    def ccnetFunnelCount(docs: DataFrame): Long =
+      graft.operators.Profiling.ccnetFunnelOf(ccnetDocs(docs))
+        .agg(sum(col("n_in") + col("n_kept")).cast("long"))
+        .collect()(0).getLong(0)
+    time("q225 ccnet funnel 1x (5k docs)")(ccnetFunnelCount(d1))
+    time(s"q225 ccnet funnel ${copies}x")(ccnetFunnelCount(dN))
 
     spark.stop()
   }

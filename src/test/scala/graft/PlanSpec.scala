@@ -1058,6 +1058,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"raw-text-keyed exchange: $p"))
   }
 
+  test("q221 CCNet emitter: sha2/doc_id-keyed exchanges, only the bounded grid window, no cartesian") {
+    val df = Profiling.ccnetCorpus(spark, sf0001)
+    val plan = executedPlan(df)
+    // BNLJ appears only as q211's broadcast-one-row cut scalars (the
+    // broadcast-literal idiom); a true cartesian is still forbidden
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // the only windows are q211's grid cumulative (bounded by the
+    // milli-nat design constant) — the corpus itself is never windowed
+    val windowNodes = allNodes(df.queryExecution.executedPlan).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    windowNodes.foreach(w => assert(allNodes(w).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      w.toString.take(2000)))
+    // exchanges key on sha2(canonical), doc_id, or the grid — never the
+    // raw paragraph/doc text (q214's convention carried through)
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    exchanges.foreach(p => assert(
+      !p.contains("para#") && !p.contains("np#") && !p.contains("text#") &&
+        !p.contains("clean_text#"),
+      s"raw-text-keyed exchange: $p"))
+  }
+
+  test("q225 CCNet funnel: the stage chain plus one source rollup — same exchange discipline") {
+    val df = Profiling.ccnetFunnel(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(!plan.contains("Expand"), plan.take(4000))
+    val exchanges = allNodes(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    exchanges.foreach(p => assert(
+      !p.contains("para#") && !p.contains("np#") && !p.contains("text#") &&
+        !p.contains("clean_text#"),
+      s"raw-text-keyed exchange: $p"))
+  }
+
   test("q201 method card: three one-row aggregates, artifact label scan, no window") {
     val df = Profiling.dedupMethodCard(spark, sf0001)
     val plan = executedPlan(df)
@@ -1121,6 +1161,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(4000))
     // the (z, y) table is served from the cache, not re-derived: the
     // featurizer's idf join never appears above the cache boundary
+    assert(plan.contains("TableCacheQueryStage") || plan.contains("InMemoryTableScan"),
+      plan.take(4000))
+  }
+
+  test("q224 method card: corpus work is q215's cached (z,y) pass; isotonic joins are bin-card-sized") {
+    Curation.ensureLrModel(spark, sf0001)
+    val df = Curation.calibrationMethodCard(spark, sf0001)
+    val plan = executedPlan(df)
+    // no corpus window, no cartesian; the isotonic interval/minimax
+    // joins sit ABOVE the <=11-bin aggregates (every join input is an
+    // aggregate of the cached scored table, never the corpus)
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("CartesianProduct"),
+      plan.take(4000))
+    assert(!plan.contains("Expand"), plan.take(4000))
     assert(plan.contains("TableCacheQueryStage") || plan.contains("InMemoryTableScan"),
       plan.take(4000))
   }

@@ -2461,21 +2461,28 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .toDF("doc_id", "text")
     val labels = Dedup.rawLabelsOf(docs)
     val got = operators.Profiling.dedupMethodCardOf(docs, labels)
-      .as[(String, Long, Long, Long)].collect()
-      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
-    assert(got("exact") === ((1L, 2L, 1L)))        // {1,2}
-    assert(got("normalized") === ((1L, 3L, 2L)))   // {1,2,3}
-    assert(got("near_jaccard") === ((1L, 3L, 2L))) // {1,2,4}
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // removable bytes = group byte mass minus the keeper's (keep-first)
+    assert(got("exact") === ((1L, 2L, 1L, 30L)))        // {1,2}: 60-30
+    assert(got("normalized") === ((1L, 3L, 2L, 61L)))   // {1,2,3}: 91-30
+    assert(got("near_jaccard") === ((1L, 3L, 2L, 57L))) // {1,2,4}: 87-30
+    // single-paragraph docs: the paragraph tier degenerates to the
+    // normalized tier (q214's fixture law), bytes included
+    assert(got("paragraph") === got("normalized"))
     // fixture: normalized dominates exact componentwise (canonical
     // equality is coarser than byte equality), and the near row agrees
     // with q77's cluster table
     val fix = operators.Profiling.dedupMethodCard(spark, sf001).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     val (e, n) = (fix("exact"), fix("normalized"))
-    assert(n._1 >= e._1 && n._2 >= e._2 && n._3 >= e._3)
+    assert(n._1 >= e._1 && n._2 >= e._2 && n._3 >= e._3 && n._4 >= e._4)
+    assert(fix("paragraph") === fix("normalized")) // newline-free fixture
     val clusters = Dedup.neardupClusters(spark, sf001).collect()
     val nGroups = clusters.map(_.getLong(0)).distinct.length.toLong
-    assert(fix("near_jaccard") ===
+    assert((fix("near_jaccard")._1, fix("near_jaccard")._2,
+      fix("near_jaccard")._3) ===
       ((nGroups, clusters.length.toLong, clusters.length - nGroups)))
   }
 
@@ -3076,7 +3083,8 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     // invisibility: the served rows equal scoring under a FRESHLY fit
     // (a, b) — the artifact cannot drift from the fit it froze
     val lab = operators.TextOps.qualityScoresOf(d).select($"doc_id",
-      org.apache.spark.sql.functions.when($"quality" >= 0.5, 1.0)
+      org.apache.spark.sql.functions.when(
+        $"quality" >= operators.Curation.FunnelQualityMin, 1.0)
         .otherwise(0.0).as("y"))
     val zy = operators.Curation.plattScoresOf(d, w, 1.0, 0.0)
       .select($"doc_id", $"z").join(lab, Seq("doc_id")).select($"z", $"y")
@@ -3140,6 +3148,50 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     got.foreach(r => assert(r._4 <= r._3, r.toString))
   }
 
+  test("q224 isotonic fit: exact PAV pooling on a constructed violation; monotone; weight-respecting") {
+    val session = spark
+    import session.implicits._
+    // bins 0/1/2 with frac_pos 0, 1, 0.5 — bins 1 and 2 violate
+    // monotonicity and must pool to (1·1 + 2·0.5)/3 = 2/3; bin 0 stays
+    val scored = Seq(
+      (0.01, 0.0), (0.02, 0.0),
+      (0.15, 1.0),
+      (0.25, 1.0), (0.26, 0.0)).toDF("score", "y")
+    val got = operators.Curation.isotonicCardFrom(scored)
+      .orderBy($"bin")
+      .as[(Int, Double, Long, Long, Double, Double, Double)].collect()
+    assert(got.map(t => (t._1, t._3, t._4, t._5)).toSeq === Seq(
+      (0, 2L, 0L, 0.0), (1, 1L, 1L, 0.666667), (2, 2L, 1L, 0.666667)))
+  }
+
+  test("q224 method card: raw ≡ q213, platt ≡ q215, isotonic monotone with gap ≤ raw's") {
+    val card = operators.Curation.calibrationMethodCard(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    def rows(m: String) = card.filter(_._1 == m).sortBy(_._2)
+      .map(t => (t._2, t._3, t._4, t._5, t._6, t._7, t._8)).toSeq
+    // invisibility: the raw and platt rows ARE q213's and q215's cards
+    val q213 = operators.Curation.lrCalibrationCard(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    val q215 = operators.Curation.plattRecalibration(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(rows("raw") === q213)
+    assert(rows("platt") === q215)
+    // isotonic: fitted probabilities monotone nondecreasing in bin, and
+    // the doc-weighted absolute gap never exceeds the raw card's (the
+    // fit minimizes weighted squared error to frac_pos)
+    val iso = rows("isotonic")
+    iso.sliding(2).foreach {
+      case Seq(a, b) => assert(a._5 <= b._5 + 1e-12, s"$a -> $b")
+      case _ =>
+    }
+    def wgap(rs: Seq[(Int, Double, Long, Long, Double, Double, Double)]) =
+      rs.map(t => t._3 * math.abs(t._7)).sum
+    assert(wgap(iso) <= wgap(rows("raw")) + 1e-9)
+  }
+
   test("q215 Platt recalibration: fixture gap shrinks, population partitioned, fit reproducible") {
     val session = spark
     import session.implicits._
@@ -3167,7 +3219,8 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     val w = spark.read.parquet(s"$base/weights")
       .orderBy($"dim").collect().map(_.getDouble(1))
     val lab = operators.TextOps.qualityScoresOf(d).select($"doc_id",
-      org.apache.spark.sql.functions.when($"quality" >= 0.5, 1.0)
+      org.apache.spark.sql.functions.when(
+        $"quality" >= operators.Curation.FunnelQualityMin, 1.0)
         .otherwise(0.0).as("y"))
     val zy = operators.Curation.plattScoresOf(d, w, 1.0, 0.0)
       .select($"doc_id", $"z").join(lab, Seq("doc_id"))
@@ -3330,6 +3383,120 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) else None))
     }
     assert(got === expect)
+  }
+
+  test("q214 paragraph dedup: CRLF corpus paragraphs identically to its LF twin") {
+    val session = spark
+    import session.implicits._
+    // the boundary is \r?\n (ADVICE r16): doc 2's CRLF footer must dedup
+    // against doc 1's LF footer, and the \r never enters the canonical
+    // form or the rebuilt text; a LONE \r is content, not a boundary
+    val docs = Seq(
+      (1L, "Common Footer\nbody one"),
+      (2L, "Common Footer\r\nbody two"),
+      (3L, "solo\rmid")).toDF("doc_id", "text")
+    val got = operators.Profiling.paragraphDedupOf(docs)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) === ((1L, 2L, 0L, 2L, 0L, "Common Footer\nbody one")))
+    assert(got(2L) === ((2L, 2L, 0L, 1L, 1L, "body two")))
+    assert(got(3L) === ((3L, 1L, 0L, 1L, 0L, "solo\rmid")))
+  }
+
+  test("q221 CCNet emitter: every stage invisible vs its standalone instrument; kept = head+middle") {
+    val session = spark
+    import session.implicits._
+    // a corpus that exercises every exit: a cross-doc duplicate (doc 11
+    // fully dedups away), a mislabeled doc (de label, en-ish content), a
+    // too-short doc, and six scoreable en docs with varied transition
+    // structure for the tertile cut
+    val docs = (Seq(
+      (10L, "sA", "en", "shared boilerplate paragraph"),
+      (11L, "sA", "en", "shared boilerplate paragraph"),
+      (12L, "sA", "de", "plain prose with no de markers at all here"),
+      (13L, "sB", "en", "solo"),
+      (14L, "sB", "en", "rep rep rep rep rep rep rep rep"),
+      (15L, "sB", "en", "rep rep rep rep rep one two three"),
+      // graded predictability: each doc swaps more of the corpus-hot
+      // "rep rep" transition for unique-once bigrams, so the seven
+      // scoreable docs carry distinct surprisals and the tertile cut
+      // provably bites (head, middle, AND tail all non-empty)
+      (16L, "sB", "en", "rep rep rep u16 v16 w16 x16 y16"),
+      (17L, "sB", "en", "rep rep u17 v17 w17 x17 y17 z17"),
+      (18L, "sB", "en", "za p18 za q18 za r18 za s18"),
+      (19L, "sB", "en", "zb p19 zb q19 zb r19 zb s19 zb t19 zb u19")))
+      .toDF("doc_id", "source", "lang", "text")
+    val stages = operators.Profiling.ccnetStagesOf(docs)
+      .select($"doc_id", $"clean_text", $"guess", $"surprisal",
+        $"ppl_bucket", $"stage")
+      .as[(Long, String, String, Option[Double], Option[String], String)]
+      .collect().map(t => t._1 -> t).toMap
+    // stage 1 invisibility: clean_text is q214's, byte for byte
+    val cleanQ214 = operators.Profiling.paragraphDedupOf(docs)
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+    stages.foreach { case (id, t) => assert(t._2 === cleanQ214(id), s"doc $id") }
+    // stage 2 invisibility: the gate's guess is q64's over the DEDUPED text
+    val guessQ64 = operators.TextOps.langIdOf(
+      docs.select($"doc_id", $"lang").join(
+        cleanQ214.toSeq.toDF("doc_id", "text"), Seq("doc_id")))
+      .select($"doc_id", $"guess").as[(Long, String)].collect().toMap
+    stages.foreach { case (id, t) => assert(t._3 === guessQ64(id), s"doc $id") }
+    // stage 3 invisibility: buckets are q211's over the stage-2 survivors
+    val survivors = stages.collect {
+      case (id, t) if t._2.nonEmpty && t._3 == "en" && id != 12L => id
+    }.toSet // en-labeled docs whose guess confirmed (doc 12 is de-labeled)
+    val s2 = docs.filter($"doc_id".isin(survivors.toSeq: _*))
+      .select($"doc_id").join(cleanQ214.toSeq.toDF("doc_id", "text"), Seq("doc_id"))
+    val q211 = operators.TextOps.perplexityBucketsOf(s2)
+      .as[(Long, Double, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    stages.foreach { case (id, t) =>
+      (t._4, t._5) match {
+        case (Some(s), Some(b)) => assert(q211(id) === ((s, b)), s"doc $id")
+        case _ => assert(!q211.contains(id), s"doc $id scored but unbucketed")
+      }
+    }
+    // stage labels land where designed
+    assert(stages(11L)._6 === "drop_empty")   // fully deduped away
+    assert(stages(12L)._6 === "drop_langid")  // guess en ≠ label de
+    assert(stages(13L)._6 === "drop_unscored") // 1 token, no bigram
+    // the emitted corpus is exactly the head+middle survivors
+    val kept = operators.Profiling.ccnetCorpusOf(docs)
+      .select($"doc_id", $"ppl_bucket").as[(Long, String)].collect().toMap
+    val expectKept = stages.collect {
+      case (id, t) if t._6 == "kept" => id -> t._5.get
+    }.toMap
+    assert(kept === expectKept)
+    kept.values.foreach(b => assert(b == "head" || b == "middle"))
+    assert(stages.values.count(_._6 == "drop_tail") > 0) // the cut bites
+  }
+
+  test("q225 CCNet funnel: stage columns partition n_in; invisible rollup of the stage table") {
+    val session = spark
+    import session.implicits._
+    val docs = (Seq(
+      (20L, "sA", "en", "dup para"),
+      (21L, "sA", "en", "dup para"),
+      (22L, "sB", "de", "no marker prose here")) ++
+      (23L to 28L).map(i =>
+        (i, "sB", "en", s"body $i with one two three rep $i close")))
+      .toDF("doc_id", "source", "lang", "text")
+    val funnel = operators.Profiling.ccnetFunnelOf(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Double)].collect()
+    // conservation: the five stage columns partition the input, per source
+    funnel.foreach { r =>
+      assert(r._3 + r._4 + r._5 + r._6 + r._7 === r._2, r.toString)
+    }
+    // invisibility: the funnel is exactly the stage table rolled up
+    val byDoc = operators.Profiling.ccnetStagesOf(docs)
+      .select($"source", $"stage").as[(String, String)].collect()
+    val expect = byDoc.groupBy(_._1).map { case (s, rows) =>
+      def c(st: String) = rows.count(_._2 == st).toLong
+      (s, rows.size.toLong, c("drop_empty"), c("drop_langid"),
+        c("drop_unscored"), c("drop_tail"), c("kept"),
+        BigDecimal(c("kept").toDouble / rows.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    assert(funnel.toSet === expect)
   }
 
   test("q214 on the fixture: single-paragraph corpus degenerates to normalized doc dedup") {

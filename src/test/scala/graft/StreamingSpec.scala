@@ -662,7 +662,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val idf = operators.TextOps.hashedIdfOf(corpus)
       .as[(String, Double)].collect().toSeq.toDF("tok", "idf")
     val lab = operators.TextOps.qualityScoresOf(full).select($"doc_id",
-      org.apache.spark.sql.functions.when($"quality" >= 0.5, 1.0)
+      org.apache.spark.sql.functions.when(
+        $"quality" >= operators.Curation.FunnelQualityMin, 1.0)
         .otherwise(0.0).as("y"))
     val zy = operators.Curation.plattScoresOf(full, w, 1.0, 0.0)
       .select($"doc_id", $"z").join(lab, Seq("doc_id")).select($"z", $"y")
