@@ -2581,14 +2581,23 @@ object Curation extends QueryModule {
   }
 
   /** The four-round Feistel application + walk step as the (v1, v2, v3,
-    * c) lateral-alias column list — shared shape across dialects. */
+    * c) lateral-alias column list — shared shape across dialects. The
+    * FIRST application is unconditional (`guarded = false`): cycle
+    * walking is y = F(x), then re-apply while y lands in the padding —
+    * the input index is always < N, so a guarded first step would
+    * freeze the identity permutation (caught by the decorrelation
+    * law). */
   private def walkStepExprs(ph: String, pl: String, nExpr: String,
-      divOp: String, xor: (String, String) => String): Seq[String] = Seq(
-    s"${feistelRoundExpr("c", ph, pl, 1, divOp, xor)} AS v1",
-    s"${feistelRoundExpr("v1", ph, pl, 2, divOp, xor)} AS v2",
-    s"${feistelRoundExpr("v2", ph, pl, 3, divOp, xor)} AS v3",
-    s"CASE WHEN c < $nExpr THEN c ELSE " +
-      s"${feistelRoundExpr("v3", ph, pl, 4, divOp, xor)} END AS c")
+      divOp: String, xor: (String, String) => String,
+      guarded: Boolean): Seq[String] = {
+    val f4 = feistelRoundExpr("v3", ph, pl, 4, divOp, xor)
+    Seq(
+      s"${feistelRoundExpr("c", ph, pl, 1, divOp, xor)} AS v1",
+      s"${feistelRoundExpr("v1", ph, pl, 2, divOp, xor)} AS v2",
+      s"${feistelRoundExpr("v2", ph, pl, 3, divOp, xor)} AS v3",
+      if (guarded) s"CASE WHEN c < $nExpr THEN c ELSE $f4 END AS c"
+      else s"$f4 AS c")
+  }
 
   /** q222: the seeded deterministic epoch shuffle — the data-loader
     * operator the training-order family (q68 pack → q119/q170 order →
@@ -2643,15 +2652,16 @@ object Curation extends QueryModule {
     require(m <= 40, s"epoch shuffle supports up to 2^40 chunks, got $n")
     val ph = (1L << (m / 2)).toString
     val pl = (1L << (m - m / 2)).toString
-    val steps = walkStepExprs(ph, pl, s"${n}L", "div",
-      (a, b) => s"($a ^ $b)")
+    def steps(guarded: Boolean) = walkStepExprs(ph, pl, s"${n}L", "div",
+      (a, b) => s"($a ^ $b)", guarded)
     val carry = Seq("epoch", "source", "chunk_id", "chunk_tokens")
     var df = ranked.join(broadcast(offsets), Seq("source"))
       .crossJoin(broadcast(
         spark.range(epochs).select(col("id").as("epoch"))))
       .withColumn("c", col("off") + col("rk"))
-    for (_ <- 1 to ShuffleWalkSteps)
-      df = df.selectExpr(carry ++ steps: _*)
+      .selectExpr(carry ++ steps(guarded = false): _*)
+    for (_ <- 2 to ShuffleWalkSteps)
+      df = df.selectExpr(carry ++ steps(guarded = true): _*)
     df.select(col("epoch"),
         when(col("c") < n, col("c")).otherwise(raise_error(lit(
           s"epoch shuffle: cycle walk exceeded $ShuffleWalkSteps steps")))
@@ -2661,11 +2671,11 @@ object Curation extends QueryModule {
   }
 
   private lazy val epochShuffleSql = {
-    val steps = walkStepExprs("ph", "pl", "n", "//",
-      (a, b) => s"xor($a, $b)")
+    def steps(guarded: Boolean) = walkStepExprs("ph", "pl", "n", "//",
+      (a, b) => s"xor($a, $b)", guarded)
     val walk = (1 to ShuffleWalkSteps).map { i =>
       s"""s$i AS (SELECT epoch, source, chunk_id, chunk_tokens, n, ph, pl,
-        |  ${steps.mkString(",\n  ")}
+        |  ${steps(guarded = i > 1).mkString(",\n  ")}
         |FROM s${i - 1})""".stripMargin
     }.mkString(",\n")
     s"""WITH pack AS (${TextOps.packSequencesSql}),

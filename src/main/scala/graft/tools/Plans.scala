@@ -860,7 +860,22 @@ object Plans {
           "branches; the isotonic minimax runs entirely above the " +
           "<=11-bin aggregates (tiny non-equi joins of aggregated " +
           "cards, never the corpus); no window, no Expand.",
-        graft.operators.Curation.calibrationMethodCard(spark, dir)))
+        graft.operators.Curation.calibrationMethodCard(spark, dir)),
+      section("q222 seeded deterministic epoch shuffle (r17)",
+        "What to look for: q68's pack chain + the per-source dense rank " +
+          "(partitioned windows), the #sources offset cumulative above " +
+          "its aggregate, the 2-row epoch table via broadcast, then the " +
+          "48-step Feistel walk as ONE stack of projections (whole-stage " +
+          "codegen'd integer arithmetic, no exchange of its own) into " +
+          "the presentation sort.",
+        graft.operators.Curation.epochShuffle(spark, dir)),
+      section("q223 DoReMi-style domain reweighting (r17)",
+        "What to look for: q103's surprisal chain collapsing into the " +
+          "#sources-row loss aggregate; the multiplicative-weight " +
+          "iteration is DRIVER-held (no iterative aggregates in-plan); " +
+          "the final weights ride back as one broadcast hash join; no " +
+          "window, no cartesian.",
+        graft.operators.Curation.doremiWeights(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

@@ -1184,6 +1184,32 @@ object ScaleProbe {
         .collect()(0).getLong(0)
     time("q225 ccnet funnel 1x (5k docs)")(ccnetFunnelCount(d1))
     time(s"q225 ccnet funnel ${copies}x")(ccnetFunnelCount(dN))
+    // q222: q68's pack + per-source rank + the 48-step Feistel walk as
+    // a narrow map — must scale like the pack itself (the walk is ~flat
+    // per-row arithmetic). Anchored on the permuted positions so the
+    // walk cannot be pruned.
+    def shuffleCount(docs: DataFrame): Long =
+      graft.operators.Curation.epochShuffleOf(
+        graft.operators.TextOps.packSequencesOf(
+          docs.select(col("doc_id"), col("source"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens")),
+          budget = graft.operators.TextOps.PackBudget)
+          .select(col("source"), col("chunk_id"), col("chunk_tokens")))
+        .agg(sum(col("pos") + col("chunk_tokens")).cast("long"))
+        .collect()(0).getLong(0)
+    time("q222 epoch shuffle 1x (5k docs)")(shuffleCount(d1))
+    time(s"q222 epoch shuffle ${copies}x")(shuffleCount(dN))
+    // q223: q103's corpus pass into a #sources-row loss table; the MW
+    // iteration is driver-held over those rows — must track q103.
+    // Anchored on loss+weight mass so neither side prunes.
+    def doremiCount(docs: DataFrame): Long =
+      graft.operators.Curation.doremiWeightsOf(
+        docs.select(col("doc_id"), col("source"), col("text")))
+        .agg(sum((col("proxy_loss") + col("weight") + col("n_bigrams"))
+          .cast(DecimalType(38, 12))).cast("long"))
+        .collect()(0).getLong(0)
+    time("q223 doremi weights 1x (5k docs)")(doremiCount(d1))
+    time(s"q223 doremi weights ${copies}x")(doremiCount(dN))
 
     spark.stop()
   }

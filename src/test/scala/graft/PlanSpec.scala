@@ -1165,6 +1165,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q222 epoch shuffle: narrow permutation map — windows per-source or above aggregates, no SMJ") {
+    val df = Curation.epochShuffle(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      plan.take(4000))
+    // the Feistel walk adds NO exchange of its own: windows are q68's
+    // per-source running sum + the per-source rank (both partitioned)
+    // and the #sources-row offset cumulative (unpartitioned but above
+    // an aggregate — bounded by the source count, the q211 idiom)
+    val windowNodes = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windowNodes.foreach(w => assert(
+      w.partitionSpec.nonEmpty || allNodes(w).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      w.toString.take(2000)))
+    // offsets and epochs ride in as broadcasts
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan.take(4000))
+  }
+
+  test("q223 DoReMi: one corpus pass into the source-loss table; weights fold back as a broadcast") {
+    val df = Curation.doremiWeights(spark, sf0001)
+    val plan = executedPlan(df)
+    // the iteration happened driver-side before this plan exists: no
+    // window, no cartesian, no iterative aggregates — just q103's
+    // chain into a #sources aggregate plus the broadcast weight join
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("CartesianProduct"),
+      plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
+
   test("q224 method card: corpus work is q215's cached (z,y) pass; isotonic joins are bin-card-sized") {
     Curation.ensureLrModel(spark, sf0001)
     val df = Curation.calibrationMethodCard(spark, sf0001)
