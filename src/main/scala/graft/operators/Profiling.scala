@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -441,31 +441,72 @@ object Profiling extends QueryModule {
     * back onto the stage table. The stage-1+2 table is ScopedCache'd —
     * it feeds BOTH the surprisal chain and the final assembly, and
     * without the pin the paragraph dedup would run twice. */
+  /** Stages 1+2 assembled onto a doc set: the (doc_id, source, lang,
+    * clean_text, guess) table — ONE kernel shared by the batch operator
+    * and the ingest twin so the langid gate cannot drift. */
+  private def ccnetLangidStage(d: DataFrame, clean: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"), col("lang"))
+      .join(clean, Seq("doc_id"))
+      .select(Seq(col("doc_id"), col("source"), col("lang"),
+        col("clean_text")) ++ TextOps.langScoreCols(col("clean_text")): _*)
+      .withColumn("guess", TextOps.langGuessFromScores)
+      .drop("score_en", "score_de", "score_es")
+
+  /** The stage-2 survival predicate and the per-doc stage label — shared
+    * by batch and ingest. */
+  private def ccnetSurvives2: Column =
+    col("clean_text") =!= "" && col("lang").isNotNull &&
+      col("guess") === col("lang")
+
+  private def ccnetStageCol: Column =
+    when(col("clean_text") === "", "drop_empty")
+      .when(col("lang").isNull || col("guess") =!= col("lang"), "drop_langid")
+      .when(col("ppl_bucket").isNull, "drop_unscored")
+      .when(col("ppl_bucket") === "tail", "drop_tail")
+      .otherwise("kept")
+
   private[graft] def ccnetStagesOf(d: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(d.sparkSession)
     val paras = paragraphRows(d)
     val card = paragraphCardRows(d, paras, keepFirst(paragraphContent(paras)))
     val st1 = graft.functions.ScopedCache.persist("q221.stage12",
-      d.select(col("doc_id"), col("source"), col("lang"))
-        .join(card.select(col("doc_id"), col("clean_text")), Seq("doc_id"))
-        .select(Seq(col("doc_id"), col("source"), col("lang"),
-          col("clean_text")) ++ TextOps.langScoreCols(col("clean_text")): _*)
-        .withColumn("guess", TextOps.langGuessFromScores)
-        .drop("score_en", "score_de", "score_es"))
-    val s2 = st1.filter(col("clean_text") =!= "" &&
-      col("lang").isNotNull && col("guess") === col("lang"))
+      ccnetLangidStage(d, card.select(col("doc_id"), col("clean_text"))))
+    val s2 = st1.filter(ccnetSurvives2)
     val buckets = TextOps.perplexityBucketsOf(
       s2.select(col("doc_id"), col("clean_text").as("text")),
       cacheVariant = "q221")
     st1.join(buckets.select(col("doc_id"), col("surprisal"),
         col("ppl_bucket")), Seq("doc_id"), "left")
-      .withColumn("stage",
-        when(col("clean_text") === "", "drop_empty")
-          .when(col("lang").isNull || col("guess") =!= col("lang"),
-            "drop_langid")
-          .when(col("ppl_bucket").isNull, "drop_unscored")
-          .when(col("ppl_bucket") === "tail", "drop_tail")
-          .otherwise("kept"))
+      .withColumn("stage", ccnetStageCol)
+  }
+
+  /** q221's INGEST shape — the steady-state CCNet kernel a streaming
+    * pipeline runs per micro-batch once the nightly artifacts freeze:
+    * the paragraph-hash store (q214's growing-store twin), the langid
+    * map (stateless), and the frozen LM conditional table
+    * ([[TextOps.knProbsOf]]) + tertile grid cuts (2 longs, from
+    * [[TextOps.tertileCutsDf]]) — every trained quantity ships as an
+    * artifact, so scoring an arrival is pure per-doc work plus the
+    * hash-keyed store anti-join (the q176/q214 admission pattern).
+    * Returns the batch's q221-shaped stage table plus the newly kept
+    * paragraph keys for the caller to fold into the store.
+    * StreamingSpec pins the fold law (incremental micro-batches against
+    * the growing store ≡ one-shot ingest of the concatenated arrivals)
+    * and store admission (a re-arriving nightly paragraph dedups
+    * away). */
+  private[graft] def ccnetIngest(b: DataFrame, seenKeys: DataFrame,
+      probs: DataFrame, cuts: (Long, Long)): (DataFrame, DataFrame) = {
+    val (card, newKeys) = paragraphDedupAgainst(b, seenKeys)
+    val st1 = ccnetLangidStage(b, card.select(col("doc_id"), col("clean_text")))
+    val scored = TextOps.bucketizeAgainst(
+      TextOps.surprisalAgainst(
+        st1.filter(ccnetSurvives2)
+          .select(col("doc_id"), col("clean_text").as("text")), probs)
+        .select(col("doc_id"), col("surprisal")),
+      cuts._1, cuts._2)
+    val stages = st1.join(scored, Seq("doc_id"), "left")
+      .withColumn("stage", ccnetStageCol)
+    (stages, newKeys)
   }
 
   /** q221: the CCNet end-to-end corpus emitter — the ACTION query a

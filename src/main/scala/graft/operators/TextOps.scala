@@ -2076,6 +2076,25 @@ object TextOps extends QueryModule {
             * (col("n1_right").cast(DoubleType) / col("n_types"))).as("p"))
   }
 
+  /** Score a batch against a FROZEN smoothed-conditional table (l, r, p)
+    * — the serving half of q207 for streaming twins (the q203/q210
+    * frozen-model convention): transitions the frozen model does not
+    * attest are excluded symmetrically (the q110 floor discipline), and
+    * a doc with no attested transition is unscored. On a doc whose
+    * every transition the model attests, the score is bit-identical to
+    * [[smoothedBigramSurprisalOf]]'s (same per-doc counts, same
+    * decimal-cast fold). */
+  private[graft] def surprisalAgainst(b: DataFrame, probs: DataFrame): DataFrame = {
+    val bg = adjacentPairs(b, carryDocId = true)
+      .groupBy(col("doc_id"), col("l"), col("r"))
+      .agg(count(lit(1)).as("cnt"))
+    bg.join(probs, Seq("l", "r"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(-sum((col("cnt") * log(col("p"))).cast(DecimalType(38, 12)))
+          .cast(DoubleType) / sum(col("cnt")), 6).as("surprisal"))
+  }
+
   /** The q207 chain as CTEs ending in `sbs` = (doc_id, n_bigrams,
     * avg_smoothed_surprisal_nats) — shared VERBATIM by the q207 and
     * q211 oracles so the perplexity buckets can only bucket exactly the
@@ -2125,6 +2144,42 @@ object TextOps extends QueryModule {
     * count-of-counts trick applied to a score distribution. */
   val PplGridPerNat = 1000L
 
+  /** The milli-nat grid cell of a `surprisal` column. DECIMAL(12,6),
+    * not (10,6): on a score above 9999.999999 Spark's non-ANSI cast
+    * would yield NULL (silently bucketed as tail) while DuckDB's CAST
+    * throws — (12,6) keeps both engines loud and exact far outside the
+    * single-digit-nat regime surprisal lives in (ADVICE r15). */
+  private def pplGridExpr: Column =
+    floor(col("surprisal").cast(DecimalType(12, 6)) * PplGridPerNat)
+      .cast(LongType)
+
+  /** The 1-row tertile cuts (g1, g2) over a (surprisal) table — q211's
+    * grid-histogram cut derivation, factored so the streaming twin can
+    * FREEZE the nightly cuts (a 2-long artifact) and the batch operator
+    * broadcasts the same derivation in-plan. */
+  private[graft] def tertileCutsDf(scored: DataFrame): DataFrame = {
+    val hist = scored.select(pplGridExpr.as("g")).groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val nTot = hist.agg(sum(col("cnt")).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.orderBy(col("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.crossJoin(broadcast(nTot)).agg(
+      min(when(col("cum") * 3 >= col("n"), col("g"))).as("g1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("g"))).as("g2"))
+  }
+
+  /** Frozen-artifact bucketing: assign `ppl_bucket` to a (doc_id,
+    * surprisal) batch under EXPLICIT grid cuts — the serving half of
+    * q211 (a pure map once the 2-long cut pair freezes). */
+  private[graft] def bucketizeAgainst(scored: DataFrame,
+      g1: Long, g2: Long): DataFrame =
+    scored.withColumn("g", pplGridExpr)
+      .select(col("doc_id"), col("surprisal"),
+        when(col("g") <= g1, lit("head"))
+          .when(col("g") <= g2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+
   /** q211: perplexity-tertile bucketing — the CCNet stage (Wenzek et
     * al., LREC 2020) that follows LM scoring: split the corpus into
     * `head` / `middle` / `tail` thirds by language-model score (lowest
@@ -2163,23 +2218,8 @@ object TextOps extends QueryModule {
     val scored = graft.functions.ScopedCache.persist("q211.scored", cacheVariant,
       smoothedBigramSurprisalOf(d)
         .select(col("doc_id"), col("avg_smoothed_surprisal_nats").as("surprisal")))
-    // DECIMAL(12,6), not (10,6): on a score above 9999.999999 Spark's
-    // non-ANSI cast would yield NULL (silently bucketed as tail) while
-    // DuckDB's CAST throws — (12,6) keeps both engines loud and exact
-    // far outside the single-digit-nat regime surprisal lives in
-    // (ADVICE r15)
-    val g = floor(col("surprisal").cast(DecimalType(12, 6)) * PplGridPerNat)
-      .cast(LongType)
-    val hist = scored.select(g.as("g")).groupBy(col("g"))
-      .agg(count(lit(1)).as("cnt"))
-    val nTot = hist.agg(sum(col("cnt")).as("n"))
-    val cum = hist.withColumn("cum",
-      sum(col("cnt")).over(Window.orderBy(col("g"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val cuts = cum.crossJoin(broadcast(nTot)).agg(
-      min(when(col("cum") * 3 >= col("n"), col("g"))).as("g1"),
-      min(when(col("cum") * 3 >= col("n") * 2, col("g"))).as("g2"))
-    scored.withColumn("g", g)
+    val cuts = tertileCutsDf(scored)
+    scored.withColumn("g", pplGridExpr)
       .crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("surprisal"),
         when(col("g") <= col("g1"), lit("head"))

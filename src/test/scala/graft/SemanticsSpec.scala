@@ -2484,6 +2484,21 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert((fix("near_jaccard")._1, fix("near_jaccard")._2,
       fix("near_jaccard")._3) ===
       ((nGroups, clusters.length.toLong, clusters.length - nGroups)))
+    // invisibility vs q214's accounting on a multi-paragraph corpus:
+    // the paragraph tier's removable count IS the q214 card's total
+    // dropped paragraphs, and the removable bytes are the non-keeper
+    // members' original bytes (keeper = min (doc_id, pos))
+    val multi = Seq(
+      (1L, "alpha body\nCommon Footer"),
+      (2L, "beta body\nCommon Footer"),
+      (3L, "Common  footer\ngamma body")).toDF("doc_id", "text")
+    val mcard = operators.Profiling.dedupMethodCardOf(multi, Dedup.rawLabelsOf(multi))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(mcard("paragraph") === ((1L, 3L, 2L, 27L))) // 13+14 dropped bytes
+    val q214dropped = operators.Profiling.paragraphDedupOf(multi)
+      .as[(Long, Long, Long, Long, Long, String)].collect().map(_._5).sum
+    assert(mcard("paragraph")._3 === q214dropped)
   }
 
   test("q202 LR training strictly reduces the log-loss below the zero-model's ln 2") {

@@ -966,6 +966,94 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming CCNet ingest: frozen LM/cuts + growing paragraph store; folds compose to one-shot (q221)") {
+    // q221's ingest twin: the nightly run freezes the LM conditional
+    // table, the tertile cuts (2 longs), and the paragraph-hash store;
+    // each arriving micro-batch then runs ccnetIngest — pure per-doc
+    // work plus the store anti-join — and folds its kept keys back in.
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nightly = Seq(
+      (10L, "sA", "en", "shared boilerplate paragraph"),
+      (14L, "sB", "en", "rep rep rep rep rep rep rep rep"),
+      (15L, "sB", "en", "rep rep rep rep rep one two three"),
+      (16L, "sB", "en", "rep rep rep u16 v16 w16 x16 y16"),
+      (17L, "sB", "en", "rep rep u17 v17 w17 x17 y17 z17"),
+      (18L, "sB", "en", "za p18 za q18 za r18 za s18"),
+      (19L, "sB", "en", "zb p19 zb q19 zb r19 zb s19 zb t19 zb u19"))
+      .toDF("doc_id", "source", "lang", "text")
+    // freeze the nightly artifacts AS LITERALS (the frozen-model twin
+    // convention: trained state ships to the stream, never a live plan)
+    val probs = operators.TextOps.knProbsOf(nightly.select($"doc_id", $"text"))
+      .as[(String, String, Double)].collect().toSeq.toDF("l", "r", "p")
+    val cutsRow = operators.TextOps.tertileCutsDf(
+      operators.TextOps.smoothedBigramSurprisalOf(nightly.select($"doc_id", $"text"))
+        .select($"avg_smoothed_surprisal_nats".as("surprisal"))).collect()(0)
+    val cuts = (cutsRow.getLong(0), cutsRow.getLong(1))
+    val store0 = operators.Profiling
+      .paragraphDedupAgainst(nightly, Seq.empty[String].toDF("k"))._2
+      .as[String].collect().toSeq.toDF("k")
+    val b1 = Seq(
+      (100L, "sA", "en", "rep rep rep rep rep rep rep rep"),
+      (101L, "sA", "en",
+        "rep rep rep rep rep one two three\nrep rep rep u16 v16 w16 x16 y16"),
+      (102L, "sA", "en", "fresh rep rep rep rep arrival doc"),
+      (103L, "sB", "de", "plain en style prose"))
+    val b2 = Seq(
+      (200L, "sB", "en", "fresh rep rep rep rep arrival doc"),
+      (201L, "sB", "en", "totally novel unattested words only"))
+    @volatile var seen = store0
+    val got = new java.util.concurrent.ConcurrentHashMap[Long, (String, String)]()
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = in.toDF().toDF("doc_id", "source", "lang", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          val (stages, newKeys) = operators.Profiling.ccnetIngest(b, seen, probs, cuts)
+          stages.select($"doc_id", $"stage",
+            org.apache.spark.sql.functions.coalesce($"ppl_bucket",
+              org.apache.spark.sql.functions.lit("-")))
+            .collect().foreach(r =>
+              got.put(r.getLong(0), (r.getString(1), r.getString(2))))
+          seen = seen.unionByName(
+            newKeys.as[String](org.apache.spark.sql.Encoders.STRING)
+              .collect().toSeq.toDF("k"))
+        }; ()
+      }
+      .option("checkpointLocation", tmp("ck-ccnet-ingest"))
+      .start()
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      // nightly paragraphs caught by the frozen store; the fresh doc
+      // scores on its frozen-attested transitions (rep->rep: head) and
+      // the mislabeled doc exits at the langid gate
+      assert(got.get(100L)._1 === "drop_empty")
+      assert(got.get(101L)._1 === "drop_empty")
+      assert(got.get(102L) === (("kept", "head")))
+      assert(got.get(103L)._1 === "drop_langid")
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      // batch 2 catches batch 1's admitted paragraph from the GROWN
+      // store; a doc with no frozen-attested transition is unscored
+      assert(got.get(200L)._1 === "drop_empty")
+      assert(got.get(201L)._1 === "drop_unscored")
+    } finally q.stop()
+    // fold ≡ one-shot: ingesting b1 ∪ b2 against the ORIGINAL store in
+    // one call must agree on every arrival (b1 ids < b2 ids, so the
+    // keep-first order matches arrival order)
+    val oneShot = operators.Profiling.ccnetIngest(
+      (b1 ++ b2).toDF("doc_id", "source", "lang", "text"), store0, probs, cuts)
+      ._1.select($"doc_id", $"stage",
+        org.apache.spark.sql.functions.coalesce($"ppl_bucket",
+          org.apache.spark.sql.functions.lit("-")))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    (b1 ++ b2).map(_._1).foreach { id =>
+      assert(got.get(id) === oneShot(id), s"doc $id fold != one-shot")
+    }
+  }
+
   test("streaming compaction: per-batch folds compose to the fresh full build") {
     // the live twin of q185: each micro-batch FOLDS into the near-dup
     // artifact (writeCompactedNeardup against the previous generation),
