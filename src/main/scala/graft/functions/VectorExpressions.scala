@@ -143,7 +143,13 @@ object GraftFunctions {
     // exactly where the SQL formulation it replaced did it
     ("graft_random_project", classOf[RandomProjectCol],
       (exprs: Seq[Expression]) => RandomProjectCol(
-        exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())))
+        exprs(0), exprs(1).eval(null).asInstanceOf[Number].intValue())),
+    // args 2/3 are plan-time literals (domain size / bits) — model-sized
+    // driver state, the BPE-merge-literal convention
+    ("graft_feistel_walk", classOf[FeistelWalk],
+      (exprs: Seq[Expression]) => FeistelWalk(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].longValue(),
+        exprs(3).eval(null).asInstanceOf[Number].intValue())))
 
   /** Idempotent per-session fallback: queries can run against sessions
     * not built by GraftSession (e.g. a driver-owned session), so each

@@ -2545,59 +2545,44 @@ object Curation extends QueryModule {
   /** Epochs emitted by q222 (each epoch seeds its own permutation). */
   val EpochShuffleEpochs = 2
 
-  /** Cycle-walk unroll bound. The walk re-applies the Feistel permutation
-    * while the value lands in the padding [N, 2^m); with 2^m < 2N each
-    * application escapes with probability > 1/2, so the chance ANY of n
-    * chunks needs more than k steps is < n·2^-k — at 48 steps that is
-    * < 4·10^-5 even for 10^10 chunks (100 TB territory), and the final
-    * gate FAILS LOUDLY (raise_error) rather than emitting a non-position,
-    * so an exceedance can never silently corrupt an epoch. */
-  private[graft] val ShuffleWalkSteps = 48
+  /** Cycle-walk unroll bound and hash constants — defined ONCE in
+    * [[graft.functions.FeistelWalkKernel]] (the codegen'd kernel) and
+    * interpolated into the oracle's unrolled CTE chain below, so the
+    * two sides cannot drift. */
+  private[graft] val ShuffleWalkSteps = graft.functions.FeistelWalkKernel.Steps
+  private val ShufP = graft.functions.FeistelWalkKernel.P
+  private val ShufMult = graft.functions.FeistelWalkKernel.Mult
+  private val ShufMod = graft.functions.FeistelWalkKernel.Mod
 
-  // a fourth multiplicative-hash family for the round function (offsets
-  // 1009·epoch + 7919·round), same engine-portable arithmetic as q87/
-  // q126/q148: all operands non-negative, products < 2^52 — no pmod
-  // needed and no BIGINT overflow on either engine
-  private val ShufP = 1000003L
-  private val ShufMult = 2654435761L
-  private val ShufMod = 1048573L
-
-  /** One unbalanced-Feistel round over [0, 2^m), emitted as a dialect-
-    * parameterized SQL expression so the Spark plan and the DuckDB
-    * oracle share ONE arithmetic definition: split x into hb = m/2 low
-    * bits (R) and m−hb high bits (L), then x' = R·pl + (L ⊕ f_r(R))
-    * with f_r a multiplicative hash of (R, epoch, round) masked to the
-    * L width. Each round is a bijection on [0, 2^m) (R recovers from
-    * the high bits, L from the XOR), so the 4-round composition is a
-    * keyed permutation (Luby–Rackoff; Black & Rogaway CT-RSA'02 is the
-    * cycle-walking construction). */
-  private def feistelRoundExpr(x: String, ph: String, pl: String, r: Int,
-      divOp: String, xor: (String, String) => String): String = {
-    val rr = s"($x % $ph)"
-    val ll = s"($x $divOp $ph)"
+  /** One unbalanced-Feistel round over [0, 2^m) as a DuckDB SQL
+    * expression — the oracle's replay of the codegen'd kernel
+    * ([[graft.functions.FeistelWalkKernel]], same constants): split x
+    * into hb = m/2 low bits (R) and m−hb high bits (L), then
+    * x' = R·pl + (L ⊕ f_r(R)) with f_r a multiplicative hash of
+    * (R, epoch, round) masked to the L width. Each round is a bijection
+    * on [0, 2^m) (R recovers from the high bits, L from the XOR), so
+    * the 4-round composition is a keyed permutation (Luby–Rackoff;
+    * Black & Rogaway CT-RSA'02 is the cycle-walking construction). */
+  private def feistelRoundExpr(x: String, r: Int): String = {
+    val rr = s"($x % ph)"
+    val ll = s"($x // ph)"
     val f = s"(((($rr + epoch * 1009 + ${r.toLong * 7919}) % $ShufP)" +
-      s" * $ShufMult % $ShufMod) % $pl)"
-    s"($rr * $pl + ${xor(ll, f)})"
+      s" * $ShufMult % $ShufMod) % pl)"
+    s"($rr * pl + xor($ll, $f))"
   }
 
   /** The four-round Feistel application + walk step as the (v1, v2, v3,
-    * c) lateral-alias column list — shared shape across dialects. The
-    * FIRST application is unconditional (`guarded = false`): cycle
-    * walking is y = F(x), then re-apply while y lands in the padding —
-    * the input index is always < N, so a guarded first step would
-    * freeze the identity permutation (caught by the decorrelation
-    * law). */
-  private def walkStepExprs(ph: String, pl: String, nExpr: String,
-      divOp: String, xor: (String, String) => String,
-      guarded: Boolean): Seq[String] = {
-    val f4 = feistelRoundExpr("v3", ph, pl, 4, divOp, xor)
-    Seq(
-      s"${feistelRoundExpr("c", ph, pl, 1, divOp, xor)} AS v1",
-      s"${feistelRoundExpr("v1", ph, pl, 2, divOp, xor)} AS v2",
-      s"${feistelRoundExpr("v2", ph, pl, 3, divOp, xor)} AS v3",
-      if (guarded) s"CASE WHEN c < $nExpr THEN c ELSE $f4 END AS c"
-      else s"$f4 AS c")
-  }
+    * c) lateral-alias column list. The FIRST application is
+    * unconditional (`guarded = false`): cycle walking is y = F(x), then
+    * re-apply while y lands in the padding — the input index is always
+    * < N, so a guarded first step would freeze the identity permutation
+    * (caught by the decorrelation law). */
+  private def walkStepExprs(guarded: Boolean): Seq[String] = Seq(
+    s"${feistelRoundExpr("c", 1)} AS v1",
+    s"${feistelRoundExpr("v1", 2)} AS v2",
+    s"${feistelRoundExpr("v2", 3)} AS v3",
+    if (guarded) s"CASE WHEN c < n THEN c ELSE ${feistelRoundExpr("v3", 4)} END AS c"
+    else s"${feistelRoundExpr("v3", 4)} AS c")
 
   /** q222: the seeded deterministic epoch shuffle — the data-loader
     * operator the training-order family (q68 pack → q119/q170 order →
@@ -2608,20 +2593,21 @@ object Curation extends QueryModule {
     * decorrelate (Luby–Rackoff Feistel over the next power of two,
     * cycle-walked back into [0, N); Black & Rogaway CT-RSA'02).
     *
-    * The permutation itself is a PURE NARROW MAP — ~4·walk integer ops
-    * per row, no shuffle, no state; rand() cannot do this (not a
-    * permutation, not replayable) and a sort over hash(idx) pays a
-    * corpus sort per epoch. The dense index costs one per-source rank
+    * The permutation itself is a PURE NARROW MAP — one native codegen
+    * expression ([[graft.functions.FeistelWalk]], a per-row Java loop
+    * with O(1) plan size), no shuffle, no state; rand() cannot do this
+    * (not a permutation, not replayable) and a sort over hash(idx) pays
+    * a corpus sort per epoch. The dense index costs one per-source rank
     * (the q68/q69 window posture — parallel across sources, bounded by
     * the largest source) plus a #sources-row offset cumulative, and the
     * presentation sort orders the emitted epochs.
     *
     * Determinism: all arithmetic is non-negative BIGINT mod/div/xor
-    * (documented at [[feistelRoundExpr]]); the oracle replays the walk
-    * with the SAME shared round builder, so a green row certifies the
-    * permutation arithmetic end to end. The 1-row chunk count (and the
-    * derived power-of-two masks) is the only driver state — model-sized,
-    * the q205-argmax class of collect. */
+    * ([[graft.functions.FeistelWalkKernel]]); the oracle unrolls the
+    * SAME arithmetic (shared constants) as 48 lateral-alias CTEs, so a
+    * green row certifies kernel ≡ unroll end to end. The 1-row chunk
+    * count (and the derived power-of-two masks) is the only driver
+    * state — model-sized, the q205-argmax class of collect. */
   def epochShuffle(spark: SparkSession, dir: String): DataFrame =
     epochShuffleOf(TextOps.packSequences(spark, dir)
       .select(col("source"), col("chunk_id"), col("chunk_tokens")))
@@ -2650,32 +2636,28 @@ object Curation extends QueryModule {
       if (n <= 1L) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
     require(m <= 40, s"epoch shuffle supports up to 2^40 chunks, got $n")
-    val ph = (1L << (m / 2)).toString
-    val pl = (1L << (m - m / 2)).toString
-    def steps(guarded: Boolean) = walkStepExprs(ph, pl, s"${n}L", "div",
-      (a, b) => s"($a ^ $b)", guarded)
-    val carry = Seq("epoch", "source", "chunk_id", "chunk_tokens")
-    var df = ranked.join(broadcast(offsets), Seq("source"))
+    // the walk runs as ONE native codegen expression — a per-row Java
+    // loop, O(1) plan size. Unrolling it in-plan was A/B-measured: 48
+    // lateral-alias selectExpr steps cost ~4.6 s of pure Catalyst
+    // analysis per pass for microseconds of data work, and a naive
+    // Column-composition build exploded CollapseProject into a 6.9 MiB
+    // task binary (31 s). The kernel throws on walk exhaustion (loud
+    // failure, never a silent non-position); the oracle unrolls the
+    // same arithmetic, so the green hash certifies kernel ≡ unroll.
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    ranked.join(broadcast(offsets), Seq("source"))
       .crossJoin(broadcast(
         spark.range(epochs).select(col("id").as("epoch"))))
-      .withColumn("c", col("off") + col("rk"))
-      .selectExpr(carry ++ steps(guarded = false): _*)
-    for (_ <- 2 to ShuffleWalkSteps)
-      df = df.selectExpr(carry ++ steps(guarded = true): _*)
-    df.select(col("epoch"),
-        when(col("c") < n, col("c")).otherwise(raise_error(lit(
-          s"epoch shuffle: cycle walk exceeded $ShuffleWalkSteps steps")))
-          .as("pos"),
+      .select(col("epoch"),
+        expr(s"graft_feistel_walk(off + rk, epoch, ${n}L, $m)").as("pos"),
         col("source"), col("chunk_id"), col("chunk_tokens"))
       .orderBy(col("epoch"), col("pos"))
   }
 
   private lazy val epochShuffleSql = {
-    def steps(guarded: Boolean) = walkStepExprs("ph", "pl", "n", "//",
-      (a, b) => s"xor($a, $b)", guarded)
     val walk = (1 to ShuffleWalkSteps).map { i =>
       s"""s$i AS (SELECT epoch, source, chunk_id, chunk_tokens, n, ph, pl,
-        |  ${steps(guarded = i > 1).mkString(",\n  ")}
+        |  ${walkStepExprs(guarded = i > 1).mkString(",\n  ")}
         |FROM s${i - 1})""".stripMargin
     }.mkString(",\n")
     s"""WITH pack AS (${TextOps.packSequencesSql}),

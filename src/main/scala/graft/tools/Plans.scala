@@ -865,9 +865,9 @@ object Plans {
         "What to look for: q68's pack chain + the per-source dense rank " +
           "(partitioned windows), the #sources offset cumulative above " +
           "its aggregate, the 2-row epoch table via broadcast, then the " +
-          "48-step Feistel walk as ONE stack of projections (whole-stage " +
-          "codegen'd integer arithmetic, no exchange of its own) into " +
-          "the presentation sort.",
+          "whole walk as ONE native codegen expression " +
+          "(graft_feistel_walk — a per-row Java loop, O(1) plan size, " +
+          "no exchange of its own) into the presentation sort.",
         graft.operators.Curation.epochShuffle(spark, dir)),
       section("q223 DoReMi-style domain reweighting (r17)",
         "What to look for: q103's surprisal chain collapsing into the " +

@@ -357,4 +357,23 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
       assert(fromCodegen.toSeq === interpreted.toSeq)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
+
+  test("graft_feistel_walk: codegen and interpreted paths agree; kernel is a bijection") {
+    val session = spark
+    import session.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // n = 100 → m = 7: every index walks within [0, 100) and the image
+    // is exactly a permutation, per epoch
+    val df = spark.range(100).crossJoin(spark.range(2).select(col("id").as("epoch")))
+      .selectExpr("epoch", "graft_feistel_walk(id, epoch, 100L, 7) AS pos")
+    val fromCodegen = df.as[(Long, Long)].collect()
+    for (e <- 0L to 1L)
+      assert(fromCodegen.filter(_._1 == e).map(_._2).sorted.toSeq === (0L until 100L))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.as[(Long, Long)].collect()
+      assert(fromCodegen.sorted.toSeq === interpreted.sorted.toSeq)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
 }

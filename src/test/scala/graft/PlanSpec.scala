@@ -1181,9 +1181,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       w.partitionSpec.nonEmpty || allNodes(w).exists(
         _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
       w.toString.take(2000)))
-    // offsets and epochs ride in as broadcasts
+    // offsets and epochs ride in as broadcasts, and the walk is the ONE
+    // native codegen expression (not an unrolled projection stack)
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       plan.take(4000))
+    assert(plan.contains("graft_feistel_walk"), plan.take(4000))
   }
 
   test("q223 DoReMi: one corpus pass into the source-loss table; weights fold back as a broadcast") {
