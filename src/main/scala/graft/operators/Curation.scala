@@ -2571,18 +2571,26 @@ object Curation extends QueryModule {
     s"($rr * pl + xor($ll, $f))"
   }
 
-  /** The four-round Feistel application + walk step as the (v1, v2, v3,
-    * c) lateral-alias column list. The FIRST application is
-    * unconditional (`guarded = false`): cycle walking is y = F(x), then
-    * re-apply while y lands in the padding — the input index is always
-    * < N, so a guarded first step would freeze the identity permutation
-    * (caught by the decorrelation law). */
-  private def walkStepExprs(guarded: Boolean): Seq[String] = Seq(
-    s"${feistelRoundExpr("c", 1)} AS v1",
-    s"${feistelRoundExpr("v1", 2)} AS v2",
-    s"${feistelRoundExpr("v2", 3)} AS v3",
-    if (guarded) s"CASE WHEN c < n THEN c ELSE ${feistelRoundExpr("v3", 4)} END AS c"
-    else s"${feistelRoundExpr("v3", 4)} AS c")
+  /** The four-round Feistel application + walk step as a lateral-alias
+    * column list. The FIRST application is unconditional
+    * (`guarded = false`): cycle walking is y = F(x), then re-apply
+    * while y lands in the padding — the input index is always < N, so
+    * a guarded first step would freeze the identity permutation
+    * (caught by the decorrelation law). The intermediate aliases are
+    * STEP-UNIQUE (v1_$i …): DuckDB resolves a lateral alias only when
+    * no base column of that name exists, so reusing `v1` across the
+    * chained CTEs would silently read the PREVIOUS step's column and
+    * turn the 48-application walk into a 4-step-latency pipeline
+    * delivering ~12 (caught by the r17 self-review; the step-unique
+    * names are never selected by the next CTE, so resolution is
+    * lateral by construction). */
+  private def walkStepExprs(i: Int, guarded: Boolean): Seq[String] = Seq(
+    s"${feistelRoundExpr("c", 1)} AS v1_$i",
+    s"${feistelRoundExpr(s"v1_$i", 2)} AS v2_$i",
+    s"${feistelRoundExpr(s"v2_$i", 3)} AS v3_$i",
+    if (guarded)
+      s"CASE WHEN c < n THEN c ELSE ${feistelRoundExpr(s"v3_$i", 4)} END AS c"
+    else s"${feistelRoundExpr(s"v3_$i", 4)} AS c")
 
   /** q222: the seeded deterministic epoch shuffle — the data-loader
     * operator the training-order family (q68 pack → q119/q170 order →
@@ -2619,19 +2627,25 @@ object Curation extends QueryModule {
   def epochShuffleOf(chunks: DataFrame,
       epochs: Int = EpochShuffleEpochs): DataFrame = {
     val spark = chunks.sparkSession
+    // the chunk table is referenced THREE times (the count, the rank
+    // side, the offsets side) and is a whole pack chain in production —
+    // ScopedCache it so the corpus packs once (the doubly-referenced-
+    // subtree rule; r17 self-review)
+    val cached = graft.functions.ScopedCache.persist("q222.chunks",
+      chunks.select(col("source"), col("chunk_id"), col("chunk_tokens")))
     // dense global index without a global sort: per-source dense rank
     // (q68's chunk_id can gap when a doc overflows the budget) + a
     // #sources-row offset cumulative broadcast back
     val bySrc = Window.partitionBy(col("source")).orderBy(col("chunk_id"))
-    val ranked = chunks.select(col("source"), col("chunk_id"), col("chunk_tokens"))
+    val ranked = cached
       .withColumn("rk", row_number().over(bySrc).cast(LongType) - 1)
-    val offsets = chunks.groupBy(col("source")).agg(count(lit(1)).as("nc"))
+    val offsets = cached.groupBy(col("source")).agg(count(lit(1)).as("nc"))
       .withColumn("off", coalesce(sum(col("nc")).over(
         Window.orderBy(col("source"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source"), col("off"))
+      .select(col("source").as("osource"), col("off"))
     // the domain size: ONE model-sized collect (the only driver state)
-    val n = chunks.count()
+    val n = cached.count()
     val m =
       if (n <= 1L) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
@@ -2644,8 +2658,11 @@ object Curation extends QueryModule {
     // task binary (31 s). The kernel throws on walk exhaustion (loud
     // failure, never a silent non-position); the oracle unrolls the
     // same arithmetic, so the green hash certifies kernel ≡ unroll.
+    // NULL-SAFE source join: a NULL-source chunk group is counted into
+    // the domain size, so dropping it here would break the bijection
+    // [0, N) (r17 self-review; oracle joins IS NOT DISTINCT FROM).
     graft.functions.GraftFunctions.ensureRegistered(spark)
-    ranked.join(broadcast(offsets), Seq("source"))
+    ranked.join(broadcast(offsets), col("source") <=> col("osource"))
       .crossJoin(broadcast(
         spark.range(epochs).select(col("id").as("epoch"))))
       .select(col("epoch"),
@@ -2657,13 +2674,13 @@ object Curation extends QueryModule {
   private lazy val epochShuffleSql = {
     val walk = (1 to ShuffleWalkSteps).map { i =>
       s"""s$i AS (SELECT epoch, source, chunk_id, chunk_tokens, n, ph, pl,
-        |  ${walkStepExprs(guarded = i > 1).mkString(",\n  ")}
+        |  ${walkStepExprs(i, guarded = i > 1).mkString(",\n  ")}
         |FROM s${i - 1})""".stripMargin
     }.mkString(",\n")
     s"""WITH pack AS (${TextOps.packSequencesSql}),
       |pk AS (SELECT source, chunk_id, chunk_tokens,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY source
-      |           ORDER BY chunk_id) - 1 AS BIGINT) AS rk
+      |           ORDER BY chunk_id NULLS FIRST) - 1 AS BIGINT) AS rk
       |       FROM pack),
       |oc AS (SELECT source, COUNT(*) AS nc FROM pack GROUP BY 1),
       |ofs AS (SELECT source, CAST(COALESCE(SUM(nc) OVER (
@@ -2683,7 +2700,7 @@ object Curation extends QueryModule {
       |         AS BIGINT) AS epoch),
       |s0 AS (SELECT e.epoch, p.source, p.chunk_id, p.chunk_tokens,
       |         CAST(o.off + p.rk AS BIGINT) AS c, nn.n, pp.ph, pp.pl
-      |       FROM pk p JOIN ofs o USING (source)
+      |       FROM pk p JOIN ofs o ON p.source IS NOT DISTINCT FROM o.source
       |       CROSS JOIN nn CROSS JOIN pp CROSS JOIN ep e),
       |$walk
       |SELECT epoch,

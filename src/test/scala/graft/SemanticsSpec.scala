@@ -3179,6 +3179,18 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
         assert(pos === (0L until n.toLong), s"n=$n epoch=$e")
       }
     }
+    // a NULL-source chunk group stays in the bijection: it is counted
+    // into the domain, so the source join must be null-safe or the pos
+    // set silently stops covering [0, N) (r17 self-review)
+    val withNull = Seq(
+      (Option.empty[String], 0L, 50L),
+      (Some("sA"), 0L, 60L), (Some("sA"), 1L, 70L))
+      .toDF("source", "chunk_id", "chunk_tokens")
+    val outN = operators.Curation.epochShuffleOf(withNull)
+      .select($"epoch", $"pos").as[(Long, Long)].collect()
+    for (e <- 0L until operators.Curation.EpochShuffleEpochs.toLong)
+      assert(outN.filter(_._1 == e).map(_._2).sorted.toSeq === (0L until 3L),
+        s"null-source epoch $e")
   }
 
   test("q222 epoch shuffle: epochs decorrelate, chunks conserve vs q68, runs are bit-identical") {
