@@ -2796,8 +2796,12 @@ object Curation extends QueryModule {
       .orderBy(col("source"))
   }
 
-  private lazy val doremiWeightsSql = {
-    val c = DoremiSmoothing
+  /** The q223 chain — q103's per-doc CTEs, the per-source loss table,
+    * and the unrolled multiplicative-weight rounds ending in the final
+    * weights `da$DoremiRounds` — ONE builder shared by the q223 and
+    * q226 oracles (the plattChainCtes precedent), so the sampler's
+    * replay cannot desync from the certified weight fit. */
+  private lazy val doremiChainCtes: String = {
     val steps = (1 to DoremiRounds).map { t =>
       s"""dr$t AS MATERIALIZED (SELECT ROUND(CAST(SUM(CAST(a.w * l.proxy_loss
         |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS ref
@@ -2810,10 +2814,11 @@ object Curation extends QueryModule {
         |      AS DOUBLE), 6) AS z
         |  FROM du$t),
         |da$t AS MATERIALIZED (SELECT u.source,
-        |    ROUND((1.0 - $c) * (u.u / z.z) + $c / sn.s, 6) AS w
+        |    ROUND((1.0 - $DoremiSmoothing) * (u.u / z.z)
+        |      + $DoremiSmoothing / sn.s, 6) AS w
         |  FROM du$t u CROSS JOIN dz$t z CROSS JOIN sn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${TextOps.bigramSurprisalCtes},
+    s"""${TextOps.bigramSurprisalCtes},
       |dl AS MATERIALIZED (SELECT d.source, COUNT(*) AS n_docs,
       |    CAST(SUM(b.n_bigrams) AS BIGINT) AS n_bigrams,
       |    ROUND(CAST(SUM(CAST(b.n_bigrams * b.avg_bigram_surprisal_nats
@@ -2822,15 +2827,86 @@ object Curation extends QueryModule {
       |  GROUP BY 1),
       |sn AS (SELECT COUNT(*) AS s FROM dl),
       |da0 AS (SELECT source, ROUND(1.0 / s, 6) AS w FROM dl CROSS JOIN sn),
-      |$steps
+      |$steps""".stripMargin
+  }
+
+  private lazy val doremiWeightsSql =
+    s"""WITH $doremiChainCtes
       |SELECT l.source, l.n_docs, l.n_bigrams, l.proxy_loss, a.w AS weight
       |FROM dl l JOIN da$DoremiRounds a USING (source)
       |ORDER BY l.source NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q226: DoReMi-weighted corpus resampler
+  // ---------------------------------------------------------------------
+
+  /** The q223 weights turned into q188's per-source PPM rate table:
+    * rate_s = min(1, budget·N·w_s/n_s) — the exact q188 formula with
+    * the LEARNED DoReMi weight where q188 uses the √-temperature
+    * census weight, so executing the learned mixture reuses the whole
+    * certified sampling kernel. A source outside the proxy population
+    * (every doc <2 tokens — no bigram, q103's rule) has no learned
+    * weight and rates to 0 EXPLICITLY (left join + coalesce) rather
+    * than being dropped silently; NULL sources are their own row
+    * (null-safe joins, the q188/q189 convention). */
+  def doremiRateTable(d: DataFrame): DataFrame = {
+    val w = doremiWeightsOf(d).select(col("source").as("wsrc"), col("weight"))
+    val per = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("n_total"))
+    per.join(broadcast(w), col("source") <=> col("wsrc"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        round(least(lit(1.0),
+          lit(MixtureBudget) * col("n_total") * coalesce(col("weight"), lit(0.0))
+            / col("n")) * 1e6).cast(LongType).as("rate_ppm"))
+  }
+
+  /** q226: the DoReMi-weighted corpus resampler — CLOSES THE LOOP q223
+    * opened: q223 learns the mixture weights, this emits the training
+    * subset that REALIZES them (Xie et al.'s step 3: train the big
+    * model on the reweighted mixture). Per-source keep rate
+    * min(1, budget·N·w_s/n_s) quantized to integer PPM, gated through
+    * the SHARED [[mixtureGate]] kernel — the same deterministic
+    * multiplicative-hash draw as q188, so a doc's keep decision is
+    * engine-exact, reproducible, and identical in batch and ingest.
+    *
+    * Scale shape: q223's one corpus pass + driver-held rounds build the
+    * #sources weight table; the rate table is #sources rows broadcast
+    * onto a narrow (doc_id, source) scan with the draw in codegen — no
+    * shuffle beyond the census aggregate (q188's posture exactly). */
+  def doremiSample(spark: SparkSession, dir: String): DataFrame =
+    doremiSampleOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def doremiSampleOf(d: DataFrame): DataFrame =
+    mixtureGate(d.select(col("doc_id"), col("source")), doremiRateTable(d))
+      .orderBy(col("doc_id"))
+
+  private lazy val doremiSampleSql = {
+    // the shared q223 chain through the final weight table, then q188's
+    // census/rate/gate grammar with the learned weight swapped in
+    s"""WITH $doremiChainCtes,
+      |per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      |ptot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM per),
+      |prates AS (SELECT p.source,
+      |    CAST(ROUND(LEAST(CAST(1.0 AS DOUBLE),
+      |      $MixtureBudget * n_total * COALESCE(a.w, 0.0) / p.n) * 1e6)
+      |      AS BIGINT) AS rate_ppm
+      |  FROM per p
+      |  LEFT JOIN da$DoremiRounds a ON p.source IS NOT DISTINCT FROM a.source
+      |  CROSS JOIN ptot)
+      |SELECT d.doc_id, d.source, r.rate_ppm
+      |FROM documents d
+      |JOIN prates r ON d.source IS NOT DISTINCT FROM r.source
+      |WHERE (((d.doc_id % 1000000 + 1000000) % 1000000)
+      |       * ${MixMult % 1000000L}) % 1000000 < r.rate_ppm
+      |ORDER BY d.doc_id NULLS FIRST""".stripMargin
   }
 
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q222_epoch_shuffle", epochShuffle, Some(epochShuffleSql)),
     GraftQuery("q223_doremi_weights", doremiWeights, Some(doremiWeightsSql)),
+    GraftQuery("q226_doremi_sample", doremiSample, Some(doremiSampleSql)),
     GraftQuery("q202_lr_quality_train", lrQualityTrain, Some(lrQualityTrainSql)),
     GraftQuery("q203_lr_quality_score", lrQualityScore, Some(lrQualityScoreSql)),
     GraftQuery("q204_classifier_eval", classifierEval, Some(classifierEvalSql)),

@@ -869,6 +869,13 @@ object Plans {
           "(graft_feistel_walk — a per-row Java loop, O(1) plan size, " +
           "no exchange of its own) into the presentation sort.",
         graft.operators.Curation.epochShuffle(spark, dir)),
+      section("q226 DoReMi-weighted corpus resampler (r17)",
+        "What to look for: q223's driver-held fit feeding the #sources " +
+          "PPM rate table as ONE broadcast (null-safe) join onto the " +
+          "narrow (doc_id, source) scan, the multiplicative-hash draw " +
+          "as a codegen'd integer filter (q188's gate kernel, shared), " +
+          "no window, no SMJ.",
+        graft.operators.Curation.doremiSample(spark, dir)),
       section("q223 DoReMi-style domain reweighting (r17)",
         "What to look for: q103's surprisal chain collapsing into the " +
           "#sources-row loss aggregate; the multiplicative-weight " +

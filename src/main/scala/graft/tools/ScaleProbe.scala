@@ -1210,6 +1210,16 @@ object ScaleProbe {
         .collect()(0).getLong(0)
     time("q223 doremi weights 1x (5k docs)")(doremiCount(d1))
     time(s"q223 doremi weights ${copies}x")(doremiCount(dN))
+    // q226: q223's weight fit + a broadcast rate gate over a narrow
+    // (doc_id, source) scan — must track q223 with ~no gate overhead.
+    // Anchored on kept rows' rate mass.
+    def doremiSampleCount(docs: DataFrame): Long =
+      graft.operators.Curation.doremiSampleOf(
+        docs.select(col("doc_id"), col("source"), col("text")))
+        .agg(sum(col("rate_ppm") + col("doc_id")).cast("long"))
+        .collect()(0).getLong(0)
+    time("q226 doremi sample 1x (5k docs)")(doremiSampleCount(d1))
+    time(s"q226 doremi sample ${copies}x")(doremiSampleCount(dN))
 
     spark.stop()
   }

@@ -1199,6 +1199,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
   }
 
+  test("q226 DoReMi sampler: broadcast rate gate on a narrow scan — no window, no SMJ") {
+    val df = Curation.doremiSample(spark, sf0001)
+    val plan = executedPlan(df)
+    // the weight iteration happened driver-side; the emitted plan is
+    // the census aggregate + the broadcast rate join + the codegen'd
+    // integer draw filter (q188's posture)
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("CartesianProduct"),
+      plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
+
   test("q224 method card: corpus work is q215's cached (z,y) pass; isotonic joins are bin-card-sized") {
     Curation.ensureLrModel(spark, sf0001)
     val df = Curation.calibrationMethodCard(spark, sf0001)

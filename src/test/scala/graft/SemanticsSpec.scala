@@ -3253,6 +3253,39 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     assert(fw === Map("s0" -> 0.5, "s1" -> 0.5))
   }
 
+  test("q226 DoReMi sampler: rates realize the learned mixture; unscoreable source rates to 0; gate exact") {
+    val session = spark
+    import session.implicits._
+    val docs = (
+      (0L until 8L).map(i => (i, "easy", "rep rep rep rep rep rep rep")) ++
+      (8L until 16L).map(i => (i, "hard", s"h a$i h b$i h c$i")) ++
+      (16L until 20L).map(i => (i, "tiny", "solo")))
+      .toDF("doc_id", "source", "text")
+    val rates = operators.Curation.doremiRateTable(docs)
+      .as[(String, Long)].collect().toMap
+    // a source outside the proxy population rates to 0 EXPLICITLY
+    assert(rates("tiny") === 0L)
+    // the rate formula replays driver-side from q223's own weights
+    val w = operators.Curation.doremiWeightsOf(docs)
+      .select($"source", $"weight").as[(String, Double)].collect().toMap
+    def expect(src: String, n: Long) = math.round(math.min(1.0,
+      operators.Curation.MixtureBudget * 20 * w.getOrElse(src, 0.0) / n) * 1e6)
+    assert(rates("easy") === expect("easy", 8))
+    assert(rates("hard") === expect("hard", 8))
+    // the learned mixture upweights the hard domain
+    assert(rates("hard") > rates("easy"))
+    // the kept set is exactly the shared q188 gate, recomputed exactly
+    val kept = operators.Curation.doremiSampleOf(docs)
+      .as[(Long, String, Long)].collect()
+    def draw(id: Long) =
+      ((id % 1000000L) * (operators.Curation.MixMult % 1000000L)) % 1000000L
+    val expKept = (0L until 20L).filter { id =>
+      val src = if (id < 8) "easy" else if (id < 16) "hard" else "tiny"
+      draw(id) < rates(src)
+    }.toSet
+    assert(kept.map(_._1).toSet === expKept)
+  }
+
   test("q223 DoReMi on the fixture: weights follow losses; the sampler contract holds") {
     val rows = operators.Curation.doremiWeights(spark, sf001).collect()
       .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
