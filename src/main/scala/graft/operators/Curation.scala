@@ -2625,13 +2625,14 @@ object Curation extends QueryModule {
     * the permutation/decorrelation laws sweep N across power-of-two
     * boundaries). */
   def epochShuffleOf(chunks: DataFrame,
-      epochs: Int = EpochShuffleEpochs): DataFrame = {
+      epochs: Int = EpochShuffleEpochs, cacheVariant: String = ""): DataFrame = {
     val spark = chunks.sparkSession
     // the chunk table is referenced THREE times (the count, the rank
     // side, the offsets side) and is a whole pack chain in production —
     // ScopedCache it so the corpus packs once (the doubly-referenced-
-    // subtree rule; r17 self-review)
-    val cached = graft.functions.ScopedCache.persist("q222.chunks",
+    // subtree rule; r17 self-review). The variant keeps q227's composed
+    // chunk table from thrashing q222's generation in a sweep.
+    val cached = graft.functions.ScopedCache.persist("q222.chunks", cacheVariant,
       chunks.select(col("source"), col("chunk_id"), col("chunk_tokens")))
     // dense global index without a global sort: per-source dense rank
     // (q68's chunk_id can gap when a doc overflows the budget) + a
@@ -2671,14 +2672,18 @@ object Curation extends QueryModule {
       .orderBy(col("epoch"), col("pos"))
   }
 
-  private lazy val epochShuffleSql = {
+  /** The q222 oracle from the `pack` CTE down — dense index, domain
+    * derivation, the 48 unrolled walk CTEs, and the final projection —
+    * shared VERBATIM by q222 (pack over `documents`) and q227 (pack
+    * over the CCNet-kept corpus), so the composed shuffle cannot drift
+    * from the standalone one. */
+  private[operators] lazy val epochShuffleTailSql = {
     val walk = (1 to ShuffleWalkSteps).map { i =>
       s"""s$i AS (SELECT epoch, source, chunk_id, chunk_tokens, n, ph, pl,
         |  ${walkStepExprs(i, guarded = i > 1).mkString(",\n  ")}
         |FROM s${i - 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH pack AS (${TextOps.packSequencesSql}),
-      |pk AS (SELECT source, chunk_id, chunk_tokens,
+    s"""pk AS (SELECT source, chunk_id, chunk_tokens,
       |         CAST(ROW_NUMBER() OVER (PARTITION BY source
       |           ORDER BY chunk_id NULLS FIRST) - 1 AS BIGINT) AS rk
       |       FROM pack),
@@ -2711,6 +2716,10 @@ object Curation extends QueryModule {
       |FROM s$ShuffleWalkSteps
       |ORDER BY epoch, pos""".stripMargin
   }
+
+  private lazy val epochShuffleSql =
+    s"""WITH pack AS (${TextOps.packSequencesSql}),
+      |$epochShuffleTailSql""".stripMargin
 
   // ---------------------------------------------------------------------
   // q223: DoReMi-style domain reweighting (multiplicative weights)

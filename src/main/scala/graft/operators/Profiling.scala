@@ -591,6 +591,45 @@ object Profiling extends QueryModule {
       |FROM cstage WHERE stage = 'kept'
       |ORDER BY doc_id NULLS FIRST""".stripMargin
 
+  /** q227: the training-ready chunk stream — the WHOLE loop, composed
+    * from certified instruments end to end: q221's kept corpus (dedup →
+    * langid → tertile cut) packed into [[TextOps.PackBudget]]-token
+    * chunks by q68's packer (over `clean_text` — the bytes a trainer
+    * actually consumes) and presented in q222's seeded epoch order.
+    * This is the table a data loader reads: (epoch, pos, source,
+    * chunk_id, chunk_tokens), deterministic from the raw corpus to the
+    * batch order — the composition of the r16 verdict's #1 ask with
+    * this round's #2.
+    *
+    * Every stage is the shared kernel, plan AND oracle ([[ccnetStagesOf]]
+    * / `ccnetStageCtes`; [[TextOps.packSequencesOf]] /
+    * `packSequencesSqlOver`; [[graft.operators.Curation.epochShuffleOf]]
+    * / `epochShuffleTailSql`), so nothing here can drift from the
+    * standalone operators, and the SemanticsSpec law re-derives the
+    * composition stepwise. Scale shape: the sum of its parts — q221's
+    * chain, one per-source pack window, the codegen'd walk — with the
+    * composed chunk table ScopedCache'd under its own variant. */
+  def ccnetTrainingChunks(spark: SparkSession, dir: String): DataFrame =
+    ccnetTrainingChunksOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def ccnetTrainingChunksOf(d: DataFrame): DataFrame = {
+    val kept = ccnetStagesOf(d).filter(col("stage") === "kept")
+      .select(col("doc_id"), col("source"),
+        size(split(col("clean_text"), " ")).cast(LongType).as("n_tokens"))
+    Curation.epochShuffleOf(
+      TextOps.packSequencesOf(kept, TextOps.PackBudget)
+        .select(col("source"), col("chunk_id"), col("chunk_tokens")),
+      cacheVariant = "q227")
+  }
+
+  private lazy val ccnetTrainingChunksSql =
+    s"""WITH $ccnetStageCtes,
+      |ckept AS (SELECT doc_id, source, clean_text FROM cstage
+      |          WHERE stage = 'kept'),
+      |pack AS (${TextOps.packSequencesSqlOver("ckept", "clean_text")}),
+      |${Curation.epochShuffleTailSql}""".stripMargin
+
   private lazy val ccnetFunnelSql = {
     def stageCount(s: String) =
       s"CAST(SUM(CASE WHEN stage = '$s' THEN 1 ELSE 0 END) AS BIGINT)"
@@ -1370,5 +1409,7 @@ object Profiling extends QueryModule {
       Some(paragraphDedupBySourceSql)),
     GraftQuery("q221_ccnet_corpus", ccnetCorpus, Some(ccnetCorpusSql)),
     GraftQuery("q225_ccnet_funnel", ccnetFunnel, Some(ccnetFunnelSql)),
+    GraftQuery("q227_ccnet_training_chunks", ccnetTrainingChunks,
+      Some(ccnetTrainingChunksSql)),
   )
 }

@@ -361,12 +361,16 @@ object TextOps extends QueryModule {
       .orderBy(col("source"), col("chunk_id"))
   }
 
-  // private[operators]: q127's efficiency report aggregates over THIS
-  // exact packing (shared CTE = audit cannot drift from the packer)
-  private[operators] val packSequencesSql =
+  /** The q68 pack as a self-contained SELECT over an arbitrary docs
+    * table/text column — q127 audits the `documents` instance; q227
+    * packs the CCNet-kept corpus on its `clean_text`. The inner CTE
+    * names live in this nested scope only (they shadow nothing
+    * outside). */
+  private[operators] def packSequencesSqlOver(docsTable: String,
+      textCol: String): String =
     s"""WITH d AS (SELECT doc_id, source,
-      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
-      |  FROM documents),
+      |    CAST(LEN(STRING_SPLIT($textCol, ' ')) AS BIGINT) AS n_tokens
+      |  FROM $docsTable),
       |c AS (SELECT doc_id, source, n_tokens,
       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id NULLS FIRST
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -377,6 +381,11 @@ object TextOps extends QueryModule {
       |FROM c
       |GROUP BY 1, 2
       |ORDER BY source NULLS FIRST, chunk_id NULLS FIRST""".stripMargin
+
+  // private[operators]: q127's efficiency report aggregates over THIS
+  // exact packing (shared CTE = audit cannot drift from the packer)
+  private[operators] val packSequencesSql =
+    packSequencesSqlOver("documents", "text")
 
   /** Shard-bounded sequence packing (q69): the 100 TB form of q68. One
     * ROWS window per source serializes a 10 TB source through a single

@@ -869,6 +869,14 @@ object Plans {
           "(graft_feistel_walk — a per-row Java loop, O(1) plan size, " +
           "no exchange of its own) into the presentation sort.",
         graft.operators.Curation.epochShuffle(spark, dir)),
+      section("q227 CCNet training-ready chunk stream (r17)",
+        "What to look for: the q221 stage chain (sha2/doc_id exchanges, " +
+          "bounded-grid windows), the q68 per-source pack window over " +
+          "clean_text, the #sources offsets + dense rank, and the " +
+          "graft_feistel_walk kernel in one projection — the whole " +
+          "corpus-to-batch-order loop with no corpus window and no " +
+          "cartesian anywhere.",
+        graft.operators.Profiling.ccnetTrainingChunks(spark, dir)),
       section("q226 DoReMi-weighted corpus resampler (r17)",
         "What to look for: q223's driver-held fit feeding the #sources " +
           "PPM rate table as ONE broadcast (null-safe) join onto the " +

@@ -1220,6 +1220,15 @@ object ScaleProbe {
         .collect()(0).getLong(0)
     time("q226 doremi sample 1x (5k docs)")(doremiSampleCount(d1))
     time(s"q226 doremi sample ${copies}x")(doremiSampleCount(dN))
+    // q227: q221's chain + the clean-text pack + the codegen'd walk —
+    // must track q221 (the pack and walk add per-source windows and a
+    // narrow map). Anchored on position+token mass.
+    def trainingChunksCount(docs: DataFrame): Long =
+      graft.operators.Profiling.ccnetTrainingChunksOf(ccnetDocs(docs))
+        .agg(sum(col("pos") + col("chunk_tokens")).cast("long"))
+        .collect()(0).getLong(0)
+    time("q227 training chunks 1x (5k docs)")(trainingChunksCount(d1))
+    time(s"q227 training chunks ${copies}x")(trainingChunksCount(dN))
 
     spark.stop()
   }

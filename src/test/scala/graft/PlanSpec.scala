@@ -1199,6 +1199,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
   }
 
+  test("q227 training chunks: the composed chain keeps the exchange discipline end to end") {
+    val df = Profiling.ccnetTrainingChunks(spark, sf0001)
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    // the walk is the single codegen kernel, never an unrolled stack
+    assert(plan.contains("graft_feistel_walk"), plan.take(4000))
+    // windows: per-source (pack + rank) or above bounded aggregates
+    // (q211's grid, the #sources offsets) — never a bare corpus window
+    val windowNodes = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windowNodes.foreach(w => assert(
+      w.partitionSpec.nonEmpty || allNodes(w).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec]),
+      w.toString.take(2000)))
+  }
+
   test("q226 DoReMi sampler: broadcast rate gate on a narrow scan — no window, no SMJ") {
     val df = Curation.doremiSample(spark, sf0001)
     val plan = executedPlan(df)

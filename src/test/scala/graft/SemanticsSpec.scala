@@ -3300,6 +3300,38 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q227 training chunks: stepwise composition of q221 → q68 → q222; permutation per epoch") {
+    val session = spark
+    import session.implicits._
+    // the composed table must equal the standalone instruments chained
+    // by hand: q221's kept corpus → q68's packer on clean_text → q222's
+    // shuffle — recomputed stepwise on the fixture
+    val d = sources.Tables.documents(spark, sf001)
+    def keptTokens = operators.Profiling.ccnetCorpusOf(d)
+      .select($"doc_id", $"source",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"clean_text", " "))
+          .cast("long").as("n_tokens"))
+    val chunkTable = operators.TextOps
+      .packSequencesOf(keptTokens, operators.TextOps.PackBudget)
+      .select($"source", $"chunk_id", $"chunk_tokens")
+    val chunks = chunkTable.as[(String, Long, Long)].collect().toSeq.sorted
+    val got = operators.Profiling.ccnetTrainingChunks(spark, sf001)
+      .as[(Long, Long, String, Long, Long)].collect()
+    val n = chunks.size.toLong
+    for (e <- 0L until operators.Curation.EpochShuffleEpochs.toLong) {
+      val rows = got.filter(_._1 == e)
+      assert(rows.map(_._2).sorted.toSeq === (0L until n), s"epoch $e")
+      assert(rows.map(t => (t._3, t._4, t._5)).toSeq.sorted === chunks, s"epoch $e")
+    }
+    // order-for-order invisibility vs the standalone q222 over the same
+    // composed chunk table
+    val viaQ222 = operators.Curation.epochShuffleOf(chunkTable)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.sortBy(t => (t._1, t._2)).toSeq === viaQ222)
+  }
+
   test("q224 isotonic fit: exact PAV pooling on a constructed violation; monotone; weight-respecting") {
     val session = spark
     import session.implicits._
