@@ -551,28 +551,39 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), col("lang"), col("sample_key"), col("thr"))
       .orderBy(col("doc_id"))
 
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val rate = SampleRates.foldRight(lit(SampleDefaultRate): Column) {
+  /** q87's per-lang fixed keep rate as ONE shared expression (with the
+    * SQL twin below) — used by the standalone sampler and q228's card so
+    * the 'fixed' scheme cannot drift between them. */
+  private def fixedRateCol: Column =
+    SampleRates.foldRight(lit(SampleDefaultRate): Column) {
       case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
     }
-    d.withColumn("sample_key", sampleKey)
-      .filter(col("sample_key") < rate)
-      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
-      .orderBy(col("doc_id"))
-  }
 
   // the CASE arms are generated from SampleRates so plan and oracle
-  // share one rate table; the key comes from the shared SQL twin
-  private val stratifiedSampleSql = {
+  // share one rate table
+  private val fixedRateCaseSql = {
     val arms = SampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"CASE lang $arms ELSE $SampleDefaultRate END"
+  }
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def stratifiedSampleOf(d: DataFrame): DataFrame =
+    d.withColumn("sample_key", sampleKey)
+      .filter(col("sample_key") < fixedRateCol)
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
+      .orderBy(col("doc_id"))
+
+  // the key comes from the shared SQL twin
+  private val stratifiedSampleSql =
     s"""SELECT doc_id, lang, source, sample_key FROM (
       |  SELECT doc_id, lang, source,
       |    $sampleKeySqlExpr AS sample_key
       |  FROM documents) t
-      |WHERE sample_key < CASE lang $arms ELSE $SampleDefaultRate END
+      |WHERE sample_key < $fixedRateCaseSql
       |ORDER BY doc_id NULLS FIRST""".stripMargin
-  }
 
   /** q88: corpus-adaptive boilerplate stripping — tokens present in more
     * than [[BoilerplateDfPct]]% of documents are corpus boilerplate
@@ -1263,19 +1274,45 @@ object TextOps extends QueryModule {
     * docs have no mixture bucket and are dropped by the inner join —
     * same semantics in the oracle's JOIN USING. */
   def mixToUniformOf(d: DataFrame): DataFrame = {
-    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-    val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
-    // broadcast scalar idiom: the 1-row min under every lang row
-    val thr = counts.crossJoin(broadcast(minCnt))
-      .select(col("lang"),
-        expr(s"($SampleMod * min_cnt) div cnt").cast(LongType).as("thr"))
-    mixByThreshold(d, thr)
+    val counts = langCounts(d)
+    mixByThreshold(d, uniformThrOf(counts))
   }
+
+  /** Per-lang census, shared by the q98/q104 threshold builders and
+    * q228's card (one definition so the mixture family shares one
+    * population notion; the NULL-lang group is a row like any other). */
+  private def langCounts(d: DataFrame): DataFrame =
+    d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+
+  /** q98's flattening threshold table (lang, cnt, thr) — and its q104
+    * temperature twin below — factored so the standalone samplers and
+    * q228's card derive thresholds from ONE expression each (with the
+    * SQL fragments as oracle twins). Broadcast scalar idiom: the 1-row
+    * min joins under every lang row. */
+  private def uniformThrOf(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(min(col("cnt")).as("min_cnt"))))
+      .select(col("lang"), col("cnt"),
+        expr(uniformThrExpr).cast(LongType).as("thr"))
+
+  private def temperatureThrOf(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(min(col("cnt")).as("min_cnt"))))
+      .select(col("lang"), col("cnt"),
+        expr(temperatureThrExpr).cast(LongType).as("thr"))
+
+  // Spark-side formulas (interpolated constants match the SQL twins)
+  private val uniformThrExpr = s"($SampleMod * min_cnt) div cnt"
+  private val temperatureThrExpr =
+    s"CAST(floor($SampleMod * sqrt(CAST(min_cnt AS DOUBLE) / cnt)) AS BIGINT)"
+  // DuckDB twins (// is DuckDB's integer division)
+  private val uniformThrSqlExpr =
+    s"CAST(($SampleMod * min_cnt) // cnt AS BIGINT)"
+  private val temperatureThrSqlExpr =
+    s"CAST(FLOOR($SampleMod * SQRT(CAST(min_cnt AS DOUBLE) / cnt)) AS BIGINT)"
 
   private val mixToUniformSql =
     s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
       |m AS (SELECT MIN(cnt) AS min_cnt FROM c),
-      |t AS (SELECT lang, CAST(($SampleMod * min_cnt) // cnt AS BIGINT) AS thr
+      |t AS (SELECT lang, $uniformThrSqlExpr AS thr
       |      FROM c, m),
       |k AS (SELECT doc_id, lang, $sampleKeySqlExpr AS sample_key
       |      FROM documents)
@@ -2281,22 +2318,13 @@ object TextOps extends QueryModule {
     mixTemperatureOf(Tables.documents(spark, dir))
 
   /** DataFrame-level core (testable on constructed corpora). */
-  def mixTemperatureOf(d: DataFrame): DataFrame = {
-    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
-    val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
-    val thr = counts.crossJoin(broadcast(minCnt))
-      .select(col("lang"), expr(
-        s"CAST(floor($SampleMod * sqrt(CAST(min_cnt AS DOUBLE) / cnt)) AS BIGINT)")
-        .as("thr"))
-    mixByThreshold(d, thr)
-  }
+  def mixTemperatureOf(d: DataFrame): DataFrame =
+    mixByThreshold(d, temperatureThrOf(langCounts(d)))
 
   private val mixTemperatureSql =
     s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
       |m AS (SELECT MIN(cnt) AS min_cnt FROM c),
-      |t AS (SELECT lang,
-      |        CAST(FLOOR($SampleMod * SQRT(CAST(min_cnt AS DOUBLE) / cnt))
-      |          AS BIGINT) AS thr
+      |t AS (SELECT lang, $temperatureThrSqlExpr AS thr
       |      FROM c, m),
       |k AS (SELECT doc_id, lang, $sampleKeySqlExpr AS sample_key
       |      FROM documents)
@@ -2304,6 +2332,101 @@ object TextOps extends QueryModule {
       |FROM k JOIN t USING (lang)
       |WHERE k.sample_key < t.thr
       |ORDER BY k.doc_id NULLS FIRST""".stripMargin
+
+  /** q228: mixture method card — the q201/q208/q217 method-card grammar
+    * applied to the lang-keyed sampling family: ONE row per
+    * (scheme, lang) for the three certified mixture schemes (q87 fixed
+    * per-lang rates, q98 flatten-to-uniform, q104 T=2 temperature)
+    * reporting the scheme's integer per-mille threshold next to what it
+    * actually keeps on this corpus — docs, whitespace tokens (the q62
+    * census unit), and the kept fraction — so the "how should we mix?"
+    * decision is priced by measurement rather than folklore (the
+    * multilingual-sampling trade surveyed in Conneau & Lample NeurIPS'19
+    * §3: fixed editorial rates vs flattening vs temperature damping).
+    *
+    * Every threshold comes from the SAME expression the standalone
+    * sampler executes ([[fixedRateCol]]/[[uniformThrOf]]/
+    * [[temperatureThrOf]], with the shared SQL twins in the oracle), and
+    * the kept sets replay the samplers' exact join semantics, so each
+    * card row is the standalone query in miniature and cannot drift
+    * (invisibility law in SemanticsSpec). NULL-lang docs make the
+    * family's population asymmetry VISIBLE: q87's CASE keeps them under
+    * the default rate (the fixed row can have n_kept > 0), while
+    * q98/q104's inner join has no NULL bucket — their card rows pin
+    * n_kept = 0 even where thr > 0 (the q98 contract, surfaced instead
+    * of implied).
+    *
+    * Scale shape at 100 TB: one per-lang census (map-side collapsible,
+    * #langs rows), then the corpus passes ONCE through a broadcast join
+    * against the 3·|langs|-row threshold table (null-safe, so the scan
+    * stays single-pass for all three schemes; the per-doc fan-out of 3
+    * is codegen'd narrow work), into a ≤3·|langs|-row aggregate — no
+    * shuffle of the data itself, same posture as q98. */
+  def mixtureMethodCard(spark: SparkSession, dir: String): DataFrame =
+    mixtureMethodCardOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  def mixtureMethodCardOf(d: DataFrame): DataFrame = {
+    val counts = langCounts(d)
+    val thrAll =
+      counts.select(lit("fixed").as("scheme"), col("lang"), col("cnt"),
+          fixedRateCol.cast(LongType).as("thr"))
+        .unionByName(uniformThrOf(counts)
+          .select(lit("uniform").as("scheme"), col("lang"), col("cnt"), col("thr")))
+        .unionByName(temperatureThrOf(counts)
+          .select(lit("temperature").as("scheme"), col("lang"), col("cnt"), col("thr")))
+    val keys = d.select(col("doc_id"), col("lang"),
+      sampleKey.as("sample_key"), size(toks).cast(LongType).as("n_tokens"))
+    // ONE corpus pass for all three kept sets: null-safe join so q87's
+    // NULL-lang default bucket exists, then the post-join filter removes
+    // exactly what q98/q104's non-null-safe inner join never matched
+    val kept = keys.join(
+        broadcast(thrAll.select(col("scheme"), col("lang").as("tlang"), col("thr"))),
+        col("lang") <=> col("tlang"))
+      .filter(col("sample_key") < col("thr"))
+      .filter(!(col("scheme").isin("uniform", "temperature") && col("lang").isNull))
+      .groupBy(col("scheme").as("kscheme"), col("lang").as("klang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).cast(LongType).as("kept_tokens"))
+    // pinned broadcast justified: kept is a post-aggregate table of at
+    // most 3·|langs| rows (as is thrAll — either side would do)
+    thrAll.join(broadcast(kept),
+        col("scheme") === col("kscheme") && col("lang") <=> col("klang"), "left")
+      .select(col("scheme"), col("lang"), col("cnt"), col("thr"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        round(coalesce(col("n_kept"), lit(0L)).cast(DoubleType) / col("cnt"), 6)
+          .as("kept_frac"))
+      .orderBy(col("scheme"), col("lang"))
+  }
+
+  private val mixtureMethodCardSql =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |m AS (SELECT MIN(cnt) AS min_cnt FROM c),
+      |thr AS (
+      |  SELECT 'fixed' AS scheme, lang, cnt,
+      |         CAST($fixedRateCaseSql AS BIGINT) AS thr FROM c
+      |  UNION ALL
+      |  SELECT 'uniform', lang, cnt, $uniformThrSqlExpr FROM c, m
+      |  UNION ALL
+      |  SELECT 'temperature', lang, cnt, $temperatureThrSqlExpr FROM c, m),
+      |k AS (SELECT doc_id, lang, $sampleKeySqlExpr AS sample_key,
+      |        CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      |      FROM documents),
+      |kept AS (
+      |  SELECT t.scheme, t.lang, COUNT(*) AS n_kept,
+      |         CAST(SUM(k.n_tokens) AS BIGINT) AS kept_tokens
+      |  FROM k JOIN thr t ON k.lang IS NOT DISTINCT FROM t.lang
+      |  WHERE k.sample_key < t.thr
+      |    AND NOT (t.scheme IN ('uniform', 'temperature') AND t.lang IS NULL)
+      |  GROUP BY 1, 2)
+      |SELECT t.scheme, t.lang, t.cnt, t.thr,
+      |  COALESCE(x.n_kept, 0) AS n_kept,
+      |  COALESCE(x.kept_tokens, 0) AS kept_tokens,
+      |  ROUND(CAST(COALESCE(x.n_kept, 0) AS DOUBLE) / t.cnt, 6) AS kept_frac
+      |FROM thr t LEFT JOIN kept x
+      |  ON t.scheme = x.scheme AND t.lang IS NOT DISTINCT FROM x.lang
+      |ORDER BY t.scheme NULLS FIRST, t.lang NULLS FIRST""".stripMargin
 
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q60_word_count", wordCount, Some(wordCountSql)),
@@ -2362,6 +2485,8 @@ object TextOps extends QueryModule {
       Some(hashedDocVectorsSql)),
     GraftQuery("q199_source_similarity", sourceSimilarity,
       Some(sourceSimilaritySql)),
+    GraftQuery("q228_mixture_method_card", mixtureMethodCard,
+      Some(mixtureMethodCardSql)),
   )
 
   // ---------------------------------------------------------------------

@@ -890,7 +890,15 @@ object Plans {
           "iteration is DRIVER-held (no iterative aggregates in-plan); " +
           "the final weights ride back as one broadcast hash join; no " +
           "window, no cartesian.",
-        graft.operators.Curation.doremiWeights(spark, dir)))
+        graft.operators.Curation.doremiWeights(spark, dir)),
+      section("q228 mixture method card (r17)",
+        "What to look for: the #langs census aggregate, the three " +
+          "threshold tables unioned into ONE broadcast (null-safe) " +
+          "join under the single corpus scan, the bounded " +
+          "(scheme, lang) aggregate, and the pinned-broadcast card " +
+          "assembly — no corpus window, no SMJ, no cartesian beyond " +
+          "the broadcast-scalar min-count idiom.",
+        graft.operators.TextOps.mixtureMethodCard(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

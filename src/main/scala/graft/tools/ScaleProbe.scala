@@ -1229,6 +1229,15 @@ object ScaleProbe {
         .collect()(0).getLong(0)
     time("q227 training chunks 1x (5k docs)")(trainingChunksCount(d1))
     time(s"q227 training chunks ${copies}x")(trainingChunksCount(dN))
+    // q228: one corpus pass through the broadcast 3·|langs|-row threshold
+    // table into a bounded (scheme, lang) aggregate — must scale like the
+    // scan. Anchored on thr+kept mass so neither side prunes.
+    def mixtureCardCount(docs: DataFrame): Long =
+      graft.operators.TextOps.mixtureMethodCardOf(docs)
+        .agg(sum(col("thr") + col("n_kept") + col("kept_tokens")).cast("long"))
+        .collect()(0).getLong(0)
+    time("q228 mixture card 1x (5k docs)")(mixtureCardCount(d1))
+    time(s"q228 mixture card ${copies}x")(mixtureCardCount(dN))
 
     spark.stop()
   }

@@ -1400,4 +1400,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("graft_bpe_merge") || plan.contains("BroadcastNestedLoopJoin"),
       plan.take(4000))
   }
+
+  test("q228 mixture card: one corpus pass through a broadcast threshold join into bounded aggregates") {
+    val df = TextOps.mixtureMethodCard(spark, sf0001)
+    val plan = executedPlan(df)
+    // the corpus meets only the broadcast 3·|langs|-row threshold table
+    // (null-safe equi-join — still hash-broadcastable); every other join
+    // input is a bounded aggregate. No corpus window, no cartesian.
+    assert(!plan.contains("windowspecdefinition") && !plan.contains("CartesianProduct"),
+      plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(plan.contains("HashAggregate"), plan.take(4000))
+  }
 }

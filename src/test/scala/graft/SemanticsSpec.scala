@@ -3695,4 +3695,55 @@ class SemanticsSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getLong(3)).sum
     assert(fix.map(_.getLong(3)).sum === q200kept)
   }
+
+  test("q228 mixture card: every scheme row invisible vs its standalone sampler; NULL-lang asymmetry") {
+    val session = spark
+    import session.implicits._
+    // skewed corpus: en 40, fr 4, plus 2 NULL-lang docs (q87's default
+    // bucket; q98/q104 have no bucket for them — the card must show it)
+    val docs = ((1L to 40L).map(i => (i * 7L, "en", "src", "a b c")) ++
+      (1L to 4L).map(i => (10000L + i, "fr", "src", "x y")) ++
+      Seq((20001L, null: String, "src", "p q r s"),
+          (20002L, null: String, "src", "t")))
+      .toDF("doc_id", "lang", "source", "text")
+    val card = operators.TextOps.mixtureMethodCardOf(docs)
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+    def rows(s: String) = card.filter(_._1 == s)
+    // invisibility: per scheme and lang, n_kept equals the standalone
+    // sampler's kept count on the same corpus (NULL key included)
+    def keptBy(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val q87 = keptBy(operators.TextOps.stratifiedSampleOf(docs))
+    val q98 = keptBy(operators.TextOps.mixToUniformOf(docs))
+    val q104 = keptBy(operators.TextOps.mixTemperatureOf(docs))
+    rows("fixed").foreach(r => assert(r._5 === q87.getOrElse(r._2, 0L), r))
+    rows("uniform").foreach(r => assert(r._5 === q98.getOrElse(r._2, 0L), r))
+    rows("temperature").foreach(r =>
+      assert(r._5 === q104.getOrElse(r._2, 0L), r))
+    // the asymmetry made visible: q87's CASE gives NULL-lang docs the
+    // default bucket; the join-keyed schemes pin n_kept = 0 there even
+    // with a positive threshold (min_cnt = 2 -> thr 1000 for the NULL
+    // row's own census count)
+    val nullFixed = rows("fixed").find(_._2 == null).get
+    assert(nullFixed._4 === operators.TextOps.SampleDefaultRate)
+    Seq("uniform", "temperature").foreach { s =>
+      val r = rows(s).find(_._2 == null).get
+      assert(r._4 > 0L && r._5 === 0L && r._6 === 0L, r)
+    }
+    // damping law on the over-represented lang: uniform flattens hardest,
+    // temperature sits between it and the full population
+    val enU = rows("uniform").find(_._2 == "en").get
+    val enT = rows("temperature").find(_._2 == "en").get
+    assert(enU._4 <= enT._4 && enT._4 <= operators.TextOps.SampleMod)
+    assert(enU._5 <= enT._5, s"uniform $enU vs temperature $enT")
+    // kept_tokens: the fixed/en row is 3 ws-tokens per kept doc exactly
+    val enF = rows("fixed").find(_._2 == "en").get
+    assert(enF._6 === enF._5 * 3, enF.toString)
+    // kept_frac replays ROUND(n_kept/cnt, 6)
+    card.foreach { r =>
+      val want = BigDecimal(r._5.toDouble / r._3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r._7 === want, r.toString)
+    }
+  }
 }
