@@ -794,6 +794,135 @@ object SpanDedup extends QueryModule {
       |SELECT doc_id, pos, fp FROM wfp
       |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q229: decontamination-screen method card — full index vs winnowed
+  // ---------------------------------------------------------------------
+
+  /** q229: the q217/q224 method-card treatment for the decontamination
+    * family — the "which screen do we run?" decision priced by
+    * measurement: ONE row per (method, split) for the full span index
+    * (q138/q152/q153: every distinct train 5-gram hash) and the winnowed
+    * index (q157/q181: Schleimer/Wilkerson/Aiken SIGMOD'03 selection at
+    * ~2/(W+1) density), each reporting its index size, the measured
+    * size ratio (the ~39% headline), eval docs flagged per split, the
+    * flag rate, how many docs the full audit catches that this method
+    * MISSES (0 for full by definition; the subset law's gap, priced
+    * instead of implied), and the method's detection guarantee in
+    * tokens — full catches any shared run ≥ [[SpanN]], winnowing any
+    * run ≥ [[SpanN]] + [[WinnowW]] − 1 (the SIGMOD'03 bound q181's
+    * scaladoc states; here it sits next to what that bound actually
+    * cost on this corpus).
+    *
+    * Both methods replay their certified instruments: the full rows are
+    * [[decontaminateOf]]'s roll-up (q138) and the winnowed rows are
+    * [[winnowScreenOf]] over the train split's distinct fingerprints
+    * (q181's definition, recomputed in-plan — artifact determinism, the
+    * q109/q153 precedent), so no card cell can drift from the query it
+    * summarizes (invisibility law in SpanDedupSpec).
+    *
+    * Scale shape: the span explode runs once ([[splitSpans]] ScopedCache,
+    * shared with q138/q140/q141 in the same session) and the winnow
+    * selection once per side ([[winnowedPicksOf]] cache, shared with
+    * q157/q158/q181); everything above the per-doc hit aggregates is
+    * split-count-sized, and the card assembly is broadcast joins over
+    * ≤4 rows — the card costs the two audits it compares, + ε. */
+  def decontamMethodCard(spark: SparkSession, dir: String): DataFrame =
+    decontamMethodCardOf(Tables.documents(spark, dir))
+
+  /** DataFrame-level core (testable on constructed corpora). */
+  private[graft] def decontamMethodCardOf(docs: DataFrame): DataFrame = {
+    val full = decontaminateOf(docs)
+      .select(col("split"), col("n_docs"), col("n_contaminated").as("n_flagged"))
+    val trainFps = winnowedPicksOf(docs.filter(TextOps.splitAssign === "train"))
+      .select(col("fp")).distinct()
+    val evalD = docs.withColumn("split", TextOps.splitAssign)
+      .filter(col("split") =!= "train")
+    val win = winnowScreenOf(trainFps, evalD)
+      .select(col("split"), col("n_docs"), col("n_flagged"))
+    val fullIdx = splitSpans(docs).filter(col("split") === "train")
+      .select(col("span")).distinct()
+      .agg(count(lit(1)).as("full_index_size"))
+    val winIdx = trainFps.agg(count(lit(1)).as("index_size"))
+    // broadcast scalar idiom: the 1-row index sizes under every split row
+    val rows = full.crossJoin(broadcast(fullIdx))
+      .select(lit("full_span").as("method"), col("split"),
+        col("full_index_size").as("index_size"), col("n_docs"),
+        col("n_flagged"), lit(SpanN.toLong).as("guarantee_tokens"))
+      .unionByName(win.crossJoin(broadcast(winIdx))
+        .select(lit("winnowed").as("method"), col("split"),
+          col("index_size"), col("n_docs"), col("n_flagged"),
+          lit((SpanN + WinnowW - 1).toLong).as("guarantee_tokens")))
+    val fullFlag = full.select(col("split").as("fsplit"),
+      col("n_flagged").as("full_flagged"))
+    rows.join(broadcast(fullFlag), col("split") === col("fsplit"))
+      .crossJoin(broadcast(fullIdx))
+      .select(col("method"), col("split"), col("index_size"),
+        round(col("index_size").cast(DoubleType) / col("full_index_size"), 6)
+          .as("index_ratio"),
+        col("n_docs"), col("n_flagged"),
+        (col("n_flagged").cast(DoubleType) / col("n_docs")).as("flag_rate"),
+        (col("full_flagged") - col("n_flagged")).as("n_missed"),
+        col("guarantee_tokens"))
+      .orderBy(col("method"), col("split"))
+  }
+
+  /** Oracle: both screens replayed from the raw corpus off ONE shared
+    * `spn` (spanSqlCtes + winnowCtes — the q157/q158/q181 fragments
+    * verbatim), per-doc-distinct spans for the full method (the
+    * splitSpans DISTINCT), then the two per-split roll-ups unioned into
+    * card rows. */
+  private val decontamMethodCardSql =
+    s"""WITH ${spanSqlCtes()},
+      |${winnowCtes()},
+      |ed AS (SELECT doc_id, ${TextOps.splitAssignSqlCase} AS split
+      |       FROM documents),
+      |ds AS (SELECT DISTINCT doc_id, span FROM spn),
+      |dsx AS (SELECT ds.doc_id, ds.span, ed.split FROM ds JOIN ed USING (doc_id)),
+      |trs AS (SELECT DISTINCT span FROM dsx WHERE split = 'train'),
+      |fidx AS (SELECT CAST(COUNT(*) AS BIGINT) AS full_index_size FROM trs),
+      |fpd AS (SELECT d.split, d.doc_id,
+      |          SUM(CASE WHEN t.span IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |        FROM dsx d LEFT JOIN trs t ON d.span = t.span
+      |        WHERE d.split <> 'train' GROUP BY 1, 2),
+      |fagg AS (SELECT ed.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |           CAST(SUM(CASE WHEN COALESCE(f.n_hit, 0) > 0 THEN 1 ELSE 0 END)
+      |             AS BIGINT) AS n_flagged
+      |         FROM ed LEFT JOIN fpd f
+      |           ON f.split = ed.split AND f.doc_id = ed.doc_id
+      |         WHERE ed.split <> 'train' GROUP BY 1),
+      |f2 AS (SELECT DISTINCT doc_id, fp FROM wfp),
+      |fx AS (SELECT f2.doc_id, f2.fp, ed.split FROM f2 JOIN ed USING (doc_id)),
+      |trw AS (SELECT DISTINCT fp FROM fx WHERE split = 'train'),
+      |widx AS (SELECT CAST(COUNT(*) AS BIGINT) AS index_size FROM trw),
+      |wpd AS (SELECT fx.split, fx.doc_id,
+      |          SUM(CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      |        FROM fx LEFT JOIN trw t ON fx.fp = t.fp
+      |        WHERE fx.split <> 'train' GROUP BY 1, 2),
+      |wagg AS (SELECT ed.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |           CAST(SUM(CASE WHEN COALESCE(w.n_hit, 0) > 0 THEN 1 ELSE 0 END)
+      |             AS BIGINT) AS n_flagged
+      |         FROM ed LEFT JOIN wpd w
+      |           ON w.split = ed.split AND w.doc_id = ed.doc_id
+      |         WHERE ed.split <> 'train' GROUP BY 1),
+      |card AS (
+      |  SELECT 'full_span' AS method, split,
+      |         (SELECT full_index_size FROM fidx) AS index_size,
+      |         n_docs, n_flagged, CAST($SpanN AS BIGINT) AS guarantee_tokens
+      |  FROM fagg
+      |  UNION ALL
+      |  SELECT 'winnowed', split, (SELECT index_size FROM widx),
+      |         n_docs, n_flagged, CAST(${SpanN + WinnowW - 1} AS BIGINT)
+      |  FROM wagg)
+      |SELECT r.method, r.split, r.index_size,
+      |  ROUND(CAST(r.index_size AS DOUBLE)
+      |        / (SELECT full_index_size FROM fidx), 6) AS index_ratio,
+      |  r.n_docs, r.n_flagged,
+      |  CAST(r.n_flagged AS DOUBLE) / r.n_docs AS flag_rate,
+      |  fa.n_flagged - r.n_flagged AS n_missed,
+      |  r.guarantee_tokens
+      |FROM card r JOIN fagg fa ON fa.split = r.split
+      |ORDER BY r.method NULLS FIRST, r.split NULLS FIRST""".stripMargin
+
   override def queries: Seq[GraftQuery] = Seq(
     GraftQuery("q132_dup_span_stats", dupSpanStats, Some(dupSpanStatsSql)),
     GraftQuery("q133_strip_dup_spans", stripDupSpans, Some(stripDupSpansSql)),
@@ -810,5 +939,7 @@ object SpanDedup extends QueryModule {
       Some(winnowedFingerprintsSql)),
     GraftQuery("q158_winnowed_overlap_pairs", winnowedOverlapPairs,
       Some(winnowedOverlapPairsSql)),
+    GraftQuery("q229_decontam_method_card", decontamMethodCard,
+      Some(decontamMethodCardSql)),
   )
 }

@@ -898,7 +898,15 @@ object Plans {
           "(scheme, lang) aggregate, and the pinned-broadcast card " +
           "assembly — no corpus window, no SMJ, no cartesian beyond " +
           "the broadcast-scalar min-count idiom.",
-        graft.operators.TextOps.mixtureMethodCard(spark, dir)))
+        graft.operators.TextOps.mixtureMethodCard(spark, dir)),
+      section("q229 decontamination-screen method card (r17)",
+        "What to look for: q138's full-index audit (distinct train " +
+          "spans, equi-join hit test, left-outer roll-up) and q181's " +
+          "winnow screen (min-struct selection, no window) side by " +
+          "side off the shared span cache; index sizes ride back as " +
+          "broadcast 1-row scalars; the 4-row card assembly is " +
+          "broadcast-only. No window, no Expand, no cartesian.",
+        graft.operators.SpanDedup.decontamMethodCard(spark, dir)))
 
     val header =
       "# PLANS — executed physical plans of representative queries\n\n" +

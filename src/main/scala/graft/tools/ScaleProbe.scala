@@ -1238,6 +1238,16 @@ object ScaleProbe {
         .collect()(0).getLong(0)
     time("q228 mixture card 1x (5k docs)")(mixtureCardCount(d1))
     time(s"q228 mixture card ${copies}x")(mixtureCardCount(dN))
+    // q229: the two decontamination audits it compares (q138 full-index
+    // + q181 winnow) — must track their sum; card assembly adds ≤4-row
+    // broadcast work. Anchored on index+flag mass so neither side prunes.
+    def decontamCardCount(docs: DataFrame): Long =
+      graft.operators.SpanDedup.decontamMethodCardOf(docs)
+        .agg(sum(col("index_size") + col("n_flagged") + col("n_missed"))
+          .cast("long"))
+        .collect()(0).getLong(0)
+    time("q229 decontam card 1x (5k docs)")(decontamCardCount(d1))
+    time(s"q229 decontam card ${copies}x")(decontamCardCount(dN))
 
     spark.stop()
   }

@@ -1401,6 +1401,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       plan.take(4000))
   }
 
+  test("q229 decontam card: both screens equi-join on 8-byte keys; card assembly broadcast-only") {
+    val df = SpanDedup.decontamMethodCard(spark, sf0001)
+    val plan = executedPlan(df)
+    // the two audits keep their certified shapes (q138's equi-join hit
+    // test, q157's min(struct) winnow selection — no window anywhere);
+    // the only nested-loop joins are the broadcast 1-row index-size
+    // scalars (the q93 idiom); nothing multi-distincts through Expand
+    assert(!plan.contains("windowspecdefinition"), plan.take(4000))
+    assert(!plan.contains("Expand"), plan.take(4000))
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+    assert(plan.contains("LeftOuter"), plan.take(4000))
+  }
+
   test("q228 mixture card: one corpus pass through a broadcast threshold join into bounded aggregates") {
     val df = TextOps.mixtureMethodCard(spark, sf0001)
     val plan = executedPlan(df)

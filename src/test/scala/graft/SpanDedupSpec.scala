@@ -369,4 +369,53 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     // no pair among the 120 boilerplate docs survives the gate
     assert(pairs.forall { case (a, b) => a > 120L && b > 120L }, s"boilerplate leaked: $pairs")
   }
+
+  test("q229 method card: each row invisible vs its standalone screen; missed/ratio accounting exact") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    // the q138 constructed corpus (doc_id mod 10: 0-7 train, 8 val, 9 test)
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six"),
+      (8L, "pre alpha beta gamma delta epsilon post"),
+      (18L, "tiny doc"),
+      (9L, "unique apple banana cherry date fig"),
+      (19L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val card = SpanDedup.decontamMethodCardOf(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(card.size === 4)
+    // invisibility: full rows ≡ q138's roll-up on the same corpus
+    val full = SpanDedup.decontaminateOf(corpus).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // winnowed rows ≡ q181's screen core with the train-split index
+    val trainFps = SpanDedup.winnowedFingerprintsOf(
+      corpus.filter($"doc_id" % 10 < 8)).select($"fp").distinct()
+    val evalD = corpus.filter($"doc_id" % 10 >= 8)
+      .withColumn("split", when($"doc_id" % 10 === 8, "val").otherwise("test"))
+    val win = SpanDedup.winnowScreenOf(trainFps, evalD).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // index sizes recomputed directly from the shared span/fp kernels
+    val fullIdx = corpus.filter($"doc_id" % 10 < 8)
+      .select(explode(array_distinct(expr("graft_spans_poly(text)"))).as("s"))
+      .distinct().count()
+    val winIdx = trainFps.count()
+    Seq("val", "test").foreach { split =>
+      val (fIdx, fRatio, fDocs, fFlag, _, fMiss, fGuar) = card(("full_span", split))
+      assert((fDocs, fFlag) === full(split), s"full/$split")
+      assert(fIdx === fullIdx && fRatio === 1.0 && fMiss === 0L && fGuar === 5L)
+      val (wIdx, wRatio, wDocs, wFlag, wRate, wMiss, wGuar) = card(("winnowed", split))
+      assert((wDocs, wFlag) === win(split), s"winnow/$split")
+      assert(wIdx === winIdx && wGuar === 8L)
+      assert(wRatio === BigDecimal(winIdx.toDouble / fullIdx)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // the subset law, priced: missed = full's catch minus winnow's, >= 0
+      assert(wMiss === full(split)._2 - wFlag && wMiss >= 0L, s"missed/$split")
+      assert(wRate === wFlag.toDouble / wDocs)
+    }
+    // the sampled index is strictly smaller on multi-window train docs
+    assert(winIdx < fullIdx, s"winnow index $winIdx !< full $fullIdx")
+  }
 }
