@@ -1696,7 +1696,7 @@ object Curation extends QueryModule {
     * make each training step join-free: the dot product is a per-ROW
     * ordered fold (the q100 distance-kernel pattern), never a per-doc
     * aggregate over long-form rows. */
-  private def lrFeats(d: DataFrame): DataFrame = {
+  private[graft] def lrFeats(d: DataFrame): DataFrame = {
     val lab = TextOps.qualityScoresOf(d).select(col("doc_id"),
       when(col("quality") >= FunnelQualityMin, lit(1.0)).otherwise(lit(0.0)).as("y"))
     graft.functions.ScopedCache.persist("q202.feats",
@@ -1731,7 +1731,7 @@ object Curation extends QueryModule {
 
   /** Scatter long-form (doc_id, dim, w) vectors into one dense xs[33]
     * row per doc (bias slot last) — the Spark twin of [[lrDenseCtes]]. */
-  private def denseFromVec(vec: DataFrame): DataFrame = {
+  private[graft] def denseFromVec(vec: DataFrame): DataFrame = {
     val D = TextOps.HashedVecDims
     vec.groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("dim"), col("w")))).as("m"))
@@ -1742,7 +1742,7 @@ object Curation extends QueryModule {
 
   /** The dense feature rows WITHOUT labels — shared by training (which
     * joins the q63 gate on) and scoring (which must not need labels). */
-  private def lrDense(d: DataFrame): DataFrame =
+  private[graft] def lrDense(d: DataFrame): DataFrame =
     denseFromVec(TextOps.hashedDocVectorsOf(d.select(col("doc_id"), col("text"))))
 
   /** q203 model artifact: the q202 weight table persisted once per
@@ -2114,22 +2114,34 @@ object Curation extends QueryModule {
     // (the init state) instead of NPE-ing on the NULL gradient decimals;
     // the card over zero rows is then empty in BOTH engines
     if (n == 0) return (1.0, 0.0)
-    var a = 1.0
-    var b = 0.0
-    def r6(x: Double) = new java.math.BigDecimal(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    for (_ <- 1 to PlattSteps) {
-      val lin = round(lit(a) * col("z") + lit(b), 6)
-      val g = cached
-        .select(col("z"),
-          (col("y") - lit(1.0) / (lit(1.0) + exp(-lin))).as("err"))
-        .agg(sum((col("z") * col("err")).cast(DecimalType(38, 12))).as("ga"),
-          sum(col("err").cast(DecimalType(38, 12))).as("gb"))
-        .collect()(0)
-      a = r6(a + g.getDecimal(0).doubleValue() / n)
-      b = r6(b + g.getDecimal(1).doubleValue() / n)
-    }
-    (a, b)
+    // Truncate lineage for the step loop (r17): `cached` still carries
+    // the FULL featurizer logical plan, so each step's fresh literals
+    // forced analyzer+optimizer over ~200 nodes (~125 ms/step measured —
+    // the cache only short-circuits EXECUTION, not planning). One
+    // 2-column localCheckpoint read off the already-materialized cache
+    // makes every step plan over a 3-node tree; fitted (a, b) are
+    // bit-identical (same rows, same kernel — probe-verified), and the
+    // checkpoint is released before returning (nothing downstream
+    // references it — the q205 BPE-loop discipline).
+    val t = cached.localCheckpoint()
+    try {
+      var a = 1.0
+      var b = 0.0
+      def r6(x: Double) = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      for (_ <- 1 to PlattSteps) {
+        val lin = round(lit(a) * col("z") + lit(b), 6)
+        val g = t
+          .select(col("z"),
+            (col("y") - lit(1.0) / (lit(1.0) + exp(-lin))).as("err"))
+          .agg(sum((col("z") * col("err")).cast(DecimalType(38, 12))).as("ga"),
+            sum(col("err").cast(DecimalType(38, 12))).as("gb"))
+          .collect()(0)
+        a = r6(a + g.getDecimal(0).doubleValue() / n)
+        b = r6(b + g.getDecimal(1).doubleValue() / n)
+      }
+      (a, b)
+    } finally graft.functions.ScopedCache.releaseCheckpoint(t)
   }
 
   /** The recalibrated-score kernel over a margin column `z`: 6dp round
@@ -2141,7 +2153,7 @@ object Curation extends QueryModule {
 
   /** The (margin, label) table every Platt piece reads: the artifact
     * model's 6dp fold per doc joined once to the q63 gate. */
-  private def lrMarginLabels(d: DataFrame, w: Array[Double]): DataFrame = {
+  private[graft] def lrMarginLabels(d: DataFrame, w: Array[Double]): DataFrame = {
     val lab = TextOps.qualityScoresOf(d).select(col("doc_id"),
       when(col("quality") >= FunnelQualityMin, lit(1.0)).otherwise(lit(0.0)).as("y"))
     lrZFromDense(lrDense(d), w).join(lab, Seq("doc_id"))
@@ -2447,19 +2459,27 @@ object Curation extends QueryModule {
     val spark = d.sparkSession
     val feats = lrFeats(d)
     val nDocs = feats.count()
-    val w = Array.fill(LrBiasDim + 1)(0.0)
-    for (_ <- 1 to LrSteps) {
-      lrGradOf(feats, w).collect().foreach { r =>
-        val dim = r.getInt(0)
-        val g = r.getDecimal(1).doubleValue()
-        w(dim) = new java.math.BigDecimal(w(dim) + g / nDocs)
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // lineage-truncated loop table (r17, the plattFit rationale): the
+    // cached feats still carry the whole featurizer plan, and each step's
+    // fresh 33-literal model forced full re-analysis per collect; the
+    // checkpoint makes the 5 step plans near-constant cost. Weights are
+    // bit-identical (same rows, same kernel); released before returning.
+    val t = feats.localCheckpoint()
+    try {
+      val w = Array.fill(LrBiasDim + 1)(0.0)
+      for (_ <- 1 to LrSteps) {
+        lrGradOf(t, w).collect().foreach { r =>
+          val dim = r.getInt(0)
+          val g = r.getDecimal(1).doubleValue()
+          w(dim) = new java.math.BigDecimal(w(dim) + g / nDocs)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        }
       }
-    }
-    val session = spark
-    import session.implicits._
-    w.toSeq.zipWithIndex.map { case (wt, i) => (i, wt) }
-      .toDF("dim", "weight").orderBy(col("dim"))
+      val session = spark
+      import session.implicits._
+      w.toSeq.zipWithIndex.map { case (wt, i) => (i, wt) }
+        .toDF("dim", "weight").orderBy(col("dim"))
+    } finally graft.functions.ScopedCache.releaseCheckpoint(t)
   }
 
   /** The full training chain as CTEs ending in the final model
