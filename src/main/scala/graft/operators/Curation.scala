@@ -2649,11 +2649,22 @@ object Curation extends QueryModule {
     val spark = chunks.sparkSession
     // the chunk table is referenced THREE times (the count, the rank
     // side, the offsets side) and is a whole pack chain in production —
-    // ScopedCache it so the corpus packs once (the doubly-referenced-
-    // subtree rule; r17 self-review). The variant keeps q227's composed
-    // chunk table from thrashing q222's generation in a sweep.
-    val cached = graft.functions.ScopedCache.persist("q222.chunks", cacheVariant,
-      chunks.select(col("source"), col("chunk_id"), col("chunk_tokens")))
+    // materialize it ONCE so the corpus packs once (the doubly-
+    // referenced-subtree rule; r17 self-review). r17 optimization: an
+    // eager localCheckpoint instead of ScopedCache — same single
+    // materialization, but it also TRUNCATES LINEAGE, so the count and
+    // the final assembly plan over a 3-column leaf instead of re-running
+    // analyzer+optimizer over the whole upstream chain per reference
+    // (for q227 that chain is the entire CCNet pipeline + packer; the
+    // plattFit rationale applied to a composed query). The checkpoint is
+    // terminal state the returned plan references — ContextCleaner
+    // reclaims it once the consumer drops the DataFrame (the documented
+    // ScopedCache.releaseCheckpoint terminal-model rule). cacheVariant
+    // is retained for signature stability (each invocation now owns its
+    // materialization, so thrash between q222/q227 cannot occur).
+    val _ = cacheVariant
+    val cached = chunks.select(col("source"), col("chunk_id"), col("chunk_tokens"))
+      .localCheckpoint()
     // dense global index without a global sort: per-source dense rank
     // (q68's chunk_id can gap when a doc overflows the budget) + a
     // #sources-row offset cumulative broadcast back
