@@ -392,14 +392,19 @@ object Dedup extends QueryModule {
     // pipeline above this (shingle self-join + aggregate) is the most
     // expensive stage of q77/q78/q85 — evaluating it once halves the
     // edge-materialization job
+    // r17: eager localCheckpoint instead of persist() — same single
+    // materialization of the expensive pair pipeline, but the edge
+    // table's lineage is TRUNCATED, so the count, the union-find
+    // collect, and (on large graphs) every propagation round's join
+    // plan over a 2-column leaf instead of re-running
+    // analyzer+optimizer over the shingle self-join chain per
+    // reference (the plattFit rationale).
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("u"), col("doc_b").as("v")),
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+      .localCheckpoint()
     try {
-      // materializes the edge cache in one job; the loop's first
-      // convergence action previously paid the same materialization
       val nEdges = edges.count()
       if (nEdges <= smallCutoff) return (unionFindLabels(edges), 0)
       // init = one propagation step folded in: label(n) = min(n, neighbors)
@@ -440,7 +445,7 @@ object Dedup extends QueryModule {
       require(converged,
         s"near-dup label propagation did not converge in $maxIters iterations")
       (labels, iters)
-    } finally edges.unpersist(blocking = false)
+    } finally releaseCheckpoint(edges)
   }
 
   /** Driver-side min-label connected components for a small (≤
