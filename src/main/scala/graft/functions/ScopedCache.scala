@@ -73,7 +73,13 @@ object ScopedCache {
   def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false); ()
+        // blocking: the eviction must finish inside the RELEASING
+        // query's own pass — non-blocking drains the dead blocks (and
+        // their GC pressure) into whatever the bench times NEXT, the
+        // round-3 q90/q91 anomaly re-created by the r17 loop
+        // checkpoints (q217 measured 1.7x its band right after q215's
+        // release until this flip)
+        r.rdd.unpersist(blocking = true); ()
       case _ =>
     }
 
