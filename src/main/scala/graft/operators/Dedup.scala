@@ -1602,11 +1602,19 @@ object Dedup extends QueryModule {
   /** DataFrame-level core (testable on constructed corpora). */
   private[graft] def lshGeometryCardOf(docs: DataFrame,
       maxBucket: Int = MaxBandBucket): DataFrame = {
-    val sigs = graft.functions.ScopedCache.persist("q73.signatures",
-      signatures(docs))
-    val sh = graft.functions.ScopedCache.persist("q179.polyshingles",
-      docs.select(col("doc_id"),
-        explode(expr("graft_shingles_poly(text)")).as("base")))
+    // r17: eager localCheckpoint instead of the q73/q179 ScopedCache
+    // slots — the card references the signature table from ~8 branches
+    // (3 banded explodes + 2 exact-side joins per geometry) and the
+    // shingle table from 6, so with the pins the card's single action
+    // still re-ran analyzer work over the full signature/shingle chains
+    // per reference (~2.1 s of build+plan time measured at sf0.1).
+    // Checkpoints keep the one-materialization contract and make every
+    // reference a 2-column leaf. Same rows → same card (the q222
+    // precedent); terminal state, reclaimed by ContextCleaner.
+    val sigs = signatures(docs).localCheckpoint()
+    val sh = docs.select(col("doc_id"),
+        explode(expr("graft_shingles_poly(text)")).as("base"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     LshGeometries.map { case (b, r) =>
       val cand = bandedCandidates(sigs, b, r, maxBucket)
