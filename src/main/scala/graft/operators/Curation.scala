@@ -998,21 +998,28 @@ object Curation extends QueryModule {
 
   private[graft] def funnelPartsOf(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val quality = graft.functions.ScopedCache.persist("curation.funnel.quality",
-      TextOps.qualityScoresOf(docs).select(col("doc_id"), col("quality"), col("n_tokens")))
+    // r17: eager localCheckpoints instead of the three ScopedCache slots
+    // (the q217 rationale): q160 references these tables from 4 stage
+    // aggregates and q163 from 5 more branches, so the pins left every
+    // reference re-analyzing the full quality/gate/keep-first chains.
+    // Each stage still materializes exactly once (each checkpoint reads
+    // the previous one); every downstream reference is a narrow leaf.
+    val quality = TextOps.qualityScoresOf(docs)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+      .localCheckpoint()
     // tkey = 32-byte content key: the keep-first aggregate and the q163
     // keeper join both key on it, so no join/shuffle is keyed by raw text
-    val gatedq = graft.functions.ScopedCache.persist("curation.funnel.gated",
-      docs.select(col("doc_id"), col("text"),
-          Dedup.contentKey(col("text")).as("tkey"))
-        .join(quality.filter(col("quality") >= FunnelQualityMin)
-          .select(col("doc_id"), col("n_tokens")), Seq("doc_id")))
-    val sv = graft.functions.ScopedCache.persist("curation.funnel.sv",
-      gatedq.groupBy(col("tkey"))
-        .agg(min_by(struct(col("doc_id"), col("n_tokens"), col("text")),
-          col("doc_id")).as("keep"))
-        .select(col("keep.doc_id").as("doc_id"), col("keep.n_tokens").as("n_tokens"),
-          col("keep.text").as("text"), col("tkey")))
+    val gatedq = docs.select(col("doc_id"), col("text"),
+        Dedup.contentKey(col("text")).as("tkey"))
+      .join(quality.filter(col("quality") >= FunnelQualityMin)
+        .select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .localCheckpoint()
+    val sv = gatedq.groupBy(col("tkey"))
+      .agg(min_by(struct(col("doc_id"), col("n_tokens"), col("text")),
+        col("doc_id")).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.n_tokens").as("n_tokens"),
+        col("keep.text").as("text"), col("tkey"))
+      .localCheckpoint()
     val pairs = Dedup.jaccardPairsUnsorted(
         sv.select(col("doc_id"), col("text")),
         scope = "curation.funnel.shingles")
