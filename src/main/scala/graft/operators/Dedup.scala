@@ -1460,10 +1460,16 @@ object Dedup extends QueryModule {
     * agreement on exact duplicates and the error on partial overlaps). */
   private[graft] def minhashEstimateErrorOf(docs: DataFrame,
       maxBucket: Int = MaxBandBucket): DataFrame = {
-    val (sigs, cand) = lshCandidates(docs, maxBucket)
-    val sh = graft.functions.ScopedCache.persist("q179.polyshingles",
-      docs.select(col("doc_id"),
-        explode(expr("graft_shingles_poly(text)")).as("base")))
+    // r17: checkpoint the three multiply-referenced fronts (the q217
+    // rationale — sigs ×2, cand ×2, shingles ×3 through the audit's one
+    // action): same single materialization each, every downstream
+    // reference a narrow leaf instead of a re-analyzed chain.
+    val (sigs0, cand0) = lshCandidates(docs, maxBucket)
+    val sigs = sigs0.localCheckpoint()
+    val cand = cand0.localCheckpoint()
+    val sh = docs.select(col("doc_id"),
+        explode(expr("graft_shingles_poly(text)")).as("base"))
+      .localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("base")), "doc_a")
@@ -2735,29 +2741,38 @@ object Dedup extends QueryModule {
       bsh: DataFrame, bLabels: DataFrame, delta: DataFrame): DataFrame = {
     // one keyed projection, cached: both the full roster (dAll) and the
     // batch keep-first read it, so each delta text is sha-hashed ONCE
-    val dKeyed = graft.functions.ScopedCache.persist("dedup.append.dkeyed",
-      delta.select(col("doc_id"), col("text"),
-        contentKeyNullSafe(col("text")).as("tkey")))
+    // r17: the six admission-tail stage tables below are eager
+    // localCheckpoints instead of ScopedCache pins (the q217/q160
+    // rationale): each is referenced by 2-3 downstream branches of the
+    // one admission action, and the pins left every reference
+    // re-analyzing the whole stacked chain. Materialize-once is
+    // unchanged (each checkpoint reads its predecessors).
+    val dKeyed = delta.select(col("doc_id"), col("text"),
+        contentKeyNullSafe(col("text")).as("tkey"))
+      .localCheckpoint()
     val dAll = dKeyed.select(col("doc_id"), col("tkey"))
-    val dsv = graft.functions.ScopedCache.persist("dedup.append.dsv",
-      dKeyed
-        .groupBy(col("tkey"))
-        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("keep"))
-        .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"),
-          col("tkey")))
+    val dsv = dKeyed
+      .groupBy(col("tkey"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("keep"))
+      .select(col("keep.doc_id").as("doc_id"), col("keep.text").as("text"),
+        col("tkey"))
+      .localCheckpoint()
     val exDelta = dAll.join(dsv.select(col("tkey"), col("doc_id").as("attach")), Seq("tkey"))
       .filter(col("doc_id") =!= col("attach"))
       .select(col("doc_id"), lit("exact_dup_delta").as("status"), col("attach"))
-    val exBase = graft.functions.ScopedCache.persist("dedup.append.exb",
-      dsv.join(bsv.select(col("tkey"), col("doc_id").as("attach")), Seq("tkey"))
-        .select(col("doc_id"), col("attach")))
-    val dnew = graft.functions.ScopedCache.persist("dedup.append.dnew",
-      dsv.join(exBase.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("text")))
+    val exBase = dsv
+      .join(bsv.select(col("tkey"), col("doc_id").as("attach")), Seq("tkey"))
+      .select(col("doc_id"), col("attach"))
+      .localCheckpoint()
+    val dnew = dsv
+      .join(exBase.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
     // delta shingles under the FROZEN base gate
-    val dsh = graft.functions.ScopedCache.persist("dedup.append.dsh",
-      shingled(dnew).select(col("doc_id"), explode(col("shingles")).as("sh"))
-        .join(hot, Seq("sh"), "left_anti"))
+    val dsh = shingled(dnew)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .join(hot, Seq("sh"), "left_anti")
+      .localCheckpoint()
     val dsz = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("dn"))
     // per-survivor gated-shingle counts: the artifact's bsv carries them
     // (`nsh` — persisted by the build for exactly this reuse, and kept
@@ -2779,12 +2794,13 @@ object Dedup extends QueryModule {
       .filter(col("n_inter").cast(DoubleType)
         / (col("dn") + col("bn") - col("n_inter")) >= JaccardThreshold)
       .select(col("ddoc"), col("bdoc"))
-    val nearBase = graft.functions.ScopedCache.persist("dedup.append.nb",
-      xpairs.join(bLabels.select(col("node").as("bdoc"), col("label")),
-          Seq("bdoc"), "left")
-        .groupBy(col("ddoc"))
-        .agg(min(coalesce(col("label"), col("bdoc"))).as("attach"))
-        .select(col("ddoc").as("doc_id"), col("attach")))
+    val nearBase = xpairs
+      .join(bLabels.select(col("node").as("bdoc"), col("label")),
+        Seq("bdoc"), "left")
+      .groupBy(col("ddoc"))
+      .agg(min(coalesce(col("label"), col("bdoc"))).as("attach"))
+      .select(col("ddoc").as("doc_id"), col("attach"))
+      .localCheckpoint()
     val rem = dnew.select(col("doc_id"))
       .join(nearBase.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val rsh = dsh.join(rem, Seq("doc_id"), "left_semi")
