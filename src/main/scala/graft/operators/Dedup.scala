@@ -1460,13 +1460,15 @@ object Dedup extends QueryModule {
     * agreement on exact duplicates and the error on partial overlaps). */
   private[graft] def minhashEstimateErrorOf(docs: DataFrame,
       maxBucket: Int = MaxBandBucket): DataFrame = {
-    // r17: checkpoint the three multiply-referenced fronts (the q217
-    // rationale — sigs ×2, cand ×2, shingles ×3 through the audit's one
-    // action): same single materialization each, every downstream
-    // reference a narrow leaf instead of a re-analyzed chain.
-    val (sigs0, cand0) = lshCandidates(docs, maxBucket)
-    val sigs = sigs0.localCheckpoint()
-    val cand = cand0.localCheckpoint()
+    // r17: checkpoint the multiply-referenced shingle front (the q217
+    // rationale — referenced ×3 through the audit's one action): same
+    // single materialization, every reference a narrow leaf. sigs/cand
+    // stay on their q73 ScopedCache slots: the LSH hot-gate anti-join
+    // lives in the candidate build plan, and PlanSpec audits it through
+    // the InMemoryRelation (a checkpoint would hide it — and the
+    // A/B read flat for those two anyway; the shingle explode is the
+    // re-analyzed chain that cost).
+    val (sigs, cand) = lshCandidates(docs, maxBucket)
     val sh = docs.select(col("doc_id"),
         explode(expr("graft_shingles_poly(text)")).as("base"))
       .localCheckpoint()
