@@ -238,6 +238,146 @@ object OptProbe {
           println(f"[opt] lrDense-fused #$r           ${(System.nanoTime() - t0) / 1e9}%7.3f s")
         }
         Seq.empty
+      case "bgpair" =>
+        // side-by-side q207-shaped chain: uncached (current) vs with the
+        // vocab-level pair rollup pinned, alternating passes in one
+        // session so ambient load hits both evenly
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        val KnDiscount = 0.75
+        def bg0 = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+          .withColumn("p", explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS l, element_at(t, i + 1) AS r))")))
+          .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+          .groupBy(col("doc_id"), col("l"), col("r"))
+          .agg(count(lit(1)).as("cnt"))
+        def chain(pinPair: Boolean): DataFrame = {
+          val bg = bg0
+          val pair0 = bg.groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("pair_cnt"))
+          val pair = if (pinPair)
+            graft.functions.ScopedCache.persist("probe.bgpair", pair0) else pair0
+          val left = pair.groupBy(col("l")).agg(sum(col("pair_cnt")).as("left_cnt"),
+            count(lit(1)).as("n1_left"))
+          val cont = pair.groupBy(col("r")).agg(count(lit(1)).as("n1_right"))
+          val tot = pair.agg(count(lit(1)).as("n_types"))
+          val probs = pair.join(left, Seq("l")).join(cont, Seq("r"))
+            .crossJoin(broadcast(tot))
+            .select(col("l"), col("r"),
+              (greatest(col("pair_cnt").cast(DoubleType) - lit(KnDiscount), lit(0.0))
+                  / col("left_cnt")
+                + (lit(KnDiscount) * col("n1_left") / col("left_cnt"))
+                  * (col("n1_right").cast(DoubleType) / col("n_types"))).as("p"))
+          val term = (col("cnt").cast(DoubleType) * log(col("p")))
+            .cast(DecimalType(38, 12))
+          bg.join(probs, Seq("l", "r"))
+            .groupBy(col("doc_id"))
+            .agg(sum(col("cnt")).as("n_bigrams"), sum(term).as("s"))
+            .select(col("doc_id"), col("n_bigrams"),
+              round(-col("s").cast(DoubleType) / col("n_bigrams"), 6)
+                .as("x"))
+            .orderBy(col("doc_id"))
+        }
+        val accP = scala.collection.mutable.Map.empty[String, List[Double]]
+        for (r <- 1 to reps) {
+          for ((nm, pin) <- Seq("uncached" -> false, "pinned-pair" -> true)) {
+            settle()
+            val t0 = System.nanoTime()
+            chain(pin).write.format("noop").mode("overwrite").save()
+            val s = (System.nanoTime() - t0) / 1e9
+            println(f"[opt] q207-chain $nm%-12s #$r   $s%7.3f s")
+            accP(nm) = s :: accP.getOrElse(nm, Nil)
+          }
+        }
+        accP.foreach { case (n, ts) => println(f"[opt] $n%-14s min ${ts.min}%7.3f") }
+        Seq.empty
+      case "normwin" =>
+        // q198 kernel alternative: per-doc L2 norm via a window over comp
+        // instead of groupBy+join — one comp execution, one exchange
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.GraftFunctions.ensureRegistered(spark)
+        val D = TextOps.HashedVecDims
+        def vectorsWin(d: DataFrame): DataFrame = {
+          val idf = TextOps.hashedIdfOf(d)
+          val tc = d.select(col("doc_id"),
+              explode(split(col("text"), " ")).as("tok"))
+            .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+          val comp = tc.join(idf, Seq("tok"))
+            .withColumn("th", expr("graft_tokhash(tok)"))
+            .select(col("doc_id"),
+              pmod(col("th"), lit(D.toLong)).cast(IntegerType).as("dim"),
+              (when(pmod(expr(s"th div $D"), lit(2L)) === 0L, lit(1)).otherwise(lit(-1))
+                * col("cnt") * col("idf")).cast(DecimalType(38, 12)).as("term"))
+            .groupBy(col("doc_id"), col("dim"))
+            .agg(sum(col("term")).as("w"))
+          val wd = col("w").cast(DoubleType)
+          comp
+            .withColumn("nrm", sqrt(sum((wd * wd).cast(DecimalType(38, 12)))
+              .over(Window.partitionBy(col("doc_id"))).cast(DoubleType)))
+            .filter(col("nrm") > 0)
+            .select(col("doc_id"), col("dim"), round(wd / col("nrm"), 6).as("w"))
+            .orderBy(col("doc_id"), col("dim"))
+        }
+        val dd = docs.select(col("doc_id"), col("text"))
+        val a = TextOps.hashedDocVectorsOf(dd).collect()
+          .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getDouble(2)).toMap
+        val b = vectorsWin(dd).collect()
+          .map(r => (Option(r.get(0)), r.getInt(1)) -> r.getDouble(2)).toMap
+        println(s"[opt] vectors equal=${a == b} (n=${a.size} vs ${b.size})")
+        for (r <- 1 to reps) {
+          settle()
+          var t0 = System.nanoTime()
+          TextOps.hashedDocVectorsOf(dd).write.format("noop").mode("overwrite").save()
+          println(f"[opt] vectors-old #$r             ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+          settle()
+          t0 = System.nanoTime()
+          vectorsWin(dd).write.format("noop").mode("overwrite").save()
+          println(f"[opt] vectors-win #$r             ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        }
+        Seq.empty
+      case "plantime" =>
+        // pure planning cost (analysis+optimization+physical) per query,
+        // no execution — where the Catalyst tax is
+        val qs = graft.SparkEntry.queries
+        val names = Seq("q217_lsh_geometry_card", "q224_calibration_method_card",
+          "q225_ccnet_funnel", "q221_ccnet_corpus", "q227_ccnet_training_chunks",
+          "q204_classifier_eval", "q208_ann_method_card", "q229_decontam_method_card",
+          "q160_curation_funnel", "q163_rejection_audit", "q176_neardup_artifact_append",
+          "q129_neardup_pairs_build", "q182_semdedup_prune", "q205_bpe_train",
+          "q108_ivfpq_index_build", "q211_perplexity_buckets", "q206_threshold_sweep")
+        for (n <- names) {
+          settle()
+          val t0 = System.nanoTime()
+          // NOTE: building the DataFrame itself may run driver loops
+          // (training collects) — that cost shows here too, split out by
+          // the build timestamp
+          val df = qs(n)(spark, dir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan
+          val t2 = System.nanoTime()
+          println(f"[opt] $n%-32s build ${(t1 - t0) / 1e9}%6.2f s  plan ${(t2 - t1) / 1e9}%6.2f s")
+        }
+        Seq.empty
+      case "q204" =>
+        import org.apache.spark.sql.functions._
+        val bucket = pmod(col("doc_id"), lit(10L))
+        val train = docs.filter(bucket < 8)
+        Seq(
+          "train-lrQualityTrainOf" -> (() => Curation.lrQualityTrainOf(train)),
+          "q204-full" -> (() => Curation.classifierEval(spark, dir)),
+        )
+      case "cards" =>
+        Seq(
+          "q208-ann-card" -> (() => graft.operators.Similarity.annMethodCard(spark, dir)),
+          "q229-decontam-card" -> (() => graft.operators.SpanDedup.decontamMethodCard(spark, dir)),
+          "q160-funnel" -> (() => Curation.curationFunnel(spark, dir)),
+          "q163-audit" -> (() => Curation.rejectionAudit(spark, dir)),
+          "q217-geometry" -> (() => graft.operators.Dedup.lshGeometryCard(spark, dir)),
+          "q226-doremi-sample" -> (() => Curation.doremiSample(spark, dir)),
+        )
       case "ccnet" =>
         Seq(
           "q214-paragraph-dedup" -> (() =>
